@@ -1,38 +1,473 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship hybrid (filter + vector top-k) search.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query key.
+
+Numeric parity note: distances are computed in double precision as a
+sequential left-fold on both sides (Spark ``aggregate``/``zip_with``;
+DuckDB ``list_sum(list_transform(...))``). DuckDB's executor may fuse
+multiply-adds, drifting the fold by ~1 ulp, so every *output* score is
+cast to float32 on both sides (a 1e-15-relative difference cannot move
+a float32 rounding). Ties are broken by id everywhere so top-k row
+selection is deterministic on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vearch_spark.operators import topk
+from vearch_spark.operators.fusion import VectorQuery, multi_vector_search
+from vearch_spark.sources.parquet import lineitem_space, with_event_time
+
+# ---------------------------------------------------------------- constants
+
+DIM = 64
+# deterministic query vectors; repr() round-trips exactly into both engines
+QV_L2 = [float((i * 37) % 101) / 101.0 for i in range(DIM)]
+QV_IP = [float((i * 53) % 89) / 89.0 - 0.5 for i in range(DIM)]
+QV_F2 = [float((i * 29) % 97) / 97.0 - 0.25 for i in range(DIM)]
+
+GET_IDS = ["1-1", "1-2", "3-1", "7-3", "9999-1", "42-2"]
+
+FUSION_K = 200
+FUSION_W1, FUSION_W2 = 0.7, 0.3
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _sql_vec(v: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# The SQL oracle must reproduce Spark's sequential left-fold summation
+# bit-for-bit. DuckDB's list_sum folds sequentially (verified ==
+# Python/Spark); an inline `a + b + c` chain gets reassociated by the
+# DuckDB executor and drifts by ulps, and list_distance applies sqrt
+# (double-rounding on the way back to squared distance).
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_l2sq(col: str, q: list[float]) -> str:
+    ql = _sql_vec(q)
+    return (
+        f"list_sum(list_transform(generate_series(1, {len(q)}), "
+        f"i -> ({col}[i]::DOUBLE - ({ql})[i]) * ({col}[i]::DOUBLE - ({ql})[i])))"
+    )
+
+
+def _sql_l2sq_cols(col_a: str, col_b: str, dim: int = DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({col_a}[i]::DOUBLE - {col_b}[i]::DOUBLE)"
+        f" * ({col_a}[i]::DOUBLE - {col_b}[i]::DOUBLE)))"
+    )
+
+
+def _sql_ip(col: str, q: list[float]) -> str:
+    ql = _sql_vec(q)
+    return (
+        f"list_sum(list_transform(generate_series(1, {len(q)}), "
+        f"i -> {col}[i]::DOUBLE * ({ql})[i]))"
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_flat_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact FLAT top-k, metric L2 (squared, the engine default)."""
+    return topk.search(
+        _emb(spark, sf_dir), "embedding", QV_L2, limit=10, metric="L2", id_col="vec_id"
+    ).select("vec_id", "label", F.col("_score").cast("float").alias("score"))
+
+
+def q_flat_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact FLAT top-k, metric InnerProduct (descending)."""
+    return topk.search(
+        _emb(spark, sf_dir), "embedding", QV_IP, limit=10, metric="InnerProduct", id_col="vec_id"
+    ).select("vec_id", "label", F.col("_score").cast("float").alias("score"))
+
+
+def q_knn_filtered_l2sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered search + l2_sqrt flag (search_doc.go:78)."""
+    return topk.search(
+        _emb(spark, sf_dir),
+        "embedding",
+        QV_L2,
+        limit=10,
+        metric="L2",
+        l2_sqrt=True,
+        flt=F.col("label") < 5,
+        id_col="vec_id",
+    ).select("vec_id", "label", F.col("_score").cast("float").alias("score"))
+
+
+def q_knn_score_band_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max_score band + offset (gamma_common_data.h:94-96, vector_manager.cc:924)."""
+    return topk.search(
+        _emb(spark, sf_dir),
+        "embedding",
+        QV_L2,
+        limit=20,
+        metric="L2",
+        min_score=10.0,
+        max_score=25.0,
+        offset=5,
+        id_col="vec_id",
+    ).select("vec_id", F.col("_score").cast("float").alias("score"))
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query search (req_num queries, doc_query.go:255-338)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return topk.search_batch(
+        emb, "embedding", queries, limit=5, metric="L2", id_col="vec_id"
+    ).select("query_id", "vec_id", F.col("_score").cast("float").alias("score"))
+
+
+def q_multivector_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two vector queries + WeightedRanker fusion (vector_manager.cc:1024-1087)."""
+    return multi_vector_search(
+        _emb(spark, sf_dir),
+        [VectorQuery("embedding", QV_IP), VectorQuery("embedding", QV_F2)],
+        limit=10,
+        metric="InnerProduct",
+        weights=[FUSION_W1, FUSION_W2],
+        per_field_k=FUSION_K,
+        id_col="vec_id",
+    ).select(F.col("vec_id"), F.col("_score").cast("float").alias("fused_score"))
+
+
+def q_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query verb: filter scan in ingest (_seq) order, default-limit 50
+    (Engine::Query engine.cc:449-528)."""
+    li = lineitem_space(spark, sf_dir)
+    flt = (
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 10)
+        & F.col("l_returnflag").isin("A", "R")
+    )
+    # _seq has duplicates (non-unique natural key in the synthetic data);
+    # ordering by every output column makes the limit-50 slice unambiguous
+    return (
+        li.where(flt)
+        .orderBy(
+            F.col("_seq").asc(),
+            F.col("l_quantity").asc(),
+            F.col("l_discount").asc(),
+            F.col("l_returnflag").asc(),
+        )
+        .limit(50)
+        .select("_id", "_seq", "l_quantity", "l_discount", "l_returnflag")
+    )
+
+
+def q_term_filter_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN on a string_array field = any-element match (doc_query.go:1150-1202)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    toks = F.split(F.col("p_name"), " ")
+    overlap = F.arrays_overlap(toks, F.array(F.lit("red"), F.lit("blue")))
+    notin = ~F.coalesce(F.col("p_brand").isin("Brand#17"), F.lit(False))
+    return (
+        part.where(overlap & notin)
+        .orderBy("p_partkey")
+        .limit(100)
+        .select("p_partkey", "p_brand", "p_name")
+    )
+
+
+def q_get_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Get by ids (≤500, doc_http.go:579-583)."""
+    li = lineitem_space(spark, sf_dir)
+    return (
+        li.where(F.col("_id").isin(GET_IDS))
+        .select("_id", "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("_id")
+    )
+
+
+def q_sort_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed multi-field sort + page slicing (sortorder/sort.go, client.go:888-904)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    page_size, page_num = 10, 3
+    return (
+        orders.orderBy(
+            F.col("o_orderpriority").asc_nulls_last(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        )
+        .offset((page_num - 1) * page_size)
+        .limit(page_size)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert as last-write-wins merge: base ∪ updates, latest version
+    per _id wins (the Delta-MERGE-equivalent view, SURVEY.md §1.3)."""
+    li = lineitem_space(spark, sf_dir)
+    base = li.select("_id", "l_quantity", F.lit(0).alias("version"))
+    updates = (
+        li.where(F.col("l_orderkey") % 97 == 0)
+        .select("_id", (F.col("l_quantity") + 100.0).alias("l_quantity"), F.lit(1).alias("version"))
+    )
+    unioned = base.unionByName(updates)
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    # ties on version are broken by quantity to keep the pick deterministic
+    w = Window.partitionBy("_id").orderBy(F.col("version").desc(), F.col("l_quantity").asc())
+    merged = unioned.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    return (
+        merged.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("version")).alias("n_updated"),
+        )
+    )
+
+
+def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-by-query result state (client.go:1851-1897): the surviving
+    table aggregated per returnflag."""
+    li = lineitem_space(spark, sf_dir)
+    doomed = (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45.0)
+    return (
+        li.where(~F.coalesce(doomed, F.lit(False)))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (8-token prefix), keeping the
+    lowest doc_id per group — hash-groupBy dedup at any scale."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+        .orderBy("fp")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language text-quality aggregates (token counts etc.)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stats = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.col("n_chars"),
+    )
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped tumbling-window aggregate over the events table
+    (the batch view of the Structured Streaming ingest path)."""
+    ev = with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    hour = F.date_trunc("hour", F.col("ts_utc"))
+    return (
+        ev.groupBy(F.unix_micros(hour).alias("hour_us"), "event_type")
+        # parallel double-sum is order-dependent in the last ulp on both
+        # engines; round to a stable 6 decimals for the oracle hash
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("hour_us", "event_type")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flat_knn_l2": q_flat_knn_l2,
+    "flat_knn_ip": q_flat_knn_ip,
+    "knn_filtered_l2sqrt": q_knn_filtered_l2sqrt,
+    "knn_score_band_offset": q_knn_score_band_offset,
+    "knn_batch": q_knn_batch,
+    "multivector_fusion": q_multivector_fusion,
+    "filter_scan": q_filter_scan,
+    "term_filter_arrays": q_term_filter_arrays,
+    "get_by_ids": q_get_by_ids,
+    "sort_pagination": q_sort_pagination,
+    "upsert_lww": q_upsert_lww,
+    "delete_by_query": q_delete_by_query,
+    "exact_dedup": q_exact_dedup,
+    "text_stats": q_text_stats,
+    "events_hourly": q_events_hourly,
+}
+
+
+# ------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    l2sq = _sql_l2sq("embedding", QV_L2)
+    ip1 = _sql_ip("embedding", QV_IP)
+    ip2 = _sql_ip("embedding", QV_F2)
+    ids = ", ".join(f"'{i}'" for i in GET_IDS)
+    li_space = (
+        "SELECT *, l_orderkey || '-' || l_linenumber AS _id, "
+        "l_orderkey * 8 + l_linenumber AS _seq FROM lineitem"
+    )
+    return {
+        "flat_knn_l2": f"""
+            SELECT vec_id, label, CAST({l2sq} AS REAL) AS score
+            FROM embeddings
+            ORDER BY score ASC, vec_id ASC LIMIT 10
+        """,
+        "flat_knn_ip": f"""
+            SELECT vec_id, label, CAST({ip1} AS REAL) AS score
+            FROM embeddings
+            ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "knn_filtered_l2sqrt": f"""
+            SELECT vec_id, label, CAST(sqrt({l2sq}) AS REAL) AS score
+            FROM embeddings WHERE label < 5
+            ORDER BY score ASC, vec_id ASC LIMIT 10
+        """,
+        "knn_score_band_offset": f"""
+            SELECT vec_id, CAST(score AS REAL) AS score FROM (
+              SELECT vec_id, {l2sq} AS score FROM embeddings
+            ) WHERE score >= 10.0 AND score <= 25.0
+            ORDER BY score ASC, vec_id ASC LIMIT 20 OFFSET 5
+        """,
+        "knn_batch": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4)
+            SELECT query_id, vec_id, CAST(score AS REAL) AS score FROM (
+              SELECT q.query_id, e.vec_id,
+                     {_sql_l2sq_cols("e.embedding", "q.qv")} AS score,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY {_sql_l2sq_cols("e.embedding", "q.qv")} ASC,
+                                                 e.vec_id ASC) AS rn
+              FROM embeddings e CROSS JOIN q
+            ) WHERE rn <= 5
+        """,
+        "multivector_fusion": f"""
+            WITH s1 AS (
+              SELECT vec_id, {ip1} AS sc
+              FROM embeddings
+              ORDER BY sc DESC, vec_id ASC LIMIT {FUSION_K}
+            ), s2 AS (
+              SELECT vec_id, {ip2} AS sc
+              FROM embeddings
+              ORDER BY sc DESC, vec_id ASC LIMIT {FUSION_K}
+            )
+            SELECT s1.vec_id AS vec_id,
+                   CAST(0.0 + s1.sc * {FUSION_W1!r} + s2.sc * {FUSION_W2!r} AS REAL) AS fused_score
+            FROM s1 JOIN s2 ON s1.vec_id = s2.vec_id
+            ORDER BY fused_score DESC, s1.vec_id ASC LIMIT 10
+        """,
+        "filter_scan": f"""
+            SELECT _id, _seq, l_quantity, l_discount, l_returnflag
+            FROM ({li_space})
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 10 AND l_returnflag IN ('A', 'R')
+            ORDER BY _seq ASC, l_quantity ASC, l_discount ASC, l_returnflag ASC
+            LIMIT 50
+        """,
+        "term_filter_arrays": """
+            SELECT p_partkey, p_brand, p_name
+            FROM part
+            WHERE list_has_any(string_split(p_name, ' '), ['red', 'blue'])
+              AND NOT coalesce(p_brand IN ('Brand#17'), false)
+            ORDER BY p_partkey LIMIT 100
+        """,
+        "get_by_ids": f"""
+            SELECT _id, l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM ({li_space}) WHERE _id IN ({ids}) ORDER BY _id
+        """,
+        "sort_pagination": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders
+            ORDER BY o_orderpriority ASC NULLS LAST,
+                     o_totalprice DESC NULLS LAST, o_orderkey ASC
+            LIMIT 10 OFFSET 20
+        """,
+        "upsert_lww": f"""
+            WITH base AS (
+              SELECT _id, l_quantity, 0 AS version FROM ({li_space})
+            ), updates AS (
+              SELECT _id, l_quantity + 100.0 AS l_quantity, 1 AS version
+              FROM ({li_space}) WHERE l_orderkey % 97 = 0
+            ), unioned AS (
+              SELECT * FROM base UNION ALL SELECT * FROM updates
+            ), merged AS (
+              SELECT *, row_number() OVER (PARTITION BY _id
+                          ORDER BY version DESC, l_quantity ASC) AS rn
+              FROM unioned
+            )
+            SELECT count(*) AS n_docs, sum(l_quantity) AS sum_qty,
+                   sum(version)::BIGINT AS n_updated
+            FROM merged WHERE rn = 1
+        """,
+        "delete_by_query": f"""
+            SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+            FROM ({li_space})
+            WHERE NOT coalesce(l_returnflag = 'R' AND l_quantity > 45.0, false)
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "exact_dedup": """
+            SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_dups
+            FROM (
+              SELECT doc_id,
+                     md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+              FROM documents
+            )
+            GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+        """,
+        "text_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   min(len(string_split(text, ' '))) AS min_tokens,
+                   max(len(string_split(text, ' '))) AS max_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "events_hourly": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY hour_us, event_type
+            ORDER BY hour_us, event_type
+        """,
+    }
+
+
+# ---------------------------------------------------------------- contract
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: hybrid (scalar-filtered) exact vector search on sf0.001."""
+    return q_knn_filtered_l2sqrt(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)

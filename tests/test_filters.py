@@ -1,0 +1,114 @@
+import pytest
+from pyspark.sql import functions as F
+
+from vearch_spark.errors import FilterError, SchemaError
+from vearch_spark.filters import compile_filter
+from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, 1.5, "red", ["a", "b"]),
+            (2, 20, 2.5, "blue", ["b", "c"]),
+            (3, 30, 3.5, "red", ["d"]),
+            (4, 40, 4.5, None, None),
+        ],
+        "id int, num int, d double, color string, tags array<string>",
+    )
+
+
+def idx(name):
+    return IndexSpec(name=name, index_type="SCALAR")
+
+
+@pytest.fixture(scope="module")
+def schema():
+    return SpaceSchema(
+        name="t",
+        fields=[
+            FieldSpec("num", FieldType.INT, index=idx("num")),
+            FieldSpec("d", FieldType.DOUBLE, index=idx("d")),
+            FieldSpec("color", FieldType.STRING, index=idx("color")),
+            FieldSpec("tags", FieldType.STRING_ARRAY, index=idx("tags")),
+            FieldSpec("free", FieldType.INT),  # unindexed
+        ],
+    )
+
+
+def ids(df, flt, schema=None):
+    pred = compile_filter(flt, schema)
+    return sorted(r.id for r in df.where(pred).collect())
+
+
+def test_range_ops(df):
+    assert ids(df, {"operator": "AND", "conditions": [{"field": "num", "operator": ">", "value": 15}]}) == [2, 3, 4]
+    assert ids(df, {"operator": "AND", "conditions": [{"field": "num", "operator": ">=", "value": 20}, {"field": "num", "operator": "<", "value": 40}]}) == [2, 3]
+    assert ids(df, {"operator": "AND", "conditions": [{"field": "num", "operator": "=", "value": 30}]}) == [3]
+
+
+def test_neq_complement(df):
+    # != is the complement of the matched set; NULLs are in the complement
+    assert ids(df, {"operator": "AND", "conditions": [{"field": "color", "operator": "!=", "value": "red"}]}, None) == [2, 4]
+
+
+def test_or_union(df):
+    flt = {"operator": "OR", "conditions": [
+        {"field": "num", "operator": "=", "value": 10},
+        {"field": "num", "operator": "=", "value": 40},
+    ]}
+    assert ids(df, flt) == [1, 4]
+
+
+def test_term_in_string(df):
+    assert ids(df, {"operator": "AND", "conditions": [{"field": "color", "operator": "IN", "value": ["red"]}]}) == [1, 3]
+    # NOT IN includes nulls (complement semantics)
+    assert ids(df, {"operator": "AND", "conditions": [{"field": "color", "operator": "NOT IN", "value": ["red"]}]}) == [2, 4]
+
+
+def test_term_in_string_array(df, schema):
+    flt = {"operator": "AND", "conditions": [{"field": "tags", "operator": "IN", "value": ["b"]}]}
+    assert ids(df, flt, schema) == [1, 2]
+    flt = {"operator": "AND", "conditions": [{"field": "tags", "operator": "NOT IN", "value": ["b"]}]}
+    assert ids(df, flt, schema) == [3, 4]
+
+
+def test_numeric_in_rejected(schema):
+    # doc_query.go:1160-1167
+    with pytest.raises(FilterError):
+        compile_filter({"operator": "AND", "conditions": [{"field": "num", "operator": "IN", "value": [1]}]}, schema)
+
+
+def test_unindexed_field_rejected(schema):
+    # doc_query.go:1169-1171
+    with pytest.raises(FilterError):
+        compile_filter({"operator": "AND", "conditions": [{"field": "free", "operator": ">", "value": 1}]}, schema)
+
+
+def test_unknown_field_rejected(schema):
+    with pytest.raises(SchemaError):
+        compile_filter({"operator": "AND", "conditions": [{"field": "nope", "operator": ">", "value": 1}]}, schema)
+
+
+def test_range_on_string_rejected(schema):
+    with pytest.raises(FilterError):
+        compile_filter({"operator": "AND", "conditions": [{"field": "color", "operator": ">", "value": "a"}]}, schema)
+
+
+def test_nested_filters(df):
+    flt = {"operator": "OR", "conditions": [
+        {"operator": "AND", "conditions": [
+            {"field": "num", "operator": ">", "value": 5},
+            {"field": "num", "operator": "<", "value": 15},
+        ]},
+        {"field": "num", "operator": "=", "value": 40},
+    ]}
+    assert ids(df, flt) == [1, 4]
+
+
+def test_bad_operator(df):
+    with pytest.raises(FilterError):
+        compile_filter({"operator": "AND", "conditions": [{"field": "num", "operator": "~", "value": 1}]})
+    with pytest.raises(FilterError):
+        compile_filter({"operator": "XOR", "conditions": [{"field": "num", "operator": ">", "value": 1}]})

@@ -1,0 +1,134 @@
+"""CRUD lifecycle parity (SURVEY.md §2.1) on an in-memory Space."""
+
+import pytest
+
+from vearch_spark.errors import DocumentError, SearchError
+from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+from vearch_spark.space import Space
+
+
+def make_schema():
+    return SpaceSchema(
+        name="docs",
+        fields=[
+            FieldSpec("field_int", FieldType.INT, index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec("field_string", FieldType.STRING, index=IndexSpec("field_string", "SCALAR")),
+            FieldSpec("field_vector", FieldType.VECTOR, dimension=4, index=IndexSpec("field_vector", "FLAT")),
+        ],
+    )
+
+
+def rows(n, start=0):
+    return [
+        {
+            "_id": str(i),
+            "field_int": i,
+            "field_string": f"s{i % 3}",
+            "field_vector": [float(i), 0.0, 1.0, float(i % 5)],
+        }
+        for i in range(start, start + n)
+    ]
+
+
+@pytest.fixture()
+def space(spark):
+    sp = Space(spark, make_schema())
+    sp.upsert(rows(10))
+    return sp
+
+
+def test_upsert_insert(space):
+    assert space.count() == 10
+
+
+def test_upsert_overwrite_keeps_seq(space):
+    seq_before = {r._id: r._seq for r in space.df.select("_id", "_seq").collect()}
+    space.upsert([{"_id": "3", "field_int": 333, "field_string": "zz", "field_vector": [9.0, 9.0, 9.0, 9.0]}])
+    assert space.count() == 10
+    row = space.df.where("_id = '3'").collect()[0]
+    assert row.field_int == 333
+    # docid (seq) is stable across update (engine.cc:747)
+    assert row._seq == seq_before["3"]
+
+
+def test_autogen_id(spark):
+    sp = Space(spark, make_schema())
+    sp.upsert([{"field_int": 1, "field_string": "x", "field_vector": [1.0, 2.0, 3.0, 4.0]}])
+    r = sp.df.collect()[0]
+    assert r._id and len(r._id) == 32
+
+
+def test_get_by_ids(space):
+    out = space.get(["1", "5", "999"])
+    got = sorted(r._id for r in out.collect())
+    assert got == ["1", "5"]
+    with pytest.raises(DocumentError):
+        space.get([str(i) for i in range(501)])
+
+
+def test_partial_update(space):
+    space.partial_update("2", {"field_int": 42})
+    row = space.df.where("_id = '2'").collect()[0]
+    assert row.field_int == 42
+    assert row.field_string == "s2"  # untouched
+    with pytest.raises(DocumentError):
+        space.partial_update("2", {"nope": 1})
+
+
+def test_delete_by_ids(space):
+    assert space.delete(["1", "2", "404"]) == 2
+    assert space.count() == 8
+
+
+def test_delete_by_query(space):
+    doomed = space.delete_by_query(
+        {"operator": "AND", "conditions": [{"field": "field_int", "operator": "<", "value": 3}]}
+    )
+    assert sorted(doomed) == ["0", "1", "2"]
+    assert space.count() == 7
+
+
+def test_query_scan_ingest_order(space):
+    out = space.query(limit=5)
+    assert [r._id for r in out.collect()] == ["0", "1", "2", "3", "4"]
+    out = space.query(
+        flt={"operator": "AND", "conditions": [{"field": "field_string", "operator": "IN", "value": ["s1"]}]},
+        limit=50,
+    )
+    assert [r._id for r in out.collect()] == ["1", "4", "7"]
+
+
+def test_query_offset_and_pagination(space):
+    assert [r._id for r in space.query(limit=3, offset=2).collect()] == ["2", "3", "4"]
+    assert [r._id for r in space.query(page_size=3, page_num=2).collect()] == ["3", "4", "5"]
+
+
+def test_search_on_space(space):
+    out = space.search(vector=[5.0, 0.0, 1.0, 0.0], limit=3)
+    hits = [r._id for r in out.collect()]
+    assert hits[0] == "5"  # exact match row
+    assert len(hits) == 3
+
+
+def test_search_dimension_validation(space):
+    with pytest.raises(SearchError):
+        space.search(vector=[1.0, 2.0], limit=3)
+
+
+def test_unknown_batch_field_rejected(spark):
+    sp = Space(spark, make_schema())
+    df = spark.createDataFrame([("a", 1)], "_id string, bogus int")
+    with pytest.raises(DocumentError):
+        sp.upsert(df)
+
+
+def test_persistent_space(spark, tmp_path):
+    path = str(tmp_path / "space")
+    sp = Space(spark, make_schema(), path=path)
+    sp.upsert(rows(5))
+    sp.delete(["0"])
+    # reopen from disk
+    sp2 = Space(spark, make_schema(), path=path)
+    assert sp2.count() == 4
+    sp2.upsert(rows(2, start=10))
+    assert sp2.count() == 6

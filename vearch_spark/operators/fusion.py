@@ -1,0 +1,107 @@
+"""Multi-vector search with weighted rank fusion.
+
+Reference semantics (vector_manager.cc:1024-1087; WeightedRanker parse
+common_query_data.h:251-317; router gate doc_query.go:1488-1493):
+
+- a search naming N vector fields runs N per-field top-k searches;
+- results are intersected on docid (a doc must appear in EVERY
+  per-field top-k);
+- fused score = Σ weight_i · score_i, default weight 1/N;
+- final order by fused score (metric direction of the fields — the
+  reference requires one metric across fields).
+
+Spark-first: N narrow top-k DataFrames (each a TakeOrderedAndProject),
+inner-joined on id (broadcast — each side is ≤ per_field_k rows),
+weighted sum, re-rank. The expensive work (N scans) stays narrow; the
+join is tiny.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from vearch_spark.errors import SearchError
+from vearch_spark.operators import topk
+from vearch_spark.schema import ID_FIELD, Metric, SpaceSchema
+
+
+@dataclass
+class VectorQuery:
+    """One per-field vector query (proto VectorQuery router_grpc.proto:129-136)."""
+
+    field: str
+    vector: Sequence[float]
+    min_score: float | None = None
+    max_score: float | None = None
+
+
+def multi_vector_search(
+    df: DataFrame,
+    queries: list[VectorQuery],
+    limit: int = topk.DEFAULT_LIMIT,
+    metric: str | Metric = Metric.L2,
+    weights: Sequence[float] | None = None,
+    flt: dict | Column | None = None,
+    schema: SpaceSchema | None = None,
+    per_field_k: int | None = None,
+    l2_sqrt: bool = False,
+    id_col: str = ID_FIELD,
+    output_fields: list[str] | None = None,
+    score_col: str = "_score",
+) -> DataFrame:
+    """Fused multi-vector top-k. ``weights`` = WeightedRanker params;
+    default 1/N (vector_manager.cc:1035)."""
+    n = len(queries)
+    if n < 2:
+        raise SearchError("multi_vector_search requires >= 2 vector queries")
+    if weights is None:
+        weights = [1.0 / n] * n
+    if len(weights) != n:
+        # ranker params must match vector count (doc_query.go:201-216)
+        raise SearchError(f"WeightedRanker expects {n} weights, got {len(weights)}")
+    m = Metric.parse(metric) if isinstance(metric, str) else metric
+    # candidate pool per field; reference uses the request topn per field
+    k_field = per_field_k or max(limit * 10, 200)
+
+    parts: list[DataFrame] = []
+    for i, q in enumerate(queries):
+        part = topk.search(
+            df,
+            vector_col=q.field,
+            query=list(q.vector),
+            limit=k_field,
+            metric=m,
+            flt=flt,
+            schema=schema,
+            min_score=q.min_score,
+            max_score=q.max_score,
+            l2_sqrt=l2_sqrt,
+            id_col=id_col,
+            output_fields=[id_col],
+            score_col=f"_score_{i}",
+        )
+        parts.append(part.select(id_col, f"_score_{i}"))
+
+    # docid intersection via inner joins (vector_manager.cc:1024-1087)
+    fused = parts[0]
+    for part in parts[1:]:
+        fused = fused.join(F.broadcast(part), on=id_col, how="inner")
+
+    score = sum(
+        (F.col(f"_score_{i}") * float(w) for i, w in enumerate(weights)),
+        start=F.lit(0.0),
+    )
+    fused = fused.withColumn(score_col, score)
+
+    order = F.col(score_col).asc() if m.ascending else F.col(score_col).desc()
+    fused = fused.orderBy(order, F.col(id_col).asc()).limit(limit)
+
+    if output_fields:
+        wanted = [c for c in output_fields if c != id_col]
+        fused = fused.join(df.select(id_col, *wanted), on=id_col, how="left")
+        fused = fused.orderBy(order, F.col(id_col).asc())
+        return fused.select(id_col, *wanted, score_col)
+    return fused.select(id_col, score_col)

@@ -1,0 +1,304 @@
+"""IVF ANN indexes: MLlib-KMeans coarse quantizer + pruned exact scan.
+
+The reference's IVFFLAT (gamma_index_ivfflat.cc) builds a KMeans coarse
+quantizer, then at query time probes the ``nprobe`` nearest cells and
+scans only their inverted lists. The Spark-native translation
+(SURVEY.md §2.4, §4 custom op (1)):
+
+- **train**: MLlib ``KMeans`` over the vector column (the analog of
+  faiss coarse-quantizer training at ``training_threshold`` docs,
+  engine.cc:759-768);
+- **index** = a derived ``_cluster_id`` column on the docs table; at
+  100 TB this is a written table *bucketed/partitioned by cluster id*
+  so a probe prunes file-level partitions, not just rows;
+- **probe**: the query's top-``nprobe`` centroids are found driver-side
+  (ncentroids ≤ a few thousand floats — trivially small), and the scan
+  becomes ``WHERE _cluster_id IN (<probes>)`` — a pushed-down partition
+  filter — followed by the exact FLAT kernel on the survivors.
+
+IVFPQ (gamma_index_ivfpq.cc) adds per-subvector product-quantization
+codebooks with ADC scoring + a rerank pass (the published "Vearch
+model", BASELINE.md). Spark-native: codebooks are trained on a bounded
+driver-side sample (standard PQ practice — faiss trains on ≤256k
+samples), codes are assigned once via a vectorized pandas UDF, ADC
+scoring runs as an Arrow-batched pandas UDF against a per-query lookup
+table, and the top ``rerank_k`` candidates are re-scored exactly from
+the raw vectors (matching the reference's rerank stage).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from vearch_spark.errors import SearchError
+from vearch_spark.functions.distance import score_expr
+from vearch_spark.schema import ID_FIELD, Metric
+
+CLUSTER_COL = "_cluster_id"
+CODES_COL = "_pq_codes"
+
+
+def _query_cell_order(centroids: np.ndarray, query: np.ndarray, metric: Metric) -> np.ndarray:
+    """Centroid ids ordered best-first for this query (driver-side)."""
+    if metric is Metric.L2:
+        d = ((centroids - query) ** 2).sum(axis=1)
+        return np.argsort(d)
+    return np.argsort(-(centroids @ query))
+
+
+class IVFFlatIndex:
+    """IVFFLAT: coarse KMeans + cluster-pruned exact scan."""
+
+    def __init__(
+        self,
+        vector_col: str,
+        metric: Metric = Metric.L2,
+        ncentroids: int = 256,
+        nprobe: int = 16,
+        id_col: str = ID_FIELD,
+        seed: int = 42,
+        **_: object,
+    ):
+        self.vector_col = vector_col
+        self.metric = metric
+        self.ncentroids = ncentroids
+        self.nprobe = nprobe
+        self.id_col = id_col
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+        self._assigned: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "IVFFlatIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n = df.count()
+        k = max(1, min(self.ncentroids, n))
+        feats = df.select(
+            array_to_vector(F.col(self.vector_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=k, seed=self.seed, maxIter=20).fit(feats)
+        self.centroids = np.array([c.toArray() for c in model.clusterCenters()])
+        assigned = model.transform(
+            df.withColumn(
+                "features", array_to_vector(F.col(self.vector_col).cast("array<double>"))
+            )
+        ).drop("features")
+        # At scale: write out partitioned by _cluster_id so probes prune
+        # files; locally a cached projection plays that role.
+        self._assigned = assigned.withColumnRenamed("prediction", CLUSTER_COL).persist()
+        self._assigned.count()
+        return self
+
+    def probe_cells(self, query: Sequence[float], nprobe: int | None = None) -> list[int]:
+        if self.centroids is None:
+            raise SearchError("index not trained")
+        nprobe = int(nprobe or self.nprobe)
+        order = _query_cell_order(self.centroids, np.asarray(query, dtype=np.float64), self.metric)
+        return [int(c) for c in order[:nprobe]]
+
+    def search(
+        self,
+        df: DataFrame,  # unused: the assigned table is the index
+        query: Sequence[float],
+        limit: int = 50,
+        flt: Column | None = None,
+        nprobe: int | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        offset: int = 0,
+        l2_sqrt: bool = False,
+        output_fields: list[str] | None = None,
+        vector_value: bool = False,
+        score_col: str = "_score",
+    ) -> DataFrame:
+        from vearch_spark.operators import topk
+
+        if self._assigned is None:
+            raise SearchError("index not trained")
+        cells = self.probe_cells(query, nprobe)
+        pruned = self._assigned.where(F.col(CLUSTER_COL).isin(cells))
+        if flt is not None:
+            pruned = pruned.where(flt)
+        out = topk.search(
+            pruned.drop(CLUSTER_COL),
+            vector_col=self.vector_col,
+            query=list(query),
+            limit=limit,
+            metric=self.metric,
+            min_score=min_score,
+            max_score=max_score,
+            offset=offset,
+            l2_sqrt=l2_sqrt,
+            id_col=self.id_col,
+            output_fields=output_fields,
+            vector_value=vector_value,
+            score_col=score_col,
+        )
+        return out
+
+    def unpersist(self) -> None:
+        if self._assigned is not None:
+            self._assigned.unpersist()
+
+
+def _kmeans_np(x: np.ndarray, k: int, iters: int = 25, seed: int = 42) -> np.ndarray:
+    """Small deterministic Lloyd's KMeans for PQ codebooks (driver-side,
+    bounded sample — the same role as faiss's clustering on a training
+    subset)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    centers = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+    return centers
+
+
+class IVFPQIndex(IVFFlatIndex):
+    """IVFPQ with ADC scoring + exact rerank (the published Vearch
+    config: ncentroids, nprobe, nsubvector — space.go:76-85)."""
+
+    def __init__(
+        self,
+        vector_col: str,
+        metric: Metric = Metric.L2,
+        ncentroids: int = 256,
+        nprobe: int = 16,
+        nsubvector: int = 8,
+        nbits: int = 8,
+        rerank_k: int | None = None,
+        train_sample: int = 100_000,
+        id_col: str = ID_FIELD,
+        seed: int = 42,
+        **_: object,
+    ):
+        super().__init__(vector_col, metric, ncentroids, nprobe, id_col=id_col, seed=seed)
+        self.nsubvector = nsubvector
+        self.ksub = 2**nbits
+        self.rerank_k = rerank_k
+        self.train_sample = train_sample
+        self.codebooks: np.ndarray | None = None  # (nsub, ksub, dsub)
+
+    def fit(self, df: DataFrame) -> "IVFPQIndex":
+        super().fit(df)  # coarse quantizer + _cluster_id
+        assert self._assigned is not None
+        sample = (
+            self._assigned.select(self.vector_col)
+            .limit(self.train_sample)
+            .toPandas()[self.vector_col]
+        )
+        x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+        dim = x.shape[1]
+        if dim % self.nsubvector:
+            raise SearchError(
+                f"dimension {dim} not divisible by nsubvector {self.nsubvector}"
+            )
+        dsub = dim // self.nsubvector
+        self.codebooks = np.stack(
+            [
+                _kmeans_np(x[:, i * dsub : (i + 1) * dsub], self.ksub, seed=self.seed + i)
+                for i in range(self.nsubvector)
+            ]
+        )
+        # assign PQ codes once, Arrow-batched
+        cb = self.codebooks
+        nsub, _, dsub_ = cb.shape
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[self.vector_col]])
+                codes = np.empty((len(vecs), nsub), dtype=np.int32)
+                for i in range(nsub):
+                    sub = vecs[:, i * dsub_ : (i + 1) * dsub_]
+                    d = ((sub[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, i] = d.argmin(axis=1)
+                out = pdf.copy()
+                out[CODES_COL] = list(codes)
+                yield out
+
+        schema = self._assigned.schema.add(CODES_COL, "array<int>")
+        self._assigned = self._assigned.mapInPandas(encode, schema=schema).persist()
+        self._assigned.count()
+        return self
+
+    def search(
+        self,
+        df: DataFrame,
+        query: Sequence[float],
+        limit: int = 50,
+        flt: Column | None = None,
+        nprobe: int | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        offset: int = 0,
+        l2_sqrt: bool = False,
+        output_fields: list[str] | None = None,
+        vector_value: bool = False,
+        score_col: str = "_score",
+    ) -> DataFrame:
+        from vearch_spark.operators import topk
+
+        if self._assigned is None or self.codebooks is None:
+            raise SearchError("index not trained")
+        cells = self.probe_cells(query, nprobe)
+        pruned = self._assigned.where(F.col(CLUSTER_COL).isin(cells))
+        if flt is not None:
+            pruned = pruned.where(flt)
+
+        # ADC lookup table for this query: (nsub, ksub) partial scores
+        q = np.asarray(query, dtype=np.float64)
+        nsub, ksub, dsub = self.codebooks.shape
+        if self.metric is Metric.L2:
+            lut = np.stack(
+                [
+                    ((self.codebooks[i] - q[i * dsub : (i + 1) * dsub]) ** 2).sum(axis=1)
+                    for i in range(nsub)
+                ]
+            )
+        else:
+            lut = np.stack(
+                [self.codebooks[i] @ q[i * dsub : (i + 1) * dsub] for i in range(nsub)]
+            )
+        flat_lut = lut.ravel()
+        offsets = (np.arange(nsub) * ksub).astype(np.int64)
+
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("double")
+        def adc(codes) -> "pd.Series":  # noqa: F821 — pandas series of arrays
+            import pandas as pd
+
+            mat = np.stack(codes.to_numpy())
+            return pd.Series(flat_lut[mat + offsets].sum(axis=1))
+
+        approx = pruned.withColumn("_adc", adc(F.col(CODES_COL)))
+        rerank_k = self.rerank_k or max(limit * 4, 64)
+        adc_order = F.col("_adc").asc() if self.metric.ascending else F.col("_adc").desc()
+        cands = approx.orderBy(adc_order, F.col(self.id_col).asc()).limit(rerank_k)
+
+        # exact rerank on raw vectors (the reference's rerank stage)
+        return topk.search(
+            cands.drop(CLUSTER_COL, CODES_COL, "_adc"),
+            vector_col=self.vector_col,
+            query=list(query),
+            limit=limit,
+            metric=self.metric,
+            min_score=min_score,
+            max_score=max_score,
+            offset=offset,
+            l2_sqrt=l2_sqrt,
+            id_col=self.id_col,
+            output_fields=output_fields,
+            vector_value=vector_value,
+            score_col=score_col,
+        )

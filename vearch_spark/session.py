@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; the configuration below is chosen so
+the same logical plans run unchanged on a 1000-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting);
+- Arrow on (vectorized Python interop for the few pandas-UDF paths);
+- nanosAsLong for the driver's ns-timestamp parquet (Spark's parquet
+  reader rejects TIMESTAMP(NANOS) otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vearch-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the driver's parquet tables from ``sf_dir`` as DataFrames.
+
+    ``events.ts`` arrives as int64 nanoseconds (nanosAsLong); callers use
+    :func:`vearch_spark.sources.parquet.read_events` for a typed view.
+    """
+    from vearch_spark.sources.parquet import TABLES, read_table
+
+    out = {}
+    for name in names or TABLES:
+        out[name] = read_table(spark, sf_dir, name)
+    return out

@@ -1,0 +1,54 @@
+"""Readers for the driver's parquet tables (TESTDATA.md).
+
+All tables load with plain ``spark.read.parquet`` so Catalyst sees a
+native FileScan with pushdown + pruning. ``events.ts`` is int64
+nanoseconds on disk (Spark's parquet reader has no ns timestamp type);
+``read_events`` exposes both the raw ns long and a micro-precision
+timestamp column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = with_event_time(df)
+    return df
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """Add ``ts_utc`` (timestamp, µs) next to the raw ns ``ts`` long."""
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn(
+            "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    else:
+        events = events.withColumn("ts_utc", F.col("ts"))
+    return events
+
+
+def lineitem_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIXTURES.md F5 mapping: ``lineitem`` viewed as a document
+    space — ``_id = l_orderkey '-' l_linenumber``, plus a deterministic
+    ingest-order ``_seq`` (docid analog, engine.cc:730-752) derived from
+    the natural key so both Spark and a SQL oracle can reproduce it."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return df.withColumn(
+        "_id", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    ).withColumn("_seq", F.col("l_orderkey") * 8 + F.col("l_linenumber"))

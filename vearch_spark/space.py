@@ -1,0 +1,395 @@
+"""Space: a schema'd document collection backed by parquet.
+
+Maps the reference's space + document verbs (SURVEY.md §2.1) onto an
+append-only columnar table with last-write-wins (LWW) upsert semantics:
+
+- reference storage is a RocksDB row store + raft-replicated shards with
+  soft-delete bitmaps (storage_manager.h:27-57, gamma_common_data.h:108-114);
+  on Spark the durable form is columnar parquet (Delta ``MERGE`` in
+  production; here a versioned parquet directory with an atomic current-
+  version pointer, same read semantics);
+- ``docid`` (dense per-partition int assigned at ingest,
+  engine.cc:730-752) becomes ``_seq`` — a monotonically increasing
+  ingest sequence that is *stable across updates* (the reference keeps
+  the docid when a key is updated in place, engine.cc:747) and defines
+  the query verb's scan order (engine.cc:449-528);
+- upsert = insert-or-replace by ``_id`` (Engine::AddOrUpdate
+  engine.cc:697-785); partial update patches named fields only
+  (Engine::Update engine.cc:831-867); deletes are hard (the bitmap
+  disappears with columnar storage);
+- get-by-ids caps at 500 ids (doc_http.go:579-583);
+- ``flush`` is a no-op (Spark writes are durable — engine.cc:1246's
+  Dump has no Spark analog).
+
+At 100 TB the versioned-rewrite upsert becomes Delta/Iceberg MERGE with
+partition pruning on the merge key — the *read* path (what every query
+sees) is identical, which is what the engine's operators depend on.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from vearch_spark.errors import DocumentError, SearchError
+from vearch_spark.filters import compile_filter
+from vearch_spark.functions.distance import l2_normalize
+from vearch_spark.operators import sort as sort_ops
+from vearch_spark.operators import topk
+from vearch_spark.operators.fusion import VectorQuery, multi_vector_search
+from vearch_spark.schema import (
+    ID_FIELD,
+    SEQ_FIELD,
+    FieldType,
+    Metric,
+    SpaceSchema,
+)
+
+GET_BY_IDS_CAP = 500  # doc_http.go:579-583
+
+# brute_force_search_threshold gamma_common_data.h:28 — auto mode refuses
+# index search until the index is trained; below this doc count brute
+# force is always used.
+BRUTE_FORCE_THRESHOLD = 100
+
+
+class Space:
+    """One document collection. ``path=None`` keeps the table in memory
+    (cached DataFrame) — the test mode; with a path, versions are
+    parquet directories under ``{path}/v{n}`` plus a ``_CURRENT``
+    pointer file."""
+
+    def __init__(self, spark: SparkSession, schema: SpaceSchema, path: str | None = None):
+        self.spark = spark
+        self.schema = schema
+        self.path = path
+        self._df: DataFrame | None = None
+        self._max_seq = 0
+        self._indexes: dict[str, object] = {}  # field -> trained index model
+        if path:
+            os.makedirs(path, exist_ok=True)
+            cur = self._current_version()
+            if cur is not None:
+                self._df = spark.read.parquet(self._version_dir(cur))
+                row = self._df.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
+                self._max_seq = int(row["m"] or 0)
+
+    # ------------------------------------------------------------------ io
+
+    def _version_dir(self, n: int) -> str:
+        return os.path.join(self.path, f"v{n}")
+
+    def _current_version(self) -> int | None:
+        ptr = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(fh.read().strip())
+
+    def _commit(self, df: DataFrame) -> None:
+        if self.path:
+            nxt = (self._current_version() or 0) + 1
+            df.write.mode("overwrite").parquet(self._version_dir(nxt))
+            with open(os.path.join(self.path, "_CURRENT"), "w") as fh:
+                fh.write(str(nxt))
+            self._df = self.spark.read.parquet(self._version_dir(nxt))
+        else:
+            df = df.localCheckpoint(eager=True)  # cut lineage growth across upserts
+            self._df = df
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            return self.spark.createDataFrame([], self.schema.to_struct_type())
+        return self._df
+
+    def count(self) -> int:
+        return self.df.count()
+
+    # --------------------------------------------------------------- write
+
+    def _prepare_batch(self, rows: DataFrame | list[dict]) -> DataFrame:
+        if isinstance(rows, list):
+            rows = [dict(r) for r in rows]
+            for r in rows:
+                # auto-generate _id when absent (doc_parse.go:56-128)
+                r.setdefault(ID_FIELD, uuid.uuid4().hex)
+            from pyspark.sql import types as T
+
+            struct = T.StructType(
+                [T.StructField(ID_FIELD, T.StringType(), nullable=False)]
+                + [T.StructField(f.name, f.spark_type, nullable=True) for f in self.schema.fields]
+            )
+            batch = self.spark.createDataFrame(
+                [
+                    tuple([r.get(ID_FIELD)] + [r.get(f.name) for f in self.schema.fields])
+                    for r in rows
+                ],
+                struct,
+            )
+        else:
+            batch = rows
+            if ID_FIELD not in batch.columns:
+                raise DocumentError("upsert DataFrame requires an _id column")
+            unknown = set(batch.columns) - {ID_FIELD, SEQ_FIELD} - {
+                f.name for f in self.schema.fields
+            }
+            if unknown:
+                # Engine::CheckDoc engine.cc:787-829 — unknown fields rejected
+                raise DocumentError(f"unknown fields in batch: {sorted(unknown)}")
+            for f in self.schema.fields:
+                if f.name not in batch.columns:
+                    batch = batch.withColumn(f.name, F.lit(None).cast(f.spark_type))
+            batch = batch.select(
+                F.col(ID_FIELD).cast("string"), *[F.col(f.name).cast(f.spark_type.simpleString()) for f in self.schema.fields]
+            )
+        # vector normalization at ingest (doc_parse.go:487-515)
+        for f in self.schema.vector_fields:
+            if f.normalize:
+                batch = batch.withColumn(
+                    f.name, l2_normalize(F.col(f.name)).cast("array<float>")
+                )
+        # duplicate _id inside one batch: last occurrence wins
+        w = Window.partitionBy(ID_FIELD).orderBy(F.monotonically_increasing_id().desc())
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return batch
+
+    def upsert(self, rows: DataFrame | list[dict]) -> int:
+        """Insert-or-replace by ``_id``; existing keys keep their
+        ``_seq`` (docid stable on update, engine.cc:747). Returns the
+        batch size (the reference returns per-doc statuses)."""
+        batch = self._prepare_batch(rows)
+        n = batch.count()
+        existing = self.df
+        # new rows get fresh seq numbers in deterministic _id order
+        keyed = batch.join(
+            existing.select(ID_FIELD, F.col(SEQ_FIELD).alias("_old_seq")),
+            on=ID_FIELD,
+            how="left",
+        )
+        w = Window.orderBy(ID_FIELD)
+        keyed = keyed.withColumn(
+            SEQ_FIELD,
+            F.coalesce(
+                F.col("_old_seq"),
+                F.lit(self._max_seq) + F.row_number().over(w),
+            ),
+        ).drop("_old_seq")
+        keyed = keyed.select(*existing.columns) if existing.columns else keyed
+        survivors = existing.join(batch.select(ID_FIELD), on=ID_FIELD, how="left_anti")
+        self._commit(survivors.unionByName(keyed))
+        row = self.df.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
+        self._max_seq = int(row["m"] or 0)
+        return n
+
+    def partial_update(self, _id: str, fields: dict) -> None:
+        """Update only the named fields of one doc (Engine::Update
+        engine.cc:831-867); vector fields are replaced whole."""
+        unknown = set(fields) - {f.name for f in self.schema.fields}
+        if unknown:
+            raise DocumentError(f"unknown fields: {sorted(unknown)}")
+        updated = self.df
+        cond = F.col(ID_FIELD) == _id
+        for name, value in fields.items():
+            spec = self.schema.field(name)
+            lit = F.lit(value).cast(spec.spark_type.simpleString())
+            if spec.type is FieldType.VECTOR and spec.normalize:
+                lit = l2_normalize(lit).cast("array<float>")
+            updated = updated.withColumn(name, F.when(cond, lit).otherwise(F.col(name)))
+        self._commit(updated)
+
+    def delete(self, ids: Sequence[str]) -> int:
+        """Delete by ids (Engine::Delete engine.cc:869-900); returns the
+        number actually deleted."""
+        before = self.count()
+        self._commit(self.df.where(~F.col(ID_FIELD).isin(*[str(i) for i in ids])))
+        return before - self.count()
+
+    def delete_by_query(self, flt: dict | Column) -> list[str]:
+        """Evaluate the filter, delete matches, return their ids
+        (router DelByQueryeExecute client.go:1851-1897)."""
+        pred = compile_filter(flt, self.schema)
+        doomed = [r[ID_FIELD] for r in self.df.where(pred).select(ID_FIELD).collect()]
+        self._commit(self.df.where(~F.coalesce(pred, F.lit(False))))
+        return doomed
+
+    def flush(self) -> None:
+        """No-op: Spark writes are durable (reference Dump engine.cc:1246)."""
+
+    # ---------------------------------------------------------------- read
+
+    def get(self, ids: Sequence[str], output_fields: list[str] | None = None) -> DataFrame:
+        """Get by ids, capped at 500 (doc_http.go:579-583)."""
+        if len(ids) > GET_BY_IDS_CAP:
+            raise DocumentError(f"too many ids: {len(ids)} > {GET_BY_IDS_CAP}")
+        out = self.df.where(F.col(ID_FIELD).isin(*[str(i) for i in ids]))
+        return out.select(*(output_fields or self.schema.default_output_fields()))
+
+    def query(
+        self,
+        flt: dict | Column | None = None,
+        limit: int = topk.DEFAULT_LIMIT,
+        offset: int = 0,
+        sort: list | None = None,
+        page_size: int | None = None,
+        page_num: int | None = None,
+        output_fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Filter scan in ingest (``_seq``) order — the reference's
+        query verb (Engine::Query engine.cc:449-528, default limit 50
+        doc_query.go:43)."""
+        df = self.df
+        pred = compile_filter(flt, self.schema)
+        if pred is not None:
+            df = df.where(pred)
+        order = sort_ops.parse_sort(sort) if sort else [(SEQ_FIELD, True)]
+        out = sort_ops.sorted_page(
+            df,
+            order,
+            limit=limit,
+            offset=offset,
+            page_size=page_size,
+            page_num=page_num,
+            tie_break=ID_FIELD,
+        )
+        return out.select(*(output_fields or self.schema.default_output_fields()))
+
+    def search(
+        self,
+        vector: Sequence[float] | None = None,
+        vector_field: str | None = None,
+        vectors: list[VectorQuery] | None = None,
+        weights: Sequence[float] | None = None,
+        limit: int = topk.DEFAULT_LIMIT,
+        flt: dict | Column | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        offset: int = 0,
+        l2_sqrt: bool = False,
+        is_brute_search: int = 2,
+        nprobe: int | None = None,
+        output_fields: list[str] | None = None,
+        vector_value: bool = False,
+    ) -> DataFrame:
+        """The search verb (doc_http.go:659-744, SURVEY.md §2.4).
+
+        ``is_brute_search``: 0 = index, 1 = exact scan, 2 = auto (exact
+        until an index is trained — engine.cc:280-308).
+        """
+        if vectors:
+            m = self._field_metric(vectors[0].field)
+            return multi_vector_search(
+                self.df,
+                vectors,
+                limit=limit,
+                metric=m,
+                weights=weights,
+                flt=flt,
+                schema=self.schema,
+                l2_sqrt=l2_sqrt,
+                output_fields=output_fields,
+            )
+        if vector is None:
+            raise SearchError("search requires a query vector")
+        if vector_field is None:
+            vfields = self.schema.vector_fields
+            if len(vfields) != 1:
+                raise SearchError("vector_field is required with multiple vector fields")
+            vector_field = vfields[0].name
+        spec = self.schema.field(vector_field)
+        if spec.dimension and len(vector) != spec.dimension:
+            # CheckDoc/query dimension validation (engine.cc:787-829)
+            raise SearchError(
+                f"query dimension {len(vector)} != field dimension {spec.dimension}"
+            )
+
+        index = self._indexes.get(vector_field)
+        use_index = False
+        if is_brute_search == 0:
+            if index is None:
+                raise SearchError(f"no trained index on {vector_field!r}")
+            use_index = True
+        elif is_brute_search == 2 and index is not None:
+            use_index = True  # auto: index once trained (engine.cc:286-293)
+
+        if use_index:
+            return index.search(  # type: ignore[attr-defined]
+                self.df,
+                query=list(vector),
+                limit=limit,
+                flt=compile_filter(flt, self.schema),
+                nprobe=nprobe,
+                min_score=min_score,
+                max_score=max_score,
+                offset=offset,
+                l2_sqrt=l2_sqrt,
+                output_fields=output_fields,
+                vector_value=vector_value,
+            )
+        return topk.search(
+            self.df,
+            vector_col=vector_field,
+            query=list(vector),
+            limit=limit,
+            metric=spec.metric,
+            flt=flt,
+            schema=self.schema,
+            min_score=min_score,
+            max_score=max_score,
+            offset=offset,
+            l2_sqrt=l2_sqrt,
+            normalize=spec.normalize,
+            output_fields=output_fields,
+            vector_value=vector_value,
+        )
+
+    # --------------------------------------------------------------- index
+
+    def _field_metric(self, field: str) -> Metric:
+        return self.schema.field(field).metric
+
+    def build_index(self, vector_field: str, **params) -> None:
+        """Train/refresh the ANN index on a vector field — the analog of
+        the background Indexing() loop + /index/rebuild
+        (engine.cc:1013-1138). Respects ``training_threshold``: below
+        it, training is skipped and search stays brute-force
+        (engine.cc:759-768)."""
+        from vearch_spark.operators.ivf import IVFFlatIndex, IVFPQIndex
+
+        spec = self.schema.field(vector_field)
+        if spec.index is None or not spec.index.is_vector:
+            raise SearchError(f"field {vector_field!r} has no vector index declared")
+        merged = dict(spec.index.params)
+        merged.update(params)
+        threshold = int(merged.get("training_threshold", BRUTE_FORCE_THRESHOLD))
+        if self.count() < threshold:
+            return  # stays UNINDEXED; auto mode keeps brute force
+        physical = spec.index.physical_type
+        if physical == "FLAT":
+            return  # FLAT is the brute-force scan itself
+        cls = IVFPQIndex if physical == "IVFPQ" else IVFFlatIndex
+        model = cls(
+            vector_col=vector_field,
+            metric=spec.metric,
+            id_col=ID_FIELD,
+            **{
+                k: int(v)
+                for k, v in merged.items()
+                if k in {"ncentroids", "nprobe", "nsubvector", "nbits"}
+            },
+        )
+        model.fit(self.df)
+        self._indexes[vector_field] = model
+
+    def index_state(self, vector_field: str) -> str:
+        """UNINDEXED | INDEXED (space.go:126; INDEXING has no analog —
+        build_index is synchronous here)."""
+        return "INDEXED" if vector_field in self._indexes else "UNINDEXED"
