@@ -76,6 +76,27 @@ def _sql_ip(col: str, q: list[float]) -> str:
     )
 
 
+def _sql_ip_cols(col_a: str, col_b: str, dim: int = DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> {col_a}[i]::DOUBLE * {col_b}[i]::DOUBLE))"
+    )
+
+
+def _sql_lang_scores(text_col: str) -> str:
+    """Per-language stopword vote columns s_<lang> (mirrors
+    vearch_spark.functions.text.lang_id exactly)."""
+    from vearch_spark.functions.text import STOPWORDS
+
+    cols = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        cols.append(
+            f"len(list_filter(string_split({text_col}, ' '), t -> t IN ({words}))) AS s_{lang}"
+        )
+    return ", ".join(cols)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -306,6 +327,128 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    from vearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        shingle_n=3, jaccard_threshold=0.3,
+    )
+    return out.orderBy("id_a", "id_b").select(
+        "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (xxhash64 signatures — not
+    SQL-portable, so rows-only check; exact-Jaccard verified inside)."""
+    from vearch_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        num_hashes=128, bands=32, shingle_n=3, jaccard_threshold=0.3,
+    )
+    return out.orderBy("id_a", "id_b").select(
+        "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (rows-only: xxhash64-based)."""
+    from vearch_spark.operators.dedup import simhash_pairs
+
+    out = simhash_pairs(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        max_hamming=12, bands=4,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute self-join at test SF; the
+    bucketed variant reuses the IVF cluster id at scale)."""
+    from vearch_spark.operators.dedup import embedding_cosine_pairs
+
+    out = embedding_cosine_pairs(
+        _emb(spark, sf_dir), vec_col="embedding", id_col="vec_id", threshold=0.4
+    )
+    return out.orderBy("id_a", "id_b").select(
+        "id_a", "id_b", F.col("cosine").cast("float").alias("cosine")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID, aggregated to a distribution."""
+    from vearch_spark.functions.text import lang_id
+
+    return (
+        _docs(spark, sf_dir)
+        .select(lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic (bounded output slice)."""
+    from vearch_spark.functions.text import quality_score
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", quality_score("text").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (min-md5 over 5-gram shingles) cardinality."""
+    from vearch_spark.functions.text import doc_fingerprint
+
+    fp = _docs(spark, sf_dir).select(doc_fingerprint("text", 5).alias("fp"))
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+
+
+def q_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE-field range filter + month rollup (the range partition-rule
+    analog: partition pruning on the date bucket, partition.go:128-151)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lo, hi = "1996-01-01", "1997-12-31"
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit(lo)))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit(hi)))
+        )
+        .groupBy(F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias("month_us"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("month_us")
+    )
+
+
+def q_ivfflat_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFFLAT ANN search (MLlib KMeans + cluster-pruned exact scan).
+    Approximate — rows-only check here; recall gates live in tests."""
+    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.schema import Metric
+
+    emb = _emb(spark, sf_dir)
+    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=16, nprobe=4, id_col="vec_id")
+    index.fit(emb)
+    out = index.search(emb, QV_L2, limit=10).select(
+        "vec_id", F.col("_score").cast("float").alias("score")
+    )
+    index.unpersist()
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flat_knn_l2": q_flat_knn_l2,
     "flat_knn_ip": q_flat_knn_ip,
@@ -322,6 +465,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "events_hourly": q_events_hourly,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "cosine_near_dup": q_cosine_near_dup,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "date_range_agg": q_date_range_agg,
+    "ivfflat_knn": q_ivfflat_knn,
 }
 
 
@@ -457,6 +609,108 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY hour_us, event_type
             ORDER BY hour_us, event_type
+        """,
+        "ngram_jaccard_dedup": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(string_split(text,' ')) - 3, 0)),
+                       i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS sh
+              FROM documents
+            ), sizes AS (
+              SELECT doc_id, len(sh) AS n FROM s
+            ), posts AS (
+              SELECT doc_id, unnest(sh) AS shingle FROM s
+            ), caps AS (
+              SELECT greatest(100, (count(*) * 0.01)::INT) AS cap FROM s
+            ), hot AS (
+              SELECT shingle FROM posts GROUP BY shingle
+              HAVING count(*) > (SELECT cap FROM caps)
+            ), cold AS (
+              SELECT * FROM posts WHERE shingle NOT IN (SELECT shingle FROM hot)
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(inter / (sa.n + sb.n - inter) AS REAL) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n + sb.n - inter) >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "cosine_near_dup": f"""
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt({_sql_ip_cols("embedding", "embedding")}) AS nrm
+              FROM embeddings
+            ), c AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     {_sql_ip_cols("a.embedding", "b.embedding")}
+                        / (a.nrm * b.nrm) AS cos
+              FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, CAST(cos AS REAL) AS cosine
+            FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT {_sql_lang_scores('text')}
+              FROM documents
+            )
+            SELECT CASE
+                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                     WHEN s_fr >= s_zh THEN 'fr'
+                     ELSE 'zh'
+                   END AS pred_lang,
+                   count(*) AS n
+            FROM scored GROUP BY pred_lang ORDER BY pred_lang
+        """,
+        "quality_score": """
+            WITH f AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tok,
+                     coalesce(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                              / len(text), 0.0) AS p,
+                     coalesce(list_sum(list_transform(string_split(text, ' '),
+                              t -> len(t)))::BIGINT / len(string_split(text, ' ')),
+                              0.0) AS mtl
+              FROM documents WHERE doc_id < 40
+            )
+            SELECT doc_id,
+                   round(
+                     (CASE WHEN n_tok >= 20 AND n_tok <= 5000 THEN 1.0
+                           WHEN n_tok > 5000 THEN 0.5
+                           ELSE n_tok / 20.0 END) * 0.4
+                     + (CASE WHEN p <= 0.1 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - (p - 0.1) * 4.0) END) * 0.4
+                     + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0
+                             ELSE 0.4 END) * 0.2, 6) AS quality
+            FROM f ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            WITH fp AS (
+              SELECT list_aggregate(list_transform(
+                       list_transform(
+                         generate_series(0, greatest(len(string_split(text,' ')) - 5, 0)),
+                         i -> array_to_string(string_split(text,' ')[i+1:i+5], ' ')),
+                       sh -> md5(sh)), 'min') AS fp
+              FROM documents
+            )
+            SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique FROM fp
+        """,
+        "date_range_agg": """
+            SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-12-31'
+            GROUP BY month_us ORDER BY month_us
         """,
     }
 

@@ -1,0 +1,105 @@
+"""Dedup operator tests on small crafted corpora + numpy brute force."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from vearch_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank tonight"),  # near-dup of 0
+    (2, "completely different content about spark query engines and distributed joins here"),
+    (3, "completely different content about spark query engines and distributed joins here"),  # exact dup of 2
+    (4, "unrelated words apple banana cherry durian elderberry fig grape honeydew kiwi lemon"),
+]
+
+
+def py_shingles(text, n=3):
+    toks = text.split(" ")
+    return set(" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1)))
+
+
+def py_jaccard(a, b, n=3):
+    sa, sb = py_shingles(a, n), py_shingles(b, n)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(dedup.word_shingles("t", 2).alias("s")).collect()[0].s
+    assert sorted(out) == ["a b", "b c", "c d"]
+
+
+def test_exact_dedup(docs_df):
+    out = dedup.exact_dedup(docs_df, key=["text"], id_col="doc_id")
+    groups = {r.keeper_doc_id: r.n_dups for r in out.collect()}
+    assert groups[2] == 2  # doc 3 collapses into 2
+    assert groups[0] == 1 and groups[1] == 1
+
+
+def test_ngram_jaccard_pairs_vs_bruteforce(docs_df):
+    out = dedup.ngram_jaccard_pairs(docs_df, jaccard_threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    exp = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = py_jaccard(ta, tb)
+        if j >= 0.3:
+            exp[(ia, ib)] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k])
+    assert (0, 1) in got and (2, 3) in got
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    out = dedup.minhash_lsh_pairs(docs_df, jaccard_threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # exact dup pair must always collide in every band
+    assert (2, 3) in pairs
+    # near-dup (jaccard ≈ 0.71) found with high probability at 32 bands
+    assert (0, 1) in pairs
+    # unrelated docs never pass exact verification
+    assert all(p in {(0, 1), (2, 3)} for p in pairs)
+
+
+def test_simhash_pairs(docs_df):
+    sh = docs_df.select(dedup.simhash64("text").alias("s"), "doc_id").collect()
+    sig = {r.doc_id: r.s for r in sh}
+    assert sig[2] == sig[3]  # identical text → identical signature
+    out = dedup.simhash_pairs(docs_df, max_hamming=10)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert pairs[(2, 3)] == 0
+    assert (0, 1) in pairs  # near-dup within hamming 10
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),  # ~0.999 cosine with 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = dedup.embedding_cosine_pairs(df, threshold=0.95)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_embedding_cosine_pairs_bucketed(spark):
+    vecs = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),
+        (2, [0.98, 0.15], 1),  # near-dup of 0/1 but other bucket → missed (documented trade-off)
+        (3, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, bkt int")
+    out = dedup.embedding_cosine_pairs(df, threshold=0.9, bucket_col="bkt")
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(0, 1)}

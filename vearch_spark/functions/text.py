@@ -1,0 +1,127 @@
+"""Text-analysis columns for training-data pipelines.
+
+All pure JVM expressions (no Python UDFs): token/char statistics,
+quality scoring, n-gram language identification, and content
+fingerprinting. Designed so a 100 TB corpus pass is a single narrow
+projection — no shuffle at all until an aggregation is requested.
+
+The language-ID heuristic is a stopword-profile vote: score per
+language = number of tokens in that language's tiny stopword set,
+normalized by token count; argmax wins (ties → lexicographically first
+language). This mirrors classic n-gram/profile LID approaches at the
+"cheap pre-filter" quality point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Minimal stopword profiles (public common-word lists, truncated for a
+# cheap JVM-side vote). Keys sorted at use for deterministic ties.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "auf"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "es", "en", "un", "por", "con"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"],
+    "zh": ["的", "是", "不", "了", "在", "有", "我", "他", "这", "中"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(col)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9 ]", "")
+    return F.try_divide(F.length(stripped), F.length(col))
+
+
+def digit_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.try_divide(
+        F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", "")), F.length(col)
+    )
+
+
+def mean_token_length(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.try_divide(
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)), F.size(t)
+    )
+
+
+def stopword_count(text: Column | str, lang: str) -> Column:
+    """Tokens (with multiplicity) found in ``lang``'s stopword set."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return F.try_divide(stopword_count(text, lang), token_count(text))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax stopword-profile vote (ties →
+    lexicographically first language code)."""
+    scores = [
+        F.struct(
+            stopword_count(text, lang).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    # array_max on struct compares (score, lang) lexicographically;
+    # invert the lang for ties so the *first* code wins, then recover it
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    s["score"].alias("score"),
+                    # negate tie order: 'zz' - lang rank; simpler: use
+                    # struct (score, reversed lang marker)
+                    F.lit(len(STOPWORDS) - i).alias("pri"),
+                    s["lang"].alias("lang"),
+                )
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    return best["lang"]
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + sane mean token length — the cheap pre-filter a training pipeline
+    runs before expensive model scoring."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 5000), 1.0).otherwise(
+        F.when(n_tok > 5000, 0.5).otherwise(n_tok.cast("double") / 20.0)
+    )
+    p = F.coalesce(punct_ratio(text), F.lit(0.0))
+    punct_ok = F.when(p <= 0.1, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (p - 0.1) * 4.0))
+    mtl = F.coalesce(mean_token_length(text), F.lit(0.0))
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.4)
+    return F.round((len_ok * 0.4 + punct_ok * 0.4 + mtl_ok * 0.2), 6)
+
+
+def doc_fingerprint(text: Column | str, shingle_n: int = 5) -> Column:
+    """Deterministic content fingerprint: the minimum md5 over word
+    n-gram shingles (a 1-permutation minhash — stable under reordering
+    of identical content, portable across engines)."""
+    from vearch_spark.operators.dedup import word_shingles
+
+    return F.array_min(
+        F.transform(word_shingles(text, shingle_n), lambda sh: F.md5(sh))
+    )

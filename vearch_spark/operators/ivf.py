@@ -81,7 +81,9 @@ class IVFFlatIndex:
             array_to_vector(F.col(self.vector_col).cast("array<double>")).alias("features")
         )
         model = KMeans(k=k, seed=self.seed, maxIter=20).fit(feats)
-        self.centroids = np.array([c.toArray() for c in model.clusterCenters()])
+        self.centroids = np.array(
+            [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+        )
         assigned = model.transform(
             df.withColumn(
                 "features", array_to_vector(F.col(self.vector_col).cast("array<double>"))

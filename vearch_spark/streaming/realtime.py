@@ -1,0 +1,134 @@
+"""Realtime ingest + buffer-union search (SURVEY.md §2.9).
+
+Reference behavior being reproduced:
+
+- writes become searchable immediately via a brute-force memory buffer
+  before the ANN index covers them (``enable_realtime``,
+  vector_manager.cc:941-1012); every search queries main ∪ buffer and
+  merges by score, deduping docids (vector_manager.cc:1096-1145);
+- a background loop retrains/merges the index every
+  ``refresh_interval`` ms (engine.cc:1084-1138);
+- rebuild/forcemerge folds the buffer into the main index
+  (engine.cc:1013-1084).
+
+Spark-first mapping:
+
+- ingest is Structured Streaming ``foreachBatch``: each micro-batch
+  appends to a *buffer* table (cheap blind append — no merge cost on
+  the hot path);
+- search = ``main ∪ buffer`` **before** top-k: the buffer rows are
+  scanned exactly (FLAT) while main can use the ANN index, then one
+  TakeOrderedAndProject merges — the same union-then-merge the
+  reference does per query;
+- ``compact()`` = the refresh/rebuild analog: LWW-merge buffer into
+  main, clear buffer, optionally refit the ANN index. The trigger
+  interval plays the role of ``refresh_interval``.
+
+The buffer stays small (one compaction interval of writes), so the
+union adds one narrow scan per query — at 100 TB the main side is
+cluster-pruned parquet and the buffer is a few recent files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from vearch_spark.operators import topk
+from vearch_spark.schema import ID_FIELD, Metric
+
+
+class RealtimeBuffer:
+    """Micro-batch buffer with LWW union-view semantics."""
+
+    def __init__(self, main: DataFrame, id_col: str = ID_FIELD):
+        self.main = main
+        self.id_col = id_col
+        self._buffer: DataFrame | None = None
+        self._batch_no = 0
+
+    def append_batch(self, batch: DataFrame) -> None:
+        """The ``foreachBatch`` sink body: blind append + batch stamp."""
+        stamped = batch.withColumn("_batch", F.lit(self._batch_no))
+        self._batch_no += 1
+        self._buffer = (
+            stamped if self._buffer is None else self._buffer.unionByName(stamped)
+        )
+
+    @property
+    def buffer(self) -> DataFrame | None:
+        return self._buffer
+
+    def unified(self) -> DataFrame:
+        """main ∪ buffer with buffer rows winning on id collision and
+        later batches winning inside the buffer (LWW, dedup by docid —
+        vector_manager.cc:1096-1145's merge-dedup)."""
+        if self._buffer is None:
+            return self.main
+        buf = self._buffer
+        w = Window.partitionBy(self.id_col).orderBy(F.col("_batch").desc())
+        latest = (
+            buf.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_batch")
+        )
+        survivors = self.main.join(
+            latest.select(self.id_col), on=self.id_col, how="left_anti"
+        )
+        return survivors.unionByName(latest.select(*self.main.columns))
+
+    def search(
+        self,
+        vector_col: str,
+        query: Sequence[float],
+        limit: int = 50,
+        metric: str | Metric = Metric.L2,
+        flt: Column | None = None,
+        **kw,
+    ) -> DataFrame:
+        """Search over main ∪ buffer before top-k — new docs are
+        visible to queries immediately (writer.go:42 semantics)."""
+        return topk.search(
+            self.unified(),
+            vector_col=vector_col,
+            query=list(query),
+            limit=limit,
+            metric=metric,
+            flt=flt,
+            id_col=self.id_col,
+            **kw,
+        )
+
+    def compact(self) -> DataFrame:
+        """Fold the buffer into main (refresh/rebuild analog); returns
+        the new main. At scale this is the Delta MERGE + index refit
+        job run on the trigger interval."""
+        merged = self.unified()
+        self.main = merged
+        self._buffer = None
+        return merged
+
+
+def stream_ingest(
+    stream_df: DataFrame,
+    buffer: RealtimeBuffer,
+    checkpoint_dir: str,
+    trigger_seconds: int = 1,
+):
+    """Wire a streaming DataFrame into a RealtimeBuffer via
+    foreachBatch. Returns the StreamingQuery (caller manages stop()).
+
+    The processingTime trigger is the ``refresh_interval`` analog
+    (space.go:71 default 1000ms).
+    """
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        buffer.append_batch(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
