@@ -1,0 +1,101 @@
+"""ANN recall gates vs exact ground truth (reference CI thresholds,
+test_recall_baseline.py:301-303: recall@100 ≥ 0.90, @10 ≥ 0.80,
+@1 ≥ 0.50). Deterministic pseudo-random fixture (FIXTURES.md F4)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vearch_spark.operators.ivf import IVFFlatIndex, IVFPQIndex
+from vearch_spark.schema import Metric
+
+N, DIM, NQ = 4000, 32, 20
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(42)
+    # clustered data (mixture of 40 gaussians) — the regime IVF assumes
+    centers = rng.normal(0, 10, size=(40, DIM))
+    assign = rng.integers(0, 40, size=N)
+    x = centers[assign] + rng.normal(0, 1.5, size=(N, DIM))
+    df = spark.createDataFrame(
+        [(int(i), x[i].astype(float).tolist()) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8).cache()
+    df.count()
+    queries = centers[rng.integers(0, 40, size=NQ)] + rng.normal(0, 1.5, size=(NQ, DIM))
+    return df, x.astype(np.float64), queries.astype(np.float64)
+
+
+def ground_truth(x, q, k):
+    d = ((x - q) ** 2).sum(axis=1)
+    return set(np.argsort(d, kind="stable")[:k].tolist())
+
+
+def recall_at(index, df, x, queries, k):
+    hits = 0
+    for q in queries:
+        got = {r.vec_id for r in index.search(df, q.tolist(), limit=k).collect()}
+        hits += len(got & ground_truth(x, q, k))
+    return hits / (k * len(queries))
+
+
+@pytest.fixture(scope="module")
+def ivfflat(corpus):
+    df, _, _ = corpus
+    idx = IVFFlatIndex("embedding", Metric.L2, ncentroids=40, nprobe=8, id_col="vec_id")
+    idx.fit(df)
+    yield idx
+    idx.unpersist()
+
+
+@pytest.fixture(scope="module")
+def ivfpq(corpus):
+    df, _, _ = corpus
+    idx = IVFPQIndex(
+        "embedding", Metric.L2, ncentroids=40, nprobe=8,
+        nsubvector=8, nbits=6, id_col="vec_id", train_sample=4000,
+    )
+    idx.fit(df)
+    yield idx
+    idx.unpersist()
+
+
+def test_ivfflat_recall(ivfflat, corpus):
+    df, x, queries = corpus
+    r1 = recall_at(ivfflat, df, x, queries, 1)
+    r10 = recall_at(ivfflat, df, x, queries, 10)
+    assert r1 >= 0.5, f"recall@1={r1}"
+    assert r10 >= 0.8, f"recall@10={r10}"
+
+
+def test_ivfflat_recall_at_100(ivfflat, corpus):
+    df, x, queries = corpus
+    r100 = recall_at(ivfflat, df, x, queries, 100)
+    assert r100 >= 0.9, f"recall@100={r100}"
+
+
+def test_ivfpq_recall(ivfpq, corpus):
+    df, x, queries = corpus
+    r1 = recall_at(ivfpq, df, x, queries, 1)
+    r10 = recall_at(ivfpq, df, x, queries, 10)
+    assert r1 >= 0.5, f"recall@1={r1}"
+    assert r10 >= 0.8, f"recall@10={r10}"
+
+
+def test_ivf_more_probes_more_recall(corpus, ivfflat):
+    """nprobe sweep direction (BASELINE.md parameter findings)."""
+    df, x, queries = corpus
+    few = IVFFlatIndex("embedding", Metric.L2, ncentroids=40, nprobe=1, id_col="vec_id")
+    few.centroids = ivfflat.centroids
+    few._assigned = ivfflat._assigned
+    r_few = recall_at(few, df, x, queries, 10)
+    r_many = recall_at(ivfflat, df, x, queries, 10)
+    assert r_many >= r_few
+
+
+def test_ivf_prefilter(ivfflat, corpus):
+    df, x, queries = corpus
+    out = ivfflat.search(df, queries[0].tolist(), limit=5, flt=F.col("vec_id") < 100)
+    assert all(r.vec_id < 100 for r in out.collect())

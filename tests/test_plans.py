@@ -1,0 +1,83 @@
+"""Physical-plan regression tests — the 100 TB posture.
+
+Every assertion here is a scale property: if one regresses, the
+operator still returns correct rows at test SF but would fall over at
+1000 executors (global sort instead of top-k merge, full-schema scan,
+unexpected shuffle, sort-merge join of a tiny side...).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vearch_spark.operators import topk
+from vearch_spark.operators.fusion import VectorQuery, multi_vector_search
+from vearch_spark.plans import explain as X
+
+Q = [0.1] * 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_search_is_take_ordered_no_shuffle(emb):
+    df = topk.search(emb, "embedding", Q, limit=10, id_col="vec_id")
+    assert X.uses_take_ordered(df)          # per-partition top-k + merge
+    assert X.count_exchanges(df) == 0       # zero shuffles end-to-end
+
+
+def test_search_filter_pushdown_and_pruning(emb):
+    df = topk.search(
+        emb, "embedding", Q, limit=10, id_col="vec_id", flt=F.col("label") < 5
+    )
+    pushed = " ".join(X.pushed_filters(df))
+    assert "label" in pushed                # predicate reaches the scan
+    schemas = X.read_schemas(df)
+    assert schemas and "label" in schemas[0]
+    # only the 3 needed columns are read, not a full-width scan
+    assert schemas[0].count(":") == 3
+
+
+def test_search_offset_stays_take_ordered(emb):
+    df = topk.search(emb, "embedding", Q, limit=10, offset=7, id_col="vec_id")
+    plan = X.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan and "offset=7" in plan
+
+
+def test_batch_search_broadcasts_queries(spark, emb):
+    queries = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.2] * 64)], "query_id int, query_vec array<double>"
+    )
+    df = topk.search_batch(emb, "embedding", queries, limit=5, id_col="vec_id")
+    assert X.uses_broadcast(df)             # docs side never shuffles for the join
+    assert X.count_exchanges(df) <= 1       # only the per-query window exchange
+
+
+def test_fusion_join_is_broadcast(emb):
+    df = multi_vector_search(
+        emb,
+        [VectorQuery("embedding", Q), VectorQuery("embedding", [0.2] * 64)],
+        limit=5,
+        metric="InnerProduct",
+        per_field_k=50,
+        id_col="vec_id",
+    )
+    assert X.uses_broadcast(df)
+    plan = X.formatted_plan(df)
+    assert "SortMergeJoin" not in plan      # tiny top-k sides must not SMJ
+
+
+def test_groupby_dedup_single_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from vearch_spark.operators.dedup import exact_dedup
+
+    df = exact_dedup(docs, key=["text"], id_col="doc_id")
+    assert X.count_exchanges(df) == 1       # one hash shuffle, map-side partials
+
+
+def test_scan_aggregate_prunes_columns(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    schemas = X.read_schemas(df)
+    assert schemas and schemas[0].count(":") == 2  # 2 of 11 columns read

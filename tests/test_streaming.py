@@ -1,0 +1,82 @@
+"""Realtime buffer-union semantics (SURVEY.md §2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vearch_spark.streaming.realtime import RealtimeBuffer
+
+
+@pytest.fixture()
+def main_df(spark):
+    return spark.createDataFrame(
+        [(str(i), [float(i), 0.0]) for i in range(10)],
+        "_id string, vec array<float>",
+    )
+
+
+def test_buffer_visibility(spark, main_df):
+    buf = RealtimeBuffer(main_df)
+    # before append: doc 100 invisible
+    got = {r._id for r in buf.search("vec", [100.0, 0.0], limit=1).collect()}
+    assert got == {"9"}
+    # append new doc -> immediately searchable (brute force union)
+    batch = spark.createDataFrame([("100", [100.0, 0.0])], "_id string, vec array<float>")
+    buf.append_batch(batch)
+    got = {r._id for r in buf.search("vec", [100.0, 0.0], limit=1).collect()}
+    assert got == {"100"}
+
+
+def test_buffer_lww_overwrites_main(spark, main_df):
+    buf = RealtimeBuffer(main_df)
+    batch = spark.createDataFrame([("5", [99.0, 0.0])], "_id string, vec array<float>")
+    buf.append_batch(batch)
+    uni = buf.unified()
+    assert uni.count() == 10  # still 10 docs — id 5 replaced not duplicated
+    row = uni.where("_id = '5'").collect()[0]
+    assert row.vec == [99.0, 0.0]
+
+
+def test_later_batch_wins_within_buffer(spark, main_df):
+    buf = RealtimeBuffer(main_df)
+    buf.append_batch(spark.createDataFrame([("7", [50.0, 0.0])], "_id string, vec array<float>"))
+    buf.append_batch(spark.createDataFrame([("7", [60.0, 0.0])], "_id string, vec array<float>"))
+    row = buf.unified().where("_id = '7'").collect()[0]
+    assert row.vec == [60.0, 0.0]
+
+
+def test_compact_folds_buffer(spark, main_df):
+    buf = RealtimeBuffer(main_df)
+    buf.append_batch(spark.createDataFrame([("11", [11.0, 0.0])], "_id string, vec array<float>"))
+    merged = buf.compact()
+    assert merged.count() == 11
+    assert buf.buffer is None
+    # post-compact searches hit main only
+    got = {r._id for r in buf.search("vec", [11.0, 0.0], limit=1).collect()}
+    assert got == {"11"}
+
+
+def test_structured_streaming_ingest(spark, main_df, tmp_path):
+    """Drive a real Structured Streaming query through the buffer."""
+    import time
+
+    buf = RealtimeBuffer(main_df)
+    from vearch_spark.streaming.realtime import stream_ingest
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            (F.col("value") + 1000).cast("string").alias("_id"),
+            F.array((F.col("value") + 1000).cast("float"), F.lit(0.0).cast("float")).alias("vec"),
+        )
+    )
+    q = stream_ingest(stream, buf, str(tmp_path / "ckpt"), trigger_seconds=1)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and (buf.buffer is None or buf.buffer.count() == 0):
+            time.sleep(1)
+        assert buf.buffer is not None and buf.buffer.count() > 0
+        # streamed docs are searchable pre-compaction
+        hit = buf.search("vec", [1000.0, 0.0], limit=1).collect()[0]
+        assert hit._id == "1000"
+    finally:
+        q.stop()

@@ -31,6 +31,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from vearch_spark.errors import SearchError
@@ -210,15 +211,15 @@ class IVFPQIndex(IVFFlatIndex):
                 for i in range(self.nsubvector)
             ]
         )
-        # assign PQ codes once, Arrow-batched
+        # assign PQ codes once, Arrow-batched (closure must not capture
+        # self — it holds unpicklable DataFrames)
         cb = self.codebooks
         nsub, _, dsub_ = cb.shape
+        vcol = self.vector_col
 
         def encode(batches):
-            import pandas as pd
-
             for pdf in batches:
-                vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[self.vector_col]])
+                vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vcol]])
                 codes = np.empty((len(vecs), nsub), dtype=np.int32)
                 for i in range(nsub):
                     sub = vecs[:, i * dsub_ : (i + 1) * dsub_]
@@ -228,7 +229,13 @@ class IVFPQIndex(IVFFlatIndex):
                 out[CODES_COL] = list(codes)
                 yield out
 
-        schema = self._assigned.schema.add(CODES_COL, "array<int>")
+        from pyspark.sql import types as T
+
+        # (don't use StructType.add — it mutates the cached df schema)
+        schema = T.StructType(
+            list(self._assigned.schema.fields)
+            + [T.StructField(CODES_COL, T.ArrayType(T.IntegerType()))]
+        )
         self._assigned = self._assigned.mapInPandas(encode, schema=schema).persist()
         self._assigned.count()
         return self
@@ -277,9 +284,7 @@ class IVFPQIndex(IVFFlatIndex):
         from pyspark.sql.pandas.functions import pandas_udf
 
         @pandas_udf("double")
-        def adc(codes) -> "pd.Series":  # noqa: F821 — pandas series of arrays
-            import pandas as pd
-
+        def adc(codes: pd.Series) -> pd.Series:
             mat = np.stack(codes.to_numpy())
             return pd.Series(flat_lut[mat + offsets].sum(axis=1))
 
