@@ -97,6 +97,30 @@ def _sql_lang_scores(text_col: str) -> str:
     return ", ".join(cols)
 
 
+def _sql_byte(j: int) -> str:
+    """Sign-bit packing of embedding dims 8j..8j+7 (binary_hamming_knn)."""
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{j * 8 + b + 1}]::DOUBLE > 0.5 THEN {1 << b} ELSE 0 END)"
+        for b in range(8)
+    )
+    return f"({terms})"
+
+
+def _sql_qcodes() -> str:
+    qcodes = [
+        sum((1 << b) if QV_L2[j * 8 + b] > 0.5 else 0 for b in range(8))
+        for j in range(DIM // 8)
+    ]
+    return "[" + ", ".join(str(c) for c in qcodes) + "]"
+
+
+def _sql_qnorm() -> str:
+    import math
+
+    qn = math.sqrt(sum(v * v for v in QV_IP))
+    return "[" + ", ".join(repr(v / qn) for v in QV_IP) + "]::DOUBLE[]"
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -368,9 +392,9 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute self-join at test SF; the
     bucketed variant reuses the IVF cluster id at scale)."""
-    from vearch_spark.operators.dedup import embedding_cosine_pairs
+    from vearch_spark.operators.dedup import embedding_cosine_pairs_blas
 
-    out = embedding_cosine_pairs(
+    out = embedding_cosine_pairs_blas(
         _emb(spark, sf_dir), vec_col="embedding", id_col="vec_id", threshold=0.4
     )
     return out.orderBy("id_a", "id_b").select(
@@ -433,6 +457,76 @@ def q_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARYIVF-style search: vectors binarized to sign bits (8 bytes
+    per 64-dim vector), top-k by Hamming distance via bit_count(xor)
+    (gamma_index_binary_ivf.cc semantics, JVM-side)."""
+    emb = _emb(spark, sf_dir)
+
+    # pack 8 sign bits per byte (static exprs via python loop):
+    # byte[j] = Σ_b (v[8j+b] > 0.5) << b
+    def byte_expr(col, j):
+        e = F.lit(0)
+        for b in range(8):
+            e = e + F.when(
+                F.element_at(col, j * 8 + b + 1) > F.lit(0.5), F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        return e
+
+    codes = F.array(*[byte_expr(F.col("embedding"), j) for j in range(DIM // 8)])
+    qcodes = [
+        sum((1 << b) if QV_L2[j * 8 + b] > 0.5 else 0 for b in range(8))
+        for j in range(DIM // 8)
+    ]
+    from vearch_spark.functions.distance import hamming_distance
+
+    scored = emb.select(
+        "vec_id", hamming_distance(codes, qcodes).alias("hamming")
+    )
+    return scored.orderBy(F.col("hamming").asc(), F.col("vec_id").asc()).limit(10)
+
+
+def q_normalized_ip_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format=normalization: docs and query L2-normalized before IP
+    (doc_parse.go:487-515, client.go:603-658) — equivalent to cosine
+    ranking; scores in [-1, 1]."""
+    from vearch_spark.functions.distance import inner_product, l2_normalize
+
+    emb = _emb(spark, sf_dir)
+    import math
+
+    qn = math.sqrt(sum(v * v for v in QV_IP))
+    qnorm = [v / qn for v in QV_IP]
+    scored = emb.select(
+        "vec_id",
+        inner_product(l2_normalize(F.col("embedding")), qnorm).alias("score_d"),
+    )
+    return (
+        scored.orderBy(F.col("score_d").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.col("score_d").cast("float").alias("score"))
+    )
+
+
+def q_hybrid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search + metadata enrichment: top-k ANN hits broadcast-
+    joined to a dimension table (the 'search then fetch fields from the
+    row store' pattern, response.cc:227-253, as one Spark plan)."""
+    emb = _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id"), F.col("lang"), F.col("source"), F.col("n_chars")
+    )
+    hits = topk.search(
+        emb, "embedding", QV_L2, limit=20, metric="L2", id_col="vec_id"
+    ).select("vec_id", F.col("_score").cast("float").alias("score"))
+    return (
+        F.broadcast(hits)
+        .join(docs, hits.vec_id == docs.doc_id, "inner")
+        .select("vec_id", "lang", "source", "n_chars", "score")
+        .orderBy("score", "vec_id")
+    )
+
+
 def q_ivfflat_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFFLAT ANN search (MLlib KMeans + cluster-pruned exact scan).
     Approximate — rows-only check here; recall gates live in tests."""
@@ -473,6 +567,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
     "date_range_agg": q_date_range_agg,
+    "binary_hamming_knn": q_binary_hamming_knn,
+    "normalized_ip_knn": q_normalized_ip_knn,
+    "hybrid_knn_join": q_hybrid_knn_join,
     "ivfflat_knn": q_ivfflat_knn,
 }
 
@@ -711,6 +808,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-12-31'
             GROUP BY month_us ORDER BY month_us
+        """,
+        "binary_hamming_knn": f"""
+            WITH c AS (
+              SELECT vec_id,
+                     [{", ".join(_sql_byte(j) for j in range(DIM // 8))}] AS codes
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   list_sum(list_transform(generate_series(1, {DIM // 8}),
+                     j -> bit_count(xor(codes[j]::BIGINT,
+                                        ({_sql_qcodes()})[j]::BIGINT))))::BIGINT
+                     AS hamming
+            FROM c
+            ORDER BY hamming ASC, vec_id ASC LIMIT 10
+        """,
+        "normalized_ip_knn": f"""
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt({_sql_ip_cols("embedding", "embedding")}) AS nrm
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                        i -> (embedding[i]::DOUBLE / nrm) * ({_sql_qnorm()})[i]))
+                        AS REAL) AS score
+            FROM n
+            ORDER BY list_sum(list_transform(generate_series(1, {DIM}),
+                     i -> (embedding[i]::DOUBLE / nrm) * ({_sql_qnorm()})[i])) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "hybrid_knn_join": f"""
+            WITH hits AS (
+              SELECT vec_id, CAST({l2sq} AS REAL) AS score
+              FROM embeddings
+              ORDER BY {l2sq} ASC, vec_id ASC LIMIT 20
+            )
+            SELECT h.vec_id, d.lang, d.source, d.n_chars, h.score
+            FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+            ORDER BY h.score, h.vec_id
         """,
     }
 
