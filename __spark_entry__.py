@@ -527,6 +527,18 @@ def q_hybrid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search result metadata: total candidates + best score
+    (response.cc:256-312: total, max_score)."""
+    from vearch_spark.operators.topk import search_meta
+
+    out = search_meta(
+        _emb(spark, sf_dir), "embedding", QV_L2, metric="L2",
+        flt=F.col("label") < 5, max_score=30.0,
+    )
+    return out.select("total", F.col("best_score").cast("float").alias("best_score"))
+
+
 def q_ivfflat_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFFLAT ANN search (MLlib KMeans + cluster-pruned exact scan).
     Approximate — rows-only check here; recall gates live in tests."""
@@ -570,6 +582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_hamming_knn": q_binary_hamming_knn,
     "normalized_ip_knn": q_normalized_ip_knn,
     "hybrid_knn_join": q_hybrid_knn_join,
+    "knn_meta": q_knn_meta,
     "ivfflat_knn": q_ivfflat_knn,
 }
 
@@ -848,6 +861,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.vec_id, d.lang, d.source, d.n_chars, h.score
             FROM hits h JOIN documents d ON h.vec_id = d.doc_id
             ORDER BY h.score, h.vec_id
+        """,
+        "knn_meta": f"""
+            SELECT count(*) AS total, CAST(min(score) AS REAL) AS best_score
+            FROM (
+              SELECT {l2sq} AS score FROM embeddings WHERE label < 5
+            ) WHERE score <= 30.0
         """,
     }
 

@@ -112,3 +112,39 @@ def test_bad_operator(df):
         compile_filter({"operator": "AND", "conditions": [{"field": "num", "operator": "~", "value": 1}]})
     with pytest.raises(FilterError):
         compile_filter({"operator": "XOR", "conditions": [{"field": "num", "operator": ">", "value": 1}]})
+
+
+def test_date_literal_coercion(spark):
+    """DATE literals: ints are epoch seconds, strings parsed
+    (doc_query.go:710-724)."""
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+
+    dschema = SpaceSchema(
+        name="d",
+        fields=[FieldSpec("ts", FieldType.DATE, index=IndexSpec("ts", "SCALAR"))],
+    )
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00"), (2, "2020-06-01 00:00:00"), (3, "2021-01-01 00:00:00")],
+        "id int, raw string",
+    ).select("id", F.to_timestamp("raw").alias("ts"))
+
+    flt_str = {"operator": "AND", "conditions": [{"field": "ts", "operator": ">=", "value": "2020-06-01"}]}
+    got_str = sorted(r.id for r in df.where(compile_filter(flt_str, dschema)).collect())
+    assert got_str == [2, 3]
+
+    epoch_s = 1590969600  # 2020-06-01T00:00:00Z
+    flt_int = {"operator": "AND", "conditions": [{"field": "ts", "operator": ">=", "value": epoch_s}]}
+    got_int = sorted(r.id for r in df.where(compile_filter(flt_int, dschema)).collect())
+    assert got_int == got_str
+
+
+def test_search_meta(spark):
+    """total + best score metadata (response.cc:256-312)."""
+    from vearch_spark.operators.topk import search_meta
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)], "id int, v array<float>"
+    )
+    row = search_meta(df, "v", [0.0, 0.0], metric="L2", flt=F.col("id") >= 5).collect()[0]
+    assert row.total == 5
+    assert row.best_score == 25.0  # squared distance of id=5

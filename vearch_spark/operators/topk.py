@@ -162,6 +162,32 @@ def search_batch(
     return out.select(*cols)
 
 
+def search_meta(
+    df: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    metric: str | Metric = Metric.L2,
+    flt: dict | Column | None = None,
+    schema: SpaceSchema | None = None,
+    min_score: float | None = None,
+    max_score: float | None = None,
+    l2_sqrt: bool = False,
+) -> DataFrame:
+    """Per-search result metadata: ``total`` (candidate count after
+    filter + score band) and the best score (``max_score`` in the
+    reference's response, response.cc:256-312 — for L2 that is the
+    minimum distance)."""
+    m = Metric.parse(metric) if isinstance(metric, str) else metric
+    pred = compile_filter(flt, schema)
+    if pred is not None:
+        df = df.where(pred)
+    score = score_expr(F.col(vector_col), query, m, l2_sqrt=l2_sqrt)
+    scored = df.select(score.alias("_score"))
+    scored = _apply_score_band(scored, F.col("_score"), min_score, max_score)
+    best = F.min("_score") if m.ascending else F.max("_score")
+    return scored.agg(F.count("*").alias("total"), best.alias("best_score"))
+
+
 def _output_cols(
     df: DataFrame,
     vector_col: str,
