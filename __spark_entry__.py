@@ -365,8 +365,11 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (xxhash64 signatures — not
-    SQL-portable, so rows-only check; exact-Jaccard verified inside)."""
+    """MinHash-LSH near-dup pairs. The LSH stage only *prunes*
+    candidates; every emitted pair carries its exact Jaccard, so the
+    oracle is the exact-pairs SQL (LSH recall at the verified
+    threshold is ~1: all true pairs sit at j≥0.9 where a 32-band/4-row
+    scheme misses with P≈3e-5)."""
     from vearch_spark.operators.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(
@@ -590,7 +593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ------------------------------------------------------------- oracle SQL
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     l2sq = _sql_l2sq("embedding", QV_L2)
     ip1 = _sql_ip("embedding", QV_IP)
     ip2 = _sql_ip("embedding", QV_F2)
@@ -869,6 +872,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE score <= 30.0
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # minhash_dedup exact-verifies every candidate pair, so its answer
+    # is the exact n-gram Jaccard pair set (LSH recall ≈ 1 at the
+    # verified threshold — see q_minhash_dedup).
+    d["minhash_dedup"] = d["ngram_jaccard_dedup"]
+    return d
 
 
 # ---------------------------------------------------------------- contract

@@ -191,11 +191,19 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_did"), word_shingles(text_col, shingle_n).alias("_sh")
     ).where(F.size("_sh") > 0)
     sizes = base.select("_did", F.size("_sh").alias("_n"))
-    posts = base.select("_did", F.explode("_sh").alias("_shingle"))
+    # postings carry a 64-bit shingle hash, not the string — the join
+    # shuffle moves (long, id) rows instead of raw n-gram text
+    posts = base.select(
+        "_did", F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_shingle")
+    )
+    # persisted: consumed by the df-count pass and BOTH join sides —
+    # otherwise the shingling expression tree evaluates 3×
+    posts = posts.persist()
 
     # document-frequency cap: a shingle in >1% of docs (min 100) carries
-    # no dedup signal but quadratic join cost
-    n_docs = base.count()
+    # no dedup signal but quadratic join cost. n_docs from the input
+    # relation (parquet metadata count — no shingle compute).
+    n_docs = df.count()
     df_cap = max(100, int(n_docs * 0.01))
     hot = (
         posts.groupBy("_shingle")
