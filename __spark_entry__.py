@@ -337,6 +337,28 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token-count proxy: whitespace vs BPE-ish pre-tokenizer
+    counts, aggregated per language."""
+    from vearch_spark.functions.text import bpe_token_count, token_count
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "lang",
+        token_count("text").alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("ws").alias("sum_ws_tokens"),
+            F.sum("bpe").alias("sum_bpe_tokens"),
+            F.max("bpe").alias("max_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped tumbling-window aggregate over the events table
     (the batch view of the Structured Streaming ingest path)."""
@@ -558,6 +580,26 @@ def q_ivfflat_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN search (coarse KMeans + PQ codebooks + ADC scoring +
+    exact rerank — gamma_index_ivfpq.cc analog). Approximate —
+    rows-only check; recall gates live in tests/test_ivf_recall.py."""
+    from vearch_spark.operators.ivf import IVFPQIndex
+    from vearch_spark.schema import Metric
+
+    emb = _emb(spark, sf_dir)
+    index = IVFPQIndex(
+        "embedding", Metric.L2, ncentroids=16, nprobe=8,
+        nsubvector=8, id_col="vec_id",
+    )
+    index.fit(emb)
+    out = index.search(emb, QV_L2, limit=10).select(
+        "vec_id", F.col("_score").cast("float").alias("score")
+    )
+    index.unpersist()
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flat_knn_l2": q_flat_knn_l2,
     "flat_knn_ip": q_flat_knn_ip,
@@ -573,6 +615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_by_query": q_delete_by_query,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
+    "bpe_token_counts": q_bpe_token_counts,
     "events_hourly": q_events_hourly,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "minhash_dedup": q_minhash_dedup,
@@ -587,6 +630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_knn_join": q_hybrid_knn_join,
     "knn_meta": q_knn_meta,
     "ivfflat_knn": q_ivfflat_knn,
+    "ivfpq_knn": q_ivfpq_knn,
 }
 
 
@@ -715,6 +759,17 @@ def _oracle_sql_base() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS sum_chars,
                    min(len(string_split(text, ' '))) AS min_tokens,
                    max(len(string_split(text, ' '))) AS max_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "bpe_token_counts": """
+            SELECT lang,
+                   sum(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
+                   sum(len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'
+                   )))::BIGINT AS sum_bpe_tokens,
+                   max(len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'
+                   ))) AS max_bpe_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "events_hourly": """

@@ -1,0 +1,105 @@
+"""RANGE partition rule parity (partition.go:128-151, space.go:255-285,
+partition_names pruning doc_query.go:1565-1580)."""
+
+import os
+
+import pytest
+
+from vearch_spark.errors import DocumentError, SchemaError, SearchError
+from vearch_spark.schema import (
+    FieldSpec,
+    FieldType,
+    IndexSpec,
+    PartitionRule,
+    SpaceSchema,
+)
+from vearch_spark.space import Space
+
+RANGES = [("p2020", "2021-01-01"), ("p2021", "2022-01-01"), ("p2022", "2023-01-01")]
+
+
+def make_schema():
+    return SpaceSchema(
+        name="tl",
+        fields=[
+            FieldSpec("ts", FieldType.DATE, index=IndexSpec("ts", "SCALAR")),
+            FieldSpec("field_int", FieldType.INT, index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec("vec", FieldType.VECTOR, dimension=2, index=IndexSpec("vec", "FLAT")),
+        ],
+        partition_rule=PartitionRule(field="ts", ranges=RANGES),
+    )
+
+
+def rows():
+    import datetime as dt
+
+    stamps = ["2020-03-01", "2020-07-01", "2021-02-01", "2021-08-01", "2022-05-01"]
+    return [
+        {
+            "_id": str(i),
+            "ts": dt.datetime.fromisoformat(s),
+            "field_int": i,
+            "vec": [float(i), 0.0],
+        }
+        for i, s in enumerate(stamps)
+    ]
+
+
+def test_rule_requires_date_field():
+    with pytest.raises(SchemaError):
+        SpaceSchema(
+            name="bad",
+            fields=[FieldSpec("x", FieldType.INT)],
+            partition_rule=PartitionRule(field="x", ranges=RANGES),
+        )
+    with pytest.raises(SchemaError):
+        PartitionRule(field="ts", ranges=[("a", "2021-01-01"), ("a", "2022-01-01")])
+
+
+def test_routing_and_targeting(spark):
+    sp = Space(spark, make_schema())
+    sp.upsert(rows())
+    # routing: first range whose upper bound exceeds the value
+    got = {r._id: r._partition_name for r in sp.df.select("_id", "_partition_name").collect()}
+    assert got == {"0": "p2020", "1": "p2020", "2": "p2021", "3": "p2021", "4": "p2022"}
+    # out-of-range doc rejected at ingest
+    import datetime as dt
+
+    with pytest.raises(DocumentError):
+        sp.upsert([{"_id": "x", "ts": dt.datetime(2025, 1, 1), "field_int": 9, "vec": [0.0, 0.0]}])
+    # partition_names restricts the query verb
+    ids = sorted(r._id for r in sp.query(limit=100, partition_names=["p2021"]).collect())
+    assert ids == ["2", "3"]
+    ids = sorted(
+        r._id for r in sp.query(limit=100, partition_names=["p2020", "p2022"]).collect()
+    )
+    assert ids == ["0", "1", "4"]
+    with pytest.raises(SearchError):
+        sp.query(partition_names=["nope"])
+    # ...and the search verb
+    hits = sp.search(vector=[0.0, 0.0], vector_field="vec", limit=10,
+                     partition_names=["p2021"]).collect()
+    assert sorted(h._id for h in hits) == ["2", "3"]
+    # routing field cannot move a doc in place
+    with pytest.raises(DocumentError):
+        sp.partial_update("0", {"ts": dt.datetime(2021, 6, 1)})
+
+
+def test_physical_pruning(spark, tmp_path):
+    """Path-backed space writes partitionBy(_partition_name); a
+    partition_names target must prune parquet directories in the plan."""
+    sp = Space(spark, make_schema(), path=str(tmp_path / "tl"))
+    sp.upsert(rows())
+    vdir = os.path.join(sp.path, "v1")
+    subdirs = sorted(d for d in os.listdir(vdir) if d.startswith("_partition_name="))
+    assert subdirs == [
+        "_partition_name=p2020",
+        "_partition_name=p2021",
+        "_partition_name=p2022",
+    ]
+    plan = sp.query(limit=100, partition_names=["p2021"])._jdf.queryExecution().executedPlan().toString()
+    assert "p2021" in plan
+    # the scan must carry a partition filter, not a post-scan row filter
+    assert "PartitionFilters: [" in plan and "_partition_name" in plan.split("PartitionFilters:")[1][:200]
+    ids = sorted(r._id for r in sp.query(limit=100, partition_names=["p2021"]).collect())
+    assert ids == ["2", "3"]

@@ -132,3 +132,23 @@ def test_persistent_space(spark, tmp_path):
     assert sp2.count() == 4
     sp2.upsert(rows(2, start=10))
     assert sp2.count() == 6
+
+
+def test_cursor_scan(space):
+    """GetDoc(docid, next) cursor parity (engine.cc:902-912): pages in
+    _seq order, resumable from the last _seq, stable across updates."""
+    page1 = space.scan(limit=4).collect()
+    assert [r.field_int for r in page1] == [0, 1, 2, 3]
+    cursor = page1[-1]._seq
+    page2 = space.scan(after_seq=cursor, limit=4).collect()
+    assert [r.field_int for r in page2] == [4, 5, 6, 7]
+    # updates keep _seq (docid stable on update, engine.cc:747): the
+    # cursor never revisits or skips an updated doc
+    space.upsert([{"_id": "5", "field_int": 50,
+                   "field_string": "s0", "field_vector": [0.0, 0.0, 0.0, 0.0]}])
+    page2b = space.scan(after_seq=cursor, limit=4).collect()
+    assert [r.field_int for r in page2b] == [4, 50, 6, 7]
+    # exhaustion
+    last = space.scan(after_seq=page2b[-1]._seq, limit=100).collect()
+    assert [r.field_int for r in last] == [8, 9]
+    assert space.scan(after_seq=last[-1]._seq, limit=10).count() == 0

@@ -62,3 +62,19 @@ def test_doc_fingerprint_stability(spark):
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
     assert len(fps[0]) == 32  # md5 hex
+
+
+def test_bpe_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from vearch_spark.functions.text import bpe_token_count, bpe_tokens
+
+    df = spark.createDataFrame(
+        [("It's a test, isn't it? 42 times!",), ("",)], "text string"
+    )
+    got = df.select(bpe_tokens("text").alias("t"), bpe_token_count("text").alias("n")).collect()
+    assert got[0].t == [
+        "It", "'s", "a", "test", ",", "isn", "'t", "it", "?", "42", "times", "!",
+    ]
+    assert got[0].n == 12
+    assert got[1].n == 0

@@ -29,6 +29,7 @@ docstrings). No code is copied from the reference — it is a Go/C++
 native engine; this is a Spark logical-plan library.
 """
 
+from vearch_spark.registry import Registry
 from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, Metric, SpaceSchema
 from vearch_spark.space import Space
 from vearch_spark.session import get_spark
@@ -38,6 +39,7 @@ __all__ = [
     "FieldType",
     "IndexSpec",
     "Metric",
+    "Registry",
     "SpaceSchema",
     "Space",
     "get_spark",

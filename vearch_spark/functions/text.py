@@ -36,6 +36,24 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer shape, restricted to RE2-compatible syntax
+# (no lookahead) so the same pattern runs in Spark (java.util.regex) and
+# the DuckDB oracle: contractions, letter runs, digit runs, symbol runs.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: the unit a byte-pair encoder would
+    merge within. A much better LLM-token-count proxy than whitespace
+    splitting (which fuses punctuation into words)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_count(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.length(col)

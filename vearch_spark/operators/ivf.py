@@ -61,6 +61,7 @@ class IVFFlatIndex:
         nprobe: int = 16,
         id_col: str = ID_FIELD,
         seed: int = 42,
+        coarse_train_sample: int = 262_144,
         **_: object,
     ):
         self.vector_col = vector_col
@@ -69,6 +70,7 @@ class IVFFlatIndex:
         self.nprobe = nprobe
         self.id_col = id_col
         self.seed = seed
+        self.coarse_train_sample = coarse_train_sample
         self.centroids: np.ndarray | None = None
         self._assigned: DataFrame | None = None
 
@@ -81,6 +83,11 @@ class IVFFlatIndex:
         feats = df.select(
             array_to_vector(F.col(self.vector_col).cast("array<double>")).alias("features")
         )
+        # train on a bounded sample (the reference trains the coarse
+        # quantizer on training_threshold docs, engine.cc:759-768);
+        # assignment below still covers every row, distributed
+        if n > self.coarse_train_sample:
+            feats = feats.sample(self.coarse_train_sample / n, seed=self.seed)
         model = KMeans(k=k, seed=self.seed, maxIter=20).fit(feats)
         self.centroids = np.array(
             [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
@@ -151,17 +158,21 @@ class IVFFlatIndex:
 def _kmeans_np(x: np.ndarray, k: int, iters: int = 25, seed: int = 42) -> np.ndarray:
     """Small deterministic Lloyd's KMeans for PQ codebooks (driver-side,
     bounded sample — the same role as faiss's clustering on a training
-    subset)."""
+    subset). Assignment uses the ‖x−c‖² = ‖x‖²−2x·c+‖c‖² expansion: one
+    (n,k) BLAS matmul per iter instead of an (n,k,d) difference tensor."""
     rng = np.random.default_rng(seed)
     k = min(k, len(x))
     centers = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
+    x2 = (x**2).sum(axis=1)[:, None]
     for _ in range(iters):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d = x2 - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
-        for j in range(k):
-            pts = x[assign == j]
-            if len(pts):
-                centers[j] = pts.mean(axis=0)
+        # per-cluster means via bincount (no Python loop over points)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, x)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centers
 
 
@@ -178,7 +189,9 @@ class IVFPQIndex(IVFFlatIndex):
         nsubvector: int = 8,
         nbits: int = 8,
         rerank_k: int | None = None,
-        train_sample: int = 100_000,
+        # faiss-style bound: PQ codebooks converge on ~256 pts/centroid;
+        # more sample only slows the driver-side fit
+        train_sample: int = 65_536,
         id_col: str = ID_FIELD,
         seed: int = 42,
         **_: object,
@@ -223,7 +236,11 @@ class IVFPQIndex(IVFFlatIndex):
                 codes = np.empty((len(vecs), nsub), dtype=np.int32)
                 for i in range(nsub):
                     sub = vecs[:, i * dsub_ : (i + 1) * dsub_]
-                    d = ((sub[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2)
+                    d = (
+                        (sub**2).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ cb[i].T)
+                        + (cb[i] ** 2).sum(axis=1)[None, :]
+                    )
                     codes[:, i] = d.argmin(axis=1)
                 out = pdf.copy()
                 out[CODES_COL] = list(codes)

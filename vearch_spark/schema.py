@@ -27,7 +27,8 @@ from vearch_spark.errors import SchemaError
 ID_FIELD = "_id"
 SCORE_FIELD = "_score"
 SEQ_FIELD = "_seq"  # deterministic ingest-order docid analog (engine.cc:730-752)
-RESERVED_FIELDS = {ID_FIELD, SCORE_FIELD, SEQ_FIELD}
+PARTITION_FIELD = "_partition_name"  # derived range-rule routing column
+RESERVED_FIELDS = {ID_FIELD, SCORE_FIELD, SEQ_FIELD, PARTITION_FIELD}
 
 
 class FieldType(str, Enum):
@@ -189,11 +190,39 @@ class FieldSpec:
 
 
 @dataclass
+class PartitionRule:
+    """RANGE partition rule — DATE field only (partition.go:128-151).
+
+    ``ranges`` is an ordered list of (name, upper_bound_iso): range i
+    covers [ranges[i-1].value, ranges[i].value) and a doc routes to the
+    first range whose bound exceeds its field value (space.go:255-285).
+    A doc outside every range is rejected at ingest. On Spark the rule
+    becomes a derived partition column the table is *written
+    partitioned by*, so a ``partition_names`` target (doc_query.go:
+    1565-1580) prunes parquet directories, not just rows.
+    """
+
+    field: str
+    ranges: list[tuple[str, str]]
+
+    def __post_init__(self):
+        if not self.ranges:
+            raise SchemaError("partition rule requires at least one range")
+        names = [n for n, _ in self.ranges]
+        if len(set(names)) != len(names):
+            raise SchemaError("duplicate partition range names")
+
+    def names(self) -> list[str]:
+        return [n for n, _ in self.ranges]
+
+
+@dataclass
 class SpaceSchema:
     """A space definition: name + ordered fields (space.go:132-152)."""
 
     name: str
     fields: list[FieldSpec]
+    partition_rule: PartitionRule | None = None
 
     def __post_init__(self):
         if not self.name:
@@ -205,6 +234,13 @@ class SpaceSchema:
             seen.add(f.name)
         if not self.fields:
             raise SchemaError("space requires at least one field")
+        if self.partition_rule is not None:
+            spec = self.field(self.partition_rule.field)
+            if spec.type is not FieldType.DATE:
+                # RANGE rule is DATE-only (partition.go:128-151)
+                raise SchemaError(
+                    f"partition rule field {spec.name!r} must be a date field"
+                )
 
     @classmethod
     def from_json(cls, spec: dict) -> "SpaceSchema":
@@ -233,7 +269,16 @@ class SpaceSchema:
                     index=index,
                 )
             )
-        return cls(name=spec.get("name", ""), fields=fields)
+        rule_j = spec.get("partition_rule")
+        rule = None
+        if rule_j:
+            if str(rule_j.get("type", "RANGE")).upper() != "RANGE":
+                raise SchemaError("only RANGE partition rules are supported")
+            rule = PartitionRule(
+                field=rule_j["field"],
+                ranges=[(r["name"], r["value"]) for r in rule_j.get("ranges", [])],
+            )
+        return cls(name=spec.get("name", ""), fields=fields, partition_rule=rule)
 
     def field(self, name: str) -> FieldSpec:
         for f in self.fields:
@@ -259,6 +304,8 @@ class SpaceSchema:
         cols += [T.StructField(f.name, f.spark_type, nullable=True) for f in self.fields]
         if include_system:
             cols.append(T.StructField(SEQ_FIELD, T.LongType(), nullable=False))
+            if self.partition_rule is not None:
+                cols.append(T.StructField(PARTITION_FIELD, T.StringType(), nullable=False))
         return T.StructType(cols)
 
     def default_output_fields(self) -> list[str]:

@@ -43,6 +43,7 @@ from vearch_spark.operators import topk
 from vearch_spark.operators.fusion import VectorQuery, multi_vector_search
 from vearch_spark.schema import (
     ID_FIELD,
+    PARTITION_FIELD,
     SEQ_FIELD,
     FieldType,
     Metric,
@@ -93,7 +94,12 @@ class Space:
     def _commit(self, df: DataFrame) -> None:
         if self.path:
             nxt = (self._current_version() or 0) + 1
-            df.write.mode("overwrite").parquet(self._version_dir(nxt))
+            writer = df.write.mode("overwrite")
+            if self.schema.partition_rule is not None:
+                # range rule → physically partitioned table: a
+                # partition_names target prunes directories
+                writer = writer.partitionBy(PARTITION_FIELD)
+            writer.parquet(self._version_dir(nxt))
             with open(os.path.join(self.path, "_CURRENT"), "w") as fh:
                 fh.write(str(nxt))
             self._df = self.spark.read.parquet(self._version_dir(nxt))
@@ -153,6 +159,21 @@ class Space:
                 batch = batch.withColumn(
                     f.name, l2_normalize(F.col(f.name)).cast("array<float>")
                 )
+        # range-rule routing (space.go:255-285): derive the partition
+        # name; a value outside every range is rejected at ingest
+        rule = self.schema.partition_rule
+        if rule is not None:
+            val = F.col(rule.field)
+            expr = F.lit(None).cast("string")
+            for name, bound in reversed(rule.ranges):
+                expr = F.when(val < F.to_timestamp(F.lit(bound)), F.lit(name)).otherwise(expr)
+            batch = batch.withColumn(PARTITION_FIELD, expr)
+            bad = batch.where(F.col(PARTITION_FIELD).isNull()).limit(1).collect()
+            if bad:
+                raise DocumentError(
+                    f"document {bad[0][ID_FIELD]!r} falls outside every "
+                    f"partition range of {rule.field!r}"
+                )
         # duplicate _id inside one batch: last occurrence wins
         w = Window.partitionBy(ID_FIELD).orderBy(F.monotonically_increasing_id().desc())
         batch = (
@@ -196,6 +217,13 @@ class Space:
         unknown = set(fields) - {f.name for f in self.schema.fields}
         if unknown:
             raise DocumentError(f"unknown fields: {sorted(unknown)}")
+        rule = self.schema.partition_rule
+        if rule is not None and rule.field in fields:
+            # a doc cannot move between range partitions in place (the
+            # reference routes by this field at ingest, space.go:255-285)
+            raise DocumentError(
+                f"cannot partial-update partition routing field {rule.field!r}"
+            )
         updated = self.df
         cond = F.col(ID_FIELD) == _id
         for name, value in fields.items():
@@ -233,6 +261,43 @@ class Space:
         out = self.df.where(F.col(ID_FIELD).isin(*[str(i) for i in ids]))
         return out.select(*(output_fields or self.schema.default_output_fields()))
 
+    def _target_partitions(
+        self, df: DataFrame, partition_names: Sequence[str] | None
+    ) -> DataFrame:
+        """Restrict to named range partitions (doc_query.go:1565-1580).
+        On a path-backed space this predicate hits the physical
+        partition column → parquet directory pruning."""
+        if partition_names is None:
+            return df
+        rule = self.schema.partition_rule
+        if rule is None:
+            raise SearchError("space has no partition rule")
+        unknown = set(partition_names) - set(rule.names())
+        if unknown:
+            raise SearchError(f"unknown partition names: {sorted(unknown)}")
+        return df.where(F.col(PARTITION_FIELD).isin(list(partition_names)))
+
+    def scan(
+        self,
+        after_seq: int | None = None,
+        limit: int = topk.DEFAULT_LIMIT,
+        output_fields: list[str] | None = None,
+    ) -> DataFrame:
+        """Cursor iteration in ingest order — the reference's
+        ``GetDoc(docid, next=true)`` scan cursor (doc_http.go:611,
+        engine.cc:902-912): return up to ``limit`` docs with
+        ``_seq > after_seq``. Feed the last row's ``_seq`` back in to
+        continue. The page is a pushed-down range predicate + top-k by
+        ``_seq`` (TakeOrderedAndProject — no global sort)."""
+        df = self.df
+        if after_seq is not None:
+            df = df.where(F.col(SEQ_FIELD) > int(after_seq))
+        out = df.orderBy(F.col(SEQ_FIELD).asc()).limit(int(limit))
+        fields = output_fields or self.schema.default_output_fields()
+        if SEQ_FIELD not in fields:
+            fields = list(fields) + [SEQ_FIELD]  # the cursor itself
+        return out.select(*fields)
+
     def query(
         self,
         flt: dict | Column | None = None,
@@ -242,11 +307,12 @@ class Space:
         page_size: int | None = None,
         page_num: int | None = None,
         output_fields: list[str] | None = None,
+        partition_names: Sequence[str] | None = None,
     ) -> DataFrame:
         """Filter scan in ingest (``_seq``) order — the reference's
         query verb (Engine::Query engine.cc:449-528, default limit 50
         doc_query.go:43)."""
-        df = self.df
+        df = self._target_partitions(self.df, partition_names)
         pred = compile_filter(flt, self.schema)
         if pred is not None:
             df = df.where(pred)
@@ -278,16 +344,18 @@ class Space:
         nprobe: int | None = None,
         output_fields: list[str] | None = None,
         vector_value: bool = False,
+        partition_names: Sequence[str] | None = None,
     ) -> DataFrame:
         """The search verb (doc_http.go:659-744, SURVEY.md §2.4).
 
         ``is_brute_search``: 0 = index, 1 = exact scan, 2 = auto (exact
         until an index is trained — engine.cc:280-308).
         """
+        base_df = self._target_partitions(self.df, partition_names)
         if vectors:
             m = self._field_metric(vectors[0].field)
             return multi_vector_search(
-                self.df,
+                base_df,
                 vectors,
                 limit=limit,
                 metric=m,
@@ -321,11 +389,17 @@ class Space:
             use_index = True  # auto: index once trained (engine.cc:286-293)
 
         if use_index:
+            pred = compile_filter(flt, self.schema)
+            if partition_names is not None:
+                # the assigned index table carries the partition column,
+                # so the target becomes an extra pushed predicate
+                ppred = F.col(PARTITION_FIELD).isin(list(partition_names))
+                pred = ppred if pred is None else (pred & ppred)
             return index.search(  # type: ignore[attr-defined]
                 self.df,
                 query=list(vector),
                 limit=limit,
-                flt=compile_filter(flt, self.schema),
+                flt=pred,
                 nprobe=nprobe,
                 min_score=min_score,
                 max_score=max_score,
@@ -335,7 +409,7 @@ class Space:
                 vector_value=vector_value,
             )
         return topk.search(
-            self.df,
+            base_df,
             vector_col=vector_field,
             query=list(vector),
             limit=limit,
