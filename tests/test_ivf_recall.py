@@ -99,3 +99,41 @@ def test_ivf_prefilter(ivfflat, corpus):
     df, x, queries = corpus
     out = ivfflat.search(df, queries[0].tolist(), limit=5, flt=F.col("vec_id") < 100)
     assert all(r.vec_id < 100 for r in out.collect())
+
+
+def test_ivf_batch_search(spark, embeddings, embeddings_np):
+    """Batched ANN: with nprobe=ncentroids (probe everything) the batch
+    path must equal exact FLAT per query; with few probes, recall@10
+    stays above the reference CI gate (0.8)."""
+    import numpy as np
+
+    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.schema import Metric
+
+    ids, mat, _ = embeddings_np
+    queries = [list(mat[7]), list(mat[123] + 0.25), list(mat[400])]
+    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=8, nprobe=8, id_col="vec_id")
+    index.fit(embeddings)
+    try:
+        got = index.search_batch(queries, limit=10).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r.vec_id)
+        assert set(by_q) == {0, 1, 2}
+        for qid, q in enumerate(queries):
+            d = ((mat - np.asarray(q)) ** 2).sum(axis=1)
+            order = np.lexsort((ids, d))
+            exact = [int(ids[i]) for i in order[:10]]
+            assert by_q[qid] == exact  # full probe == exact, same tie-break
+        # pruned probing still clears the reference recall gate
+        got2 = index.search_batch(queries, limit=10, nprobe=4).collect()
+        by_q2 = {}
+        for r in got2:
+            by_q2.setdefault(r.query_id, []).append(r.vec_id)
+        for qid, q in enumerate(queries):
+            d = ((mat - np.asarray(q)) ** 2).sum(axis=1)
+            exact = {int(ids[i]) for i in np.argsort(d)[:10]}
+            recall = len(exact & set(by_q2.get(qid, []))) / 10
+            assert recall >= 0.8, f"query {qid} recall@10 {recall}"
+    finally:
+        index.unpersist()

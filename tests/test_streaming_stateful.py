@@ -1,0 +1,54 @@
+"""Stateful streaming dedup (applyInPandasWithState): first-seen
+emission must hold across micro-batches via the keyed state store."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_streaming_first_seen(spark, tmp_path):
+    from vearch_spark.streaming.stateful import streaming_first_seen
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    # batch 1: a, b (a duplicated in-batch); batch 2: b dup + new c
+    pd.DataFrame({"fp": ["a", "a", "b"], "val": [1, 2, 3]}).to_parquet(
+        stream_dir / "b1.parquet"
+    )
+    pd.DataFrame({"fp": ["b", "c"], "val": [4, 5]}).to_parquet(
+        stream_dir / "b2.parquet"
+    )
+    # deterministic batch order: the file source orders by mod time
+    import os
+
+    os.utime(stream_dir / "b1.parquet", (1_000_000_000, 1_000_000_000))
+    os.utime(stream_dir / "b2.parquet", (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("fp string, val bigint")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(str(stream_dir))
+    )
+    q = (
+        streaming_first_seen(stream, "fp")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from dedup_stream").collect()
+    got = {r.fp: r.val for r in rows}
+    # exactly one row per distinct key, and it is the FIRST occurrence
+    assert set(got) == {"a", "b", "c"}
+    assert len(rows) == 3
+    assert got["a"] == 1  # not the in-batch duplicate
+    # b emitted from batch 1 (val 3), not re-emitted for batch 2's dup
+    assert got["b"] == 3
+    assert got["c"] == 5

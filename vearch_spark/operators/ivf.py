@@ -150,6 +150,58 @@ class IVFFlatIndex:
         )
         return out
 
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[float]],
+        limit: int = 50,
+        flt: Column | None = None,
+        nprobe: int | None = None,
+        l2_sqrt: bool = False,
+        score_col: str = "_score",
+    ) -> DataFrame:
+        """Batched multi-query ANN (req_num queries per request,
+        parseVectors doc_query.go:255-338, served through the index).
+
+        The probe set is a tiny broadcast relation (query_id, cell,
+        query_vec); joining it on ``_cluster_id`` pairs every document
+        only with the queries probing its cell — the docs side is
+        scanned once for the whole batch, scoring ``nprobe/ncentroids``
+        of the (query × doc) cross product. Per-query top-k is a rank
+        window on query_id (map-side limited by WindowGroupLimit).
+        Returns (query_id, id, score) rows.
+        """
+        from pyspark.sql import Window
+
+        from vearch_spark.operators.topk import _score_order
+
+        if self._assigned is None:
+            raise SearchError("index not trained")
+        spark = self._assigned.sparkSession
+        probe_rows = [
+            (qid, cell, [float(x) for x in q])
+            for qid, q in enumerate(queries)
+            for cell in self.probe_cells(q, nprobe)
+        ]
+        probes = spark.createDataFrame(
+            probe_rows, f"query_id int, {CLUSTER_COL} int, query_vec array<double>"
+        )
+        pruned = self._assigned
+        if flt is not None:
+            pruned = pruned.where(flt)
+        joined = pruned.join(F.broadcast(probes), on=CLUSTER_COL)
+        score = score_expr(
+            F.col(self.vector_col), F.col("query_vec"), self.metric, l2_sqrt=l2_sqrt
+        )
+        scored = joined.withColumn(score_col, score)
+        w = Window.partitionBy("query_id").orderBy(
+            _score_order(self.metric, F.col(score_col)), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= limit)
+            .select("query_id", self.id_col, score_col)
+        )
+
     def unpersist(self) -> None:
         if self._assigned is not None:
             self._assigned.unpersist()
