@@ -600,6 +600,23 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query ANN through the IVF index (req_num queries
+    per request, parseVectors doc_query.go:255-338): one docs scan for
+    the whole batch via a broadcast probe relation. Rows-only check."""
+    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.schema import Metric
+
+    emb = _emb(spark, sf_dir)
+    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=16, nprobe=6, id_col="vec_id")
+    index.fit(emb)
+    out = index.search_batch([QV_L2, QV_F2], limit=10).select(
+        "query_id", "vec_id", F.col("_score").cast("float").alias("score")
+    )
+    index.unpersist()
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flat_knn_l2": q_flat_knn_l2,
     "flat_knn_ip": q_flat_knn_ip,
@@ -631,6 +648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_meta": q_knn_meta,
     "ivfflat_knn": q_ivfflat_knn,
     "ivfpq_knn": q_ivfpq_knn,
+    "ivf_batch_knn": q_ivf_batch_knn,
 }
 
 

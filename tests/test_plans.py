@@ -81,3 +81,21 @@ def test_scan_aggregate_prunes_columns(spark, sf_dir):
     df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
     schemas = X.read_schemas(df)
     assert schemas and schemas[0].count(":") == 2  # 2 of 11 columns read
+
+
+def test_ivf_batch_probe_join_is_broadcast(spark, emb):
+    """Batched ANN: the probe relation broadcasts (docs never shuffle
+    for the join) and per-query top-k is window-limited, one exchange."""
+    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.schema import Metric
+
+    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=8, nprobe=4, id_col="vec_id")
+    index.fit(emb)
+    try:
+        df = index.search_batch([Q, [0.2] * 64], limit=5)
+        assert X.uses_broadcast(df)
+        assert X.count_exchanges(df) <= 1
+        plan = X.simple_plan(df)
+        assert "WindowGroupLimit" in plan   # rank filter applied map-side
+    finally:
+        index.unpersist()

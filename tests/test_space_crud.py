@@ -152,3 +152,14 @@ def test_cursor_scan(space):
     last = space.scan(after_seq=page2b[-1]._seq, limit=100).collect()
     assert [r.field_int for r in last] == [8, 9]
     assert space.scan(after_seq=last[-1]._seq, limit=10).count() == 0
+
+
+def test_describe(space):
+    d = space.describe()
+    assert d["name"] == "docs"
+    assert d["doc_count"] == 10
+    by_name = {f["name"]: f for f in d["fields"]}
+    assert by_name["field_vector"]["dimension"] == 4
+    assert by_name["field_vector"]["index"]["type"] == "FLAT"
+    assert by_name["field_int"]["index"]["state"] == "INDEXED"
+    assert d["partition_rule"] is None

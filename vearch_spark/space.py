@@ -463,6 +463,40 @@ class Space:
         model.fit(self.df)
         self._indexes[vector_field] = model
 
+    def describe(self) -> dict:
+        """The GET-space verb: schema, index states, partition info,
+        doc count (master space detail response — space.go:132-152)."""
+        rule = self.schema.partition_rule
+        return {
+            "name": self.schema.name,
+            "doc_count": self.count(),
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": f.type.value,
+                    **({"dimension": f.dimension} if f.dimension else {}),
+                    **(
+                        {
+                            "index": {
+                                "type": f.index.index_type,
+                                "state": self.index_state(f.name)
+                                if f.index.is_vector
+                                else "INDEXED",
+                            }
+                        }
+                        if f.index
+                        else {}
+                    ),
+                }
+                for f in self.schema.fields
+            ],
+            "partition_rule": (
+                {"type": "RANGE", "field": rule.field, "ranges": rule.names()}
+                if rule
+                else None
+            ),
+        }
+
     def index_state(self, vector_field: str) -> str:
         """UNINDEXED | INDEXED (space.go:126; INDEXING has no analog —
         build_index is synchronous here)."""
