@@ -621,6 +621,54 @@ def q_ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_realtime_union_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realtime buffer-union search (vector_manager.cc:941-1012,
+    merge-dedup :1096-1145): a micro-batch of updated vectors (every
+    10th id, halved) overlays the main table; search sees main ∪ buffer
+    with the buffer winning on id collision, before one top-k."""
+    from vearch_spark.streaming.realtime import RealtimeBuffer
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    main = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(0.5))
+    )
+    buf = RealtimeBuffer(main, id_col="vec_id")
+    buf.append_batch(batch)
+    out = buf.search("embedding", QV_L2, limit=10, metric="L2")
+    return out.select("vec_id", F.col("_score").cast("float").alias("score"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → Arrow-batched
+    feature extraction (decode stubbed deterministically) → per-source
+    feature stats. Rows-only check (sha256-derived features are not
+    SQL-expressible); the plumbing itself is pinned by
+    tests/test_multimodal.py."""
+    from vearch_spark.operators.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir).limit(200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        "source",
+    )
+    feats = extract_features(media, kind="image", feature_dim=16)
+    joined = feats.join(media.select("media_id", "source"), on="media_id")
+    return (
+        joined.select("source", F.element_at("feature", 1).alias("f0"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("f0"), 6).alias("avg_f0"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flat_knn_l2": q_flat_knn_l2,
     "flat_knn_ip": q_flat_knn_ip,
@@ -653,6 +701,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfflat_knn": q_ivfflat_knn,
     "ivfpq_knn": q_ivfpq_knn,
     "ivf_batch_knn": q_ivf_batch_knn,
+    "realtime_union_knn": q_realtime_union_knn,
+    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -941,6 +991,19 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT h.vec_id, d.lang, d.source, d.n_chars, h.score
             FROM hits h JOIN documents d ON h.vec_id = d.doc_id
             ORDER BY h.score, h.vec_id
+        """,
+        "realtime_union_knn": f"""
+            WITH unified AS (
+              SELECT vec_id, embedding::DOUBLE[] AS embedding
+              FROM embeddings WHERE vec_id % 10 != 0
+              UNION ALL
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE * 0.5) AS embedding
+              FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT vec_id, CAST({_sql_l2sq("embedding", QV_L2)} AS REAL) AS score
+            FROM unified
+            ORDER BY score ASC, vec_id ASC LIMIT 10
         """,
         "knn_meta": f"""
             SELECT count(*) AS total, CAST(min(score) AS REAL) AS best_score
