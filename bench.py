@@ -50,11 +50,108 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "qps": qps_suite(spark, sf_dir),
                 "sf": float(sf),
             }
         )
     )
     spark.stop()
+
+
+def qps_suite(spark, sf_dir: str) -> dict:
+    """The reference QPS harness's metric set (restful.py:236,323,370,
+    440: upsert / index build / query / delete QPS, search QPS with
+    recall) on the driver's tables."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vearch_spark.operators import topk
+    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, Metric, SpaceSchema
+    from vearch_spark.space import Space
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+    queries = [list(map(float, rng.random(dim))) for _ in range(20)]
+    out: dict[str, float] = {}
+
+    # upsert QPS (docs/s): bulk load + an overwrite wave through the
+    # Space verb, on the largest driver table (lineitem, ~600k @ sf0.1)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_rows = li.count()
+    schema = SpaceSchema(
+        name="bench",
+        fields=[
+            FieldSpec("l_quantity", FieldType.DOUBLE,
+                      index=IndexSpec("l_quantity", "SCALAR")),
+            FieldSpec("l_returnflag", FieldType.STRING,
+                      index=IndexSpec("l_returnflag", "SCALAR")),
+        ],
+    )
+    space = Space(spark, schema)
+    batch = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber", F.monotonically_increasing_id())
+        .alias("_id"),
+        "l_quantity",
+        "l_returnflag",
+    )
+    t0 = time.time()
+    space.upsert(batch)
+    t_load = time.time() - t0
+    upd = space.df.where(F.col("l_quantity") > 45).select(
+        "_id", (F.col("l_quantity") + 1).alias("l_quantity"), "l_returnflag"
+    )
+    n_upd = upd.count()
+    t0 = time.time()
+    space.upsert(upd)
+    t_merge = time.time() - t0
+    out["upsert_load_docs_per_s"] = round(li_rows / t_load, 1)
+    out["upsert_merge_docs_per_s"] = round(n_upd / t_merge, 1)
+
+    # search QPS (sequential exact top-10 over the full table) + latency
+    t0 = time.time()
+    for q in queries:
+        topk.search(emb, "embedding", q, limit=10, id_col="vec_id").count()
+    dt = time.time() - t0
+    out["search_qps"] = round(len(queries) / dt, 2)
+
+    # query-verb QPS (filter scan, limit 50) over the loaded space
+    t0 = time.time()
+    for i in range(20):
+        space.query(flt=F.col("l_quantity") > float(i), limit=50).count()
+    out["query_qps"] = round(20 / (time.time() - t0), 2)
+
+    # delete QPS (docs/s): delete-by-query through the Space verb
+    t0 = time.time()
+    doomed = space.delete_by_query(F.col("l_quantity") > 49.5)
+    out["delete_docs_per_s"] = round(len(doomed) / (time.time() - t0), 1)
+
+    # index build (IVFFLAT fit) + ANN search QPS + recall@10 vs exact,
+    # in-distribution queries (dataset vectors, as the reference's
+    # recall harness uses)
+    data_q = [list(map(float, r.embedding)) for r in emb.limit(10).collect()]
+    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=64, nprobe=24,
+                         id_col="vec_id")
+    t0 = time.time()
+    index.fit(emb)
+    out["index_build_s"] = round(time.time() - t0, 2)
+    exact10 = [
+        {r.vec_id for r in
+         topk.search(emb, "embedding", q, limit=10, id_col="vec_id").collect()}
+        for q in data_q
+    ]
+    t0 = time.time()
+    hits = [
+        {r.vec_id for r in index.search(emb, q, limit=10).collect()}
+        for q in data_q
+    ]
+    out["ann_search_qps"] = round(10 / (time.time() - t0), 2)
+    out["ann_recall_at_10"] = round(
+        sum(len(a & b) for a, b in zip(hits, exact10)) / (10 * 10), 3
+    )
+    index.unpersist()
+    return out
 
 
 if __name__ == "__main__":

@@ -189,6 +189,15 @@ class Space:
         batch size (the reference returns per-doc statuses)."""
         batch = self._prepare_batch(rows)
         n = batch.count()
+        if self._df is None:
+            # bulk load into an empty space: no existing keys to merge
+            # against — assign seqs directly and write (the initial-load
+            # fast path a MERGE engine also takes)
+            w0 = Window.orderBy(ID_FIELD)
+            seeded = batch.withColumn(SEQ_FIELD, F.row_number().over(w0))
+            self._commit(seeded)
+            self._max_seq = n
+            return n
         existing = self.df
         # new rows get fresh seq numbers in deterministic _id order
         keyed = batch.join(
