@@ -148,3 +148,31 @@ def test_search_meta(spark):
     row = search_meta(df, "v", [0.0, 0.0], metric="L2", flt=F.col("id") >= 5).collect()[0]
     assert row.total == 5
     assert row.best_score == 25.0  # squared distance of id=5
+
+
+def test_interval_merge_semantics(df):
+    """Multiple conditions on one field are interval-merged per AND/OR
+    (parseRangeForOr doc_query.go:368-705; AND = intersection, OR =
+    union, scalar_index_manager.cc:1183-1193). Catalyst reproduces the
+    canonicalized semantics; these pin them."""
+    # AND of two ranges on one field = intersection [20, 30]
+    both = {"operator": "AND", "conditions": [
+        {"field": "num", "operator": ">=", "value": 20},
+        {"field": "num", "operator": "<=", "value": 30},
+    ]}
+    assert sorted(r.num for r in df.where(compile_filter(both)).collect()) == [20, 30]
+    # contradictory AND canonicalizes to the empty range -> zero hits
+    empty = {"operator": "AND", "conditions": [
+        {"field": "num", "operator": ">", "value": 30},
+        {"field": "num", "operator": "<", "value": 20},
+    ]}
+    assert df.where(compile_filter(empty)).count() == 0
+    # OR of disjoint ranges = union of the two intervals
+    disj = {"operator": "OR", "conditions": [
+        {"field": "num", "operator": "<", "value": 15},
+        {"field": "num", "operator": ">", "value": 35},
+    ]}
+    assert sorted(r.num for r in df.where(compile_filter(disj)).collect()) == [10, 40]
+    # != is the complement (IsUnion=NOT IN, doc_query.go:579-585)
+    ne = {"operator": "AND", "conditions": [{"field": "num", "operator": "!=", "value": 20}]}
+    assert sorted(r.num for r in df.where(compile_filter(ne)).collect()) == [10, 30, 40]

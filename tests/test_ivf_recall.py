@@ -137,3 +137,24 @@ def test_ivf_batch_search(spark, embeddings, embeddings_np):
             assert recall >= 0.8, f"query {qid} recall@10 {recall}"
     finally:
         index.unpersist()
+
+
+def test_ivfflat_recall_inner_product(corpus):
+    """The reference CI gates IP too (GloVe-IP, test_recall_baseline.py:
+    301-303). IP ground truth = argmax dot product, desc ordering."""
+    df, x, queries = corpus
+    index = IVFFlatIndex(
+        "embedding", Metric.INNER_PRODUCT, ncentroids=32, nprobe=8, id_col="vec_id"
+    )
+    index.fit(df)
+    try:
+        hits10 = hits1 = 0
+        for q in queries:
+            got = [r.vec_id for r in index.search(df, q.tolist(), limit=10).collect()]
+            exact = np.argsort(-(x @ q), kind="stable")[:10].tolist()
+            hits10 += len(set(got) & set(exact))
+            hits1 += int(got[0] == exact[0])
+        assert hits10 / (10 * len(queries)) >= 0.8
+        assert hits1 / len(queries) >= 0.5
+    finally:
+        index.unpersist()
