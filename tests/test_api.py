@@ -1,0 +1,114 @@
+"""Request-level API parity: the reference's JSON payload shapes
+(search_doc.go:55-94) drive the engine unchanged."""
+
+import pytest
+
+from vearch_spark import api
+from vearch_spark.errors import DocumentError, SearchError
+from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+from vearch_spark.space import Space
+
+DIM = 4
+
+
+@pytest.fixture()
+def space(spark):
+    schema = SpaceSchema(
+        name="api_docs",
+        fields=[
+            FieldSpec("field_int", FieldType.INT, index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec("field_string", FieldType.STRING, index=IndexSpec("field_string", "SCALAR")),
+            FieldSpec("field_vector", FieldType.VECTOR, dimension=DIM,
+                      index=IndexSpec("field_vector", "FLAT")),
+        ],
+    )
+    sp = Space(spark, schema)
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "field_int": i, "field_string": f"s{i % 3}",
+         "field_vector": [float(i), 0.0, 1.0, 0.0]}
+        for i in range(20)
+    ]})
+    return sp
+
+
+def test_search_request(space):
+    req = {
+        "vectors": [{"field": "field_vector", "feature": [5.0, 0.0, 1.0, 0.0]}],
+        "filters": {"operator": "AND", "conditions": [
+            {"field": "field_int", "operator": ">=", "value": 3}]},
+        "limit": 3,
+        "fields": ["_id", "field_int"],
+    }
+    hits = api.search(space, req).collect()
+    assert [h._id for h in hits] == ["5", "4", "6"]
+    assert hits[0]._score == 0.0
+    assert set(hits[0].asDict()) == {"_id", "field_int", "_score"}
+
+
+def test_search_request_score_band_and_bools(space):
+    req = {
+        "vectors": [{"field": "field_vector", "feature": [5.0, 0.0, 1.0, 0.0],
+                     "max_score": 2.0, "min_score": 0.5}],
+        "limit": 10,
+        "l2_sqrt": True,
+    }
+    hits = api.search(space, req).collect()
+    assert {h._id for h in hits} == {"3", "4", "6", "7"}  # sqrt dists 1,1,2,2
+    assert all(0.5 <= h._score <= 2.0 for h in hits)
+
+
+def test_search_request_multivector_ranker(space):
+    req = {
+        "vectors": [
+            {"field": "field_vector", "feature": [5.0, 0.0, 1.0, 0.0]},
+            {"field": "field_vector", "feature": [7.0, 0.0, 1.0, 0.0]},
+        ],
+        "ranker": {"type": "WeightedRanker", "params": [0.5, 0.5]},
+        "limit": 3,
+    }
+    hits = api.search(space, req).collect()
+    assert len(hits) == 3
+    assert hits[0]._id == "6"  # midpoint of the two queries
+    bad = dict(req, ranker={"type": "RRF"})
+    with pytest.raises(SearchError):
+        api.search(space, bad)
+    bad2 = dict(req, ranker={"type": "WeightedRanker", "params": [1.0]})
+    with pytest.raises(SearchError):
+        api.search(space, bad2)
+
+
+def test_query_request(space):
+    got = api.query(space, {"document_ids": ["3", "9"]}).collect()
+    assert sorted(r._id for r in got) == ["3", "9"]
+    rows = api.query(space, {
+        "filters": {"operator": "AND", "conditions": [
+            {"field": "field_string", "operator": "IN", "value": ["s1"]}]},
+        "limit": 4,
+    }).collect()
+    # ingest (_seq) order: seqs were assigned in string-_id order
+    assert [int(r._id) for r in rows] == [1, 10, 13, 16]
+    with pytest.raises(DocumentError):
+        api.query(space, {"document_ids": ["1"], "filters": {"operator": "AND",
+                          "conditions": []}})
+
+
+def test_query_request_sort_and_paging(space):
+    rows = api.query(space, {
+        "filters": {"operator": "AND", "conditions": [
+            {"field": "field_int", "operator": "<", "value": 10}]},
+        "sort": [{"field_int": {"order": "desc"}}],
+        "page_size": 3, "page_num": 2,
+        "limit": 10,
+    }).collect()
+    assert [r.field_int for r in rows] == [6, 5, 4]
+
+
+def test_delete_request(space):
+    doomed = api.delete(space, {"filters": {"operator": "AND", "conditions": [
+        {"field": "field_int", "operator": ">=", "value": 18}]}})
+    assert sorted(doomed) == ["18", "19"]
+    doomed2 = api.delete(space, {"document_ids": ["0", "1", "404"]})
+    assert sorted(doomed2) == ["0", "1"]
+    assert space.count() == 16
+    with pytest.raises(DocumentError):
+        api.delete(space, {})

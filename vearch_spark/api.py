@@ -1,0 +1,142 @@
+"""Request-level API: the reference's JSON payloads → engine calls.
+
+A vearch user talks to `POST /document/{search,query,upsert,delete}`
+with the request shapes in `internal/entity/request/search_doc.go:55-94`
+and the document body rules of `doc_parse.go`. These functions accept
+the SAME dict payloads against a :class:`~vearch_spark.space.Space`, so
+switching engines is re-pointing the client, not rewriting requests:
+
+- ``search``: `vectors` (field/feature/min_score/max_score, batched
+  features allowed), `filters`, `limit`, `fields`, `vector_value`,
+  `is_brute_search`, `l2_sqrt`, `ranker` (WeightedRanker), `sort`.
+- ``query``: `document_ids` XOR `filters` (mutually exclusive,
+  doc_http.go:573-593), `limit`/`offset`/`page_size`/`page_num`,
+  `fields`, `sort`, `partition_names`.
+- ``upsert``: `documents` list; `delete`: `document_ids` or `filters`.
+
+Validation errors mirror the router's rejects (ranker type
+doc_query.go:201-216, ids cap doc_http.go:579-583, ids-XOR-filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from vearch_spark.errors import DocumentError, SearchError
+from vearch_spark.operators.fusion import VectorQuery
+from vearch_spark.space import Space
+
+
+def _parse_vectors(space: Space, vectors: list[dict]) -> list[VectorQuery]:
+    out = []
+    for v in vectors:
+        if "field" not in v or "feature" not in v:
+            raise SearchError("vector query requires 'field' and 'feature'")
+        out.append(
+            VectorQuery(
+                field=v["field"],
+                vector=v["feature"],
+                min_score=v.get("min_score"),
+                max_score=v.get("max_score"),
+            )
+        )
+    return out
+
+
+def _parse_ranker(req: dict, n_vectors: int) -> list[float] | None:
+    """WeightedRanker — the only ranker type; applied only when >1
+    vectors (common_query_data.h:251-317, doc_query.go:201-216 /
+    1488-1493)."""
+    ranker = req.get("ranker")
+    if ranker is None:
+        return None
+    if ranker.get("type", "WeightedRanker") != "WeightedRanker":
+        raise SearchError(f"ranker type not supported: {ranker.get('type')!r}")
+    params = ranker.get("params")
+    if params is not None and len(params) != n_vectors:
+        raise SearchError(
+            f"ranker params length {len(params)} != vector count {n_vectors}"
+        )
+    return params
+
+
+def search(space: Space, req: dict) -> DataFrame:
+    """`POST /document/search` (doc_http.go:659-744,
+    request shape search_doc.go:71-94)."""
+    vectors = req.get("vectors") or []
+    if not vectors:
+        raise SearchError("search requires at least one vector query")
+    parsed = _parse_vectors(space, vectors)
+    common = dict(
+        limit=int(req.get("limit", 50)),
+        flt=req.get("filters"),
+        offset=int(req.get("offset", 0)),
+        l2_sqrt=bool(req.get("l2_sqrt", False)),
+        is_brute_search=int(req.get("is_brute_search", 2)),
+        output_fields=req.get("fields"),
+        vector_value=bool(req.get("vector_value", False)),
+        partition_names=req.get("partition_names"),
+    )
+    if len(parsed) == 1:
+        vq = parsed[0]
+        return space.search(
+            vector=list(vq.vector),
+            vector_field=vq.field,
+            min_score=vq.min_score,
+            max_score=vq.max_score,
+            nprobe=req.get("index_params", {}).get("nprobe"),
+            **common,
+        )
+    weights = _parse_ranker(req, len(parsed))
+    # fusion path ignores single-query knobs that don't apply
+    common.pop("is_brute_search")
+    common.pop("vector_value")
+    common.pop("offset")
+    return space.search(vectors=parsed, weights=weights, **common)
+
+
+def query(space: Space, req: dict) -> DataFrame:
+    """`POST /document/query` (doc_http.go:521-610): get-by-ids XOR
+    filter scan."""
+    ids = req.get("document_ids")
+    filters = req.get("filters")
+    if ids is not None and filters is not None:
+        # mutually exclusive (doc_http.go:573-593)
+        raise DocumentError("document_ids and filters are mutually exclusive")
+    if ids is not None:
+        return space.get(ids, output_fields=req.get("fields"))
+    return space.query(
+        flt=filters,
+        limit=int(req.get("limit", 50)),
+        offset=int(req.get("offset", 0)),
+        sort=req.get("sort"),
+        page_size=req.get("page_size"),
+        page_num=req.get("page_num"),
+        output_fields=req.get("fields"),
+        partition_names=req.get("partition_names"),
+    )
+
+
+def upsert(space: Space, req: dict) -> int:
+    """`POST /document/upsert` (doc_http.go:467): documents list,
+    auto-_id when absent."""
+    docs = req.get("documents")
+    if not docs:
+        raise DocumentError("upsert requires a non-empty documents list")
+    return space.upsert(docs)
+
+
+def delete(space: Space, req: dict) -> list[str]:
+    """`POST /document/delete` (doc_http.go:745): by ids or by query;
+    returns deleted ids (DelByQueryeExecute client.go:1851-1897)."""
+    ids = req.get("document_ids")
+    filters = req.get("filters")
+    if ids is not None and filters is not None:
+        raise DocumentError("document_ids and filters are mutually exclusive")
+    if ids is not None:
+        doomed = [r["_id"] for r in space.get(ids).select("_id").collect()]
+        space.delete(ids)
+        return doomed
+    if filters is None:
+        raise DocumentError("delete requires document_ids or filters")
+    return space.delete_by_query(filters)
