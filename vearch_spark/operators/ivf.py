@@ -202,6 +202,56 @@ class IVFFlatIndex:
             .select("query_id", self.id_col, score_col)
         )
 
+    def save(self, path: str) -> None:
+        """Persist the index as its 100 TB physical form: the assigned
+        table written ``partitionBy(_cluster_id)`` (so probes prune
+        parquet *directories*) plus the centroid matrix. The reference
+        analog is Engine::Dump (engine.cc:1246) persisting the trained
+        index."""
+        import json as _json
+        import os
+
+        if self._assigned is None or self.centroids is None:
+            raise SearchError("index not trained")
+        os.makedirs(path, exist_ok=True)
+        self._assigned.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+            os.path.join(path, "assigned")
+        )
+        np.save(os.path.join(path, "centroids.npy"), self.centroids)
+        with open(os.path.join(path, "params.json"), "w") as fh:
+            _json.dump(
+                {
+                    "vector_col": self.vector_col,
+                    "metric": self.metric.value,
+                    "ncentroids": self.ncentroids,
+                    "nprobe": self.nprobe,
+                    "id_col": self.id_col,
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFFlatIndex":
+        """Reopen a saved index. Searches on a loaded index hit the
+        partitioned parquet, so ``_cluster_id IN (probes)`` shows up as
+        ``PartitionFilters`` in the scan — file-level pruning, the
+        behavior that holds at 1000 executors."""
+        import json as _json
+        import os
+
+        with open(os.path.join(path, "params.json")) as fh:
+            params = _json.load(fh)
+        idx = cls(
+            vector_col=params["vector_col"],
+            metric=Metric.parse(params["metric"]),
+            ncentroids=params["ncentroids"],
+            nprobe=params["nprobe"],
+            id_col=params["id_col"],
+        )
+        idx.centroids = np.load(os.path.join(path, "centroids.npy"))
+        idx._assigned = spark.read.parquet(os.path.join(path, "assigned"))
+        return idx
+
     def unpersist(self) -> None:
         if self._assigned is not None:
             self._assigned.unpersist()
@@ -308,6 +358,41 @@ class IVFPQIndex(IVFFlatIndex):
         self._assigned = self._assigned.mapInPandas(encode, schema=schema).persist()
         self._assigned.count()
         return self
+
+    def save(self, path: str) -> None:
+        import json as _json
+        import os
+
+        if self.codebooks is None:
+            raise SearchError("index not trained")
+        super().save(path)
+        np.save(os.path.join(path, "codebooks.npy"), self.codebooks)
+        with open(os.path.join(path, "pq.json"), "w") as fh:
+            _json.dump({"nsubvector": self.nsubvector, "ksub": self.ksub,
+                        "rerank_k": self.rerank_k}, fh)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        import json as _json
+        import os
+
+        base = IVFFlatIndex.load(spark, path)
+        with open(os.path.join(path, "pq.json")) as fh:
+            pq = _json.load(fh)
+        idx = cls(
+            vector_col=base.vector_col,
+            metric=base.metric,
+            ncentroids=base.ncentroids,
+            nprobe=base.nprobe,
+            nsubvector=pq["nsubvector"],
+            rerank_k=pq["rerank_k"],
+            id_col=base.id_col,
+        )
+        idx.ksub = pq["ksub"]
+        idx.centroids = base.centroids
+        idx._assigned = base._assigned
+        idx.codebooks = np.load(os.path.join(path, "codebooks.npy"))
+        return idx
 
     def search(
         self,
