@@ -572,7 +572,11 @@ _INDEX_CACHE: dict[tuple, object] = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
-    from vearch_spark.operators.ivf import IVFFlatIndex, IVFPQIndex
+    from vearch_spark.operators.ivf import (
+        IVFFlatIndex,
+        IVFPQIndex,
+        IVFRaBitQIndex,
+    )
     from vearch_spark.schema import Metric
 
     key = (id(spark), sf_dir, kind)
@@ -582,10 +586,15 @@ def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
             idx = IVFFlatIndex(
                 "embedding", Metric.L2, ncentroids=16, nprobe=4, id_col="vec_id"
             )
-        else:
+        elif kind == "ivfpq":
             idx = IVFPQIndex(
                 "embedding", Metric.L2, ncentroids=16, nprobe=8,
                 nsubvector=8, id_col="vec_id",
+            )
+        else:
+            idx = IVFRaBitQIndex(
+                "embedding", Metric.L2, ncentroids=16, nprobe=8,
+                rerank_k=64, id_col="vec_id",
             )
         idx.fit(emb)
         _INDEX_CACHE[key] = idx
@@ -606,6 +615,16 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rerank — gamma_index_ivfpq.cc analog). Approximate —
     rows-only check; recall gates live in tests/test_ivf_recall.py."""
     index = _ivf_index(spark, sf_dir, "ivfpq")
+    return index.search(_emb(spark, sf_dir), QV_L2, limit=10).select(
+        "vec_id", F.col("_score").cast("float").alias("score")
+    )
+
+
+def q_ivfrabitq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFRABITQ ANN search (binary residual quantization + angular
+    estimate + exact rerank — gamma_index_ivfrabitq.cc analog).
+    Rows-only check; recall gate in tests/test_ivf_recall.py."""
+    index = _ivf_index(spark, sf_dir, "ivfrabitq")
     return index.search(_emb(spark, sf_dir), QV_L2, limit=10).select(
         "vec_id", F.col("_score").cast("float").alias("score")
     )
@@ -700,6 +719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_meta": q_knn_meta,
     "ivfflat_knn": q_ivfflat_knn,
     "ivfpq_knn": q_ivfpq_knn,
+    "ivfrabitq_knn": q_ivfrabitq_knn,
     "ivf_batch_knn": q_ivf_batch_knn,
     "realtime_union_knn": q_realtime_union_knn,
     "multimodal_features": q_multimodal_features,

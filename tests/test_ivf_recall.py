@@ -158,3 +158,28 @@ def test_ivfflat_recall_inner_product(corpus):
         assert hits1 / len(queries) >= 0.5
     finally:
         index.unpersist()
+
+
+def test_ivfrabitq_recall(corpus):
+    """IVFRABITQ (binary residual quantization + rerank) must clear the
+    reference CI gates like the other indexes."""
+    from vearch_spark.operators.ivf import IVFRaBitQIndex
+
+    df, x, queries = corpus
+    index = IVFRaBitQIndex(
+        "embedding", Metric.L2, ncentroids=32, nprobe=8, id_col="vec_id",
+        rerank_k=100,
+    )
+    index.fit(df)
+    try:
+        hits10 = hits1 = 0
+        for q in queries:
+            got = [r.vec_id for r in index.search(df, q.tolist(), limit=10).collect()]
+            d = ((x - q) ** 2).sum(axis=1)
+            exact = np.argsort(d, kind="stable")[:10].tolist()
+            hits10 += len(set(got) & set(exact))
+            hits1 += int(got[0] == exact[0])
+        assert hits10 / (10 * len(queries)) >= 0.8
+        assert hits1 / len(queries) >= 0.5
+    finally:
+        index.unpersist()

@@ -278,6 +278,157 @@ def _kmeans_np(x: np.ndarray, k: int, iters: int = 25, seed: int = 42) -> np.nda
     return centers
 
 
+class IVFRaBitQIndex(IVFFlatIndex):
+    """IVFRABITQ (gamma_index_ivfrabitq.cc): binary quantization of the
+    per-cluster *residual* plus an exact rerank pass.
+
+    Spark-native simplification of RaBitQ: code bit j = sign of
+    ``(v − centroid(v))[j]`` packed into ``dim/64`` longs, plus the
+    stored residual norm ``‖v−c‖``. At query time the query's residual
+    is binarized *per probed cell* (the residual depends on the cell)
+    and the screen estimates the true distance angularly:
+
+        cosθ ≈ cos(π · hamming/dim)        (sign-agreement estimator)
+        est  = ‖v−c‖² + ‖q−c‖² − 2‖v−c‖‖q−c‖cosθ
+
+    — all JVM expressions (``bit_count(xor)`` fold + ``cos``), whole-
+    stage-codegen friendly. The top ``rerank_k`` by ``est`` are then
+    re-scored exactly from raw vectors (the reference's rerank knob,
+    SURVEY.md §2.4)."""
+
+    CODE_COL = "_rbq_code"
+    NORM_COL = "_rbq_norm"
+
+    def __init__(self, *args, rerank_k: int | None = None, **kw):
+        super().__init__(*args, **kw)
+        self.rerank_k = rerank_k
+        self.dim: int | None = None
+
+    def fit(self, df: DataFrame) -> "IVFRaBitQIndex":
+        super().fit(df)
+        assert self._assigned is not None and self.centroids is not None
+        cents = self.centroids
+        vcol = self.vector_col
+        dim = cents.shape[1]
+        self.dim = dim
+        n_words = (dim + 63) // 64
+        code_col, norm_col = self.CODE_COL, self.NORM_COL  # no self capture
+
+        def encode(batches):
+            for pdf in batches:
+                vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vcol]])
+                cells = pdf[CLUSTER_COL].to_numpy()
+                resid = vecs - cents[cells]
+                bits = (resid > 0).astype(np.uint8)
+                pad = n_words * 64 - dim
+                if pad:
+                    bits = np.pad(bits, ((0, 0), (0, pad)))
+                packed = np.packbits(bits, axis=1, bitorder="little").view("<i8")
+                out = pdf.copy()
+                out[code_col] = list(packed)
+                out[norm_col] = np.linalg.norm(resid, axis=1)
+                yield out
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(self._assigned.schema.fields)
+            + [
+                T.StructField(self.CODE_COL, T.ArrayType(T.LongType())),
+                T.StructField(self.NORM_COL, T.DoubleType()),
+            ]
+        )
+        self._assigned = self._assigned.mapInPandas(encode, schema=schema).persist()
+        self._assigned.count()
+        return self
+
+    def _query_codes(
+        self, query: np.ndarray, cells: list[int]
+    ) -> dict[int, tuple[list[int], float]]:
+        """Per probed cell: (packed residual sign code, residual norm)."""
+        assert self.centroids is not None and self.dim is not None
+        n_words = (self.dim + 63) // 64
+        out = {}
+        for c in cells:
+            resid = query - self.centroids[c]
+            bits = (resid > 0).astype(np.uint8)
+            pad = n_words * 64 - self.dim
+            if pad:
+                bits = np.pad(bits, (0, pad))
+            code = [int(w) for w in np.packbits(bits, bitorder="little").view("<i8")]
+            out[c] = (code, float(np.linalg.norm(resid)))
+        return out
+
+    def search(
+        self,
+        df: DataFrame,
+        query: Sequence[float],
+        limit: int = 50,
+        flt: Column | None = None,
+        nprobe: int | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        offset: int = 0,
+        l2_sqrt: bool = False,
+        output_fields: list[str] | None = None,
+        vector_value: bool = False,
+        score_col: str = "_score",
+    ) -> DataFrame:
+        from vearch_spark.operators import topk
+
+        if self._assigned is None:
+            raise SearchError("index not trained")
+        q = np.asarray(query, dtype=np.float64)
+        cells = self.probe_cells(query, nprobe)
+        qcodes = self._query_codes(q, cells)
+        spark = self._assigned.sparkSession
+        probes = spark.createDataFrame(
+            [(c, qcodes[c][0], qcodes[c][1]) for c in cells],
+            f"{CLUSTER_COL} int, _qcode array<long>, _qnorm double",
+        )
+        pruned = self._assigned.where(F.col(CLUSTER_COL).isin(cells))
+        if flt is not None:
+            pruned = pruned.where(flt)
+        joined = pruned.join(F.broadcast(probes), on=CLUSTER_COL)
+        # Hamming: Σ bit_count(code[i] XOR qcode[i]), pure JVM; then the
+        # angular distance estimate (docstring formula)
+        ham = F.aggregate(
+            F.zip_with(
+                F.col(self.CODE_COL),
+                F.col("_qcode"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        import math
+
+        cos_est = F.cos(ham * F.lit(math.pi / float(self.dim)))
+        vn, qn = F.col(self.NORM_COL), F.col("_qnorm")
+        est = vn * vn + qn * qn - F.lit(2.0) * vn * qn * cos_est
+        rerank_k = self.rerank_k or max(limit * 4, 64)
+        cands = (
+            joined.withColumn("_est", est)
+            .orderBy(F.col("_est").asc(), F.col(self.id_col).asc())
+            .limit(rerank_k)
+        )
+        return topk.search(
+            cands.drop(CLUSTER_COL, self.CODE_COL, self.NORM_COL, "_qcode", "_qnorm", "_est"),
+            vector_col=self.vector_col,
+            query=list(query),
+            limit=limit,
+            metric=self.metric,
+            min_score=min_score,
+            max_score=max_score,
+            offset=offset,
+            l2_sqrt=l2_sqrt,
+            id_col=self.id_col,
+            output_fields=output_fields,
+            vector_value=vector_value,
+            score_col=score_col,
+        )
+
+
 class IVFPQIndex(IVFFlatIndex):
     """IVFPQ with ADC scoring + exact rerank (the published Vearch
     config: ncentroids, nprobe, nsubvector — space.go:76-85)."""

@@ -109,7 +109,7 @@ VECTOR_INDEX_TYPES = {
     "IVFFLAT": "IVFFLAT",
     "IVFPQ": "IVFPQ",
     "IVFPQFASTSCAN": "IVFPQ",
-    "IVFRABITQ": "IVFFLAT",
+    "IVFRABITQ": "IVFRABITQ",
     "BINARYIVF": "BINARYIVF",
     "HNSW": "IVFFLAT",
     "SSG": "IVFFLAT",

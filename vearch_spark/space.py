@@ -445,7 +445,11 @@ class Space:
         (engine.cc:1013-1138). Respects ``training_threshold``: below
         it, training is skipped and search stays brute-force
         (engine.cc:759-768)."""
-        from vearch_spark.operators.ivf import IVFFlatIndex, IVFPQIndex
+        from vearch_spark.operators.ivf import (
+            IVFFlatIndex,
+            IVFPQIndex,
+            IVFRaBitQIndex,
+        )
 
         spec = self.schema.field(vector_field)
         if spec.index is None or not spec.index.is_vector:
@@ -458,7 +462,10 @@ class Space:
         physical = spec.index.physical_type
         if physical == "FLAT":
             return  # FLAT is the brute-force scan itself
-        cls = IVFPQIndex if physical == "IVFPQ" else IVFFlatIndex
+        cls = {
+            "IVFPQ": IVFPQIndex,
+            "IVFRABITQ": IVFRaBitQIndex,
+        }.get(physical, IVFFlatIndex)
         model = cls(
             vector_col=vector_field,
             metric=spec.metric,
@@ -466,7 +473,7 @@ class Space:
             **{
                 k: int(v)
                 for k, v in merged.items()
-                if k in {"ncentroids", "nprobe", "nsubvector", "nbits"}
+                if k in {"ncentroids", "nprobe", "nsubvector", "nbits", "rerank_k"}
             },
         )
         model.fit(self.df)
