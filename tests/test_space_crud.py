@@ -163,3 +163,51 @@ def test_describe(space):
     assert by_name["field_vector"]["index"]["type"] == "FLAT"
     assert by_name["field_int"]["index"]["state"] == "INDEXED"
     assert d["partition_rule"] is None
+
+
+def test_add_index(spark):
+    """Dynamic index addition (space.go:87-93): an unindexed field is
+    unfilterable until add_index, then filters work."""
+    from vearch_spark.errors import SchemaError
+    from vearch_spark.filters import compile_filter
+
+    schema = SpaceSchema(
+        name="dyn",
+        fields=[
+            FieldSpec("a", FieldType.INT, index=IndexSpec("a", "SCALAR")),
+            FieldSpec("b", FieldType.INT),  # unindexed
+        ],
+    )
+    sp = Space(spark, schema)
+    sp.upsert([{"_id": str(i), "a": i, "b": i * 2} for i in range(5)])
+    from vearch_spark.errors import FilterError
+
+    flt = {"operator": "AND", "conditions": [{"field": "b", "operator": ">", "value": 4}]}
+    with pytest.raises(FilterError):
+        compile_filter(flt, sp.schema)  # unindexed-field rejection
+    sp.add_index("b", "SCALAR")
+    got = sorted(r.b for r in sp.query(flt=flt, limit=10).collect())
+    assert got == [6, 8]
+    with pytest.raises(SchemaError):
+        sp.add_index("b", "FLAT")  # vector index on scalar field
+
+
+def test_backup_restore(spark, tmp_path):
+    sp = Space(spark, make_schema())
+    sp.upsert(rows(10))
+    sp.partial_update("3", {"field_int": 333})
+    n = sp.backup(str(tmp_path / "bak"))
+    assert n == 10
+    restored = Space.restore(spark, str(tmp_path / "bak"))
+    assert restored.count() == 10
+    assert restored.schema.to_json() == sp.schema.to_json()
+    assert restored.get(["3"]).collect()[0].field_int == 333
+    # _seq preserved: scan order identical
+    a = [r._id for r in sp.scan(limit=10).collect()]
+    b = [r._id for r in restored.scan(limit=10).collect()]
+    assert a == b
+    # restored space keeps working (upsert continues the seq line)
+    restored.upsert([{"_id": "new", "field_int": 1, "field_string": "s0",
+                      "field_vector": [0.0, 0.0, 0.0, 0.0]}])
+    assert restored.count() == 11
+    assert restored.scan(after_seq=None, limit=11).collect()[-1]._id == "new"

@@ -280,6 +280,37 @@ class SpaceSchema:
             )
         return cls(name=spec.get("name", ""), fields=fields, partition_rule=rule)
 
+    def to_json(self) -> dict:
+        """Inverse of :meth:`from_json` — the create-space payload that
+        reproduces this schema (used by Space.backup)."""
+        fields = []
+        for f in self.fields:
+            fj: dict = {"name": f.name, "type": f.type.value}
+            if f.dimension:
+                fj["dimension"] = f.dimension
+            if f.normalize:
+                fj["format"] = "normalization"
+            if f.index is not None:
+                params = dict(f.index.params)
+                if f.type is FieldType.VECTOR:
+                    params.setdefault("metric_type", f.metric.value)
+                fj["index"] = {
+                    "name": f.index.name,
+                    "type": f.index.index_type,
+                    "params": params,
+                }
+            fields.append(fj)
+        out: dict = {"name": self.name, "fields": fields}
+        if self.partition_rule is not None:
+            out["partition_rule"] = {
+                "type": "RANGE",
+                "field": self.partition_rule.field,
+                "ranges": [
+                    {"name": n, "value": v} for n, v in self.partition_rule.ranges
+                ],
+            }
+        return out
+
     def field(self, name: str) -> FieldSpec:
         for f in self.fields:
             if f.name == name:

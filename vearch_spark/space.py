@@ -35,7 +35,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from vearch_spark.errors import DocumentError, SearchError
+from vearch_spark.errors import DocumentError, SchemaError, SearchError
 from vearch_spark.filters import compile_filter
 from vearch_spark.functions.distance import l2_normalize
 from vearch_spark.operators import sort as sort_ops
@@ -478,6 +478,51 @@ class Space:
         )
         model.fit(self.df)
         self._indexes[vector_field] = model
+
+    def add_index(self, field_name: str, index_type: str = "SCALAR",
+                  params: dict | None = None) -> None:
+        """Add an index to an existing field — the one schema mutation
+        the reference allows post-creation (POST /indexes,
+        space.go:87-93, Engine::AddFieldIndex engine.cc:1561). Scalar:
+        the field becomes filterable. Vector: declares the ANN strategy;
+        call :meth:`build_index` to train it."""
+        from vearch_spark.schema import IndexSpec
+
+        spec = self.schema.field(field_name)
+        new_index = IndexSpec(field_name, index_type, params or {})
+        if (spec.type is FieldType.VECTOR) != new_index.is_vector:
+            raise SchemaError(
+                f"index type {index_type!r} does not fit field {field_name!r}"
+            )
+        spec.index = new_index
+
+    def backup(self, path: str) -> int:
+        """Space-level export (master backup routes doc_http.go:217-222,
+        internal/ps/backup/): one parquet snapshot + the create-space
+        JSON. Returns the doc count."""
+        import json as _json
+
+        os.makedirs(path, exist_ok=True)
+        self.df.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        with open(os.path.join(path, "schema.json"), "w") as fh:
+            _json.dump(self.schema.to_json(), fh)
+        return self.count()
+
+    @classmethod
+    def restore(cls, spark: SparkSession, path: str,
+                target_path: str | None = None) -> "Space":
+        """Recreate a Space from a backup (schema + docs, `_seq`
+        preserved so scan order survives the round trip)."""
+        import json as _json
+
+        with open(os.path.join(path, "schema.json")) as fh:
+            schema = SpaceSchema.from_json(_json.load(fh))
+        space = cls(spark, schema, path=target_path)
+        docs = spark.read.parquet(os.path.join(path, "docs"))
+        space._commit(docs)
+        row = docs.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
+        space._max_seq = int(row["m"] or 0)
+        return space
 
     def describe(self) -> dict:
         """The GET-space verb: schema, index states, partition info,
