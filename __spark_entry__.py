@@ -301,6 +301,74 @@ def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial update (Engine::Update engine.cc:831-867) as the
+    conditional column patch Space.partial_update builds: only the named
+    fields change, all others ride through untouched. Verified via the
+    post-update state aggregated per returnflag."""
+    li = lineitem_space(spark, sf_dir)
+    cond = F.col("l_orderkey") % 199 == 0
+    patched = li.withColumn(
+        "l_returnflag", F.when(cond, F.lit("U")).otherwise(F.col("l_returnflag"))
+    ).withColumn(
+        "l_quantity", F.when(cond, F.col("l_quantity") + 0.5).otherwise(F.col("l_quantity"))
+    )
+    return (
+        patched.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+def q_cursor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-cursor page (GetDoc(docid, next) engine.cc:902-912,
+    Space.scan): rows after a cursor position in ingest (_seq) order,
+    one page. The page is a pushed-down range predicate + top-k —
+    TakeOrderedAndProject, no global sort. Sort keys cover all output
+    columns so the page slice is deterministic despite duplicate _seq."""
+    li = lineitem_space(spark, sf_dir)
+    return (
+        li.where(F.col("_seq") > 800)
+        .orderBy(
+            F.col("_seq").asc(),
+            F.col("_id").asc(),
+            F.col("l_quantity").asc(),
+            F.col("l_discount").asc(),
+        )
+        .limit(30)
+        .select("_id", "_seq", "l_quantity")
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user via lag + running
+    sum — the batch equivalent of streaming session windows and a
+    training-data-pipeline staple (per-user activity segmentation).
+    Single shuffle on user_id; both window functions and the session
+    rollup reuse the same partitioning."""
+    ev = with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    us = F.unix_micros(F.col("ts_utc"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    df = ev.withColumn("_sess", F.sum(is_new).over(w)).withColumn("_us", us)
+    per = df.groupBy("user_id", "_sess").agg(
+        F.count("*").alias("n_events"),
+        # integer µs span — exact on both engines, no float rounding
+        (F.max("_us") - F.min("_us")).alias("dur_us"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_events"),
+            F.sum("dur_us").alias("total_dur_us"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("user_id").asc())
+        .limit(50)
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint (8-token prefix), keeping the
     lowest doc_id per group — hash-groupBy dedup at any scale."""
@@ -701,6 +769,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sort_pagination": q_sort_pagination,
     "upsert_lww": q_upsert_lww,
     "delete_by_query": q_delete_by_query,
+    "partial_update": q_partial_update,
+    "cursor_scan": q_cursor_scan,
+    "event_sessions": q_event_sessions,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "bpe_token_counts": q_bpe_token_counts,
@@ -835,6 +906,51 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ({li_space})
             WHERE NOT coalesce(l_returnflag = 'R' AND l_quantity > 45.0, false)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "partial_update": f"""
+            SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+            FROM (
+              SELECT CASE WHEN l_orderkey % 199 = 0 THEN 'U'
+                          ELSE l_returnflag END AS l_returnflag,
+                     CASE WHEN l_orderkey % 199 = 0 THEN l_quantity + 0.5
+                          ELSE l_quantity END AS l_quantity
+              FROM lineitem
+            )
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "cursor_scan": f"""
+            SELECT _id, _seq, l_quantity
+            FROM ({li_space})
+            WHERE _seq > 800
+            ORDER BY _seq ASC, _id ASC, l_quantity ASC, l_discount ASC
+            LIMIT 30
+        """,
+        "event_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, us,
+                CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+            ), sess AS (
+              SELECT user_id, us,
+                sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY us ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM flagged
+            ), per AS (
+              SELECT user_id, sess_id, count(*) AS n_events,
+                     max(us) - min(us) AS dur_us
+              FROM sess GROUP BY user_id, sess_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_events,
+                   sum(dur_us)::BIGINT AS total_dur_us
+            FROM per GROUP BY user_id
+            ORDER BY n_sessions DESC, user_id ASC LIMIT 50
         """,
         "exact_dedup": """
             SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_dups
