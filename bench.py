@@ -131,7 +131,12 @@ def qps_suite(spark, sf_dir: str) -> dict:
     # in-distribution queries (dataset vectors, as the reference's
     # recall harness uses)
     data_q = [list(map(float, r.embedding)) for r in emb.limit(10).collect()]
-    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=64, nprobe=24,
+    # The synthetic embeddings are near-uniform random: neighbors carry no
+    # cluster structure, so recall ≈ fraction of cells probed (measured:
+    # k=32 nprobe=24 → 0.99, vs k=64 nprobe=24 → 0.81). Structured corpora
+    # (SIFT1M etc.) reach the same recall probing ~4% of cells; here the
+    # honest setting is fewer, fatter cells.
+    index = IVFFlatIndex("embedding", Metric.L2, ncentroids=32, nprobe=28,
                          id_col="vec_id")
     t0 = time.time()
     index.fit(emb)
