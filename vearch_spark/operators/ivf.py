@@ -101,7 +101,11 @@ class IVFFlatIndex:
         self.centroids: np.ndarray | None = None
         self._assigned: DataFrame | None = None
 
-    def fit(self, df: DataFrame) -> "IVFFlatIndex":
+    def _fit_coarse(self, df: DataFrame) -> np.ndarray:
+        """Train the coarse quantizer and set ``self._assigned`` LAZILY
+        (no persist/materialize — subclasses append their encoding
+        columns first so the table is only cached once). Returns the
+        driver-side training sample for reuse by subclass codebooks."""
         n = df.count()
         k = max(1, min(self.ncentroids, n))
         # train on a bounded driver-side sample (the reference trains
@@ -117,12 +121,16 @@ class IVFFlatIndex:
         self.centroids = _kmeans_np(x, k, iters=20, seed=self.seed)
         # assignment covers every row, distributed (Arrow-batched argmin
         # against the small broadcast centroid matrix)
-        assigned = df.withColumn(
+        self._assigned = df.withColumn(
             CLUSTER_COL, _nearest_centroid_udf(self.centroids)(F.col(self.vector_col))
         )
+        return x
+
+    def fit(self, df: DataFrame) -> "IVFFlatIndex":
+        self._fit_coarse(df)
         # At scale: write out partitioned by _cluster_id so probes prune
         # files; locally a cached projection plays that role.
-        self._assigned = assigned.persist()
+        self._assigned = self._assigned.persist()
         self._assigned.count()
         return self
 
@@ -356,7 +364,9 @@ class IVFRaBitQIndex(IVFFlatIndex):
         self.dim: int | None = None
 
     def fit(self, df: DataFrame) -> "IVFRaBitQIndex":
-        super().fit(df)
+        # lazy coarse assignment — codes are appended before the single
+        # persist below, so the table is cached exactly once
+        self._fit_coarse(df)
         assert self._assigned is not None and self.centroids is not None
         cents = self.centroids
         vcol = self.vector_col
@@ -508,14 +518,10 @@ class IVFPQIndex(IVFFlatIndex):
         self.codebooks: np.ndarray | None = None  # (nsub, ksub, dsub)
 
     def fit(self, df: DataFrame) -> "IVFPQIndex":
-        super().fit(df)  # coarse quantizer + _cluster_id
-        assert self._assigned is not None
-        sample = (
-            self._assigned.select(self.vector_col)
-            .limit(self.train_sample)
-            .toPandas()[self.vector_col]
-        )
-        x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+        # coarse quantizer + lazy _cluster_id column; reuse the coarse
+        # training sample for the PQ codebooks (same distribution, and
+        # it skips a second driver-side collect job)
+        x = self._fit_coarse(df)[: self.train_sample]
         dim = x.shape[1]
         if dim % self.nsubvector:
             raise SearchError(
