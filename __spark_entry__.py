@@ -639,8 +639,26 @@ def q_knn_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_CACHE: dict[tuple, object] = {}
 
 
+def _sign_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code) with code = sign-bit packing of the embedding,
+    8 dims per byte — the binary input BINARYIVF indexes over."""
+
+    def byte_expr(col, j):
+        e = F.lit(0)
+        for b in range(8):
+            e = e + F.when(
+                F.element_at(col, j * 8 + b + 1) > F.lit(0.5), F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        return e
+
+    emb = _emb(spark, sf_dir)
+    codes = F.array(*[byte_expr(F.col("embedding"), j) for j in range(DIM // 8)])
+    return emb.select("vec_id", codes.alias("code"))
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
     from vearch_spark.operators.ivf import (
+        BinaryIVFIndex,
         IVFFlatIndex,
         IVFPQIndex,
         IVFRaBitQIndex,
@@ -650,6 +668,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
     key = (id(spark), sf_dir, kind)
     if key not in _INDEX_CACHE:
         emb = _emb(spark, sf_dir)
+        if kind == "binaryivf":
+            idx = BinaryIVFIndex("code", ncentroids=16, nprobe=8, id_col="vec_id")
+            idx.fit(_sign_codes(spark, sf_dir))
+            _INDEX_CACHE[key] = idx
+            return idx
         if kind == "ivfflat":
             idx = IVFFlatIndex(
                 "embedding", Metric.L2, ncentroids=16, nprobe=4, id_col="vec_id"
@@ -695,6 +718,21 @@ def q_ivfrabitq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _ivf_index(spark, sf_dir, "ivfrabitq")
     return index.search(_emb(spark, sf_dir), QV_L2, limit=10).select(
         "vec_id", F.col("_score").cast("float").alias("score")
+    )
+
+
+def q_binaryivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARYIVF ANN search (gamma_index_binary_ivf.cc): Hamming-metric
+    IVF over packed sign codes — binary KMeans quantizer (float fit,
+    majority-binarized centroids), nprobe cell pruning, bit_count(xor)
+    scan kernel. Rows-only check; gate in tests/test_ivf_recall.py."""
+    index = _ivf_index(spark, sf_dir, "binaryivf")
+    qcode = [
+        sum((1 << b) if QV_L2[j * 8 + b] > 0.5 else 0 for b in range(8))
+        for j in range(DIM // 8)
+    ]
+    return index.search(None, qcode, limit=10).select(
+        "vec_id", F.col("_score").alias("hamming")
     )
 
 
@@ -785,6 +823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "date_range_agg": q_date_range_agg,
     "binary_hamming_knn": q_binary_hamming_knn,
+    "binaryivf_knn": q_binaryivf_knn,
     "normalized_ip_knn": q_normalized_ip_knn,
     "hybrid_knn_join": q_hybrid_knn_join,
     "knn_meta": q_knn_meta,

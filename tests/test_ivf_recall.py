@@ -183,3 +183,42 @@ def test_ivfrabitq_recall(corpus):
         assert hits1 / len(queries) >= 0.5
     finally:
         index.unpersist()
+
+
+def test_binary_ivf_recall(spark):
+    """BINARYIVF (Hamming over packed sign codes): full probe must equal
+    the exact Hamming scan; pruned probes clear the reference CI gate.
+    Hamming ties are dense, so pruned recall is tie-aware: a hit counts
+    if its distance ≤ the kth true distance."""
+    from vearch_spark.operators.ivf import BinaryIVFIndex, _POP8
+
+    rng = np.random.default_rng(7)
+    bdim, nbytes, n = 64, 8, 3000
+    centers = rng.normal(0, 10, size=(40, bdim))
+    assign = rng.integers(0, 40, size=n)
+    x = centers[assign] + rng.normal(0, 1.5, size=(n, bdim))
+    packed = np.packbits((x > 0).astype(np.uint8), axis=1, bitorder="little")
+    df = spark.createDataFrame(
+        [(int(i), [int(b) for b in packed[i]]) for i in range(n)],
+        "vec_id long, code array<int>",
+    ).repartition(8)
+
+    idx = BinaryIVFIndex("code", ncentroids=40, nprobe=8, id_col="vec_id")
+    idx.fit(df)
+    try:
+        qs = centers[rng.integers(0, 40, size=10)] + rng.normal(0, 1.5, size=(10, bdim))
+        qcodes = np.packbits((qs > 0).astype(np.uint8), axis=1, bitorder="little")
+        hits = 0
+        for qc in qcodes:
+            d = _POP8[packed ^ qc[None, :]].sum(axis=1)
+            # full probe == exact scan, same (distance, id) tie-break
+            got = [r.vec_id for r in idx.search(df, qc.tolist(), limit=10, nprobe=40).collect()]
+            exact = [int(i) for i in np.lexsort((np.arange(n), d))[:10]]
+            assert got == exact
+            # pruned probing: tie-aware recall@10
+            kth = np.partition(d, 9)[9]
+            got8 = [r.vec_id for r in idx.search(df, qc.tolist(), limit=10).collect()]
+            hits += sum(1 for i in got8 if d[i] <= kth)
+        assert hits / 100 >= 0.8, f"tie-aware recall@10 {hits / 100}"
+    finally:
+        idx.unpersist()

@@ -671,3 +671,175 @@ class IVFPQIndex(IVFFlatIndex):
             vector_value=vector_value,
             score_col=score_col,
         )
+
+
+# --- BINARYIVF -------------------------------------------------------------
+
+# 8-bit popcount lookup table for vectorized Hamming distance
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _hamming_to_centroids(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, nbytes) uint8 codes vs (k, nbytes) uint8 centroids →
+    (n, k) Hamming distances via the popcount LUT."""
+    return _POP8[x[:, None, :] ^ cents[None, :, :]].sum(axis=2)
+
+
+def _nearest_binary_centroid_udf(centroids: np.ndarray):
+    """Arrow-batched Hamming argmin against the packed binary centroid
+    matrix (k × d/8 bytes — tiny, ships in the task closure)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    c = np.ascontiguousarray(centroids, dtype=np.uint8)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack([np.asarray(v, dtype=np.uint8) for v in vs])
+        d = _hamming_to_centroids(x, c)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+class BinaryIVFIndex:
+    """BINARYIVF (gamma_index_binary_ivf.cc): Hamming-metric IVF over
+    packed uint8 codes — faiss IndexBinaryIVF semantics.
+
+    Training mirrors faiss: unpack the code bits to floats, run
+    standard KMeans (the reference sets cp.niter=10,
+    gamma_index_binary_ivf.cc:99), then re-binarize the centroids
+    (bit j = mean > 0.5, i.e. per-bit majority vote). Assignment and
+    probing are Hamming argmin against the packed centroids. Defaults
+    mirror the reference: ncentroids=256 (BinaryModelParams,
+    gamma_index_binary_ivf.cc:23), nprobe=20
+    (gamma_index_binary_ivf.cc:117).
+
+    The index is the same physical shape as IVFFLAT — a derived
+    ``_cluster_id`` column, written ``partitionBy(_cluster_id)`` at
+    scale so probes prune files — but the scan kernel is
+    ``bit_count(xor)`` over d/8 bytes (JVM whole-stage codegen),
+    ~32× fewer scan bytes than float vectors of the same dim.
+    """
+
+    def __init__(
+        self,
+        code_col: str,
+        ncentroids: int = 256,
+        nprobe: int = 20,
+        id_col: str = ID_FIELD,
+        seed: int = 42,
+        coarse_train_sample: int = 262_144,
+        **_: object,
+    ):
+        self.code_col = code_col
+        self.ncentroids = ncentroids
+        self.nprobe = nprobe
+        self.id_col = id_col
+        self.seed = seed
+        self.coarse_train_sample = coarse_train_sample
+        self.centroids: np.ndarray | None = None  # (k, nbytes) uint8, packed
+        self._assigned: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "BinaryIVFIndex":
+        n = df.count()
+        k = max(1, min(self.ncentroids, n))
+        codes = df.select(self.code_col)
+        if n > self.coarse_train_sample:
+            codes = codes.sample(self.coarse_train_sample / n, seed=self.seed)
+        sample = codes.toPandas()[self.code_col]
+        packed = np.stack([np.asarray(v, dtype=np.uint8) for v in sample])
+        # faiss-style binary clustering: float KMeans over unpacked bits,
+        # centroids re-binarized by per-bit majority (mean > 0.5)
+        bits = np.unpackbits(packed, axis=1, bitorder="little").astype(np.float64)
+        float_cents = _kmeans_np(bits, k, iters=10, seed=self.seed)
+        self.centroids = np.packbits(
+            (float_cents > 0.5).astype(np.uint8), axis=1, bitorder="little"
+        )
+        self._assigned = df.withColumn(
+            CLUSTER_COL,
+            _nearest_binary_centroid_udf(self.centroids)(F.col(self.code_col)),
+        ).persist()
+        self._assigned.count()
+        return self
+
+    def probe_cells(self, query_code: Sequence[int], nprobe: int | None = None) -> list[int]:
+        if self.centroids is None:
+            raise SearchError("index not trained")
+        nprobe = int(nprobe or self.nprobe)
+        q = np.asarray(query_code, dtype=np.uint8)[None, :]
+        d = _hamming_to_centroids(q, self.centroids)[0]
+        return [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
+
+    def search(
+        self,
+        df: DataFrame,  # unused: the assigned table is the index
+        query_code: Sequence[int],
+        limit: int = 50,
+        flt: Column | None = None,
+        nprobe: int | None = None,
+        offset: int = 0,
+        output_fields: list[str] | None = None,
+        score_col: str = "_score",
+    ) -> DataFrame:
+        """Top-k by Hamming distance, ascending, ties broken by id —
+        the probed cells prune the scan, the distance itself is the
+        JVM ``bit_count(xor)`` fold (functions/distance.py)."""
+        from vearch_spark.functions.distance import hamming_distance
+
+        if self._assigned is None:
+            raise SearchError("index not trained")
+        cells = self.probe_cells(query_code, nprobe)
+        pruned = self._assigned.where(F.col(CLUSTER_COL).isin(cells))
+        if flt is not None:
+            pruned = pruned.where(flt)
+        scored = pruned.withColumn(
+            score_col,
+            hamming_distance(F.col(self.code_col), [int(b) for b in query_code]),
+        )
+        cols = output_fields or [self.id_col]
+        out = scored.select(*cols, score_col).orderBy(
+            F.col(score_col).asc(), F.col(self.id_col).asc()
+        )
+        if offset:
+            out = out.offset(offset)
+        return out.limit(limit)
+
+    def save(self, path: str) -> None:
+        import json as _json
+        import os
+
+        if self._assigned is None or self.centroids is None:
+            raise SearchError("index not trained")
+        os.makedirs(path, exist_ok=True)
+        self._assigned.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+            os.path.join(path, "assigned")
+        )
+        np.save(os.path.join(path, "centroids.npy"), self.centroids)
+        with open(os.path.join(path, "params.json"), "w") as fh:
+            _json.dump(
+                {
+                    "code_col": self.code_col,
+                    "ncentroids": self.ncentroids,
+                    "nprobe": self.nprobe,
+                    "id_col": self.id_col,
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BinaryIVFIndex":
+        import json as _json
+        import os
+
+        with open(os.path.join(path, "params.json")) as fh:
+            params = _json.load(fh)
+        idx = cls(**params)
+        idx.centroids = np.load(os.path.join(path, "centroids.npy"))
+        idx._assigned = spark.read.parquet(os.path.join(path, "assigned"))
+        return idx
+
+    def unpersist(self) -> None:
+        if self._assigned is not None:
+            self._assigned.unpersist()
