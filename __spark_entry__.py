@@ -472,12 +472,15 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (rows-only: xxhash64-based)."""
+    """SimHash banded near-dup pairs. Oracle-checked end-to-end: the
+    sha256 token-hash variant lets DuckDB reproduce the signature, the
+    4-block pigeonhole candidate set, AND the Hamming verify (the
+    production default stays xxhash64 — same algorithm, faster hash)."""
     from vearch_spark.operators.dedup import simhash_pairs
 
     out = simhash_pairs(
         _docs(spark, sf_dir), text_col="text", id_col="doc_id",
-        max_hamming=12, bands=4,
+        max_hamming=12, bands=4, token_hash="sha256",
     )
     return out.orderBy("id_a", "id_b")
 
@@ -769,12 +772,13 @@ def q_realtime_union_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → Arrow-batched
     feature extraction (decode stubbed deterministically) → per-source
-    feature stats. Rows-only check (sha256-derived features are not
-    SQL-expressible); the plumbing itself is pinned by
-    tests/test_multimodal.py."""
+    feature stats. Oracle-checked: the stub feature f0 is the first 8
+    sha256 digest bytes as uint64/2^64, which DuckDB reproduces with
+    sha256() + hex-digit arithmetic; the Arrow plumbing itself is
+    pinned by tests/test_multimodal.py."""
     from vearch_spark.operators.multimodal import extract_features
 
-    docs = _docs(spark, sf_dir).limit(200)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -1185,6 +1189,63 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (
               SELECT {l2sq} AS score FROM embeddings WHERE label < 5
             ) WHERE score <= 30.0
+        """,
+        # SimHash with sha256 token hashing (first 8 digest bytes,
+        # big-endian uint64, bits LSB-first): signature bit i = sign of
+        # Σ ±1 votes; banded candidates = pairs sharing ≥1 of 4 16-bit
+        # blocks; exact Hamming ≤ 12 verify. Mirrors dedup.simhash_pairs
+        # (token_hash="sha256") block-for-block.
+        "simhash_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                               t -> substr(sha256(t), 1, 16)) AS hexes
+              FROM documents
+            ), sigs AS (
+              SELECT doc_id,
+                list_transform(range(64), i -> CASE WHEN
+                    2 * list_sum(list_transform(hexes, h ->
+                      ((strpos('0123456789abcdef',
+                               substr(h, (16 - i // 4)::INT, 1)) - 1)
+                        >> (i % 4)) & 1
+                    )) > len(hexes) THEN 1 ELSE 0 END) AS bits
+              FROM toks
+            ), blocks AS (
+              SELECT doc_id, bits,
+                list_transform(range(4), b ->
+                  list_sum(list_transform(range(16), j ->
+                    bits[(16 * b + j + 1)::INT] * (1 << j)))) AS blks
+              FROM sigs
+            )
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                list_sum(list_transform(range(64), i ->
+                  CASE WHEN a.bits[(i+1)::INT] != b.bits[(i+1)::INT]
+                       THEN 1 ELSE 0 END))::INT AS hamming
+              FROM blocks a, blocks b
+              WHERE a.doc_id < b.doc_id AND
+                (a.blks[1] = b.blks[1] OR a.blks[2] = b.blks[2] OR
+                 a.blks[3] = b.blks[3] OR a.blks[4] = b.blks[4])
+            )
+            WHERE hamming <= 12
+            ORDER BY id_a, id_b
+        """,
+        # stub decoder: f0 = first sha256 digest iteration, first 8
+        # bytes as uint64 / 2^64 (multimodal._fake_decode). Hex-digit
+        # arithmetic stays exact in HUGEINT; /2^64 is a power-of-two
+        # scale, so the DOUBLE matches Python's int/2**64 bit-for-bit.
+        "multimodal_features": """
+            WITH feats AS (
+              SELECT source,
+                (list_sum(list_transform(range(16), i ->
+                   (strpos('0123456789abcdef',
+                           substr(sha256(text), (i+1)::INT, 1)) - 1)::HUGEINT
+                   * ((16 ** (15-i))::HUGEINT)
+                 ))::DOUBLE / 18446744073709551616)::FLOAT AS f0
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT source, count(*)::BIGINT AS n, round(avg(f0), 6) AS avg_f0
+            FROM feats GROUP BY source ORDER BY source
         """,
     }
 

@@ -252,18 +252,51 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
-def simhash64(text: Column | str) -> Column:
-    """64-bit SimHash of whitespace tokens, fully JVM-side.
+def _pack_votes(bits: np.ndarray, n_tokens: int) -> np.int64:
+    """(n_tokens, 64) hash bits → signed-long SimHash signature:
+    signature bit i = sign of Σ_tokens (±1 by hash bit i)."""
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - n_tokens  # Σ(±1) per bit
+    return np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(
+        np.int64
+    )[0]
+
+
+def simhash64(text: Column | str, token_hash: str = "xxhash64") -> Column:
+    """64-bit SimHash of whitespace tokens, token hashing JVM-side.
 
     bit i of the signature = sign of Σ_tokens (±1 by bit i of
-    xxhash64(token)); packed into a long. Bit masks are Python-side
-    literals (bit 63 as the signed long MIN) so every op stays a static
-    Catalyst expression.
+    hash(token)); packed into a long.
+
+    ``token_hash``: ``xxhash64`` (default — the fast production path)
+    or ``sha256`` (first 8 digest bytes as a big-endian uint64 via
+    ``sha2``+``unhex``, still whole-stage-codegen JVM). The sha256
+    variant exists so the full banded pipeline is reproducible by an
+    independent SQL engine (the DuckDB oracle) — the algorithm is
+    identical, only the token-hash family differs.
     """
     col = F.col(text) if isinstance(text, str) else text
-    hashes = F.transform(F.split(col, " "), lambda t: F.xxhash64(t))
+    tokens = F.split(col, " ")
 
     from pyspark.sql.pandas.functions import pandas_udf
+
+    if token_hash == "sha256":
+        hashes = F.transform(
+            tokens, lambda t: F.unhex(F.substring(F.sha2(t, 256), 1, 16))
+        )
+
+        @pandas_udf("long")
+        def pack_bin(hs: pd.Series) -> pd.Series:
+            out = np.empty(len(hs), dtype=np.int64)
+            for row, h in enumerate(hs):
+                # 8 big-endian bytes per token → LSB-first value bits
+                raw = np.frombuffer(b"".join(h), dtype=np.uint8).reshape(len(h), 8)
+                bits = np.unpackbits(raw[:, ::-1], axis=1, bitorder="little")
+                out[row] = _pack_votes(bits, len(h))
+            return pd.Series(out)
+
+        return pack_bin(hashes)
+
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
     @pandas_udf("long")
     def pack(hs: pd.Series) -> pd.Series:
@@ -272,10 +305,7 @@ def simhash64(text: Column | str) -> Column:
             # int64 (possibly negative xxhash values) → raw little-endian bits
             raw = np.asarray(h, dtype=np.int64).view(np.uint8).reshape(len(h), 8)
             bits = np.unpackbits(raw, axis=1, bitorder="little")  # (n_tokens, 64)
-            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)  # Σ(±1) per bit
-            out[row] = np.packbits(
-                (votes > 0).astype(np.uint8), bitorder="little"
-            ).view(np.int64)[0]
+            out[row] = _pack_votes(bits, len(h))
         return pd.Series(out)
 
     return pack(hashes)
@@ -287,16 +317,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into ``bands`` blocks; any pair
     within Hamming ≤ bands−1 shares at least one identical block, so
     the candidate join keys on (band, block value). Exact Hamming via
-    bit_count(xor) verifies candidates.
+    bit_count(xor) verifies candidates. With ``max_hamming > bands−1``
+    the result is the banded approximation: pairs that share ≥1 block
+    AND pass the Hamming check.
     """
     width = 64 // bands
-    sh = df.select(F.col(id_col).alias("_did"), simhash64(text_col).alias("_sim"))
+    sh = df.select(
+        F.col(id_col).alias("_did"), simhash64(text_col, token_hash).alias("_sim")
+    )
     mask = F.lit((1 << width) - 1).cast("long")
     blocks = sh.select(
         "_did",
