@@ -116,6 +116,17 @@ def qps_suite(spark, sf_dir: str) -> dict:
     dt = time.time() - t0
     out["search_qps"] = round(len(queries) / dt, 2)
 
+    # batched search throughput: the Spark-native serving mode — the
+    # whole query batch rides ONE docs scan (broadcast queries +
+    # query_id rank window), so per-query cost amortizes the job
+    # overhead that bounds sequential QPS (restful.py batch sweeps)
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "query_id int, query_vec array<double>"
+    )
+    t0 = time.time()
+    topk.search_batch(emb, "embedding", qdf, limit=10, id_col="vec_id").count()
+    out["batch_search_qps"] = round(len(queries) / (time.time() - t0), 2)
+
     # query-verb QPS (filter scan, limit 50) over the loaded space
     t0 = time.time()
     for i in range(20):
@@ -141,20 +152,28 @@ def qps_suite(spark, sf_dir: str) -> dict:
     t0 = time.time()
     index.fit(emb)
     out["index_build_s"] = round(time.time() - t0, 2)
-    exact10 = [
-        {r.vec_id for r in
-         topk.search(emb, "embedding", q, limit=10, id_col="vec_id").collect()}
-        for q in data_q
-    ]
     t0 = time.time()
-    hits = [
-        {r.vec_id for r in index.search(emb, q, limit=10).collect()}
+    for q in data_q:
+        index.search(emb, q, limit=10).count()
+    out["ann_search_qps"] = round(10 / (time.time() - t0), 2)
+    # recall@{1,10,100} vs exact — the reference's published metric set
+    # (benchs/README.md k ∈ {1,10,100}; CI gates @100≥0.90 @10≥0.80
+    # @1≥0.50, test_recall_baseline.py:301-303)
+    exact100 = [
+        [r.vec_id for r in
+         topk.search(emb, "embedding", q, limit=100, id_col="vec_id").collect()]
         for q in data_q
     ]
-    out["ann_search_qps"] = round(10 / (time.time() - t0), 2)
-    out["ann_recall_at_10"] = round(
-        sum(len(a & b) for a, b in zip(hits, exact10)) / (10 * 10), 3
-    )
+    ann100 = [
+        [r.vec_id for r in index.search(emb, q, limit=100).collect()]
+        for q in data_q
+    ]
+    for k in (1, 10, 100):
+        out[f"ann_recall_at_{k}"] = round(
+            sum(len(set(a[:k]) & set(e[:k])) for a, e in zip(ann100, exact100))
+            / (k * len(data_q)),
+            3,
+        )
     index.unpersist()
     return out
 
