@@ -99,3 +99,27 @@ def test_ivf_batch_probe_join_is_broadcast(spark, emb):
         assert "WindowGroupLimit" in plan   # rank filter applied map-side
     finally:
         index.unpersist()
+
+
+def test_binary_ivf_search_no_shuffle(spark, emb):
+    """BINARYIVF: probe filter prunes the cached assigned table and the
+    Hamming top-k is TakeOrderedAndProject — zero shuffles, same shape
+    as FLAT search."""
+    from vearch_spark.operators.ivf import BinaryIVFIndex
+
+    codes = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: (F.element_at("embedding", j * 8 + 1) > 0.5).cast("int"),
+        ).alias("code"),
+    )
+    index = BinaryIVFIndex("code", ncentroids=8, nprobe=4, id_col="vec_id")
+    index.fit(codes)
+    try:
+        df = index.search(None, [1, 0, 1, 0, 1, 0, 1, 0], limit=5)
+        assert X.uses_take_ordered(df)
+        assert X.count_exchanges(df) == 0
+        assert "_cluster_id" in X.simple_plan(df)  # probe pruning applied
+    finally:
+        index.unpersist()
