@@ -211,3 +211,32 @@ def test_backup_restore(spark, tmp_path):
                       "field_vector": [0.0, 0.0, 0.0, 0.0]}])
     assert restored.count() == 11
     assert restored.scan(after_seq=None, limit=11).collect()[-1]._id == "new"
+
+
+def test_slow_search_pool_routing(spark, space):
+    """Slow-search isolation (parseSlowSearch doc_query.go:218-234):
+    slow requests tag the thread's Spark scheduler pool; fast ones
+    clear it."""
+    from vearch_spark.space import SLOW_POOL, is_slow_search
+
+    sc = spark.sparkContext
+    pool = lambda: sc.getLocalProperty("spark.scheduler.pool")  # noqa: E731
+
+    space.search(vector=[0.0] * 4, limit=500)
+    assert pool() == SLOW_POOL
+    space.search(vector=[0.0] * 4, limit=10)
+    assert pool() is None
+
+    three = {"operator": "AND", "conditions": [
+        {"field": "field_int", "operator": ">", "value": 0},
+        {"field": "field_int", "operator": "<", "value": 10**9},
+        {"field": "field_string", "operator": "IN", "value": ["a"]},
+    ]}
+    space.search(vector=[0.0] * 4, limit=10, flt=three)
+    assert pool() == SLOW_POOL
+
+    # pure-function heuristic: IVF probe >= ncentroids/10 is slow
+    class FakeIdx:
+        ncentroids, nprobe = 1024, 16
+    assert not is_slow_search(10, None, None, FakeIdx())
+    assert is_slow_search(10, None, 200, FakeIdx())

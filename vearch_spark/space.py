@@ -57,6 +57,40 @@ GET_BY_IDS_CAP = 500  # doc_http.go:579-583
 # force is always used.
 BRUTE_FORCE_THRESHOLD = 100
 
+SLOW_POOL = "vearch-slow"  # ps/handler_document.go:215-224 pool analog
+
+
+def _count_conditions(flt: dict | Column | None) -> int:
+    """Condition count of a reference-shaped filter dict (range + term
+    filters, doc_query.go:231) — nested groups count their leaves."""
+    if not isinstance(flt, dict):
+        return 0
+    n = 0
+    for cond in flt.get("conditions", []):
+        if isinstance(cond, dict) and "conditions" in cond:
+            n += _count_conditions(cond)
+        else:
+            n += 1
+    return n
+
+
+def is_slow_search(
+    limit: int,
+    flt: dict | Column | None = None,
+    nprobe: int | None = None,
+    index=None,
+) -> bool:
+    """parseSlowSearch (doc_query.go:218-234): slow iff topN ≥ 500, or
+    an IVF probe covers ≥ ncentroids/10 cells, or ≥ 3 filters."""
+    if limit >= 500:
+        return True
+    if index is not None:
+        ncent = getattr(index, "ncentroids", 0)
+        probe = nprobe if nprobe is not None else getattr(index, "nprobe", 0)
+        if ncent and probe >= ncent // 10:
+            return True
+    return _count_conditions(flt) >= 3
+
 
 class Space:
     """One document collection. ``path=None`` keeps the table in memory
@@ -307,6 +341,27 @@ class Space:
             fields = list(fields) + [SEQ_FIELD]  # the cursor itself
         return out.select(*fields)
 
+    def _route_scheduler_pool(
+        self,
+        limit: int,
+        flt: dict | Column | None,
+        nprobe: int | None,
+        index,
+    ) -> None:
+        """Slow-search isolation (parseSlowSearch doc_query.go:218-234;
+        PS pools ps/handler_document.go:215-224): requests classified
+        slow — topN ≥ 500, an IVF probe covering ≥ 1/10 of cells, or
+        ≥ 3 filter conditions — are tagged into a separate Spark
+        fair-scheduler pool so they can't starve fast queries. The tag
+        is the thread-local ``spark.scheduler.pool`` property (one
+        request per serving thread); under ``spark.scheduler.mode=FAIR``
+        with a pools file the isolation is enforced, under FIFO it is
+        an inert label."""
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool",
+            SLOW_POOL if is_slow_search(limit, flt, nprobe, index) else None,
+        )
+
     def query(
         self,
         flt: dict | Column | None = None,
@@ -362,6 +417,7 @@ class Space:
         """
         base_df = self._target_partitions(self.df, partition_names)
         if vectors:
+            self._route_scheduler_pool(limit, flt, None, None)
             m = self._field_metric(vectors[0].field)
             return multi_vector_search(
                 base_df,
@@ -397,6 +453,7 @@ class Space:
         elif is_brute_search == 2 and index is not None:
             use_index = True  # auto: index once trained (engine.cc:286-293)
 
+        self._route_scheduler_pool(limit, flt, nprobe, index if use_index else None)
         if use_index:
             pred = compile_filter(flt, self.schema)
             if partition_names is not None:
