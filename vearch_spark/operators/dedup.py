@@ -210,18 +210,20 @@ def ngram_jaccard_pairs(
     dropping ubiquitous shingles (document frequency cap) the same way
     production near-dup pipelines do.
     """
-    base = df.select(
-        F.col(id_col).alias("_did"), word_shingles(text_col, shingle_n).alias("_sh")
-    ).where(F.size("_sh") > 0)
-    sizes = base.select("_did", F.size("_sh").alias("_n"))
-    # postings carry a 64-bit shingle hash, not the string — the join
-    # shuffle moves (long, id) rows instead of raw n-gram text
-    posts = base.select(
-        "_did", F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_shingle")
-    )
-    # persisted: consumed by the df-count pass and BOTH join sides —
-    # otherwise the shingling expression tree evaluates 3×
-    posts = posts.persist()
+    # ONE persisted relation — the narrow postings (doc id, 64-bit
+    # shingle hash; the join never moves n-gram text). Every consumer
+    # (set sizes, the df cap, both join sides) derives from this cache,
+    # so the shingling UDF runs exactly once and the cached bytes are
+    # 2 longs/posting — the footprint that still fits at 100 TB.
+    posts = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("_shingle"),
+    ).persist()
+    # |A| per doc = posting count (shingles are distinct per doc);
+    # zero-shingle docs vanish in the explode, matching the size>0 gate
+    sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
 
     # document-frequency cap: a shingle in >1% of docs (min 100) carries
     # no dedup signal but quadratic join cost. n_docs from the input
