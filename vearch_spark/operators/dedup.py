@@ -173,6 +173,9 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     ).select("_did", F.col("_band.band").alias("_b"), F.col("_band.bh").alias("_bh"))
+    # cached: both bucket-join sides read this narrow (id, band, hash)
+    # relation — without it the signature UDF pipeline runs twice
+    banded = banded.persist()
 
     left = banded.select("_b", "_bh", F.col("_did").alias("id_a"))
     right = banded.select("_b", "_bh", F.col("_did").alias("id_b"))
