@@ -353,6 +353,9 @@ def simhash_pairs(
             )
         ).alias("_blk"),
     ).select("_did", "_sim", F.col("_blk.band").alias("_b"), F.col("_blk.blk").alias("_v"))
+    # cached: both block-join sides read this narrow relation — without
+    # it the simhash signature UDF runs twice
+    blocks = blocks.persist()
 
     a = blocks.select("_b", "_v", F.col("_did").alias("id_a"), F.col("_sim").alias("_sim_a"))
     b = blocks.select("_b", "_v", F.col("_did").alias("id_b"), F.col("_sim").alias("_sim_b"))
