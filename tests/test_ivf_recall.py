@@ -222,3 +222,47 @@ def test_binary_ivf_recall(spark):
         assert hits / 100 >= 0.8, f"tie-aware recall@10 {hits / 100}"
     finally:
         idx.unpersist()
+
+
+def test_ivf_incremental_add(spark, corpus):
+    """Incremental add (Engine::AddRTVecsToIndex / the Indexing() loop):
+    new rows join the trained index without retrain. Full probe over
+    the grown index must equal the exact scan over old ∪ new; the
+    original centroids must be untouched."""
+    from vearch_spark.operators.ivf import IVFFlatIndex, IVFPQIndex
+
+    df, x, queries = corpus
+    old = df.where(F.col("vec_id") < N - 400)
+    new = df.where(F.col("vec_id") >= N - 400)
+
+    idx = IVFFlatIndex("embedding", Metric.L2, ncentroids=40, nprobe=40, id_col="vec_id")
+    idx.fit(old)
+    cents_before = idx.centroids.copy()
+    idx.add(new)
+    try:
+        assert np.array_equal(idx.centroids, cents_before)
+        q = queries[0]
+        got = [r.vec_id for r in idx.search(df, q.tolist(), limit=10).collect()]
+        d = ((x - q) ** 2).sum(axis=1)
+        exact = [int(i) for i in np.lexsort((np.arange(N), d))[:10]]
+        assert got == exact  # full probe == exact over the union
+    finally:
+        idx.unpersist()
+
+    # PQ: codes for added rows use the existing codebooks; recall gate
+    # still clears after growth
+    # rerank_k 128 (vs the default 64): quantizers trained on 87% of
+    # the corpus sit slightly off the grown distribution, so the exact
+    # rerank needs a deeper ADC preselection — the same drift the
+    # reference answers with RebuildIndex when it accumulates
+    pq = IVFPQIndex(
+        "embedding", Metric.L2, ncentroids=40, nprobe=10, rerank_k=128,
+        nsubvector=8, nbits=6, id_col="vec_id", train_sample=4000,
+    )
+    pq.fit(old)
+    pq.add(new)
+    try:
+        r10 = recall_at(pq, df, x, queries, 10)
+        assert r10 >= 0.8, f"recall@10 after add {r10}"
+    finally:
+        pq.unpersist()

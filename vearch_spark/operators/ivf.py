@@ -126,12 +126,43 @@ class IVFFlatIndex:
         )
         return x
 
+    def _train_encoders(self, sample: np.ndarray) -> None:
+        """Subclass hook: train per-row encoders (PQ codebooks, RaBitQ
+        nothing-to-train) from the coarse training sample."""
+
+    def _augment(self, assigned: DataFrame) -> DataFrame:
+        """Subclass hook: append encoding columns (PQ codes, RaBitQ
+        sign codes + norms) to a cluster-assigned relation. FLAT stores
+        raw vectors only."""
+        return assigned
+
     def fit(self, df: DataFrame) -> "IVFFlatIndex":
-        self._fit_coarse(df)
+        sample = self._fit_coarse(df)
+        self._train_encoders(sample)
         # At scale: write out partitioned by _cluster_id so probes prune
         # files; locally a cached projection plays that role.
-        self._assigned = self._assigned.persist()
+        self._assigned = self._augment(self._assigned).persist()
         self._assigned.count()
+        return self
+
+    def add(self, df: DataFrame) -> "IVFFlatIndex":
+        """Incremental add: assign new rows to the EXISTING coarse cells
+        and append — no retrain. This is the reference's background
+        Indexing() loop adding realtime vectors to a trained index
+        (Engine::AddRTVecsToIndex path, engine.cc:1084-1138); retraining
+        only happens on RebuildIndex (fit). ``df`` must carry the same
+        schema the index was fit on."""
+        if self.centroids is None or self._assigned is None:
+            raise SearchError("index not trained")
+        new = self._augment(
+            df.withColumn(
+                CLUSTER_COL, _nearest_centroid_udf(self.centroids)(F.col(self.vector_col))
+            )
+        )
+        old = self._assigned
+        self._assigned = old.union(new).persist()
+        self._assigned.count()
+        old.unpersist()
         return self
 
     def probe_cells(self, query: Sequence[float], nprobe: int | None = None) -> list[int]:
@@ -363,11 +394,9 @@ class IVFRaBitQIndex(IVFFlatIndex):
         self.rerank_k = rerank_k
         self.dim: int | None = None
 
-    def fit(self, df: DataFrame) -> "IVFRaBitQIndex":
-        # lazy coarse assignment — codes are appended before the single
-        # persist below, so the table is cached exactly once
-        self._fit_coarse(df)
-        assert self._assigned is not None and self.centroids is not None
+    def _augment(self, assigned: DataFrame) -> DataFrame:
+        if self.centroids is None:
+            raise SearchError("index not trained")
         cents = self.centroids
         vcol = self.vector_col
         dim = cents.shape[1]
@@ -393,15 +422,13 @@ class IVFRaBitQIndex(IVFFlatIndex):
         from pyspark.sql import types as T
 
         schema = T.StructType(
-            list(self._assigned.schema.fields)
+            list(assigned.schema.fields)
             + [
                 T.StructField(self.CODE_COL, T.ArrayType(T.LongType())),
                 T.StructField(self.NORM_COL, T.DoubleType()),
             ]
         )
-        self._assigned = self._assigned.mapInPandas(encode, schema=schema).persist()
-        self._assigned.count()
-        return self
+        return assigned.mapInPandas(encode, schema=schema)
 
     def _query_codes(
         self, query: np.ndarray, cells: list[int]
@@ -517,11 +544,10 @@ class IVFPQIndex(IVFFlatIndex):
         self.train_sample = train_sample
         self.codebooks: np.ndarray | None = None  # (nsub, ksub, dsub)
 
-    def fit(self, df: DataFrame) -> "IVFPQIndex":
-        # coarse quantizer + lazy _cluster_id column; reuse the coarse
-        # training sample for the PQ codebooks (same distribution, and
-        # it skips a second driver-side collect job)
-        x = self._fit_coarse(df)[: self.train_sample]
+    def _train_encoders(self, sample: np.ndarray) -> None:
+        # reuse the coarse training sample for the PQ codebooks (same
+        # distribution, skips a second driver-side collect job)
+        x = sample[: self.train_sample]
         dim = x.shape[1]
         if dim % self.nsubvector:
             raise SearchError(
@@ -534,8 +560,12 @@ class IVFPQIndex(IVFFlatIndex):
                 for i in range(self.nsubvector)
             ]
         )
-        # assign PQ codes once, Arrow-batched (closure must not capture
+
+    def _augment(self, assigned: DataFrame) -> DataFrame:
+        # assign PQ codes, Arrow-batched (closure must not capture
         # self — it holds unpicklable DataFrames)
+        if self.codebooks is None:
+            raise SearchError("index not trained")
         cb = self.codebooks
         nsub, _, dsub_ = cb.shape
         vcol = self.vector_col
@@ -560,12 +590,10 @@ class IVFPQIndex(IVFFlatIndex):
 
         # (don't use StructType.add — it mutates the cached df schema)
         schema = T.StructType(
-            list(self._assigned.schema.fields)
+            list(assigned.schema.fields)
             + [T.StructField(CODES_COL, T.ArrayType(T.IntegerType()))]
         )
-        self._assigned = self._assigned.mapInPandas(encode, schema=schema).persist()
-        self._assigned.count()
-        return self
+        return assigned.mapInPandas(encode, schema=schema)
 
     def save(self, path: str) -> None:
         import json as _json
@@ -762,6 +790,22 @@ class BinaryIVFIndex:
             _nearest_binary_centroid_udf(self.centroids)(F.col(self.code_col)),
         ).persist()
         self._assigned.count()
+        return self
+
+    def add(self, df: DataFrame) -> "BinaryIVFIndex":
+        """Incremental add to the trained index (the reference's
+        realtime RTInvertIndex AddDocs path): Hamming-assign new codes
+        to the existing centroids and append — no retrain."""
+        if self.centroids is None or self._assigned is None:
+            raise SearchError("index not trained")
+        new = df.withColumn(
+            CLUSTER_COL,
+            _nearest_binary_centroid_udf(self.centroids)(F.col(self.code_col)),
+        )
+        old = self._assigned
+        self._assigned = old.union(new).persist()
+        self._assigned.count()
+        old.unpersist()
         return self
 
     def probe_cells(self, query_code: Sequence[int], nprobe: int | None = None) -> list[int]:
