@@ -60,3 +60,20 @@ def test_ivfpq_save_load_roundtrip(spark, emb, tmp_path_factory):
     assert np.array_equal(loaded.codebooks, index.codebooks)
     after = [(r.vec_id, r._score) for r in loaded.search(emb, Q, limit=5).collect()]
     assert after == before
+
+
+def test_ivfrabitq_save_load_roundtrip(spark, emb, tmp_path_factory):
+    from vearch_spark.operators.ivf import IVFRaBitQIndex
+
+    path = str(tmp_path_factory.mktemp("rbq") / "idx")
+    index = IVFRaBitQIndex("embedding", Metric.L2, ncentroids=8, nprobe=4,
+                           rerank_k=64, id_col="vec_id")
+    index.fit(emb)
+    before = [(r.vec_id, r._score) for r in index.search(emb, Q, limit=5).collect()]
+    index.save(path)
+    index.unpersist()
+
+    loaded = IVFRaBitQIndex.load(spark, path)
+    assert loaded.dim == 64 and loaded.rerank_k == 64
+    after = [(r.vec_id, r._score) for r in loaded.search(emb, Q, limit=5).collect()]
+    assert after == before

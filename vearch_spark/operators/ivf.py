@@ -430,6 +430,35 @@ class IVFRaBitQIndex(IVFFlatIndex):
         )
         return assigned.mapInPandas(encode, schema=schema)
 
+    def save(self, path: str) -> None:
+        import json as _json
+        import os
+
+        super().save(path)  # assigned table (incl. code+norm cols) + centroids
+        with open(os.path.join(path, "rbq.json"), "w") as fh:
+            _json.dump({"rerank_k": self.rerank_k}, fh)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFRaBitQIndex":
+        import json as _json
+        import os
+
+        base = IVFFlatIndex.load(spark, path)
+        with open(os.path.join(path, "rbq.json")) as fh:
+            rbq = _json.load(fh)
+        idx = cls(
+            base.vector_col,
+            base.metric,
+            ncentroids=base.ncentroids,
+            nprobe=base.nprobe,
+            id_col=base.id_col,
+            rerank_k=rbq["rerank_k"],
+        )
+        idx.centroids = base.centroids
+        idx.dim = int(base.centroids.shape[1])
+        idx._assigned = base._assigned
+        return idx
+
     def _query_codes(
         self, query: np.ndarray, cells: list[int]
     ) -> dict[int, tuple[list[int], float]]:
