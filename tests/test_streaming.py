@@ -80,3 +80,35 @@ def test_structured_streaming_ingest(spark, main_df, tmp_path):
         assert hit._id == "1000"
     finally:
         q.stop()
+
+
+def test_compact_folds_buffer_into_index(spark, main_df):
+    """compact(index=...): buffered inserts AND updates land in the
+    trained IVF index incrementally (remove stale + add latest — the
+    Indexing() loop analog), with no retrain: centroids unchanged,
+    full-probe index search == exact search over the merged table."""
+    import numpy as np
+
+    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.schema import Metric
+
+    buf = RealtimeBuffer(main_df)
+    index = IVFFlatIndex("vec", Metric.L2, ncentroids=4, nprobe=4, id_col="_id")
+    index.fit(main_df)
+    cents = index.centroids.copy()
+    try:
+        buf.append_batch(spark.createDataFrame(
+            [("100", [100.0, 0.0]), ("3", [55.0, 0.0])],  # insert + update
+            "_id string, vec array<float>",
+        ))
+        merged = buf.compact(index=index)
+        assert np.array_equal(index.centroids, cents)  # no retrain
+        assert buf.buffer is None
+
+        got = [(r._id, r._score) for r in index.search(None, [60.0, 0.0], limit=3).collect()]
+        from vearch_spark.operators import topk
+        exact = [(r._id, r._score) for r in
+                 topk.search(merged, "vec", [60.0, 0.0], limit=3, id_col="_id").collect()]
+        assert got == exact  # update visible, stale version gone, insert present
+    finally:
+        index.unpersist()

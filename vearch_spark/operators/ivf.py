@@ -165,6 +165,24 @@ class IVFFlatIndex:
         old.unpersist()
         return self
 
+    def remove(self, ids: Sequence) -> "IVFFlatIndex":
+        """Drop rows from the index without retrain — the Spark-native
+        form of the reference's delete bitmap (every ANN candidate is
+        validated against ¬deleted, SearchCondition::IsValid
+        gamma_common_data.h:98-106; Engine::Delete engine.cc:869-900
+        sets the bit). Here the tombstone is applied eagerly to the
+        cached relation (persist swap); the saved form re-applies it as
+        a row-group-pruned filter."""
+        if self._assigned is None:
+            raise SearchError("index not trained")
+        old = self._assigned
+        self._assigned = old.where(
+            ~F.col(self.id_col).isin([i for i in ids])
+        ).persist()
+        self._assigned.count()
+        old.unpersist()
+        return self
+
     def probe_cells(self, query: Sequence[float], nprobe: int | None = None) -> list[int]:
         if self.centroids is None:
             raise SearchError("index not trained")
@@ -833,6 +851,18 @@ class BinaryIVFIndex:
         )
         old = self._assigned
         self._assigned = old.union(new).persist()
+        self._assigned.count()
+        old.unpersist()
+        return self
+
+    def remove(self, ids: Sequence) -> "BinaryIVFIndex":
+        """Delete-bitmap analog (see IVFFlatIndex.remove)."""
+        if self._assigned is None:
+            raise SearchError("index not trained")
+        old = self._assigned
+        self._assigned = old.where(
+            ~F.col(self.id_col).isin([i for i in ids])
+        ).persist()
         self._assigned.count()
         old.unpersist()
         return self

@@ -64,15 +64,9 @@ class RealtimeBuffer:
         """main ∪ buffer with buffer rows winning on id collision and
         later batches winning inside the buffer (LWW, dedup by docid —
         vector_manager.cc:1096-1145's merge-dedup)."""
-        if self._buffer is None:
+        latest = self._latest_buffer_rows()
+        if latest is None:
             return self.main
-        buf = self._buffer
-        w = Window.partitionBy(self.id_col).orderBy(F.col("_batch").desc())
-        latest = (
-            buf.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_batch")
-        )
         survivors = self.main.join(
             latest.select(self.id_col), on=self.id_col, how="left_anti"
         )
@@ -100,11 +94,33 @@ class RealtimeBuffer:
             **kw,
         )
 
-    def compact(self) -> DataFrame:
+    def _latest_buffer_rows(self) -> DataFrame | None:
+        if self._buffer is None:
+            return None
+        w = Window.partitionBy(self.id_col).orderBy(F.col("_batch").desc())
+        return (
+            self._buffer.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_batch")
+        )
+
+    def compact(self, index=None) -> DataFrame:
         """Fold the buffer into main (refresh/rebuild analog); returns
         the new main. At scale this is the Delta MERGE + index refit
-        job run on the trigger interval."""
+        job run on the trigger interval.
+
+        With ``index`` (a trained IVF-family index over main), the
+        buffered rows are folded into the index INCREMENTALLY — updated
+        ids tombstoned (``remove``), latest versions cluster-assigned
+        with the trained quantizers (``add``) — the background
+        Indexing() loop consuming realtime vectors without a retrain
+        (engine.cc:1084-1138)."""
         merged = self.unified()
+        latest = self._latest_buffer_rows()
+        if index is not None and latest is not None:
+            ids = [r[0] for r in latest.select(self.id_col).collect()]
+            index.remove(ids)  # stale versions of updated docs
+            index.add(latest.select(*self.main.columns))
         self.main = merged
         self._buffer = None
         return merged
