@@ -98,3 +98,41 @@ def test_hnsw_alias_served_by_ivf(spark):
     sp.build_index("field_vector")
     assert sp.index_state("field_vector") == "INDEXED"
     assert sp.search(vector=[0.0] * DIM, limit=3).count() == 3
+
+
+def test_writes_flow_into_trained_index(spark):
+    """Every write path keeps a trained index consistent (the engine
+    feeds the realtime index on AddOrUpdate and sets the delete bitmap
+    on Delete — ANN search never sees stale docs): upsert inserts and
+    updates, partial_update, delete, delete_by_query are all visible
+    through is_brute_search=0 with no rebuild."""
+    sp = Space(spark, schema(threshold=10))
+    sp.upsert(rows(60))
+    sp.build_index("field_vector")
+    assert sp.index_state("field_vector") == "INDEXED"
+
+    probe = [100.0] * DIM  # far from the corpus
+
+    # insert + update through upsert
+    sp.upsert([
+        {"_id": "new1", "field_int": 1000, "field_vector": probe},
+        {"_id": "5", "field_int": 5, "field_vector": [99.0] * DIM},
+    ])
+    got = [r._id for r in
+           sp.search(vector=probe, limit=2, is_brute_search=0, nprobe=8).collect()]
+    assert got == ["new1", "5"]
+
+    # partial_update replaces the vector in-place
+    sp.partial_update("7", {"field_vector": [98.0] * DIM})
+    got = [r._id for r in
+           sp.search(vector=probe, limit=3, is_brute_search=0, nprobe=8).collect()]
+    assert got == ["new1", "5", "7"]
+
+    # deletes tombstone index rows
+    sp.delete(["new1"])
+    sp.delete_by_query({"operator": "AND", "conditions": [
+        {"field": "field_int", "operator": "=", "value": 5},
+    ]})
+    got = [r._id for r in
+           sp.search(vector=probe, limit=2, is_brute_search=0, nprobe=8).collect()]
+    assert got[0] == "7" and "new1" not in got and "5" not in got

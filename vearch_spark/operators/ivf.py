@@ -160,25 +160,30 @@ class IVFFlatIndex:
             )
         )
         old = self._assigned
-        self._assigned = old.union(new).persist()
+        self._assigned = old.unionByName(new).persist()
         self._assigned.count()
         old.unpersist()
         return self
 
-    def remove(self, ids: Sequence) -> "IVFFlatIndex":
+    def remove(self, ids: Sequence | DataFrame) -> "IVFFlatIndex":
         """Drop rows from the index without retrain — the Spark-native
         form of the reference's delete bitmap (every ANN candidate is
         validated against ¬deleted, SearchCondition::IsValid
         gamma_common_data.h:98-106; Engine::Delete engine.cc:869-900
         sets the bit). Here the tombstone is applied eagerly to the
         cached relation (persist swap); the saved form re-applies it as
-        a row-group-pruned filter."""
+        a row-group-pruned filter. ``ids``: a small Python sequence
+        (isin — pushed predicate) or a one-column DataFrame (anti-join
+        — stays distributed for bulk-write batches)."""
         if self._assigned is None:
             raise SearchError("index not trained")
         old = self._assigned
-        self._assigned = old.where(
-            ~F.col(self.id_col).isin([i for i in ids])
-        ).persist()
+        if isinstance(ids, DataFrame):
+            key = ids.select(F.col(ids.columns[0]).alias(self.id_col)).distinct()
+            pruned = old.join(key, on=self.id_col, how="left_anti")
+        else:
+            pruned = old.where(~F.col(self.id_col).isin([i for i in ids]))
+        self._assigned = pruned.persist()
         self._assigned.count()
         old.unpersist()
         return self
@@ -850,19 +855,22 @@ class BinaryIVFIndex:
             _nearest_binary_centroid_udf(self.centroids)(F.col(self.code_col)),
         )
         old = self._assigned
-        self._assigned = old.union(new).persist()
+        self._assigned = old.unionByName(new).persist()
         self._assigned.count()
         old.unpersist()
         return self
 
-    def remove(self, ids: Sequence) -> "BinaryIVFIndex":
+    def remove(self, ids: Sequence | DataFrame) -> "BinaryIVFIndex":
         """Delete-bitmap analog (see IVFFlatIndex.remove)."""
         if self._assigned is None:
             raise SearchError("index not trained")
         old = self._assigned
-        self._assigned = old.where(
-            ~F.col(self.id_col).isin([i for i in ids])
-        ).persist()
+        if isinstance(ids, DataFrame):
+            key = ids.select(F.col(ids.columns[0]).alias(self.id_col)).distinct()
+            pruned = old.join(key, on=self.id_col, how="left_anti")
+        else:
+            pruned = old.where(~F.col(self.id_col).isin([i for i in ids]))
+        self._assigned = pruned.persist()
         self._assigned.count()
         old.unpersist()
         return self

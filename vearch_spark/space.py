@@ -252,7 +252,33 @@ class Space:
         self._commit(survivors.unionByName(keyed))
         row = self.df.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
         self._max_seq = int(row["m"] or 0)
+        self._sync_indexes_on_write(upserted_ids=batch.select(ID_FIELD))
         return n
+
+    def _sync_indexes_on_write(
+        self,
+        upserted_ids: DataFrame | None = None,
+        deleted_ids: Sequence[str] | DataFrame | None = None,
+    ) -> None:
+        """Keep trained ANN indexes consistent with writes — the engine
+        does the same on every write path (Engine::AddOrUpdate feeds the
+        realtime index, Engine::Delete sets the bitmap; searches never
+        see stale docs). Incremental: updated ids are tombstoned and the
+        committed latest versions re-assigned/encoded with the trained
+        quantizers — no retrain (that stays RebuildIndex/build_index)."""
+        if not self._indexes:
+            return
+        for model in self._indexes.values():
+            if deleted_ids is not None:
+                model.remove(deleted_ids)  # type: ignore[attr-defined]
+            if upserted_ids is not None:
+                model.remove(upserted_ids)  # type: ignore[attr-defined]
+                fresh = self.df.join(
+                    upserted_ids.select(F.col(upserted_ids.columns[0]).alias(ID_FIELD)),
+                    on=ID_FIELD,
+                    how="left_semi",
+                )
+                model.add(fresh)  # type: ignore[attr-defined]
 
     def partial_update(self, _id: str, fields: dict) -> None:
         """Update only the named fields of one doc (Engine::Update
@@ -276,12 +302,16 @@ class Space:
                 lit = l2_normalize(lit).cast("array<float>")
             updated = updated.withColumn(name, F.when(cond, lit).otherwise(F.col(name)))
         self._commit(updated)
+        self._sync_indexes_on_write(
+            upserted_ids=self.df.where(cond).select(ID_FIELD)
+        )
 
     def delete(self, ids: Sequence[str]) -> int:
         """Delete by ids (Engine::Delete engine.cc:869-900); returns the
         number actually deleted."""
         before = self.count()
         self._commit(self.df.where(~F.col(ID_FIELD).isin(*[str(i) for i in ids])))
+        self._sync_indexes_on_write(deleted_ids=[str(i) for i in ids])
         return before - self.count()
 
     def delete_by_query(self, flt: dict | Column) -> list[str]:
@@ -290,6 +320,7 @@ class Space:
         pred = compile_filter(flt, self.schema)
         doomed = [r[ID_FIELD] for r in self.df.where(pred).select(ID_FIELD).collect()]
         self._commit(self.df.where(~F.coalesce(pred, F.lit(False))))
+        self._sync_indexes_on_write(deleted_ids=doomed)
         return doomed
 
     def flush(self) -> None:
