@@ -471,6 +471,24 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (64-token windows, stride 48)
+    — the LLM-pipeline step that turns documents into training/
+    embedding units. Pure JVM higher-order exprs, narrow, no shuffle."""
+    from vearch_spark.functions.text import chunk_spans
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    ch = docs.select(
+        "doc_id", F.explode(chunk_spans("text", chunk_size=64, overlap=16)).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs. Oracle-checked end-to-end: the
     sha256 token-hash variant lets DuckDB reproduce the signature, the
@@ -821,6 +839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
+    "doc_chunks": q_doc_chunks,
     "cosine_near_dup": q_cosine_near_dup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1189,6 +1208,20 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (
               SELECT {l2sq} AS score FROM embeddings WHERE label < 5
             ) WHERE score <= 30.0
+        """,
+        # 64-token chunks, stride 48 (= chunk − overlap): chunk i covers
+        # tokens [48i, 48i+64); #chunks = ceil(n/48)
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id, i AS chunk_idx,
+              len(list_slice(toks, i*48 + 1, i*48 + 64))::INT AS n_tokens,
+              array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ')
+                AS chunk_text
+            FROM t CROSS JOIN UNNEST(range((len(toks) + 47) // 48)) AS u(i)
+            ORDER BY doc_id, chunk_idx
         """,
         # SimHash with sha256 token hashing (first 8 digest bytes,
         # big-endian uint64, bits LSB-first): signature bit i = sign of

@@ -78,3 +78,32 @@ def test_bpe_tokens(spark):
     ]
     assert got[0].n == 12
     assert got[1].n == 0
+
+
+def test_chunk_spans_overlap_and_reconstruction(spark):
+    """Chunk i starts at i·stride; consecutive chunks share `overlap`
+    tokens; dropping each chunk's first `overlap` tokens (after chunk
+    0) reconstructs the document."""
+    import pytest as _pytest
+
+    from vearch_spark.functions.text import chunk_spans
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = (
+        df.select(F.explode(chunk_spans("text", chunk_size=30, overlap=10)).alias("c"))
+        .select("c.*")
+        .collect()
+    )
+    # stride 20, n=100 -> ceil(100/20)=5 chunks
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.n_tokens for r in rows] == [30, 30, 30, 30, 20]
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.chunk_text.split()[-10:] == cur.chunk_text.split()[:10]
+    rebuilt = rows[0].chunk_text.split()
+    for r in rows[1:]:
+        rebuilt += r.chunk_text.split()[10:]
+    assert rebuilt == text.split()
+
+    with _pytest.raises(ValueError):
+        chunk_spans("text", chunk_size=10, overlap=10)

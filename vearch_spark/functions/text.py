@@ -143,3 +143,26 @@ def doc_fingerprint(text: Column | str, shingle_n: int = 5) -> Column:
     return F.array_min(
         F.transform(word_shingles(text, shingle_n), lambda sh: F.md5(sh))
     )
+
+
+def chunk_spans(text: Column | str, chunk_size: int = 64, overlap: int = 16) -> Column:
+    """Fixed-token chunk spans with overlap — the standard LLM-pipeline
+    chunking step (context windows for training / embedding). Returns
+    an array of structs (chunk_idx, n_tokens, chunk_text); chunk i
+    covers tokens [i·stride, i·stride+chunk_size) with
+    stride = chunk_size − overlap. Pure JVM higher-order expressions —
+    narrow, no shuffle, no Python."""
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.size(F.slice(toks, s + 1, chunk_size)).alias("n_tokens"),
+            F.array_join(F.slice(toks, s + 1, chunk_size), " ").alias("chunk_text"),
+        ),
+    )
