@@ -471,6 +471,42 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length percentiles per source — the stats that set quality
+    -filter thresholds in a training-data pipeline. Exact interpolated
+    percentile here (bit-identical to DuckDB quantile_cont); at 100 TB
+    the same query runs with approx_percentile (t-digest sketch,
+    map-side combinable) instead of the exact sort-based agg."""
+    docs = _docs(spark, sf_dir)
+    ntok = F.size(F.split("text", " "))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.percentile(ntok, 0.5).alias("p50_tokens"),
+            F.percentile(ntok, 0.9).alias("p90_tokens"),
+            F.percentile(ntok, 0.99).alias("p99_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-30 terms by document-collection frequency
+    (tokenizer-training / stopword discovery). Classic map-side-combine
+    aggregation: partial counts per partition, ONE shuffle of distinct
+    terms, TakeOrdered for the cut — the wordcount plan that scales
+    linearly."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(30)
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token chunking with overlap (64-token windows, stride 48)
     — the LLM-pipeline step that turns documents into training/
@@ -840,6 +876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
+    "length_percentiles": q_length_percentiles,
+    "vocab_top_terms": q_vocab_top_terms,
     "cosine_near_dup": q_cosine_near_dup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1208,6 +1246,18 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (
               SELECT {l2sq} AS score FROM embeddings WHERE label < 5
             ) WHERE score <= 30.0
+        """,
+        "length_percentiles": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+              quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+              quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens,
+              quantile_cont(len(string_split(text, ' ')), 0.99) AS p99_tokens
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "vocab_top_terms": """
+            SELECT term, count(*)::BIGINT AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+            GROUP BY term ORDER BY freq DESC, term ASC LIMIT 30
         """,
         # 64-token chunks, stride 48 (= chunk − overlap): chunk i covers
         # tokens [48i, 48i+64); #chunks = ceil(n/48)
