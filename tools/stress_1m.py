@@ -1,0 +1,136 @@
+"""Scale stress: IVF over 1M synthetic vectors on local[32].
+
+The driver's testdata tops out at sf0.1 (2k embeddings) — too small to
+observe pruning economics. This harness generates N clustered vectors
+DISTRIBUTEDLY (deterministic per-id, no driver materialization),
+builds the IVFFLAT index, and reports build time, exact-scan vs
+pruned-probe latency, and tie-aware recall@10 — the numbers behind
+SCALE.md's "pruning cuts the scan by nprobe/ncentroids" claim.
+
+Usage: python tools/stress_1m.py [N] [ncentroids] [nprobe]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402  (module-level: pandas_udf type hints)
+
+DIM = 64
+N_CLUSTERS = 256  # data-generating mixture components
+NQ = 20
+
+
+def make_df(spark, n: int):
+    """n clustered vectors, generated inside executors (pandas UDF of
+    the row id) — the driver never holds the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    centers = np.random.default_rng(1).normal(0.0, 10.0, size=(N_CLUSTERS, DIM))
+
+    @pandas_udf("array<float>")
+    def gen(ids: pd.Series) -> pd.Series:
+        iv = ids.to_numpy()
+        rng = np.random.default_rng(7)  # noise decorrelated from id below
+        noise = rng.normal(0.0, 1.5, size=(len(iv), DIM))
+        vecs = centers[iv % N_CLUSTERS] + noise
+        return pd.Series(list(vecs.astype(np.float32)))
+
+    return (
+        spark.range(n, numPartitions=32)
+        .select(F.col("id").alias("vec_id"), gen("id").alias("embedding"))
+    ), centers
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    ncentroids = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    from vearch_spark.operators import topk
+    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.schema import Metric
+    from vearch_spark.session import get_spark
+
+    spark = get_spark(app_name="stress-1m")
+    df, centers = make_df(spark, n)
+    df = df.persist()
+    df.count()
+
+    queries = centers[np.random.default_rng(3).integers(0, N_CLUSTERS, NQ)] + \
+        np.random.default_rng(4).normal(0.0, 1.5, size=(NQ, DIM))
+
+    index = IVFFlatIndex(
+        "embedding", Metric.L2, ncentroids=ncentroids, nprobe=nprobe,
+        id_col="vec_id", coarse_train_sample=65_536,
+    )
+    t0 = time.time()
+    index.fit(df)
+    t_build = time.time() - t0
+
+    # exact scans (the brute-force baseline) + ground truth
+    exact = []
+    t0 = time.time()
+    for q in queries:
+        rows = topk.search(df, "embedding", q.tolist(), limit=10,
+                           id_col="vec_id").collect()
+        exact.append([(r.vec_id, r._score) for r in rows])
+    t_exact = (time.time() - t0) / NQ
+
+    # pruned probes
+    hits = []
+    t0 = time.time()
+    for q in queries:
+        rows = index.search(df, q.tolist(), limit=10).collect()
+        hits.append([(r.vec_id, r._score) for r in rows])
+    t_pruned = (time.time() - t0) / NQ
+
+    # tie-aware recall@10: a hit counts if its score <= the 10th exact
+    rec = 0
+    for ex, got in zip(exact, hits):
+        kth = ex[-1][1]
+        rec += sum(1 for _, s in got if s <= kth + 1e-9)
+    recall = rec / (10 * NQ)
+
+    # persisted form: partitionBy(_cluster_id) parquet — probes prune
+    # DIRECTORIES (PartitionFilters), the layout that holds at 100 TB
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="stress_idx_")
+    t0 = time.time()
+    index.save(path)
+    t_save = time.time() - t0
+    loaded = IVFFlatIndex.load(spark, path)
+    loaded.search(df, queries[0].tolist(), limit=10).count()  # warm FS
+    t0 = time.time()
+    for q in queries:
+        loaded.search(df, q.tolist(), limit=10).count()
+    t_loaded = (time.time() - t0) / NQ
+    shutil.rmtree(path)
+
+    print(json.dumps({
+        "n": n, "dim": DIM, "ncentroids": ncentroids, "nprobe": nprobe,
+        "index_build_s": round(t_build, 2),
+        "index_save_s": round(t_save, 2),
+        "exact_scan_s_per_query": round(t_exact, 3),
+        "pruned_search_s_per_query": round(t_pruned, 3),
+        "file_pruned_search_s_per_query": round(t_loaded, 3),
+        "speedup_cached": round(t_exact / t_pruned, 1),
+        "speedup_file_pruned": round(t_exact / t_loaded, 1),
+        "recall_at_10": round(recall, 3),
+    }))
+    index.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -139,9 +139,19 @@ class IVFFlatIndex:
     def fit(self, df: DataFrame) -> "IVFFlatIndex":
         sample = self._fit_coarse(df)
         self._train_encoders(sample)
-        # At scale: write out partitioned by _cluster_id so probes prune
-        # files; locally a cached projection plays that role.
-        self._assigned = self._augment(self._assigned).persist()
+        # Cluster-clustered storage layout: range-partition + sort by
+        # cluster id before caching, so probe filters prune WHOLE cache
+        # batches via InMemoryTableScan's batch min/max stats — the
+        # in-memory mirror of save()'s partitionBy(_cluster_id) file
+        # pruning. One build-time shuffle; without it a probe still
+        # scans every cached batch (measured at 1M×64: no speedup over
+        # brute force; with it the pruned search tracks nprobe/ncentroids).
+        self._assigned = (
+            self._augment(self._assigned)
+            .repartitionByRange(F.col(CLUSTER_COL))
+            .sortWithinPartitions(CLUSTER_COL)
+            .persist()
+        )
         self._assigned.count()
         return self
 
@@ -837,10 +847,16 @@ class BinaryIVFIndex:
         self.centroids = np.packbits(
             (float_cents > 0.5).astype(np.uint8), axis=1, bitorder="little"
         )
-        self._assigned = df.withColumn(
-            CLUSTER_COL,
-            _nearest_binary_centroid_udf(self.centroids)(F.col(self.code_col)),
-        ).persist()
+        self._assigned = (
+            df.withColumn(
+                CLUSTER_COL,
+                _nearest_binary_centroid_udf(self.centroids)(F.col(self.code_col)),
+            )
+            # cluster-clustered cache layout — see IVFFlatIndex.fit
+            .repartitionByRange(F.col(CLUSTER_COL))
+            .sortWithinPartitions(CLUSTER_COL)
+            .persist()
+        )
         self._assigned.count()
         return self
 

@@ -40,6 +40,25 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop the child plans of InMemoryRelation nodes: they describe how
+    a cache was BUILT (paid once at fit/persist time), not what a query
+    over the cache executes. Exchange counts over query plans must not
+    charge the query for the index-build shuffle."""
+    out: list[str] = []
+    skip_deeper_than: int | None = None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-*"))
+        if skip_deeper_than is not None:
+            if indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_deeper_than = indent
+    return "\n".join(out)
+
+
 def count_exchanges(df: DataFrame) -> int:
     # count only shuffle exchanges; broadcast exchanges are cheap fan-out.
     # simple plan inlines "Exchange hashpartitioning(...)"; formatted mode
@@ -47,7 +66,7 @@ def count_exchanges(df: DataFrame) -> int:
     return len(
         re.findall(
             r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
-            simple_plan(df),
+            _strip_cached_subtrees(simple_plan(df)),
         )
     )
 

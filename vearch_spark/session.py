@@ -27,6 +27,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # local[N] packs all executor threads into one JVM — size the
+        # heap for N concurrent task buffers + cached index relations
+        # (default 1g OOMs a 1M-row sort+persist). Applied at JVM
+        # launch; no-op if a session already exists.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
