@@ -77,6 +77,9 @@ def main() -> None:
     t_build = time.time() - t0
 
     # exact scans (the brute-force baseline) + ground truth
+    # (one warm query first: steady-state timing, not cache rebuild)
+    topk.search(df, "embedding", queries[0].tolist(), limit=10,
+                id_col="vec_id").count()
     exact = []
     t0 = time.time()
     for q in queries:
@@ -86,6 +89,7 @@ def main() -> None:
     t_exact = (time.time() - t0) / NQ
 
     # pruned probes
+    index.search(df, queries[0].tolist(), limit=10).count()  # warm
     hits = []
     t0 = time.time()
     for q in queries:
@@ -99,6 +103,13 @@ def main() -> None:
         kth = ex[-1][1]
         rec += sum(1 for _, s in got if s <= kth + 1e-9)
     recall = rec / (10 * NQ)
+
+    # batched ANN: all NQ queries ride ONE docs scan (broadcast probe
+    # relation + query_id rank window) — the serving mode where the
+    # per-query job floor amortizes away
+    t0 = time.time()
+    index.search_batch([q.tolist() for q in queries], limit=10).count()
+    t_batch = (time.time() - t0) / NQ
 
     # persisted form: partitionBy(_cluster_id) parquet — probes prune
     # DIRECTORIES (PartitionFilters), the layout that holds at 100 TB
@@ -123,6 +134,7 @@ def main() -> None:
         "index_save_s": round(t_save, 2),
         "exact_scan_s_per_query": round(t_exact, 3),
         "pruned_search_s_per_query": round(t_pruned, 3),
+        "batched_search_s_per_query": round(t_batch, 3),
         "file_pruned_search_s_per_query": round(t_loaded, 3),
         "speedup_cached": round(t_exact / t_pruned, 1),
         "speedup_file_pruned": round(t_exact / t_loaded, 1),
