@@ -8,6 +8,8 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+from vearch_spark.sources.parquet import with_event_time
+
 
 def test_windowed_agg_stream_matches_batch(spark, sf_dir, tmp_path):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -21,11 +23,11 @@ def test_windowed_agg_stream_matches_batch(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
 
     stream = spark.readStream.schema(schema).parquet(str(stream_dir))
-    stream = stream.select(
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts_utc"),
-        "event_type",
-        "value",
-    ).withWatermark("ts_utc", "1 hour")
+    stream = (
+        with_event_time(stream)
+        .select("ts_utc", "event_type", "value")
+        .withWatermark("ts_utc", "1 hour")
+    )
 
     agg = (
         stream.groupBy(F.window("ts_utc", "1 hour"), "event_type")
@@ -50,10 +52,8 @@ def test_windowed_agg_stream_matches_batch(spark, sf_dir, tmp_path):
     exp = {
         (r.hour, r.event_type): r.n
         for r in (
-            batch.select(
-                F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts_utc"),
-                "event_type",
-            )
+            with_event_time(batch)
+            .select("ts_utc", "event_type")
             .groupBy(F.date_trunc("hour", "ts_utc").alias("hour"), "event_type")
             .agg(F.count("*").alias("n"))
             .collect()

@@ -34,10 +34,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def with_event_time(events: DataFrame) -> DataFrame:
     """Add ``ts_utc`` (timestamp, µs) next to the raw ns ``ts`` long."""
-    if dict(events.dtypes).get("ts") == "bigint":
+    dtype = dict(events.dtypes).get("ts")
+    if dtype == "bigint":
         # integer division: ts/1000 in double drops below-µs precision at
         # epoch-ns magnitudes (2^53 < 8.5e17) — off-by-1-µs vs the oracle
         events = events.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # watermarks require TIMESTAMP (instant); session tz is pinned to
+        # UTC so the cast preserves the wall-clock value the oracle sees
+        events = events.withColumn("ts_utc", F.col("ts").cast("timestamp"))
     else:
         events = events.withColumn("ts_utc", F.col("ts"))
     return events
