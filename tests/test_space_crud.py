@@ -240,3 +240,29 @@ def test_slow_search_pool_routing(spark, space):
         ncentroids, nprobe = 1024, 16
     assert not is_slow_search(10, None, None, FakeIdx())
     assert is_slow_search(10, None, 200, FakeIdx())
+
+
+def test_distributed_seq_rank_matches_window(spark, monkeypatch):
+    """Large batches assign _seq via range-repartition + strided local
+    rank instead of a single-partition window; values must stay unique,
+    monotone in _id order, and stable across updates (density is not
+    part of the contract — the reference docid is per-partition dense
+    too, engine.cc:730-752)."""
+    import vearch_spark.space as space_mod
+
+    monkeypatch.setattr(space_mod, "_RANK_WINDOW_MAX", 5)
+    sp = Space(spark, make_schema())
+    sp.upsert(rows(40))
+    got = {r["_id"]: r["_seq"] for r in sp.df.select("_id", "_seq").collect()}
+    ids = sorted(str(i) for i in range(40))
+    seqs = [got[i] for i in ids]
+    assert len(set(seqs)) == 40 and seqs == sorted(seqs)  # unique + monotone
+    # merge path: 20 existing keys keep their seq, 20 new keys come after
+    sp.upsert(rows(40, start=20))
+    after = {r["_id"]: r["_seq"] for r in sp.df.select("_id", "_seq").collect()}
+    assert all(after[i] == got[i] for i in got)
+    new_ids = sorted(str(i) for i in range(40, 60))
+    new_seqs = [after[i] for i in new_ids]
+    assert len(set(after.values())) == 60
+    assert min(new_seqs) > max(seqs)  # insertion order preserved
+    assert new_seqs == sorted(new_seqs)  # monotone in _id among new keys

@@ -59,6 +59,52 @@ BRUTE_FORCE_THRESHOLD = 100
 
 SLOW_POOL = "vearch-slow"  # ps/handler_document.go:215-224 pool analog
 
+# Below this batch size a single-partition rank window is cheaper than a
+# range shuffle (the reference caps one bulk request well under this —
+# doc_http.go:467 routes per-doc); above it _rank_by_id keeps the rank
+# computation distributed.
+_RANK_WINDOW_MAX = 10_000
+
+
+# seq = (range_partition_id << 32) + local row number: same addressing
+# scheme as the reference, where a doc is (partition_id, per-partition
+# dense docid) — engine.cc:730-752 assigns docid locally and the router
+# scopes it with partition_id.
+_SEQ_STRIDE_BITS = 32
+
+
+def _rank_by_id(df: DataFrame, out_col: str) -> DataFrame:
+    """Attach ``out_col`` = a unique long, monotone in ``_id`` order,
+    without a no-PARTITION-BY window (WindowExec would move the whole
+    batch to one task — fatal on a large load). Range-repartition on
+    ``_id`` (so partition i holds strictly smaller ids than partition
+    i+1), then rank = ``(partition_id << 32) | row_number-within-
+    partition``. Values are NOT dense — ``_seq`` semantics only need
+    ingest-order monotonicity and stability, which gaps preserve.
+    Single pass: one range shuffle plus a per-partition window, no
+    driver-side collect, no caching."""
+    spark = df.sparkSession
+    nparts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    parted = df.repartitionByRange(nparts, F.col(ID_FIELD)).withColumn(
+        "_pid", F.spark_partition_id().cast("long")
+    )
+    w = Window.partitionBy("_pid").orderBy(ID_FIELD)
+    return parted.withColumn(
+        out_col,
+        (F.shiftleft(F.col("_pid"), _SEQ_STRIDE_BITS) + F.row_number().over(w)).cast(
+            "long"
+        ),
+    ).drop("_pid")
+
+
+def _with_id_rank(df: DataFrame, out_col: str, n: int) -> DataFrame:
+    """Rank-by-_id dispatch: tiny batches use the plain window (dense,
+    no shuffle worth saving), large ones the distributed strided form."""
+    if n <= _RANK_WINDOW_MAX:
+        w = Window.orderBy(ID_FIELD)
+        return df.withColumn(out_col, F.row_number().over(w).cast("long"))
+    return _rank_by_id(df, out_col)
+
 
 def _count_conditions(flt: dict | Column | None) -> int:
     """Condition count of a reference-shaped filter dict (range + term
@@ -227,10 +273,13 @@ class Space:
             # bulk load into an empty space: no existing keys to merge
             # against — assign seqs directly and write (the initial-load
             # fast path a MERGE engine also takes)
-            w0 = Window.orderBy(ID_FIELD)
-            seeded = batch.withColumn(SEQ_FIELD, F.row_number().over(w0))
+            seeded = _with_id_rank(batch, SEQ_FIELD, n)
             self._commit(seeded)
-            self._max_seq = n
+            if n <= _RANK_WINDOW_MAX:
+                self._max_seq = n  # dense path: max == count
+            else:
+                row = self._df.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
+                self._max_seq = int(row["m"] or 0)
             return n
         existing = self.df
         # new rows get fresh seq numbers in deterministic _id order
@@ -239,14 +288,14 @@ class Space:
             on=ID_FIELD,
             how="left",
         )
-        w = Window.orderBy(ID_FIELD)
+        keyed = _with_id_rank(keyed, "_id_rank", n)
         keyed = keyed.withColumn(
             SEQ_FIELD,
             F.coalesce(
                 F.col("_old_seq"),
-                F.lit(self._max_seq) + F.row_number().over(w),
+                F.lit(self._max_seq) + F.col("_id_rank"),
             ),
-        ).drop("_old_seq")
+        ).drop("_old_seq", "_id_rank")
         keyed = keyed.select(*existing.columns) if existing.columns else keyed
         survivors = existing.join(batch.select(ID_FIELD), on=ID_FIELD, how="left_anti")
         self._commit(survivors.unionByName(keyed))
