@@ -454,6 +454,93 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution: exact n-gram Jaccard pairs → connected
+    components (hash-min label propagation) → one canonical doc per
+    cluster. ``WHERE is_canonical = 1`` is the deduplicated training
+    corpus — the step pair detection exists to feed."""
+    from vearch_spark.operators.dedup import dedup_resolve, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id",
+        shingle_n=3, jaccard_threshold=0.3,
+    )
+    out = dedup_resolve(docs, pairs, id_col="doc_id")
+    return out.orderBy("doc_id").select("doc_id", "cluster_id", "is_canonical")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    8-gram with an eval set (doc_id % 97 == 0 stands in for the
+    benchmark corpus). Postings are 64-bit shingle hashes — the narrow
+    inverted-index shape of ngram dedup; the eval side is tiny and
+    broadcast, so the scan side never shuffles."""
+    from vearch_spark.operators.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    posts = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(word_shingles("text", 8), lambda s: F.xxhash64(s))
+        ).alias("_h"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_posts = posts.where(is_eval).select("_h").distinct()
+    hits = (
+        posts.where(~is_eval)
+        .join(F.broadcast(eval_posts), "_h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        docs.where(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(0)).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: duplicate
+    word-3-gram count and top-token frequency; ``is_repetitive`` flags
+    docs failing either gate (>30% duplicate 3-grams or one token >20%
+    of the doc). Integer outputs so the oracle compare is exact."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(grams).cast("long").alias("n_grams"),
+        (F.size(grams) - F.size(F.array_distinct(grams))).cast("long").alias("n_dup_grams"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("_tok"))
+        .groupBy("doc_id", "_tok")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").cast("long").alias("top_token_count"))
+    )
+    return (
+        stats.join(top, "doc_id")
+        .withColumn(
+            "is_repetitive",
+            (
+                (F.col("n_dup_grams") * 10 > F.col("n_grams") * 3)
+                | (F.col("top_token_count") * 5 > F.col("n_tokens"))
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "n_grams", "n_dup_grams",
+                "top_token_count", "is_repetitive")
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. The LSH stage only *prunes*
     candidates; every emitted pair carries its exact Jaccard, so the
@@ -873,6 +960,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "events_hourly": q_events_hourly,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
+    "repetition_scores": q_repetition_scores,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
@@ -1116,6 +1206,105 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter / (sa.n + sb.n - inter) >= 0.3
             ORDER BY id_a, id_b
+        """,
+        # same pair CTEs as ngram_jaccard_dedup, then connected
+        # components as a recursive min-label walk: (node, label) where
+        # label reaches node; pruning label <= next keeps only paths a
+        # component-min can ride (the min is smaller than every other
+        # member, so each hop keeps the invariant)
+        "dedup_clusters": """
+            WITH RECURSIVE s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(string_split(text,' ')) - 3, 0)),
+                       i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS sh
+              FROM documents
+            ), sizes AS (
+              SELECT doc_id, len(sh) AS n FROM s
+            ), posts AS (
+              SELECT doc_id, unnest(sh) AS shingle FROM s
+            ), caps AS (
+              SELECT greatest(100, (count(*) * 0.01)::INT) AS cap FROM s
+            ), hot AS (
+              SELECT shingle FROM posts GROUP BY shingle
+              HAVING count(*) > (SELECT cap FROM caps)
+            ), cold AS (
+              SELECT * FROM posts WHERE shingle NOT IN (SELECT shingle FROM hot)
+            ), cnt AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT id_a, id_b FROM cnt
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE inter / (sa.n + sb.n - inter) >= 0.3
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ), walk(node, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.label FROM walk w
+              JOIN edges e ON e.src = w.node
+              WHERE w.label <= e.dst
+            ), comp AS (
+              SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   (coalesce(c.cluster_id, d.doc_id) = d.doc_id)::INT AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "decontaminate": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(string_split(text,' ')) - 8, 0)),
+                       i -> array_to_string(string_split(text,' ')[i+1:i+8], ' '))) AS sh
+              FROM documents
+            ), posts AS (
+              SELECT doc_id, unnest(sh) AS shingle FROM s
+            ), ev AS (
+              SELECT DISTINCT shingle FROM posts WHERE doc_id % 97 = 0
+            ), hit AS (
+              SELECT DISTINCT doc_id FROM posts
+              WHERE doc_id % 97 <> 0
+                AND shingle IN (SELECT shingle FROM ev)
+            )
+            SELECT d.doc_id,
+                   (CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)::INT AS contaminated
+            FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+            WHERE d.doc_id % 97 <> 0
+            ORDER BY d.doc_id
+        """,
+        "repetition_scores": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                     list_transform(
+                       generate_series(0, greatest(len(toks) - 3, 0)),
+                       i -> array_to_string(toks[i+1:i+3], ' ')) AS grams
+              FROM t
+            ), topc AS (
+              SELECT doc_id, max(c)::BIGINT AS top_token_count FROM (
+                SELECT doc_id, tk, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+                GROUP BY doc_id, tk
+              ) GROUP BY doc_id
+            )
+            SELECT g.doc_id, g.n_tokens,
+                   len(grams)::BIGINT AS n_grams,
+                   (len(grams) - len(list_distinct(grams)))::BIGINT AS n_dup_grams,
+                   topc.top_token_count,
+                   (CASE WHEN (len(grams) - len(list_distinct(grams))) * 10 > len(grams) * 3
+                              OR topc.top_token_count * 5 > g.n_tokens
+                         THEN 1 ELSE 0 END)::INT AS is_repetitive
+            FROM g JOIN topc ON topc.doc_id = g.doc_id
+            ORDER BY g.doc_id
         """,
         "cosine_near_dup": f"""
             WITH n AS (

@@ -103,3 +103,32 @@ def test_embedding_cosine_pairs_bucketed(spark):
     out = dedup.embedding_cosine_pairs(df, threshold=0.9, bucket_col="bkt")
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert pairs == {(0, 1)}
+
+
+def test_connected_components_both_paths(spark):
+    # two chains and a singleton edge: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    small = dedup.connected_components(pairs)
+    assert {r.node: r.component for r in small.collect()} == expect
+    # force the distributed hash-min path and require identical output
+    big = dedup.connected_components(pairs, driver_max_edges=0)
+    assert {r.node: r.component for r in big.collect()} == expect
+
+
+def test_dedup_resolve_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    out = dedup.dedup_resolve(docs, pairs).collect()
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out}
+    assert got == {
+        0: (0, 1), 1: (0, 0), 2: (0, 0),  # chain folds to min id 0
+        3: (3, 1),                        # untouched doc = singleton
+        4: (4, 1), 5: (4, 0),
+    }
+    kept = sorted(r.doc_id for r in out if r.is_canonical)
+    assert kept == [0, 3, 4]

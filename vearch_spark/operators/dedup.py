@@ -488,3 +488,147 @@ def embedding_cosine_pairs(
         .where(F.col("cosine") >= threshold)
     )
     return out.select("id_a", "id_b", "cosine")
+
+
+def _union_find(edges: list[tuple]) -> dict:
+    """Driver-side union-find with path compression; component id is
+    the min member. Linear in edges — fine for millions."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent.keys() | {a for a, _ in edges} | {b for _, b in edges}}
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph.
+
+    Returns ``(node, component)`` where component is the minimum node
+    id reachable from ``node``.
+
+    Two physical strategies, chosen by edge count:
+
+    - **small graph** (≤ ``driver_max_edges``, the common case — a
+      thresholded pair set is orders of magnitude smaller than the
+      corpus): collect the two-column edge list and union-find with
+      path compression on the driver. 5M edges ≈ 80 MB — safe on any
+      driver, and it replaces an iterative shuffle cascade with one
+      collect. This is what production Spark dedup pipelines do.
+    - **large graph**: distributed hash-min label propagation with
+      pointer jumping (component := component(component) each round →
+      O(log diameter) rounds), lineage cut per round with
+      ``localCheckpoint`` (a cluster run would checkpoint to durable
+      storage); convergence detected by an order-insensitive xxhash64
+      fingerprint — one cheap agg action per round.
+    """
+    edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    node_type = edges.schema["_s"].dataType.simpleString()
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        mapping = _union_find(
+            [(r["_s"], r["_d"]) for r in edges.collect()]
+        )
+        edges.unpersist()
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            list(mapping.items()), f"node {node_type}, component {node_type}"
+        )
+    und = edges.union(
+        edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).persist()
+    labels = (
+        und.select(F.col("_s").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _state_sig(lab: DataFrame) -> int:
+        # order-insensitive fingerprint of the labeling — one cheap agg
+        # action instead of a change-detection join
+        row = (
+            lab.select(F.xxhash64(F.col("node"), F.col("component")).alias("_h"))
+            .agg(F.expr("bit_xor(_h)").alias("h"))
+            .collect()[0]
+        )
+        return int(row["h"] or 0)
+
+    prev_sig = _state_sig(labels)
+    for _ in range(max_iterations):
+        # hash-min hop: every node takes the min label in its closed
+        # neighborhood…
+        msgs = und.join(
+            labels, und["_s"] == labels["node"], "inner"
+        ).select(F.col("_d").alias("node"), "component")
+        hopped = (
+            labels.select("node", "component").unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # …then pointer-jump: component := component(component). A
+        # label is always a live node id, so the inner self-join is
+        # total; shortcutting halves the remaining chain length each
+        # round → O(log diameter) rounds instead of O(diameter).
+        new_labels = (
+            hopped.alias("a")
+            .join(
+                hopped.select(
+                    F.col("node").alias("_ln"), F.col("component").alias("_lc")
+                ),
+                F.col("a.component") == F.col("_ln"),
+                "inner",
+            )
+            .select(F.col("a.node").alias("node"), F.col("_lc").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+        sig = _state_sig(labels)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    und.unpersist()
+    edges.unpersist()
+    return labels
+
+
+def dedup_resolve(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup pairs into keep/drop decisions — the step that
+    turns pair detection into an actual deduplicated corpus.
+
+    Each document gets ``(cluster_id, is_canonical)``: cluster_id is
+    the min doc id in its connected component (docs in no pair are
+    their own singleton cluster), and exactly one doc per cluster —
+    the min id — is canonical. Downstream: ``WHERE is_canonical = 1``
+    is the deduplicated training corpus.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = df.join(comp, df[id_col] == comp["node"], "left").select(
+        df[id_col],
+        F.coalesce(F.col("component"), df[id_col]).alias("cluster_id"),
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
+    )
