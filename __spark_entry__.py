@@ -541,6 +541,28 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning: whitespace normalization + sequential PII
+    redaction (emails → IPv4 → phone-like digit runs). Redacted text
+    is compared by md5 so the oracle check covers the full transform
+    without hauling document bodies through the result."""
+    from vearch_spark.functions.text import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    r = redact_pii("text")
+    return (
+        docs.select("doc_id", r.alias("_r"))
+        .select(
+            "doc_id",
+            F.col("_r.n_emails").alias("n_emails"),
+            F.col("_r.n_ips").alias("n_ips"),
+            F.col("_r.n_phones").alias("n_phones"),
+            F.md5(F.encode(F.col("_r.redacted"), "UTF-8")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. The LSH stage only *prunes*
     candidates; every emitted pair carries its exact Jaccard, so the
@@ -963,6 +985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "repetition_scores": q_repetition_scores,
+    "pii_redaction": q_pii_redaction,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
@@ -1279,6 +1302,29 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
             WHERE d.doc_id % 97 <> 0
             ORDER BY d.doc_id
+        """,
+        "pii_redaction": r"""
+            WITH a AS (
+              SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM a
+            ), c AS (
+              SELECT doc_id, n_emails,
+                len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+                regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+              FROM b
+            ), d AS (
+              SELECT doc_id, n_emails, n_ips,
+                len(regexp_extract_all(t2, '\+?\d[\d\- ]{7,}\d'))::BIGINT AS n_phones,
+                regexp_replace(t2, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t3
+              FROM c
+            )
+            SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS redacted_md5
+            FROM d ORDER BY doc_id
         """,
         "repetition_scores": """
             WITH t AS (

@@ -123,3 +123,31 @@ def test_binary_ivf_search_no_shuffle(spark, emb):
         assert "_cluster_id" in X.simple_plan(df)  # probe pruning applied
     finally:
         index.unpersist()
+
+
+def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.q_decontaminate(spark, sf_dir)
+    # the eval shingle set rides to the scan side as a broadcast — the
+    # corpus-sized postings relation never shuffles for the semi join
+    assert X.uses_broadcast(df)
+
+
+def test_pii_redaction_is_pure_projection(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.q_pii_redaction(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    # whole pass is JVM regex inside codegen: no Python evaluation node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchange is the final presentation orderBy
+    assert X.count_exchanges(df) <= 1
+
+
+def test_repetition_scores_single_shuffle_per_agg(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.q_repetition_scores(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

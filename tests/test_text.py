@@ -107,3 +107,21 @@ def test_chunk_spans_overlap_and_reconstruction(spark):
 
     with _pytest.raises(ValueError):
         chunk_spans("text", chunk_size=10, overlap=10)
+
+
+def test_redact_pii(spark):
+    from vearch_spark.functions.text import redact_pii
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com  and  10.0.0.1 call +1 555-123-4567 now"),
+            (2, "clean text no pii"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in df.select("id", redact_pii("text").alias("r")).select("id", "r.*").collect()}
+    assert out[1].n_emails == 1 and out[1].n_ips == 1 and out[1].n_phones == 1
+    assert out[1].redacted == "mail <EMAIL> and <IP> call <PHONE> now"
+    assert out[2].n_emails == out[2].n_ips == out[2].n_phones == 0
+    assert out[2].redacted == "clean text no pii"

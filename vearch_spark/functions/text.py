@@ -166,3 +166,43 @@ def chunk_spans(text: Column | str, chunk_size: int = 64, overlap: int = 16) -> 
             F.array_join(F.slice(toks, s + 1, chunk_size), " ").alias("chunk_text"),
         ),
     )
+
+
+# --- PII redaction (training-data cleaning) ---------------------------
+# Patterns restricted to the regex subset where Java (Spark) and RE2
+# (DuckDB oracle) agree: character classes, bounded quantifiers, \b.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def normalize_whitespace(text: Column | str) -> Column:
+    """Collapse runs of whitespace to single spaces and trim — the
+    first step of any corpus cleaning pass."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Sequentially redact emails → IPv4s → phone-like digit runs,
+    returning a struct of the redacted text and per-category counts.
+
+    Sequential order matters: counting each category on the output of
+    the previous redaction keeps the counts disjoint (a digit run
+    inside an email local part is not also a phone). Pure JVM
+    regexp_replace/regexp_count — a 100 TB pass stays a narrow
+    projection inside whole-stage codegen."""
+    col = F.col(text) if isinstance(text, str) else text
+    t0 = normalize_whitespace(col)
+    n_emails = F.regexp_count(t0, F.lit(EMAIL_RE)).cast("long")
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(IPV4_RE)).cast("long")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PHONE_RE)).cast("long")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return F.struct(
+        t3.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
