@@ -563,6 +563,50 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build in ONE declarative plan:
+    normalize + redact PII → quality gates (min length, duplicate
+    3-gram ratio) → exact dedup on cleaned-text md5 (min doc_id kept)
+    → per-source corpus stats with chunk counts (64-token windows,
+    stride 48). The whole pipeline is a narrow projection chain with
+    exactly two shuffles (dedup window, final rollup) — at 100 TB the
+    shuffle payload is (md5, ints), never document bodies. Gram stats
+    ride one Arrow batch pass (text.gram_stats) so the redaction chain
+    is evaluated once per row, not once per gram."""
+    from vearch_spark.functions.text import gram_stats, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    cleaned = docs.select(
+        "doc_id", "source", redact_pii("text").getField("redacted").alias("_t")
+    )
+    feat = cleaned.withColumn("_st", gram_stats("_t")).select(
+        "doc_id", "source", "_t",
+        F.col("_st.n_tokens").alias("n_tokens"),
+        F.col("_st.n_grams").alias("_ng"),
+        F.col("_st.n_dup_grams").alias("_nd"),
+    )
+    gated = feat.where(
+        (F.col("n_tokens") >= 10) & (F.col("_nd") * 10 <= F.col("_ng") * 3)
+    )
+    w = Window.partitionBy("_k").orderBy("doc_id")
+    kept = (
+        gated.withColumn("_k", F.md5(F.encode(F.col("_t"), "UTF-8")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.sum(F.floor((F.col("n_tokens") + 47) / 48).cast("long")).alias(
+                "chunks_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. The LSH stage only *prunes*
     candidates; every emitted pair carries its exact Jaccard, so the
@@ -986,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repetition_scores": q_repetition_scores,
     "pii_redaction": q_pii_redaction,
+    "corpus_pipeline": q_corpus_pipeline,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
@@ -1011,6 +1056,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ------------------------------------------------------------- oracle SQL
+
+
+def _corpus_pipeline_sql() -> str:
+    # patterns come from the same module constants the Spark plan uses,
+    # so the two sides cannot drift
+    from vearch_spark.functions.text import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+        WITH a AS (
+          SELECT doc_id, source,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t0
+          FROM documents
+        ), b AS (
+          SELECT doc_id, source,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                '{IPV4_RE}', '<IP>', 'g'),
+              '{PHONE_RE}', '<PHONE>', 'g') AS t
+          FROM a
+        ), g AS (
+          SELECT doc_id, source, t,
+                 len(string_split(t, ' '))::BIGINT AS n_tokens,
+                 list_transform(
+                   generate_series(0, greatest(len(string_split(t, ' ')) - 3, 0)),
+                   i -> array_to_string(string_split(t, ' ')[i+1:i+3], ' ')) AS grams
+          FROM b
+        ), gated AS (
+          SELECT * FROM g
+          WHERE n_tokens >= 10
+            AND (len(grams) - len(list_distinct(grams))) * 10 <= len(grams) * 3
+        ), ded AS (
+          SELECT *, row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+          FROM gated
+        )
+        SELECT source, count(*)::BIGINT AS docs_kept,
+               sum(n_tokens)::BIGINT AS tokens_kept,
+               sum((n_tokens + 47) // 48)::BIGINT AS chunks_kept
+        FROM ded WHERE rn = 1
+        GROUP BY source ORDER BY source
+    """
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -1303,6 +1389,7 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE d.doc_id % 97 <> 0
             ORDER BY d.doc_id
         """,
+        "corpus_pipeline": _corpus_pipeline_sql(),
         "pii_redaction": r"""
             WITH a AS (
               SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t

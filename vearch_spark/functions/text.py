@@ -14,6 +14,7 @@ language). This mirrors classic n-gram/profile LID approaches at the
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # Minimal stopword profiles (public common-word lists, truncated for a
@@ -206,3 +207,35 @@ def redact_pii(text: Column | str) -> Column:
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
     )
+
+
+_GRAM_STATS_UDFS: dict[int, object] = {}
+
+
+def gram_stats(text: Column | str, n: int = 3) -> Column:
+    """``struct(n_tokens, n_grams, n_dup_grams)`` in one Arrow batch.
+
+    The declarative form (three references to a ``transform(...)``
+    grams array) is an interpreted Catalyst higher-order expression;
+    when its input is itself non-trivial (e.g. the PII-redaction regex
+    chain), projection collapse inlines that input into the lambda and
+    re-evaluates it per element (measured 12s vs 0.7s over 5k docs).
+    Planned as a pandas UDF, the input column is materialized once per
+    row and the counting is a vectorized Python pass — same trade as
+    ``dedup.word_shingles``."""
+    col = F.col(text) if isinstance(text, str) else text
+    if n not in _GRAM_STATS_UDFS:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        @pandas_udf("n_tokens long, n_grams long, n_dup_grams long")
+        def st(texts: pd.Series) -> pd.DataFrame:
+            rows = []
+            for t in texts:
+                toks = (t or "").split(" ")
+                hi = max(len(toks) - n, 0)
+                grams = [" ".join(toks[i : i + n]) for i in range(hi + 1)]
+                rows.append((len(toks), len(grams), len(grams) - len(set(grams))))
+            return pd.DataFrame(rows, columns=["n_tokens", "n_grams", "n_dup_grams"])
+
+        _GRAM_STATS_UDFS[n] = st
+    return _GRAM_STATS_UDFS[n](col)
