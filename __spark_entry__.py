@@ -563,6 +563,28 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embedding column (per-dim
+    min/max train + uint8 encode, operators/sq.py). Output is the
+    integer code checksum per vector so the oracle compare is exact —
+    float reconstruction parity is covered by tests/test_sq.py."""
+    from vearch_spark.operators.sq import SQ8Quantizer
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = SQ8Quantizer("embedding", id_col="vec_id").fit(emb)
+    enc = q.encode(emb)
+    return (
+        enc.select(
+            "vec_id",
+            F.aggregate(
+                "sq8_codes", F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
+            ).alias("code_sum"),
+            F.size("sq8_codes").cast("long").alias("n_dims"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus build in ONE declarative plan:
     normalize + redact PII → quality gates (min length, duplicate
@@ -1031,6 +1053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_scores": q_repetition_scores,
     "pii_redaction": q_pii_redaction,
     "corpus_pipeline": q_corpus_pipeline,
+    "sq8_codes": q_sq8_codes,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
@@ -1390,6 +1413,27 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "corpus_pipeline": _corpus_pipeline_sql(),
+        # x cast to DOUBLE before any arithmetic: DuckDB would otherwise
+        # compute (x-lo) in float32 while Spark widens to double
+        "sq8_codes": """
+            WITH px AS (
+              SELECT vec_id, i AS dim, embedding[i+1]::DOUBLE AS x
+              FROM embeddings CROSS JOIN UNNEST(range(len(embedding))) AS t(i)
+            ), mm AS (
+              SELECT dim, min(x) AS lo,
+                     CASE WHEN max(x) = min(x) THEN min(x) + 1
+                          ELSE max(x) END AS hi
+              FROM px GROUP BY dim
+            ), codes AS (
+              SELECT vec_id,
+                     least(255, greatest(0,
+                       round((x - lo) / (hi - lo) * 255)::INT)) AS c
+              FROM px JOIN mm USING (dim)
+            )
+            SELECT vec_id, sum(c)::BIGINT AS code_sum,
+                   count(*)::BIGINT AS n_dims
+            FROM codes GROUP BY vec_id ORDER BY vec_id
+        """,
         "pii_redaction": r"""
             WITH a AS (
               SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t

@@ -1,0 +1,140 @@
+"""SQ8 scalar quantization — per-dimension uint8 codes for embeddings.
+
+Beyond the reference's index set (its quantizers are PQ/RaBitQ
+families): classic faiss-style ScalarQuantizer(QT_8bit) semantics,
+re-expressed for columnar storage. Why it matters at 100 TB: a
+float32 embedding column is usually the widest thing in a training
+table; SQ8 cuts it 4× with ~1e-2 relative reconstruction error, and
+the codes stay filterable/joinable columns (``array<smallint>``) that
+parquet dictionary/byte-stream-split encodings compress further.
+
+Shapes:
+
+- ``fit`` = one distributed pass: per-dimension min/max via
+  ``posexplode`` + groupBy(dim) — shuffle payload is (dim, 2 floats)
+  per row group, collected to a dim-length driver array (≤64k dims);
+- ``encode``/``decode`` = narrow JVM ``transform`` expressions — no
+  Python, no shuffle; codes are ``round(255·(x−min)/(max−min))``
+  clamped to [0,255];
+- ``search`` = exact top-k over decoded vectors (same
+  TakeOrderedAndProject plan as FLAT — zero shuffle), optionally
+  reranked on the original float column when present.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from vearch_spark.operators import topk
+from vearch_spark.schema import Metric
+
+
+class SQ8Quantizer:
+    """Per-dimension scalar quantizer: train (min/max), encode to
+    uint8 codes, decode, and search over decoded vectors."""
+
+    def __init__(self, vec_col: str = "embedding", id_col: str = "_id"):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.vmin: np.ndarray | None = None
+        self.vmax: np.ndarray | None = None
+
+    # ------------------------------------------------------------ train
+    def fit(self, df: DataFrame) -> "SQ8Quantizer":
+        rows = (
+            df.select(F.posexplode(self.vec_col).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+            .collect()
+        )
+        dims = max(r["dim"] for r in rows) + 1
+        self.vmin = np.zeros(dims)
+        self.vmax = np.ones(dims)
+        for r in rows:
+            self.vmin[r["dim"]] = r["lo"]
+            self.vmax[r["dim"]] = r["hi"]
+        # degenerate dims (constant value) keep span 1 so codes land on 0
+        span = self.vmax - self.vmin
+        self.vmax = np.where(span == 0, self.vmin + 1.0, self.vmax)
+        return self
+
+    # ----------------------------------------------------- codec columns
+    def _check_fit(self) -> None:
+        if self.vmin is None:
+            raise ValueError("SQ8Quantizer not fitted")
+
+    def encode_col(self, vec: Column | str) -> Column:
+        """``array<smallint>`` of uint8 codes (JVM-only expression)."""
+        self._check_fit()
+        col = F.col(vec) if isinstance(vec, str) else vec
+        lo = F.array(*[F.lit(float(v)) for v in self.vmin])
+        hi = F.array(*[F.lit(float(v)) for v in self.vmax])
+        idx = F.sequence(F.lit(0), F.lit(len(self.vmin) - 1))
+        return F.transform(
+            idx,
+            lambda i: F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        (F.element_at(col, i + 1) - F.element_at(lo, i + 1))
+                        / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
+                        * 255
+                    ).cast("int"),
+                ),
+            ).cast("smallint"),
+        )
+
+    def decode_col(self, codes: Column | str) -> Column:
+        """``array<double>`` reconstruction of a code column."""
+        self._check_fit()
+        col = F.col(codes) if isinstance(codes, str) else codes
+        lo = F.array(*[F.lit(float(v)) for v in self.vmin])
+        hi = F.array(*[F.lit(float(v)) for v in self.vmax])
+        idx = F.sequence(F.lit(0), F.lit(len(self.vmin) - 1))
+        return F.transform(
+            idx,
+            lambda i: F.element_at(lo, i + 1)
+            + F.element_at(col, i + 1).cast("double")
+            / 255
+            * (F.element_at(hi, i + 1) - F.element_at(lo, i + 1)),
+        )
+
+    def encode(self, df: DataFrame, out_col: str = "sq8_codes") -> DataFrame:
+        return df.withColumn(out_col, self.encode_col(self.vec_col))
+
+    # ------------------------------------------------------------ search
+    def search(
+        self,
+        codes_df: DataFrame,
+        query: Sequence[float],
+        limit: int = 10,
+        metric: Metric = Metric.L2,
+        codes_col: str = "sq8_codes",
+        rerank_col: str | None = None,
+        rerank_k: int | None = None,
+    ) -> DataFrame:
+        """Exact top-k over decoded vectors (TakeOrderedAndProject,
+        zero shuffle). With ``rerank_col`` (the original float column)
+        and ``rerank_k``, scans the codes for ``rerank_k`` candidates
+        and re-scores them on the float vectors — the standard
+        quantize-then-rerank serving shape."""
+        self._check_fit()
+        decoded = codes_df.withColumn("_sq_vec", self.decode_col(codes_col))
+        if rerank_col and rerank_k:
+            cands = topk.search(
+                decoded, "_sq_vec", query, limit=rerank_k,
+                metric=metric, id_col=self.id_col,
+            ).select(self.id_col)
+            pool = codes_df.join(F.broadcast(cands), self.id_col)
+            return topk.search(
+                pool, rerank_col, query, limit=limit,
+                metric=metric, id_col=self.id_col,
+            )
+        return topk.search(
+            decoded, "_sq_vec", query, limit=limit,
+            metric=metric, id_col=self.id_col,
+        )

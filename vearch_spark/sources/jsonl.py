@@ -1,0 +1,92 @@
+"""JSON-lines bulk ingest — the distributed analog of the reference's
+HTTP bulk upsert body (one JSON document per line, doc_http.go:467 →
+doc_parse.go:540 MapDocument).
+
+Design points for scale:
+
+- the space schema supplies an explicit StructType — never
+  ``inferSchema`` (an inference pass doubles the 100 TB scan);
+- parse-level validation is distributed, not driver-side: a malformed
+  line or a line with a field the schema doesn't know is surfaced
+  per-row, mirroring the reference's per-document parse rejects
+  (``doc_parse.go:56-118`` fails a doc on unknown/ill-typed fields);
+- vector dimension checks ride the same pass (``size(vec) = dim``).
+
+``read_jsonl`` returns the valid-docs DataFrame plus a rejects
+DataFrame (line + reason) so callers choose strict (raise on any
+reject, the router's behavior) or permissive (log and load the rest —
+what a 100 TB backfill usually wants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vearch_spark.errors import DocumentError
+from vearch_spark.schema import ID_FIELD, SpaceSchema
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: SpaceSchema
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL document file against a space schema.
+
+    Returns ``(docs, rejects)``: ``docs`` has ``_id`` (string-coerced)
+    plus every schema field, ready for :meth:`Space.upsert`;
+    ``rejects`` has ``(line, reason)`` for rows that fail parsing,
+    carry unknown fields, or break a vector dimension.
+    """
+    struct = schema.to_struct_type(include_system=False)
+    known = {ID_FIELD, *[f.name for f in schema.fields]}
+
+    raw = spark.read.text(path).withColumnRenamed("value", "_line")
+    # distributed key audit: json_object_keys is a JVM expression, so
+    # the unknown-field reject happens on executors at scan speed
+    keys = F.json_object_keys(F.col("_line"))
+    unknown = F.array_except(keys, F.array(*[F.lit(k) for k in sorted(known)]))
+    parsed = raw.select(
+        "_line",
+        F.get_json_object(F.col("_line"), f"$.{ID_FIELD}").alias(ID_FIELD),
+        F.from_json(F.col("_line"), struct).alias("_doc"),
+        F.when(keys.isNull(), F.lit("malformed JSON"))
+        .when(F.size(unknown) > 0, F.concat(F.lit("unknown fields: "), F.concat_ws(",", unknown)))
+        .otherwise(F.lit(None))
+        .alias("_reason"),
+    )
+    for f in schema.vector_fields:
+        parsed = parsed.withColumn(
+            "_reason",
+            F.coalesce(
+                F.col("_reason"),
+                F.when(
+                    F.col(f"_doc.{f.name}").isNotNull()
+                    & (F.size(F.col(f"_doc.{f.name}")) != f.dimension),
+                    F.lit(f"vector '{f.name}' dimension != {f.dimension}"),
+                ),
+            ),
+        )
+    rejects = parsed.where(F.col("_reason").isNotNull()).select(
+        F.col("_line").alias("line"), F.col("_reason").alias("reason")
+    )
+    docs = parsed.where(F.col("_reason").isNull()).select(
+        F.col(ID_FIELD).cast("string").alias(ID_FIELD),
+        *[F.col(f"_doc.{f.name}").alias(f.name) for f in schema.fields],
+    )
+    return docs, rejects
+
+
+def load_jsonl(
+    spark: SparkSession, path: str, space, strict: bool = True
+) -> int:
+    """Bulk-load a JSONL file into a Space. ``strict=True`` mirrors the
+    router (any bad document fails the request); ``strict=False`` loads
+    the valid docs and ignores rejects (backfill mode). Returns the
+    number of docs upserted."""
+    docs, rejects = read_jsonl(spark, path, space.schema)
+    if strict:
+        bad = rejects.limit(1).collect()
+        if bad:
+            raise DocumentError(
+                f"jsonl load rejected: {bad[0]['reason']} in line {bad[0]['line']!r}"
+            )
+    return space.upsert(docs)
