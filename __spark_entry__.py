@@ -563,6 +563,27 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES = {f"src{i}": (i + 1) / 20 for i in range(20)}
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus mixing: per-source keep rates
+    applied by id-hash bucket (operators/sample.py) — reproducible on
+    any cluster layout, unlike RNG-seeded df.sample()."""
+    from vearch_spark.operators.sample import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = hash_sample(docs, MIX_RATES, id_col="doc_id", stratum_col="source")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization of the embedding column (per-dim
     min/max train + uint8 encode, operators/sq.py). Output is the
@@ -1054,6 +1075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "corpus_pipeline": q_corpus_pipeline,
     "sq8_codes": q_sq8_codes,
+    "mix_sample": q_mix_sample,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
@@ -1079,6 +1101,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ------------------------------------------------------------- oracle SQL
+
+
+def _mix_sample_sql() -> str:
+    # thresholds are the SAME integers the Spark plan compares against
+    # (sample.rate_threshold) — no cross-engine float drift possible
+    from vearch_spark.operators.sample import rate_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {rate_threshold(r)}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"""
+        WITH b AS (
+          SELECT source, n_chars,
+            list_sum(list_transform(range(8), i ->
+              (strpos('0123456789abcdef',
+                      substr(md5(doc_id::VARCHAR), (i+1)::INT, 1)) - 1)::BIGINT
+              * (16 ** (7-i))::BIGINT))::BIGINT AS bucket,
+            CASE source {cases} ELSE 4294967296 END AS thr
+          FROM documents
+        )
+        SELECT source, count(*)::BIGINT AS docs_kept,
+               sum(n_chars)::BIGINT AS chars_kept
+        FROM b WHERE bucket < thr
+        GROUP BY source ORDER BY source
+    """
 
 
 def _corpus_pipeline_sql() -> str:
@@ -1413,6 +1460,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "mix_sample": _mix_sample_sql(),
         # x cast to DOUBLE before any arithmetic: DuckDB would otherwise
         # compute (x-lo) in float32 while Spark widens to double
         "sq8_codes": """

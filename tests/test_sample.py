@@ -1,0 +1,33 @@
+"""Deterministic stratified sampling (corpus mixing)."""
+
+from vearch_spark.operators.sample import hash_bucket, hash_sample, rate_threshold
+
+
+def test_rate_threshold_bounds():
+    assert rate_threshold(0.0) == 0
+    assert rate_threshold(1.0) == 1 << 32
+    assert rate_threshold(0.25) == 1 << 30
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = hash_sample(df, {"s0": 0.3, "s1": 0.9}, stratum_col="source")
+    got1 = sorted(r.doc_id for r in out.collect())
+    # same result on a different partitioning — RNG-free
+    got2 = sorted(
+        r.doc_id
+        for r in hash_sample(
+            df.repartition(7), {"s0": 0.3, "s1": 0.9}, stratum_col="source"
+        ).collect()
+    )
+    assert got1 == got2
+    by_src = {
+        s: sum(1 for i in got1 if i % 2 == int(s[1]))
+        for s in ("s0", "s1")
+    }
+    assert 0.2 < by_src["s0"] / 1000 < 0.4
+    assert 0.8 < by_src["s1"] / 1000 < 1.0
+    # unknown stratum keeps default_rate=1.0
+    extra = spark.createDataFrame([(99999, "sX")], "doc_id long, source string")
+    assert hash_sample(extra, {"s0": 0.3}).count() == 1

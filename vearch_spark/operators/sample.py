@@ -1,0 +1,70 @@
+"""Deterministic stratified sampling — corpus mixing for training blends.
+
+``df.sample()`` draws from partition-seeded RNG streams: the kept set
+changes with partitioning, executor count, and Spark version, which is
+unacceptable for a reproducible training mix. ``hash_sample`` instead
+derives each row's fate from its id: keep iff
+
+    bucket(id) < floor(rate · 2^32),
+    bucket(id) = int(first 8 hex chars of md5(id))
+
+so the decision is a pure function of the data — identical on any
+cluster layout, stable under incremental corpus updates (a doc's fate
+never flips), and reproducible in any engine with md5 (the DuckDB
+oracle re-derives it). Per-stratum rates express mixing weights
+("2 parts web : 1 part forum : all of wiki").
+
+Scale shape: one narrow JVM projection (md5 + conv + map lookup), no
+shuffle; the keep-filter pushes into the scan pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BUCKET_BITS = 32
+
+
+def rate_threshold(rate: float) -> int:
+    """A sampling rate as an integer bucket threshold. Computed once,
+    driver-side, and injected as a literal — both the Spark plan and
+    any SQL oracle compare against the same integer, so there is no
+    cross-engine float drift."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return int(rate * (1 << _BUCKET_BITS))
+
+
+def hash_bucket(id_col: Column | str) -> Column:
+    """Uniform 32-bit bucket from md5 of the stringified id."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    hex8 = F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep a deterministic ``rates[stratum]`` fraction of each
+    stratum (by id hash). Strata absent from ``rates`` keep
+    ``default_rate``."""
+    thr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    F.lit(v)
+                    for s, r in sorted(rates.items())
+                    for v in (s, rate_threshold(r))
+                ]
+            ),
+            F.col(stratum_col),
+        )
+        if rates
+        else F.lit(None).cast("long"),
+        F.lit(rate_threshold(default_rate)),
+    )
+    return df.where(hash_bucket(id_col) < thr)
