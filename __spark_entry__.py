@@ -931,14 +931,18 @@ def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
                 "embedding", Metric.L2, ncentroids=16, nprobe=4, id_col="vec_id"
             )
         elif kind == "ivfpq":
+            # the reference always reranks its modified IVFPQ
+            # (benchs/README.md "Vearch" rows); near-uniform synthetic
+            # embeddings need a wide rerank pool because the ADC screen
+            # carries little signal there (recall ≈ probe fraction)
             idx = IVFPQIndex(
-                "embedding", Metric.L2, ncentroids=16, nprobe=8,
-                nsubvector=8, id_col="vec_id",
+                "embedding", Metric.L2, ncentroids=16, nprobe=12,
+                nsubvector=8, rerank_k=100, id_col="vec_id",
             )
         else:
             idx = IVFRaBitQIndex(
-                "embedding", Metric.L2, ncentroids=16, nprobe=8,
-                rerank_k=64, id_col="vec_id",
+                "embedding", Metric.L2, ncentroids=16, nprobe=14,
+                rerank_k=400, id_col="vec_id",
             )
         idx.fit(emb)
         _INDEX_CACHE[key] = idx
