@@ -773,6 +773,27 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-data selection: top-3 docs per source by quality score
+    (window rank with deterministic tie-break) — the step that turns
+    quality signals into an actual curated subset. One shuffle on
+    source; WindowGroupLimit applies the rank cutoff map-side."""
+    from vearch_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 3)
+        .select("source", "doc_id", "quality")
+        .orderBy("source", "doc_id")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (min-md5 over 5-gram shingles) cardinality."""
     from vearch_spark.functions.text import doc_fingerprint
@@ -1088,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_near_dup": q_cosine_near_dup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "quality_topk_per_source": q_quality_topk_per_source,
     "doc_fingerprint": q_doc_fingerprint,
     "date_range_agg": q_date_range_agg,
     "binary_hamming_knn": q_binary_hamming_knn,
@@ -1679,6 +1701,35 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # 64-token chunks, stride 48 (= chunk − overlap): chunk i covers
         # tokens [48i, 48i+64); #chunks = ceil(n/48)
+        "quality_topk_per_source": """
+            WITH f AS (
+              SELECT doc_id, source,
+                     len(string_split(text, ' ')) AS n_tok,
+                     coalesce(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                              / len(text), 0.0) AS p,
+                     coalesce(list_sum(list_transform(string_split(text, ' '),
+                              t -> len(t)))::BIGINT / len(string_split(text, ' ')),
+                              0.0) AS mtl
+              FROM documents
+            ), q AS (
+              SELECT doc_id, source,
+                   round(
+                     (CASE WHEN n_tok >= 20 AND n_tok <= 5000 THEN 1.0
+                           WHEN n_tok > 5000 THEN 0.5
+                           ELSE n_tok / 20.0 END) * 0.4
+                     + (CASE WHEN p <= 0.1 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - (p - 0.1) * 4.0) END) * 0.4
+                     + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0
+                             ELSE 0.4 END) * 0.2, 6) AS quality
+              FROM f
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+              FROM q
+            )
+            SELECT source, doc_id, quality FROM r WHERE rk <= 3
+            ORDER BY source, doc_id
+        """,
         "doc_chunks": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS toks
