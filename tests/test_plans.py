@@ -151,3 +151,25 @@ def test_repetition_scores_single_shuffle_per_agg(spark, sf_dir):
     df = entry.q_repetition_scores(spark, sf_dir)
     plan = X.formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_sample_is_narrow(spark, sf_dir):
+    from vearch_spark.operators.sample import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = hash_sample(docs, {"src1": 0.5}, id_col="doc_id", stratum_col="source")
+    # sampling is a pure filter projection: zero exchanges, no Python
+    assert X.count_exchanges(df) == 0
+    plan = X.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sq8_encode_is_narrow(spark, sf_dir):
+    from vearch_spark.operators.sq import SQ8Quantizer
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = SQ8Quantizer("embedding", id_col="vec_id").fit(emb)
+    df = q.encode(emb)
+    assert X.count_exchanges(df) == 0
+    plan = X.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
