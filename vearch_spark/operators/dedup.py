@@ -541,12 +541,13 @@ def connected_components(
     edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     node_type = edges.schema["_s"].dataType.simpleString()
     edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
-        mapping = _union_find(
-            [(r["_s"], r["_d"]) for r in edges.collect()]
-        )
+    # limit-probe instead of count-then-collect: ONE action, and the
+    # driver never holds more than cap+1 rows even when the graph is
+    # huge (the limit short-circuits the scan)
+    probe = edges.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
         edges.unpersist()
+        mapping = _union_find([(r["_s"], r["_d"]) for r in probe])
         spark = pairs.sparkSession
         return spark.createDataFrame(
             list(mapping.items()), f"node {node_type}, component {node_type}"
