@@ -1,9 +1,12 @@
 """Text-analysis columns for training-data pipelines.
 
-All pure JVM expressions (no Python UDFs): token/char statistics,
-quality scoring, n-gram language identification, and content
-fingerprinting. Designed so a 100 TB corpus pass is a single narrow
-projection — no shuffle at all until an aggregation is requested.
+Pure JVM expressions (token/char statistics, quality scoring, n-gram
+language identification, content fingerprinting, PII redaction) with
+one deliberate exception — ``gram_stats``, an Arrow-batched pandas UDF
+kept where the interpreted Catalyst higher-order form re-evaluates a
+non-trivial input per element (see its docstring). Designed so a
+100 TB corpus pass is a single narrow projection — no shuffle at all
+until an aggregation is requested.
 
 The language-ID heuristic is a stopword-profile vote: score per
 language = number of tokens in that language's tiny stopword set,

@@ -18,7 +18,11 @@ shuffle-lean DataFrame plans that hold at 100 TB:
   avoids the O(n²) cross product;
 - **embedding cosine**: brute top-pairs for correctness, plus a
   cluster-bucketed variant (reuse the IVF coarse quantizer) as the
-  scale path.
+  scale path;
+- **resolution**: connected components over the pair graph (driver
+  union-find under an edge cap, distributed hash-min + pointer
+  jumping above it) and one canonical doc per cluster — the step that
+  turns pairs into a deduplicated corpus.
 
 All hashing uses Spark's built-in ``xxhash64`` (JVM, whole-stage
 codegen). Python appears only where Arrow-batched numpy measurably
