@@ -584,6 +584,24 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by id-hash bucket
+    (operators/sample.hash_split) — layout-independent and stable
+    under corpus growth; per (split, source) counts."""
+    from vearch_spark.operators.sample import hash_split
+
+    docs = _docs(spark, sf_dir)
+    return (
+        hash_split(docs, SPLIT_WEIGHTS, id_col="doc_id")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
 def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization of the embedding column (per-dim
     min/max train + uint8 encode, operators/sq.py). Output is the
@@ -1101,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "sq8_codes": q_sq8_codes,
     "mix_sample": q_mix_sample,
+    "dataset_split": q_dataset_split,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
@@ -1151,6 +1170,31 @@ def _mix_sample_sql() -> str:
                sum(n_chars)::BIGINT AS chars_kept
         FROM b WHERE bucket < thr
         GROUP BY source ORDER BY source
+    """
+
+
+def _dataset_split_sql() -> str:
+    from vearch_spark.operators.sample import rate_threshold
+
+    names = list(SPLIT_WEIGHTS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += SPLIT_WEIGHTS[name]
+        cases.append(f"WHEN bucket < {rate_threshold(acc)} THEN '{name}'")
+    case_sql = " ".join(cases)
+    return f"""
+        WITH b AS (
+          SELECT source,
+            list_sum(list_transform(range(8), i ->
+              (strpos('0123456789abcdef',
+                      substr(md5(doc_id::VARCHAR), (i+1)::INT, 1)) - 1)::BIGINT
+              * (16 ** (7-i))::BIGINT))::BIGINT AS bucket
+          FROM documents
+        ), s AS (
+          SELECT source, CASE {case_sql} ELSE '{names[-1]}' END AS split FROM b
+        )
+        SELECT split, source, count(*)::BIGINT AS n_docs
+        FROM s GROUP BY split, source ORDER BY split, source
     """
 
 
@@ -1487,6 +1531,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "mix_sample": _mix_sample_sql(),
+        "dataset_split": _dataset_split_sql(),
         # x cast to DOUBLE before any arithmetic: DuckDB would otherwise
         # compute (x-lo) in float32 while Spark widens to double
         "sq8_codes": """

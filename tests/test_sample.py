@@ -31,3 +31,21 @@ def test_hash_sample_deterministic_and_stratified(spark):
     # unknown stratum keeps default_rate=1.0
     extra = spark.createDataFrame([(99999, "sX")], "doc_id long, source string")
     assert hash_sample(extra, {"s0": 0.3}).count() == 1
+
+
+def test_hash_split_partitions_every_row_once(spark):
+    from vearch_spark.operators.sample import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert sum(counts.values()) == 5000
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.05 < counts["val"] / 5000 < 0.15
+    # deterministic: same assignment under different partitioning
+    again = {r.doc_id: r.split for r in hash_split(
+        df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again

@@ -68,3 +68,30 @@ def hash_sample(
         F.lit(rate_threshold(default_rate)),
     )
     return df.where(hash_bucket(id_col) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset splitting (train/val/test): each row's
+    split is chosen by where its id-hash bucket falls among cumulative
+    integer thresholds. Same guarantees as :func:`hash_sample` — a
+    pure function of the data, layout-independent, stable under
+    incremental corpus growth (new docs never move old docs between
+    splits), reproducible in any engine with md5."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    acc = 0.0
+    expr = None
+    bucket = hash_bucket(id_col)
+    for name, w in list(weights.items())[:-1]:
+        acc += w
+        cond = bucket < F.lit(rate_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(weights)[-1]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
