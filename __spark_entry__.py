@@ -587,6 +587,30 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: docs are laid end-to-end in
+    doc order per source and chopped into 2048-token training
+    sequences; a doc's bin = floor(tokens-before-it / 2048). Packing
+    per source keeps the running-sum window partitioned — no global
+    single-task window; sources are the natural pack shards at scale.
+    Per (source, seq_bin): docs placed and token mass."""
+    docs = _docs(spark, sf_dir)
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = docs.select("doc_id", "source", n.alias("_n"))
+    t = t.withColumn("_cum", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+    return (
+        t.withColumn("seq_bin", F.floor(F.col("_cum") / 2048).cast("long"))
+        .groupBy("source", "seq_bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
+        .orderBy("source", "seq_bin")
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by id-hash bucket
     (operators/sample.hash_split) — layout-independent and stable
@@ -1120,6 +1144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_codes": q_sq8_codes,
     "mix_sample": q_mix_sample,
     "dataset_split": q_dataset_split,
+    "sequence_packing": q_sequence_packing,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
@@ -1532,6 +1557,21 @@ def _oracle_sql_base() -> dict[str, str]:
         "corpus_pipeline": _corpus_pipeline_sql(),
         "mix_sample": _mix_sample_sql(),
         "dataset_split": _dataset_split_sql(),
+        "sequence_packing": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(string_split(text, ' '))::BIGINT AS n
+              FROM documents
+            ), c AS (
+              SELECT *, coalesce(sum(n) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM t
+            )
+            SELECT source, (cum // 2048)::BIGINT AS seq_bin,
+                   count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+            FROM c GROUP BY source, seq_bin ORDER BY source, seq_bin
+        """,
         # x cast to DOUBLE before any arithmetic: DuckDB would otherwise
         # compute (x-lo) in float32 while Spark widens to double
         "sq8_codes": """
