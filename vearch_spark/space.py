@@ -21,9 +21,18 @@ append-only columnar table with last-write-wins (LWW) upsert semantics:
 - ``flush`` is a no-op (Spark writes are durable — engine.cc:1246's
   Dump has no Spark analog).
 
-At 100 TB the versioned-rewrite upsert becomes Delta/Iceberg MERGE with
-partition pruning on the merge key — the *read* path (what every query
-sees) is identical, which is what the engine's operators depend on.
+Durable layout (path-backed spaces) is **hash-bucketed + versioned**,
+mirroring the reference's hash routing (doc routed by
+``murmur3.Sum32(_id)`` over slot ranges, client.go:245,
+space.go:210-236): every row lives in bucket ``xxhash64(_id) mod
+n_buckets``, each version directory ``{path}/v{n}`` holds only the
+buckets that commit rewrote, and a JSON manifest (``_CURRENT``) maps
+bucket → version. A 1-row update therefore rewrites exactly 1 bucket
+(~1/n_buckets of the table), not the table — the same bounded-rewrite
+contract Delta/Iceberg MERGE gives via file-level rewrite + manifest
+pointers, which is what this layout stands in for at 100 TB (there,
+``n_buckets`` is thousands and each bucket is a handful of files).
+The atomic commit is the manifest swap (write-temp + rename).
 """
 
 from __future__ import annotations
@@ -138,54 +147,208 @@ def is_slow_search(
     return _count_conditions(flt) >= 3
 
 
+#: transient routing column used only inside :meth:`Space._commit`
+_BUCKET_COL = "_bp"
+
+
 class Space:
     """One document collection. ``path=None`` keeps the table in memory
-    (cached DataFrame) — the test mode; with a path, versions are
-    parquet directories under ``{path}/v{n}`` plus a ``_CURRENT``
-    pointer file."""
+    (cached DataFrame) — the test mode; with a path, the durable form
+    is the bucketed+versioned parquet layout described in the module
+    docstring (``n_buckets`` defaults to 16 for local runs; size it so
+    one bucket ≈ a few parquet files at the deployed scale)."""
 
-    def __init__(self, spark: SparkSession, schema: SpaceSchema, path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: SpaceSchema,
+        path: str | None = None,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.schema = schema
         self.path = path
+        self.n_buckets = max(1, int(n_buckets))
         self._df: DataFrame | None = None
         self._max_seq = 0
+        self._manifest: dict | None = None  # path mode: bucket -> version map
         self._indexes: dict[str, object] = {}  # field -> trained index model
         if path:
             os.makedirs(path, exist_ok=True)
-            cur = self._current_version()
-            if cur is not None:
-                self._df = spark.read.parquet(self._version_dir(cur))
-                row = self._df.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
-                self._max_seq = int(row["m"] or 0)
+            man = self._load_manifest()
+            if man is not None:
+                self._manifest = man
+                self.n_buckets = int(man["n_buckets"])
+                self._max_seq = int(man["max_seq"])
+                self._refresh_df()
 
     # ------------------------------------------------------------------ io
+    #
+    # Bucketed versioned parquet: each commit writes ONLY the buckets it
+    # touched into a fresh ``v{n}`` directory; ``_CURRENT`` is a JSON
+    # manifest {version, n_buckets, max_seq, buckets: {bucket: version}}
+    # swapped atomically (tmp + rename). Untouched buckets keep serving
+    # from their old version directories — the Delta/Iceberg manifest
+    # pattern without the dependency.
 
     def _version_dir(self, n: int) -> str:
         return os.path.join(self.path, f"v{n}")
 
-    def _current_version(self) -> int | None:
-        ptr = os.path.join(self.path, "_CURRENT")
+    def _bucket_dir(self, bucket: int, version: int) -> str:
+        return os.path.join(self._version_dir(version), f"b{bucket}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def _load_manifest(self) -> dict | None:
+        import json as _json
+
+        ptr = self._manifest_path()
         if not os.path.exists(ptr):
             return None
         with open(ptr) as fh:
-            return int(fh.read().strip())
+            return _json.load(fh)
 
-    def _commit(self, df: DataFrame) -> None:
-        if self.path:
-            nxt = (self._current_version() or 0) + 1
-            writer = df.write.mode("overwrite")
-            if self.schema.partition_rule is not None:
-                # range rule → physically partitioned table: a
-                # partition_names target prunes directories
-                writer = writer.partitionBy(PARTITION_FIELD)
-            writer.parquet(self._version_dir(nxt))
-            with open(os.path.join(self.path, "_CURRENT"), "w") as fh:
-                fh.write(str(nxt))
-            self._df = self.spark.read.parquet(self._version_dir(nxt))
+    def _store_manifest(self, man: dict) -> None:
+        import json as _json
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(man, fh)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+        self._manifest = man
+
+    def _bucket_expr(self) -> Column:
+        # deterministic _id routing — the murmur3-slot analog
+        # (client.go:245); xxhash64 is Spark's native 64-bit hash
+        return F.pmod(F.xxhash64(F.col(ID_FIELD)), F.lit(self.n_buckets)).cast("int")
+
+    def _refresh_df(self) -> None:
+        """Rebuild the read view from the manifest: one multi-root scan
+        when the layout is flat; per-bucket reads unioned when a range
+        rule nests a discovered ``_partition_name`` level under each
+        bucket (Spark requires a single inferred base per partitioned
+        scan, so cross-version roots must be separate relations)."""
+        man = self._manifest
+        if not man or not man["buckets"]:
+            self._df = None
+            return
+        roots = [
+            self._bucket_dir(int(b), int(v)) for b, v in sorted(man["buckets"].items())
+        ]
+        if self.schema.partition_rule is None:
+            self._df = self.spark.read.parquet(*roots)
         else:
-            df = df.localCheckpoint(eager=True)  # cut lineage growth across upserts
-            self._df = df
+            from functools import reduce
+
+            parts = [
+                self.spark.read.parquet(p).withColumn(
+                    PARTITION_FIELD, F.col(PARTITION_FIELD).cast("string")
+                )
+                for p in roots
+            ]
+            self._df = reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _commit(self, df: DataFrame, touched: Sequence[int] | None = None) -> None:
+        """Commit ``df`` as the new content of ``touched`` buckets (or of
+        the whole table when ``touched`` is None). In-memory mode always
+        receives the full table and checkpoints it."""
+        if not self.path:
+            self._df = df.localCheckpoint(eager=True)  # cut lineage growth
+            return
+        if touched is not None and len(touched) == 0:
+            return  # no bucket holds an affected row — nothing to rewrite
+        man = self._manifest or {
+            "version": 0,
+            "n_buckets": self.n_buckets,
+            "max_seq": 0,
+            "buckets": {},
+        }
+        nxt = int(man["version"]) + 1
+        vdir = self._version_dir(nxt)
+        data = df.withColumn(_BUCKET_COL, self._bucket_expr())
+        pb = [_BUCKET_COL] + (
+            [PARTITION_FIELD] if self.schema.partition_rule is not None else []
+        )
+        data.write.mode("overwrite").partitionBy(*pb).parquet(vdir)
+        # rename `_bp=k` → `bk`: a non-key=value dir name keeps Spark's
+        # partition discovery from walking above the bucket root when
+        # buckets of different versions are read together
+        written: set[int] = set()
+        for name in os.listdir(vdir):
+            if name.startswith(f"{_BUCKET_COL}="):
+                b = int(name.split("=", 1)[1])
+                os.replace(os.path.join(vdir, name), self._bucket_dir(b, nxt))
+                written.add(b)
+        buckets = dict(man["buckets"])
+        for b in written if touched is None else set(touched):
+            if b in written:
+                buckets[str(b)] = nxt
+            else:
+                buckets.pop(str(b), None)  # bucket emptied by this commit
+        if touched is None:
+            # full rewrite: drop buckets that no longer exist
+            buckets = {str(b): nxt for b in written}
+        self._store_manifest(
+            {
+                "version": nxt,
+                "n_buckets": self.n_buckets,
+                "max_seq": self._max_seq,
+                "buckets": buckets,
+            }
+        )
+        self._refresh_df()
+
+    def _read_buckets(self, buckets: Sequence[int]) -> DataFrame:
+        """Current content of the named buckets only — the bounded read
+        side of a bucket-scoped rewrite."""
+        man = self._manifest or {"buckets": {}}
+        roots = [
+            self._bucket_dir(int(b), int(man["buckets"][str(b)]))
+            for b in buckets
+            if str(b) in man["buckets"]
+        ]
+        if not roots:
+            return self.spark.createDataFrame([], self.schema.to_struct_type())
+        if self.schema.partition_rule is None:
+            return self.spark.read.parquet(*roots)
+        from functools import reduce
+
+        parts = [
+            self.spark.read.parquet(p).withColumn(
+                PARTITION_FIELD, F.col(PARTITION_FIELD).cast("string")
+            )
+            for p in roots
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _buckets_of_ids(self, ids: Sequence[str]) -> list[int]:
+        """Buckets the given ids hash into (one tiny local job — the
+        bucket function is a JVM expression, never reimplemented
+        driver-side where it could drift)."""
+        tiny = self.spark.createDataFrame([(str(i),) for i in ids], f"{ID_FIELD} string")
+        return sorted(
+            r["b"] for r in tiny.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
+
+    def _bucketed(self) -> bool:
+        return self.path is not None
+
+    def vacuum(self) -> int:
+        """Delete version directories no manifest entry references
+        (safe after any commit; returns the number removed)."""
+        if not self.path or self._manifest is None:
+            return 0
+        live = {int(v) for v in self._manifest["buckets"].values()}
+        live.add(int(self._manifest["version"]))
+        removed = 0
+        import shutil
+
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) not in live:
+                shutil.rmtree(os.path.join(self.path, name))
+                removed += 1
+        return removed
 
     @property
     def df(self) -> DataFrame:
@@ -263,25 +426,48 @@ class Space:
         )
         return batch
 
+    def _advance_max_seq(self, n: int) -> None:
+        """Advance the seq high-water mark past every value the rank
+        assignment could have produced, without a table scan: the dense
+        path assigns ranks 1..n; the strided path caps at
+        ``(nparts << 32) + n``. ``_seq`` needs monotonicity and
+        stability only, so the gap is free (and bounded: ~2^37 per
+        bulk upsert leaves room for ~2^26 of them in a long)."""
+        if n <= _RANK_WINDOW_MAX:
+            self._max_seq += n
+        else:
+            nparts = max(
+                1, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            )
+            self._max_seq += (nparts << _SEQ_STRIDE_BITS) + n
+
     def upsert(self, rows: DataFrame | list[dict]) -> int:
         """Insert-or-replace by ``_id``; existing keys keep their
         ``_seq`` (docid stable on update, engine.cc:747). Returns the
-        batch size (the reference returns per-doc statuses)."""
+        batch size (the reference returns per-doc statuses).
+
+        Bucketed path: only the buckets the batch hashes into are read
+        and rewritten — write cost is O(touched buckets), not O(table)
+        (Engine::AddOrUpdate engine.cc:697-785 likewise touches only
+        the routed shard)."""
         batch = self._prepare_batch(rows)
         n = batch.count()
-        if self._df is None:
+        if self._df is None and self._manifest is None:
             # bulk load into an empty space: no existing keys to merge
             # against — assign seqs directly and write (the initial-load
             # fast path a MERGE engine also takes)
             seeded = _with_id_rank(batch, SEQ_FIELD, n)
+            self._advance_max_seq(n)
             self._commit(seeded)
-            if n <= _RANK_WINDOW_MAX:
-                self._max_seq = n  # dense path: max == count
-            else:
-                row = self._df.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
-                self._max_seq = int(row["m"] or 0)
             return n
-        existing = self.df
+        if self._bucketed():
+            touched = [
+                r["b"]
+                for r in batch.select(self._bucket_expr().alias("b")).distinct().collect()
+            ]
+            existing = self._read_buckets(touched)
+        else:
+            touched, existing = None, self.df
         # new rows get fresh seq numbers in deterministic _id order
         keyed = batch.join(
             existing.select(ID_FIELD, F.col(SEQ_FIELD).alias("_old_seq")),
@@ -296,11 +482,11 @@ class Space:
                 F.lit(self._max_seq) + F.col("_id_rank"),
             ),
         ).drop("_old_seq", "_id_rank")
-        keyed = keyed.select(*existing.columns) if existing.columns else keyed
+        cols = existing.columns or self.df.columns
+        keyed = keyed.select(*cols) if cols else keyed
         survivors = existing.join(batch.select(ID_FIELD), on=ID_FIELD, how="left_anti")
-        self._commit(survivors.unionByName(keyed))
-        row = self.df.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
-        self._max_seq = int(row["m"] or 0)
+        self._advance_max_seq(n)
+        self._commit(survivors.unionByName(keyed), touched)
         self._sync_indexes_on_write(upserted_ids=batch.select(ID_FIELD))
         return n
 
@@ -342,7 +528,11 @@ class Space:
             raise DocumentError(
                 f"cannot partial-update partition routing field {rule.field!r}"
             )
-        updated = self.df
+        if self._bucketed():
+            touched = self._buckets_of_ids([_id])
+            updated = self._read_buckets(touched)
+        else:
+            touched, updated = None, self.df
         cond = F.col(ID_FIELD) == _id
         for name, value in fields.items():
             spec = self.schema.field(name)
@@ -350,25 +540,45 @@ class Space:
             if spec.type is FieldType.VECTOR and spec.normalize:
                 lit = l2_normalize(lit).cast("array<float>")
             updated = updated.withColumn(name, F.when(cond, lit).otherwise(F.col(name)))
-        self._commit(updated)
+        self._commit(updated, touched)
         self._sync_indexes_on_write(
             upserted_ids=self.df.where(cond).select(ID_FIELD)
         )
 
     def delete(self, ids: Sequence[str]) -> int:
         """Delete by ids (Engine::Delete engine.cc:869-900); returns the
-        number actually deleted."""
-        before = self.count()
-        self._commit(self.df.where(~F.col(ID_FIELD).isin(*[str(i) for i in ids])))
-        self._sync_indexes_on_write(deleted_ids=[str(i) for i in ids])
-        return before - self.count()
+        number actually deleted. Bucketed path: reads/rewrites only the
+        buckets the ids hash into."""
+        ids = [str(i) for i in ids]
+        if self._bucketed():
+            touched = self._buckets_of_ids(ids)
+            existing = self._read_buckets(touched)
+        else:
+            touched, existing = None, self.df
+        matched = existing.where(F.col(ID_FIELD).isin(*ids)).count()
+        self._commit(existing.where(~F.col(ID_FIELD).isin(*ids)), touched)
+        self._sync_indexes_on_write(deleted_ids=ids)
+        return matched
 
     def delete_by_query(self, flt: dict | Column) -> list[str]:
         """Evaluate the filter, delete matches, return their ids
-        (router DelByQueryeExecute client.go:1851-1897)."""
+        (router DelByQueryeExecute client.go:1851-1897). The predicate
+        scan is distributed; only buckets containing matches are
+        rewritten."""
         pred = compile_filter(flt, self.schema)
-        doomed = [r[ID_FIELD] for r in self.df.where(pred).select(ID_FIELD).collect()]
-        self._commit(self.df.where(~F.coalesce(pred, F.lit(False))))
+        matches = self.df.where(pred)
+        if self._bucketed():
+            touched = [
+                r["b"]
+                for r in matches.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            ]
+            existing = self._read_buckets(touched)
+        else:
+            touched, existing = None, self.df
+        doomed = [r[ID_FIELD] for r in matches.select(ID_FIELD).collect()]
+        self._commit(existing.where(~F.coalesce(pred, F.lit(False))), touched)
         self._sync_indexes_on_write(deleted_ids=doomed)
         return doomed
 
@@ -656,9 +866,10 @@ class Space:
             schema = SpaceSchema.from_json(_json.load(fh))
         space = cls(spark, schema, path=target_path)
         docs = spark.read.parquet(os.path.join(path, "docs"))
-        space._commit(docs)
+        # high-water mark first so a path-backed commit persists it
         row = docs.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
         space._max_seq = int(row["m"] or 0)
+        space._commit(docs)
         return space
 
     def describe(self) -> dict:
