@@ -200,6 +200,56 @@ def q_multivector_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id"), F.col("_score").cast("float").alias("fused_score"))
 
 
+def q_knn_sorted_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-verb sort + pagination (search_doc.go:71-94): top-12 by L2
+    distance, re-sorted post-merge by a scalar field desc with
+    missing-last comparators (doc_service.go:172-187,
+    sortorder/sort.go:23-150), then page 2 of size 4 sliced out of the
+    final ordered list (client.go:888-904)."""
+    from vearch_spark.operators import sort as sort_ops
+
+    hits = topk.search(
+        _emb(spark, sf_dir), "embedding", QV_L2, limit=12, metric="L2", id_col="vec_id"
+    )
+    page = sort_ops.sorted_page(
+        hits, [("label", False)], page_size=4, page_num=2, tie_break="vec_id"
+    )
+    return page.select("vec_id", "label", F.col("_score").cast("float").alias("score"))
+
+
+def q_multivector_fusion_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fusion + user sort interaction: the router applies the sort list
+    post-merge regardless of ranker (doc_service.go:172-187), so fused
+    top-k hits are re-ordered by the scalar field, page 1 of 5."""
+    from vearch_spark.operators import sort as sort_ops
+
+    fused = multi_vector_search(
+        _emb(spark, sf_dir),
+        [VectorQuery("embedding", QV_IP), VectorQuery("embedding", QV_F2)],
+        limit=10,
+        metric="InnerProduct",
+        weights=[FUSION_W1, FUSION_W2],
+        per_field_k=FUSION_K,
+        id_col="vec_id",
+        output_fields=["label"],
+    )
+    page = sort_ops.sorted_page(
+        fused, [("label", True)], page_size=5, page_num=1, tie_break="vec_id"
+    )
+    return page.select(
+        "vec_id", "label", F.col("_score").cast("float").alias("fused_score")
+    )
+
+
+def q_delete_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-by-ids result state (Engine::Delete engine.cc:869-900):
+    the surviving table after tombstoning a fixed id list, aggregated."""
+    li = lineitem_space(spark, sf_dir)
+    return li.where(~F.col("_id").isin(GET_IDS)).agg(
+        F.count("*").alias("n_docs"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
 def q_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query verb: filter scan in ingest (_seq) order, default-limit 50
     (Engine::Query engine.cc:449-528)."""
@@ -1122,6 +1172,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_score_band_offset": q_knn_score_band_offset,
     "knn_batch": q_knn_batch,
     "multivector_fusion": q_multivector_fusion,
+    "knn_sorted_by_field": q_knn_sorted_by_field,
+    "multivector_fusion_sorted": q_multivector_fusion_sorted,
+    "delete_by_ids": q_delete_by_ids,
     "filter_scan": q_filter_scan,
     "term_filter_arrays": q_term_filter_arrays,
     "get_by_ids": q_get_by_ids,
@@ -1321,6 +1374,40 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(0.0 + s1.sc * {FUSION_W1!r} + s2.sc * {FUSION_W2!r} AS REAL) AS fused_score
             FROM s1 JOIN s2 ON s1.vec_id = s2.vec_id
             ORDER BY fused_score DESC, s1.vec_id ASC LIMIT 10
+        """,
+        "knn_sorted_by_field": f"""
+            WITH hits AS (
+              SELECT vec_id, label, {l2sq} AS score FROM embeddings
+              ORDER BY score ASC, vec_id ASC LIMIT 12
+            )
+            SELECT vec_id, label, CAST(score AS REAL) AS score FROM hits
+            ORDER BY label DESC NULLS LAST, vec_id ASC
+            LIMIT 4 OFFSET 4
+        """,
+        "multivector_fusion_sorted": f"""
+            WITH s1 AS (
+              SELECT vec_id, {ip1} AS sc
+              FROM embeddings
+              ORDER BY sc DESC, vec_id ASC LIMIT {FUSION_K}
+            ), s2 AS (
+              SELECT vec_id, {ip2} AS sc
+              FROM embeddings
+              ORDER BY sc DESC, vec_id ASC LIMIT {FUSION_K}
+            ), fused AS (
+              SELECT s1.vec_id AS vec_id, e.label AS label,
+                     CAST(0.0 + s1.sc * {FUSION_W1!r} + s2.sc * {FUSION_W2!r} AS REAL) AS fused_score
+              FROM s1 JOIN s2 ON s1.vec_id = s2.vec_id
+              JOIN embeddings e ON e.vec_id = s1.vec_id
+              ORDER BY fused_score DESC, s1.vec_id ASC LIMIT 10
+            )
+            SELECT vec_id, label, fused_score FROM fused
+            ORDER BY label ASC NULLS LAST, vec_id ASC
+            LIMIT 5 OFFSET 0
+        """,
+        "delete_by_ids": f"""
+            SELECT count(*) AS n_docs, sum(l_quantity) AS sum_qty
+            FROM ({li_space})
+            WHERE _id NOT IN ({ids})
         """,
         "filter_scan": f"""
             SELECT _id, _seq, l_quantity, l_discount, l_returnflag

@@ -76,6 +76,11 @@ def search(space: Space, req: dict) -> DataFrame:
         output_fields=req.get("fields"),
         vector_value=bool(req.get("vector_value", False)),
         partition_names=req.get("partition_names"),
+        # post-merge sort + page slicing (search_doc.go:71-94,
+        # doc_service.go:172-187, client.go:888-904)
+        sort=req.get("sort"),
+        page_size=req.get("page_size"),
+        page_num=req.get("page_num"),
     )
     if len(parsed) == 1:
         vq = parsed[0]

@@ -53,6 +53,7 @@ from vearch_spark.operators.fusion import VectorQuery, multi_vector_search
 from vearch_spark.schema import (
     ID_FIELD,
     PARTITION_FIELD,
+    SCORE_FIELD,
     SEQ_FIELD,
     FieldType,
     Metric,
@@ -682,6 +683,30 @@ class Space:
         )
         return out.select(*(output_fields or self.schema.default_output_fields()))
 
+    def _post_sort(
+        self,
+        hits: DataFrame,
+        order: list[tuple[str, bool]] | None,
+        metric: Metric,
+        page_size: int | None,
+        page_num: int | None,
+    ) -> DataFrame:
+        """Router post-merge treatment of the merged top-k: re-sort by
+        the user sort list (applied regardless of ranker,
+        doc_service.go:172-187; typed comparators with missing-last
+        sortorder/sort.go:23-150) and slice ``page_size``/``page_num``
+        out of the final ordered list (client.go:888-904 — pages index
+        into the merged topN, so a page past ``limit`` is short/empty).
+        Sorting here touches only the ≤limit hit rows, never the scan."""
+        if order is None and page_size is None:
+            return hits
+        if not order:
+            # page slicing without a user sort keeps score order
+            order = [(SCORE_FIELD, metric.ascending)]
+        return sort_ops.sorted_page(
+            hits, order, limit=None, offset=0, page_size=page_size, page_num=page_num
+        )
+
     def search(
         self,
         vector: Sequence[float] | None = None,
@@ -699,17 +724,37 @@ class Space:
         output_fields: list[str] | None = None,
         vector_value: bool = False,
         partition_names: Sequence[str] | None = None,
+        sort: list | None = None,
+        page_size: int | None = None,
+        page_num: int | None = None,
     ) -> DataFrame:
         """The search verb (doc_http.go:659-744, SURVEY.md §2.4).
 
         ``is_brute_search``: 0 = index, 1 = exact scan, 2 = auto (exact
         until an index is trained — engine.cc:280-308).
+        ``sort``/``page_size``/``page_num``: post-merge re-sort + page
+        slice of the top-k hits (search_doc.go:71-94, client.go:888-904).
         """
+        order = sort_ops.parse_sort(sort) if sort else None
+        if order:
+            # sort fields are auto-projected into the output so the
+            # router-side comparator can see them (doc_query.go:1546-1549)
+            need = [n for n, _ in order if n != SCORE_FIELD and n != ID_FIELD]
+            for n in need:
+                self.schema.field(n)  # unknown sort field → SchemaError
+            if output_fields is not None:
+                output_fields = list(output_fields) + [
+                    n for n in need if n not in output_fields
+                ]
         base_df = self._target_partitions(self.df, partition_names)
         if vectors:
             self._route_scheduler_pool(limit, flt, None, None)
             m = self._field_metric(vectors[0].field)
-            return multi_vector_search(
+            if order and output_fields is None:
+                # fusion defaults to (_id, _score); a field sort needs
+                # the scalar fields joined back in
+                output_fields = self.schema.default_output_fields()
+            fused = multi_vector_search(
                 base_df,
                 vectors,
                 limit=limit,
@@ -720,6 +765,7 @@ class Space:
                 l2_sqrt=l2_sqrt,
                 output_fields=output_fields,
             )
+            return self._post_sort(fused, order, m, page_size, page_num)
         if vector is None:
             raise SearchError("search requires a query vector")
         if vector_field is None:
@@ -751,7 +797,7 @@ class Space:
                 # so the target becomes an extra pushed predicate
                 ppred = F.col(PARTITION_FIELD).isin(list(partition_names))
                 pred = ppred if pred is None else (pred & ppred)
-            return index.search(  # type: ignore[attr-defined]
+            hits = index.search(  # type: ignore[attr-defined]
                 self.df,
                 query=list(vector),
                 limit=limit,
@@ -764,7 +810,8 @@ class Space:
                 output_fields=output_fields,
                 vector_value=vector_value,
             )
-        return topk.search(
+            return self._post_sort(hits, order, spec.metric, page_size, page_num)
+        hits = topk.search(
             base_df,
             vector_col=vector_field,
             query=list(vector),
@@ -780,6 +827,7 @@ class Space:
             output_fields=output_fields,
             vector_value=vector_value,
         )
+        return self._post_sort(hits, order, spec.metric, page_size, page_num)
 
     # --------------------------------------------------------------- index
 
