@@ -1974,12 +1974,140 @@ def _oracle_sql_base() -> dict[str, str]:
     }
 
 
+# The driver's oracle comparison always runs at sf0.01 (TESTDATA.md);
+# the IVF oracles embed centroids recomputed from that exact data, so
+# they are sf-bound. tools/check_oracle.py exports this var when
+# pointed at a different SF so local checks stay consistent.
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _sql_cents_cte(cents) -> str:
+    """``cents(cid, c, c2)`` VALUES literal from the recomputed coarse
+    centroids. c2 comes from the SAME numpy ``(c**2).sum(axis=1)`` call
+    the Spark assignment UDF uses (ivf._nearest_centroid_udf), so the
+    assignment argmin expression ``c2 - 2·x·c`` is built from identical
+    float64 constants on both sides."""
+    c2s = (cents**2).sum(axis=1)
+    rows = ", ".join(
+        f"({i}, {_sql_vec([float(v) for v in c])}, {float(c2)!r})"
+        for i, (c, c2) in enumerate(zip(cents, c2s))
+    )
+    return f"cents(cid, c, c2) AS (VALUES {rows})"
+
+
+def _sql_ivf_assign() -> str:
+    """Per-row coarse assignment, recomputed in DuckDB: argmin over the
+    centroid literals of ``c2 - 2·x·c`` (the UDF's expanded-L2 form),
+    ties to the lowest cid (numpy argmin keeps the first minimum)."""
+    dot = _sql_ip_cols("e.embedding", "c.c")
+    return f"""assign AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY c.c2 - 2 * ({dot}) ASC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )"""
+
+
+def _ivf_oracle_sql() -> dict[str, str]:
+    """Deterministic oracles for the IVF family (VERDICT r01 item 5).
+
+    Centroids are independently recomputed (pyarrow+numpy, no Spark —
+    bit-identical to the index fit, asserted by tests/test_ivf_oracle.py);
+    DuckDB then redoes cluster assignment and the cell-pruned exact
+    top-k from the literals. Probe cells are computed with the same
+    numpy routine the index uses and inlined as ``cid IN (...)``.
+
+    IVFPQ/IVFRaBitQ end with an exact rerank over a pool (100/400) far
+    wider than k=10 within the probed cells, so their deterministic
+    answer IS the pruned exact top-k — the quantized screens (ADC /
+    angular estimate) only order the pool. Recall gates on the screens
+    themselves stay in tests/test_ivf_recall.py."""
+    from vearch_spark.operators.ivf_oracle import (
+        binary_centroids,
+        binary_probe_cells,
+        float_centroids,
+        float_probe_cells,
+    )
+
+    cents = float_centroids(ORACLE_SF_DIR)
+    cte = f"WITH {_sql_cents_cte(cents)}, {_sql_ivf_assign()}"
+
+    def pruned_knn(q: list[float], nprobe: int, limit: int) -> str:
+        cells = ", ".join(str(c) for c in float_probe_cells(cents, q, nprobe))
+        sc = _sql_l2sq("embedding", q)
+        return f"""{cte}
+            SELECT vec_id, CAST({sc} AS REAL) AS score
+            FROM assign WHERE cid IN ({cells})
+            ORDER BY score ASC, vec_id ASC LIMIT {limit}
+        """
+
+    def batch_branch(qid: int, q: list[float], nprobe: int, limit: int) -> str:
+        cells = ", ".join(str(c) for c in float_probe_cells(cents, q, nprobe))
+        sc = _sql_l2sq("embedding", q)
+        return f"""
+            SELECT {qid} AS query_id, vec_id, {sc} AS score,
+                   row_number() OVER (ORDER BY {sc} ASC, vec_id ASC) AS rn
+            FROM assign WHERE cid IN ({cells})
+        """
+
+    bcents = binary_centroids(ORACLE_SF_DIR)
+    qcode = [
+        sum((1 << b) if QV_L2[j * 8 + b] > 0.5 else 0 for b in range(8))
+        for j in range(DIM // 8)
+    ]
+    bcells = ", ".join(str(c) for c in binary_probe_cells(bcents, qcode, 8))
+    bcent_rows = ", ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in c)}])" for i, c in enumerate(bcents)
+    )
+    nb = DIM // 8
+
+    def ham(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {nb}), "
+            f"j -> bit_count(xor({a}[j]::BIGINT, {b}[j]::BIGINT))))"
+        )
+
+    return {
+        "ivfflat_knn": pruned_knn(QV_L2, nprobe=4, limit=10),
+        "ivfpq_knn": pruned_knn(QV_L2, nprobe=12, limit=10),
+        "ivfrabitq_knn": pruned_knn(QV_L2, nprobe=14, limit=10),
+        "ivf_batch_knn": f"""{cte}
+            SELECT query_id, vec_id, CAST(score AS REAL) AS score FROM (
+              {batch_branch(0, QV_L2, 6, 10)}
+              UNION ALL
+              {batch_branch(1, QV_F2, 6, 10)}
+            ) WHERE rn <= 10
+        """,
+        "binaryivf_knn": f"""
+            WITH codes AS (
+              SELECT vec_id,
+                     [{", ".join(_sql_byte(j) for j in range(nb))}] AS code
+              FROM embeddings
+            ), bcents(cid, c) AS (VALUES {bcent_rows}),
+            bassign AS (
+              SELECT vec_id, code, cid FROM (
+                SELECT t.vec_id, t.code, b.cid,
+                       row_number() OVER (PARTITION BY t.vec_id
+                         ORDER BY {ham("t.code", "b.c")} ASC, b.cid ASC) AS rn
+                FROM codes t CROSS JOIN bcents b
+              ) WHERE rn = 1
+            )
+            SELECT vec_id, {ham("code", f"({_sql_qcodes()})")}::BIGINT AS hamming
+            FROM bassign WHERE cid IN ({bcells})
+            ORDER BY hamming ASC, vec_id ASC LIMIT 10
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # minhash_dedup exact-verifies every candidate pair, so its answer
     # is the exact n-gram Jaccard pair set (LSH recall ≈ 1 at the
     # verified threshold — see q_minhash_dedup).
     d["minhash_dedup"] = d["ngram_jaccard_dedup"]
+    d.update(_ivf_oracle_sql())
     return d
 
 

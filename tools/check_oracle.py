@@ -43,13 +43,19 @@ def value_hash(rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    import duckdb
+    import os
 
-    import __spark_entry__ as entry
-    from vearch_spark.session import get_spark
+    import duckdb
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # the IVF oracles embed centroids recomputed from the oracle SF's
+    # parquet — keep them bound to the SF under test
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
+    import __spark_entry__ as entry
+    from vearch_spark.session import get_spark
 
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
