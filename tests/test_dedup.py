@@ -69,6 +69,36 @@ def test_minhash_lsh_finds_near_dups(docs_df):
     assert all(p in {(0, 1), (2, 3)} for p in pairs)
 
 
+def test_minhash_md5_variant_matches_xxhash_pairs(docs_df):
+    # the oracle-reproducible md5_31 family is a different permutation
+    # family, not a different algorithm — on a tiny corpus both find
+    # exactly the verified pair set
+    out = dedup.minhash_lsh_pairs(docs_df, jaccard_threshold=0.5, shingle_hash="md5_31")
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(0, 1), (2, 3)}
+
+
+def test_minhash_hot_bucket_guard_bounds_pair_emission(spark):
+    # degenerate corpus: 2000 identical docs → every band bucket holds
+    # all 2000 ids. Without the guard that is 32 × 2M candidate pairs;
+    # with it, each bucket emits a consecutive chain (n−1 pairs), so
+    # the distinct pair set is exactly 1999 — and still connects the
+    # whole duplicate group for connected-components resolution.
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("all these documents carry the very same duplicated text body").alias(
+            "text"
+        ),
+    )
+    out = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.5, max_bucket=100)
+    rows = out.collect()
+    assert len(rows) == n - 1
+    assert all(r.jaccard == 1.0 for r in rows)
+    # chain pairs: (i, i+1) for every consecutive id — one component
+    assert {(r.id_a, r.id_b) for r in rows} == {(i, i + 1) for i in range(n - 1)}
+
+
 def test_simhash_pairs(docs_df):
     sh = docs_df.select(dedup.simhash64("text").alias("s"), "doc_id").collect()
     sig = {r.doc_id: r.s for r in sh}

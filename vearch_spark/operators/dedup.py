@@ -40,6 +40,34 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # permutation families
 _MERSENNE61 = (1 << 61) - 1
 
+# Mersenne prime 2^31-1: modulus of the cross-engine-reproducible
+# permutation family — every intermediate (h*16+digit, a*h+b) stays
+# below 2^63, so signed-64-bit SQL engines compute it exactly
+_PRIME31 = (1 << 31) - 1
+
+
+def affine_family(num_hashes: int, seed: int, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """The seeded (a, b) coefficients of the affine universal-hash
+    permutation family ((a·h + b) mod p). Exposed so the DuckDB oracle
+    builds its literals from the SAME rng draws the UDF uses — the two
+    sides cannot drift."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, p, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, p, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def md5_mod31_expr(col: Column) -> Column:
+    """(first 16 hex digits of md5(s) as uint64) mod 2^31-1 in three
+    JVM expressions: ``conv`` parses the hex as an unsigned 64-bit
+    decimal string, ``decimal(20,0)`` holds the full value exactly, and
+    the mod is exact decimal arithmetic. An independent SQL engine
+    reproduces it digit-for-digit (the minhash analog of simhash64's
+    sha256 token-hash variant)."""
+    hex16 = F.substring(F.md5(col), 1, 16)
+    dec = F.conv(hex16, 16, 10).cast("decimal(20,0)")
+    return (dec % F.lit(_PRIME31)).cast("long")
+
 
 _SHINGLE_UDFS: dict[int, object] = {}
 
@@ -104,19 +132,34 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     )
 
 
-def minhash_signature_fast(shingles: Column, num_hashes: int = 128, seed: int = 42) -> Column:
-    """Vectorized minhash signature: one JVM ``xxhash64`` pass per
-    shingle, then the ``num_hashes`` permutations as an affine universal
-    hash family ((a·h + b) mod 2^61−1) evaluated in numpy via an
-    Arrow-batched pandas UDF.
+def minhash_signature_fast(
+    shingles: Column,
+    num_hashes: int = 128,
+    seed: int = 42,
+    shingle_hash: str = "xxhash64",
+) -> Column:
+    """Vectorized minhash signature: one JVM hash pass per shingle,
+    then the ``num_hashes`` permutations as an affine universal hash
+    family ((a·h + b) mod p) evaluated in numpy via an Arrow-batched
+    pandas UDF.
 
     Same LSH guarantees as :func:`minhash_signature` at a fraction of
     the cost — the per-permutation work is a C-level matrix op instead
     of an interpreted Catalyst lambda. ~10× faster at 128 perms.
+
+    ``shingle_hash``: ``xxhash64`` (default fast path, p = 2^61−1,
+    wrap-around products) or ``md5_31`` (md5-derived 31-bit hashes,
+    p = 2^31−1 — every intermediate is exact in signed 64-bit, so an
+    independent SQL engine reproduces the whole signature; the DuckDB
+    oracle's configuration).
     """
-    rng = np.random.default_rng(seed)
-    a = (rng.integers(1, _MERSENNE61, size=num_hashes, dtype=np.int64)).astype(np.uint64)
-    b = (rng.integers(0, _MERSENNE61, size=num_hashes, dtype=np.int64)).astype(np.uint64)
+    if shingle_hash == "md5_31":
+        p = _PRIME31
+        base = F.transform(shingles, md5_mod31_expr)
+    else:
+        p = _MERSENNE61
+        base = F.transform(shingles, lambda sh: F.xxhash64(sh))
+    a, b = affine_family(num_hashes, seed, p)
 
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -125,13 +168,13 @@ def minhash_signature_fast(shingles: Column, num_hashes: int = 128, seed: int = 
         out = []
         for hs in hashes:
             h = np.asarray(hs, dtype=np.uint64)
-            # (num_hashes, n_shingles) affine family, wrap-around mod 2^64
-            # then fold into 2^61-1 (uniformity is all LSH needs)
-            vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
+            # (num_hashes, n_shingles) affine family; for p=2^61-1 the
+            # products wrap mod 2^64 before the fold (uniformity is all
+            # LSH needs); for p=2^31-1 nothing wraps — exact
+            vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(p)
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    base = F.transform(shingles, lambda sh: F.xxhash64(sh))
     return sig(base)
 
 
@@ -143,6 +186,8 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    shingle_hash: str = "xxhash64",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact verification.
 
@@ -150,6 +195,19 @@ def minhash_lsh_pairs(
     threshold. Candidates are generated only inside LSH buckets (band
     hash collisions), so the join never goes O(n²); the verify step
     recomputes exact Jaccard on the shingle sets of candidates only.
+
+    ``shingle_hash``: forwarded to :func:`minhash_signature_fast` —
+    ``md5_31`` makes the whole pipeline reproducible by the DuckDB
+    oracle.
+
+    ``max_bucket`` (skew guard): a degenerate corpus — thousands of
+    identical documents — makes one band bucket quadratic (the LSH
+    analog of the n-gram path's hot-shingle df-cap). Buckets larger
+    than ``max_bucket`` switch from the all-pairs self-join to a
+    consecutive chain over the id-sorted members (n−1 pairs instead of
+    n·(n−1)/2): every member still connects to its duplicate cluster —
+    connected-components resolution recovers the full group — but pair
+    emission stays linear. ``None`` disables the guard.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -159,7 +217,10 @@ def minhash_lsh_pairs(
     # cached: consumed by both join sides and the verify lookback —
     # without it the signature pipeline runs 3×
     base = base.persist()
-    sig = base.withColumn("_sig", minhash_signature_fast(F.col("_sh"), num_hashes))
+    sig = base.withColumn(
+        "_sig",
+        minhash_signature_fast(F.col("_sh"), num_hashes, shingle_hash=shingle_hash),
+    )
 
     # the exploded band relation stays NARROW (id, band, bandhash) — the
     # wide shingle arrays never ride through the bucket join
@@ -181,14 +242,41 @@ def minhash_lsh_pairs(
     # relation — without it the signature UDF pipeline runs twice
     banded = banded.persist()
 
-    left = banded.select("_b", "_bh", F.col("_did").alias("id_a"))
-    right = banded.select("_b", "_bh", F.col("_did").alias("id_b"))
+    if max_bucket is not None:
+        # hot-bucket detection is a groupBy with map-side partial
+        # aggregation whose output is only the OVERSIZED keys — at most
+        # rows/max_bucket of them, tiny in any non-degenerate corpus —
+        # so the split below is two broadcast joins (map-side, no
+        # shuffle) and the chain window sorts only hot-bucket rows
+        # (normally zero), not the whole banded relation
+        hot = F.broadcast(
+            banded.groupBy("_b", "_bh")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("_b", "_bh")
+        )
+        banded_small = banded.join(hot, ["_b", "_bh"], "left_anti")
+        wo = Window.partitionBy("_b", "_bh").orderBy("_did")
+        chain = (
+            banded.join(hot, ["_b", "_bh"], "semi")
+            .withColumn("_prev", F.lag("_did").over(wo))
+            .where(F.col("_prev").isNotNull())
+            .select(F.col("_prev").alias("id_a"), F.col("_did").alias("id_b"))
+        )
+    else:
+        banded_small = banded
+        chain = None
+
+    left = banded_small.select("_b", "_bh", F.col("_did").alias("id_a"))
+    right = banded_small.select("_b", "_bh", F.col("_did").alias("id_b"))
     cands = (
         left.join(right, on=["_b", "_bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if chain is not None:
+        cands = cands.unionByName(chain)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
 
     # exact verify: fetch shingle sets for candidates only
     cands = cands.join(
