@@ -45,6 +45,42 @@ def test_read_jsonl_valid_and_rejects(spark, tmp_path):
     assert any("malformed" in r for r in reasons)
 
 
+def test_read_jsonl_ill_typed_field_rejected(spark, tmp_path):
+    # PERMISSIVE from_json nulls a failed cast — the key-present/
+    # parsed-NULL audit must reject instead of silently loading
+    lines = [
+        '{"_id": "a", "field_int": "abc", "field_vector": [0.1,0.1,0.1,0.1]}',
+        '{"_id": "b", "field_int": null, "field_vector": [0.1,0.1,0.1,0.1]}',
+        '{"_id": "c", "field_int": 3, "field_vector": "nope"}',
+    ]
+    docs, rejects = read_jsonl(spark, write_lines(tmp_path, lines), make_schema())
+    assert docs.count() == 0
+    reasons = sorted(r.reason for r in rejects.collect())
+    assert reasons == [
+        "ill-typed field: field_int",
+        "ill-typed field: field_int",
+        "ill-typed field: field_vector",
+    ]
+
+
+def test_read_jsonl_missing_id_synthesized_deterministic(spark, tmp_path):
+    # id-less lines get md5(line) — distinct docs stay distinct (they
+    # used to collapse onto NULL in the upsert LWW window), and the
+    # same line always maps to the same id (task-retry idempotent)
+    lines = [
+        json.dumps({"field_int": 1, "field_vector": [0.1] * 4}),
+        json.dumps({"field_int": 2, "field_vector": [0.2] * 4}),
+    ]
+    path = write_lines(tmp_path, lines)
+    docs, rejects = read_jsonl(spark, path, make_schema())
+    assert rejects.count() == 0
+    rows = docs.collect()
+    ids = {r._id for r in rows}
+    assert len(ids) == 2 and all(i and len(i) == 32 for i in ids)
+    again = {r._id for r in read_jsonl(spark, path, make_schema())[0].collect()}
+    assert again == ids
+
+
 def test_load_jsonl_strict_raises(spark, tmp_path):
     path = write_lines(tmp_path, ['{"_id": "a", "field_int": 1, "bogus": true}'])
     sp = Space(spark, make_schema())

@@ -88,6 +88,29 @@ def test_delete_by_query(space):
     assert space.count() == 7
 
 
+def test_delete_by_query_cap_refuses_broad_predicate(space):
+    from vearch_spark.errors import DocumentError
+
+    # a broad predicate past the cap must refuse WITHOUT deleting —
+    # the driver-side id list never materializes beyond max_ids+1
+    with pytest.raises(DocumentError, match="delete_by_query_df"):
+        space.delete_by_query(
+            {"operator": "AND", "conditions": [{"field": "field_int", "operator": ">=", "value": 0}]},
+            max_ids=5,
+        )
+    assert space.count() == 10
+
+
+def test_delete_by_query_df_distributed(space):
+    # the DataFrame form deletes the same rows but returns the ids as a
+    # relation (checkpointed executor-side, valid after the commit)
+    matched = space.delete_by_query_df(
+        {"operator": "AND", "conditions": [{"field": "field_int", "operator": "<", "value": 3}]}
+    )
+    assert space.count() == 7
+    assert sorted(r._id for r in matched.collect()) == ["0", "1", "2"]
+
+
 def test_query_scan_ingest_order(space):
     out = space.query(limit=5)
     assert [r._id for r in out.collect()] == ["0", "1", "2", "3", "4"]

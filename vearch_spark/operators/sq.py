@@ -50,6 +50,11 @@ class SQ8Quantizer:
             .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
             .collect()
         )
+        if not rows:
+            raise ValueError(
+                f"SQ8Quantizer.fit: no vectors to train on — column "
+                f"{self.vec_col!r} is empty or all-NULL"
+            )
         dims = max(r["dim"] for r in rows) + 1
         self.vmin = np.zeros(dims)
         self.vmax = np.ones(dims)

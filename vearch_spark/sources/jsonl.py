@@ -65,11 +65,36 @@ def read_jsonl(
                 ),
             ),
         )
+    # ill-typed audit: from_json runs PERMISSIVE, so a present key whose
+    # value failed the schema cast (e.g. "field_int": "abc") parses to
+    # NULL instead of failing the row. Key-present + parsed-NULL →
+    # reject, restoring the reference's per-field strictness
+    # (doc_parse.go:56-118). An explicit JSON null is indistinguishable
+    # from a failed cast at this layer and rejects too — the reference
+    # has no nullable-field notion either.
+    for f in schema.fields:
+        parsed = parsed.withColumn(
+            "_reason",
+            F.coalesce(
+                F.col("_reason"),
+                F.when(
+                    F.array_contains(keys, f.name) & F.col(f"_doc.{f.name}").isNull(),
+                    F.lit(f"ill-typed field: {f.name}"),
+                ),
+            ),
+        )
     rejects = parsed.where(F.col("_reason").isNotNull()).select(
         F.col("_line").alias("line"), F.col("_reason").alias("reason")
     )
+    # lines without _id get a deterministic synthesized id (md5 of the
+    # raw line) — the reference auto-generates _id at parse time
+    # (doc_parse.go:56-128); a content hash keeps Spark task retries
+    # idempotent where a random UUID would not, and stops distinct
+    # id-less lines from colliding on NULL in the upsert LWW window
     docs = parsed.where(F.col("_reason").isNull()).select(
-        F.col(ID_FIELD).cast("string").alias(ID_FIELD),
+        F.coalesce(F.col(ID_FIELD).cast("string"), F.md5(F.col("_line"))).alias(
+            ID_FIELD
+        ),
         *[F.col(f"_doc.{f.name}").alias(f.name) for f in schema.fields],
     )
     return docs, rejects

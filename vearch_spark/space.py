@@ -61,6 +61,10 @@ from vearch_spark.schema import (
 )
 
 GET_BY_IDS_CAP = 500  # doc_http.go:579-583
+# delete_by_query returns the matched ids driver-side (reference
+# response parity); the cap bounds that list — beyond it, callers must
+# use the DataFrame-returning delete_by_query_df
+DELETE_BY_QUERY_ID_CAP = 100_000
 
 # brute_force_search_threshold gamma_common_data.h:28 — auto mode refuses
 # index search until the index is trained; below this doc count brute
@@ -561,27 +565,62 @@ class Space:
         self._sync_indexes_on_write(deleted_ids=ids)
         return matched
 
-    def delete_by_query(self, flt: dict | Column) -> list[str]:
-        """Evaluate the filter, delete matches, return their ids
-        (router DelByQueryeExecute client.go:1851-1897). The predicate
-        scan is distributed; only buckets containing matches are
-        rewritten."""
-        pred = compile_filter(flt, self.schema)
-        matches = self.df.where(pred)
+    def _delete_matches(
+        self, pred: Column, matched_ids: DataFrame | Sequence[str]
+    ) -> None:
+        """Shared commit path of both delete-by-query forms: rewrite
+        only buckets containing matches, tombstone the ids in trained
+        indexes. ``matched_ids`` may be a DataFrame (stays distributed)
+        or a bounded list."""
         if self._bucketed():
-            touched = [
-                r["b"]
-                for r in matches.select(self._bucket_expr().alias("b"))
-                .distinct()
-                .collect()
-            ]
+            if isinstance(matched_ids, DataFrame):
+                buckets = matched_ids.select(self._bucket_expr().alias("b")).distinct()
+                touched = [r["b"] for r in buckets.collect()]
+            else:
+                touched = self._buckets_of_ids(matched_ids)
             existing = self._read_buckets(touched)
         else:
             touched, existing = None, self.df
-        doomed = [r[ID_FIELD] for r in matches.select(ID_FIELD).collect()]
         self._commit(existing.where(~F.coalesce(pred, F.lit(False))), touched)
-        self._sync_indexes_on_write(deleted_ids=doomed)
-        return doomed
+        self._sync_indexes_on_write(deleted_ids=matched_ids)
+
+    def delete_by_query(
+        self, flt: dict | Column, max_ids: int = DELETE_BY_QUERY_ID_CAP
+    ) -> list[str]:
+        """Evaluate the filter, delete matches, return their ids
+        (router DelByQueryeExecute client.go:1851-1897; the reference
+        materializes the matched-id list in the router response the
+        same way). The id list is driver-side by contract, so it is
+        limit-probed: when more than ``max_ids`` rows match, the call
+        raises WITHOUT deleting anything and points at
+        :meth:`delete_by_query_df`, the unbounded distributed form —
+        a broad predicate can never OOM the driver."""
+        pred = compile_filter(flt, self.schema)
+        probe = [
+            r[ID_FIELD]
+            for r in self.df.where(pred).select(ID_FIELD).limit(max_ids + 1).collect()
+        ]
+        if len(probe) > max_ids:
+            raise DocumentError(
+                f"delete_by_query matched more than {max_ids} docs; "
+                "use delete_by_query_df() for unbounded deletes"
+            )
+        self._delete_matches(pred, probe)
+        return probe
+
+    def delete_by_query_df(self, flt: dict | Column) -> DataFrame:
+        """Distributed delete-by-query: deletes matches and returns the
+        matched ids as a one-column DataFrame that never rides through
+        the driver — the 100 TB-safe form of the verb. The ids are
+        snapshotted (localCheckpoint, executor-side storage) before the
+        commit so the returned relation stays valid after the table
+        version advances or :meth:`vacuum` reclaims old files."""
+        pred = compile_filter(flt, self.schema)
+        matched = (
+            self.df.where(pred).select(ID_FIELD).localCheckpoint(eager=True)
+        )
+        self._delete_matches(pred, matched)
+        return matched
 
     def flush(self) -> None:
         """No-op: Spark writes are durable (reference Dump engine.cc:1246)."""
