@@ -1141,6 +1141,26 @@ def q_realtime_union_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("_score").cast("float").alias("score"))
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-diversity selection: cluster-balanced sampling over the
+    embedding table, quota 5 per coarse cluster, ranked by id hash
+    (sample.cluster_balanced_sample). Reuses the trained IVFFLAT coarse
+    quantizer — one KMeans fit serves ANN pruning AND diversity
+    sampling. Oracle: the same centroid-literal machinery as the IVF
+    rows (DuckDB recomputes assignment + the md5-ranked quota)."""
+    from vearch_spark.operators.ivf import CLUSTER_COL
+    from vearch_spark.operators.sample import cluster_balanced_sample
+
+    index = _ivf_index(spark, sf_dir, "ivfflat")
+    out = cluster_balanced_sample(
+        _emb(spark, sf_dir), index.centroids,
+        vec_col="embedding", id_col="vec_id", per_cluster=5,
+    )
+    return out.select(
+        F.col(CLUSTER_COL).alias("cid"), "vec_id"
+    ).orderBy("cid", "vec_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → Arrow-batched
     feature extraction (decode stubbed deterministically) → per-source
@@ -1225,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_batch_knn": q_ivf_batch_knn,
     "realtime_union_knn": q_realtime_union_knn,
     "multimodal_features": q_multimodal_features,
+    "cluster_sample": q_cluster_sample,
 }
 
 
@@ -2075,6 +2096,15 @@ def _ivf_oracle_sql() -> dict[str, str]:
         )
 
     return {
+        "cluster_sample": f"""{cte}
+            SELECT cid, vec_id FROM (
+              SELECT cid, vec_id,
+                     row_number() OVER (PARTITION BY cid
+                       ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+              FROM assign
+            ) WHERE rn <= 5
+            ORDER BY cid, vec_id
+        """,
         "ivfflat_knn": pruned_knn(QV_L2, nprobe=4, limit=10),
         "ivfpq_knn": pruned_knn(QV_L2, nprobe=12, limit=10),
         "ivfrabitq_knn": pruned_knn(QV_L2, nprobe=14, limit=10),

@@ -49,3 +49,37 @@ def test_hash_split_partitions_every_row_once(spark):
         df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
     first = {r.doc_id: r.split for r in out.collect()}
     assert first == again
+
+
+def test_cluster_balanced_sample(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vearch_spark.operators.ivf import CLUSTER_COL
+    from vearch_spark.operators.sample import cluster_balanced_sample
+
+    # two well-separated clusters, 20 points each
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(40):
+        center = [0.0, 0.0] if i < 20 else [10.0, 10.0]
+        v = (np.array(center) + rng.normal(0, 0.1, 2)).tolist()
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+
+    out = cluster_balanced_sample(df, cents, id_col="doc_id", per_cluster=3)
+    got = out.select("doc_id", CLUSTER_COL).collect()
+    by_cluster: dict[int, set] = {}
+    for r in got:
+        by_cluster.setdefault(r[CLUSTER_COL], set()).add(r.doc_id)
+    # exact quota per cluster, assignment respected
+    assert {len(v) for v in by_cluster.values()} == {3}
+    assert all(d < 20 for d in by_cluster[0]) and all(d >= 20 for d in by_cluster[1])
+
+    # deterministic and layout-independent: same kept set after a
+    # repartition (the md5 rank is a pure function of the id)
+    again = cluster_balanced_sample(
+        df.repartition(7), cents, id_col="doc_id", per_cluster=3
+    )
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in got}

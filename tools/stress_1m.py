@@ -28,19 +28,19 @@ N_CLUSTERS = 256  # data-generating mixture components
 NQ = 20
 
 
-def make_df(spark, n: int):
+def make_df(spark, n: int, dim: int = DIM):
     """n clustered vectors, generated inside executors (pandas UDF of
     the row id) — the driver never holds the corpus."""
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.functions import pandas_udf
 
-    centers = np.random.default_rng(1).normal(0.0, 10.0, size=(N_CLUSTERS, DIM))
+    centers = np.random.default_rng(1).normal(0.0, 10.0, size=(N_CLUSTERS, dim))
 
     @pandas_udf("array<float>")
     def gen(ids: pd.Series) -> pd.Series:
         iv = ids.to_numpy()
         rng = np.random.default_rng(7)  # noise decorrelated from id below
-        noise = rng.normal(0.0, 1.5, size=(len(iv), DIM))
+        noise = rng.normal(0.0, 1.5, size=(len(iv), dim))
         vecs = centers[iv % N_CLUSTERS] + noise
         return pd.Series(list(vecs.astype(np.float32)))
 

@@ -95,3 +95,47 @@ def hash_split(
     last = list(weights)[-1]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    per_cluster: int = 100,
+) -> DataFrame:
+    """Semantic-diversity selection (the SemDeDup / cluster-balanced
+    recipe): assign every row to its nearest embedding centroid and
+    keep a deterministic per-cluster quota, so dominant semantic modes
+    can't crowd a training mix.
+
+    ``centroids``: a (k, dim) array — typically the coarse quantizer of
+    an already-trained :class:`~vearch_spark.operators.ivf.IVFFlatIndex`
+    (one KMeans fit serves both ANN pruning and diversity sampling).
+
+    Determinism: within a cluster, rows are ranked by md5 of the
+    stringified id — a pure function of the data, layout-independent,
+    reproducible in any engine with md5 (the DuckDB oracle re-derives
+    the full pipeline from centroid literals).
+
+    Scale shape: assignment is one Arrow-batched narrow pass; the quota
+    is a rank window partitioned by cluster id — Spark's
+    WindowGroupLimit applies ``rank <= quota`` map-side, so the single
+    exchange carries at most ``k × per_cluster`` rows per partition,
+    never a crowded cluster's full population.
+    """
+    from pyspark.sql import Window
+
+    from vearch_spark.operators.ivf import CLUSTER_COL, _nearest_centroid_udf
+
+    assigned = df.withColumn(
+        CLUSTER_COL, _nearest_centroid_udf(centroids)(F.col(vec_col))
+    )
+    w = Window.partitionBy(CLUSTER_COL).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= int(per_cluster))
+        .drop("_rank")
+    )

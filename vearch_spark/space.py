@@ -456,7 +456,15 @@ class Space:
         (Engine::AddOrUpdate engine.cc:697-785 likewise touches only
         the routed shard)."""
         batch = self._prepare_batch(rows)
-        n = batch.count()
+        if self._bucketed():
+            # one aggregation action yields BOTH the batch size and the
+            # touched-bucket set (map-side combine over ≤ n_buckets
+            # groups) — not a count plus a distinct-collect
+            stats = batch.groupBy(self._bucket_expr().alias("b")).count().collect()
+            touched = [r["b"] for r in stats]
+            n = sum(r["count"] for r in stats)
+        else:
+            touched, n = None, batch.count()
         if self._df is None and self._manifest is None:
             # bulk load into an empty space: no existing keys to merge
             # against — assign seqs directly and write (the initial-load
@@ -466,13 +474,9 @@ class Space:
             self._commit(seeded)
             return n
         if self._bucketed():
-            touched = [
-                r["b"]
-                for r in batch.select(self._bucket_expr().alias("b")).distinct().collect()
-            ]
             existing = self._read_buckets(touched)
         else:
-            touched, existing = None, self.df
+            existing = self.df
         # new rows get fresh seq numbers in deterministic _id order
         keyed = batch.join(
             existing.select(ID_FIELD, F.col(SEQ_FIELD).alias("_old_seq")),
