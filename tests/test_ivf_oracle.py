@@ -81,6 +81,7 @@ def test_ivf_oracle_sql_builds_for_default_sf():
         "ivfrabitq_knn",
         "ivf_batch_knn",
         "binaryivf_knn",
+        "cluster_sample",
     }
     for s in sqls.values():
         assert "cid" in s and "row_number" in s
