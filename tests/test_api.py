@@ -112,3 +112,32 @@ def test_delete_request(space):
     assert space.count() == 16
     with pytest.raises(DocumentError):
         api.delete(space, {})
+
+
+def test_index_lifecycle_verbs(spark, tmp_path):
+    # POST /index/{flush,forcemerge,rebuild} (doc_http.go:327-329)
+    schema = SpaceSchema(
+        name="idx_api",
+        fields=[
+            FieldSpec("v", FieldType.VECTOR, dimension=DIM,
+                      index=IndexSpec("v", "IVFFLAT",
+                                      params={"ncentroids": 4, "nprobe": 2,
+                                              "training_threshold": 10})),
+        ],
+    )
+    sp = Space(spark, schema, path=str(tmp_path / "idx_api"))
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "v": [float(i), 0.0, 1.0, 0.0]} for i in range(30)
+    ]})
+    api.index_flush(sp)  # durable-writes no-op, must not raise
+
+    rebuilt = api.index_rebuild(sp, {"drop_before_rebuild": True, "limit_cpu": 2})
+    assert rebuilt == ["v"]
+    assert "v" in sp._indexes
+
+    # a full overwrite wave supersedes every v1 bucket; forcemerge
+    # (segment compaction analog) reclaims the dead version dir
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "v": [float(i) + 1.0, 0.0, 1.0, 0.0]} for i in range(30)
+    ]})
+    assert api.index_forcemerge(sp) >= 1

@@ -173,3 +173,19 @@ def test_sq8_encode_is_narrow(spark, sf_dir):
     assert X.count_exchanges(df) == 0
     plan = X.formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_balanced_sample_quota_is_map_side(spark, sf_dir):
+    import numpy as np
+
+    from vearch_spark.operators.sample import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = np.random.default_rng(0).random((8, 64))
+    df = cluster_balanced_sample(emb, cents, id_col="vec_id", per_cluster=5)
+    plan = X.formatted_plan(df)
+    # the per-cluster quota must be applied before the exchange
+    # (WindowGroupLimit), so a crowded cluster never ships its full
+    # population; assignment is the one Arrow-batched pass
+    assert "WindowGroupLimit" in plan
+    assert X.count_exchanges(df) == 1

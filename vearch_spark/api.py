@@ -145,3 +145,43 @@ def delete(space: Space, req: dict) -> list[str]:
     if filters is None:
         raise DocumentError("delete requires document_ids or filters")
     return space.delete_by_query(filters)
+
+
+# ------------------------------------------------- index lifecycle verbs
+# POST /index/{flush,forcemerge,rebuild} (doc_http.go:327-329)
+
+
+def index_flush(space: Space, req: dict | None = None) -> None:
+    """`POST /index/flush` (doc_http.go:832 → Engine::Dump
+    engine.cc:1246): persist engine state. Spark writes are durable at
+    commit, so this delegates to the documented no-op."""
+    space.flush()
+
+
+def index_forcemerge(space: Space, req: dict | None = None) -> int:
+    """`POST /index/forcemerge` (doc_http.go:874): compact segments.
+    The bucketed store's version directories are the segment analog —
+    compaction reclaims every directory the current manifest no longer
+    references. Returns the number removed (the reference returns a
+    per-partition ack)."""
+    return space.vacuum()
+
+
+def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
+    """`POST /index/rebuild` (doc_http.go:937 → Engine::RebuildIndex
+    engine.cc:1013-1084): retrain every declared vector index from the
+    current table. ``drop_before_rebuild`` (default true, as in the
+    reference) clears trained models first so searches fall back to
+    brute force during the rebuild rather than serving the stale index;
+    ``limit_cpu`` is accepted for payload parity and ignored — Spark's
+    scheduler owns parallelism. Returns the rebuilt field names."""
+    req = req or {}
+    if bool(req.get("drop_before_rebuild", True)):
+        space._indexes.clear()
+    rebuilt = []
+    for f in space.schema.vector_fields:
+        if f.index is not None and f.index.is_vector and f.index.physical_type != "FLAT":
+            space.build_index(f.name)
+            if f.name in space._indexes:  # below training_threshold → skipped
+                rebuilt.append(f.name)
+    return rebuilt
