@@ -1161,6 +1161,41 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cid", "vec_id")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the 3 nearest
+    wrong-label rows (mining.hard_negatives — broadcast anchors, one
+    corpus scan, map-side rank window). Anchors = vec_id < 20."""
+    from vearch_spark.operators.mining import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    out = hard_negatives(
+        emb.where(F.col("vec_id") < 20), emb,
+        vec_col="embedding", id_col="vec_id", label_col="label", k=3,
+    )
+    return out.select(
+        "anchor_id", "vec_id", "label", F.col("_score").cast("float").alias("score")
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (p_s ∝ n_s^alpha, the
+    multilingual-pretraining recipe) at alpha=0.5 targeting half the
+    corpus: per-source kept doc counts. Both engines compare the id
+    hash against the SAME integer thresholds derived from the SAME
+    per-source counts, so there is no cross-engine float drift."""
+    from vearch_spark.operators.sample import temperature_mix_sample
+
+    kept = temperature_mix_sample(
+        _docs(spark, sf_dir), alpha=0.5, target_fraction=0.5,
+        id_col="doc_id", stratum_col="source",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("docs_kept"))
+        .orderBy("source")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → Arrow-batched
     feature extraction (decode stubbed deterministically) → per-source
@@ -1246,6 +1281,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "realtime_union_knn": q_realtime_union_knn,
     "multimodal_features": q_multimodal_features,
     "cluster_sample": q_cluster_sample,
+    "hard_negatives": q_hard_negatives,
+    "temperature_mix": q_temperature_mix,
 }
 
 
@@ -2198,9 +2235,64 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def _hard_negatives_sql() -> str:
+    sc = _sql_l2sq_cols("e.embedding", "a.qv")
+    return f"""
+        WITH a AS (
+          SELECT vec_id AS anchor_id, embedding AS qv, label AS albl
+          FROM embeddings WHERE vec_id < 20
+        )
+        SELECT anchor_id, vec_id, label, CAST(score AS REAL) AS score FROM (
+          SELECT a.anchor_id, e.vec_id, e.label, {sc} AS score,
+                 row_number() OVER (PARTITION BY a.anchor_id
+                   ORDER BY {sc} ASC, e.vec_id ASC) AS rn
+          FROM embeddings e JOIN a ON e.label != a.albl
+        ) WHERE rn <= 3
+    """
+
+
+def _temperature_mix_sql() -> str:
+    """Thresholds derive from the SAME python arithmetic the Spark
+    query ran (sample.temperature_rates ∘ rate_threshold), fed by
+    per-source counts DuckDB reads off the same parquet — integers in,
+    integers compared, no cross-engine float drift."""
+    import duckdb
+
+    from vearch_spark.operators.sample import rate_threshold, temperature_rates
+
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT source, count(*) FROM "
+            f"'{ORACLE_SF_DIR}/documents.parquet' GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+    rates = temperature_rates(counts, alpha=0.5, target_fraction=0.5)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {rate_threshold(r)}" for s, r in sorted(rates.items())
+    )
+    return f"""
+        WITH b AS (
+          SELECT source,
+            list_sum(list_transform(range(8), i ->
+              (strpos('0123456789abcdef',
+                      substr(md5(doc_id::VARCHAR), (i+1)::INT, 1)) - 1)::BIGINT
+              * (16 ** (7-i))::BIGINT))::BIGINT AS bucket,
+            CASE source {cases} ELSE 0 END AS thr
+          FROM documents
+        )
+        SELECT source, count(*)::BIGINT AS docs_kept
+        FROM b WHERE bucket < thr
+        GROUP BY source ORDER BY source
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["minhash_dedup"] = _minhash_oracle_sql()
+    d["hard_negatives"] = _hard_negatives_sql()
+    d["temperature_mix"] = _temperature_mix_sql()
     d.update(_ivf_oracle_sql())
     return d
 

@@ -1,0 +1,56 @@
+"""Hard-negative mining vs numpy brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vearch_spark.operators.mining import hard_negatives
+from vearch_spark.schema import Metric
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, rng.random(8).tolist(), i % 3)  # 3 labels
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, embedding array<double>, label int"), rows
+
+
+def test_hard_negatives_match_bruteforce(emb_df):
+    df, rows = emb_df
+    anchors = df.where(F.col("doc_id") < 5)
+    out = hard_negatives(anchors, df, id_col="doc_id", k=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.anchor_id, []).append((r.doc_id, r._score))
+    vecs = {i: np.array(v) for i, v, _ in rows}
+    labels = {i: l for i, _, l in rows}
+    for aid in range(5):
+        cand = sorted(
+            (float(((vecs[i] - vecs[aid]) ** 2).sum()), i)
+            for i in vecs
+            if labels[i] != labels[aid]
+        )[:4]
+        exp = [(i, pytest.approx(d)) for d, i in cand]
+        assert [(i, s) for i, s in got[aid]] == exp
+
+
+def test_hard_negatives_excludes_same_label_and_self(emb_df):
+    df, rows = emb_df
+    labels = {i: l for i, _, l in rows}
+    out = hard_negatives(df.where(F.col("doc_id") == 7), df, id_col="doc_id", k=10)
+    for r in out.collect():
+        assert r.doc_id != 7
+        assert labels[r.doc_id] != labels[7]
+
+
+def test_hard_negatives_ip_metric_descends(emb_df):
+    df, _ = emb_df
+    out = hard_negatives(
+        df.where(F.col("doc_id") == 0), df, id_col="doc_id", k=5,
+        metric=Metric.INNER_PRODUCT,
+    ).collect()
+    scores = [r._score for r in out]
+    assert scores == sorted(scores, reverse=True)

@@ -1,5 +1,7 @@
 """Deterministic stratified sampling (corpus mixing)."""
 
+import pytest
+
 from vearch_spark.operators.sample import hash_bucket, hash_sample, rate_threshold
 
 
@@ -83,3 +85,46 @@ def test_cluster_balanced_sample(spark):
         df.repartition(7), cents, id_col="doc_id", per_cluster=3
     )
     assert {r.doc_id for r in again.collect()} == {r.doc_id for r in got}
+
+
+def test_temperature_rates_math():
+    from vearch_spark.operators.sample import temperature_rates
+
+    counts = {"big": 8000, "small": 1000, "tiny": 125}
+    # alpha=1 → natural proportions: every source keeps target_fraction
+    r1 = temperature_rates(counts, alpha=1.0, target_fraction=0.5)
+    assert all(abs(v - 0.5) < 1e-12 for v in r1.values())
+    # alpha=0 → uniform across sources: equal doc budgets per source,
+    # capped at 1.0 for sources smaller than the budget
+    r0 = temperature_rates(counts, alpha=0.0, target_fraction=0.5)
+    budget = 0.5 * sum(counts.values()) / 3  # ≈1520.8 docs per source
+    # sources smaller than the uniform budget cap at 1.0 (fully kept)
+    assert r0["tiny"] == 1.0 and r0["small"] == 1.0
+    assert abs(r0["big"] * 8000 - budget) < 1e-6
+    # intermediate alpha boosts the tail relative to natural: the keep
+    # rate goes ∝ n^(alpha-1), strictly decreasing in source size until
+    # the 1.0 cap bites (tiny caps here)
+    rmid = temperature_rates(counts, alpha=0.5, target_fraction=0.3)
+    assert rmid["tiny"] == 1.0
+    assert 1.0 > rmid["small"] > rmid["big"]
+    with pytest.raises(ValueError):
+        temperature_rates(counts, alpha=-0.1)
+
+
+def test_temperature_mix_sample_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from vearch_spark.operators.sample import temperature_mix_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2400, "web").otherwise("wiki").alias("source"),
+    )
+    kept = temperature_mix_sample(df, alpha=0.3, target_fraction=0.5)
+    counts = {r.source: r["cnt"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # flattening: wiki (tail) keeps a larger fraction than web
+    assert counts["wiki"] / 600 > counts["web"] / 2400
+    # layout-independent: identical kept set after repartition
+    again = temperature_mix_sample(df.repartition(13), alpha=0.3, target_fraction=0.5)
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in kept.collect()}

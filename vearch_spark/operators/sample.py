@@ -139,3 +139,56 @@ def cluster_balanced_sample(
         .where(F.col("_rank") <= int(per_cluster))
         .drop("_rank")
     )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.3, target_fraction: float = 0.5
+) -> dict[str, float]:
+    """Temperature-based mixing rates (the multilingual-pretraining
+    recipe: sampling probability p_s ∝ n_s^alpha): convert per-source
+    corpus sizes into deterministic per-source keep-rates such that the
+    output is ``target_fraction`` of the corpus with source s
+    represented ∝ n_s^alpha. alpha=1 reproduces natural proportions;
+    alpha→0 flattens toward uniform across sources — upsampling the
+    tail is capped at rate 1.0 (this engine mixes by *filtering*, so a
+    source can't exceed its own size; the overflow stays with the big
+    sources, matching how filtering pipelines apply the recipe).
+
+    Pure driver-side arithmetic on the counts — combine with
+    :func:`hash_sample` so the row-level decisions stay deterministic
+    and layout-independent.
+    """
+    if not counts:
+        return {}
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = sum(counts.values())
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    wsum = sum(weights.values())
+    target = target_fraction * total
+    return {
+        s: min(1.0, (weights[s] / wsum) * target / counts[s])
+        for s in counts
+        if counts[s] > 0
+    }
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.3,
+    target_fraction: float = 0.5,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """One-call temperature mixing: count per source (one map-side-
+    combined aggregation), derive rates, keep rows via the
+    deterministic id-hash filter. Scale shape: one tiny agg action +
+    one narrow filter pass — the counts relation is |sources| rows."""
+    counts = {
+        r[stratum_col]: r["count"]
+        for r in df.groupBy(stratum_col).count().collect()
+    }
+    rates = temperature_rates(counts, alpha, target_fraction)
+    return hash_sample(
+        df, rates, id_col=id_col, stratum_col=stratum_col, default_rate=0.0
+    )
