@@ -162,3 +162,20 @@ def test_dedup_resolve_keeps_one_per_cluster(spark):
     }
     kept = sorted(r.doc_id for r in out if r.is_canonical)
     assert kept == [0, 3, 4]
+
+
+def test_md5_mod31_expr_matches_python(spark):
+    # the cross-engine oracle rests on this identity: the JVM
+    # conv/decimal fold == int(md5_hex16, 16) % (2^31-1), exactly
+    import hashlib
+
+    from vearch_spark.operators.dedup import _PRIME31, md5_mod31_expr
+
+    samples = ["", "a", "the quick brown", "ü€漢", "0" * 64, "x y z"] + [
+        f"shingle {i} text" for i in range(50)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.h for r in df.select("s", md5_mod31_expr(F.col("s")).alias("h")).collect()}
+    for s in samples:
+        exp = int(hashlib.md5(s.encode()).hexdigest()[:16], 16) % _PRIME31
+        assert got[s] == exp, s
