@@ -136,3 +136,32 @@ def test_writes_flow_into_trained_index(spark):
     got = [r._id for r in
            sp.search(vector=probe, limit=2, is_brute_search=0, nprobe=8).collect()]
     assert got[0] == "7" and "new1" not in got and "5" not in got
+
+
+def test_index_dump_reload_across_reopen(spark, tmp_path):
+    """Path-backed spaces dump trained indexes beside the table
+    (Engine::Dump engine.cc:1246) and reload them on open — but only a
+    dump trained at the CURRENT table version; anything older reports
+    UNINDEXED rather than silently serving pre-write state."""
+    p = str(tmp_path / "dumped")
+    sp = Space(spark, schema(threshold=50), path=p)
+    sp.upsert(rows(200))
+    sp.build_index("field_vector")
+    assert sp.index_state("field_vector") == "INDEXED"
+
+    reopened = Space(spark, schema(threshold=50), path=p)
+    assert reopened.index_state("field_vector") == "INDEXED"
+    q = [3.0] * DIM
+    ann = {r._id for r in reopened.search(vector=q, limit=10).collect()}
+    exact = {r._id for r in reopened.search(vector=q, limit=10, is_brute_search=1).collect()}
+    assert len(ann & exact) >= 7
+
+    # advance the table; the on-disk dump is now stale → a fresh open
+    # must NOT load it
+    reopened.upsert(rows(1, start=500))
+    assert reopened.index_state("field_vector") == "INDEXED"  # live model synced in-place
+    stale_open = Space(spark, schema(threshold=50), path=p)
+    assert stale_open.index_state("field_vector") == "UNINDEXED"
+    # rebuild re-dumps at the new version; the next open loads it again
+    stale_open.build_index("field_vector")
+    assert Space(spark, schema(threshold=50), path=p).index_state("field_vector") == "INDEXED"

@@ -186,6 +186,7 @@ class Space:
                 self.n_buckets = int(man["n_buckets"])
                 self._max_seq = int(man["max_seq"])
                 self._refresh_df()
+                self._load_persisted_indexes()
 
     # ------------------------------------------------------------------ io
     #
@@ -916,6 +917,68 @@ class Space:
         )
         model.fit(self.df)
         self._indexes[vector_field] = model
+        if self.path:
+            self._persist_index(vector_field, model)
+
+    def _index_meta_path(self) -> str:
+        return os.path.join(self.path, "indexes", "meta.json")
+
+    def _persist_index(self, field: str, model) -> None:
+        """Dump the trained index beside the table (Engine::Dump
+        engine.cc:1246): the cluster-partitioned parquet form whose
+        probes prune directories, stamped with the table version it was
+        trained at so a reopen can tell live from stale."""
+        import json as _json
+
+        model.save(os.path.join(self.path, "indexes", field))
+        mp = self._index_meta_path()
+        meta = {}
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                meta = _json.load(fh)
+        meta[field] = {
+            "kind": type(model).__name__,
+            "table_version": int(self._manifest["version"]) if self._manifest else 0,
+        }
+        with open(mp, "w") as fh:
+            _json.dump(meta, fh)
+
+    def _load_persisted_indexes(self) -> None:
+        """Reload dumped indexes on open (Engine::Load) — but ONLY
+        those trained at the current table version. An index older than
+        the table would silently serve pre-write state, breaking the
+        write-consistency invariant every search relies on; stale dumps
+        stay on disk and the field reports UNINDEXED until the next
+        build_index (the reference likewise rebuilds indexes that lag
+        the WAL on restart)."""
+        import json as _json
+
+        from vearch_spark.operators.ivf import (
+            IVFFlatIndex,
+            IVFPQIndex,
+            IVFRaBitQIndex,
+        )
+
+        mp = self._index_meta_path()
+        if not os.path.exists(mp):
+            return
+        with open(mp) as fh:
+            meta = _json.load(fh)
+        current = int(self._manifest["version"]) if self._manifest else 0
+        classes = {
+            "IVFFlatIndex": IVFFlatIndex,
+            "IVFPQIndex": IVFPQIndex,
+            "IVFRaBitQIndex": IVFRaBitQIndex,
+        }
+        for field, entry in meta.items():
+            if int(entry["table_version"]) != current:
+                continue  # stale — table advanced since the dump
+            cls = classes.get(entry["kind"])
+            if cls is None:
+                continue
+            self._indexes[field] = cls.load(
+                self.spark, os.path.join(self.path, "indexes", field)
+            )
 
     def add_index(self, field_name: str, index_type: str = "SCALAR",
                   params: dict | None = None) -> None:
