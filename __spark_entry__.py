@@ -1039,6 +1039,16 @@ def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
     key = (id(spark), sf_dir, kind)
     if key not in _INDEX_CACHE:
         emb = _emb(spark, sf_dir)
+        if kind == "ivf2":
+            from vearch_spark.operators.ivf import TwoLevelIVFFlatIndex
+
+            idx = TwoLevelIVFFlatIndex(
+                "embedding", Metric.L2, ncentroids_l1=4, ncentroids_l2=4,
+                nprobe=6, nprobe_l1=3, id_col="vec_id",
+            )
+            idx.fit(emb)
+            _INDEX_CACHE[key] = idx
+            return idx
         if kind == "binaryivf":
             idx = BinaryIVFIndex("code", ncentroids=16, nprobe=8, id_col="vec_id")
             idx.fit(_sign_codes(spark, sf_dir))
@@ -1108,6 +1118,19 @@ def q_binaryivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return index.search(None, qcode, limit=10).select(
         "vec_id", F.col("_score").alias("hamming")
+    )
+
+
+def q_ivf2_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) coarse quantizer ANN search — the
+    >64k-centroid scale path (TwoLevelIVFFlatIndex): k1×k2 cell tree,
+    probe touches O(k1 + nprobe_l1·k2) centroids. Deterministic and
+    hash-checked like the flat IVF rows: DuckDB recomputes the
+    hierarchical assignment from centroid literals and redoes the
+    cell-pruned exact top-k."""
+    index = _ivf_index(spark, sf_dir, "ivf2")
+    return index.search(_emb(spark, sf_dir), QV_L2, limit=10).select(
+        "vec_id", F.col("_score").cast("float").alias("score")
     )
 
 
@@ -1277,6 +1300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfflat_knn": q_ivfflat_knn,
     "ivfpq_knn": q_ivfpq_knn,
     "ivfrabitq_knn": q_ivfrabitq_knn,
+    "ivf2_knn": q_ivf2_knn,
     "ivf_batch_knn": q_ivf_batch_knn,
     "realtime_union_knn": q_realtime_union_knn,
     "multimodal_features": q_multimodal_features,
@@ -2115,6 +2139,57 @@ def _ivf_oracle_sql() -> dict[str, str]:
             FROM assign WHERE cid IN ({cells})
         """
 
+    # two-level (hierarchical) quantizer oracle: DuckDB redoes the
+    # l1-argmin → in-cell l2-argmin assignment from the centroid-tree
+    # literals, then the probed exact top-k (probe list recomputed with
+    # the index's own numpy arithmetic, pinned by tests)
+    from vearch_spark.operators.ivf_oracle import (
+        two_level_centroids,
+        two_level_probe_cells,
+    )
+
+    l1c, l2c = two_level_centroids(ORACLE_SF_DIR, k1=4, k2=4)
+    tl_cells = ", ".join(
+        str(c) for c in two_level_probe_cells(l1c, l2c, QV_L2, nprobe=6, nprobe_l1=3)
+    )
+    l1_rows = ", ".join(
+        f"({i}, {_sql_vec([float(v) for v in c])}, {float(c2)!r})"
+        for i, (c, c2) in enumerate(zip(l1c, (l1c**2).sum(axis=1)))
+    )
+    k2 = l2c.shape[1]
+    l2_rows = ", ".join(
+        f"({c1 * k2 + j}, {_sql_vec([float(v) for v in l2c[c1, j]])}, "
+        f"{float((l2c[c1, j] ** 2).sum())!r})"
+        for c1 in range(l2c.shape[0])
+        for j in range(k2)
+    )
+    dot_l1 = _sql_ip_cols("e.embedding", "l.c")
+    dot_l2 = _sql_ip_cols("a.embedding", "s.c")
+    ivf2_sql = f"""
+        WITH l1(cid, c, c2) AS (VALUES {l1_rows}),
+        l2(cell, c, c2) AS (VALUES {l2_rows}),
+        a1 AS (
+          SELECT vec_id, embedding, cid AS c1 FROM (
+            SELECT e.vec_id, e.embedding, l.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY l.c2 - 2 * ({dot_l1}) ASC, l.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN l1 l
+          ) WHERE rn = 1
+        ),
+        a2 AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT a.vec_id, a.embedding, s.cell,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY s.c2 - 2 * ({dot_l2}) ASC, s.cell ASC) AS rn
+            FROM a1 a JOIN l2 s
+              ON s.cell >= a.c1 * {k2} AND s.cell < a.c1 * {k2} + {k2}
+          ) WHERE rn = 1
+        )
+        SELECT vec_id, CAST({_sql_l2sq("embedding", QV_L2)} AS REAL) AS score
+        FROM a2 WHERE cell IN ({tl_cells})
+        ORDER BY score ASC, vec_id ASC LIMIT 10
+    """
+
     bcents = binary_centroids(ORACLE_SF_DIR)
     qcode = [
         sum((1 << b) if QV_L2[j * 8 + b] > 0.5 else 0 for b in range(8))
@@ -2145,6 +2220,7 @@ def _ivf_oracle_sql() -> dict[str, str]:
         "ivfflat_knn": pruned_knn(QV_L2, nprobe=4, limit=10),
         "ivfpq_knn": pruned_knn(QV_L2, nprobe=12, limit=10),
         "ivfrabitq_knn": pruned_knn(QV_L2, nprobe=14, limit=10),
+        "ivf2_knn": ivf2_sql,
         "ivf_batch_knn": f"""{cte}
             SELECT query_id, vec_id, CAST(score AS REAL) AS score FROM (
               {batch_branch(0, QV_L2, 6, 10)}

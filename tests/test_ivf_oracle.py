@@ -71,6 +71,21 @@ def test_binary_probe_cells_match_index(binary_index):
     assert binary_index.probe_cells(qcode, 8) == binary_probe_cells(bcents, qcode, 8)
 
 
+def test_two_level_centroids_bit_identical(spark):
+    from vearch_spark.operators.ivf_oracle import (
+        two_level_centroids,
+        two_level_probe_cells,
+    )
+
+    idx = entry._ivf_index(spark, SF, "ivf2")
+    l1, l2 = two_level_centroids(SF, k1=4, k2=4)
+    assert np.array_equal(idx.l1_centroids, l1)
+    assert np.array_equal(idx.l2_centroids, l2)
+    assert idx.probe_cells(entry.QV_L2, 6) == two_level_probe_cells(
+        l1, l2, entry.QV_L2, nprobe=6, nprobe_l1=idx.nprobe_l1
+    )
+
+
 def test_ivf_oracle_sql_builds_for_default_sf():
     # the builder must produce SQL for all five keys without a Spark
     # session (the driver may call oracle_sql() in a plain process)
@@ -79,6 +94,7 @@ def test_ivf_oracle_sql_builds_for_default_sf():
         "ivfflat_knn",
         "ivfpq_knn",
         "ivfrabitq_knn",
+        "ivf2_knn",
         "ivf_batch_knn",
         "binaryivf_knn",
         "cluster_sample",

@@ -101,28 +101,37 @@ class IVFFlatIndex:
         self.centroids: np.ndarray | None = None
         self._assigned: DataFrame | None = None
 
+    def _train_sample(self, df: DataFrame) -> np.ndarray:
+        """Bounded driver-side training sample (the reference trains
+        the coarse quantizer on training_threshold docs,
+        engine.cc:759-768; faiss caps clustering samples the same way)
+        — at 262k × 512-dim float64 that is ~1 GB driver peak, bounded
+        regardless of table size."""
+        n = df.count()
+        vec = df.select(self.vector_col)
+        if n > self.coarse_train_sample:
+            vec = vec.sample(self.coarse_train_sample / n, seed=self.seed)
+        sample = vec.toPandas()[self.vector_col]
+        return np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+
+    def _assign_udf(self):
+        """Arrow-batched cell assignment against the trained quantizer
+        — the single hook fit() and add() share, so incremental adds
+        can never assign differently from the build."""
+        return _nearest_centroid_udf(self.centroids)
+
     def _fit_coarse(self, df: DataFrame) -> np.ndarray:
         """Train the coarse quantizer and set ``self._assigned`` LAZILY
         (no persist/materialize — subclasses append their encoding
         columns first so the table is only cached once). Returns the
         driver-side training sample for reuse by subclass codebooks."""
-        n = df.count()
-        k = max(1, min(self.ncentroids, n))
-        # train on a bounded driver-side sample (the reference trains
-        # the coarse quantizer on training_threshold docs,
-        # engine.cc:759-768; faiss caps clustering samples the same
-        # way) — at 262k × 512-dim float64 that is ~1 GB driver peak,
-        # bounded regardless of table size
-        vec = df.select(self.vector_col)
-        if n > self.coarse_train_sample:
-            vec = vec.sample(self.coarse_train_sample / n, seed=self.seed)
-        sample = vec.toPandas()[self.vector_col]
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+        x = self._train_sample(df)
+        k = max(1, min(self.ncentroids, len(x)))
         self.centroids = _kmeans_np(x, k, iters=20, seed=self.seed)
         # assignment covers every row, distributed (Arrow-batched argmin
         # against the small broadcast centroid matrix)
         self._assigned = df.withColumn(
-            CLUSTER_COL, _nearest_centroid_udf(self.centroids)(F.col(self.vector_col))
+            CLUSTER_COL, self._assign_udf()(F.col(self.vector_col))
         )
         return x
 
@@ -165,9 +174,7 @@ class IVFFlatIndex:
         if self.centroids is None or self._assigned is None:
             raise SearchError("index not trained")
         new = self._augment(
-            df.withColumn(
-                CLUSTER_COL, _nearest_centroid_udf(self.centroids)(F.col(self.vector_col))
-            )
+            df.withColumn(CLUSTER_COL, self._assign_udf()(F.col(self.vector_col)))
         )
         old = self._assigned
         self._assigned = old.unionByName(new).persist()
@@ -970,3 +977,184 @@ class BinaryIVFIndex:
     def unpersist(self) -> None:
         if self._assigned is not None:
             self._assigned.unpersist()
+
+
+# --- Two-level coarse quantizer (the >64k-centroid scale path) -------------
+
+
+def _nearest_cell2_udf(l1: np.ndarray, l2: np.ndarray):
+    """Hierarchical cell assignment: argmin over the k1 level-1
+    centroids, then argmin over that cell's k2 sub-centroids — O(k1 +
+    k2) distance rows per vector instead of O(k1·k2). Batches group by
+    the level-1 cell so the sub-centroid matmul runs per GROUP, never
+    materializing an (n, k2, dim) gather."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    a = np.ascontiguousarray(l1, dtype=np.float64)
+    a2 = (a**2).sum(axis=1)
+    b = np.ascontiguousarray(l2, dtype=np.float64)  # (k1, k2, dim)
+    k2 = b.shape[1]
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        c1 = (a2 - 2.0 * (x @ a.T)).argmin(axis=1)
+        out = np.empty(len(x), dtype=np.int64)
+        for c in np.unique(c1):
+            idx = np.nonzero(c1 == c)[0]
+            cc = b[c]
+            d = (cc**2).sum(axis=1)[None, :] - 2.0 * (x[idx] @ cc.T)
+            out[idx] = int(c) * k2 + d.argmin(axis=1)
+        return pd.Series(out.astype(np.int32))
+
+    return assign
+
+
+class TwoLevelIVFFlatIndex(IVFFlatIndex):
+    """IVFFLAT with a two-level (hierarchical) coarse quantizer —
+    the cell-count scale path.
+
+    A flat coarse quantizer stops scaling around ~64k centroids: the
+    driver-side probe ordering is O(ncentroids·dim) per query, and
+    Lloyd's with k approaching the bounded training-sample size is
+    ill-posed. At 100 TB (~10^11 rows) the sqrt(n) sizing rule wants
+    ~10^5–10^6 cells. The classic fix (faiss's IMI / hierarchical
+    coarse quantizers) is a centroid TREE: k1 level-1 cells, each with
+    k2 sub-centroids trained on the cell's residents, giving k1·k2
+    addressable cells while probe selection touches only
+    O(k1 + nprobe_l1·k2) centroid distances and assignment O(k1 + k2)
+    rows per vector.
+
+    Everything downstream is untouched: the index is still one
+    ``_cluster_id`` column (cell id = c1·k2 + c2), storage still
+    ``partitionBy(_cluster_id)``, search still ``cell IN (probes)`` +
+    the exact FLAT kernel — only the quantizer that NAMES the cells is
+    hierarchical. Reference analog: the IVF skeleton of
+    gamma_index_ivfflat.cc with a composite coarse quantizer.
+    """
+
+    def __init__(
+        self,
+        vector_col: str,
+        metric: Metric = Metric.L2,
+        ncentroids_l1: int = 256,
+        ncentroids_l2: int = 64,
+        nprobe: int = 32,
+        nprobe_l1: int | None = None,
+        id_col: str = ID_FIELD,
+        seed: int = 42,
+        coarse_train_sample: int = 262_144,
+        **kw: object,
+    ):
+        super().__init__(
+            vector_col,
+            metric,
+            ncentroids=ncentroids_l1 * ncentroids_l2,
+            nprobe=nprobe,
+            id_col=id_col,
+            seed=seed,
+            coarse_train_sample=coarse_train_sample,
+            **kw,
+        )
+        self.k1 = int(ncentroids_l1)
+        self.k2 = int(ncentroids_l2)
+        # enough level-1 beams that nprobe cells are reachable, plus
+        # slack for boundary effects
+        self.nprobe_l1 = int(nprobe_l1 or max(4, (nprobe + self.k2 - 1) // self.k2 * 2))
+        self.l1_centroids: np.ndarray | None = None
+        self.l2_centroids: np.ndarray | None = None  # (k1, k2, dim)
+
+    def _fit_coarse(self, df: DataFrame) -> np.ndarray:
+        x = self._train_sample(df)
+        dim = x.shape[1]
+        k1 = max(1, min(self.k1, len(x)))
+        l1 = _kmeans_np(x, k1, iters=20, seed=self.seed)
+        a1 = ((l1**2).sum(axis=1)[None, :] - 2.0 * (x @ l1.T)).argmin(axis=1)
+        l2 = np.empty((k1, self.k2, dim), dtype=np.float64)
+        for c in range(k1):
+            sub = x[a1 == c]
+            if len(sub) == 0:
+                sub = l1[c][None, :]
+            cents = _kmeans_np(sub, min(self.k2, len(sub)), iters=10,
+                               seed=self.seed + 1000 + c)
+            if len(cents) < self.k2:
+                # pad under-populated cells with unreachable sentinels
+                # (far from any data) so padded cell ids are never
+                # assigned and never win a probe slot
+                pad = np.full((self.k2 - len(cents), dim), 1.0e6)
+                pad += np.arange(len(pad))[:, None]  # distinct rows
+                cents = np.vstack([cents, pad])
+            l2[c] = cents
+        self.k1 = k1
+        self.l1_centroids, self.l2_centroids = l1, l2
+        # flattened view keeps the base-class contract (save(), ncentroids)
+        self.centroids = l2.reshape(k1 * self.k2, dim)
+        self._assigned = df.withColumn(
+            CLUSTER_COL, self._assign_udf()(F.col(self.vector_col))
+        )
+        return x
+
+    def _assign_udf(self):
+        if self.l1_centroids is None or self.l2_centroids is None:
+            raise SearchError("index not trained")
+        return _nearest_cell2_udf(self.l1_centroids, self.l2_centroids)
+
+    def probe_cells(self, query, nprobe: int | None = None) -> list[int]:
+        """Hierarchical probe: rank level-1 cells, expand the best
+        ``nprobe_l1`` into their sub-centroids, take the globally best
+        ``nprobe`` cell ids among the expanded O(nprobe_l1·k2) — never
+        touching the other (k1−nprobe_l1)·k2 centroids."""
+        if self.l1_centroids is None or self.l2_centroids is None:
+            raise SearchError("index not trained")
+        q = np.asarray(query, dtype=np.float64)
+        nprobe = int(nprobe or self.nprobe)
+        if self.metric is Metric.L2:
+            d1 = ((self.l1_centroids - q) ** 2).sum(axis=1)
+        else:
+            d1 = -(self.l1_centroids @ q)
+        top1 = np.argsort(d1)[: self.nprobe_l1]
+        sub = self.l2_centroids[top1]  # (w1, k2, dim)
+        if self.metric is Metric.L2:
+            d2 = ((sub - q) ** 2).sum(axis=2)
+        else:
+            d2 = -(sub @ q)
+        flat = d2.ravel()
+        order = np.argsort(flat)[:nprobe]
+        w1_idx, c2 = np.divmod(order, self.k2)
+        return [int(top1[i]) * self.k2 + int(j) for i, j in zip(w1_idx, c2)]
+
+    def save(self, path: str) -> None:
+        import json as _json
+        import os
+
+        super().save(path)
+        np.save(os.path.join(path, "l1_centroids.npy"), self.l1_centroids)
+        np.save(os.path.join(path, "l2_centroids.npy"), self.l2_centroids)
+        with open(os.path.join(path, "two_level.json"), "w") as fh:
+            _json.dump({"k1": self.k1, "k2": self.k2,
+                        "nprobe_l1": self.nprobe_l1}, fh)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "TwoLevelIVFFlatIndex":
+        import json as _json
+        import os
+
+        base = IVFFlatIndex.load(spark, path)
+        with open(os.path.join(path, "two_level.json")) as fh:
+            tl = _json.load(fh)
+        idx = cls(
+            base.vector_col,
+            base.metric,
+            ncentroids_l1=tl["k1"],
+            ncentroids_l2=tl["k2"],
+            nprobe=base.nprobe,
+            nprobe_l1=tl["nprobe_l1"],
+            id_col=base.id_col,
+        )
+        idx.l1_centroids = np.load(os.path.join(path, "l1_centroids.npy"))
+        idx.l2_centroids = np.load(os.path.join(path, "l2_centroids.npy"))
+        idx.centroids = base.centroids
+        idx._assigned = base._assigned
+        return idx

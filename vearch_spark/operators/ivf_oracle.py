@@ -91,6 +91,56 @@ def float_probe_cells(
     return [int(c) for c in order[:nprobe]]
 
 
+@functools.lru_cache(maxsize=8)
+def two_level_centroids(
+    sf_dir: str, k1: int = 4, k2: int = 4, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """Recompute TwoLevelIVFFlatIndex's (l1, l2) centroid tree —
+    mirrors ``TwoLevelIVFFlatIndex._fit_coarse`` step for step
+    (level-1 Lloyd's iters=20, per-cell level-2 iters=10 with
+    seed+1000+c, far-sentinel padding). Exactness vs the real fit is
+    pinned by tests/test_ivf_oracle.py."""
+    import pyarrow.parquet as pq
+
+    from vearch_spark.operators.ivf import _kmeans_np
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    dim = x.shape[1]
+    k1 = max(1, min(k1, len(x)))
+    l1 = _kmeans_np(x, k1, iters=20, seed=seed)
+    a1 = ((l1**2).sum(axis=1)[None, :] - 2.0 * (x @ l1.T)).argmin(axis=1)
+    l2 = np.empty((k1, k2, dim), dtype=np.float64)
+    for c in range(k1):
+        sub = x[a1 == c]
+        if len(sub) == 0:
+            sub = l1[c][None, :]
+        cents = _kmeans_np(sub, min(k2, len(sub)), iters=10, seed=seed + 1000 + c)
+        if len(cents) < k2:
+            pad = np.full((k2 - len(cents), dim), 1.0e6)
+            pad += np.arange(len(pad))[:, None]
+            cents = np.vstack([cents, pad])
+        l2[c] = cents
+    return l1, l2
+
+
+def two_level_probe_cells(
+    l1: np.ndarray, l2: np.ndarray, query: list[float], nprobe: int, nprobe_l1: int
+) -> list[int]:
+    """Probe order mirror of ``TwoLevelIVFFlatIndex.probe_cells``
+    (L2 metric)."""
+    q = np.asarray(query, dtype=np.float64)
+    k2 = l2.shape[1]
+    d1 = ((l1 - q) ** 2).sum(axis=1)
+    top1 = np.argsort(d1)[:nprobe_l1]
+    d2 = ((l2[top1] - q) ** 2).sum(axis=2)
+    order = np.argsort(d2.ravel())[:nprobe]
+    w1_idx, c2 = np.divmod(order, k2)
+    return [int(top1[i]) * k2 + int(j) for i, j in zip(w1_idx, c2)]
+
+
 def binary_probe_cells(
     cents: np.ndarray, query_code: list[int], nprobe: int
 ) -> list[int]:
