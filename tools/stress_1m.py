@@ -54,9 +54,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     ncentroids = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    # "flat" (default) or "two_level": the hierarchical quantizer at the
+    # same TOTAL cell count (k1 = k2 = sqrt(ncentroids)), evidencing the
+    # >64k-centroid scale path at measurable size
+    kind = sys.argv[4] if len(sys.argv) > 4 else "flat"
 
     from vearch_spark.operators import topk
-    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.operators.ivf import IVFFlatIndex, TwoLevelIVFFlatIndex
     from vearch_spark.schema import Metric
     from vearch_spark.session import get_spark
 
@@ -68,10 +72,17 @@ def main() -> None:
     queries = centers[np.random.default_rng(3).integers(0, N_CLUSTERS, NQ)] + \
         np.random.default_rng(4).normal(0.0, 1.5, size=(NQ, DIM))
 
-    index = IVFFlatIndex(
-        "embedding", Metric.L2, ncentroids=ncentroids, nprobe=nprobe,
-        id_col="vec_id", coarse_train_sample=65_536,
-    )
+    if kind == "two_level":
+        k_side = max(2, int(round(ncentroids**0.5)))
+        index = TwoLevelIVFFlatIndex(
+            "embedding", Metric.L2, ncentroids_l1=k_side, ncentroids_l2=k_side,
+            nprobe=nprobe, id_col="vec_id", coarse_train_sample=65_536,
+        )
+    else:
+        index = IVFFlatIndex(
+            "embedding", Metric.L2, ncentroids=ncentroids, nprobe=nprobe,
+            id_col="vec_id", coarse_train_sample=65_536,
+        )
     t0 = time.time()
     index.fit(df)
     t_build = time.time() - t0
