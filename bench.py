@@ -122,8 +122,47 @@ def recall_1m_suite(spark) -> dict:
             kth = exact[qid][k - 1][1]  # tie-aware: any score ≤ kth counts
             hit += sum(1 for _, s in approx[qid][:k] if s <= kth + 1e-6)
         out[f"hnsw_sub_recall_at_{k}"] = round(hit / (k * nq), 4)
-    df.unpersist()
     index.unpersist()
+
+    # the reference CI gate runs BOTH regimes: SIFT1M-shaped L2 (above)
+    # and GloVe-shaped InnerProduct over normalized vectors
+    # (test_recall_baseline.py:31-40). Same corpus, L2-normalized, IP
+    # metric, cosine ground truth.
+    from pyspark.sql import functions as F
+
+    from vearch_spark.functions.distance import l2_normalize_fast
+
+    ndf = df.select(
+        "vec_id",
+        l2_normalize_fast(F.col("embedding")).cast("array<float>").alias("embedding"),
+    ).persist()
+    ndf.count()
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    ip_index = IVFFlatIndex(
+        "embedding", Metric.INNER_PRODUCT, ncentroids=256, nprobe=16,
+        id_col="vec_id", coarse_train_sample=65_536,
+    )
+    t0 = time.time()
+    ip_index.fit(ndf)
+    out["ip_index_build_s"] = round(time.time() - t0, 2)
+    # 10 queries (1000 samples at k=100) keep the IP block's exact
+    # batch scan — the cost driver: nq × 1M interpreted dot folds —
+    # at half the L2 block's weight while the gate stays well-powered
+    nq_ip = 10
+    qnl = [q.tolist() for q in qn[:nq_ip]]
+    exact_ip = by_query(ip_index.search_batch(qnl, limit=100, nprobe=256).collect())
+    approx_ip = by_query(ip_index.search_batch(qnl, limit=100).collect())
+    for per in (*exact_ip.values(), *approx_ip.values()):
+        per.sort(key=lambda t: (-t[1], t[0]))  # IP: higher is better
+    for k in (1, 10, 100):
+        hit = 0
+        for qid in range(nq_ip):
+            kth = exact_ip[qid][k - 1][1]
+            hit += sum(1 for _, s in approx_ip[qid][:k] if s >= kth - 1e-6)
+        out[f"hnsw_sub_ip_recall_at_{k}"] = round(hit / (k * nq_ip), 4)
+    ndf.unpersist()
+    ip_index.unpersist()
+    df.unpersist()
     return out
 
 

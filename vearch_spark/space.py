@@ -46,7 +46,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from vearch_spark.errors import DocumentError, SchemaError, SearchError
 from vearch_spark.filters import compile_filter
-from vearch_spark.functions.distance import l2_normalize
+from vearch_spark.functions.distance import l2_normalize, l2_normalize_fast
 from vearch_spark.operators import sort as sort_ops
 from vearch_spark.operators import topk
 from vearch_spark.operators.fusion import VectorQuery, multi_vector_search
@@ -402,11 +402,12 @@ class Space:
             batch = batch.select(
                 F.col(ID_FIELD).cast("string"), *[F.col(f.name).cast(f.spark_type.simpleString()) for f in self.schema.fields]
             )
-        # vector normalization at ingest (doc_parse.go:487-515)
+        # vector normalization at ingest (doc_parse.go:487-515) — the
+        # bulk Arrow path; query-time literals keep the exact fold form
         for f in self.schema.vector_fields:
             if f.normalize:
                 batch = batch.withColumn(
-                    f.name, l2_normalize(F.col(f.name)).cast("array<float>")
+                    f.name, l2_normalize_fast(F.col(f.name)).cast("array<float>")
                 )
         # range-rule routing (space.go:255-285): derive the partition
         # name; a value outside every range is rejected at ingest
