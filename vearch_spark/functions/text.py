@@ -159,17 +159,26 @@ def chunk_spans(text: Column | str, chunk_size: int = 64, overlap: int = 16) -> 
     if overlap >= chunk_size:
         raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
     stride = chunk_size - overlap
-    toks = tokens(text)
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
-    return F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_idx"),
-            F.size(F.slice(toks, s + 1, chunk_size)).alias("n_tokens"),
-            F.array_join(F.slice(toks, s + 1, chunk_size), " ").alias("chunk_text"),
-        ),
-    )
+
+    # let-binding via a single-element transform: interpreted HOF
+    # lambdas re-evaluate captured subexpressions per element, so
+    # referencing tokens(text) directly inside the chunk lambda would
+    # re-split the document per chunk — O(len²/stride) per row. Binding
+    # the token array as a LAMBDA VARIABLE evaluates the split once per
+    # row; inner references are O(1) variable reads.
+    def per_tokens(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.size(F.slice(tk, s + 1, chunk_size)).alias("n_tokens"),
+                F.array_join(F.slice(tk, s + 1, chunk_size), " ").alias("chunk_text"),
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), per_tokens), 1)
 
 
 # --- PII redaction (training-data cleaning) ---------------------------
