@@ -126,9 +126,19 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     sig[i] = min over shingles of xxhash64(i, xxhash64(shingle)).
     """
     base = F.transform(shingles, lambda sh: F.xxhash64(sh))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(i, h))),
+    # let-bind the base-hash array: captured subexpressions inside
+    # interpreted HOF lambdas re-evaluate per element, so referencing
+    # `base` directly in the permutation lambda would re-hash every
+    # shingle string num_hashes times
+    return F.element_at(
+        F.transform(
+            F.array(base),
+            lambda b: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(F.transform(b, lambda h: F.xxhash64(i, h))),
+            ),
+        ),
+        1,
     )
 
 
