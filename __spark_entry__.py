@@ -1219,6 +1219,25 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based decontamination: training rows whose max cosine
+    against a broadcast eval set (every 25th vector) reaches 0.95 — the
+    semantic complement of the 8-gram decontaminate. One train scan,
+    BLAS row-max in mapInPandas, zero shuffles."""
+    from vearch_spark.operators.dedup import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    out = semantic_decontaminate(
+        emb, emb.where(F.col("vec_id") % 25 == 0),
+        vec_col="embedding", id_col="vec_id", threshold=0.95,
+    )
+    return out.select(
+        "vec_id",
+        F.round("max_eval_cosine", 6).alias("max_cos"),
+        "contaminated",
+    ).orderBy("vec_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → Arrow-batched
     feature extraction (decode stubbed deterministically) → per-source
@@ -1307,6 +1326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_sample": q_cluster_sample,
     "hard_negatives": q_hard_negatives,
     "temperature_mix": q_temperature_mix,
+    "semantic_decontaminate": q_semantic_decontaminate,
 }
 
 
@@ -2364,11 +2384,28 @@ def _temperature_mix_sql() -> str:
     """
 
 
+def _semantic_decontaminate_sql() -> str:
+    ipc = _sql_ip_cols("t.embedding", "e.embedding")
+    tn = _sql_ip_cols("t.embedding", "t.embedding")
+    en = _sql_ip_cols("e.embedding", "e.embedding")
+    return f"""
+        SELECT vec_id, round(mx, 6) AS max_cos, mx >= 0.95 AS contaminated
+        FROM (
+          SELECT t.vec_id, max(({ipc}) / (sqrt({tn}) * sqrt({en}))) AS mx
+          FROM embeddings t CROSS JOIN
+               (SELECT embedding FROM embeddings WHERE vec_id % 25 = 0) e
+          GROUP BY t.vec_id
+        )
+        ORDER BY vec_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["minhash_dedup"] = _minhash_oracle_sql()
     d["hard_negatives"] = _hard_negatives_sql()
     d["temperature_mix"] = _temperature_mix_sql()
+    d["semantic_decontaminate"] = _semantic_decontaminate_sql()
     d.update(_ivf_oracle_sql())
     return d
 

@@ -179,3 +179,27 @@ def test_md5_mod31_expr_matches_python(spark):
     for s in samples:
         exp = int(hashlib.md5(s.encode()).hexdigest()[:16], 16) % _PRIME31
         assert got[s] == exp, s
+
+
+def test_semantic_decontaminate(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    ev = rng.normal(0, 1, (3, 8))
+    train_rows = [(0, ev[0].tolist()),                      # exact eval copy
+                  (1, (ev[1] * 2.5).tolist()),              # scaled copy (cos=1)
+                  (2, (ev[2] + rng.normal(0, 0.02, 8)).tolist()),  # near-paraphrase
+                  (3, rng.normal(0, 1, 8).tolist()),        # unrelated
+                  (4, rng.normal(0, 1, 8).tolist())]
+    train = spark.createDataFrame(train_rows, "doc_id long, embedding array<double>")
+    evdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(ev)], "doc_id long, embedding array<double>"
+    )
+    out = {r.doc_id: (r.max_eval_cosine, r.contaminated)
+           for r in dedup.semantic_decontaminate(train, evdf, threshold=0.98).collect()}
+    assert out[0][1] and out[1][1] and out[2][1]   # copies + paraphrase flagged
+    assert not out[3][1] and not out[4][1]
+    assert out[0][0] == pytest.approx(1.0)
+    assert out[1][0] == pytest.approx(1.0)         # cosine ignores scale
+    with pytest.raises(ValueError, match="broadcast ceiling"):
+        dedup.semantic_decontaminate(train, evdf, max_eval_rows=2)

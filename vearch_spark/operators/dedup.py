@@ -745,3 +745,65 @@ def dedup_resolve(
     return out.withColumn(
         "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    max_eval_rows: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-based decontamination: flag training rows whose MAX
+    cosine similarity against any eval/benchmark row reaches
+    ``threshold`` — the semantic complement of the 8-gram overlap
+    check (paraphrased benchmark leakage that exact n-grams miss).
+
+    Returns (``id_col``, max_eval_cosine, contaminated).
+
+    Scale shape: the eval set (benchmarks are small) is L2-normalized
+    and broadcast as a dense matrix; the training side is scanned ONCE
+    with a BLAS ``block @ eval.T`` row-max inside ``mapInPandas`` —
+    no shuffle at all, the same posture as the n-gram decontaminate's
+    broadcast postings. ``max_eval_rows`` guards the broadcast.
+    """
+    from pyspark.sql import types as T
+
+    rows = eval_df.select(vec_col).collect()
+    if len(rows) > max_eval_rows:
+        raise ValueError(
+            f"{len(rows)} eval rows exceed the broadcast ceiling {max_eval_rows}"
+        )
+    emat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(emat, axis=1)
+    norms[norms == 0] = 1.0
+    emat = emat / norms[:, None]
+    b_eval = train.sparkSession.sparkContext.broadcast(emat)
+    thr = float(threshold)
+    vcol, icol = vec_col, id_col
+    out_schema = T.StructType(
+        [
+            train.schema[icol],
+            T.StructField("max_eval_cosine", T.DoubleType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        ev = b_eval.value
+        for pdf in batches:
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vcol]])
+            n = np.linalg.norm(x, axis=1)
+            n[n == 0] = 1.0
+            sims = (x / n[:, None]) @ ev.T
+            mx = sims.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    icol: pdf[icol],
+                    "max_eval_cosine": mx,
+                    "contaminated": mx >= thr,
+                }
+            )
+
+    return train.select(icol, vcol).mapInPandas(run, schema=out_schema)
