@@ -758,6 +758,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), text_col="text", id_col="doc_id",
         num_hashes=128, bands=32, shingle_n=3, jaccard_threshold=0.3,
         shingle_hash="md5_31",
+        # the DuckDB twin is the exact unguarded bucket join — run this
+        # query unguarded too so the comparison holds at ANY SF (the
+        # hot-bucket guard has its own pytest coverage)
+        max_bucket=None,
     )
     return out.orderBy("id_a", "id_b").select(
         "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
@@ -2168,9 +2172,10 @@ def _ivf_oracle_sql() -> dict[str, str]:
         two_level_probe_cells,
     )
 
-    l1c, l2c = two_level_centroids(ORACLE_SF_DIR, k1=4, k2=4)
+    l1c, l2c, l2v = two_level_centroids(ORACLE_SF_DIR, k1=4, k2=4)
     tl_cells = ", ".join(
-        str(c) for c in two_level_probe_cells(l1c, l2c, QV_L2, nprobe=6, nprobe_l1=3)
+        str(c)
+        for c in two_level_probe_cells(l1c, l2c, l2v, QV_L2, nprobe=6, nprobe_l1=3)
     )
     l1_rows = ", ".join(
         f"({i}, {_sql_vec([float(v) for v in c])}, {float(c2)!r})"

@@ -78,11 +78,12 @@ def test_two_level_centroids_bit_identical(spark):
     )
 
     idx = entry._ivf_index(spark, SF, "ivf2")
-    l1, l2 = two_level_centroids(SF, k1=4, k2=4)
+    l1, l2, valid = two_level_centroids(SF, k1=4, k2=4)
     assert np.array_equal(idx.l1_centroids, l1)
     assert np.array_equal(idx.l2_centroids, l2)
+    assert np.array_equal(idx.l2_valid, valid)
     assert idx.probe_cells(entry.QV_L2, 6) == two_level_probe_cells(
-        l1, l2, entry.QV_L2, nprobe=6, nprobe_l1=idx.nprobe_l1
+        l1, l2, valid, entry.QV_L2, nprobe=6, nprobe_l1=idx.nprobe_l1
     )
 
 

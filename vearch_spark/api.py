@@ -177,11 +177,20 @@ def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
     scheduler owns parallelism. Returns the rebuilt field names."""
     req = req or {}
     if bool(req.get("drop_before_rebuild", True)):
+        for model in space._indexes.values():
+            # release the old models' cached relations — clearing the
+            # dict alone would leak one full cached copy per rebuild
+            model.unpersist()
         space._indexes.clear()
+    before = {name: id(model) for name, model in space._indexes.items()}
     rebuilt = []
     for f in space.schema.vector_fields:
         if f.index is not None and f.index.is_vector and f.index.physical_type != "FLAT":
             space.build_index(f.name)
-            if f.name in space._indexes:  # below training_threshold → skipped
+            # report a field only when a NEW model landed — with
+            # drop_before_rebuild=False a below-threshold skip leaves
+            # the old model in place, which is not a rebuild
+            model = space._indexes.get(f.name)
+            if model is not None and id(model) != before.get(f.name):
                 rebuilt.append(f.name)
     return rebuilt

@@ -215,9 +215,16 @@ def minhash_lsh_pairs(
     analog of the n-gram path's hot-shingle df-cap). Buckets larger
     than ``max_bucket`` switch from the all-pairs self-join to a
     consecutive chain over the id-sorted members (n−1 pairs instead of
-    n·(n−1)/2): every member still connects to its duplicate cluster —
-    connected-components resolution recovers the full group — but pair
-    emission stays linear. ``None`` disables the guard.
+    n·(n−1)/2), keeping emission linear. Precision is unaffected (the
+    exact verify still gates every pair). Recall caveat: the chain
+    fully connects a HOMOGENEOUS hot bucket (one duplicate group —
+    the degenerate case the guard exists for); if a hot bucket mixes
+    several distinct duplicate clusters interleaved by id, chain links
+    that cross clusters fail the verify, and a true pair whose ONLY
+    band collision was that bucket can be missed — clusters that also
+    collide in any other (non-hot) band are unaffected. Raise
+    ``max_bucket`` or pass ``None`` to disable when exact parity with
+    the unguarded join is required (the DuckDB oracle runs unguarded).
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -770,11 +777,16 @@ def semantic_decontaminate(
     """
     from pyspark.sql import types as T
 
-    rows = eval_df.select(vec_col).collect()
+    # limit-probe BEFORE collecting: the ceiling must bound what ever
+    # reaches the driver, not fire after the heap is already blown
+    rows = eval_df.select(vec_col).limit(max_eval_rows + 1).collect()
     if len(rows) > max_eval_rows:
         raise ValueError(
-            f"{len(rows)} eval rows exceed the broadcast ceiling {max_eval_rows}"
+            f"eval set exceeds the broadcast ceiling {max_eval_rows}; "
+            "decontaminate in eval batches or raise max_eval_rows"
         )
+    if not rows:
+        raise ValueError("semantic_decontaminate: eval set is empty")
     emat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(emat, axis=1)
     norms[norms == 0] = 1.0

@@ -1065,6 +1065,7 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
         self.nprobe_l1 = int(nprobe_l1 or max(4, (nprobe + self.k2 - 1) // self.k2 * 2))
         self.l1_centroids: np.ndarray | None = None
         self.l2_centroids: np.ndarray | None = None  # (k1, k2, dim)
+        self.l2_valid: np.ndarray | None = None  # (k1, k2) bool
 
     def _fit_coarse(self, df: DataFrame) -> np.ndarray:
         x = self._train_sample(df)
@@ -1073,6 +1074,7 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
         l1 = _kmeans_np(x, k1, iters=20, seed=self.seed)
         a1 = ((l1**2).sum(axis=1)[None, :] - 2.0 * (x @ l1.T)).argmin(axis=1)
         l2 = np.empty((k1, self.k2, dim), dtype=np.float64)
+        valid = np.ones((k1, self.k2), dtype=bool)
         for c in range(k1):
             sub = x[a1 == c]
             if len(sub) == 0:
@@ -1080,15 +1082,19 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
             cents = _kmeans_np(sub, min(self.k2, len(sub)), iters=10,
                                seed=self.seed + 1000 + c)
             if len(cents) < self.k2:
-                # pad under-populated cells with unreachable sentinels
-                # (far from any data) so padded cell ids are never
-                # assigned and never win a probe slot
+                # pad under-populated cells with far sentinels so the
+                # L2 assignment argmin never picks them; the explicit
+                # validity mask below is what keeps them out of PROBE
+                # slots for BOTH metrics (an IP query would otherwise
+                # rank a large-coordinate sentinel best, not worst)
+                valid[c, len(cents):] = False
                 pad = np.full((self.k2 - len(cents), dim), 1.0e6)
                 pad += np.arange(len(pad))[:, None]  # distinct rows
                 cents = np.vstack([cents, pad])
             l2[c] = cents
         self.k1 = k1
         self.l1_centroids, self.l2_centroids = l1, l2
+        self.l2_valid = valid
         # flattened view keeps the base-class contract (save(), ncentroids)
         self.centroids = l2.reshape(k1 * self.k2, dim)
         self._assigned = df.withColumn(
@@ -1120,6 +1126,8 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
             d2 = ((sub - q) ** 2).sum(axis=2)
         else:
             d2 = -(sub @ q)
+        if self.l2_valid is not None:
+            d2 = np.where(self.l2_valid[top1], d2, np.inf)  # mask pad cells
         flat = d2.ravel()
         order = np.argsort(flat)[:nprobe]
         w1_idx, c2 = np.divmod(order, self.k2)
@@ -1132,6 +1140,7 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
         super().save(path)
         np.save(os.path.join(path, "l1_centroids.npy"), self.l1_centroids)
         np.save(os.path.join(path, "l2_centroids.npy"), self.l2_centroids)
+        np.save(os.path.join(path, "l2_valid.npy"), self.l2_valid)
         with open(os.path.join(path, "two_level.json"), "w") as fh:
             _json.dump({"k1": self.k1, "k2": self.k2,
                         "nprobe_l1": self.nprobe_l1}, fh)
@@ -1155,6 +1164,7 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
         )
         idx.l1_centroids = np.load(os.path.join(path, "l1_centroids.npy"))
         idx.l2_centroids = np.load(os.path.join(path, "l2_centroids.npy"))
+        idx.l2_valid = np.load(os.path.join(path, "l2_valid.npy"))
         idx.centroids = base.centroids
         idx._assigned = base._assigned
         return idx

@@ -113,29 +113,37 @@ def two_level_centroids(
     l1 = _kmeans_np(x, k1, iters=20, seed=seed)
     a1 = ((l1**2).sum(axis=1)[None, :] - 2.0 * (x @ l1.T)).argmin(axis=1)
     l2 = np.empty((k1, k2, dim), dtype=np.float64)
+    valid = np.ones((k1, k2), dtype=bool)
     for c in range(k1):
         sub = x[a1 == c]
         if len(sub) == 0:
             sub = l1[c][None, :]
         cents = _kmeans_np(sub, min(k2, len(sub)), iters=10, seed=seed + 1000 + c)
         if len(cents) < k2:
+            valid[c, len(cents):] = False
             pad = np.full((k2 - len(cents), dim), 1.0e6)
             pad += np.arange(len(pad))[:, None]
             cents = np.vstack([cents, pad])
         l2[c] = cents
-    return l1, l2
+    return l1, l2, valid
 
 
 def two_level_probe_cells(
-    l1: np.ndarray, l2: np.ndarray, query: list[float], nprobe: int, nprobe_l1: int
+    l1: np.ndarray,
+    l2: np.ndarray,
+    valid: np.ndarray,
+    query: list[float],
+    nprobe: int,
+    nprobe_l1: int,
 ) -> list[int]:
     """Probe order mirror of ``TwoLevelIVFFlatIndex.probe_cells``
-    (L2 metric)."""
+    (L2 metric, pad cells masked by the validity mask)."""
     q = np.asarray(query, dtype=np.float64)
     k2 = l2.shape[1]
     d1 = ((l1 - q) ** 2).sum(axis=1)
     top1 = np.argsort(d1)[:nprobe_l1]
     d2 = ((l2[top1] - q) ** 2).sum(axis=2)
+    d2 = np.where(valid[top1], d2, np.inf)
     order = np.argsort(d2.ravel())[:nprobe]
     w1_idx, c2 = np.divmod(order, k2)
     return [int(top1[i]) * k2 + int(j) for i, j in zip(w1_idx, c2)]

@@ -213,7 +213,15 @@ class Space:
         if not os.path.exists(ptr):
             return None
         with open(ptr) as fh:
-            return _json.load(fh)
+            man = _json.load(fh)
+        if not isinstance(man, dict) or "buckets" not in man:
+            # e.g. a pre-bucketed-layout _CURRENT (plain version integer)
+            raise SchemaError(
+                f"unsupported space layout at {self.path!r}: _CURRENT is "
+                "not a bucketed manifest — recreate the space or restore "
+                "from a backup"
+            )
+        return man
 
     def _store_manifest(self, man: dict) -> None:
         import json as _json
@@ -345,6 +353,14 @@ class Space:
         (safe after any commit; returns the number removed)."""
         if not self.path or self._manifest is None:
             return 0
+        # trained in-memory indexes may still hold LINEAGE into the
+        # files about to be deleted (their persisted relations recompute
+        # from the original scan on block loss) — cut it first; the
+        # checkpoint reads from the existing cache, not from disk
+        for model in self._indexes.values():
+            assigned = getattr(model, "_assigned", None)
+            if assigned is not None:
+                model._assigned = assigned.localCheckpoint(eager=True)
         live = {int(v) for v in self._manifest["buckets"].values()}
         live.add(int(self._manifest["version"]))
         removed = 0
