@@ -141,3 +141,8 @@ def test_index_lifecycle_verbs(spark, tmp_path):
         {"_id": str(i), "v": [float(i) + 1.0, 0.0, 1.0, 0.0]} for i in range(30)
     ]})
     assert api.index_forcemerge(sp) >= 1
+    # the trained index must survive the vacuum: its relation was
+    # lineage-cut before the old version files were deleted, so a
+    # search (which may recompute cached blocks) still serves correctly
+    hits = sp.search(vector=[6.0, 0.0, 1.0, 0.0], limit=1).collect()
+    assert hits and hits[0]._id == "5"
