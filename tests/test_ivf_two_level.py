@@ -94,3 +94,38 @@ def test_save_load_roundtrip(index, emb, tmp_path):
     a = [(r.vec_id, r._score) for r in index.search(df, q, limit=10).collect()]
     b = [(r.vec_id, r._score) for r in loaded.search(df, q, limit=10).collect()]
     assert a == b
+
+
+def test_space_build_index_selects_two_level(spark, tmp_path):
+    """An IVFFLAT index declaration carrying level-2 params routes
+    build_index to the hierarchical quantizer, dumps it with the table,
+    and a reopen reloads the same class."""
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import Space
+
+    schema = SpaceSchema(
+        name="tl_space",
+        fields=[
+            FieldSpec("v", FieldType.VECTOR, dimension=8,
+                      index=IndexSpec("v", "IVFFLAT",
+                                      params={"ncentroids_l1": 4, "ncentroids_l2": 4,
+                                              "nprobe": 6, "training_threshold": 10})),
+        ],
+    )
+    p = str(tmp_path / "tl_space")
+    sp = Space(spark, schema, path=p)
+    rng = np.random.default_rng(2)
+    sp.upsert([
+        {"_id": str(i), "v": [float(x) for x in rng.normal(i % 4 * 5, 0.5, 8)]}
+        for i in range(120)
+    ])
+    sp.build_index("v")
+    assert type(sp._indexes["v"]).__name__ == "TwoLevelIVFFlatIndex"
+    assert sp._indexes["v"].k1 * sp._indexes["v"].k2 == 16
+
+    reopened = Space(spark, schema, path=p)
+    assert type(reopened._indexes["v"]).__name__ == "TwoLevelIVFFlatIndex"
+    q = [float(x) for x in rng.normal(5.0, 0.5, 8)]
+    a = [r._id for r in sp.search(vector=q, limit=5).collect()]
+    b = [r._id for r in reopened.search(vector=q, limit=5).collect()]
+    assert a == b

@@ -905,6 +905,7 @@ class Space:
             IVFFlatIndex,
             IVFPQIndex,
             IVFRaBitQIndex,
+            TwoLevelIVFFlatIndex,
         )
 
         spec = self.schema.field(vector_field)
@@ -922,15 +923,17 @@ class Space:
             "IVFPQ": IVFPQIndex,
             "IVFRABITQ": IVFRaBitQIndex,
         }.get(physical, IVFFlatIndex)
+        passthrough = {"ncentroids", "nprobe", "nsubvector", "nbits", "rerank_k"}
+        if cls is IVFFlatIndex and "ncentroids_l2" in merged:
+            # the >64k-cell scale path: an IVFFLAT declaration carrying
+            # level-2 params selects the hierarchical coarse quantizer
+            cls = TwoLevelIVFFlatIndex
+            passthrough = {"ncentroids_l1", "ncentroids_l2", "nprobe", "nprobe_l1"}
         model = cls(
             vector_col=vector_field,
             metric=spec.metric,
             id_col=ID_FIELD,
-            **{
-                k: int(v)
-                for k, v in merged.items()
-                if k in {"ncentroids", "nprobe", "nsubvector", "nbits", "rerank_k"}
-            },
+            **{k: int(v) for k, v in merged.items() if k in passthrough},
         )
         model.fit(self.df)
         self._indexes[vector_field] = model
@@ -974,6 +977,7 @@ class Space:
             IVFFlatIndex,
             IVFPQIndex,
             IVFRaBitQIndex,
+            TwoLevelIVFFlatIndex,
         )
 
         mp = self._index_meta_path()
@@ -986,6 +990,7 @@ class Space:
             "IVFFlatIndex": IVFFlatIndex,
             "IVFPQIndex": IVFPQIndex,
             "IVFRaBitQIndex": IVFRaBitQIndex,
+            "TwoLevelIVFFlatIndex": TwoLevelIVFFlatIndex,
         }
         for field, entry in meta.items():
             if int(entry["table_version"]) != current:
