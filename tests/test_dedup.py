@@ -203,3 +203,14 @@ def test_semantic_decontaminate(spark):
     assert out[1][0] == pytest.approx(1.0)         # cosine ignores scale
     with pytest.raises(ValueError, match="broadcast ceiling"):
         dedup.semantic_decontaminate(train, evdf, max_eval_rows=2)
+
+
+def test_embedding_cosine_bucketed_hot_bucket_guard(spark):
+    vecs = [(i, [1.0, float(i % 3)], 0) for i in range(10)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, bkt int")
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.embedding_cosine_pairs(df, threshold=0.9, bucket_col="bkt", max_bucket=5)
+    # under the cap (or disabled) the join proceeds
+    assert dedup.embedding_cosine_pairs(
+        df, threshold=0.999, bucket_col="bkt", max_bucket=None
+    ).count() >= 0

@@ -553,6 +553,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     bucket_col: str | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -562,6 +563,12 @@ def embedding_cosine_pairs(
     near-dups land in the same coarse cell with high probability, which
     is the standard SNN/blocking trade-off. For a driver-fitting corpus
     (≤1M vectors) :func:`embedding_cosine_pairs_blas` is ~100× faster.
+
+    ``max_bucket``: a dominant coarse cell makes the within-bucket join
+    quadratic; rather than silently burning a cluster, buckets past the
+    cap raise with guidance (refine the quantizer — e.g. a two-level
+    cell tree — or raise the cap). One cheap map-side-combined count
+    probe; ``None`` disables.
     """
     from vearch_spark.functions.distance import inner_product, vector_norm
 
@@ -572,6 +579,21 @@ def embedding_cosine_pairs(
         "_v", F.col(vec_col).cast("array<double>")
     )
     base = base.withColumn("_n", vector_norm(F.col("_v"))).drop(vec_col)
+    if bucket_col and max_bucket is not None:
+        hot = (
+            base.groupBy(bucket_col)
+            .count()
+            .where(F.col("count") > max_bucket)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"bucket {hot[0][bucket_col]!r} holds {hot[0]['count']} rows "
+                f"(> max_bucket={max_bucket}): the within-bucket cosine join "
+                "would be quadratic — refine the coarse quantizer (more "
+                "cells / a two-level tree) or raise max_bucket"
+            )
     a = base.select(
         *([F.col(bucket_col)] if bucket_col else []),
         F.col(id_col).alias("id_a"),
