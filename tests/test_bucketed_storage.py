@@ -195,3 +195,35 @@ def test_bucketed_with_partition_rule_prunes_and_rewrites(spark, tmp_path):
     assert sp.query(partition_names=["p0"], limit=100).count() == 16
     got = sp.get(["d4"], output_fields=["_id", "field_int"]).collect()
     assert got[0]["field_int"] == -4
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    """Every commit archives its manifest as a time-travel point:
+    as_of(v) reads the table exactly as committed at v, sharing
+    untouched-bucket files with the current version."""
+    from vearch_spark.errors import DocumentError
+
+    sp = Space(spark, make_schema(), path=str(tmp_path / "tt"), n_buckets=N_BUCKETS)
+    sp.upsert(seed_rows(10))
+    v1 = sp._manifest["version"]
+    sp.upsert([{"_id": "d3", "field_int": 999, "field_string": "zz"}])
+    sp.delete(["d0", "d1"])
+    assert sp.count() == 8
+    assert sp.snapshots() == [v1, v1 + 1, v1 + 2]
+
+    snap = sp.as_of(v1)
+    assert snap.count() == 10
+    assert snap.where("_id = 'd3'").collect()[0].field_int == 3  # pre-update
+    assert sp.as_of(v1 + 1).where("_id = 'd3'").collect()[0].field_int == 999
+    assert sp.as_of(v1 + 2).count() == 8
+
+    with pytest.raises(DocumentError, match="unknown snapshot"):
+        sp.as_of(99)
+    # vacuum reclaims superseded files; an affected old snapshot then
+    # fails with a clear error while the current table stays intact
+    sp.upsert(seed_rows(64))  # full overwrite supersedes every bucket
+    removed = sp.vacuum()
+    assert removed >= 1
+    with pytest.raises(DocumentError, match="vacuum"):
+        sp.as_of(v1).count()
+    assert sp.count() == 64

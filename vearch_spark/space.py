@@ -226,6 +226,12 @@ class Space:
     def _store_manifest(self, man: dict) -> None:
         import json as _json
 
+        # archive every committed manifest: each one is a time-travel
+        # point (Space.as_of) until vacuum() reclaims its files
+        hist = os.path.join(self.path, "manifests")
+        os.makedirs(hist, exist_ok=True)
+        with open(os.path.join(hist, f"{int(man['version'])}.json"), "w") as fh:
+            _json.dump(man, fh)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             _json.dump(man, fh)
@@ -237,31 +243,37 @@ class Space:
         # (client.go:245); xxhash64 is Spark's native 64-bit hash
         return F.pmod(F.xxhash64(F.col(ID_FIELD)), F.lit(self.n_buckets)).cast("int")
 
-    def _refresh_df(self) -> None:
-        """Rebuild the read view from the manifest: one multi-root scan
-        when the layout is flat; per-bucket reads unioned when a range
-        rule nests a discovered ``_partition_name`` level under each
-        bucket (Spark requires a single inferred base per partitioned
-        scan, so cross-version roots must be separate relations)."""
-        man = self._manifest
+    def _df_for_manifest(self, man: dict) -> DataFrame | None:
+        """Multi-root read view for a bucket→version map: one scan when
+        the layout is flat; per-bucket reads unioned when a range rule
+        nests a discovered ``_partition_name`` level under each bucket
+        (Spark requires a single inferred base per partitioned scan, so
+        cross-version roots must be separate relations)."""
         if not man or not man["buckets"]:
-            self._df = None
-            return
+            return None
         roots = [
             self._bucket_dir(int(b), int(v)) for b, v in sorted(man["buckets"].items())
         ]
+        missing = [r for r in roots if not os.path.exists(r)]
+        if missing:
+            raise DocumentError(
+                f"snapshot unreadable: {len(missing)} bucket dir(s) were "
+                f"reclaimed by vacuum() (first: {missing[0]!r})"
+            )
         if self.schema.partition_rule is None:
-            self._df = self.spark.read.parquet(*roots)
-        else:
-            from functools import reduce
+            return self.spark.read.parquet(*roots)
+        from functools import reduce
 
-            parts = [
-                self.spark.read.parquet(p).withColumn(
-                    PARTITION_FIELD, F.col(PARTITION_FIELD).cast("string")
-                )
-                for p in roots
-            ]
-            self._df = reduce(lambda a, b: a.unionByName(b), parts)
+        parts = [
+            self.spark.read.parquet(p).withColumn(
+                PARTITION_FIELD, F.col(PARTITION_FIELD).cast("string")
+            )
+            for p in roots
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _refresh_df(self) -> None:
+        self._df = self._df_for_manifest(self._manifest)
 
     def _commit(self, df: DataFrame, touched: Sequence[int] | None = None) -> None:
         """Commit ``df`` as the new content of ``touched`` buckets (or of
@@ -377,6 +389,42 @@ class Space:
         if self._df is None:
             return self.spark.createDataFrame([], self.schema.to_struct_type())
         return self._df
+
+    def snapshots(self) -> list[int]:
+        """Committed versions with an archived manifest — the available
+        time-travel points. Older snapshots stay readable until
+        :meth:`vacuum` reclaims their files."""
+        if not self.path:
+            return []
+        hist = os.path.join(self.path, "manifests")
+        if not os.path.isdir(hist):
+            return []
+        return sorted(
+            int(n[:-5]) for n in os.listdir(hist) if n.endswith(".json")
+        )
+
+    def as_of(self, version: int) -> DataFrame:
+        """Snapshot read: the table exactly as committed at ``version``
+        (training-data reproducibility — 'the corpus the run was
+        trained on'). Untouched buckets share files with the current
+        version, so a snapshot costs no extra storage beyond the
+        superseded buckets vacuum() would reclaim. Raises if the
+        snapshot's manifest is unknown or its files were vacuumed."""
+        import json as _json
+
+        if not self.path:
+            raise DocumentError("time travel requires a path-backed space")
+        mp = os.path.join(self.path, "manifests", f"{int(version)}.json")
+        if not os.path.exists(mp):
+            raise DocumentError(
+                f"unknown snapshot version {version}; available: {self.snapshots()}"
+            )
+        with open(mp) as fh:
+            man = _json.load(fh)
+        df = self._df_for_manifest(man)
+        if df is None:
+            return self.spark.createDataFrame([], self.schema.to_struct_type())
+        return df
 
     def count(self) -> int:
         return self.df.count()
