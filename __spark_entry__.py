@@ -1223,6 +1223,31 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document line dedup (the Gopher/C4 boilerplate rule):
+    repeated lines dropped, first occurrence kept in order, plus the
+    dup-line-fraction repetition signal. Docs are synthesized as
+    3-line documents with a guaranteed repeat so the op is exercised;
+    the oracle reconstructs first-occurrence order with a window (its
+    list_distinct is not order-preserving)."""
+    from vearch_spark.functions.text import dedup_lines, dup_line_fraction
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.substring("text", 1, 40), F.col("text")
+        ).alias("mtext"),
+    )
+    return multi.select(
+        "doc_id",
+        F.size(F.split("mtext", "\n")).alias("n_lines"),
+        F.size(F.split(dedup_lines("mtext"), "\n")).alias("n_lines_dedup"),
+        F.round(dup_line_fraction("mtext"), 6).alias("dup_frac"),
+        F.md5(dedup_lines("mtext")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-based decontamination: training rows whose max cosine
     against a broadcast eval set (every 25th vector) reaches 0.95 — the
@@ -1331,6 +1356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "temperature_mix": q_temperature_mix,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "dedup_lines": q_dedup_lines,
 }
 
 
@@ -2389,6 +2415,37 @@ def _temperature_mix_sql() -> str:
     """
 
 
+def _dedup_lines_sql() -> str:
+    # DuckDB's list_distinct is NOT order-preserving, so first-occurrence
+    # order is reconstructed with a per-(doc, line) window over the
+    # ordinality of the split — equality with Spark's order-preserving
+    # array_distinct is exactly what this checks
+    return r"""
+        WITH m AS (
+          SELECT doc_id,
+                 concat_ws(chr(10), text, substr(text, 1, 40), text) AS mtext
+          FROM documents WHERE doc_id < 100
+        ), s AS (
+          SELECT doc_id, mtext, string_split(mtext, chr(10)) AS ls FROM m
+        ), l AS (
+          SELECT s.doc_id, s.mtext, s.ls[u.i] AS line, u.i,
+                 row_number() OVER (PARTITION BY s.doc_id, s.ls[u.i]
+                                    ORDER BY u.i) AS rn
+          FROM s, UNNEST(generate_series(1, len(s.ls))) AS u(i)
+        ), d AS (
+          SELECT doc_id,
+                 any_value(len(string_split(mtext, chr(10))))::INT AS n_lines,
+                 count(*) FILTER (rn = 1)::INT AS n_lines_dedup,
+                 string_agg(line, chr(10) ORDER BY i) FILTER (rn = 1) AS dtext
+          FROM l GROUP BY doc_id
+        )
+        SELECT doc_id, n_lines, n_lines_dedup,
+               round((n_lines - n_lines_dedup)::DOUBLE / n_lines, 6) AS dup_frac,
+               md5(dtext) AS text_md5
+        FROM d ORDER BY doc_id
+    """
+
+
 def _semantic_decontaminate_sql() -> str:
     ipc = _sql_ip_cols("t.embedding", "e.embedding")
     tn = _sql_ip_cols("t.embedding", "t.embedding")
@@ -2411,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
     d["hard_negatives"] = _hard_negatives_sql()
     d["temperature_mix"] = _temperature_mix_sql()
     d["semantic_decontaminate"] = _semantic_decontaminate_sql()
+    d["dedup_lines"] = _dedup_lines_sql()
     d.update(_ivf_oracle_sql())
     return d
 

@@ -125,3 +125,19 @@ def test_redact_pii(spark):
     assert out[1].redacted == "mail <EMAIL> and <IP> call <PHONE> now"
     assert out[2].n_emails == out[2].n_ips == out[2].n_phones == 0
     assert out[2].redacted == "clean text no pii"
+
+
+def test_dedup_lines_and_fraction(spark):
+    from pyspark.sql import functions as F
+
+    from vearch_spark.functions.text import dedup_lines, dup_line_fraction
+
+    df = spark.createDataFrame(
+        [("a\nb\na\nc\nb",), ("x\ny",), ("same\nsame\nsame",)], "t string"
+    )
+    rows = df.select(
+        dedup_lines("t").alias("d"), dup_line_fraction("t").alias("f")
+    ).collect()
+    assert rows[0].d == "a\nb\nc" and rows[0].f == pytest.approx(2 / 5)
+    assert rows[1].d == "x\ny" and rows[1].f == 0.0
+    assert rows[2].d == "same" and rows[2].f == pytest.approx(2 / 3)

@@ -251,3 +251,24 @@ def gram_stats(text: Column | str, n: int = 3) -> Column:
 
         _GRAM_STATS_UDFS[n] = st
     return _GRAM_STATS_UDFS[n](col)
+
+
+def dedup_lines(text: Column | str, sep: str = "\n") -> Column:
+    """Drop repeated lines/paragraphs WITHIN a document, keeping the
+    first occurrence in order — the standard within-doc cleaning rule
+    (boilerplate, repeated headers/footers, generation loops). Pure JVM
+    expressions: split → order-preserving distinct → join."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.array_join(F.array_distinct(F.split(col, sep)), sep)
+
+
+def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
+    """Fraction of lines that are repeats of an earlier line — the
+    Gopher-style repetition signal at line granularity (pairs with
+    gram_stats' n-gram signals for the quality gate)."""
+    col = F.col(text) if isinstance(text, str) else text
+    lines = F.split(col, sep)
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    )
