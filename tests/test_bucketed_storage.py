@@ -219,11 +219,12 @@ def test_time_travel_snapshots(spark, tmp_path):
 
     with pytest.raises(DocumentError, match="unknown snapshot"):
         sp.as_of(99)
-    # vacuum reclaims superseded files; an affected old snapshot then
-    # fails with a clear error while the current table stays intact
+    # vacuum reclaims superseded files AND prunes their archives, so
+    # snapshots() only ever advertises readable versions
     sp.upsert(seed_rows(64))  # full overwrite supersedes every bucket
     removed = sp.vacuum()
     assert removed >= 1
-    with pytest.raises(DocumentError, match="vacuum"):
+    assert sp.snapshots() == [sp._manifest["version"]]
+    with pytest.raises(DocumentError, match="unknown snapshot"):
         sp.as_of(v1).count()
     assert sp.count() == 64

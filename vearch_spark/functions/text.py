@@ -257,17 +257,24 @@ def dedup_lines(text: Column | str, sep: str = "\n") -> Column:
     """Drop repeated lines/paragraphs WITHIN a document, keeping the
     first occurrence in order — the standard within-doc cleaning rule
     (boilerplate, repeated headers/footers, generation loops). Pure JVM
-    expressions: split → order-preserving distinct → join."""
+    expressions: split → order-preserving distinct → join. ``sep`` is
+    a LITERAL separator on both sides (F.split takes a regex, so it is
+    escaped — '|' or '. ' work as written)."""
+    import re
+
     col = F.col(text) if isinstance(text, str) else text
-    return F.array_join(F.array_distinct(F.split(col, sep)), sep)
+    return F.array_join(F.array_distinct(F.split(col, re.escape(sep))), sep)
 
 
 def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
     """Fraction of lines that are repeats of an earlier line — the
     Gopher-style repetition signal at line granularity (pairs with
-    gram_stats' n-gram signals for the quality gate)."""
+    gram_stats' n-gram signals for the quality gate). ``sep`` is
+    literal, as in :func:`dedup_lines`."""
+    import re
+
     col = F.col(text) if isinstance(text, str) else text
-    lines = F.split(col, sep)
+    lines = F.split(col, re.escape(sep))
     n = F.size(lines)
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         (n - F.size(F.array_distinct(lines))) / n.cast("double")

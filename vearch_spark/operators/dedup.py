@@ -582,16 +582,16 @@ def embedding_cosine_pairs(
     if bucket_col and max_bucket is not None:
         hot = (
             base.groupBy(bucket_col)
-            .count()
-            .where(F.col("count") > max_bucket)
+            .agg(F.count("*").alias("_bucket_n"))  # aliased: bucket_col
+            .where(F.col("_bucket_n") > max_bucket)  # may itself be "count"
             .limit(1)
             .collect()
         )
         if hot:
             raise ValueError(
-                f"bucket {hot[0][bucket_col]!r} holds {hot[0]['count']} rows "
-                f"(> max_bucket={max_bucket}): the within-bucket cosine join "
-                "would be quadratic — refine the coarse quantizer (more "
+                f"bucket {hot[0][bucket_col]!r} holds {hot[0]['_bucket_n']} "
+                f"rows (> max_bucket={max_bucket}): the within-bucket cosine "
+                "join would be quadratic — refine the coarse quantizer (more "
                 "cells / a two-level tree) or raise max_bucket"
             )
     a = base.select(

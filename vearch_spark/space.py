@@ -226,40 +226,53 @@ class Space:
     def _store_manifest(self, man: dict) -> None:
         import json as _json
 
-        # archive every committed manifest: each one is a time-travel
-        # point (Space.as_of) until vacuum() reclaims its files
-        hist = os.path.join(self.path, "manifests")
-        os.makedirs(hist, exist_ok=True)
-        with open(os.path.join(hist, f"{int(man['version'])}.json"), "w") as fh:
-            _json.dump(man, fh)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             _json.dump(man, fh)
         os.replace(tmp, self._manifest_path())  # atomic commit point
         self._manifest = man
+        # archive the committed manifest AFTER the commit point, with
+        # the same tmp+rename atomicity: a crash in the commit window
+        # can lose the newest archive (as_of falls back to _CURRENT for
+        # the live version) but can never advertise an uncommitted or
+        # truncated snapshot
+        hist = os.path.join(self.path, "manifests")
+        os.makedirs(hist, exist_ok=True)
+        atmp = os.path.join(hist, f"{int(man['version'])}.json.tmp")
+        with open(atmp, "w") as fh:
+            _json.dump(man, fh)
+        os.replace(atmp, os.path.join(hist, f"{int(man['version'])}.json"))
 
     def _bucket_expr(self) -> Column:
         # deterministic _id routing — the murmur3-slot analog
         # (client.go:245); xxhash64 is Spark's native 64-bit hash
         return F.pmod(F.xxhash64(F.col(ID_FIELD)), F.lit(self.n_buckets)).cast("int")
 
-    def _df_for_manifest(self, man: dict) -> DataFrame | None:
+    def _df_for_manifest(
+        self, man: dict | None, check_missing: bool = False
+    ) -> DataFrame | None:
         """Multi-root read view for a bucket→version map: one scan when
         the layout is flat; per-bucket reads unioned when a range rule
         nests a discovered ``_partition_name`` level under each bucket
         (Spark requires a single inferred base per partitioned scan, so
-        cross-version roots must be separate relations)."""
+        cross-version roots must be separate relations).
+
+        ``check_missing``: stat each root first — the as_of path, where
+        vacuum() may have reclaimed a snapshot's files. The hot
+        read-refresh path skips it (the CURRENT manifest's roots are in
+        vacuum's live set by construction)."""
         if not man or not man["buckets"]:
             return None
         roots = [
             self._bucket_dir(int(b), int(v)) for b, v in sorted(man["buckets"].items())
         ]
-        missing = [r for r in roots if not os.path.exists(r)]
-        if missing:
-            raise DocumentError(
-                f"snapshot unreadable: {len(missing)} bucket dir(s) were "
-                f"reclaimed by vacuum() (first: {missing[0]!r})"
-            )
+        if check_missing:
+            missing = [r for r in roots if not os.path.exists(r)]
+            if missing:
+                raise DocumentError(
+                    f"snapshot unreadable: {len(missing)} bucket dir(s) were "
+                    f"reclaimed by vacuum() (first: {missing[0]!r})"
+                )
         if self.schema.partition_rule is None:
             return self.spark.read.parquet(*roots)
         from functools import reduce
@@ -327,26 +340,18 @@ class Space:
 
     def _read_buckets(self, buckets: Sequence[int]) -> DataFrame:
         """Current content of the named buckets only — the bounded read
-        side of a bucket-scoped rewrite."""
+        side of a bucket-scoped rewrite. Delegates to the one multi-root
+        reader with the submap of requested buckets."""
         man = self._manifest or {"buckets": {}}
-        roots = [
-            self._bucket_dir(int(b), int(man["buckets"][str(b)]))
+        sub = {
+            str(b): man["buckets"][str(b)]
             for b in buckets
             if str(b) in man["buckets"]
-        ]
-        if not roots:
+        }
+        df = self._df_for_manifest({"buckets": sub} if sub else None)
+        if df is None:
             return self.spark.createDataFrame([], self.schema.to_struct_type())
-        if self.schema.partition_rule is None:
-            return self.spark.read.parquet(*roots)
-        from functools import reduce
-
-        parts = [
-            self.spark.read.parquet(p).withColumn(
-                PARTITION_FIELD, F.col(PARTITION_FIELD).cast("string")
-            )
-            for p in roots
-        ]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        return df
 
     def _buckets_of_ids(self, ids: Sequence[str]) -> list[int]:
         """Buckets the given ids hash into (one tiny local job — the
@@ -361,8 +366,15 @@ class Space:
         return self.path is not None
 
     def vacuum(self) -> int:
-        """Delete version directories no manifest entry references
-        (safe after any commit; returns the number removed)."""
+        """Delete version directories no CURRENT manifest entry
+        references (safe after any commit; returns the number removed).
+        Reclaims time-travel history: archived manifests whose files
+        are gone are pruned too, so :meth:`snapshots` only ever
+        advertises readable versions. A snapshot DataFrame obtained
+        from :meth:`as_of` BEFORE a vacuum reads lazily and will fail
+        at job time if its files are reclaimed underneath it — re-call
+        as_of after vacuum for the clear-error path (the same contract
+        lakehouse vacuums give old readers)."""
         if not self.path or self._manifest is None:
             return 0
         # trained in-memory indexes may still hold LINEAGE into the
@@ -376,12 +388,27 @@ class Space:
         live = {int(v) for v in self._manifest["buckets"].values()}
         live.add(int(self._manifest["version"]))
         removed = 0
+        import json as _json
         import shutil
 
         for name in os.listdir(self.path):
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) not in live:
                 shutil.rmtree(os.path.join(self.path, name))
                 removed += 1
+        # prune archives whose snapshots are no longer readable
+        hist = os.path.join(self.path, "manifests")
+        if removed and os.path.isdir(hist):
+            for name in os.listdir(hist):
+                if not name.endswith(".json"):
+                    continue
+                with open(os.path.join(hist, name)) as fh:
+                    man = _json.load(fh)
+                roots = [
+                    self._bucket_dir(int(b), int(v))
+                    for b, v in man["buckets"].items()
+                ]
+                if any(not os.path.exists(r) for r in roots):
+                    os.remove(os.path.join(hist, name))
         return removed
 
     @property
@@ -392,8 +419,9 @@ class Space:
 
     def snapshots(self) -> list[int]:
         """Committed versions with an archived manifest — the available
-        time-travel points. Older snapshots stay readable until
-        :meth:`vacuum` reclaims their files."""
+        time-travel points. :meth:`vacuum` reclaims older snapshots'
+        files AND prunes their archives, so this lists only versions
+        as_of can actually serve."""
         if not self.path:
             return []
         hist = os.path.join(self.path, "manifests")
@@ -415,13 +443,18 @@ class Space:
         if not self.path:
             raise DocumentError("time travel requires a path-backed space")
         mp = os.path.join(self.path, "manifests", f"{int(version)}.json")
-        if not os.path.exists(mp):
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                man = _json.load(fh)
+        elif self._manifest and int(version) == int(self._manifest["version"]):
+            # a crash between the commit point and the archive write can
+            # lose the newest archive — the live manifest IS that snapshot
+            man = self._manifest
+        else:
             raise DocumentError(
                 f"unknown snapshot version {version}; available: {self.snapshots()}"
             )
-        with open(mp) as fh:
-            man = _json.load(fh)
-        df = self._df_for_manifest(man)
+        df = self._df_for_manifest(man, check_missing=True)
         if df is None:
             return self.spark.createDataFrame([], self.schema.to_struct_type())
         return df
@@ -975,6 +1008,12 @@ class Space:
         if cls is IVFFlatIndex and "ncentroids_l2" in merged:
             # the >64k-cell scale path: an IVFFLAT declaration carrying
             # level-2 params selects the hierarchical coarse quantizer
+            if "ncentroids" in merged:
+                raise SchemaError(
+                    "conflicting index params: 'ncentroids' (flat) and "
+                    "'ncentroids_l2' (two-level) — size the cell tree with "
+                    "ncentroids_l1 × ncentroids_l2 instead"
+                )
             cls = TwoLevelIVFFlatIndex
             passthrough = {"ncentroids_l1", "ncentroids_l2", "nprobe", "nprobe_l1"}
         model = cls(
