@@ -317,7 +317,15 @@ def q_sort_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert as last-write-wins merge: base ∪ updates, latest version
-    per _id wins (the Delta-MERGE-equivalent view, SURVEY.md §1.3)."""
+    per _id wins (the Delta-MERGE-equivalent view, SURVEY.md §1.3).
+
+    The pick is ``max(struct(version, -quantity))`` per id — an
+    aggregation, NOT a sort window: partial aggregation combines
+    map-side, so the one shuffle carries ≤ one row per (id, task)
+    instead of every version of every doc sorted. Same deterministic
+    winner (version desc, quantity asc on the synthetic data's
+    non-unique keys); at 100 TB this is the difference between
+    shuffling the update log and shuffling the key set."""
     li = lineitem_space(spark, sf_dir)
     base = li.select("_id", "l_quantity", F.lit(0).alias("version"))
     updates = (
@@ -325,10 +333,16 @@ def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_id", (F.col("l_quantity") + 100.0).alias("l_quantity"), F.lit(1).alias("version"))
     )
     unioned = base.unionByName(updates)
-    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
-    # ties on version are broken by quantity to keep the pick deterministic
-    w = Window.partitionBy("_id").orderBy(F.col("version").desc(), F.col("l_quantity").asc())
-    merged = unioned.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    picked = unioned.groupBy("_id").agg(
+        F.max(
+            F.struct(F.col("version"), (-F.col("l_quantity")).alias("negq"))
+        ).alias("p")
+    )
+    merged = picked.select(
+        "_id",
+        F.col("p.version").alias("version"),
+        (-F.col("p.negq")).alias("l_quantity"),
+    )
     return (
         merged.agg(
             F.count("*").alias("n_docs"),

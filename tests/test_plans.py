@@ -189,3 +189,14 @@ def test_cluster_balanced_sample_quota_is_map_side(spark, sf_dir):
     # population; assignment is the one Arrow-batched pass
     assert "WindowGroupLimit" in plan
     assert X.count_exchanges(df) == 1
+
+
+def test_upsert_lww_merge_is_aggregation_not_window(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.q_upsert_lww(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    # the LWW pick must be a partially-aggregated groupBy (map-side
+    # combine), never a sort window over every version of every doc
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
