@@ -266,3 +266,34 @@ def test_ivf_incremental_add(spark, corpus):
         assert r10 >= 0.8, f"recall@10 after add {r10}"
     finally:
         pq.unpersist()
+
+
+def test_many_incremental_mutations_stay_correct(spark):
+    """A long add/remove sequence periodically cuts lineage (every Nth
+    mutation checkpoints instead of layering another persist) — the
+    index must keep answering exactly through dozens of point writes."""
+    import numpy as np
+
+    from vearch_spark.operators.ivf import IVFFlatIndex
+    from vearch_spark.schema import Metric
+
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.normal(i % 4 * 5, 0.4, 8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFFlatIndex("embedding", Metric.L2, ncentroids=4, nprobe=4,
+                       id_col="vec_id").fit(df)
+    for wave in range(12):  # crosses the lineage-cut boundary
+        nid = 1000 + wave
+        ndf = spark.createDataFrame(
+            [(nid, rng.normal(5.0, 0.4, 8).tolist())],
+            "vec_id long, embedding array<double>",
+        )
+        idx.add(ndf)
+        if wave % 3 == 2:
+            idx.remove([1000 + wave - 1])
+    # full-probe search == exact over the mutated membership
+    kept = {1000 + w for w in range(12)} - {1000 + w - 1 for w in range(12) if w % 3 == 2}
+    got = {r.vec_id for r in idx.search(None, [5.0] * 8, limit=300, nprobe=4).collect()}
+    assert kept <= got
+    assert not ({1001, 1004, 1007, 1010} & got)  # removed ids stay gone
+    idx.unpersist()

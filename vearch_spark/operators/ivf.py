@@ -100,6 +100,25 @@ class IVFFlatIndex:
         self.coarse_train_sample = coarse_train_sample
         self.centroids: np.ndarray | None = None
         self._assigned: DataFrame | None = None
+        self._mutations = 0
+
+    # every Nth incremental add/remove cuts lineage: each mutation
+    # layers a union/anti-join over the previous persisted relation,
+    # and after hundreds of point writes the nested plan itself slows
+    # driver-side planning (and a cache-block loss would recompute the
+    # whole chain). The checkpoint reads from the existing cache.
+    _LINEAGE_CUT_EVERY = 8
+
+    def _swap_assigned(self, new: DataFrame) -> None:
+        old = self._assigned
+        self._mutations += 1
+        if self._mutations % self._LINEAGE_CUT_EVERY == 0:
+            self._assigned = new.localCheckpoint(eager=True)
+        else:
+            self._assigned = new.persist()
+            self._assigned.count()
+        if old is not None:
+            old.unpersist()
 
     def _train_sample(self, df: DataFrame) -> np.ndarray:
         """Bounded driver-side training sample (the reference trains
@@ -176,10 +195,7 @@ class IVFFlatIndex:
         new = self._augment(
             df.withColumn(CLUSTER_COL, self._assign_udf()(F.col(self.vector_col)))
         )
-        old = self._assigned
-        self._assigned = old.unionByName(new).persist()
-        self._assigned.count()
-        old.unpersist()
+        self._swap_assigned(self._assigned.unionByName(new))
         return self
 
     def remove(self, ids: Sequence | DataFrame) -> "IVFFlatIndex":
@@ -200,9 +216,7 @@ class IVFFlatIndex:
             pruned = old.join(key, on=self.id_col, how="left_anti")
         else:
             pruned = old.where(~F.col(self.id_col).isin([i for i in ids]))
-        self._assigned = pruned.persist()
-        self._assigned.count()
-        old.unpersist()
+        self._swap_assigned(pruned)
         return self
 
     def probe_cells(self, query: Sequence[float], nprobe: int | None = None) -> list[int]:
@@ -838,6 +852,10 @@ class BinaryIVFIndex:
         self.coarse_train_sample = coarse_train_sample
         self.centroids: np.ndarray | None = None  # (k, nbytes) uint8, packed
         self._assigned: DataFrame | None = None
+        self._mutations = 0
+
+    _LINEAGE_CUT_EVERY = IVFFlatIndex._LINEAGE_CUT_EVERY
+    _swap_assigned = IVFFlatIndex._swap_assigned
 
     def fit(self, df: DataFrame) -> "BinaryIVFIndex":
         n = df.count()
@@ -877,10 +895,7 @@ class BinaryIVFIndex:
             CLUSTER_COL,
             _nearest_binary_centroid_udf(self.centroids)(F.col(self.code_col)),
         )
-        old = self._assigned
-        self._assigned = old.unionByName(new).persist()
-        self._assigned.count()
-        old.unpersist()
+        self._swap_assigned(self._assigned.unionByName(new))
         return self
 
     def remove(self, ids: Sequence | DataFrame) -> "BinaryIVFIndex":
@@ -893,9 +908,7 @@ class BinaryIVFIndex:
             pruned = old.join(key, on=self.id_col, how="left_anti")
         else:
             pruned = old.where(~F.col(self.id_col).isin([i for i in ids]))
-        self._assigned = pruned.persist()
-        self._assigned.count()
-        old.unpersist()
+        self._swap_assigned(pruned)
         return self
 
     def probe_cells(self, query_code: Sequence[int], nprobe: int | None = None) -> list[int]:
