@@ -320,12 +320,14 @@ def q_upsert_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     per _id wins (the Delta-MERGE-equivalent view, SURVEY.md §1.3).
 
     The pick is ``max(struct(version, -quantity))`` per id — an
-    aggregation, NOT a sort window: partial aggregation combines
-    map-side, so the one shuffle carries ≤ one row per (id, task)
-    instead of every version of every doc sorted. Same deterministic
-    winner (version desc, quantity asc on the synthetic data's
-    non-unique keys); at 100 TB this is the difference between
-    shuffling the update log and shuffling the key set."""
+    aggregation, NOT a rank window: the partial aggregate combines
+    map-side (max(struct) lowers to SortAggregate — rows are still
+    sorted locally pre-shuffle, but only ≤ one row per (id, task)
+    crosses the wire, versus the window form shuffling the whole
+    update log to sort it post-exchange). Same deterministic winner
+    (version desc, quantity asc on the synthetic data's non-unique
+    keys); at 100 TB the shuffle-volume difference is the one that
+    matters."""
     li = lineitem_space(spark, sf_dir)
     base = li.select("_id", "l_quantity", F.lit(0).alias("version"))
     updates = (

@@ -269,9 +269,10 @@ def test_ivf_incremental_add(spark, corpus):
 
 
 def test_many_incremental_mutations_stay_correct(spark):
-    """A long add/remove sequence periodically cuts lineage (every Nth
-    mutation checkpoints instead of layering another persist) — the
-    index must keep answering exactly through dozens of point writes."""
+    """A long add/remove sequence (persist-chain swaps) must keep
+    answering exactly through dozens of point writes; the chain is the
+    deliberate design — see _swap_assigned's docstring for why a
+    checkpoint would be worse on every axis that matters."""
     import numpy as np
 
     from vearch_spark.operators.ivf import IVFFlatIndex

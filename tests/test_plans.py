@@ -196,7 +196,10 @@ def test_upsert_lww_merge_is_aggregation_not_window(spark, sf_dir):
 
     df = entry.q_upsert_lww(spark, sf_dir)
     plan = X.formatted_plan(df)
-    # the LWW pick must be a partially-aggregated groupBy (map-side
-    # combine), never a sort window over every version of every doc
+    # the LWW pick must be an aggregation with a partial (map-side)
+    # phase, never a rank window shuffling the whole update log.
+    # max(struct) lowers to SortAggregate, so assert on the pick's own
+    # node: a partial SortAggregate over _id BEFORE the exchange
     assert "Window" not in plan
-    assert "HashAggregate" in plan
+    assert "SortAggregate" in plan
+    assert "partial_max" in plan  # the map-side combine of the pick

@@ -100,23 +100,20 @@ class IVFFlatIndex:
         self.coarse_train_sample = coarse_train_sample
         self.centroids: np.ndarray | None = None
         self._assigned: DataFrame | None = None
-        self._mutations = 0
-
-    # every Nth incremental add/remove cuts lineage: each mutation
-    # layers a union/anti-join over the previous persisted relation,
-    # and after hundreds of point writes the nested plan itself slows
-    # driver-side planning (and a cache-block loss would recompute the
-    # whole chain). The checkpoint reads from the existing cache.
-    _LINEAGE_CUT_EVERY = 8
 
     def _swap_assigned(self, new: DataFrame) -> None:
+        """Persist-swap for incremental mutations. Deliberately a
+        persist CHAIN, not a checkpoint: localCheckpoint would (a) be
+        unrecoverable on executor/block loss where the chain recomputes
+        through lineage, (b) leak the superseded copy (unpersist on a
+        checkpointed DataFrame is a no-op), and (c) replace the
+        InMemoryRelation whose batch min/max stats prune probe scans
+        with a plain RDD scan. The plan does deepen with mutation
+        count; the reference's own answer — periodic RebuildIndex —
+        is the lineage reset here too (fit() re-roots the plan)."""
         old = self._assigned
-        self._mutations += 1
-        if self._mutations % self._LINEAGE_CUT_EVERY == 0:
-            self._assigned = new.localCheckpoint(eager=True)
-        else:
-            self._assigned = new.persist()
-            self._assigned.count()
+        self._assigned = new.persist()
+        self._assigned.count()
         if old is not None:
             old.unpersist()
 
@@ -852,9 +849,9 @@ class BinaryIVFIndex:
         self.coarse_train_sample = coarse_train_sample
         self.centroids: np.ndarray | None = None  # (k, nbytes) uint8, packed
         self._assigned: DataFrame | None = None
-        self._mutations = 0
 
-    _LINEAGE_CUT_EVERY = IVFFlatIndex._LINEAGE_CUT_EVERY
+    # shared persist-swap (touches only _assigned, which both index
+    # families define identically)
     _swap_assigned = IVFFlatIndex._swap_assigned
 
     def fit(self, df: DataFrame) -> "BinaryIVFIndex":

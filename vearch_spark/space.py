@@ -380,11 +380,17 @@ class Space:
         # trained in-memory indexes may still hold LINEAGE into the
         # files about to be deleted (their persisted relations recompute
         # from the original scan on block loss) — cut it first; the
-        # checkpoint reads from the existing cache, not from disk
+        # checkpoint reads from the existing cache, not from disk. The
+        # tradeoffs a checkpoint carries (no recompute on block loss,
+        # plain RDD scan without cached-batch pruning) are accepted
+        # HERE only because the alternative is lineage into deleted
+        # files; the superseded cache copy is released explicitly
+        # (unpersist on the checkpointed copy would be a no-op later).
         for model in self._indexes.values():
             assigned = getattr(model, "_assigned", None)
             if assigned is not None:
                 model._assigned = assigned.localCheckpoint(eager=True)
+                assigned.unpersist()
         live = {int(v) for v in self._manifest["buckets"].values()}
         live.add(int(self._manifest["version"]))
         removed = 0
