@@ -65,8 +65,24 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_BENCH_1M", "1") != "0":
         payload["scale_1m"] = recall_1m_suite(spark)
-    print(json.dumps(payload))
+    # stop Spark BEFORE printing: the JVM flushes progress/log frames to
+    # the shared pty asynchronously, and a late stderr write landing
+    # inside the JSON line is exactly what broke the driver's parse in
+    # round 2 (BENCH_r02.json "parsed": null). After stop() the JVM is
+    # gone; the flushed one-line JSON is guaranteed to be the last,
+    # uncorrupted stdout line.
     spark.stop()
+    line = json.dumps(payload)
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
+    # belt-and-braces: persist the same payload next to the repo so a
+    # stdout-capture failure never loses the round's numbers
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 def recall_1m_suite(spark) -> dict:

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # keep stderr quiet: the stage progress bar writes \r-frames that
+        # can interleave with stdout at the pty level and corrupt the
+        # one-line JSON contract bench.py prints for the driver
+        .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
