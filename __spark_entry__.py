@@ -1184,6 +1184,35 @@ def q_realtime_union_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("_score").cast("float").alias("score"))
 
 
+def _hnsw_index(spark: SparkSession, sf_dir: str):
+    from vearch_spark.operators.hnsw import HNSWIndex
+    from vearch_spark.schema import Metric
+
+    key = (id(spark), sf_dir, "hnsw")
+    if key not in _INDEX_CACHE:
+        idx = HNSWIndex(
+            "embedding", Metric.L2, nlinks=16, efConstruction=100,
+            efSearch=96, nshards=4, id_col="vec_id",
+        )
+        idx.fit(_emb(spark, sf_dir))
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-k through the real HNSW index (operators/hnsw.py:
+    sharded Malkov–Yashunin graphs — the reference's hnswlib-per-shard
+    architecture, gamma_index_hnswlib.cc:130, params space.go:345-374).
+    No SQL oracle: beam-search traversal is not SQL-expressible; the
+    operator is recall-gated against exact FLAT in tests/test_hnsw.py
+    at the reference CI thresholds (recall@1/@10/@100 ≥ 0.50/0.80/0.90,
+    test_recall_baseline.py:301-303) plus bit-exact parity tests in the
+    exhaustive-ef regime."""
+    index = _hnsw_index(spark, sf_dir)
+    out = index.search(None, QV_L2, limit=10)
+    return out.select("vec_id", F.col("_score").cast("float").alias("score"))
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-diversity selection: cluster-balanced sampling over the
     embedding table, quota 5 per coarse cluster, ranked by id hash
@@ -1381,6 +1410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_hamming_knn": q_binary_hamming_knn,  # hamming kernel: binaryivf_knn
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
+    "hnsw_knn": q_hnsw_knn,  # graph ANN: recall-gated in tests/test_hnsw.py
 }
 
 

@@ -41,6 +41,7 @@ def main() -> None:
     # never pay the build — index_build_s below reports it separately
     for kind in ("ivfflat", "ivfpq", "ivfrabitq", "binaryivf"):
         entry._ivf_index(spark, sf_dir, kind)
+    entry._hnsw_index(spark, sf_dir)
 
     # two passes, report per-query min: steady-state time, not
     # machine-load noise (the reference harness likewise reports best

@@ -1,0 +1,244 @@
+"""HNSW graph index (operators/hnsw.py) — the reference's graph ANN
+(hnswlib per PS shard + router merge, gamma_index_hnswlib.cc:130),
+rebuilt as sharded numpy graphs + TakeOrderedAndProject merge.
+
+Recall gates mirror the reference CI thresholds
+(test/test_recall_baseline.py:301-303): recall@1 ≥ 0.50, @10 ≥ 0.80,
+@100 ≥ 0.90 — on a clustered corpus for both metrics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vearch_spark.operators import topk
+from vearch_spark.operators.hnsw import HNSWIndex, _level_of, _ShardGraph
+from vearch_spark.schema import Metric
+
+
+def _clustered(rng, n, dim, ncenters=12, spread=1.0):
+    centers = rng.normal(0, 10, (ncenters, dim))
+    x = centers[rng.integers(0, ncenters, n)] + rng.normal(0, spread, (n, dim))
+    return x, centers
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(11)
+    x, centers = _clustered(rng, 4000, 24)
+    df = spark.createDataFrame(
+        [(int(i), x[i].tolist(), int(i % 7)) for i in range(len(x))],
+        "vec_id long, embedding array<float>, label int",
+    ).repartition(8).cache()
+    df.count()
+    qs = centers[rng.integers(0, 12, 15)] + rng.normal(0, 1.0, (15, 24))
+    return df, x, qs
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    df, _, _ = corpus
+    idx = HNSWIndex(
+        "embedding", Metric.L2, nlinks=12, efConstruction=80, efSearch=96,
+        nshards=4, id_col="vec_id",
+    )
+    idx.fit(df)
+    yield idx
+    idx.unpersist()
+
+
+def test_recall_gates_l2(corpus, index):
+    df, x, qs = corpus
+    hits = {1: 0, 10: 0, 100: 0}
+    for q in qs:
+        d = ((x - q) ** 2).sum(axis=1)
+        got = [r.vec_id for r in index.search(df, q.tolist(), limit=100).collect()]
+        for k in hits:
+            gt = set(np.argsort(d, kind="stable")[:k].tolist())
+            hits[k] += len(set(got[:k]) & gt)
+    nq = len(qs)
+    assert hits[1] / nq >= 0.50
+    assert hits[10] / (10 * nq) >= 0.80
+    assert hits[100] / (100 * nq) >= 0.90
+
+
+def test_recall_gates_ip(spark):
+    rng = np.random.default_rng(3)
+    x, centers = _clustered(rng, 3000, 24)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), xn[i].tolist()) for i in range(len(xn))],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    idx = HNSWIndex(
+        "embedding", Metric.INNER_PRODUCT, nlinks=12, efConstruction=80,
+        efSearch=96, nshards=3, id_col="vec_id",
+    ).fit(df)
+    qs = centers[rng.integers(0, 12, 10)]
+    qs = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    hit = 0
+    for q in qs:
+        gt = set(np.argsort(-(xn @ q), kind="stable")[:10].tolist())
+        got = {r.vec_id for r in idx.search(df, q.tolist(), limit=10).collect()}
+        hit += len(got & gt)
+    idx.unpersist()
+    assert hit / 100 >= 0.80
+
+
+def test_deterministic_rebuild(corpus):
+    """The graph is a pure function of (rows, params): level draws hash
+    the id, inserts are id-ordered — two independent fits answer
+    identically (rebuilds/retries are reproducible)."""
+    df, _, qs = corpus
+    a = HNSWIndex("embedding", Metric.L2, nlinks=12, efConstruction=80,
+                  efSearch=64, nshards=4, id_col="vec_id").fit(df)
+    b = HNSWIndex("embedding", Metric.L2, nlinks=12, efConstruction=80,
+                  efSearch=64, nshards=4, id_col="vec_id").fit(df)
+    q = qs[0].tolist()
+    ra = [(r.vec_id, r._score) for r in a.search(df, q, limit=20).collect()]
+    rb = [(r.vec_id, r._score) for r in b.search(df, q, limit=20).collect()]
+    a.unpersist(); b.unpersist()
+    assert ra == rb
+
+
+def test_search_matches_flat_on_small_corpus(spark, embeddings):
+    """With ef comfortably above the shard size the beam is effectively
+    exhaustive — results equal the exact FLAT kernel bit-for-bit
+    (scores are recomputed JVM-side through the same topk.search)."""
+    idx = HNSWIndex("embedding", Metric.L2, nlinks=16, efConstruction=100,
+                    efSearch=256, nshards=2, id_col="vec_id").fit(embeddings)
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        q = [float(v) for v in rng.random(64)]
+        got = [(r.vec_id, r._score)
+               for r in idx.search(embeddings, q, limit=10).collect()]
+        exact = [(r.vec_id, r._score)
+                 for r in topk.search(embeddings, "embedding", q, limit=10,
+                                      id_col="vec_id").collect()]
+        assert got == exact
+    idx.unpersist()
+
+
+def test_batch_matches_flat(spark, embeddings):
+    rng = np.random.default_rng(9)
+    qs = [[float(v) for v in rng.random(64)] for _ in range(6)]
+    idx = HNSWIndex("embedding", Metric.L2, nlinks=16, efConstruction=100,
+                    efSearch=256, nshards=2, id_col="vec_id").fit(embeddings)
+    got = {(r.query_id, r.vec_id) for r in idx.search_batch(qs, limit=10).collect()}
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)], "query_id int, query_vec array<double>"
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in topk.search_batch(embeddings, "embedding", qdf, limit=10,
+                                        id_col="vec_id").collect()}
+    idx.unpersist()
+    assert got == exact
+
+
+def test_delete_bitmap_semantics(corpus, index):
+    """Removed ids never surface but stay as routing waypoints
+    (Engine::Delete engine.cc:869-900 + SearchCondition::IsValid)."""
+    df, x, qs = corpus
+    q = qs[1].tolist()
+    before = [r.vec_id for r in index.search(df, q, limit=5).collect()]
+    index.remove(before[:2])
+    after = [r.vec_id for r in index.search(df, q, limit=5).collect()]
+    assert not (set(after) & set(before[:2]))
+    assert len(after) == 5
+    # distributed remove path: DataFrame of ids, no driver materialization
+    spark = df.sparkSession
+    ids_df = spark.createDataFrame([(before[2],)], "vec_id long")
+    index.remove(ids_df)
+    third = [r.vec_id for r in index.search(df, q, limit=5).collect()]
+    assert before[2] not in third
+
+
+def test_incremental_add_rewrites_only_touched_shards(corpus):
+    """add() regrows ONLY the shards the new ids hash to; the other
+    shards' stored rows (adjacency included) are reused verbatim —
+    bounded rewrite, the Indexing() loop analog (engine.cc:1084-1138)."""
+    from vearch_spark.operators.hnsw import LINKS_COL, NODE_COL, SHARD_COL
+
+    df, x, qs = corpus
+    idx = HNSWIndex("embedding", Metric.L2, nlinks=12, efConstruction=80,
+                    efSearch=64, nshards=4, id_col="vec_id").fit(df)
+    spark = df.sparkSession
+    new = spark.createDataFrame(
+        [(90001, qs[2].tolist(), 1)], "vec_id long, embedding array<float>, label int"
+    )
+    touched = [
+        r[0] for r in new.withColumn(SHARD_COL, idx._shard_expr())
+        .select(SHARD_COL).distinct().collect()
+    ]
+    before = {
+        r.vec_id: (r[NODE_COL], str(r[LINKS_COL]))
+        for r in idx._graph.where(~F.col(SHARD_COL).isin(touched)).collect()
+    }
+    idx.add(new)
+    after = {
+        r.vec_id: (r[NODE_COL], str(r[LINKS_COL]))
+        for r in idx._graph.where(~F.col(SHARD_COL).isin(touched)).collect()
+    }
+    assert before == after  # untouched shards byte-identical
+    got = idx.search(df, qs[2].tolist(), limit=1).collect()
+    assert got[0].vec_id == 90001
+    idx.unpersist()
+
+
+def test_save_load_roundtrip(tmp_path, corpus, index):
+    df, _, qs = corpus
+    p = str(tmp_path / "hnsw")
+    index.save(p)
+    loaded = HNSWIndex.load(df.sparkSession, p)
+    q = qs[3].tolist()
+    a = [(r.vec_id, r._score) for r in index.search(df, q, limit=10).collect()]
+    b = [(r.vec_id, r._score) for r in loaded.search(df, q, limit=10).collect()]
+    loaded.unpersist()
+    assert a == b
+
+
+def test_search_plan_no_exchange_over_graph(corpus, index):
+    """The per-shard probe reads the cached, shard-partitioned relation
+    with NO new exchange (the grouping requirement is satisfied by the
+    cache's hash partitioning) — the property that holds at 1000
+    executors: a search never reshuffles the graph."""
+    df, _, qs = corpus
+    cand = index._candidates([qs[0].tolist()], 64, 64)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    live = plan.split("InMemoryRelation")[0]  # cache build plan excluded
+    assert "Exchange" not in live
+    assert "FlatMapGroupsInPandas" in live
+
+
+def test_filtered_search_validates_candidates(corpus, index):
+    df, x, qs = corpus
+    q = qs[4].tolist()
+    out = index.search(df, q, limit=10, flt=F.col("label") == 3).collect()
+    assert len(out) > 0 and all(r.label == 3 for r in out)
+
+
+def test_level_draw_distribution():
+    """Hash-based level draw matches the paper's exponential
+    distribution: P(level ≥ l) = (1/M)^l."""
+    m_l = 1.0 / np.log(16)
+    levels = np.array([_level_of(i, m_l) for i in range(20000)])
+    assert (levels == 0).mean() == pytest.approx(1 - 1 / 16, abs=0.02)
+    assert (levels >= 1).mean() == pytest.approx(1 / 16, abs=0.01)
+
+
+def test_graph_connected_layer0():
+    """Layer-0 reachability from the entry point covers the whole
+    shard (the property ef=N exhaustiveness relies on)."""
+    rng = np.random.default_rng(2)
+    x, _ = _clustered(rng, 800, 16)
+    g = _ShardGraph(16, Metric.L2, 8, 48)
+    for i in range(len(x)):
+        g.insert(x[i], _level_of(i, g.m_l))
+    seen = {g.entry}
+    stack = [g.entry]
+    while stack:
+        n = stack.pop()
+        for nb in g.links[n][0]:
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    assert len(seen) == len(x)

@@ -90,13 +90,18 @@ def test_ivfpq_on_space(spark):
     assert out.count() == 5
 
 
-def test_hnsw_alias_served_by_ivf(spark):
-    """HNSW is declared but served by the IVF strategy (documented
-    substitution, SURVEY.md §2.4)."""
+def test_hnsw_on_space(spark):
+    """HNSW is a real graph index (operators/hnsw.py — sharded
+    Malkov–Yashunin graphs, the reference's hnswlib-per-shard
+    architecture, gamma_index_hnswlib.cc:130). The space verb builds
+    it, search auto-dispatches to it, writes stay visible."""
+    from vearch_spark.operators.hnsw import HNSWIndex
+
     sp = Space(spark, schema(index_type="HNSW", threshold=50))
     sp.upsert(rows(120))
-    sp.build_index("field_vector")
+    sp.build_index("field_vector", nlinks=8, efConstruction=32, nshards=2)
     assert sp.index_state("field_vector") == "INDEXED"
+    assert isinstance(sp._indexes["field_vector"], HNSWIndex)
     assert sp.search(vector=[0.0] * DIM, limit=3).count() == 3
 
 

@@ -100,10 +100,13 @@ class Metric(str, Enum):
         return self is Metric.L2
 
 
-# Vector index types the reference registers (SURVEY.md §2.4). HNSW /
-# SCANN / DISKANN / GPU_* are graph/SIMD strategies that are anti-Spark;
-# they are accepted as aliases and *served* by the closest Spark-native
-# strategy (documented substitution).
+# Vector index types the reference registers (SURVEY.md §2.4). HNSW is
+# real (sharded per-partition graphs + global merge — the reference's
+# own hnswlib-per-PS-shard architecture, operators/hnsw.py); SSG (also
+# a graph method) is served by it. SCANN / DISKANN / GPU_* are
+# SIMD/GPU-specific physical strategies; they are accepted as aliases
+# and *served* by the closest Spark-native strategy (documented
+# substitution).
 VECTOR_INDEX_TYPES = {
     "FLAT": "FLAT",
     "IVFFLAT": "IVFFLAT",
@@ -111,8 +114,8 @@ VECTOR_INDEX_TYPES = {
     "IVFPQFASTSCAN": "IVFPQ",
     "IVFRABITQ": "IVFRABITQ",
     "BINARYIVF": "BINARYIVF",
-    "HNSW": "IVFFLAT",
-    "SSG": "IVFFLAT",
+    "HNSW": "HNSW",
+    "SSG": "HNSW",
     "SCANN": "IVFPQ",
     "DISKANN_STATIC": "IVFPQ",
     "GPU_IVFPQ": "IVFPQ",

@@ -1006,11 +1006,17 @@ class Space:
         physical = spec.index.physical_type
         if physical == "FLAT":
             return  # FLAT is the brute-force scan itself
+        from vearch_spark.operators.hnsw import HNSWIndex
+
         cls = {
             "IVFPQ": IVFPQIndex,
             "IVFRABITQ": IVFRaBitQIndex,
+            "HNSW": HNSWIndex,
         }.get(physical, IVFFlatIndex)
         passthrough = {"ncentroids", "nprobe", "nsubvector", "nbits", "rerank_k"}
+        if cls is HNSWIndex:
+            # the reference's graph knobs (space.go:345-374)
+            passthrough = {"nlinks", "efConstruction", "efSearch", "nshards"}
         if cls is IVFFlatIndex and "ncentroids_l2" in merged:
             # the >64k-cell scale path: an IVFFLAT declaration carrying
             # level-2 params selects the hierarchical coarse quantizer
@@ -1079,11 +1085,14 @@ class Space:
         with open(mp) as fh:
             meta = _json.load(fh)
         current = int(self._manifest["version"]) if self._manifest else 0
+        from vearch_spark.operators.hnsw import HNSWIndex
+
         classes = {
             "IVFFlatIndex": IVFFlatIndex,
             "IVFPQIndex": IVFPQIndex,
             "IVFRaBitQIndex": IVFRaBitQIndex,
             "TwoLevelIVFFlatIndex": TwoLevelIVFFlatIndex,
+            "HNSWIndex": HNSWIndex,
         }
         for field, entry in meta.items():
             if int(entry["table_version"]) != current:
