@@ -66,6 +66,7 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_BENCH_1M", "1") != "0":
         payload["scale_1m"] = recall_1m_suite(spark)
+        payload["scale_hnsw"] = hnsw_scale_suite(spark)
     # stop Spark BEFORE printing: the JVM flushes progress/log frames to
     # the shared pty asynchronously, and a late stderr write landing
     # inside the JSON line is exactly what broke the driver's parse in
@@ -179,6 +180,64 @@ def recall_1m_suite(spark) -> dict:
         out[f"hnsw_sub_ip_recall_at_{k}"] = round(hit / (k * nq_ip), 4)
     ndf.unpersist()
     ip_index.unpersist()
+    df.unpersist()
+    return out
+
+
+def hnsw_scale_suite(spark) -> dict:
+    """Real-HNSW recall at 100k × 64-dim clustered vectors against the
+    reference CI gates (recall@1/@10/@100 ≥ 0.50/0.80/0.90). 8 shards
+    of 12.5k build in parallel (~2 ms/insert Python constant factor);
+    ground truth = exact batched FLAT scan."""
+    import numpy as np
+
+    from tools.stress_1m import N_CLUSTERS, make_df
+    from vearch_spark.operators import topk
+    from vearch_spark.operators.hnsw import HNSWIndex
+    from vearch_spark.schema import Metric
+
+    n, dim, nq, k = 100_000, 64, 20, 100
+    df, centers = make_df(spark, n, dim=dim)
+    df = df.persist()
+    df.count()
+    rng = np.random.default_rng(13)
+    queries = centers[rng.integers(0, N_CLUSTERS, nq)] + rng.normal(
+        0.0, 1.5, size=(nq, dim)
+    )
+    qlist = [q.tolist() for q in queries]
+    idx = HNSWIndex(
+        "embedding", Metric.L2, nlinks=16, efConstruction=100, efSearch=128,
+        nshards=8, id_col="vec_id",
+    )
+    t0 = time.time()
+    idx.fit(df)
+    out = {"n": n, "dim": dim, "build_s": round(time.time() - t0, 2)}
+
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qlist)], "query_id int, query_vec array<double>"
+    )
+    exact = {}
+    t0 = time.time()
+    exact_rows = topk.search_batch(df, "embedding", qdf, limit=k, id_col="vec_id").collect()
+    # the honest comparison point: what brute force costs at this n
+    out["exact_batch_search_qps"] = round(nq / (time.time() - t0), 2)
+    for r in exact_rows:
+        exact.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
+    t0 = time.time()
+    approx_rows = idx.search_batch(qlist, limit=k).collect()
+    out["batch_search_qps"] = round(nq / (time.time() - t0), 2)
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
+    for per in (*exact.values(), *approx.values()):
+        per.sort()
+    for kk in (1, 10, 100):
+        hit = 0
+        for qid in range(nq):
+            kth = exact[qid][kk - 1][0]  # tie-aware score threshold
+            hit += sum(1 for s, _ in approx[qid][:kk] if s <= kth + 1e-6)
+        out[f"recall_at_{kk}"] = round(hit / (kk * nq), 4)
+    idx.unpersist()
     df.unpersist()
     return out
 
