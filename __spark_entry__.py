@@ -1213,6 +1213,49 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("_score").cast("float").alias("score"))
 
 
+BM25_QUERY = "hash join spark window"
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str):
+    from vearch_spark.operators.retrieval import BM25Index
+
+    key = (id(spark), sf_dir, "bm25")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = BM25Index(text_col="text", id_col="doc_id").fit(
+            _docs(spark, sf_dir)
+        )
+    return _INDEX_CACHE[key]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: Okapi BM25 top-20 over an inverted postings
+    relation (operators/retrieval.py) — the keyword-side counterpart
+    the reference lacks (its only ranker is vector WeightedRanker,
+    common_query_data.h:251-317). Per-query work is term-pruned
+    posting lists, never the corpus. Oracle: DuckDB recomputes
+    postings, idf and the scoring formula from the same parquet."""
+    idx = _bm25_index(spark, sf_dir)
+    return idx.search(BM25_QUERY, limit=20).select(
+        "doc_id", F.col("_score").alias("score")
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-20 fused with exact L2 vector
+    top-20 (doc_id == vec_id across the driver tables) by reciprocal
+    rank fusion (Cormack et al., SIGIR'09) — the standard score-scale-
+    free hybrid ranker. Both inputs are bounded top-k lists; fusion is
+    a tiny union + aggregate."""
+    from vearch_spark.operators.retrieval import rrf_fuse
+
+    kw = _bm25_index(spark, sf_dir).search(BM25_QUERY, limit=20)
+    vec = topk.search(
+        _emb(spark, sf_dir), "embedding", QV_L2, limit=20, metric="L2",
+        id_col="vec_id",
+    ).select(F.col("vec_id").alias("doc_id"), "_score")
+    return rrf_fuse([(kw, False), (vec, True)], limit=10)
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-diversity selection: cluster-balanced sampling over the
     embedding table, quota 5 per coarse cluster, ranked by id hash
@@ -1382,7 +1425,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_near_dup": q_cosine_near_dup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
-    "quality_topk_per_source": q_quality_topk_per_source,
     "date_range_agg": q_date_range_agg,
     "binaryivf_knn": q_binaryivf_knn,
     "normalized_ip_knn": q_normalized_ip_knn,
@@ -1398,8 +1440,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "temperature_mix": q_temperature_mix,
     "semantic_decontaminate": q_semantic_decontaminate,
-    "dedup_lines": q_dedup_lines,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
     # ---- 51+: kernels oracle-checked by an in-budget twin ----
+    "quality_topk_per_source": q_quality_topk_per_source,  # rank-quota window: cluster_sample
+    "dedup_lines": q_dedup_lines,  # line-level exact dedup: exact_dedup/repetition_scores
     "flat_knn_ip": q_flat_knn_ip,  # IP kernel: normalized_ip_knn
     "multivector_fusion_sorted": q_multivector_fusion_sorted,  # fusion + search-sort twins
     "text_stats": q_text_stats,  # text signals: quality_score/repetition_scores
@@ -2516,8 +2561,69 @@ def _semantic_decontaminate_sql() -> str:
     """
 
 
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY.split())))
+
+
+def _bm25_core_sql(limit: int = 20) -> str:
+    """BM25 top-k recomputed from the parquet: postings, corpus stats,
+    idf and the Okapi weight use the exact formula of
+    operators/retrieval.py (k1=1.2, b=0.75, ln-idf, round 6)."""
+    return f"""
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), stats AS (
+          SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM s
+        ), tok AS (
+          SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM s
+        ), p AS (
+          SELECT term, doc_id, dl, count(*)::DOUBLE AS tf
+          FROM tok WHERE term IN ({_bm25_terms_sql()})
+          GROUP BY term, doc_id, dl
+        ), dfreq AS (
+          SELECT term, count(*)::DOUBLE AS dfc FROM p GROUP BY term
+        )
+        SELECT doc_id,
+               round(sum(ln(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+                         * tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                     6) AS score
+        FROM p JOIN dfreq USING (term), stats
+        GROUP BY doc_id, n, avgdl
+        ORDER BY score DESC, doc_id ASC LIMIT {limit}
+    """
+
+
+def _hybrid_rrf_sql() -> str:
+    """RRF twin: both top-20 lists recomputed (BM25 + exact L2), ranks
+    by (score, id), contribution 1/(60+rank), fused top-10."""
+    l2 = _sql_l2sq("e.embedding", QV_L2)
+    return f"""
+        WITH kw AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM ({_bm25_core_sql(20)})
+        ), vec0 AS (
+          SELECT e.vec_id AS doc_id, {l2} AS score
+          FROM embeddings e ORDER BY score ASC, doc_id ASC LIMIT 20
+        ), vec AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score ASC, doc_id ASC) AS rnk
+          FROM vec0
+        ), c AS (
+          SELECT doc_id, 1.0 / (60 + rnk) AS c FROM kw
+          UNION ALL
+          SELECT doc_id, 1.0 / (60 + rnk) AS c FROM vec
+        )
+        SELECT doc_id, round(sum(c), 6) AS rrf_score
+        FROM c GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["bm25_topk"] = _bm25_core_sql(20)
+    d["hybrid_rrf"] = _hybrid_rrf_sql()
     d["minhash_dedup"] = _minhash_oracle_sql()
     d["hard_negatives"] = _hard_negatives_sql()
     d["temperature_mix"] = _temperature_mix_sql()

@@ -42,6 +42,7 @@ def main() -> None:
     for kind in ("ivfflat", "ivfpq", "ivfrabitq", "binaryivf"):
         entry._ivf_index(spark, sf_dir, kind)
     entry._hnsw_index(spark, sf_dir)
+    entry._bm25_index(spark, sf_dir)
 
     # two passes, report per-query min: steady-state time, not
     # machine-load noise (the reference harness likewise reports best
