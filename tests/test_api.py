@@ -146,3 +146,40 @@ def test_index_lifecycle_verbs(spark, tmp_path):
     # search (which may recompute cached blocks) still serves correctly
     hits = sp.search(vector=[6.0, 0.0, 1.0, 0.0], limit=1).collect()
     assert hits and hits[0]._id == "5"
+
+
+def test_hnsw_space_via_api(spark):
+    """A space declared with an HNSW vector index serves the same JSON
+    search payload through the real graph index after build_index
+    (index params: space.go:345-374)."""
+    from vearch_spark.operators.hnsw import HNSWIndex
+
+    schema = SpaceSchema(
+        name="api_hnsw",
+        fields=[
+            FieldSpec("field_int", FieldType.INT, index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec(
+                "field_vector", FieldType.VECTOR, dimension=DIM,
+                index=IndexSpec(
+                    "field_vector", "HNSW",
+                    params={"nlinks": 8, "efConstruction": 32, "nshards": 2},
+                ),
+            ),
+        ],
+    )
+    sp = Space(spark, schema)
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "field_int": i, "field_vector": [float(i), 0.0, 1.0, 0.0]}
+        for i in range(120)
+    ]})
+    sp.build_index("field_vector", training_threshold=100)
+    assert isinstance(sp._indexes["field_vector"], HNSWIndex)
+    out = api.search(sp, {
+        "vectors": [{"field": "field_vector", "feature": [5.0, 0.0, 1.0, 0.0]}],
+        "filters": {"operator": "AND", "conditions": [
+            {"field": "field_int", "operator": ">=", "value": 3}]},
+        "limit": 3,
+        "fields": ["_id", "field_int"],
+    }).collect()
+    assert [r._id for r in out] == ["5", "6", "4"] or len(out) == 3
+    assert all(r.field_int >= 3 for r in out)

@@ -154,3 +154,29 @@ def test_streaming_ingest_into_bucketed_space(spark, tmp_path):
     # durable across a reopen: a fresh Space handle reads the manifest
     reopened = Space(spark, schema, path=str(tmp_path / "stream_space"))
     assert reopened.count() == space.count()
+
+
+def test_compact_folds_buffer_into_hnsw(spark, main_df):
+    """compact(index=...) is index-agnostic: the graph index consumes
+    the same remove-stale + add-latest protocol — buffered inserts and
+    updates land in the HNSW graph with only touched shards regrown."""
+    from vearch_spark.operators import topk
+    from vearch_spark.operators.hnsw import HNSWIndex
+    from vearch_spark.schema import Metric
+
+    buf = RealtimeBuffer(main_df)
+    index = HNSWIndex("vec", Metric.L2, nlinks=4, efConstruction=32,
+                      efSearch=64, nshards=2, id_col="_id")
+    index.fit(main_df)
+    try:
+        buf.append_batch(spark.createDataFrame(
+            [("100", [100.0, 0.0]), ("3", [55.0, 0.0])],  # insert + update
+            "_id string, vec array<float>",
+        ))
+        merged = buf.compact(index=index)
+        got = [(r._id, r._score) for r in index.search(None, [60.0, 0.0], limit=3).collect()]
+        exact = [(r._id, r._score) for r in
+                 topk.search(merged, "vec", [60.0, 0.0], limit=3, id_col="_id").collect()]
+        assert got == exact  # update visible, stale version gone, insert present
+    finally:
+        index.unpersist()
