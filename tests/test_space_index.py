@@ -170,3 +170,14 @@ def test_index_dump_reload_across_reopen(spark, tmp_path):
     # rebuild re-dumps at the new version; the next open loads it again
     stale_open.build_index("field_vector")
     assert Space(spark, schema(threshold=50), path=p).index_state("field_vector") == "INDEXED"
+
+
+def test_ivfpqfastscan_alias_uses_4bit_codes(spark):
+    """IVFPQFASTSCAN is served by IVFPQ with its defining 4-bit code
+    width (gamma_index_ivfpqfs.cc registers the SIMD 4-bit variant)."""
+    sp = Space(spark, schema(index_type="IVFPQFASTSCAN", threshold=50))
+    sp.upsert(rows(200))
+    sp.build_index("field_vector", nsubvector=4)
+    model = sp._indexes["field_vector"]
+    assert model.ksub == 16  # 2^4
+    assert sp.search(vector=[3.0] * DIM, limit=5).count() == 5

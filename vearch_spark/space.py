@@ -1006,6 +1006,11 @@ class Space:
         physical = spec.index.physical_type
         if physical == "FLAT":
             return  # FLAT is the brute-force scan itself
+        if spec.index.index_type == "IVFPQFASTSCAN":
+            # FastScan's defining property is 4-bit PQ codes (SIMD
+            # blocking is a faiss physical detail, gamma_index_ivfpqfs.cc);
+            # honor the code width unless the caller overrides
+            merged.setdefault("nbits", 4)
         from vearch_spark.operators.hnsw import HNSWIndex
 
         cls = {
