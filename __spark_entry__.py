@@ -1213,6 +1213,24 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("_score").cast("float").alias("score"))
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring (semantic-noise gate): per-row
+    squared distance to its assigned coarse centroid, z-scored within
+    the cluster (sample.embedding_outliers). Reuses the trained IVFFLAT
+    quantizer — one KMeans fit serves ANN pruning, diversity sampling
+    AND noise detection. Oracle: DuckDB recomputes assignment from the
+    centroid literals (the IVF-oracle machinery), the JVM-fold distance,
+    and the per-cluster moments."""
+    from vearch_spark.operators.sample import embedding_outliers
+
+    index = _ivf_index(spark, sf_dir, "ivfflat")
+    out = embedding_outliers(
+        _emb(spark, sf_dir), index.centroids,
+        vec_col="embedding", id_col="vec_id", z_threshold=2.0,
+    )
+    return out.orderBy("vec_id")
+
+
 BM25_QUERY = "hash join spark window"
 
 
@@ -1456,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph ANN: recall-gated in tests/test_hnsw.py
+    "embedding_outliers": q_embedding_outliers,  # centroid z-score noise gate
 }
 
 
@@ -2620,10 +2639,40 @@ def _hybrid_rrf_sql() -> str:
     """
 
 
+def _embedding_outliers_sql() -> str:
+    """Assignment from centroid literals (the IVF-oracle CTEs), squared
+    distance to the assigned centroid as the same sequential fold, then
+    sample-stddev z within cluster; is_outlier compares the ROUNDED z
+    exactly as the Spark column does."""
+    from vearch_spark.operators.ivf_oracle import float_centroids
+
+    cents = float_centroids(ORACLE_SF_DIR)
+    dist = _sql_l2sq_cols("a.embedding", "c.c")
+    return f"""
+        WITH {_sql_cents_cte(cents)}, {_sql_ivf_assign()},
+        d AS (
+          SELECT a.vec_id, a.cid, {dist} AS dist
+          FROM assign a JOIN cents c USING (cid)
+        ), s AS (
+          SELECT cid, avg(dist) AS mu, stddev(dist) AS sigma
+          FROM d GROUP BY cid
+        ), z AS (
+          SELECT d.vec_id, d.cid AS _cluster_id, round(d.dist, 6) AS dist,
+                 round(CASE WHEN s.sigma IS NULL OR s.sigma = 0 THEN 0.0
+                            ELSE (d.dist - s.mu) / s.sigma END, 4) AS z
+          FROM d JOIN s USING (cid)
+        )
+        SELECT vec_id, _cluster_id, dist, z,
+               (z > 2.0)::INT AS is_outlier
+        FROM z ORDER BY vec_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["bm25_topk"] = _bm25_core_sql(20)
     d["hybrid_rrf"] = _hybrid_rrf_sql()
+    d["embedding_outliers"] = _embedding_outliers_sql()
     d["minhash_dedup"] = _minhash_oracle_sql()
     d["hard_negatives"] = _hard_negatives_sql()
     d["temperature_mix"] = _temperature_mix_sql()

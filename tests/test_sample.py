@@ -128,3 +128,31 @@ def test_temperature_mix_sample_deterministic(spark):
     # layout-independent: identical kept set after repartition
     again = temperature_mix_sample(df.repartition(13), alpha=0.3, target_fraction=0.5)
     assert {r.doc_id for r in again.collect()} == {r.doc_id for r in kept.collect()}
+
+
+def test_embedding_outliers_flags_planted_noise(spark):
+    """A point far from every cluster gets a large positive z in its
+    assigned cluster; inliers don't. Scores are layout-independent."""
+    import numpy as np
+
+    from vearch_spark.operators.sample import embedding_outliers
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(0, 10, (4, 8))
+    x = centers[rng.integers(0, 4, 400)] + rng.normal(0, 0.5, (400, 8))
+    x[0] = centers[0] + 25.0  # planted outlier
+    df = spark.createDataFrame(
+        [(int(i), x[i].tolist()) for i in range(400)],
+        "doc_id long, embedding array<float>",
+    )
+    out = embedding_outliers(df, centers, vec_col="embedding",
+                             id_col="doc_id", z_threshold=3.0)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].is_outlier == 1 and rows[0].z > 3.0
+    assert sum(r.is_outlier for r in rows.values()) < 20  # not everything
+    # layout-independent: same result after a repartition
+    out2 = embedding_outliers(df.repartition(13), centers, vec_col="embedding",
+                              id_col="doc_id", z_threshold=3.0)
+    assert {(r.doc_id, r.z) for r in out2.collect()} == {
+        (r.doc_id, r.z) for r in rows.values()
+    }

@@ -192,3 +192,63 @@ def temperature_mix_sample(
     return hash_sample(
         df, rates, id_col=id_col, stratum_col=stratum_col, default_rate=0.0
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Embedding-space outlier scoring — the semantic-noise gate of a
+    training-data pipeline (mislabeled pairs, corrupt decodes, and
+    off-distribution rows sit far from every semantic mode).
+
+    Each row is assigned to its nearest centroid (the SAME trained
+    coarse quantizer that serves ANN pruning and cluster-balanced
+    sampling — one KMeans fit, three uses), its squared distance to
+    that centroid is computed JVM-side (sequential-fold parity with the
+    DuckDB oracle), and the per-cluster z-score flags rows more than
+    ``z_threshold`` sample standard deviations out.
+
+    Scale shape: assignment is one Arrow-batched narrow pass; the
+    centroid join is a broadcast of a (k, dim) relation; the per-cluster
+    moments are one map-side-combined aggregation over (cluster, dist)
+    — two scans, one tiny shuffle, no row ever leaves its partition
+    with more than two doubles attached.
+    """
+    import numpy as np
+
+    from vearch_spark.functions.distance import score_expr
+    from vearch_spark.operators.ivf import CLUSTER_COL, _nearest_centroid_udf
+    from vearch_spark.schema import Metric
+
+    c = np.asarray(centroids, dtype=np.float64)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c[i]]) for i in range(len(c))],
+        f"{CLUSTER_COL} int, _centroid array<double>",
+    )
+    assigned = df.withColumn(
+        CLUSTER_COL, _nearest_centroid_udf(c)(F.col(vec_col))
+    ).join(F.broadcast(cents), on=CLUSTER_COL)
+    scored = assigned.withColumn(
+        "_dist", score_expr(F.col(vec_col), F.col("_centroid"), Metric.L2)
+    ).drop("_centroid")
+    stats = scored.groupBy(CLUSTER_COL).agg(
+        F.avg("_dist").alias("_mu"),
+        F.stddev("_dist").alias("_sigma"),
+    )
+    out = scored.join(F.broadcast(stats), on=CLUSTER_COL).select(
+        F.col(id_col),
+        F.col(CLUSTER_COL),
+        F.round("_dist", 6).alias("dist"),
+        F.round(
+            F.when(
+                F.col("_sigma").isNull() | (F.col("_sigma") == 0.0), F.lit(0.0)
+            ).otherwise((F.col("_dist") - F.col("_mu")) / F.col("_sigma")),
+            4,
+        ).alias("z"),
+    )
+    return out.withColumn("is_outlier", (F.col("z") > float(z_threshold)).cast("int"))
