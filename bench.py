@@ -235,8 +235,11 @@ def hnsw_scale_suite(spark) -> dict:
     for kk in (1, 10, 100):
         hit = 0
         for qid in range(nq):
-            kth = exact[qid][kk - 1][0]  # tie-aware score threshold
-            hit += sum(1 for s, _ in approx[qid][:kk] if s <= kth + 1e-6)
+            ex = exact.get(qid, [])
+            if not ex:
+                continue  # a queryless row degrades recall, never crashes
+            kth = ex[min(kk, len(ex)) - 1][0]  # tie-aware score threshold
+            hit += sum(1 for s, _ in approx.get(qid, [])[:kk] if s <= kth + 1e-6)
         out[f"recall_at_{kk}"] = round(hit / (kk * nq), 4)
     idx.unpersist()
     df.unpersist()

@@ -181,5 +181,7 @@ def test_hnsw_space_via_api(spark):
         "limit": 3,
         "fields": ["_id", "field_int"],
     }).collect()
-    assert [r._id for r in out] == ["5", "6", "4"] or len(out) == 3
+    # deterministic graph + 1-d line corpus: nearest ids with
+    # field_int >= 3 to feature 5.0 are exactly 5, 4/6 (tie → id order)
+    assert [r._id for r in out] == ["5", "4", "6"]
     assert all(r.field_int >= 3 for r in out)

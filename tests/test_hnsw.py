@@ -242,3 +242,26 @@ def test_graph_connected_layer0():
                 seen.add(nb)
                 stack.append(nb)
     assert len(seen) == len(x)
+
+
+def test_vacuum_regrows_churned_shards(corpus):
+    """Past ~20% tombstones a shard is regrown WITHOUT the dead rows
+    (the ForceMerge-reclaims-bitmap analog, engine.cc:1013-1084) — so
+    the probe's bounded over-fetch stays sound under update/delete
+    churn and search cost cannot grow without limit."""
+    from vearch_spark.operators.hnsw import DELETED_COL, SHARD_COL
+
+    df, x, qs = corpus
+    idx = HNSWIndex("embedding", Metric.L2, nlinks=12, efConstruction=80,
+                    efSearch=96, nshards=4, id_col="vec_id").fit(df)
+    # kill 30% of all ids — every shard crosses the threshold
+    doomed = [int(i) for i in range(0, 4000, 3)]
+    idx.remove(doomed)
+    flags = idx._graph.groupBy(SHARD_COL).agg(
+        F.sum(F.col(DELETED_COL).cast("int")).alias("d")).collect()
+    assert all(r.d == 0 for r in flags)  # tombstones reclaimed
+    assert idx._graph.count() == 4000 - len(doomed)
+    # searches still exclude the removed ids and fill k
+    got = [r.vec_id for r in idx.search(df, qs[0].tolist(), limit=10).collect()]
+    assert len(got) == 10 and not (set(got) & set(doomed))
+    idx.unpersist()

@@ -111,7 +111,7 @@ def test_bm25_plan_prunes_terms_before_join(bm25):
     live = plan.split("InMemoryRelation")[0]
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
     # the cached postings scan is term-filtered (batch stats pruning)
-    assert "term#" in plan and "IN" in plan or "isin" in plan.lower()
+    assert "term#" in plan and ("IN" in plan or "isin" in plan.lower())
 
 
 def test_rrf_hand_case(spark):

@@ -365,19 +365,22 @@ class HNSWIndex:
 
         return grow
 
+    def _seed(self, df: DataFrame) -> DataFrame:
+        """Attach the shard id and empty graph columns to raw rows
+        (``_node = -1`` marks a row the grow UDF must insert)."""
+        return (
+            df.withColumn(SHARD_COL, self._shard_expr())
+            .withColumn(NODE_COL, F.lit(-1))
+            .withColumn(LAYER_COL, F.lit(-1))
+            .withColumn(LINKS_COL, F.lit(None).cast("array<array<int>>"))
+            .withColumn(DELETED_COL, F.lit(False))
+        )
+
     def fit(self, df: DataFrame) -> "HNSWIndex":
         if self.nshards is None:
             n = df.count()
             self.nshards = max(1, math.ceil(n / self.shard_max_rows))
-        seeded = (
-            df.withColumn(SHARD_COL, self._shard_expr())
-            .withColumn(NODE_COL, F.lit(-1))
-            .withColumn(LAYER_COL, F.lit(-1))
-            .withColumn(
-                LINKS_COL, F.lit(None).cast("array<array<int>>")
-            )
-            .withColumn(DELETED_COL, F.lit(False))
-        )
+        seeded = self._seed(df)
         schema = self._graph_schema(df)
         self._out_schema = schema
         built = seeded.groupBy(SHARD_COL).applyInPandas(self._grow_udf(), schema)
@@ -401,13 +404,7 @@ class HNSWIndex:
         regrow, untouched shards are reused row-for-row."""
         if self._graph is None:
             raise SearchError("index not trained")
-        fresh = (
-            df.withColumn(SHARD_COL, self._shard_expr())
-            .withColumn(NODE_COL, F.lit(-1))
-            .withColumn(LAYER_COL, F.lit(-1))
-            .withColumn(LINKS_COL, F.lit(None).cast("array<array<int>>"))
-            .withColumn(DELETED_COL, F.lit(False))
-        )
+        fresh = self._seed(df)
         touched = [r[0] for r in fresh.select(SHARD_COL).distinct().collect()]
         keep = self._graph.where(~F.col(SHARD_COL).isin(touched))
         regrow = (
@@ -446,8 +443,53 @@ class HNSWIndex:
             flagged = self._graph.withColumn(
                 DELETED_COL, F.col(DELETED_COL) | hit
             )
-        self._swap(flagged.repartition(F.col(SHARD_COL)))
+        # flag flips are narrow (withColumn / broadcast-left-join keep
+        # the shard partitioning) — no repartition, search stays
+        # zero-shuffle off the new cache
+        self._swap(flagged)
+        self._vacuum()
         return self
+
+    # dead-node fraction that triggers a shard regrow; below it the
+    # probe's bounded over-fetch (ef + dead, dead ≤ this fraction of
+    # the shard... capped at ef) keeps full recall
+    VACUUM_DEAD_FRACTION = 0.2
+
+    def _vacuum(self) -> None:
+        """Regrow shards whose tombstone fraction passed the threshold,
+        WITHOUT the dead rows — the reference's ForceMerge reclaiming
+        the delete bitmap (Engine::RebuildIndex engine.cc:1013-1084),
+        scoped to the shards that need it. Keeps the probe-time
+        over-fetch bound (min(dead, ef)) sound: dead never accumulates
+        past ~20% of a shard, so search cost cannot grow without bound
+        under update/delete churn."""
+        assert self._graph is not None
+        counts = (
+            self._graph.groupBy(SHARD_COL)
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum(F.col(DELETED_COL).cast("int")).alias("_d"),
+            )
+            .collect()
+        )  # bounded: one row per shard
+        doomed = [
+            r[0]
+            for r in counts
+            if r["_d"] and r["_d"] > self.VACUUM_DEAD_FRACTION * r["_n"]
+        ]
+        if not doomed:
+            return
+        keep = self._graph.where(~F.col(SHARD_COL).isin(doomed))
+        alive = (
+            self._graph.where(F.col(SHARD_COL).isin(doomed) & ~F.col(DELETED_COL))
+            .drop(*_GRAPH_COLS)
+        )
+        regrown = (
+            self._seed(alive)
+            .groupBy(SHARD_COL)
+            .applyInPandas(self._grow_udf(), self._out_schema)
+        )
+        self._swap(keep.unionByName(regrown).repartition(F.col(SHARD_COL)))
 
     # ---------------------------------------------------------- search
 
@@ -465,11 +507,14 @@ class HNSWIndex:
             # dropped — deletes only flag), so position == node id
             ordered = pdf.sort_values(NODE_COL).reset_index(drop=True)
             alive = ~ordered[DELETED_COL].to_numpy()
-            dead = int((~alive).sum())
+            # deleted nodes route but never surface: over-fetch to
+            # cover tombstones among the top candidates, BOUNDED at ef
+            # (vacuum keeps the dead fraction ≤ VACUUM_DEAD_FRACTION,
+            # so the bound is ample; unbounded ef+dead would let search
+            # cost grow without limit under churn)
+            dead = min(int((~alive).sum()), ef)
             frames = []
             for qid, q in enumerate(qs):
-                # deleted nodes route but never surface: over-fetch by
-                # the shard's deleted count, then mask
                 hits = g.search(q, ef + dead, k + dead)
                 idx = [n for _, n in hits if alive[n]][:k]
                 if not idx:

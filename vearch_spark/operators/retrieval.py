@@ -49,6 +49,11 @@ def build_postings(
         token_count(F.col(text_col)).alias("doc_len"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
+    # the single-space tokenizer emits "" for doubled/trailing spaces;
+    # no query can ever contain it (str.split drops empties), so
+    # indexing it would build a dead, potentially corpus-sized posting
+    # list. doc_len keeps counting empties — oracle parity.
+    toks = toks.where(F.col("term") != "")
     return (
         toks.groupBy("term", id_col, "doc_len")
         .agg(F.count("*").alias("tf"))
