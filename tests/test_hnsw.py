@@ -265,3 +265,44 @@ def test_vacuum_regrows_churned_shards(corpus):
     got = [r.vec_id for r in idx.search(df, qs[0].tolist(), limit=10).collect()]
     assert len(got) == 10 and not (set(got) & set(doomed))
     idx.unpersist()
+
+
+def test_space_writes_flow_into_hnsw(spark):
+    """Write consistency through the Space verbs with an HNSW index:
+    upsert inserts/updates and deletes are visible via is_brute_search=0
+    with no rebuild (the engine feeds the realtime index on AddOrUpdate
+    and sets the bitmap on Delete)."""
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import Space
+
+    DIM = 8
+    schema = SpaceSchema(
+        name="hnsw_writes",
+        fields=[
+            FieldSpec("field_int", FieldType.INT, index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec("field_vector", FieldType.VECTOR, dimension=DIM,
+                      index=IndexSpec("field_vector", "HNSW",
+                                      params={"nlinks": 8, "efConstruction": 32,
+                                              "nshards": 2, "training_threshold": 10})),
+        ],
+    )
+    rng = np.random.default_rng(7)
+    sp = Space(spark, schema)
+    sp.upsert([{"_id": str(i), "field_int": i,
+                "field_vector": [float(x) for x in rng.normal(0, 1, DIM)]}
+               for i in range(60)])
+    sp.build_index("field_vector")
+    assert sp.index_state("field_vector") == "INDEXED"
+
+    probe = [100.0] * DIM
+    sp.upsert([
+        {"_id": "new1", "field_int": 1000, "field_vector": probe},
+        {"_id": "5", "field_int": 5, "field_vector": [99.0] * DIM},
+    ])
+    got = [r._id for r in
+           sp.search(vector=probe, limit=2, is_brute_search=0).collect()]
+    assert got == ["new1", "5"]
+    sp.delete(["new1"])
+    got = [r._id for r in
+           sp.search(vector=probe, limit=1, is_brute_search=0).collect()]
+    assert got == ["5"]

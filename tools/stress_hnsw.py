@@ -1,0 +1,89 @@
+"""HNSW scale harness: build + recall + batch throughput vs exact.
+
+Reproduces the SCALE.md measurements:
+
+    python tools/stress_hnsw.py 100000   # ~2 min
+    python tools/stress_hnsw.py 1000000  # ~10 min (build ~8 min)
+
+Prints one JSON line: build_s, recall@{1,10,100} vs the exact batched
+FLAT scan (tie-aware), hnsw_batch_s vs exact_batch_s for a 20-query
+batch. Shards sized ~62k rows so per-task build time stays bounded
+(~2 ms/insert numpy constant factor)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import numpy as np
+
+    from tools.stress_1m import N_CLUSTERS, make_df
+    from vearch_spark.operators import topk
+    from vearch_spark.operators.hnsw import HNSWIndex
+    from vearch_spark.schema import Metric
+    from vearch_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    dim, nq, k = 64, 20, 100
+    spark = get_spark(app_name="hnsw-stress")
+    df, centers = make_df(spark, n, dim=dim)
+    df = df.persist()
+    df.count()
+    rng = np.random.default_rng(13)
+    queries = centers[rng.integers(0, N_CLUSTERS, nq)] + rng.normal(
+        0.0, 1.5, (nq, dim)
+    )
+    qlist = [q.tolist() for q in queries]
+    nshards = max(4, math.ceil(n / 62_500))
+    idx = HNSWIndex(
+        "embedding", Metric.L2, nlinks=16, efConstruction=100, efSearch=128,
+        nshards=nshards, id_col="vec_id",
+    )
+    t0 = time.time()
+    idx.fit(df)
+    out = {"n": n, "dim": dim, "nshards": nshards,
+           "build_s": round(time.time() - t0, 1)}
+
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qlist)], "query_id int, query_vec array<double>"
+    )
+    t0 = time.time()
+    exact_rows = topk.search_batch(df, "embedding", qdf, limit=k,
+                                   id_col="vec_id").collect()
+    out["exact_batch_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    approx_rows = idx.search_batch(qlist, limit=k).collect()
+    out["hnsw_batch_s"] = round(time.time() - t0, 2)
+
+    exact: dict[int, list] = {}
+    approx: dict[int, list] = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
+    for r in approx_rows:
+        approx.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
+    for per in (*exact.values(), *approx.values()):
+        per.sort()
+    for kk in (1, 10, 100):
+        hit = 0
+        for qid in range(nq):
+            ex = exact.get(qid, [])
+            if not ex:
+                continue
+            kth = ex[min(kk, len(ex)) - 1][0]
+            hit += sum(1 for s, _ in approx.get(qid, [])[:kk] if s <= kth + 1e-6)
+        out[f"recall_at_{kk}"] = round(hit / (kk * nq), 4)
+    idx.unpersist()
+    df.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
