@@ -1231,6 +1231,22 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("vec_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality scoring: per-doc average bigram
+    negative log-likelihood under a Jelinek-Mercer-smoothed corpus LM
+    (operators/lm.py) — the fluency gate the curation recipes bucket
+    on (ppl = exp(nll)). Counts + arithmetic only: the oracle recomputes
+    the LM and the score from the same parquet."""
+    from vearch_spark.operators.lm import BigramLM
+
+    docs = _docs(spark, sf_dir)
+    key = (id(spark), sf_dir, "bigram_lm")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = BigramLM(text_col="text").fit(docs)
+    out = _INDEX_CACHE[key].score(docs.where(F.col("doc_id") < 100))
+    return out.orderBy("doc_id")
+
+
 BM25_QUERY = "hash join spark window"
 
 
@@ -1475,6 +1491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph ANN: recall-gated in tests/test_hnsw.py
     "embedding_outliers": q_embedding_outliers,  # centroid z-score noise gate
+    "lm_perplexity": q_lm_perplexity,  # bigram-LM fluency gate (CCNet-style)
 }
 
 
@@ -2668,11 +2685,47 @@ def _embedding_outliers_sql() -> str:
     """
 
 
+def _lm_perplexity_sql() -> str:
+    """The bigram LM recomputed in DuckDB: unigram/bigram counts over
+    the same single-space tokens, Jelinek-Mercer interpolation with the
+    exact constants of operators/lm.py (lam=0.8, +1/(N+V) backoff)."""
+    return """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), tok AS (
+          SELECT unnest(tk) AS w FROM s
+        ), uni AS (
+          SELECT w, count(*)::BIGINT AS c1 FROM tok GROUP BY w
+        ), tot AS (
+          SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni
+        ), pairs_all AS (
+          SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+          FROM s, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+          WHERE len(tk) >= 2
+        ), big AS (
+          SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs_all GROUP BY w1, w2
+        ), j AS (
+          SELECT p.doc_id,
+                 0.8 * coalesce(b.c12, 0)::DOUBLE / coalesce(u1.c1, 1)::DOUBLE
+                 + 0.2 * (coalesce(u2.c1, 0)::DOUBLE + 1.0) / (t.n + t.v) AS pr
+          FROM pairs_all p
+          LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+          LEFT JOIN uni u1 ON p.w1 = u1.w
+          LEFT JOIN uni u2 ON p.w2 = u2.w
+          CROSS JOIN tot t
+          WHERE p.doc_id < 100
+        )
+        SELECT doc_id, round(avg(-ln(pr)), 6) AS nll
+        FROM j GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["bm25_topk"] = _bm25_core_sql(20)
     d["hybrid_rrf"] = _hybrid_rrf_sql()
     d["embedding_outliers"] = _embedding_outliers_sql()
+    d["lm_perplexity"] = _lm_perplexity_sql()
     d["minhash_dedup"] = _minhash_oracle_sql()
     d["hard_negatives"] = _hard_negatives_sql()
     d["temperature_mix"] = _temperature_mix_sql()
