@@ -1429,7 +1429,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flat_knn_l2": q_flat_knn_l2,
     "knn_filtered_l2sqrt": q_knn_filtered_l2sqrt,
     "knn_score_band_offset": q_knn_score_band_offset,
-    "knn_batch": q_knn_batch,
     "multivector_fusion": q_multivector_fusion,
     "knn_sorted_by_field": q_knn_sorted_by_field,
     "delete_by_ids": q_delete_by_ids,
@@ -1450,7 +1449,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "corpus_pipeline": q_corpus_pipeline,
     "sq8_codes": q_sq8_codes,
-    "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -1476,7 +1474,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf": q_hybrid_rrf,
+    "embedding_outliers": q_embedding_outliers,
+    "lm_perplexity": q_lm_perplexity,
     # ---- 51+: kernels oracle-checked by an in-budget twin ----
+    "knn_batch": q_knn_batch,  # FLAT batch kernel: ivf_batch_knn + flat_knn_l2
+    "dataset_split": q_dataset_split,  # hash thresholds: temperature_mix/mix_sample
     "quality_topk_per_source": q_quality_topk_per_source,  # rank-quota window: cluster_sample
     "dedup_lines": q_dedup_lines,  # line-level exact dedup: exact_dedup/repetition_scores
     "flat_knn_ip": q_flat_knn_ip,  # IP kernel: normalized_ip_knn
@@ -1490,8 +1492,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph ANN: recall-gated in tests/test_hnsw.py
-    "embedding_outliers": q_embedding_outliers,  # centroid z-score noise gate
-    "lm_perplexity": q_lm_perplexity,  # bigram-LM fluency gate (CCNet-style)
 }
 
 

@@ -43,6 +43,7 @@ def main() -> None:
         entry._ivf_index(spark, sf_dir, kind)
     entry._hnsw_index(spark, sf_dir)
     entry._bm25_index(spark, sf_dir)
+    entry.q_lm_perplexity(spark, sf_dir).count()  # caches the bigram LM
 
     # two passes, report per-query min: steady-state time, not
     # machine-load noise (the reference harness likewise reports best
