@@ -2715,8 +2715,12 @@ def _lm_perplexity_sql() -> str:
           CROSS JOIN tot t
           WHERE p.doc_id < 100
         )
-        SELECT doc_id, round(avg(-ln(pr)), 6) AS nll
-        FROM j GROUP BY doc_id ORDER BY doc_id
+        SELECT d.doc_id, agg.nll
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        LEFT JOIN (
+          SELECT doc_id, round(avg(-ln(pr)), 6) AS nll FROM j GROUP BY doc_id
+        ) agg USING (doc_id)
+        ORDER BY d.doc_id
     """
 
 

@@ -191,9 +191,12 @@ def hnsw_scale_suite(spark) -> dict:
     reference CI gates (recall@1/@10/@100 ≥ 0.50/0.80/0.90). 8 shards
     of 12.5k build in parallel (~2 ms/insert Python constant factor);
     ground truth = exact batched FLAT scan."""
-    import numpy as np
-
-    from tools.stress_1m import N_CLUSTERS, make_df
+    from tools.stress_1m import make_df
+    from tools.stress_hnsw import (
+        by_query_scores,
+        clustered_queries,
+        tie_aware_recall,
+    )
     from vearch_spark.operators import topk
     from vearch_spark.operators.hnsw import HNSWIndex
     from vearch_spark.schema import Metric
@@ -202,11 +205,7 @@ def hnsw_scale_suite(spark) -> dict:
     df, centers = make_df(spark, n, dim=dim)
     df = df.persist()
     df.count()
-    rng = np.random.default_rng(13)
-    queries = centers[rng.integers(0, N_CLUSTERS, nq)] + rng.normal(
-        0.0, 1.5, size=(nq, dim)
-    )
-    qlist = [q.tolist() for q in queries]
+    qlist = [q.tolist() for q in clustered_queries(centers, nq, dim)]
     idx = HNSWIndex(
         "embedding", Metric.L2, nlinks=16, efConstruction=100, efSearch=128,
         nshards=8, id_col="vec_id",
@@ -218,30 +217,16 @@ def hnsw_scale_suite(spark) -> dict:
     qdf = spark.createDataFrame(
         [(i, q) for i, q in enumerate(qlist)], "query_id int, query_vec array<double>"
     )
-    exact = {}
     t0 = time.time()
     exact_rows = topk.search_batch(df, "embedding", qdf, limit=k, id_col="vec_id").collect()
     # the honest comparison point: what brute force costs at this n
     out["exact_batch_search_qps"] = round(nq / (time.time() - t0), 2)
-    for r in exact_rows:
-        exact.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
     t0 = time.time()
     approx_rows = idx.search_batch(qlist, limit=k).collect()
     out["batch_search_qps"] = round(nq / (time.time() - t0), 2)
-    approx = {}
-    for r in approx_rows:
-        approx.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
-    for per in (*exact.values(), *approx.values()):
-        per.sort()
-    for kk in (1, 10, 100):
-        hit = 0
-        for qid in range(nq):
-            ex = exact.get(qid, [])
-            if not ex:
-                continue  # a queryless row degrades recall, never crashes
-            kth = ex[min(kk, len(ex)) - 1][0]  # tie-aware score threshold
-            hit += sum(1 for s, _ in approx.get(qid, [])[:kk] if s <= kth + 1e-6)
-        out[f"recall_at_{kk}"] = round(hit / (kk * nq), 4)
+    out.update(tie_aware_recall(
+        by_query_scores(exact_rows), by_query_scores(approx_rows), nq
+    ))
     idx.unpersist()
     df.unpersist()
     return out

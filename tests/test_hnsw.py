@@ -216,6 +216,32 @@ def test_filtered_search_validates_candidates(corpus, index):
     assert len(out) > 0 and all(r.label == 3 for r in out)
 
 
+def test_selective_filter_fills_k(corpus):
+    """A ~1% filter still fills the full limit AND matches the exact
+    pre-filtered scan: the probe widens its beam until k allowed hits
+    per shard (the reference's filter-during-traversal — candidates
+    are validated against the filter docid set and traversal continues
+    until enough valid, SearchCondition::IsValid) instead of
+    post-filtering a fixed-ef candidate page down to near-nothing.
+    With ≤k matches per shard the widened beam is exhaustive, so the
+    result is bit-equal to FLAT over the filtered corpus."""
+    from vearch_spark.operators import topk
+
+    df, x, qs = corpus
+    idx = HNSWIndex("embedding", Metric.L2, nlinks=12, efConstruction=80,
+                    efSearch=96, nshards=4, id_col="vec_id").fit(df)
+    pred = (F.col("vec_id") % 97) == 0  # ~41 of 4000 rows qualify
+    for q in (qs[5].tolist(), qs[6].tolist()):
+        got = [(r.vec_id, r._score)
+               for r in idx.search(df, q, limit=10, flt=pred).collect()]
+        exact = [(r.vec_id, r._score)
+                 for r in topk.search(df.where(pred), "embedding", q, limit=10,
+                                      id_col="vec_id").collect()]
+        assert len(got) == 10
+        assert got == exact
+    idx.unpersist()
+
+
 def test_level_draw_distribution():
     """Hash-based level draw matches the paper's exponential
     distribution: P(level ≥ l) = (1/M)^l."""

@@ -45,7 +45,8 @@ def test_lm_matches_reference_impl(docs):
     lm = BigramLM(text_col="text").fit(docs)
     got = {r.doc_id: r.nll for r in lm.score(docs, id_col="doc_id").collect()}
     lm.unpersist()
-    assert set(got) == set(want)
+    assert set(got) == set(texts)  # one row per input doc, always
+    assert {d for d, s in got.items() if s is not None} == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], abs=2e-6)
 
@@ -78,5 +79,5 @@ def test_lm_short_docs_score_null(spark, docs):
                                 "doc_id long, text string")
     got = {r.doc_id: r.nll for r in lm.score(one).collect()}
     lm.unpersist()
-    assert 1 not in got  # no bigrams → no row
+    assert got[1] is None  # no bigrams → explicit NULL row, never dropped
     assert got[2] is not None

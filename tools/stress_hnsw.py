@@ -8,7 +8,12 @@ Reproduces the SCALE.md measurements:
 Prints one JSON line: build_s, recall@{1,10,100} vs the exact batched
 FLAT scan (tie-aware), hnsw_batch_s vs exact_batch_s for a 20-query
 batch. Shards sized ~62k rows so per-task build time stays bounded
-(~2 ms/insert numpy constant factor)."""
+(~2 ms/insert numpy constant factor).
+
+The query synthesis / grouping / tie-aware-recall helpers here are THE
+shared implementation — bench.py's ``hnsw_scale_suite`` imports them,
+so SCALE.md and BENCH report the same measurement, never two hand-kept
+copies that could drift."""
 
 from __future__ import annotations
 
@@ -20,11 +25,51 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np  # noqa: E402
+
+
+def clustered_queries(centers: "np.ndarray", nq: int, dim: int,
+                      seed: int = 13) -> "np.ndarray":
+    """nq query vectors near random cluster centers (the realistic ANN
+    regime: queries land where data is dense)."""
+    from tools.stress_1m import N_CLUSTERS
+
+    rng = np.random.default_rng(seed)
+    return centers[rng.integers(0, N_CLUSTERS, nq)] + rng.normal(
+        0.0, 1.5, (nq, dim)
+    )
+
+
+def by_query_scores(rows) -> dict[int, list]:
+    """Group collected (query_id, _score, vec_id) rows per query,
+    best-score first (scores are smaller-is-better for L2)."""
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
+    for v in per.values():
+        v.sort()
+    return per
+
+
+def tie_aware_recall(exact: dict[int, list], approx: dict[int, list],
+                     nq: int, ks=(1, 10, 100), eps: float = 1e-6) -> dict:
+    """recall@k scored against the exact k-th score as a threshold, so
+    equidistant neighbors beyond the exact cut never count as misses."""
+    out = {}
+    for kk in ks:
+        hit = 0
+        for qid in range(nq):
+            ex = exact.get(qid, [])
+            if not ex:
+                continue  # a queryless row degrades recall, never crashes
+            kth = ex[min(kk, len(ex)) - 1][0]  # tie-aware score threshold
+            hit += sum(1 for s, _ in approx.get(qid, [])[:kk] if s <= kth + eps)
+        out[f"recall_at_{kk}"] = round(hit / (kk * nq), 4)
+    return out
+
 
 def main() -> None:
-    import numpy as np
-
-    from tools.stress_1m import N_CLUSTERS, make_df
+    from tools.stress_1m import make_df
     from vearch_spark.operators import topk
     from vearch_spark.operators.hnsw import HNSWIndex
     from vearch_spark.schema import Metric
@@ -36,11 +81,7 @@ def main() -> None:
     df, centers = make_df(spark, n, dim=dim)
     df = df.persist()
     df.count()
-    rng = np.random.default_rng(13)
-    queries = centers[rng.integers(0, N_CLUSTERS, nq)] + rng.normal(
-        0.0, 1.5, (nq, dim)
-    )
-    qlist = [q.tolist() for q in queries]
+    qlist = [q.tolist() for q in clustered_queries(centers, nq, dim)]
     nshards = max(4, math.ceil(n / 62_500))
     idx = HNSWIndex(
         "embedding", Metric.L2, nlinks=16, efConstruction=100, efSearch=128,
@@ -62,23 +103,9 @@ def main() -> None:
     approx_rows = idx.search_batch(qlist, limit=k).collect()
     out["hnsw_batch_s"] = round(time.time() - t0, 2)
 
-    exact: dict[int, list] = {}
-    approx: dict[int, list] = {}
-    for r in exact_rows:
-        exact.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
-    for r in approx_rows:
-        approx.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
-    for per in (*exact.values(), *approx.values()):
-        per.sort()
-    for kk in (1, 10, 100):
-        hit = 0
-        for qid in range(nq):
-            ex = exact.get(qid, [])
-            if not ex:
-                continue
-            kth = ex[min(kk, len(ex)) - 1][0]
-            hit += sum(1 for s, _ in approx.get(qid, [])[:kk] if s <= kth + 1e-6)
-        out[f"recall_at_{kk}"] = round(hit / (kk * nq), 4)
+    out.update(tie_aware_recall(
+        by_query_scores(exact_rows), by_query_scores(approx_rows), nq
+    ))
     idx.unpersist()
     df.unpersist()
     print(json.dumps(out))

@@ -25,15 +25,20 @@ does it without any native library:
   rebuilds and retries are bit-identical.
 - **search**: one ``applyInPandas`` over the same persisted, shard-
   partitioned relation (the grouping exchange is elided — plan-asserted
-  in tests/test_plans.py) runs beam search per shard and emits each
-  shard's top-ef *full rows*; the global merge is the existing exact
-  FLAT kernel (``topk.search``) over that tiny candidate relation, so
-  scores, tie-breaks, projection, score bands, offset and filters are
-  shared with every other verified search path. Filters are validated
-  on candidates — the reference does the same (every ANN candidate is
-  checked against the filter docid set, ``SearchCondition::IsValid``
-  gamma_common_data.h:98-106); raise ``ef_search`` under selective
-  filters.
+  in tests/test_hnsw.py::test_search_plan_no_exchange_over_graph) runs
+  beam search per shard and emits each shard's top-ef *full rows*; the
+  global merge is the existing exact FLAT kernel (``topk.search``) over
+  that tiny candidate relation, so scores, tie-breaks, projection,
+  score bands, offset and filters are shared with every other verified
+  search path. Filters are evaluated JVM-side into a per-row allow flag
+  BEFORE the probe, and the per-shard beam search widens ``ef``
+  (doubling, capped at the shard size) until it has ``k`` allowed hits
+  or has seen the whole shard — the reference's filter-during-traversal
+  semantics (every ANN candidate is checked against the filter docid
+  set and traversal continues until enough valid hits,
+  ``SearchCondition::IsValid`` gamma_common_data.h:98-106), so
+  selective filters return k matching rows whenever the shard holds
+  them, never a post-filtered near-empty page.
 - **delete**: tombstoned nodes stay in the graph as routing waypoints
   and are excluded from results — precisely the reference's delete
   bitmap (``Engine::Delete`` engine.cc:869-900 sets a bit; search skips
@@ -64,6 +69,7 @@ NODE_COL = "_node"
 LAYER_COL = "_layer"
 LINKS_COL = "_links"
 DELETED_COL = "_deleted"
+ALLOWED_COL = "_allowed"
 _GRAPH_COLS = (SHARD_COL, NODE_COL, LAYER_COL, LINKS_COL, DELETED_COL)
 
 
@@ -319,7 +325,6 @@ class HNSWIndex:
         nshards: int | None = None,
         shard_max_rows: int = 65_536,
         id_col: str = ID_FIELD,
-        seed: int = 42,
         **_: object,
     ):
         if not 2 <= int(nlinks) <= 96:
@@ -334,7 +339,10 @@ class HNSWIndex:
         self.nshards = nshards
         self.shard_max_rows = int(shard_max_rows)
         self.id_col = id_col
-        self.seed = seed
+        # no seed knob: the graph is deliberately a pure function of
+        # (rows, params) — the level draw hashes doc ids, inserts are
+        # id-ordered — so rebuilds, retries and save/load round-trips
+        # are bit-identical without any RNG state to persist
         self._graph: DataFrame | None = None
         self._out_schema: str | None = None
         self._base_schema: str | None = None
@@ -496,7 +504,18 @@ class HNSWIndex:
     def _probe_udf(self, queries: list[list[float]], ef: int, k: int):
         """Per-shard beam search for a query batch; emits each shard's
         top-k FULL rows per query, tagged with query_id — the global
-        merge rescans nothing."""
+        merge rescans nothing.
+
+        Tombstoned AND filter-disallowed nodes route but never surface:
+        the beam widens (ef doubling, capped at the shard size) until k
+        valid hits are found or the whole shard has been beamed — so a
+        selective filter yields k matching rows whenever the shard
+        holds that many, with cost degrading gracefully toward a shard
+        scan exactly when the filter leaves little else (the behavior
+        an exact pre-filtered scan would have anyway). The initial
+        over-fetch for tombstones is BOUNDED at ef: vacuum keeps the
+        dead fraction ≤ VACUUM_DEAD_FRACTION, so one widening step is
+        the common case even under churn."""
         vector_col, id_col = self.vector_col, self.id_col
         metric, m, efc = self.metric, self.nlinks, self.ef_construction
         qs = [np.asarray(q, dtype=np.float64) for q in queries]
@@ -506,26 +525,31 @@ class HNSWIndex:
             # node ids are dense 0..n-1 within a shard (rows are never
             # dropped — deletes only flag), so position == node id
             ordered = pdf.sort_values(NODE_COL).reset_index(drop=True)
-            alive = ~ordered[DELETED_COL].to_numpy()
-            # deleted nodes route but never surface: over-fetch to
-            # cover tombstones among the top candidates, BOUNDED at ef
-            # (vacuum keeps the dead fraction ≤ VACUUM_DEAD_FRACTION,
-            # so the bound is ample; unbounded ef+dead would let search
-            # cost grow without limit under churn)
-            dead = min(int((~alive).sum()), ef)
+            ok = ~ordered[DELETED_COL].to_numpy()
+            if ALLOWED_COL in ordered.columns:
+                ok = ok & ordered[ALLOWED_COL].fillna(False).to_numpy(dtype=bool)
+            total_ok = int(ok.sum())
             frames = []
-            for qid, q in enumerate(qs):
-                hits = g.search(q, ef + dead, k + dead)
-                idx = [n for _, n in hits if alive[n]][:k]
-                if not idx:
-                    continue
-                out = ordered.iloc[idx].copy()
-                out["query_id"] = qid
-                frames.append(out)
+            if total_ok:
+                target = min(k, total_ok)
+                ef0 = ef + min(int((~ok).sum()), ef)
+                for qid, q in enumerate(qs):
+                    ef_eff = ef0
+                    while True:
+                        hits = g.search(q, ef_eff, ef_eff)
+                        idx = [n for _, n in hits if ok[n]][:k]
+                        if len(idx) >= target or ef_eff >= g.n:
+                            break
+                        ef_eff = min(2 * ef_eff, g.n)
+                    if not idx:
+                        continue
+                    out = ordered.iloc[idx].copy()
+                    out["query_id"] = qid
+                    frames.append(out)
             # emit candidates WITHOUT the graph columns: shipping the
             # adjacency arrays back through Arrow dominated batch-search
             # wall time (measured 17 s → ~1 s at 100k×8 shards)
-            drop = [c for c in _GRAPH_COLS if c in pdf.columns]
+            drop = [c for c in (*_GRAPH_COLS, ALLOWED_COL) if c in pdf.columns]
             if not frames:
                 empty = pdf.head(0).drop(columns=drop).copy()
                 empty["query_id"] = pd.Series([], dtype="int32")
@@ -535,11 +559,22 @@ class HNSWIndex:
         return probe
 
     def _candidates(
-        self, queries: list[list[float]], ef: int, k: int
+        self,
+        queries: list[list[float]],
+        ef: int,
+        k: int,
+        flt: Column | None = None,
     ) -> DataFrame:
         assert self._graph is not None and self._base_schema is not None
         schema = self._base_schema + ", query_id int"
-        return self._graph.groupBy(SHARD_COL).applyInPandas(
+        g = self._graph
+        if flt is not None:
+            # evaluate the predicate JVM-side into a per-row allow flag
+            # (narrow — keeps the shard partitioning, search stays
+            # zero-shuffle); NULL predicate results mean "filtered out",
+            # matching WHERE semantics
+            g = g.withColumn(ALLOWED_COL, F.coalesce(flt.cast("boolean"), F.lit(False)))
+        return g.groupBy(SHARD_COL).applyInPandas(
             self._probe_udf(queries, ef, k), schema
         )
 
@@ -564,9 +599,11 @@ class HNSWIndex:
         if self._graph is None:
             raise SearchError("index not trained")
         ef = max(int(ef_search or nprobe or self.ef_search), limit + offset)
-        cand = self._candidates([list(map(float, query))], ef, ef).drop("query_id")
+        cand = self._candidates(
+            [list(map(float, query))], ef, ef, flt=flt
+        ).drop("query_id")
         if flt is not None:
-            cand = cand.where(flt)
+            cand = cand.where(flt)  # re-validate candidates (cheap, exact)
         # exact global merge + projection through the shared FLAT kernel
         return topk.search(
             cand,
@@ -606,9 +643,9 @@ class HNSWIndex:
             raise SearchError("index not trained")
         ef = max(int(ef_search or self.ef_search), limit)
         qlist = [list(map(float, q)) for q in queries]
-        cand = self._candidates(qlist, ef, ef)
+        cand = self._candidates(qlist, ef, ef, flt=flt)
         if flt is not None:
-            cand = cand.where(flt)
+            cand = cand.where(flt)  # re-validate candidates (cheap, exact)
         spark = cand.sparkSession
         qdf = spark.createDataFrame(
             [(i, q) for i, q in enumerate(qlist)],

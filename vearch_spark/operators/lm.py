@@ -108,14 +108,17 @@ class BigramLM:
         broadcast_model: bool = True,
     ) -> DataFrame:
         """Per-doc average bigram negative log-likelihood (exp = ppl).
-        Docs with <2 tokens score NULL (no bigram evidence)."""
+        Every input doc yields exactly one output row; docs with
+        <2 tokens (no bigram evidence) carry a NULL score, so a gate
+        thresholding the column sees them explicitly instead of losing
+        them to an inner explode."""
         if self.unigrams is None or self.bigrams is None:
             raise SearchError("LM not fitted")
         uni, bi = self.unigrams, self.bigrams
         if broadcast_model:
             uni, bi = F.broadcast(uni), F.broadcast(bi)
         pairs = docs.select(
-            F.col(id_col), F.explode(_bigrams(self.text_col)).alias("b")
+            F.col(id_col), F.explode_outer(_bigrams(self.text_col)).alias("b")
         ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         joined = (
             pairs.join(bi, on=["w1", "w2"], how="left")
@@ -131,8 +134,13 @@ class BigramLM:
             n + v
         )
         p = F.lit(lam) * cond + F.lit(1.0 - lam) * backoff
+        # w1 is NULL only on the explode_outer placeholder row of a
+        # <2-token doc (real tokens are never NULL) — avg() skips the
+        # NULL, so such a group aggregates to a NULL score, not a value
         return (
-            joined.withColumn("_nll", -F.log(p))
+            joined.withColumn(
+                "_nll", F.when(F.col("w1").isNull(), F.lit(None)).otherwise(-F.log(p))
+            )
             .groupBy(id_col)
             .agg(F.round(F.avg("_nll"), 6).alias(out_col))
         )
