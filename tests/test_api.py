@@ -148,6 +148,37 @@ def test_index_lifecycle_verbs(spark, tmp_path):
     assert hits and hits[0]._id == "5"
 
 
+def test_hnsw_index_survives_vacuum(spark, tmp_path):
+    """forcemerge/vacuum must cut the HNSW graph's lineage into the
+    reclaimed version dirs (the `_graph` analog of the IVF `_assigned`
+    checkpoint) — a post-vacuum search recomputing an evicted cached
+    block must never touch deleted files."""
+    schema = SpaceSchema(
+        name="hnsw_vac",
+        fields=[
+            FieldSpec("v", FieldType.VECTOR, dimension=DIM,
+                      index=IndexSpec("v", "HNSW",
+                                      params={"nlinks": 8, "efConstruction": 32,
+                                              "nshards": 2,
+                                              "training_threshold": 10})),
+        ],
+    )
+    sp = Space(spark, schema, path=str(tmp_path / "hnsw_vac"))
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "v": [float(i), 0.0, 1.0, 0.0]} for i in range(30)
+    ]})
+    sp.build_index("v")
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "v": [float(i) + 1.0, 0.0, 1.0, 0.0]} for i in range(30)
+    ]})
+    assert api.index_forcemerge(sp) >= 1
+    plan = sp._indexes["v"]._graph._jdf.queryExecution().analyzed().toString()
+    assert "parquet" not in plan.lower()  # lineage cut, not scan-backed
+    hits = sp.search(vector=[6.0, 0.0, 1.0, 0.0], limit=1,
+                     is_brute_search=0).collect()
+    assert hits and hits[0]._id == "5"
+
+
 def test_hnsw_space_via_api(spark):
     """A space declared with an HNSW vector index serves the same JSON
     search payload through the real graph index after build_index
@@ -185,3 +216,40 @@ def test_hnsw_space_via_api(spark):
     # field_int >= 3 to feature 5.0 are exactly 5, 4/6 (tie → id order)
     assert [r._id for r in out] == ["5", "4", "6"]
     assert all(r.field_int >= 3 for r in out)
+
+
+def test_space_config_get_update(spark):
+    """GET/POST /config/{db}/{space} parity (test_module_config.py):
+    partial-merge updates, GET echoes, refresh_interval default 1000
+    (space.go:71) and create-time override incl. -1 = no background
+    refresh."""
+    schema = SpaceSchema(
+        name="cfg",
+        fields=[FieldSpec("field_int", FieldType.INT,
+                          index=IndexSpec("field_int", "SCALAR"))],
+    )
+    sp = Space(spark, schema)
+    assert api.get_config(sp)["refresh_interval"] == 1000
+    assert "engine_cache_size" not in api.get_config(sp)  # unset omitted
+
+    cache = 512 * 1024
+    for i in range(3):
+        got = api.update_config(sp, {"engine_cache_size": cache + i})
+        assert got["engine_cache_size"] == cache + i
+        assert api.get_config(sp)["engine_cache_size"] == cache + i
+        # partial merge: the untouched key is kept
+        assert api.get_config(sp)["refresh_interval"] == 1000
+
+    for iv in (-1, 0, 2000):
+        assert api.update_config(sp, {"refresh_interval": iv})["refresh_interval"] == iv
+        assert sp.refresh_interval == iv
+        assert api.get_config(sp)["engine_cache_size"] == cache + 2
+
+    api.update_config(sp, {"unknown_knob": 1})  # ignored like Go unmarshal
+    with pytest.raises(DocumentError):
+        api.update_config(sp, {"refresh_interval": "fast"})
+    with pytest.raises(DocumentError):
+        api.update_config(sp, {"enable_id_cache": 1})
+
+    created = Space(spark, schema, refresh_interval=-1)
+    assert api.get_config(created)["refresh_interval"] == -1

@@ -167,6 +167,20 @@ def index_forcemerge(space: Space, req: dict | None = None) -> int:
     return space.vacuum()
 
 
+def get_config(space: Space) -> dict:
+    """`GET /config/{db}/{space}` (config_service.go:82-95): current
+    space config — engine_cache_size / refresh_interval /
+    slow_search_time / enable_id_cache / path."""
+    return space.get_config()
+
+
+def update_config(space: Space, req: dict) -> dict:
+    """`POST /config/{db}/{space}`: partial-merge config update
+    (UpdateSpaceConfig config_service.go:97-133) — only the provided
+    keys overwrite; echoes the merged config like the route's `data`."""
+    return space.update_config(req or {})
+
+
 def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
     """`POST /index/rebuild` (doc_http.go:937 → Engine::RebuildIndex
     engine.cc:1013-1084): retrain every declared vector index from the

@@ -58,14 +58,20 @@ class Registry:
     # --------------------------------------------------------------- spaces
 
     def create_space(
-        self, db: str, schema: SpaceSchema, path: str | None = None
+        self,
+        db: str,
+        schema: SpaceSchema,
+        path: str | None = None,
+        refresh_interval: int = 1000,
     ) -> Space:
         spaces = self._dbs.get(db)
         if spaces is None:
             raise SchemaError(f"database {db!r} not found")
         if schema.name in spaces:
             raise SchemaError(f"space {schema.name!r} already exists in {db!r}")
-        space = Space(self.spark, schema, path=path)
+        space = Space(
+            self.spark, schema, path=path, refresh_interval=refresh_interval
+        )
         spaces[schema.name] = space
         return space
 

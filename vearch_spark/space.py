@@ -169,11 +169,25 @@ class Space:
         schema: SpaceSchema,
         path: str | None = None,
         n_buckets: int = 16,
+        refresh_interval: int = 1000,
     ):
         self.spark = spark
         self.schema = schema
         self.path = path
         self.n_buckets = max(1, int(n_buckets))
+        # the space-config surface (GET/POST /config/{db}/{space}) —
+        # entity.SpaceConfig keys (space.go:155-165), partial-merge
+        # update semantics (UpdateSpaceConfig config_service.go:97-133).
+        # refresh_interval default 1000 ms (space.go:71); here it is the
+        # streaming trigger / index-sync cadence knob a caller reads
+        # (streaming/realtime.py stream_ingest), not a background loop.
+        self._config: dict = {
+            "engine_cache_size": None,  # accepted, advisory under Spark
+            "path": path,
+            "slow_search_time": None,  # slow-search log threshold (ms)
+            "refresh_interval": int(refresh_interval),
+            "enable_id_cache": False,  # space.go:72 default
+        }
         self._df: DataFrame | None = None
         self._max_seq = 0
         self._manifest: dict | None = None  # path mode: bucket -> version map
@@ -386,11 +400,15 @@ class Space:
         # HERE only because the alternative is lineage into deleted
         # files; the superseded cache copy is released explicitly
         # (unpersist on the checkpointed copy would be a no-op later).
+        # every index family stores its persisted relation under a
+        # different attribute (IVF-style `_assigned`, HNSW `_graph`) —
+        # cut ALL of them, not just the IVF one
         for model in self._indexes.values():
-            assigned = getattr(model, "_assigned", None)
-            if assigned is not None:
-                model._assigned = assigned.localCheckpoint(eager=True)
-                assigned.unpersist()
+            for attr in ("_assigned", "_graph"):
+                rel = getattr(model, attr, None)
+                if rel is not None:
+                    setattr(model, attr, rel.localCheckpoint(eager=True))
+                    rel.unpersist()
         live = {int(v) for v in self._manifest["buckets"].values()}
         live.add(int(self._manifest["version"]))
         removed = 0
@@ -416,6 +434,53 @@ class Space:
                 if any(not os.path.exists(r) for r in roots):
                     os.remove(os.path.join(hist, name))
         return removed
+
+    # ------------------------------------------------------------ config
+
+    _CONFIG_KEYS = {
+        "engine_cache_size": int,
+        "path": str,
+        "slow_search_time": int,
+        "refresh_interval": int,
+        "enable_id_cache": bool,
+    }
+
+    def get_config(self) -> dict:
+        """``GET /config/{db}/{space}`` (config_service.go:82-95):
+        the current space config; unset keys are omitted (the
+        reference marshals with ``omitempty``)."""
+        return {
+            "name": self.schema.name,
+            **{k: v for k, v in self._config.items() if v is not None},
+        }
+
+    def update_config(self, cfg: dict) -> dict:
+        """``POST /config/{db}/{space}``: partial merge — ONLY the
+        provided keys overwrite, everything else is kept
+        (UpdateSpaceConfig config_service.go:97-133); unknown keys are
+        ignored like the reference's JSON unmarshal. Returns the merged
+        config (the route echoes it as ``data``)."""
+        for key, typ in self._CONFIG_KEYS.items():
+            if key not in cfg or cfg[key] is None:
+                continue
+            value = cfg[key]
+            if typ is bool:
+                if not isinstance(value, bool):
+                    raise DocumentError(f"config {key!r} must be a bool")
+            elif typ is int:
+                if isinstance(value, bool) or not isinstance(value, int):
+                    raise DocumentError(f"config {key!r} must be an int")
+            elif not isinstance(value, typ):
+                raise DocumentError(f"config {key!r} must be {typ.__name__}")
+            self._config[key] = value
+        return self.get_config()
+
+    @property
+    def refresh_interval(self) -> int:
+        """Streaming-trigger cadence in ms; ≤ 0 = no background index
+        refresh (the reference's -1, test_module_config.py — searches
+        then serve via brute force until an explicit build_index)."""
+        return int(self._config["refresh_interval"])
 
     @property
     def df(self) -> DataFrame:
