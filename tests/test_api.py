@@ -253,3 +253,30 @@ def test_space_config_get_update(spark):
 
     created = Space(spark, schema, refresh_interval=-1)
     assert api.get_config(created)["refresh_interval"] == -1
+
+
+def test_update_space_partition_num(spark, tmp_path):
+    """PUT /dbs/{db}/spaces/{space} partition growth: grow re-buckets
+    the table consistently with the routing expr in one explicit admin
+    commit; reduction is rejected (the reference's `code != 0`)."""
+    schema = SpaceSchema(
+        name="grow",
+        fields=[FieldSpec("field_int", FieldType.INT,
+                          index=IndexSpec("field_int", "SCALAR"))],
+    )
+    sp = Space(spark, schema, path=str(tmp_path / "grow"), n_buckets=2)
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "field_int": i} for i in range(40)
+    ]})
+    assert api.update_space(sp, {"partition_num": 4}) == {"partition_num": 4}
+    assert sp._manifest["n_buckets"] == 4
+    assert sp.count() == 40
+    # id routing stays consistent with the new expr: point reads and
+    # bucket-scoped writes still find their docs
+    assert [r.field_int for r in sp.get(["7"]).collect()] == [7]
+    sp.partial_update("7", {"field_int": 700})
+    assert [r.field_int for r in sp.get(["7"]).collect()] == [700]
+    with pytest.raises(DocumentError):
+        api.update_space(sp, {"partition_num": 3})
+    with pytest.raises(DocumentError):
+        api.update_space(sp, {})

@@ -167,6 +167,16 @@ def index_forcemerge(space: Space, req: dict | None = None) -> int:
     return space.vacuum()
 
 
+def update_space(space: Space, req: dict) -> dict:
+    """`PUT /dbs/{db}/spaces/{space}`: space update. The supported
+    mutation is growing `partition_num` (reduction is rejected with an
+    error, test_module_space.py::test_update_space_partition)."""
+    if "partition_num" not in req:
+        raise DocumentError("update_space requires partition_num")
+    n = space.update_partition_num(int(req["partition_num"]))
+    return {"partition_num": n}
+
+
 def get_config(space: Space) -> dict:
     """`GET /config/{db}/{space}` (config_service.go:82-95): current
     space config — engine_cache_size / refresh_interval /

@@ -435,6 +435,27 @@ class Space:
                     os.remove(os.path.join(hist, name))
         return removed
 
+    def update_partition_num(self, n: int) -> int:
+        """``PUT /dbs/{db}/spaces/{space}`` partition-count update
+        (test_module_space.py::test_update_space_partition): grow-only —
+        the reference rejects reducing partition_num. The reference adds
+        empty partitions and re-routes only new docs; a hash-bucketed
+        table must stay consistent with its routing expression
+        (:meth:`_bucket_expr`), so growing re-buckets the table in ONE
+        explicit admin commit — the deliberate re-shard an operator
+        schedules, never an implicit write-path cost. Trained indexes
+        are untouched (ids and rows are unchanged; only their bucket
+        homes move)."""
+        n = int(n)
+        if n <= self.n_buckets:
+            raise DocumentError(
+                f"partition_num can only grow: {n} <= current {self.n_buckets}"
+            )
+        self.n_buckets = n
+        if self._bucketed() and self._df is not None:
+            self._commit(self.df, touched=None)  # full re-bucket, new expr
+        return n
+
     # ------------------------------------------------------------ config
 
     _CONFIG_KEYS = {
