@@ -1370,6 +1370,22 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span accounting (operators/dedup.py
+    duplicated_span_stats): per doc, how many of its rolling 12-token
+    spans occur more than once in the corpus — the substring-level
+    dedup signal of the "deduplicating training data" recipe (Lee et
+    al. 2022), complementing doc-level (exact/minhash/simhash) and
+    line-level (dedup_lines) dedup. sha256 span hashes so the oracle
+    reproduces the grouping keys bit-for-bit; integer outputs only (the
+    operator's fraction column stays out of the hash comparison)."""
+    from vearch_spark.operators.dedup import duplicated_span_stats
+
+    docs = _docs(spark, sf_dir)
+    out = duplicated_span_stats(docs, window=12, hasher="sha256")
+    return out.select("doc_id", "n_spans", "n_dup_spans").orderBy("doc_id")
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-based decontamination: training rows whose max cosine
     against a broadcast eval set (every 25th vector) reaches 0.95 — the
@@ -1460,7 +1476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_range_agg": q_date_range_agg,
     "binaryivf_knn": q_binaryivf_knn,
     "normalized_ip_knn": q_normalized_ip_knn,
-    "knn_meta": q_knn_meta,
+    "span_dedup": q_span_dedup,
     "ivfflat_knn": q_ivfflat_knn,
     "ivfpq_knn": q_ivfpq_knn,
     "ivfrabitq_knn": q_ivfrabitq_knn,
@@ -1492,6 +1508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph ANN: recall-gated in tests/test_hnsw.py
+    "knn_meta": q_knn_meta,  # total/max_score over the FLAT kernel: flat_knn_l2
 }
 
 
@@ -2724,8 +2741,36 @@ def _lm_perplexity_sql() -> str:
     """
 
 
+def _span_dedup_sql() -> str:
+    """DuckDB recomputes the rolling 12-token sha256 span hashes from
+    the same single-space tokens (list slices are 1-based inclusive:
+    tk[i:i+11] is 12 elements), the global occurrence counts, and the
+    per-doc rollup with zero-span docs kept via left join."""
+    return """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), sp AS (
+          SELECT doc_id, sha256(array_to_string(tk[u.i:u.i+11], ' ')) AS h
+          FROM s, UNNEST(generate_series(1, len(tk) - 11)) AS u(i)
+        ), c AS (
+          SELECT h, count(*) AS occ FROM sp GROUP BY h
+        ), pd AS (
+          SELECT sp.doc_id,
+                 count(*)::BIGINT AS n_spans,
+                 sum(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+          FROM sp JOIN c USING (h) GROUP BY sp.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+               coalesce(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans
+        FROM documents d LEFT JOIN pd USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["span_dedup"] = _span_dedup_sql()
     d["bm25_topk"] = _bm25_core_sql(20)
     d["hybrid_rrf"] = _hybrid_rrf_sql()
     d["embedding_outliers"] = _embedding_outliers_sql()

@@ -214,3 +214,44 @@ def test_embedding_cosine_bucketed_hot_bucket_guard(spark):
     assert dedup.embedding_cosine_pairs(
         df, threshold=0.999, bucket_col="bkt", max_bucket=None
     ).count() >= 0
+
+
+def test_duplicated_span_stats(spark):
+    """Exact substring-level dedup (rolling window hashes): planted
+    repeats are found, within-doc repeats count, short docs emit zeros
+    instead of vanishing, and the two hashers agree."""
+    from vearch_spark.operators.dedup import duplicated_span_stats
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+    rows = [
+        (0, boiler + " alpha beta gamma"),
+        (1, "unique opening words here then " + boiler),
+        (2, "totally different text with no repeated window at all ok"),
+        (3, "tiny doc"),  # < window -> zero spans
+        (4, boiler + " " + boiler),  # within-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_span_stats(
+        docs, window=10, hasher="xxhash64").collect()}
+    assert set(out) == {0, 1, 2, 3, 4}  # every doc has a row
+    assert out[3].n_spans == 0 and out[3].n_dup_spans == 0
+    assert out[2].n_dup_spans == 0
+    # the boiler window appears in docs 0, 1 and twice in 4
+    assert out[0].n_dup_spans >= 1
+    assert out[1].n_dup_spans >= 1
+    assert out[4].n_dup_spans >= 2
+    assert out[0].dup_span_frac > 0
+    sha = {r.doc_id: (r.n_spans, r.n_dup_spans) for r in duplicated_span_stats(
+        docs, window=10, hasher="sha256").collect()}
+    assert sha == {d: (r.n_spans, r.n_dup_spans) for d, r in out.items()}
+
+
+def test_duplicated_span_stride(spark):
+    from vearch_spark.operators.dedup import duplicated_span_stats
+
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    full = duplicated_span_stats(docs, window=5, stride=1).collect()[0]
+    strided = duplicated_span_stats(docs, window=5, stride=4).collect()[0]
+    assert full.n_spans == 16  # 20 - 5 + 1
+    assert strided.n_spans == 4  # positions 1,5,9,13

@@ -117,6 +117,103 @@ def exact_dedup(
     )
 
 
+def span_hashes(
+    token_array: Column,
+    window: int = 20,
+    stride: int = 1,
+    hasher: str = "xxhash64",
+) -> Column:
+    """``array<struct<pos:int, h>>`` of rolling token-window hashes —
+    the unit of exact substring-level dedup (the "deduplicating
+    training data" recipe: repeated >=N-token spans across a corpus are
+    memorization fuel; Lee et al. 2022 use 50-token substrings). All
+    JVM expression work: one ``transform`` over a position sequence,
+    ``slice`` + ``array_join`` + hash inside the lambda — the token
+    array must already be let-bound to a column so split() runs once.
+
+    ``hasher``: ``xxhash64`` (8-byte shuffle key — the scale default)
+    or ``sha256`` (hex string, reproducible in DuckDB for the oracle;
+    identical grouping behavior modulo astronomically unlikely
+    collisions)."""
+    if hasher == "xxhash64":
+        def hfn(c):
+            return F.xxhash64(c)
+    elif hasher == "sha256":
+        def hfn(c):
+            return F.sha2(c, 256)
+    else:
+        raise ValueError(f"unknown hasher: {hasher}")
+    n = F.size(token_array)
+    # sequence(1, m) DESCENDS when m < 1 — guard short docs to empty
+    positions = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1, F.lit(int(stride)))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        positions,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            hfn(F.array_join(F.slice(token_array, i, window), " ")).alias("h"),
+        ),
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 1,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc exact duplicated-span accounting: how many of a doc's
+    rolling ``window``-token spans occur more than once in the corpus
+    (within-doc repeats included, as in the substring-dedup recipe).
+    Returns one row per input doc — ``(id, n_spans, n_dup_spans,
+    dup_span_frac)``; docs shorter than the window carry zeros, never
+    vanish.
+
+    Scale shape: spans are (id, pos, hash) triples — corpus token count
+    rows, never span text; the occurrence count is a window over the
+    hash (one exchange on h, map-side combine-free but payload is 3
+    ints/longs) followed by the per-doc rollup (second exchange on id).
+    No pair join exists anywhere, so a degenerate corpus of identical
+    documents stays linear — unlike similarity joins, substring dedup
+    has no quadratic failure mode to guard."""
+    from vearch_spark.functions.text import tokens
+
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    spans = base.select(
+        id_col,
+        F.explode(span_hashes(F.col("_tk"), window, stride, hasher)).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    occ = F.count("*").over(Window.partitionBy("h"))
+    per_doc = (
+        spans.withColumn("_c", occ)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_c") > 1).cast("int")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.coalesce("n_dup_spans", F.lit(0))
+                    / F.col("n_spans").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     """128-way minhash signature as one nested JVM expression.
 
