@@ -203,3 +203,47 @@ def test_upsert_lww_merge_is_aggregation_not_window(spark, sf_dir):
     assert "Window" not in plan
     assert "SortAggregate" in plan
     assert "partial_max" in plan  # the map-side combine of the pick
+
+
+def test_bm25_search_single_shuffle_topk(spark, sf_dir):
+    """BM25 per-query work: term-pruned postings -> broadcast idf join
+    -> ONE doc-rollup exchange -> TakeOrdered merge. The postings
+    relation is never reshuffled wholesale per query."""
+    from vearch_spark.operators.retrieval import BM25Index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = BM25Index(text_col="text", id_col="doc_id").fit(docs)
+    df = idx.search("hash join spark window", limit=20)
+    assert X.count_exchanges(df) == 1
+    assert X.uses_take_ordered(df)
+    assert X.uses_broadcast(df)
+    idx.unpersist()
+
+
+def test_lm_score_broadcast_model_single_shuffle(spark, sf_dir):
+    """LM scoring: bigram/unigram model relations broadcast to the
+    exploded pairs; the only exchange is the per-doc rollup."""
+    from vearch_spark.operators.lm import BigramLM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = BigramLM(text_col="text").fit(docs)
+    df = lm.score(docs)
+    assert X.count_exchanges(df) == 1
+    assert X.uses_broadcast(df)
+    lm.unpersist()
+
+
+def test_span_dedup_two_shuffles_pruned_scan(spark, sf_dir):
+    """Substring dedup: occurrence window over the span hash + per-doc
+    rollup = exactly two exchanges of (id, pos, hash) triples; the scan
+    reads only (doc_id, text); no pair join exists anywhere (a corpus
+    of identical docs stays linear)."""
+    from vearch_spark.operators.dedup import duplicated_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = duplicated_span_stats(docs, window=12)
+    assert X.count_exchanges(df) == 2
+    plan = X.simple_plan(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    schemas = X.read_schemas(df)
+    assert all(s.count(":") <= 2 for s in schemas)  # doc_id[,text] only
