@@ -280,3 +280,48 @@ def test_update_space_partition_num(spark, tmp_path):
         api.update_space(sp, {"partition_num": 3})
     with pytest.raises(DocumentError):
         api.update_space(sp, {})
+
+
+def test_search_badcase_matrix(space):
+    """The reference's search badcase matrix
+    (test_document_search.py:664-686) — every malformed request raises
+    a typed engine error, never a raw Spark analysis exception."""
+    from vearch_spark.errors import FilterError, SchemaError
+
+    ok = [1.0, 0.0, 0.0, 0.0]
+    cases = {
+        "empty_query": ({}, SearchError),
+        "empty_vectors": ({"vectors": []}, SearchError),
+        "wrong_vector_name": (
+            {"vectors": [{"field": "nope", "feature": ok}]}, SchemaError),
+        "vector_on_scalar_field": (
+            {"vectors": [{"field": "field_int", "feature": ok}]}, SearchError),
+        "wrong_vector_length": (
+            {"vectors": [{"field": "field_vector", "feature": ok[:3]}]},
+            SearchError),
+        "empty_vector": (
+            {"vectors": [{"field": "field_vector", "feature": []}]},
+            SearchError),
+        "wrong_range_filter_name": (
+            {"vectors": [{"field": "field_vector", "feature": ok}],
+             "filters": {"operator": "AND", "conditions": [
+                 {"field": "ghost", "operator": ">=", "value": 1}]}},
+            (SchemaError, FilterError)),
+        "wrong_term_filter_numeric": (
+            {"vectors": [{"field": "field_vector", "feature": ok}],
+             "filters": {"operator": "AND", "conditions": [
+                 {"field": "field_int", "operator": "IN", "value": [1]}]}},
+            FilterError),
+        # multivector entries are validated per-entry too
+        "fusion_scalar_field": (
+            {"vectors": [{"field": "field_vector", "feature": ok},
+                         {"field": "field_int", "feature": ok}]},
+            SearchError),
+        "fusion_wrong_length": (
+            {"vectors": [{"field": "field_vector", "feature": ok},
+                         {"field": "field_vector", "feature": ok[:2]}]},
+            SearchError),
+    }
+    for name, (req, exc) in cases.items():
+        with pytest.raises(exc):
+            api.search(space, req).collect()

@@ -983,6 +983,17 @@ class Space:
         base_df = self._target_partitions(self.df, partition_names)
         if vectors:
             self._route_scheduler_pool(limit, flt, None, None)
+            for vq in vectors:
+                # per-entry field-kind + dimension validation, same as
+                # the single-vector path (engine.cc:787-829)
+                vspec = self.schema.field(vq.field)
+                if vspec.type is not FieldType.VECTOR:
+                    raise SearchError(f"field {vq.field!r} is not a vector field")
+                if vspec.dimension and len(vq.vector) != vspec.dimension:
+                    raise SearchError(
+                        f"query dimension {len(vq.vector)} != field "
+                        f"dimension {vspec.dimension}"
+                    )
             m = self._field_metric(vectors[0].field)
             if order and output_fields is None:
                 # fusion defaults to (_id, _score); a field sort needs
@@ -1008,6 +1019,10 @@ class Space:
                 raise SearchError("vector_field is required with multiple vector fields")
             vector_field = vfields[0].name
         spec = self.schema.field(vector_field)
+        if spec.type is not FieldType.VECTOR:
+            # the reference's wrong_vector_name class rejects a scalar
+            # field used as the query target (doc_query.go:255-338)
+            raise SearchError(f"field {vector_field!r} is not a vector field")
         if spec.dimension and len(vector) != spec.dimension:
             # CheckDoc/query dimension validation (engine.cc:787-829)
             raise SearchError(
