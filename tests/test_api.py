@@ -211,6 +211,8 @@ def test_hnsw_space_via_api(spark):
             {"field": "field_int", "operator": ">=", "value": 3}]},
         "limit": 3,
         "fields": ["_id", "field_int"],
+        # HNSW's index_params knob is efSearch (doc_query.go:1408-1475)
+        "index_params": {"efSearch": 64},
     }).collect()
     # deterministic graph + 1-d line corpus: nearest ids with
     # field_int >= 3 to feature 5.0 are exactly 5, 4/6 (tie → id order)

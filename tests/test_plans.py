@@ -240,6 +240,9 @@ def test_span_dedup_two_shuffles_pruned_scan(spark, sf_dir):
     of identical docs stays linear)."""
     from vearch_spark.operators.dedup import duplicated_span_stats
 
+    # a cached full-width documents relation (another module's fixture)
+    # would satisfy the scan and hide the pruning this test pins
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = duplicated_span_stats(docs, window=12)
     assert X.count_exchanges(df) == 2

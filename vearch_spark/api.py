@@ -89,7 +89,13 @@ def search(space: Space, req: dict) -> DataFrame:
             vector_field=vq.field,
             min_score=vq.min_score,
             max_score=vq.max_score,
-            nprobe=req.get("index_params", {}).get("nprobe"),
+            # the engine interprets index_params per index type
+            # (doc_query.go:1408-1475): nprobe for the IVF family,
+            # efSearch for HNSW — both land on the same probe-width
+            # override (HNSWIndex maps it onto the beam ef)
+            nprobe=(req.get("index_params") or {}).get(
+                "nprobe", (req.get("index_params") or {}).get("efSearch")
+            ),
             **common,
         )
     weights = _parse_ranker(req, len(parsed))
