@@ -327,3 +327,34 @@ def test_search_badcase_matrix(space):
     for name, (req, exc) in cases.items():
         with pytest.raises(exc):
             api.search(space, req).collect()
+
+
+def test_upsert_badcase_matrix(spark):
+    """The reference's upsert badcase classes with an analog here
+    (test_document_upsert.py:354-371): unknown field and wrong vector
+    dimension are rejected per-doc at parse (MapDocument doc_parse.go:56,
+    CheckDoc engine.cc:787-829), as typed errors."""
+    schema = SpaceSchema(
+        name="upsert_bad",
+        fields=[
+            FieldSpec("field_int", FieldType.INT,
+                      index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec("v", FieldType.VECTOR, dimension=DIM,
+                      index=IndexSpec("v", "FLAT")),
+        ],
+    )
+    sp = Space(spark, schema)
+    ok = [1.0, 0.0, 0.0, 0.0]
+    with pytest.raises(DocumentError):
+        api.upsert(sp, {"documents": [
+            {"_id": "1", "field_int": 1, "ghost": 2, "v": ok}]})
+    with pytest.raises(DocumentError):
+        api.upsert(sp, {"documents": [
+            {"_id": "2", "field_int": 1, "v": ok[:3]}]})
+    with pytest.raises(DocumentError):  # one bad doc rejects the batch
+        api.upsert(sp, {"documents": [
+            {"_id": "3", "field_int": 1, "v": ok},
+            {"_id": "4", "field_int": 1, "v": []}]})
+    assert sp.count() == 0
+    assert api.upsert(sp, {"documents": [
+        {"_id": "5", "field_int": 1, "v": ok}]}) == 1

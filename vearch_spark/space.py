@@ -559,9 +559,26 @@ class Space:
     def _prepare_batch(self, rows: DataFrame | list[dict]) -> DataFrame:
         if isinstance(rows, list):
             rows = [dict(r) for r in rows]
+            known = {f.name for f in self.schema.fields}
+            dims = {
+                f.name: f.dimension
+                for f in self.schema.vector_fields
+                if f.dimension
+            }
             for r in rows:
                 # auto-generate _id when absent (doc_parse.go:56-128)
                 r.setdefault(ID_FIELD, uuid.uuid4().hex)
+                unknown = set(r) - known - {ID_FIELD}
+                if unknown:
+                    # MapDocument rejects unknown fields (doc_parse.go:56)
+                    raise DocumentError(f"unknown fields: {sorted(unknown)}")
+                for name, dim in dims.items():
+                    val = r.get(name)
+                    if val is not None and len(val) != dim:
+                        # CheckDoc dimension validation (engine.cc:787-829)
+                        raise DocumentError(
+                            f"vector {name!r} dimension {len(val)} != {dim}"
+                        )
             from pyspark.sql import types as T
 
             struct = T.StructType(
