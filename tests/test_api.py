@@ -358,3 +358,20 @@ def test_upsert_badcase_matrix(spark):
     assert sp.count() == 0
     assert api.upsert(sp, {"documents": [
         {"_id": "5", "field_int": 1, "v": ok}]}) == 1
+
+
+def test_query_get_vector_value(space):
+    """vector_value opts vector columns into query/get output
+    (doc_query.go:1445-1447), same contract as the search verb."""
+    got = api.query(space, {"document_ids": ["3"], "vector_value": True}).collect()
+    assert got[0].field_vector == [3.0, 0.0, 1.0, 0.0]
+    rows = api.query(space, {
+        "filters": {"operator": "AND", "conditions": [
+            {"field": "field_int", "operator": "=", "value": 4}]},
+        "vector_value": True,
+    }).collect()
+    assert rows[0].field_vector == [4.0, 0.0, 1.0, 0.0]
+    plain = api.query(space, {"document_ids": ["3"]}).collect()
+    assert "field_vector" not in plain[0].asDict()  # default excludes vectors
+    with pytest.raises(DocumentError):
+        space.partial_update("3", {"field_vector": [1.0, 2.0]})  # wrong dim

@@ -115,7 +115,11 @@ def query(space: Space, req: dict) -> DataFrame:
         # mutually exclusive (doc_http.go:573-593)
         raise DocumentError("document_ids and filters are mutually exclusive")
     if ids is not None:
-        return space.get(ids, output_fields=req.get("fields"))
+        return space.get(
+            ids,
+            output_fields=req.get("fields"),
+            vector_value=bool(req.get("vector_value", False)),
+        )
     return space.query(
         flt=filters,
         limit=int(req.get("limit", 50)),
@@ -125,6 +129,7 @@ def query(space: Space, req: dict) -> DataFrame:
         page_num=req.get("page_num"),
         output_fields=req.get("fields"),
         partition_names=req.get("partition_names"),
+        vector_value=bool(req.get("vector_value", False)),
     )
 
 

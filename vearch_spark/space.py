@@ -753,6 +753,16 @@ class Space:
         cond = F.col(ID_FIELD) == _id
         for name, value in fields.items():
             spec = self.schema.field(name)
+            if (
+                spec.type is FieldType.VECTOR
+                and spec.dimension
+                and value is not None
+                and len(value) != spec.dimension
+            ):
+                # CheckDoc dimension validation (engine.cc:787-829)
+                raise DocumentError(
+                    f"vector {name!r} dimension {len(value)} != {spec.dimension}"
+                )
             lit = F.lit(value).cast(spec.spark_type.simpleString())
             if spec.type is FieldType.VECTOR and spec.normalize:
                 lit = l2_normalize(lit).cast("array<float>")
@@ -839,12 +849,22 @@ class Space:
 
     # ---------------------------------------------------------------- read
 
-    def get(self, ids: Sequence[str], output_fields: list[str] | None = None) -> DataFrame:
-        """Get by ids, capped at 500 (doc_http.go:579-583)."""
+    def get(
+        self,
+        ids: Sequence[str],
+        output_fields: list[str] | None = None,
+        vector_value: bool = False,
+    ) -> DataFrame:
+        """Get by ids, capped at 500 (doc_http.go:579-583).
+        ``vector_value`` opts vector columns into the output
+        (doc_query.go:1445-1447), same as the search verb."""
         if len(ids) > GET_BY_IDS_CAP:
             raise DocumentError(f"too many ids: {len(ids)} > {GET_BY_IDS_CAP}")
         out = self.df.where(F.col(ID_FIELD).isin(*[str(i) for i in ids]))
-        return out.select(*(output_fields or self.schema.default_output_fields()))
+        cols = list(output_fields or self.schema.default_output_fields())
+        if vector_value:
+            cols += [f.name for f in self.schema.vector_fields if f.name not in cols]
+        return out.select(*cols)
 
     def _target_partitions(
         self, df: DataFrame, partition_names: Sequence[str] | None
@@ -914,10 +934,12 @@ class Space:
         page_num: int | None = None,
         output_fields: list[str] | None = None,
         partition_names: Sequence[str] | None = None,
+        vector_value: bool = False,
     ) -> DataFrame:
         """Filter scan in ingest (``_seq``) order — the reference's
         query verb (Engine::Query engine.cc:449-528, default limit 50
-        doc_query.go:43)."""
+        doc_query.go:43). ``vector_value`` opts vector columns into the
+        output (doc_query.go:1445-1447)."""
         df = self._target_partitions(self.df, partition_names)
         pred = compile_filter(flt, self.schema)
         if pred is not None:
@@ -932,7 +954,10 @@ class Space:
             page_num=page_num,
             tie_break=ID_FIELD,
         )
-        return out.select(*(output_fields or self.schema.default_output_fields()))
+        cols = list(output_fields or self.schema.default_output_fields())
+        if vector_value:
+            cols += [f.name for f in self.schema.vector_fields if f.name not in cols]
+        return out.select(*cols)
 
     def _post_sort(
         self,
