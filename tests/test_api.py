@@ -375,3 +375,18 @@ def test_query_get_vector_value(space):
     assert "field_vector" not in plain[0].asDict()  # default excludes vectors
     with pytest.raises(DocumentError):
         space.partial_update("3", {"field_vector": [1.0, 2.0]})  # wrong dim
+
+
+def test_single_vector_ranker_ignored(space):
+    """The router applies a ranker only when >1 vectors
+    (doc_query.go:1488-1493) — a single-vector search carrying a
+    mismatched WeightedRanker is served, not rejected, with the plain
+    L2 score (test_module_vector.py::test_search_score does exactly
+    this with params [0.8, 0.2])."""
+    hits = api.search(space, {
+        "vectors": [{"field": "field_vector", "feature": [5.0, 0.0, 1.0, 0.0]}],
+        "limit": 1,
+        "fields": ["field_int"],
+        "ranker": {"type": "WeightedRanker", "params": [0.8, 0.2]},
+    }).collect()
+    assert hits[0].field_int == 5 and hits[0]._score == 0.0
