@@ -390,3 +390,23 @@ def test_single_vector_ranker_ignored(space):
         "ranker": {"type": "WeightedRanker", "params": [0.8, 0.2]},
     }).collect()
     assert hits[0].field_int == 5 and hits[0]._score == 0.0
+
+
+def test_upsert_duplicate_ids_in_batch(spark):
+    """Duplicate _ids within ONE upsert batch collapse to the LAST
+    occurrence (test_document_upsert.py::test_vearch_document_upsert_duplicate
+    stores 2 docs from 3 submitted)."""
+    schema = SpaceSchema(
+        name="dup_batch",
+        fields=[FieldSpec("field_int", FieldType.INT,
+                          index=IndexSpec("field_int", "SCALAR"))],
+    )
+    sp = Space(spark, schema)
+    api.upsert(sp, {"documents": [
+        {"_id": "00001", "field_int": 0},
+        {"_id": "00001", "field_int": 1},
+        {"_id": "00002", "field_int": 2},
+    ]})
+    assert sp.count() == 2
+    got = {r._id: r.field_int for r in sp.df.select("_id", "field_int").collect()}
+    assert got == {"00001": 1, "00002": 2}
