@@ -52,3 +52,60 @@ def test_streaming_first_seen(spark, tmp_path):
     # b emitted from batch 1 (val 3), not re-emitted for batch 2's dup
     assert got["b"] == 3
     assert got["c"] == 5
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Near-in-time duplicates are dropped; state is evicted once the
+    watermark passes a key (bounded-state form for unbounded
+    streams)."""
+    import datetime as dt
+
+    from vearch_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    pd.DataFrame({"fp": ["a", "a", "b"],
+                  "ts": [ts(0), ts(1), ts(0)],
+                  "val": [1, 2, 3]}).to_parquet(
+        stream_dir / "b1.parquet", coerce_timestamps="us")
+    pd.DataFrame({"fp": ["a", "c"],
+                  "ts": [ts(2), ts(3)],
+                  "val": [4, 5]}).to_parquet(
+        stream_dir / "b2.parquet", coerce_timestamps="us")
+    import os
+
+    os.utime(stream_dir / "b1.parquet", (1_000_000_000, 1_000_000_000))
+    os.utime(stream_dir / "b2.parquet", (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("fp string, ts timestamp, val bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        streaming_dedup_within_watermark(stream, "fp", "ts", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from wm_dedup_stream").collect()
+    got = {r.fp: r.val for r in rows}
+    # every duplicate of a (in-batch and cross-batch, all within the
+    # horizon) dropped; first occurrences kept
+    assert len(rows) == 3
+    assert got == {"a": 1, "b": 3, "c": 5}

@@ -77,3 +77,26 @@ def streaming_dup_counts(stream_df: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_within_watermark(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-bounded streaming dedup: drop rows whose ``key_col``
+    was already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — Spark evicts each key's state
+    once the watermark passes it).
+
+    The complement of :func:`streaming_first_seen`: that one is exact
+    forever but its state grows with *distinct* keys; this one bounds
+    state by event time, the right trade when duplicates arrive close
+    together (retries, at-least-once sources, crawl refetches) and the
+    corpus is unbounded. 100 TB posture: state ∝ distinct keys per
+    watermark window, sharded by key across executors — never corpus-
+    proportional."""
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
