@@ -96,6 +96,18 @@ def main() -> None:
     exact_dedup(docs, ["text"], id_col="doc_id").count()
     out["exact_dedup_docs_per_s"] = round(n / (time.time() - t0), 1)
 
+    from vearch_spark.operators.dedup import duplicated_span_stats
+
+    t0 = time.time()
+    agg = (
+        duplicated_span_stats(docs, window=20, id_col="doc_id")
+        .agg(F.sum("n_spans").alias("s"), F.sum("n_dup_spans").alias("d"))
+        .collect()[0]
+    )
+    out["span_docs_per_s"] = round(n / (time.time() - t0), 1)
+    out["span_total"] = int(agg["s"])
+    out["span_dup"] = int(agg["d"])
+
     print(json.dumps(out))
     spark.stop()
 
