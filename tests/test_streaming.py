@@ -180,3 +180,27 @@ def test_compact_folds_buffer_into_hnsw(spark, main_df):
         assert got == exact  # update visible, stale version gone, insert present
     finally:
         index.unpersist()
+
+
+def test_stream_trigger_follows_space_config(spark):
+    """stream_ingest's cadence comes from the space's live config when
+    a Space is passed; refresh_interval <= 0 (the reference's -1 =
+    refresh disabled) refuses a continuous attach instead of silently
+    defaulting."""
+    from vearch_spark.errors import SearchError
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import Space
+    from vearch_spark.streaming.realtime import resolve_trigger_seconds
+
+    schema = SpaceSchema(
+        name="trig",
+        fields=[FieldSpec("field_int", FieldType.INT,
+                          index=IndexSpec("field_int", "SCALAR"))],
+    )
+    sp = Space(spark, schema, refresh_interval=2000)
+    assert resolve_trigger_seconds(None, sp) == 2.0
+    assert resolve_trigger_seconds(0.5, sp) == 0.5  # explicit wins
+    assert resolve_trigger_seconds(None, None) == 1.0
+    sp.update_config({"refresh_interval": -1})
+    with pytest.raises(SearchError):
+        resolve_trigger_seconds(None, sp)

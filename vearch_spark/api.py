@@ -89,13 +89,11 @@ def search(space: Space, req: dict) -> DataFrame:
             vector_field=vq.field,
             min_score=vq.min_score,
             max_score=vq.max_score,
-            # the engine interprets index_params per index type
-            # (doc_query.go:1408-1475): nprobe for the IVF family,
-            # efSearch for HNSW — both land on the same probe-width
-            # override (HNSWIndex maps it onto the beam ef)
-            nprobe=(req.get("index_params") or {}).get(
-                "nprobe", (req.get("index_params") or {}).get("efSearch")
-            ),
+            # both knobs ride the payload; Space.search decodes per
+            # index type like the engine (doc_query.go:1408-1475) —
+            # nprobe for the IVF family, efSearch for HNSW
+            nprobe=(req.get("index_params") or {}).get("nprobe"),
+            ef_search=(req.get("index_params") or {}).get("efSearch"),
             **common,
         )
     weights = _parse_ranker(req, len(parsed))
@@ -184,8 +182,13 @@ def update_space(space: Space, req: dict) -> dict:
     error, test_module_space.py::test_update_space_partition)."""
     if "partition_num" not in req:
         raise DocumentError("update_space requires partition_num")
-    n = space.update_partition_num(int(req["partition_num"]))
-    return {"partition_num": n}
+    try:
+        n = int(req["partition_num"])
+    except (TypeError, ValueError):
+        raise DocumentError(
+            f"partition_num must be an integer, got {req['partition_num']!r}"
+        ) from None
+    return {"partition_num": space.update_partition_num(n)}
 
 
 def get_config(space: Space) -> dict:

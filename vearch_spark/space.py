@@ -451,16 +451,35 @@ class Space:
             raise DocumentError(
                 f"partition_num can only grow: {n} <= current {self.n_buckets}"
             )
-        self.n_buckets = n
-        if self._bucketed() and self._df is not None:
-            self._commit(self.df, touched=None)  # full re-bucket, new expr
+        old = self.n_buckets
+        self.n_buckets = n  # _commit's bucket expr must see the new count
+        try:
+            if self._bucketed() and self._df is not None:
+                self._commit(self.df, touched=None)  # full re-bucket
+            elif self._bucketed() and self._manifest is not None:
+                # empty-but-committed space: persist the new count so a
+                # reload doesn't silently resurrect the old routing
+                self._store_manifest(
+                    {**self._manifest,
+                     "version": int(self._manifest["version"]) + 1,
+                     "n_buckets": n}
+                )
+        except BaseException:
+            # a failed commit must not leave the in-memory routing expr
+            # pointing at a layout the manifest doesn't have — routing
+            # and layout change together or not at all
+            self.n_buckets = old
+            raise
         return n
 
     # ------------------------------------------------------------ config
+    # "path" is reported (SpaceConfig carries it) but NOT updatable —
+    # mutating it would advertise a storage location the space does not
+    # actually use; the reference's UpdateSpaceConfig merge is likewise
+    # only ever fed it by the system, not the user.
 
     _CONFIG_KEYS = {
         "engine_cache_size": int,
-        "path": str,
         "slow_search_time": int,
         "refresh_interval": int,
         "enable_id_cache": bool,
@@ -481,6 +500,9 @@ class Space:
         (UpdateSpaceConfig config_service.go:97-133); unknown keys are
         ignored like the reference's JSON unmarshal. Returns the merged
         config (the route echoes it as ``data``)."""
+        updates = {}
+        # validate EVERYTHING before mutating: a request mixing valid
+        # and invalid keys must fail atomically, never half-apply
         for key, typ in self._CONFIG_KEYS.items():
             if key not in cfg or cfg[key] is None:
                 continue
@@ -491,9 +513,8 @@ class Space:
             elif typ is int:
                 if isinstance(value, bool) or not isinstance(value, int):
                     raise DocumentError(f"config {key!r} must be an int")
-            elif not isinstance(value, typ):
-                raise DocumentError(f"config {key!r} must be {typ.__name__}")
-            self._config[key] = value
+            updates[key] = value
+        self._config.update(updates)
         return self.get_config()
 
     @property
@@ -574,7 +595,13 @@ class Space:
                     raise DocumentError(f"unknown fields: {sorted(unknown)}")
                 for name, dim in dims.items():
                     val = r.get(name)
-                    if val is not None and len(val) != dim:
+                    if val is None:
+                        continue
+                    if not isinstance(val, (list, tuple)):
+                        raise DocumentError(
+                            f"vector {name!r} must be a list of floats"
+                        )
+                    if len(val) != dim:
                         # CheckDoc dimension validation (engine.cc:787-829)
                         raise DocumentError(
                             f"vector {name!r} dimension {len(val)} != {dim}"
@@ -753,16 +780,14 @@ class Space:
         cond = F.col(ID_FIELD) == _id
         for name, value in fields.items():
             spec = self.schema.field(name)
-            if (
-                spec.type is FieldType.VECTOR
-                and spec.dimension
-                and value is not None
-                and len(value) != spec.dimension
-            ):
-                # CheckDoc dimension validation (engine.cc:787-829)
-                raise DocumentError(
-                    f"vector {name!r} dimension {len(value)} != {spec.dimension}"
-                )
+            if spec.type is FieldType.VECTOR and value is not None:
+                if not isinstance(value, (list, tuple)):
+                    raise DocumentError(f"vector {name!r} must be a list of floats")
+                if spec.dimension and len(value) != spec.dimension:
+                    # CheckDoc dimension validation (engine.cc:787-829)
+                    raise DocumentError(
+                        f"vector {name!r} dimension {len(value)} != {spec.dimension}"
+                    )
             lit = F.lit(value).cast(spec.spark_type.simpleString())
             if spec.type is FieldType.VECTOR and spec.normalize:
                 lit = l2_normalize(lit).cast("array<float>")
@@ -997,6 +1022,7 @@ class Space:
         l2_sqrt: bool = False,
         is_brute_search: int = 2,
         nprobe: int | None = None,
+        ef_search: int | None = None,
         output_fields: list[str] | None = None,
         vector_value: bool = False,
         partition_names: Sequence[str] | None = None,
@@ -1088,12 +1114,22 @@ class Space:
                 # so the target becomes an extra pushed predicate
                 ppred = F.col(PARTITION_FIELD).isin(list(partition_names))
                 pred = ppred if pred is None else (pred & ppred)
+            # index_params decode is per index type, like the engine
+            # (doc_query.go:1408-1475): nprobe for the IVF family,
+            # efSearch for HNSW — a knob for the other family is
+            # ignored, never silently repurposed
+            from vearch_spark.operators.hnsw import HNSWIndex
+
+            if isinstance(index, HNSWIndex):
+                probe = ef_search
+            else:
+                probe = nprobe
             hits = index.search(  # type: ignore[attr-defined]
                 self.df,
                 query=list(vector),
                 limit=limit,
                 flt=pred,
-                nprobe=nprobe,
+                nprobe=probe,
                 min_score=min_score,
                 max_score=max_score,
                 offset=offset,

@@ -126,18 +126,45 @@ class RealtimeBuffer:
         return merged
 
 
+def resolve_trigger_seconds(
+    trigger_seconds: float | None, space=None
+) -> float:
+    """The refresh cadence for a stream attach: an explicit value wins;
+    otherwise the space's ``refresh_interval`` config (the knob
+    ``POST /config`` updates, space.go:71 default 1000 ms). A
+    non-positive configured interval is the reference's "background
+    refresh disabled" (-1, test_module_config.py) — attaching a
+    continuous refresh to such a space is a contract violation, not a
+    silent default."""
+    if trigger_seconds is not None:
+        return float(trigger_seconds)
+    if space is not None:
+        iv = space.refresh_interval
+        if iv <= 0:
+            from vearch_spark.errors import SearchError
+
+            raise SearchError(
+                f"space {space.schema.name!r} has refresh_interval={iv}: "
+                "background refresh is disabled for this space"
+            )
+        return iv / 1000.0
+    return 1.0
+
+
 def stream_ingest(
     stream_df: DataFrame,
     buffer: RealtimeBuffer,
     checkpoint_dir: str,
-    trigger_seconds: int = 1,
+    trigger_seconds: float | None = None,
+    space=None,
 ):
     """Wire a streaming DataFrame into a RealtimeBuffer via
     foreachBatch. Returns the StreamingQuery (caller manages stop()).
 
-    The processingTime trigger is the ``refresh_interval`` analog
-    (space.go:71 default 1000ms).
-    """
+    The processingTime trigger is the ``refresh_interval`` analog:
+    pass ``space`` to take the cadence from the space's live config
+    (see :func:`resolve_trigger_seconds`)."""
+    seconds = resolve_trigger_seconds(trigger_seconds, space)
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         buffer.append_batch(batch_df)
@@ -145,6 +172,6 @@ def stream_ingest(
     return (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .trigger(processingTime=f"{seconds} seconds")
         .start()
     )
