@@ -1380,6 +1380,17 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF keyword extraction (operators/retrieval.py
+    BM25Index.keywords): tf·ln(N/df) over the shared inverted postings,
+    top-3 terms per doc — the keyword-tagging pass of a corpus-analysis
+    pipeline. Oracle recomputes postings, df and the score from the
+    same parquet."""
+    idx = _bm25_index(spark, sf_dir)
+    out = idx.keywords(k=3, docs_filter=F.col("doc_id") < 100)
+    return out.orderBy("doc_id", "rank")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span accounting (operators/dedup.py
     duplicated_span_stats): per doc, how many of its rolling 12-token
@@ -1519,6 +1530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph ANN: recall-gated in tests/test_hnsw.py
     "knn_meta": q_knn_meta,  # total/max_score over the FLAT kernel: flat_knn_l2
+    "tfidf_keywords": q_tfidf_keywords,  # postings+idf kernel: bm25_topk
 }
 
 
@@ -2778,9 +2790,41 @@ def _span_dedup_sql() -> str:
     """
 
 
+def _tfidf_keywords_sql() -> str:
+    """DuckDB recomputes postings (empty tokens dropped like
+    build_postings), corpus-wide df, tf·ln(N/df) and the per-doc
+    top-3 rank with the same (score desc, term asc) tie-break."""
+    return """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(tk) AS term FROM s
+        ), p AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM tok WHERE term != '' GROUP BY doc_id, term
+        ), d AS (
+          SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY term
+        ), n AS (
+          SELECT count(*)::DOUBLE AS n FROM documents
+        ), sc AS (
+          SELECT p.doc_id, p.term,
+                 round(p.tf * ln(n.n / d.df), 6) AS score
+          FROM p JOIN d USING (term) CROSS JOIN n
+          WHERE p.doc_id < 100
+        ), r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC
+          )::INT AS rank FROM sc
+        )
+        SELECT doc_id, term, score, rank
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["span_dedup"] = _span_dedup_sql()
+    d["tfidf_keywords"] = _tfidf_keywords_sql()
     d["bm25_topk"] = _bm25_core_sql(20)
     d["hybrid_rrf"] = _hybrid_rrf_sql()
     d["embedding_outliers"] = _embedding_outliers_sql()

@@ -139,3 +139,51 @@ def test_hybrid_rrf_end_to_end(spark, docs, bm25, embeddings):
     srcs = {r.doc_id for r in kw.collect()} | {r.doc_id for r in vec.collect()}
     assert fused[0].doc_id in srcs
     assert all(fused[i].rrf_score >= fused[i + 1].rrf_score for i in range(9))
+
+
+def test_tfidf_keywords_match_reference_impl(docs, bm25):
+    """keywords() vs a pure-python tf·ln(N/df) top-k on the same
+    corpus (exact scores, same tie-break)."""
+    import math
+
+    texts = {r.doc_id: r.text for r in
+             docs.where(F.col("doc_id") < 30).select("doc_id", "text").collect()}
+    all_texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    n = len(all_texts)
+    df_count: dict[str, int] = {}
+    tfs: dict[int, dict[str, int]] = {}
+    for d, t in all_texts.items():
+        tf: dict[str, int] = {}
+        for w in t.split(" "):
+            if w:
+                tf[w] = tf.get(w, 0) + 1
+        tfs[d] = tf
+        for w in tf:
+            df_count[w] = df_count.get(w, 0) + 1
+    want = {}
+    for d in texts:
+        scored = sorted(
+            ((round(tf * math.log(n / df_count[w]), 6), w) for w, tf in tfs[d].items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        want[d] = [(w, s) for s, w in scored]
+    got: dict[int, list] = {}
+    rows = bm25.keywords(k=3, docs_filter=F.col("doc_id") < 30).collect()
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.rank)):
+        got.setdefault(r.doc_id, []).append((r.term, r.score))
+    assert set(got) == set(want)
+    for d in want:
+        assert [w for w, _ in got[d]] == [w for w, _ in want[d]]
+        for (_, gs), (_, ws) in zip(got[d], want[d]):
+            assert gs == pytest.approx(ws, abs=2e-6)
+
+
+def test_tfidf_keywords_filter_does_not_reweight(docs, bm25):
+    """docs_filter restricts OUTPUT docs only — scores are computed
+    against corpus-wide df, so a filtered report equals the slice of
+    the unfiltered one."""
+    full = {(r.doc_id, r.rank): (r.term, r.score)
+            for r in bm25.keywords(k=2).collect() if r.doc_id < 10}
+    part = {(r.doc_id, r.rank): (r.term, r.score)
+            for r in bm25.keywords(k=2, docs_filter=F.col("doc_id") < 10).collect()}
+    assert full == part

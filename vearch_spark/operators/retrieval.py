@@ -176,6 +176,43 @@ class BM25Index:
             .select("query_id", self.id_col, score_col)
         )
 
+    def keywords(
+        self, k: int = 5, docs_filter: Column | None = None
+    ) -> DataFrame:
+        """Per-doc TF-IDF keyword extraction over the fitted postings:
+        ``score(t, d) = tf · ln(N / df)`` (df = docs containing t),
+        top-k terms per doc by (score desc, term asc) — the keyword-
+        tagging pass of a corpus-analysis pipeline (topical filtering,
+        cluster labeling, index summaries).
+
+        Scale shape: document frequency is one map-side-combined
+        aggregation over the postings; the join back is term-to-term on
+        the term-clustered relation (df is vocabulary-sized — NOT
+        broadcast); the per-doc rank window shuffles (id, term, ints)
+        once. Nothing rescans the corpus. ``docs_filter`` restricts the
+        OUTPUT docs after idf is computed corpus-wide (a filtered
+        report must not re-weight terms)."""
+        if self.postings is None:
+            raise SearchError("index not trained")
+        dfreq = self.postings.groupBy("term").agg(
+            F.count("*").cast("double").alias("_df")
+        )
+        p = self.postings
+        if docs_filter is not None:
+            p = p.where(docs_filter)
+        scored = p.join(dfreq, on="term").withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(float(self.n_docs)) / F.col("_df")), 6),
+        )
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(self.id_col, "term", "score", "rank")
+        )
+
     def unpersist(self) -> None:
         if self.postings is not None:
             self.postings.unpersist()
