@@ -289,3 +289,22 @@ def test_distributed_seq_rank_matches_window(spark, monkeypatch):
     assert len(set(after.values())) == 60
     assert min(new_seqs) > max(seqs)  # insertion order preserved
     assert new_seqs == sorted(new_seqs)  # monotone in _id among new keys
+
+
+def test_get_by_ids_cap_is_strict(spark):
+    """The reference rejects >= 500 ids, not > 500 (doc_http.go:579-583)."""
+    import pytest as _pytest
+
+    from vearch_spark.errors import DocumentError
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import Space
+
+    schema = SpaceSchema(
+        name="cap",
+        fields=[FieldSpec("field_int", FieldType.INT,
+                          index=IndexSpec("field_int", "SCALAR"))],
+    )
+    sp = Space(spark, schema)
+    sp.get([str(i) for i in range(499)])  # 499 allowed (empty result ok)
+    with _pytest.raises(DocumentError):
+        sp.get([str(i) for i in range(500)])

@@ -883,8 +883,9 @@ class Space:
         """Get by ids, capped at 500 (doc_http.go:579-583).
         ``vector_value`` opts vector columns into the output
         (doc_query.go:1445-1447), same as the search verb."""
-        if len(ids) > GET_BY_IDS_CAP:
-            raise DocumentError(f"too many ids: {len(ids)} > {GET_BY_IDS_CAP}")
+        if len(ids) >= GET_BY_IDS_CAP:
+            # the reference rejects >= 500, not > (doc_http.go:579-583)
+            raise DocumentError(f"too many ids: {len(ids)} >= {GET_BY_IDS_CAP}")
         out = self.df.where(F.col(ID_FIELD).isin(*[str(i) for i in ids]))
         cols = list(output_fields or self.schema.default_output_fields())
         if vector_value:
