@@ -62,6 +62,15 @@ def build_postings(
     )
 
 
+def _dfreq(postings: DataFrame) -> DataFrame:
+    """Document frequency per term — the one definition BM25 scoring
+    and TF-IDF keywords both join against (double-typed for the idf
+    arithmetic)."""
+    return postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("_df")
+    )
+
+
 class BM25Index:
     """Postings + corpus stats, with the engine's index surface."""
 
@@ -114,9 +123,7 @@ class BM25Index:
         p = self.postings.where(F.col("term").isin(terms))
         # idf uses corpus-wide document frequency (term-pruned only);
         # a result filter must not re-weight terms
-        dfreq = p.groupBy("term").agg(
-            F.count("*").cast("double").alias("_df")
-        )
+        dfreq = _dfreq(p)
         if flt is not None:
             p = p.where(flt)
         n = float(self.n_docs)
@@ -155,7 +162,7 @@ class BM25Index:
         qrel = spark.createDataFrame(pairs, "query_id int, term string")
         all_terms = sorted({t for _, t in pairs})
         p = self.postings.where(F.col("term").isin(all_terms))
-        dfreq = p.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
+        dfreq = _dfreq(p)
         n = float(self.n_docs)
         idf = F.log(
             F.lit(1.0) + (F.lit(n) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
@@ -194,9 +201,7 @@ class BM25Index:
         report must not re-weight terms)."""
         if self.postings is None:
             raise SearchError("index not trained")
-        dfreq = self.postings.groupBy("term").agg(
-            F.count("*").cast("double").alias("_df")
-        )
+        dfreq = _dfreq(self.postings)
         p = self.postings
         if docs_filter is not None:
             p = p.where(docs_filter)
