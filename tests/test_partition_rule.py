@@ -111,3 +111,41 @@ def test_physical_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "_partition_name" in plan.split("PartitionFilters:")[1][:200]
     ids = sorted(r._id for r in sp.query(limit=100, partition_names=["p2021"]).collect())
     assert ids == ["2", "3"]
+
+
+def test_hnsw_search_with_partition_names_fills_limit(spark):
+    """partition_names over an HNSW index: the target predicate rides
+    the probe's allow flag (filter-during-traversal), so a search
+    scoped to one small partition still fills the limit from exactly
+    that partition's docs — never a post-filtered near-empty page.
+    Docs are hash-sharded across graphs independent of the range
+    partition, the worst case for post-filtering."""
+    import datetime as dt
+
+    schema = SpaceSchema(
+        name="hnsw_parts",
+        fields=[
+            FieldSpec("ts", FieldType.DATE, index=IndexSpec("ts", "SCALAR")),
+            FieldSpec("vec", FieldType.VECTOR, dimension=2,
+                      index=IndexSpec("vec", "HNSW",
+                                      params={"nlinks": 8, "efConstruction": 32,
+                                              "nshards": 2})),
+        ],
+        partition_rule=PartitionRule(field="ts", ranges=RANGES),
+    )
+    sp = Space(spark, schema)
+    docs = []
+    for i in range(120):
+        # ~8% of docs land in p2021; the rest in p2020
+        stamp = "2021-06-01" if i % 12 == 0 else "2020-06-01"
+        docs.append({"_id": str(i), "ts": dt.datetime.fromisoformat(stamp),
+                     "vec": [float(i), 0.0]})
+    sp.upsert(docs)
+    sp.build_index("vec", training_threshold=10)
+    got = sp.search(vector=[0.0, 0.0], limit=8, is_brute_search=0,
+                    partition_names=["p2021"]).collect()
+    ids = [int(r._id) for r in got]
+    assert len(ids) == 8  # the limit fills despite ~8% selectivity
+    assert all(i % 12 == 0 for i in ids)  # only p2021 docs
+    # and they are the nearest p2021 docs, in order
+    assert ids == [0, 12, 24, 36, 48, 60, 72, 84]
