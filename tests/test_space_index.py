@@ -181,3 +181,18 @@ def test_ivfpqfastscan_alias_uses_4bit_codes(spark):
     model = sp._indexes["field_vector"]
     assert model.ksub == 16  # 2^4
     assert sp.search(vector=[3.0] * DIM, limit=5).count() == 5
+
+
+def test_diskann_alias_serves_graph_index(spark):
+    """DISKANN_STATIC (a disk-resident Vamana graph) is served by the
+    sharded HNSW graph — the closest native strategy; its durable form
+    already IS an on-disk graph read back per shard. IVF params in the
+    declaration are ignored by the graph index (**_ catchall)."""
+    from vearch_spark.operators.hnsw import HNSWIndex
+
+    sp = Space(spark, schema(index_type="DISKANN_STATIC", threshold=50))
+    sp.upsert(rows(200))
+    sp.build_index("field_vector")
+    assert isinstance(sp._indexes["field_vector"], HNSWIndex)
+    got = sp.search(vector=[3.0] * DIM, limit=5, is_brute_search=0).collect()
+    assert len(got) == 5

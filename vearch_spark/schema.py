@@ -117,7 +117,11 @@ VECTOR_INDEX_TYPES = {
     "HNSW": "HNSW",
     "SSG": "HNSW",
     "SCANN": "IVFPQ",
-    "DISKANN_STATIC": "IVFPQ",
+    # DiskANN is a disk-resident graph (Vamana); the closest native
+    # strategy is the sharded HNSW graph, whose durable form already
+    # IS an on-disk graph read back per shard (hnsw.py save/load with
+    # shard-directory pruning)
+    "DISKANN_STATIC": "HNSW",
     "GPU_IVFPQ": "IVFPQ",
     "GPU_IVFFLAT": "IVFFLAT",
 }
