@@ -228,3 +228,17 @@ def test_time_travel_snapshots(spark, tmp_path):
     with pytest.raises(DocumentError, match="unknown snapshot"):
         sp.as_of(v1).count()
     assert sp.count() == 64
+
+
+def test_get_by_ids_prunes_to_touched_buckets(space):
+    """A point get opens ONLY the bucket dirs its ids hash to (the
+    reference routes a get to its hash slot, doc_http.go:584-586) —
+    never the whole multi-root table."""
+    out = space.get(["d7"])
+    assert [r._id for r in out.collect()] == ["d7"]
+    roots = {f.split("/b")[-1].split("/")[0] for f in out.inputFiles()}
+    touched = space._buckets_of_ids(["d7"])
+    assert len(touched) == 1
+    assert roots == {str(touched[0])}  # one bucket dir, not N_BUCKETS
+    # a missing id in an existing bucket still returns empty cleanly
+    assert space.get(["no_such_id"]).count() == 0

@@ -886,7 +886,16 @@ class Space:
         if len(ids) >= GET_BY_IDS_CAP:
             # the reference rejects >= 500, not > (doc_http.go:579-583)
             raise DocumentError(f"too many ids: {len(ids)} >= {GET_BY_IDS_CAP}")
-        out = self.df.where(F.col(ID_FIELD).isin(*[str(i) for i in ids]))
+        if self._bucketed() and self._manifest is not None:
+            # point reads open ONLY the bucket dirs the ids hash to —
+            # the reference routes a get to its hash slot the same way
+            # (doc_http.go:584-586 partition addressing); scanning the
+            # whole multi-root table for ≤500 ids is the wrong plan at
+            # any scale
+            src = self._read_buckets(self._buckets_of_ids([str(i) for i in ids]))
+        else:
+            src = self.df
+        out = src.where(F.col(ID_FIELD).isin(*[str(i) for i in ids]))
         cols = list(output_fields or self.schema.default_output_fields())
         if vector_value:
             cols += [f.name for f in self.schema.vector_fields if f.name not in cols]
