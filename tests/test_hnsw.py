@@ -332,3 +332,29 @@ def test_space_writes_flow_into_hnsw(spark):
     got = [r._id for r in
            sp.search(vector=probe, limit=1, is_brute_search=0).collect()]
     assert got == ["5"]
+
+
+def test_add_flags_rebuild_when_shards_outgrow(spark):
+    """Sustained ingest cannot silently drift shards out of their
+    sized envelope: add() flips needs_rebuild once a shard passes
+    2x shard_max_rows (the resize path is a retrain — the reference's
+    RebuildIndex); fit() clears it."""
+    rng = np.random.default_rng(21)
+    x, _ = _clustered(rng, 60, 8)
+    df = spark.createDataFrame(
+        [(int(i), x[i].tolist()) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    )
+    idx = HNSWIndex("embedding", Metric.L2, nlinks=8, efConstruction=32,
+                    nshards=2, shard_max_rows=40, id_col="vec_id").fit(df)
+    assert not idx.needs_rebuild  # 60 rows over 2 shards: inside budget
+    y, _ = _clustered(rng, 120, 8)
+    more = spark.createDataFrame(
+        [(1000 + int(i), y[i].tolist()) for i in range(len(y))],
+        "vec_id long, embedding array<float>",
+    )
+    idx.add(more)  # 180 rows over 2 shards: a shard passes 80
+    assert idx.needs_rebuild
+    idx.fit(df.unionByName(more))
+    assert not idx.needs_rebuild
+    idx.unpersist()

@@ -346,6 +346,9 @@ class HNSWIndex:
         self._graph: DataFrame | None = None
         self._out_schema: str | None = None
         self._base_schema: str | None = None
+        # flipped by add() when a shard outgrows its sized envelope;
+        # cleared by fit() (the retrain that re-sizes nshards)
+        self.needs_rebuild = False
 
     # ------------------------------------------------------------ build
 
@@ -385,6 +388,7 @@ class HNSWIndex:
         )
 
     def fit(self, df: DataFrame) -> "HNSWIndex":
+        self.needs_rebuild = False
         if self.nshards is None:
             n = df.count()
             self.nshards = max(1, math.ceil(n / self.shard_max_rows))
@@ -409,7 +413,16 @@ class HNSWIndex:
 
     def add(self, df: DataFrame) -> "HNSWIndex":
         """Insert new rows into their hash shards only — bounded
-        regrow, untouched shards are reused row-for-row."""
+        regrow, untouched shards are reused row-for-row.
+
+        Sustained ingest grows shards: the shard count is fixed at fit
+        (hash routing must stay consistent with the stored labels), so
+        the resize path is a retrain — exactly the reference's
+        RebuildIndex, engine.cc:1013-1084. When any shard passes
+        2×``shard_max_rows`` this flips :attr:`needs_rebuild` so the
+        operator of a long-lived index knows to schedule one before
+        per-task build time and memory drift out of the sized
+        envelope."""
         if self._graph is None:
             raise SearchError("index not trained")
         fresh = self._seed(df)
@@ -422,6 +435,12 @@ class HNSWIndex:
             .applyInPandas(self._grow_udf(), self._out_schema)
         )
         self._swap(keep.unionByName(regrow).repartition(F.col(SHARD_COL)))
+        biggest = (
+            self._graph.groupBy(SHARD_COL).count()
+            .agg(F.max("count").alias("m")).collect()[0]["m"]
+        )  # bounded: one row per shard, off the fresh cache
+        if biggest and int(biggest) > 2 * self.shard_max_rows:
+            self.needs_rebuild = True
         return self
 
     def remove(self, ids: Sequence | DataFrame) -> "HNSWIndex":
