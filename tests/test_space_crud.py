@@ -308,3 +308,71 @@ def test_get_by_ids_cap_is_strict(spark):
     sp.get([str(i) for i in range(499)])  # 499 allowed (empty result ok)
     with _pytest.raises(DocumentError):
         sp.get([str(i) for i in range(500)])
+
+
+def test_partial_update_not_found_and_bad_value(spark):
+    """partial_update raises doc-not-found (Engine::Update) and rejects
+    a type-invalid scalar instead of silently NULLing the field via a
+    lazy cast."""
+    import pytest as _pytest
+
+    from vearch_spark.errors import DocumentError
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import Space
+
+    schema = SpaceSchema(
+        name="pu",
+        fields=[FieldSpec("field_int", FieldType.INT,
+                          index=IndexSpec("field_int", "SCALAR"))],
+    )
+    sp = Space(spark, schema)
+    sp.upsert([{"_id": "1", "field_int": 1}])
+    with _pytest.raises(DocumentError):
+        sp.partial_update("ghost", {"field_int": 2})
+    with _pytest.raises(DocumentError):
+        sp.partial_update("1", {"field_int": "not-a-number"})
+    assert sp.get(["1"]).collect()[0].field_int == 1  # untouched
+    sp.partial_update("1", {"field_int": 2})
+    assert sp.get(["1"]).collect()[0].field_int == 2
+
+
+def test_query_unknown_sort_field_typed_error(spark):
+    from vearch_spark.errors import SchemaError
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import Space
+
+    schema = SpaceSchema(
+        name="qsort",
+        fields=[FieldSpec("field_int", FieldType.INT,
+                          index=IndexSpec("field_int", "SCALAR"))],
+    )
+    sp = Space(spark, schema)
+    sp.upsert([{"_id": "1", "field_int": 1}])
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaError):
+        sp.query(sort=[{"nonexistent": {"order": "asc"}}])
+
+
+def test_slow_pool_tag_cleared_by_following_verbs(spark):
+    """A slow search's scheduler-pool tag must not throttle the next
+    fast verb on the same thread."""
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import SLOW_POOL, Space
+
+    schema = SpaceSchema(
+        name="pool",
+        fields=[
+            FieldSpec("field_int", FieldType.INT,
+                      index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec("v", FieldType.VECTOR, dimension=4,
+                      index=IndexSpec("v", "FLAT")),
+        ],
+    )
+    sp = Space(spark, schema)
+    sp.upsert([{"_id": "1", "field_int": 1, "v": [1.0, 0.0, 0.0, 0.0]}])
+    sc = spark.sparkContext
+    sp.search(vector=[0.0] * 4, limit=500)  # slow: tags the thread
+    assert sc.getLocalProperty("spark.scheduler.pool") == SLOW_POOL
+    sp.query(limit=1)
+    assert sc.getLocalProperty("spark.scheduler.pool") is None

@@ -196,3 +196,96 @@ def test_diskann_alias_serves_graph_index(spark):
     assert isinstance(sp._indexes["field_vector"], HNSWIndex)
     got = sp.search(vector=[3.0] * DIM, limit=5, is_brute_search=0).collect()
     assert len(got) == 5
+
+
+def test_binaryivf_space_end_to_end(spark):
+    """A BINARYIVF-declared field carries packed d/8-byte codes
+    (doc_query.go:296-301): upsert/search validate the byte length,
+    brute force is the exact bit_count(xor) Hamming scan, build_index
+    trains the real BinaryIVFIndex (never a float-L2 stand-in), and
+    index results match the exact scan on this small space."""
+    import numpy as np
+
+    from vearch_spark.errors import DocumentError, SearchError
+    from vearch_spark.operators.ivf import BinaryIVFIndex
+
+    DIMBITS = 32  # -> 4-byte packed input
+    sch = SpaceSchema(
+        name="binspace",
+        fields=[
+            FieldSpec("code", FieldType.VECTOR, dimension=DIMBITS,
+                      index=IndexSpec("code", "BINARYIVF",
+                                      params={"ncentroids": 4, "nprobe": 4,
+                                              "training_threshold": 10})),
+        ],
+    )
+    sp = Space(spark, sch)
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 256, size=(80, 4))
+    sp.upsert([{"_id": str(i), "code": [int(b) for b in codes[i]]}
+               for i in range(80)])
+    with pytest.raises(DocumentError):  # 32 values: bits, not bytes
+        sp.upsert([{"_id": "x", "code": [1] * DIMBITS}])
+
+    q = [int(b) for b in codes[7]]
+    brute = [(r._id, r._score)
+             for r in sp.search(vector=q, limit=5, is_brute_search=1).collect()]
+    assert brute[0] == ("7", 0.0) or brute[0][1] == 0  # self-match at 0
+    with pytest.raises(SearchError):  # query length validated too
+        sp.search(vector=[1] * DIMBITS, limit=5)
+
+    sp.build_index("code")
+    assert isinstance(sp._indexes["code"], BinaryIVFIndex)
+    idx_hits = [(r._id, r._score)
+                for r in sp.search(vector=q, limit=5, is_brute_search=0).collect()]
+    assert idx_hits == brute  # nprobe=ncentroids: exact
+
+
+def test_normalized_field_index_path_normalizes_query(spark):
+    """format:normalization must hold on BOTH physical paths: an
+    un-unit query against ingest-normalized docs has to rank exactly
+    like the brute path the moment auto mode flips to the index
+    (router-side query normalization, client.go:603-658)."""
+    import numpy as np
+
+    sch = SpaceSchema(
+        name="normspace",
+        fields=[
+            FieldSpec("v", FieldType.VECTOR, dimension=8, normalize=True,
+                      metric="InnerProduct",
+                      index=IndexSpec("v", "IVFFLAT",
+                                      params={"ncentroids": 4, "nprobe": 4,
+                                              "training_threshold": 10})),
+        ],
+    )
+    sp = Space(spark, sch)
+    rng = np.random.default_rng(23)
+    sp.upsert([{"_id": str(i), "v": [float(x) for x in rng.normal(0, 1, 8)]}
+               for i in range(60)])
+    raw_q = [float(5.0 * x) for x in rng.normal(0, 1, 8)]  # norm >> 1
+    brute = [(r._id, round(r._score, 5))
+             for r in sp.search(vector=raw_q, limit=5, is_brute_search=1).collect()]
+    sp.build_index("v")
+    idx = [(r._id, round(r._score, 5))
+           for r in sp.search(vector=raw_q, limit=5, is_brute_search=0).collect()]
+    assert idx == brute  # nprobe=ncentroids: exact; scores unit-scaled
+
+
+def test_mixed_metric_fusion_rejected(spark):
+    from vearch_spark.errors import SearchError
+    from vearch_spark.operators.fusion import VectorQuery
+
+    sch = SpaceSchema(
+        name="mixed",
+        fields=[
+            FieldSpec("a", FieldType.VECTOR, dimension=4, metric="L2",
+                      index=IndexSpec("a", "FLAT")),
+            FieldSpec("b", FieldType.VECTOR, dimension=4, metric="InnerProduct",
+                      index=IndexSpec("b", "FLAT")),
+        ],
+    )
+    sp = Space(spark, sch)
+    sp.upsert([{"_id": "1", "a": [1.0] * 4, "b": [1.0] * 4}])
+    with pytest.raises(SearchError):
+        sp.search(vectors=[VectorQuery("a", [1.0] * 4),
+                           VectorQuery("b", [1.0] * 4)], limit=1)

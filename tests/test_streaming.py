@@ -151,6 +151,12 @@ def test_streaming_ingest_into_bucketed_space(spark, tmp_path):
         assert rows and all(r.val is not None for r in rows)
     finally:
         q.stop()
+    # drain: stop() can overlap an in-flight foreachBatch commit; only
+    # after termination do the live handle and a reopen agree
+    try:
+        q.awaitTermination(30)
+    except Exception:
+        pass
     # durable across a reopen: a fresh Space handle reads the manifest
     reopened = Space(spark, schema, path=str(tmp_path / "stream_space"))
     assert reopened.count() == space.count()

@@ -68,6 +68,7 @@ def multi_vector_search(
 
     parts: list[DataFrame] = []
     for i, q in enumerate(queries):
+        field_spec = schema.field(q.field) if schema is not None else None
         part = topk.search(
             df,
             vector_col=q.field,
@@ -82,6 +83,10 @@ def multi_vector_search(
             id_col=id_col,
             output_fields=[id_col],
             score_col=f"_score_{i}",
+            # per-field query normalization (format: normalization) —
+            # docs were unit-normalized at ingest, the query must be
+            # too (router client.go:603-658)
+            normalize=bool(field_spec.normalize) if field_spec else False,
         )
         parts.append(part.select(id_col, f"_score_{i}"))
 

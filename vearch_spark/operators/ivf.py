@@ -923,13 +923,18 @@ class BinaryIVFIndex:
         limit: int = 50,
         flt: Column | None = None,
         nprobe: int | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
         offset: int = 0,
         output_fields: list[str] | None = None,
         score_col: str = "_score",
+        **_: object,  # l2_sqrt/vector_value: no meaning in Hamming space
     ) -> DataFrame:
         """Top-k by Hamming distance, ascending, ties broken by id —
         the probed cells prune the scan, the distance itself is the
-        JVM ``bit_count(xor)`` fold (functions/distance.py)."""
+        JVM ``bit_count(xor)`` fold (functions/distance.py).
+        ``min_score``/``max_score`` band the Hamming distance like any
+        other score (IsSimilarScoreValid gamma_common_data.h:94-96)."""
         from vearch_spark.functions.distance import hamming_distance
 
         if self._assigned is None:
@@ -942,6 +947,10 @@ class BinaryIVFIndex:
             score_col,
             hamming_distance(F.col(self.code_col), [int(b) for b in query_code]),
         )
+        if min_score is not None:
+            scored = scored.where(F.col(score_col) >= float(min_score))
+        if max_score is not None:
+            scored = scored.where(F.col(score_col) <= float(max_score))
         cols = output_fields or [self.id_col]
         out = scored.select(*cols, score_col).orderBy(
             F.col(score_col).asc(), F.col(self.id_col).asc()

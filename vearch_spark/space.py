@@ -37,6 +37,7 @@ The atomic commit is the manifest swap (write-temp + rename).
 
 from __future__ import annotations
 
+import math
 import os
 import time
 import uuid
@@ -61,6 +62,48 @@ from vearch_spark.schema import (
 )
 
 GET_BY_IDS_CAP = 500  # doc_http.go:579-583
+
+
+def _is_binary_field(spec) -> bool:
+    """BINARYIVF-indexed vector fields carry PACKED codes: dimension d
+    bits arrive as d/8 byte values (doc_query.go:296-301)."""
+    return (
+        spec.type is FieldType.VECTOR
+        and spec.index is not None
+        and getattr(spec.index, "index_type", None) == "BINARYIVF"
+    )
+
+
+def _expected_vector_len(spec) -> int | None:
+    """Input length for a vector field: d floats, or d/8 bytes when
+    the field is Hamming-space (doc_query.go:296-301)."""
+    if not spec.dimension:
+        return None
+    return spec.dimension // 8 if _is_binary_field(spec) else spec.dimension
+
+
+def _check_scalar_value(spec, value) -> None:
+    """Reject a scalar value whose python type cannot represent the
+    field (the engine's CheckDoc value validation, engine.cc:787-829).
+    DATE accepts str/datetime (the documented literal coercion)."""
+    t = spec.type
+    ok = True
+    if t in (FieldType.INT, FieldType.LONG):
+        ok = isinstance(value, int) and not isinstance(value, bool)
+    elif t in (FieldType.FLOAT, FieldType.DOUBLE):
+        ok = isinstance(value, (int, float)) and not isinstance(value, bool)
+    elif t is FieldType.STRING:
+        ok = isinstance(value, str)
+    elif t is FieldType.BOOL:
+        ok = isinstance(value, bool)
+    elif t is FieldType.STRING_ARRAY:
+        ok = isinstance(value, (list, tuple)) and all(
+            isinstance(v, str) for v in value
+        )
+    if not ok:
+        raise DocumentError(
+            f"field {spec.name!r} ({t.value}) cannot accept {value!r}"
+        )
 # delete_by_query returns the matched ids driver-side (reference
 # response parity); the cap bounds that list — beyond it, callers must
 # use the DataFrame-returning delete_by_query_df
@@ -391,6 +434,19 @@ class Space:
         lakehouse vacuums give old readers)."""
         if not self.path or self._manifest is None:
             return 0
+        live = {int(v) for v in self._manifest["buckets"].values()}
+        live.add(int(self._manifest["version"]))
+        doomed = [
+            name
+            for name in os.listdir(self.path)
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) not in live
+        ]
+        if not doomed:
+            # nothing to reclaim — skip the lineage cut below, which
+            # permanently trades away recompute-on-block-loss and
+            # cached-batch pruning for the indexes; that price is only
+            # worth paying when files actually disappear
+            return 0
         # trained in-memory indexes may still hold LINEAGE into the
         # files about to be deleted (their persisted relations recompute
         # from the original scan on block loss) — cut it first; the
@@ -409,16 +465,13 @@ class Space:
                 if rel is not None:
                     setattr(model, attr, rel.localCheckpoint(eager=True))
                     rel.unpersist()
-        live = {int(v) for v in self._manifest["buckets"].values()}
-        live.add(int(self._manifest["version"]))
         removed = 0
         import json as _json
         import shutil
 
-        for name in os.listdir(self.path):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) not in live:
-                shutil.rmtree(os.path.join(self.path, name))
-                removed += 1
+        for name in doomed:
+            shutil.rmtree(os.path.join(self.path, name))
+            removed += 1
         # prune archives whose snapshots are no longer readable
         hist = os.path.join(self.path, "manifests")
         if removed and os.path.isdir(hist):
@@ -582,13 +635,15 @@ class Space:
             rows = [dict(r) for r in rows]
             known = {f.name for f in self.schema.fields}
             dims = {
-                f.name: f.dimension
+                f.name: _expected_vector_len(f)
                 for f in self.schema.vector_fields
                 if f.dimension
             }
             for r in rows:
-                # auto-generate _id when absent (doc_parse.go:56-128)
+                # auto-generate _id when absent (doc_parse.go:56-128);
+                # numeric ids coerce to string like the DataFrame path
                 r.setdefault(ID_FIELD, uuid.uuid4().hex)
+                r[ID_FIELD] = str(r[ID_FIELD])
                 unknown = set(r) - known - {ID_FIELD}
                 if unknown:
                     # MapDocument rejects unknown fields (doc_parse.go:56)
@@ -606,6 +661,10 @@ class Space:
                         raise DocumentError(
                             f"vector {name!r} dimension {len(val)} != {dim}"
                         )
+                    # createDataFrame's FloatType is strict about python
+                    # ints — coerce like the JSON parser would (byte
+                    # codes for Hamming fields arrive as ints)
+                    r[name] = [float(x) for x in val]
             from pyspark.sql import types as T
 
             struct = T.StructType(
@@ -690,7 +749,19 @@ class Space:
         and rewritten — write cost is O(touched buckets), not O(table)
         (Engine::AddOrUpdate engine.cc:697-785 likewise touches only
         the routed shard)."""
-        batch = self._prepare_batch(rows)
+        # the prepared batch is consumed by up to four actions (bucket
+        # stats, the commit write, per-index sync, merge join) —
+        # materialize its lineage ONCE instead of re-running the source
+        # scan + normalize + dedup window per action (an external-source
+        # batch would otherwise be rescanned each time)
+        self._clear_scheduler_pool()
+        batch = self._prepare_batch(rows).persist()
+        try:
+            return self._upsert_prepared(batch)
+        finally:
+            batch.unpersist()
+
+    def _upsert_prepared(self, batch: DataFrame) -> int:
         if self._bucketed():
             # one aggregation action yields BOTH the batch size and the
             # touched-bucket set (map-side combine over ≤ n_buckets
@@ -762,6 +833,7 @@ class Space:
     def partial_update(self, _id: str, fields: dict) -> None:
         """Update only the named fields of one doc (Engine::Update
         engine.cc:831-867); vector fields are replaced whole."""
+        self._clear_scheduler_pool()
         unknown = set(fields) - {f.name for f in self.schema.fields}
         if unknown:
             raise DocumentError(f"unknown fields: {sorted(unknown)}")
@@ -778,16 +850,27 @@ class Space:
         else:
             touched, updated = None, self.df
         cond = F.col(ID_FIELD) == _id
+        if updated.where(cond).limit(1).count() == 0:
+            # the reference returns doc-not-found (Engine::Update) —
+            # silently "succeeding" would also rewrite a bucket for
+            # nothing on the durable path
+            raise DocumentError(f"document {_id!r} not found")
         for name, value in fields.items():
             spec = self.schema.field(name)
             if spec.type is FieldType.VECTOR and value is not None:
                 if not isinstance(value, (list, tuple)):
                     raise DocumentError(f"vector {name!r} must be a list of floats")
-                if spec.dimension and len(value) != spec.dimension:
+                expected = _expected_vector_len(spec)
+                if expected and len(value) != expected:
                     # CheckDoc dimension validation (engine.cc:787-829)
                     raise DocumentError(
-                        f"vector {name!r} dimension {len(value)} != {spec.dimension}"
+                        f"vector {name!r} dimension {len(value)} != {expected}"
                     )
+            elif value is not None:
+                # python-side type validation: a lazy .cast() would
+                # silently NULL an unconvertible value into the stored
+                # doc (non-ANSI) — the same value via upsert raises
+                _check_scalar_value(spec, value)
             lit = F.lit(value).cast(spec.spark_type.simpleString())
             if spec.type is FieldType.VECTOR and spec.normalize:
                 lit = l2_normalize(lit).cast("array<float>")
@@ -801,6 +884,7 @@ class Space:
         """Delete by ids (Engine::Delete engine.cc:869-900); returns the
         number actually deleted. Bucketed path: reads/rewrites only the
         buckets the ids hash into."""
+        self._clear_scheduler_pool()
         ids = [str(i) for i in ids]
         if self._bucketed():
             touched = self._buckets_of_ids(ids)
@@ -883,6 +967,7 @@ class Space:
         """Get by ids, capped at 500 (doc_http.go:579-583).
         ``vector_value`` opts vector columns into the output
         (doc_query.go:1445-1447), same as the search verb."""
+        self._clear_scheduler_pool()
         if len(ids) >= GET_BY_IDS_CAP:
             # the reference rejects >= 500, not > (doc_http.go:579-583)
             raise DocumentError(f"too many ids: {len(ids)} >= {GET_BY_IDS_CAP}")
@@ -959,6 +1044,14 @@ class Space:
             SLOW_POOL if is_slow_search(limit, flt, nprobe, index) else None,
         )
 
+    def _clear_scheduler_pool(self) -> None:
+        """Non-search verbs run in the default pool: the slow-pool tag
+        is a thread-local property a prior slow search() left behind —
+        without the reset, a following query/get/write on the same
+        serving thread would run throttled in the starved pool (the
+        isolation inverting onto fast verbs)."""
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
     def query(
         self,
         flt: dict | Column | None = None,
@@ -975,11 +1068,15 @@ class Space:
         query verb (Engine::Query engine.cc:449-528, default limit 50
         doc_query.go:43). ``vector_value`` opts vector columns into the
         output (doc_query.go:1445-1447)."""
+        self._clear_scheduler_pool()
         df = self._target_partitions(self.df, partition_names)
         pred = compile_filter(flt, self.schema)
         if pred is not None:
             df = df.where(pred)
         order = sort_ops.parse_sort(sort) if sort else [(SEQ_FIELD, True)]
+        for name, _asc in order:
+            if name not in (SCORE_FIELD, ID_FIELD, SEQ_FIELD):
+                self.schema.field(name)  # unknown sort field -> SchemaError
         out = sort_ops.sorted_page(
             df,
             order,
@@ -1072,6 +1169,14 @@ class Space:
                         f"query dimension {len(vq.vector)} != field "
                         f"dimension {vspec.dimension}"
                     )
+            metrics = {self._field_metric(vq.field) for vq in vectors}
+            if len(metrics) > 1:
+                # one metric across all fields — the reference rejects
+                # mixed-metric fusion (space.go:335-337 fixes the
+                # metric per space declaration)
+                raise SearchError(
+                    "multi-vector search requires one metric across fields"
+                )
             m = self._field_metric(vectors[0].field)
             if order and output_fields is None:
                 # fusion defaults to (_id, _score); a field sort needs
@@ -1101,10 +1206,12 @@ class Space:
             # the reference's wrong_vector_name class rejects a scalar
             # field used as the query target (doc_query.go:255-338)
             raise SearchError(f"field {vector_field!r} is not a vector field")
-        if spec.dimension and len(vector) != spec.dimension:
-            # CheckDoc/query dimension validation (engine.cc:787-829)
+        expected = _expected_vector_len(spec)
+        if expected and len(vector) != expected:
+            # CheckDoc/query dimension validation (engine.cc:787-829);
+            # Hamming fields take d/8 bytes (doc_query.go:296-301)
             raise SearchError(
-                f"query dimension {len(vector)} != field dimension {spec.dimension}"
+                f"query dimension {len(vector)} != expected {expected}"
             )
 
         index = self._indexes.get(vector_field)
@@ -1118,6 +1225,19 @@ class Space:
 
         self._route_scheduler_pool(limit, flt, nprobe, index if use_index else None)
         if use_index:
+            if spec.normalize:
+                # router-side query normalization (client.go:603-658)
+                # must hold on BOTH physical paths: docs were unit-
+                # normalized at ingest, so an un-normalized query gives
+                # inflated IP scores / reordered L2 bands the moment
+                # auto mode flips from brute to index. The exact path
+                # normalizes inside the JVM expression (topk.search
+                # normalize=, bit-exact for the oracle); the index path
+                # gets the python-side unit query (ANN candidates are
+                # re-scored through the same exact kernel afterwards).
+                nrm = math.sqrt(sum(float(x) * float(x) for x in vector))
+                if nrm > 0.0:
+                    vector = [float(x) / nrm for x in vector]
             pred = compile_filter(flt, self.schema)
             if partition_names is not None:
                 # the assigned index table carries the partition column,
@@ -1129,7 +1249,22 @@ class Space:
             # efSearch for HNSW — a knob for the other family is
             # ignored, never silently repurposed
             from vearch_spark.operators.hnsw import HNSWIndex
+            from vearch_spark.operators.ivf import BinaryIVFIndex
 
+            if isinstance(index, BinaryIVFIndex):
+                hits = index.search(
+                    self.df,
+                    query_code=[int(b) for b in vector],
+                    limit=limit,
+                    flt=pred,
+                    nprobe=nprobe,
+                    min_score=min_score,
+                    max_score=max_score,
+                    offset=offset,
+                    output_fields=output_fields
+                    or self.schema.default_output_fields(),
+                )
+                return self._post_sort(hits, order, spec.metric, page_size, page_num)
             if isinstance(index, HNSWIndex):
                 probe = ef_search
             else:
@@ -1147,6 +1282,29 @@ class Space:
                 output_fields=output_fields,
                 vector_value=vector_value,
             )
+            return self._post_sort(hits, order, spec.metric, page_size, page_num)
+        if _is_binary_field(spec):
+            # exact Hamming scan — the brute-force form of BINARYIVF
+            # (bit_count(xor) over d/8 bytes, whole-stage codegen)
+            from vearch_spark.functions.distance import hamming_distance
+
+            pred = compile_filter(flt, self.schema)
+            scored = base_df.where(pred) if pred is not None else base_df
+            scored = scored.withColumn(
+                SCORE_FIELD,
+                hamming_distance(F.col(vector_field), [int(b) for b in vector]),
+            )
+            if min_score is not None:
+                scored = scored.where(F.col(SCORE_FIELD) >= float(min_score))
+            if max_score is not None:
+                scored = scored.where(F.col(SCORE_FIELD) <= float(max_score))
+            cols = output_fields or self.schema.default_output_fields()
+            hits = scored.select(*cols, SCORE_FIELD).orderBy(
+                F.col(SCORE_FIELD).asc(), F.col(ID_FIELD).asc()
+            )
+            if offset:
+                hits = hits.offset(offset)
+            hits = hits.limit(limit)
             return self._post_sort(hits, order, spec.metric, page_size, page_num)
         hits = topk.search(
             base_df,
@@ -1202,6 +1360,22 @@ class Space:
             merged.setdefault("nbits", 4)
         from vearch_spark.operators.hnsw import HNSWIndex
 
+        if physical == "BINARYIVF":
+            # Hamming-space strategy: the field column holds packed d/8
+            # byte codes (doc_query.go:296-301); no float metric applies
+            from vearch_spark.operators.ivf import BinaryIVFIndex
+
+            model = BinaryIVFIndex(
+                code_col=vector_field,
+                id_col=ID_FIELD,
+                **{k: int(v) for k, v in merged.items()
+                   if k in {"ncentroids", "nprobe"}},
+            )
+            model.fit(self.df)
+            self._indexes[vector_field] = model
+            if self.path:
+                self._persist_index(vector_field, model)
+            return
         cls = {
             "IVFPQ": IVFPQIndex,
             "IVFRABITQ": IVFRaBitQIndex,
@@ -1281,12 +1455,15 @@ class Space:
         current = int(self._manifest["version"]) if self._manifest else 0
         from vearch_spark.operators.hnsw import HNSWIndex
 
+        from vearch_spark.operators.ivf import BinaryIVFIndex
+
         classes = {
             "IVFFlatIndex": IVFFlatIndex,
             "IVFPQIndex": IVFPQIndex,
             "IVFRaBitQIndex": IVFRaBitQIndex,
             "TwoLevelIVFFlatIndex": TwoLevelIVFFlatIndex,
             "HNSWIndex": HNSWIndex,
+            "BinaryIVFIndex": BinaryIVFIndex,
         }
         for field, entry in meta.items():
             if int(entry["table_version"]) != current:
