@@ -289,3 +289,46 @@ def test_mixed_metric_fusion_rejected(spark):
     with pytest.raises(SearchError):
         sp.search(vectors=[VectorQuery("a", [1.0] * 4),
                            VectorQuery("b", [1.0] * 4)], limit=1)
+
+
+def test_fused_search_rides_indexes_when_trained(spark):
+    """Multi-vector fusion uses per-field ANN candidate lists once
+    every fused field has a trained index (the reference's per-field
+    ANN top-k + docid intersection + weighted re-rank,
+    vector_manager.cc:1024-1087) — with nprobe=ncentroids the probes
+    are exact, so results equal the brute fusion path bit-for-bit."""
+    import numpy as np
+
+    from vearch_spark.operators.fusion import VectorQuery
+
+    sch = SpaceSchema(
+        name="fuseidx",
+        fields=[
+            FieldSpec("a", FieldType.VECTOR, dimension=6,
+                      index=IndexSpec("a", "IVFFLAT",
+                                      params={"ncentroids": 4, "nprobe": 4,
+                                              "training_threshold": 10})),
+            FieldSpec("b", FieldType.VECTOR, dimension=6,
+                      index=IndexSpec("b", "IVFFLAT",
+                                      params={"ncentroids": 4, "nprobe": 4,
+                                              "training_threshold": 10})),
+        ],
+    )
+    sp = Space(spark, sch)
+    rng = np.random.default_rng(29)
+    sp.upsert([
+        {"_id": str(i),
+         "a": [float(x) for x in rng.normal(0, 1, 6)],
+         "b": [float(x) for x in rng.normal(0, 1, 6)]}
+        for i in range(80)
+    ])
+    qa = [float(x) for x in rng.normal(0, 1, 6)]
+    qb = [float(x) for x in rng.normal(0, 1, 6)]
+    vqs = [VectorQuery("a", qa), VectorQuery("b", qb)]
+    brute = [(r._id, round(r._score, 6)) for r in
+             sp.search(vectors=vqs, limit=5, is_brute_search=1).collect()]
+    sp.build_index("a")
+    sp.build_index("b")
+    via_index = [(r._id, round(r._score, 6)) for r in
+                 sp.search(vectors=vqs, limit=5, is_brute_search=0).collect()]
+    assert via_index == brute

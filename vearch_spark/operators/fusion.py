@@ -90,7 +90,26 @@ def multi_vector_search(
         )
         parts.append(part.select(id_col, f"_score_{i}"))
 
-    # docid intersection via inner joins (vector_manager.cc:1024-1087)
+    return fuse_parts(
+        parts, weights, m, limit, id_col=id_col, df=df,
+        output_fields=output_fields, score_col=score_col,
+    )
+
+
+def fuse_parts(
+    parts: list[DataFrame],
+    weights: Sequence[float],
+    m: Metric,
+    limit: int,
+    id_col: str = ID_FIELD,
+    df: DataFrame | None = None,
+    output_fields: list[str] | None = None,
+    score_col: str = "_score",
+) -> DataFrame:
+    """The fusion tail shared by the exact and index-backed paths:
+    per-field (id, _score_i) lists → docid intersection via inner
+    joins (vector_manager.cc:1024-1087) → Σ wᵢ·scoreᵢ → re-rank.
+    Each part is a bounded top-k list, so the joins broadcast."""
     fused = parts[0]
     for part in parts[1:]:
         fused = fused.join(F.broadcast(part), on=id_col, how="inner")
@@ -104,7 +123,7 @@ def multi_vector_search(
     order = F.col(score_col).asc() if m.ascending else F.col(score_col).desc()
     fused = fused.orderBy(order, F.col(id_col).asc()).limit(limit)
 
-    if output_fields:
+    if output_fields and df is not None:
         wanted = [c for c in output_fields if c != id_col]
         fused = fused.join(df.select(id_col, *wanted), on=id_col, how="left")
         fused = fused.orderBy(order, F.col(id_col).asc())

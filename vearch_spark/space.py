@@ -1182,17 +1182,22 @@ class Space:
                 # fusion defaults to (_id, _score); a field sort needs
                 # the scalar fields joined back in
                 output_fields = self.schema.default_output_fields()
-            fused = multi_vector_search(
-                base_df,
-                vectors,
-                limit=limit,
-                metric=m,
-                weights=weights,
-                flt=flt,
-                schema=self.schema,
-                l2_sqrt=l2_sqrt,
-                output_fields=output_fields,
+            fused = self._fused_index_search(
+                vectors, weights, m, limit, flt, l2_sqrt, output_fields,
+                is_brute_search,
             )
+            if fused is None:  # exact per-field scans (the FLAT path)
+                fused = multi_vector_search(
+                    base_df,
+                    vectors,
+                    limit=limit,
+                    metric=m,
+                    weights=weights,
+                    flt=flt,
+                    schema=self.schema,
+                    l2_sqrt=l2_sqrt,
+                    output_fields=output_fields,
+                )
             return self._post_sort(fused, order, m, page_size, page_num)
         if vector is None:
             raise SearchError("search requires a query vector")
@@ -1323,6 +1328,64 @@ class Space:
             vector_value=vector_value,
         )
         return self._post_sort(hits, order, spec.metric, page_size, page_num)
+
+    def _fused_index_search(
+        self,
+        vectors: list[VectorQuery],
+        weights: Sequence[float] | None,
+        m: Metric,
+        limit: int,
+        flt: dict | Column | None,
+        l2_sqrt: bool,
+        output_fields: list[str] | None,
+        is_brute_search: int,
+    ) -> DataFrame | None:
+        """Index-backed fusion: when every fused field has a trained
+        ANN index (and brute force wasn't forced), per-field candidate
+        lists come from the indexes — the reference's shape exactly
+        (per-field ANN top-k, docid intersection, weighted re-rank,
+        vector_manager.cc:1024-1087) — instead of per-field exact
+        scans. At scale this is the difference between N pruned probes
+        and N full-corpus scans per fused query. Returns None when any
+        field lacks an index (the exact path serves, and is also the
+        hash-checked oracle path)."""
+        from vearch_spark.operators.fusion import fuse_parts
+        from vearch_spark.operators.ivf import BinaryIVFIndex
+
+        if is_brute_search == 1:
+            return None
+        models = [self._indexes.get(vq.field) for vq in vectors]
+        if any(mod is None or isinstance(mod, BinaryIVFIndex) for mod in models):
+            return None
+        if weights is None:
+            weights = [1.0 / len(vectors)] * len(vectors)
+        pred = compile_filter(flt, self.schema)
+        k_field = max(limit * 10, 200)
+        parts = []
+        for i, (vq, mod) in enumerate(zip(vectors, models)):
+            vspec = self.schema.field(vq.field)
+            query = list(map(float, vq.vector))
+            if vspec.normalize:
+                nrm = math.sqrt(sum(x * x for x in query))
+                if nrm > 0.0:
+                    query = [x / nrm for x in query]
+            part = mod.search(  # type: ignore[attr-defined]
+                self.df,
+                query=query,
+                limit=k_field,
+                flt=pred,
+                min_score=vq.min_score,
+                max_score=vq.max_score,
+                l2_sqrt=l2_sqrt,
+                output_fields=[ID_FIELD],
+            )
+            parts.append(
+                part.select(ID_FIELD, F.col(SCORE_FIELD).alias(f"_score_{i}"))
+            )
+        return fuse_parts(
+            parts, weights, m, limit, id_col=ID_FIELD, df=self.df,
+            output_fields=output_fields,
+        )
 
     # --------------------------------------------------------------- index
 
