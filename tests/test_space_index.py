@@ -332,3 +332,46 @@ def test_fused_search_rides_indexes_when_trained(spark):
     via_index = [(r._id, round(r._score, 6)) for r in
                  sp.search(vectors=vqs, limit=5, is_brute_search=0).collect()]
     assert via_index == brute
+
+
+def test_fused_index_path_contracts(spark):
+    """The fused index path keeps the single-field contracts: force-
+    index with an untrained fused field raises (never a silent scan),
+    and mismatched WeightedRanker params raise regardless of trained
+    state (doc_query.go:201-216)."""
+    import numpy as np
+
+    from vearch_spark.errors import SearchError
+    from vearch_spark.operators.fusion import VectorQuery
+
+    sch = SpaceSchema(
+        name="fusec",
+        fields=[
+            FieldSpec("a", FieldType.VECTOR, dimension=4,
+                      index=IndexSpec("a", "IVFFLAT",
+                                      params={"ncentroids": 2, "nprobe": 2,
+                                              "training_threshold": 10})),
+            FieldSpec("b", FieldType.VECTOR, dimension=4,
+                      index=IndexSpec("b", "IVFFLAT",
+                                      params={"ncentroids": 2, "nprobe": 2,
+                                              "training_threshold": 10})),
+        ],
+    )
+    sp = Space(spark, sch)
+    rng = np.random.default_rng(31)
+    sp.upsert([
+        {"_id": str(i),
+         "a": [float(x) for x in rng.normal(0, 1, 4)],
+         "b": [float(x) for x in rng.normal(0, 1, 4)]}
+        for i in range(40)
+    ])
+    vqs = [VectorQuery("a", [0.0] * 4), VectorQuery("b", [0.0] * 4)]
+    sp.build_index("a")  # b stays untrained
+    with pytest.raises(SearchError):
+        sp.search(vectors=vqs, limit=3, is_brute_search=0)
+    sp.build_index("b")
+    with pytest.raises(SearchError):  # wrong ranker arity, trained or not
+        sp.search(vectors=vqs, weights=[0.5], limit=3)
+    with pytest.raises(SearchError):  # single-entry fusion rejected
+        sp.search(vectors=vqs[:1], limit=3)
+    assert len(sp.search(vectors=vqs, limit=3, is_brute_search=0).collect()) == 3

@@ -63,8 +63,7 @@ def multi_vector_search(
         # ranker params must match vector count (doc_query.go:201-216)
         raise SearchError(f"WeightedRanker expects {n} weights, got {len(weights)}")
     m = Metric.parse(metric) if isinstance(metric, str) else metric
-    # candidate pool per field; reference uses the request topn per field
-    k_field = per_field_k or max(limit * 10, 200)
+    k_field = per_field_k or default_per_field_k(limit)
 
     parts: list[DataFrame] = []
     for i, q in enumerate(queries):
@@ -94,6 +93,14 @@ def multi_vector_search(
         parts, weights, m, limit, id_col=id_col, df=df,
         output_fields=output_fields, score_col=score_col,
     )
+
+
+def default_per_field_k(limit: int) -> int:
+    """Candidate pool per fused field (the reference fetches the
+    request topn per field; the 10× floor keeps the docid intersection
+    well-populated) — ONE definition for the exact and index-backed
+    paths so a tuning never desynchronizes them."""
+    return max(limit * 10, 200)
 
 
 def fuse_parts(

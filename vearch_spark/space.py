@@ -1178,13 +1178,22 @@ class Space:
                     "multi-vector search requires one metric across fields"
                 )
             m = self._field_metric(vectors[0].field)
+            if len(vectors) < 2:
+                raise SearchError("multi_vector_search requires >= 2 vector queries")
+            if weights is not None and len(weights) != len(vectors):
+                # ranker params must match vector count (doc_query.go:201-216)
+                raise SearchError(
+                    f"WeightedRanker expects {len(vectors)} weights, "
+                    f"got {len(weights)}"
+                )
             if order and output_fields is None:
                 # fusion defaults to (_id, _score); a field sort needs
                 # the scalar fields joined back in
                 output_fields = self.schema.default_output_fields()
             fused = self._fused_index_search(
                 vectors, weights, m, limit, flt, l2_sqrt, output_fields,
-                is_brute_search,
+                is_brute_search, partition_names=partition_names,
+                nprobe=nprobe, ef_search=ef_search,
             )
             if fused is None:  # exact per-field scans (the FLAT path)
                 fused = multi_vector_search(
@@ -1339,6 +1348,9 @@ class Space:
         l2_sqrt: bool,
         output_fields: list[str] | None,
         is_brute_search: int,
+        partition_names: Sequence[str] | None = None,
+        nprobe: int | None = None,
+        ef_search: int | None = None,
     ) -> DataFrame | None:
         """Index-backed fusion: when every fused field has a trained
         ANN index (and brute force wasn't forced), per-field candidate
@@ -1349,18 +1361,34 @@ class Space:
         and N full-corpus scans per fused query. Returns None when any
         field lacks an index (the exact path serves, and is also the
         hash-checked oracle path)."""
-        from vearch_spark.operators.fusion import fuse_parts
+        from vearch_spark.operators.fusion import default_per_field_k, fuse_parts
+        from vearch_spark.operators.hnsw import HNSWIndex
         from vearch_spark.operators.ivf import BinaryIVFIndex
 
         if is_brute_search == 1:
             return None
         models = [self._indexes.get(vq.field) for vq in vectors]
-        if any(mod is None or isinstance(mod, BinaryIVFIndex) for mod in models):
+        missing = any(
+            mod is None or isinstance(mod, BinaryIVFIndex) for mod in models
+        )
+        if missing:
+            if is_brute_search == 0:
+                # force-index with an untrained fused field: same
+                # contract as the single-field path — a typed error,
+                # never a silent full-corpus scan
+                raise SearchError("no trained index on every fused vector field")
             return None
         if weights is None:
             weights = [1.0 / len(vectors)] * len(vectors)
         pred = compile_filter(flt, self.schema)
-        k_field = max(limit * 10, 200)
+        if partition_names is not None:
+            # partition targets ride the same pushed predicate the
+            # single-field index path uses (the assigned/graph tables
+            # carry the partition column)
+            self._target_partitions(self.df, partition_names)  # validate names
+            ppred = F.col(PARTITION_FIELD).isin(list(partition_names))
+            pred = ppred if pred is None else (pred & ppred)
+        k_field = default_per_field_k(limit)
         parts = []
         for i, (vq, mod) in enumerate(zip(vectors, models)):
             vspec = self.schema.field(vq.field)
@@ -1374,6 +1402,7 @@ class Space:
                 query=query,
                 limit=k_field,
                 flt=pred,
+                nprobe=ef_search if isinstance(mod, HNSWIndex) else nprobe,
                 min_score=vq.min_score,
                 max_score=vq.max_score,
                 l2_sqrt=l2_sqrt,
