@@ -358,3 +358,44 @@ def test_add_flags_rebuild_when_shards_outgrow(spark):
     idx.fit(df.unionByName(more))
     assert not idx.needs_rebuild
     idx.unpersist()
+
+
+def test_auto_sized_refit_regrows_shards(spark):
+    """fit() on an auto-sized index re-sizes nshards — the documented
+    rebuild remedy must actually grow the shard count, not just clear
+    the flag."""
+    rng = np.random.default_rng(33)
+    x, _ = _clustered(rng, 50, 8)
+    df = spark.createDataFrame(
+        [(int(i), x[i].tolist()) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    )
+    idx = HNSWIndex("embedding", Metric.L2, nlinks=8, efConstruction=32,
+                    shard_max_rows=40, id_col="vec_id").fit(df)
+    assert idx.nshards == 2  # ceil(50/40)
+    y, _ = _clustered(rng, 150, 8)
+    big = df.unionByName(spark.createDataFrame(
+        [(1000 + int(i), y[i].tolist()) for i in range(len(y))],
+        "vec_id long, embedding array<float>",
+    ))
+    idx.fit(big)
+    assert idx.nshards == 5  # ceil(200/40): re-sized, not stuck at 2
+    assert not idx.needs_rebuild
+    idx.unpersist()
+
+
+def test_reserved_columns_rejected(spark, embeddings):
+    with pytest.raises(Exception):
+        HNSWIndex("embedding", Metric.L2, nlinks=8, efConstruction=32,
+                  nshards=2, id_col="vec_id").fit(
+            embeddings.withColumn("_allowed", F.lit(True)))
+
+
+def test_save_load_keeps_shard_envelope(tmp_path, spark, embeddings):
+    idx = HNSWIndex("embedding", Metric.L2, nlinks=8, efConstruction=32,
+                    nshards=2, shard_max_rows=1234, id_col="vec_id").fit(embeddings)
+    p = str(tmp_path / "env")
+    idx.save(p)
+    loaded = HNSWIndex.load(spark, p)
+    assert loaded.shard_max_rows == 1234  # envelope survives the dump
+    idx.unpersist(); loaded.unpersist()

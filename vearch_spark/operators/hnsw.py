@@ -38,7 +38,11 @@ does it without any native library:
   set and traversal continues until enough valid hits,
   ``SearchCondition::IsValid`` gamma_common_data.h:98-106), so
   selective filters return k matching rows whenever the shard holds
-  them, never a post-filtered near-empty page.
+  them among the layer-0-reachable nodes (connectivity of built
+  graphs is pinned by tests/test_hnsw.py::test_graph_connected_layer0;
+  a node isolated by heuristic pruning — the known HNSW edge case —
+  is missable by ANY graph traversal, exactly as in the reference),
+  never a post-filtered near-empty page.
 - **delete**: tombstoned nodes stay in the graph as routing waypoints
   and are excluded from results — precisely the reference's delete
   bitmap (``Engine::Delete`` engine.cc:869-900 sets a bit; search skips
@@ -290,6 +294,11 @@ def _build_graph(
             list(old[LINKS_COL]),  # numpy rows; made mutable on demand
         )
     new = pdf[pdf[NODE_COL] < 0].sort_values(id_col, kind="stable")
+    if len(new) and new[id_col].duplicated().any():
+        # duplicate ids would make insertion order depend on Spark
+        # arrival order, breaking the graph's pure-function-of-rows
+        # guarantee (rebuild determinism, save/load round-trips)
+        raise ValueError("duplicate ids in HNSW shard input")
     if not len(new):
         return g, old
     node_ids = list(old[NODE_COL].astype(int)) if len(old) else []
@@ -337,6 +346,7 @@ class HNSWIndex:
         self.ef_construction = int(efConstruction)
         self.ef_search = int(efSearch)
         self.nshards = nshards
+        self._auto_shards = nshards is None  # re-size on every refit
         self.shard_max_rows = int(shard_max_rows)
         self.id_col = id_col
         # no seed knob: the graph is deliberately a pure function of
@@ -389,7 +399,15 @@ class HNSWIndex:
 
     def fit(self, df: DataFrame) -> "HNSWIndex":
         self.needs_rebuild = False
-        if self.nshards is None:
+        reserved = {*_GRAPH_COLS, ALLOWED_COL, "query_id"} & set(df.columns)
+        if reserved:
+            # these names are the index's internal plumbing; a user
+            # column would be silently consumed as a filter/graph flag
+            raise SearchError(f"reserved column names in input: {sorted(reserved)}")
+        if self._auto_shards or self.nshards is None:
+            # auto-sized indexes RE-size on every refit — fit() is the
+            # documented rebuild remedy when add() outgrows the
+            # envelope, so it must actually grow the shard count
             n = df.count()
             self.nshards = max(1, math.ceil(n / self.shard_max_rows))
         seeded = self._seed(df)
@@ -540,10 +558,11 @@ class HNSWIndex:
         qs = [np.asarray(q, dtype=np.float64) for q in queries]
 
         def probe(pdf: pd.DataFrame) -> pd.DataFrame:
-            g, _ = _build_graph(pdf, vector_col, id_col, metric, m, efc)
             # node ids are dense 0..n-1 within a shard (rows are never
-            # dropped — deletes only flag), so position == node id
-            ordered = pdf.sort_values(NODE_COL).reset_index(drop=True)
+            # dropped — deletes only flag), so position == node id;
+            # _build_graph's second return is already NODE_COL-sorted
+            g, ordered = _build_graph(pdf, vector_col, id_col, metric, m, efc)
+            ordered = ordered.reset_index(drop=True)
             ok = ~ordered[DELETED_COL].to_numpy()
             if ALLOWED_COL in ordered.columns:
                 ok = ok & ordered[ALLOWED_COL].fillna(False).to_numpy(dtype=bool)
@@ -618,8 +637,13 @@ class HNSWIndex:
         if self._graph is None:
             raise SearchError("index not trained")
         ef = max(int(ef_search or nprobe or self.ef_search), limit + offset)
+        # per-shard emission is limit+offset rows (enough for the exact
+        # global merge), NOT ef: shipping ef full rows per shard through
+        # Arrow is the transfer this module measured dominating batch
+        # wall time, and a filtered probe's widening target tracks the
+        # rows actually needed
         cand = self._candidates(
-            [list(map(float, query))], ef, ef, flt=flt
+            [list(map(float, query))], ef, limit + offset, flt=flt
         ).drop("query_id")
         if flt is not None:
             cand = cand.where(flt)  # re-validate candidates (cheap, exact)
@@ -662,7 +686,7 @@ class HNSWIndex:
             raise SearchError("index not trained")
         ef = max(int(ef_search or self.ef_search), limit)
         qlist = [list(map(float, q)) for q in queries]
-        cand = self._candidates(qlist, ef, ef, flt=flt)
+        cand = self._candidates(qlist, ef, limit, flt=flt)
         if flt is not None:
             cand = cand.where(flt)  # re-validate candidates (cheap, exact)
         spark = cand.sparkSession
@@ -710,9 +734,14 @@ class HNSWIndex:
                     "efConstruction": self.ef_construction,
                     "efSearch": self.ef_search,
                     "nshards": self.nshards,
+                    "shard_max_rows": self.shard_max_rows,
                     "id_col": self.id_col,
                     "out_schema": self._out_schema,
                     "base_schema": self._base_schema,
+                    # explicit name list: reconstructing names by
+                    # splitting the DDL string breaks on names with
+                    # spaces/commas
+                    "columns": [c for c in self._graph.columns],
                 },
                 fh,
             )
@@ -731,16 +760,21 @@ class HNSWIndex:
             efConstruction=p["efConstruction"],
             efSearch=p["efSearch"],
             nshards=p["nshards"],
+            shard_max_rows=p.get("shard_max_rows", 65_536),
             id_col=p["id_col"],
         )
         idx._out_schema = p["out_schema"]
         idx._base_schema = p["base_schema"]
         g = spark.read.parquet(os.path.join(path, "graph"))
         # parquet partition columns come back last and as the partition
-        # type — restore the declared column order/types
-        idx._graph = g.select(
-            *[F.col(c) for c in [s.split()[0].strip("`") for s in p["out_schema"].split(", ")]]
-        ).withColumn(SHARD_COL, F.col(SHARD_COL).cast("int"))
+        # type — restore the declared column order/types (explicit name
+        # list from save; fall back to DDL-splitting for old dumps)
+        cols = p.get("columns") or [
+            c.split()[0].strip("`") for c in p["out_schema"].split(", ")
+        ]
+        idx._graph = g.select(*[F.col(c) for c in cols]).withColumn(
+            SHARD_COL, F.col(SHARD_COL).cast("int")
+        )
         idx._graph = idx._graph.repartition(F.col(SHARD_COL)).persist()
         return idx
 
