@@ -255,3 +255,53 @@ def test_duplicated_span_stride(spark):
     strided = duplicated_span_stats(docs, window=5, stride=4).collect()[0]
     assert full.n_spans == 16  # 20 - 5 + 1
     assert strided.n_spans == 4  # positions 1,5,9,13
+
+
+def test_blank_docs_are_not_pseudo_duplicates(spark):
+    """Empty/whitespace/NULL docs yield EMPTY shingle sets (no ''
+    pseudo-shingle), so they never become jaccard-1.0 near-dups of
+    each other; simhash tolerates NULL text; exact_dedup keys encode
+    NULL columns positionally."""
+    from vearch_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash64,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "real content words here"),
+         (4, "real content words here")],
+        "doc_id long, text string",
+    )
+    sizes = {r.doc_id: r.s for r in docs.select(
+        "doc_id", F.size(word_shingles("text")).alias("s")).collect()}
+    assert sizes[0] == 0 and sizes[1] == 0 and sizes[2] == 0
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id", num_hashes=32, bands=8,
+        jaccard_threshold=0.5).collect()}
+    assert pairs == {(3, 4)}  # blanks never pair
+    jp = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(
+        docs, jaccard_threshold=0.5).collect()}
+    assert jp == {(3, 4)}
+    # NULL text must not crash the simhash task
+    assert docs.select(simhash64("text")).count() == 5
+    # NULL-safe fingerprint: different null positions never collide
+    two = spark.createDataFrame(
+        [(0, "a", None), (1, None, "a")], "doc_id long, c1 string, c2 string")
+    assert exact_dedup(two, ["c1", "c2"]).count() == 2
+
+
+def test_band_parameter_validation(spark):
+    from vearch_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=64, bands=128).collect()
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=100, bands=32).collect()
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bands=128).collect()
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bands=5).collect()

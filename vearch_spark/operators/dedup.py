@@ -91,7 +91,14 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         def sh(texts: pd.Series) -> pd.Series:
             out = []
             for t in texts:
-                toks = (t or "").split(" ")
+                # empty tokens (doubled/trailing spaces) carry no
+                # signal; an empty/whitespace-only doc yields an EMPTY
+                # shingle set — never the "" pseudo-shingle that made
+                # every blank doc a jaccard-1.0 near-dup of every other
+                toks = [w for w in (t or "").split(" ") if w]
+                if not toks:
+                    out.append([])
+                    continue
                 hi = max(len(toks) - n, 0)
                 out.append(
                     list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(hi + 1)))
@@ -109,7 +116,16 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup: one row per distinct ``key``, keeping the smallest
     id (deterministic). Returns (keeper id, group size)."""
-    k = key if isinstance(key, Column) else F.concat_ws("\x01", *[F.col(c) for c in key])
+    # concat_ws SKIPS nulls (('a', NULL) and (NULL, 'a') would collide)
+    # — encode null as a sentinel so every column occupies its slot
+    k = (
+        key
+        if isinstance(key, Column)
+        else F.concat_ws(
+            "\x01",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key],
+        )
+    )
     return (
         df.withColumn("_fp", k)
         .groupBy("_fp")
@@ -272,8 +288,15 @@ def minhash_signature_fast(
 
     @pandas_udf("array<long>")
     def sig(hashes: pd.Series) -> pd.Series:
+        empty = np.full(len(a), np.iinfo(np.int64).max, dtype=np.int64)
         out = []
         for hs in hashes:
+            if hs is None or len(hs) == 0:
+                # empty shingle set (blank doc): a sentinel signature
+                # instead of a zero-size reduction crash — callers
+                # filter size>0 before banding, so it never buckets
+                out.append(empty)
+                continue
             h = np.asarray(hs, dtype=np.uint64)
             # (num_hashes, n_shingles) affine family; for p=2^61-1 the
             # products wrap mod 2^64 before the fold (uniformity is all
@@ -323,6 +346,13 @@ def minhash_lsh_pairs(
     ``max_bucket`` or pass ``None`` to disable when exact parity with
     the unguarded join is required (the DuckDB oracle runs unguarded).
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band hash the empty
+        # slice (ALL docs collide into one bucket — O(n²)); a
+        # non-divisor silently drops trailing hashes
+        raise ValueError(
+            f"bands must divide num_hashes: {bands} vs {num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_did"),
@@ -418,6 +448,21 @@ def ngram_jaccard_pairs(
     shingle, so common-shingle skew is the scale hazard — mitigated by
     dropping ubiquitous shingles (document frequency cap) the same way
     production near-dup pipelines do.
+
+    Semantics of the cap: |A| and |B| stay FULL set sizes while the
+    intersection is counted over the df-capped postings, so the score
+    is a LOWER BOUND on true jaccard — never a false positive. Docs
+    whose overlap is mostly boilerplate (hot shingles) can therefore
+    score below threshold by design: shared boilerplate is exactly the
+    overlap that carries no duplication signal (the reduced-set
+    alternative would call two docs identical for sharing only
+    boilerplate). Exact duplicates are the exact_dedup operator's job.
+
+    The persisted postings relation backs the RETURNED lazy DataFrame;
+    callers that materialize the result and want the cache back call
+    ``spark.catalog.clearCache()`` or unpersist via the plan's
+    InMemoryRelation (session-lifetime caching is the intended mode
+    for the driver/bench pipelines, matching the ANN index caches).
     """
     # ONE persisted relation — the narrow postings (doc id, 64-bit
     # shingle hash; the join never moves n-gram text). Every consumer
@@ -431,7 +476,8 @@ def ngram_jaccard_pairs(
         ).alias("_shingle"),
     ).persist()
     # |A| per doc = posting count (shingles are distinct per doc);
-    # zero-shingle docs vanish in the explode, matching the size>0 gate
+    # zero-shingle docs (empty text -> empty shingle array) vanish in
+    # the explode
     sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
 
     # document-frequency cap: a shingle in >1% of docs (min 100) carries
@@ -486,7 +532,9 @@ def simhash64(text: Column | str, token_hash: str = "xxhash64") -> Column:
     identical, only the token-hash family differs.
     """
     col = F.col(text) if isinstance(text, str) else text
-    tokens = F.split(col, " ")
+    # NULL text would reach the packing UDF as None and crash the task
+    # (word_shingles defends the same way)
+    tokens = F.split(F.coalesce(col, F.lit("")), " ")
 
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -539,6 +587,10 @@ def simhash_pairs(
     the result is the banded approximation: pairs that share ≥1 block
     AND pass the Hamming check.
     """
+    if bands < 1 or 64 % bands != 0:
+        # width=0 (bands>64) makes every block 0 — a full O(n²) cross
+        # product; a non-divisor silently ignores the top bits
+        raise ValueError(f"bands must divide 64: {bands}")
     width = 64 // bands
     sh = df.select(
         F.col(id_col).alias("_did"), simhash64(text_col, token_hash).alias("_sim")
@@ -597,14 +649,18 @@ def embedding_cosine_pairs_blas(
     """
     from pyspark.sql import types as T
 
+    # limit-probe BEFORE collecting: the guard must fire before the
+    # driver heap is already blown, not after (the same pattern
+    # semantic_decontaminate documents)
+    probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
+        raise ValueError(
+            f"more than {max_broadcast_rows} rows exceed the broadcast "
+            "ceiling; use embedding_cosine_pairs(bucket_col=...)"
+        )
     rows = df.select(id_col, vec_col).collect()
     ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    if len(ids_all) > max_broadcast_rows:
-        raise ValueError(
-            f"{len(ids_all)} rows exceed the broadcast ceiling; use "
-            "embedding_cosine_pairs(bucket_col=...)"
-        )
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     nmat = mat / norms[:, None]
@@ -615,6 +671,12 @@ def embedding_cosine_pairs_blas(
     vcol = vec_col
     icol = id_col
 
+    # sims is (batch × chunk), never (batch × n): at the 1M ceiling a
+    # full-width float64 block would be tens of GB per Arrow batch —
+    # chunking the matmul bounds it at batch×65536×8 ≈ 5 GB/10k rows
+    # worst case, and survivors per chunk are sparse by construction
+    _CHUNK = 65_536
+
     def run(batches):
         all_ids = b_ids.value
         all_mat = b_mat.value
@@ -623,16 +685,27 @@ def embedding_cosine_pairs_blas(
             blk = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vcol]])
             n = np.linalg.norm(blk, axis=1)
             n[n == 0] = 1.0
-            sims = (blk / n[:, None]) @ all_mat.T
-            ii, jj = np.nonzero(sims >= thr)
-            keep = blk_ids[ii] < all_ids[jj]
-            yield pd.DataFrame(
-                {
-                    "id_a": blk_ids[ii[keep]],
-                    "id_b": all_ids[jj[keep]],
-                    "cosine": sims[ii[keep], jj[keep]],
-                }
-            )
+            nblk = blk / n[:, None]
+            frames = []
+            for lo in range(0, len(all_ids), _CHUNK):
+                hi = min(lo + _CHUNK, len(all_ids))
+                sims = nblk @ all_mat[lo:hi].T
+                ii, jj = np.nonzero(sims >= thr)
+                keep = blk_ids[ii] < all_ids[lo + jj]
+                if keep.any():
+                    frames.append(pd.DataFrame(
+                        {
+                            "id_a": blk_ids[ii[keep]],
+                            "id_b": all_ids[lo + jj[keep]],
+                            "cosine": sims[ii[keep], jj[keep]],
+                        }
+                    ))
+            if frames:
+                yield pd.concat(frames)
+            else:
+                yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                    "id_b": pd.Series([], dtype="int64"),
+                                    "cosine": pd.Series([], dtype="float64")})
 
     schema = T.StructType(
         [
