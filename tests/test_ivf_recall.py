@@ -298,3 +298,116 @@ def test_many_incremental_mutations_stay_correct(spark):
     assert kept <= got
     assert not ({1001, 1004, 1007, 1010} & got)  # removed ids stay gone
     idx.unpersist()
+
+
+def test_ivfrabitq_recall_inner_product(corpus):
+    """IP RaBitQ screens candidates by the directed IP estimate
+    (q·c + ‖q‖‖v−c‖cosθ̂), not the L2 residual estimate — on
+    un-normalized vectors L2-closest ≠ IP-best, so an L2 screen cuts
+    the true IP winners before the exact rerank."""
+    from vearch_spark.operators.ivf import IVFRaBitQIndex
+
+    df, x, queries = corpus
+    index = IVFRaBitQIndex(
+        "embedding", Metric.INNER_PRODUCT, ncentroids=32, nprobe=16,
+        id_col="vec_id", rerank_k=200,
+    )
+    index.fit(df)
+    try:
+        hits10 = hits1 = 0
+        for q in queries:
+            got = [r.vec_id for r in index.search(df, q.tolist(), limit=10).collect()]
+            exact = np.argsort(-(x @ q), kind="stable")[:10].tolist()
+            hits10 += len(set(got) & set(exact))
+            hits1 += int(got[0] == exact[0])
+        assert hits10 / (10 * len(queries)) >= 0.8
+        assert hits1 / len(queries) >= 0.5
+    finally:
+        index.unpersist()
+
+
+def test_pq_pagination_past_rerank_window(ivfpq, corpus):
+    """offset+limit beyond the default rerank window must still fill
+    the page: the candidate pool expands to offset+limit (topk.search
+    slices .offset().limit() AFTER the rerank truncation)."""
+    df, _, queries = corpus
+    q = queries[0].tolist()
+    # default rerank base = max(50*4, 64) = 200 < offset+limit = 250
+    page = ivfpq.search(df, q, limit=50, offset=200, nprobe=32).collect()
+    assert len(page) == 50
+    # with the rerank pool held FIXED (explicit rerank_k ≥ both pages),
+    # offset pages tile the single big scan exactly
+    idx = IVFPQIndex(
+        "embedding", Metric.L2, ncentroids=40, nprobe=8, nsubvector=8,
+        nbits=6, id_col="vec_id", train_sample=4000, rerank_k=300,
+    ).fit(df)
+    try:
+        page2 = idx.search(df, q, limit=50, offset=200, nprobe=32).collect()
+        full = idx.search(df, q, limit=250, nprobe=32).collect()
+        assert [r.vec_id for r in page2] == [r.vec_id for r in full[200:250]]
+    finally:
+        idx.unpersist()
+
+
+def test_rabitq_pagination_past_rerank_window(corpus):
+    from vearch_spark.operators.ivf import IVFRaBitQIndex
+
+    df, _, queries = corpus
+    index = IVFRaBitQIndex(
+        "embedding", Metric.L2, ncentroids=32, nprobe=32, id_col="vec_id",
+        rerank_k=100,
+    )
+    index.fit(df)
+    try:
+        q = queries[0].tolist()
+        page = index.search(df, q, limit=50, offset=100).collect()
+        assert len(page) == 50  # explicit rerank_k=100 < offset+limit=150
+    finally:
+        index.unpersist()
+
+
+def test_nprobe_must_be_positive(ivfflat):
+    from vearch_spark.errors import SearchError
+
+    for bad in (0, -1):
+        with pytest.raises(SearchError, match="nprobe"):
+            ivfflat.probe_cells([0.0] * DIM, nprobe=bad)
+
+
+def test_binary_ivf_output_fields_force_include_id(spark):
+    """Projection contract parity with topk._output_cols: _id is always
+    included even when output_fields omits it (doc_query.go:1450-1459)."""
+    from vearch_spark.operators.ivf import BinaryIVFIndex
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [int(b) for b in rng.integers(0, 256, 8)], f"c{i % 3}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, code array<int>, color string")
+    idx = BinaryIVFIndex("code", ncentroids=4, nprobe=4, id_col="vec_id").fit(df)
+    try:
+        out = idx.search(df, rows[0][1], limit=5, output_fields=["color"])
+        assert out.columns == ["vec_id", "color", "_score"]
+        assert out.count() == 5
+    finally:
+        idx.unpersist()
+
+
+def test_refit_releases_previous_cache(spark, corpus):
+    """fit() on an already-fitted index (the RebuildIndex lineage
+    reset) must unpersist the superseded cache — CacheManager holds
+    strong refs, so a leak here grows executor memory per rebuild."""
+    df, _, _ = corpus
+
+    def ncached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = ncached()
+    idx = IVFFlatIndex("embedding", Metric.L2, ncentroids=8, nprobe=4, id_col="vec_id")
+    idx.fit(df)
+    one = ncached()
+    idx.fit(df)  # re-fit must swap, not stack
+    assert ncached() == one
+    idx.unpersist()
+    assert ncached() == base

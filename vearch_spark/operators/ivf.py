@@ -69,12 +69,17 @@ def _nearest_centroid_udf(centroids: np.ndarray):
     return assign
 
 
-def _query_cell_order(centroids: np.ndarray, query: np.ndarray, metric: Metric) -> np.ndarray:
-    """Centroid ids ordered best-first for this query (driver-side)."""
-    if metric is Metric.L2:
-        d = ((centroids - query) ** 2).sum(axis=1)
-        return np.argsort(d)
-    return np.argsort(-(centroids @ query))
+def _query_cell_order(centroids: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Centroid ids ordered nearest-first for this query (driver-side).
+
+    Always L2, regardless of the index's scoring metric: documents are
+    assigned to cells by L2 argmin (``_nearest_centroid_udf``), so the
+    cells are an L2 Voronoi partition — probing must rank cells in the
+    SAME geometry or a doc's own cell may never be probed (faiss keeps
+    assignment and probe on one quantizer for exactly this reason).
+    The metric only decides how survivors are *scored*."""
+    d = ((centroids - query) ** 2).sum(axis=1)
+    return np.argsort(d)
 
 
 class IVFFlatIndex:
@@ -162,6 +167,15 @@ class IVFFlatIndex:
         return assigned
 
     def fit(self, df: DataFrame) -> "IVFFlatIndex":
+        # Re-fit is the documented RebuildIndex lineage reset: release
+        # the superseded cache or CacheManager holds it forever. Must
+        # happen BEFORE the new persist — a deterministic re-fit yields
+        # a plan-equal cache entry that CacheManager would dedup, and
+        # unpersisting the stale handle afterwards would evict the new
+        # entry with it (lineage recomputes if anything still reads it).
+        if self._assigned is not None:
+            self._assigned.unpersist()
+            self._assigned = None
         sample = self._fit_coarse(df)
         self._train_encoders(sample)
         # Cluster-clustered storage layout: range-partition + sort by
@@ -219,8 +233,10 @@ class IVFFlatIndex:
     def probe_cells(self, query: Sequence[float], nprobe: int | None = None) -> list[int]:
         if self.centroids is None:
             raise SearchError("index not trained")
-        nprobe = int(nprobe or self.nprobe)
-        order = _query_cell_order(self.centroids, np.asarray(query, dtype=np.float64), self.metric)
+        nprobe = self.nprobe if nprobe is None else int(nprobe)
+        if nprobe <= 0:
+            raise SearchError(f"nprobe must be positive, got {nprobe}")
+        order = _query_cell_order(self.centroids, np.asarray(query, dtype=np.float64))
         return [int(c) for c in order[:nprobe]]
 
     def search(
@@ -510,21 +526,42 @@ class IVFRaBitQIndex(IVFFlatIndex):
         idx._assigned = base._assigned
         return idx
 
+    def _pack_signs(self, v: np.ndarray) -> list[int]:
+        """Pack sign(v) into dim/64 little-endian longs (the same
+        packing ``_augment`` applies to stored residuals)."""
+        assert self.dim is not None
+        n_words = (self.dim + 63) // 64
+        bits = (v > 0).astype(np.uint8)
+        pad = n_words * 64 - self.dim
+        if pad:
+            bits = np.pad(bits, (0, pad))
+        return [int(w) for w in np.packbits(bits, bitorder="little").view("<i8")]
+
     def _query_codes(
         self, query: np.ndarray, cells: list[int]
     ) -> dict[int, tuple[list[int], float]]:
-        """Per probed cell: (packed residual sign code, residual norm)."""
+        """Per probed cell, the query-side screen constants.
+
+        L2: (sign code of the query's residual q−c, ‖q−c‖) — the
+        estimator needs the angle between the two *residuals*.
+        IP: (sign code of q itself, q·c) — the screen estimates
+        q·v = q·c + q·(v−c) with q·(v−c) ≈ ‖q‖·‖v−c‖·cos(π·ham/dim),
+        so the reference direction is q, not a residual; the per-cell
+        scalar is the exactly-known q·c term. Ordering by the L2
+        estimate regardless of metric would cut large-norm, high-IP
+        docs before the rerank stage (L2-closest ≠ IP-best on
+        un-normalized vectors)."""
         assert self.centroids is not None and self.dim is not None
-        n_words = (self.dim + 63) // 64
         out = {}
         for c in cells:
-            resid = query - self.centroids[c]
-            bits = (resid > 0).astype(np.uint8)
-            pad = n_words * 64 - self.dim
-            if pad:
-                bits = np.pad(bits, (0, pad))
-            code = [int(w) for w in np.packbits(bits, bitorder="little").view("<i8")]
-            out[c] = (code, float(np.linalg.norm(resid)))
+            if self.metric is Metric.L2:
+                resid = query - self.centroids[c]
+                out[c] = (self._pack_signs(resid), float(np.linalg.norm(resid)))
+            else:
+                out[c] = (
+                    self._pack_signs(query),
+                    float(self.centroids[c] @ query),
+                )
         return out
 
     def search(
@@ -552,14 +589,14 @@ class IVFRaBitQIndex(IVFFlatIndex):
         spark = self._assigned.sparkSession
         probes = spark.createDataFrame(
             [(c, qcodes[c][0], qcodes[c][1]) for c in cells],
-            f"{CLUSTER_COL} int, _qcode array<long>, _qnorm double",
+            f"{CLUSTER_COL} int, _qcode array<long>, _qaux double",
         )
         pruned = self._assigned.where(F.col(CLUSTER_COL).isin(cells))
         if flt is not None:
             pruned = pruned.where(flt)
         joined = pruned.join(F.broadcast(probes), on=CLUSTER_COL)
         # Hamming: Σ bit_count(code[i] XOR qcode[i]), pure JVM; then the
-        # angular distance estimate (docstring formula)
+        # angular estimate (docstring formula / _query_codes docstring)
         ham = F.aggregate(
             F.zip_with(
                 F.col(self.CODE_COL),
@@ -572,16 +609,24 @@ class IVFRaBitQIndex(IVFFlatIndex):
         import math
 
         cos_est = F.cos(ham * F.lit(math.pi / float(self.dim)))
-        vn, qn = F.col(self.NORM_COL), F.col("_qnorm")
-        est = vn * vn + qn * qn - F.lit(2.0) * vn * qn * cos_est
-        rerank_k = self.rerank_k or max(limit * 4, 64)
+        vn = F.col(self.NORM_COL)
+        if self.metric is Metric.L2:
+            qn = F.col("_qaux")  # ‖q−c‖
+            est = vn * vn + qn * qn - F.lit(2.0) * vn * qn * cos_est
+        else:
+            # est q·v = q·c + ‖q‖·‖v−c‖·cos(angle(q, v−c))
+            est = F.col("_qaux") + F.lit(float(np.linalg.norm(q))) * vn * cos_est
+        # candidates must cover the page the caller will slice
+        # (topk.search applies .offset(offset).limit(limit) downstream)
+        rerank_k = max(self.rerank_k or max(limit * 4, 64), offset + limit)
+        est_order = F.col("_est").asc() if self.metric.ascending else F.col("_est").desc()
         cands = (
             joined.withColumn("_est", est)
-            .orderBy(F.col("_est").asc(), F.col(self.id_col).asc())
+            .orderBy(est_order, F.col(self.id_col).asc())
             .limit(rerank_k)
         )
         return topk.search(
-            cands.drop(CLUSTER_COL, self.CODE_COL, self.NORM_COL, "_qcode", "_qnorm", "_est"),
+            cands.drop(CLUSTER_COL, self.CODE_COL, self.NORM_COL, "_qcode", "_qaux", "_est"),
             vector_col=self.vector_col,
             query=list(query),
             limit=limit,
@@ -755,11 +800,15 @@ class IVFPQIndex(IVFFlatIndex):
 
         @pandas_udf("double")
         def adc(codes: pd.Series) -> pd.Series:
+            if len(codes) == 0:
+                return pd.Series([], dtype="float64")
             mat = np.stack(codes.to_numpy())
             return pd.Series(flat_lut[mat + offsets].sum(axis=1))
 
         approx = pruned.withColumn("_adc", adc(F.col(CODES_COL)))
-        rerank_k = self.rerank_k or max(limit * 4, 64)
+        # candidates must cover the page the caller will slice
+        # (topk.search applies .offset(offset).limit(limit) downstream)
+        rerank_k = max(self.rerank_k or max(limit * 4, 64), offset + limit)
         adc_order = F.col("_adc").asc() if self.metric.ascending else F.col("_adc").desc()
         cands = approx.orderBy(adc_order, F.col(self.id_col).asc()).limit(rerank_k)
 
@@ -855,6 +904,11 @@ class BinaryIVFIndex:
     _swap_assigned = IVFFlatIndex._swap_assigned
 
     def fit(self, df: DataFrame) -> "BinaryIVFIndex":
+        # re-fit releases the superseded cache BEFORE the new persist
+        # (plan-equal entries dedup — see IVFFlatIndex.fit)
+        if self._assigned is not None:
+            self._assigned.unpersist()
+            self._assigned = None
         n = df.count()
         k = max(1, min(self.ncentroids, n))
         codes = df.select(self.code_col)
@@ -895,23 +949,17 @@ class BinaryIVFIndex:
         self._swap_assigned(self._assigned.unionByName(new))
         return self
 
-    def remove(self, ids: Sequence | DataFrame) -> "BinaryIVFIndex":
-        """Delete-bitmap analog (see IVFFlatIndex.remove)."""
-        if self._assigned is None:
-            raise SearchError("index not trained")
-        old = self._assigned
-        if isinstance(ids, DataFrame):
-            key = ids.select(F.col(ids.columns[0]).alias(self.id_col)).distinct()
-            pruned = old.join(key, on=self.id_col, how="left_anti")
-        else:
-            pruned = old.where(~F.col(self.id_col).isin([i for i in ids]))
-        self._swap_assigned(pruned)
-        return self
+    # delete-bitmap analog — shared body with the float family (both
+    # touch only _assigned/_swap_assigned/id_col), like _swap_assigned
+    remove = IVFFlatIndex.remove
+    unpersist = IVFFlatIndex.unpersist
 
     def probe_cells(self, query_code: Sequence[int], nprobe: int | None = None) -> list[int]:
         if self.centroids is None:
             raise SearchError("index not trained")
-        nprobe = int(nprobe or self.nprobe)
+        nprobe = self.nprobe if nprobe is None else int(nprobe)
+        if nprobe <= 0:
+            raise SearchError(f"nprobe must be positive, got {nprobe}")
         q = np.asarray(query_code, dtype=np.uint8)[None, :]
         d = _hamming_to_centroids(q, self.centroids)[0]
         return [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
@@ -951,7 +999,14 @@ class BinaryIVFIndex:
             scored = scored.where(F.col(score_col) >= float(min_score))
         if max_score is not None:
             scored = scored.where(F.col(score_col) <= float(max_score))
-        cols = output_fields or [self.id_col]
+        # _id force-included like every other index (topk._output_cols,
+        # doc_query.go:1450-1459)
+        if output_fields is None:
+            cols = [self.id_col]
+        else:
+            cols = list(output_fields)
+            if self.id_col not in cols:
+                cols.insert(0, self.id_col)
         out = scored.select(*cols, score_col).orderBy(
             F.col(score_col).asc(), F.col(self.id_col).asc()
         )
@@ -992,10 +1047,6 @@ class BinaryIVFIndex:
         idx.centroids = np.load(os.path.join(path, "centroids.npy"))
         idx._assigned = spark.read.parquet(os.path.join(path, "assigned"))
         return idx
-
-    def unpersist(self) -> None:
-        if self._assigned is not None:
-            self._assigned.unpersist()
 
 
 # --- Two-level coarse quantizer (the >64k-centroid scale path) -------------
@@ -1103,9 +1154,9 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
             if len(cents) < self.k2:
                 # pad under-populated cells with far sentinels so the
                 # L2 assignment argmin never picks them; the explicit
-                # validity mask below is what keeps them out of PROBE
-                # slots for BOTH metrics (an IP query would otherwise
-                # rank a large-coordinate sentinel best, not worst)
+                # validity mask below additionally keeps them out of
+                # PROBE slots (probe ranking is L2 too, but the mask
+                # makes the exclusion independent of sentinel distance)
                 valid[c, len(cents):] = False
                 pad = np.full((self.k2 - len(cents), dim), 1.0e6)
                 pad += np.arange(len(pad))[:, None]  # distinct rows
@@ -1130,21 +1181,19 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
         """Hierarchical probe: rank level-1 cells, expand the best
         ``nprobe_l1`` into their sub-centroids, take the globally best
         ``nprobe`` cell ids among the expanded O(nprobe_l1·k2) — never
-        touching the other (k1−nprobe_l1)·k2 centroids."""
+        touching the other (k1−nprobe_l1)·k2 centroids. Always L2 cell
+        ranking, matching the L2 assignment geometry (see
+        ``_query_cell_order``)."""
         if self.l1_centroids is None or self.l2_centroids is None:
             raise SearchError("index not trained")
         q = np.asarray(query, dtype=np.float64)
-        nprobe = int(nprobe or self.nprobe)
-        if self.metric is Metric.L2:
-            d1 = ((self.l1_centroids - q) ** 2).sum(axis=1)
-        else:
-            d1 = -(self.l1_centroids @ q)
+        nprobe = self.nprobe if nprobe is None else int(nprobe)
+        if nprobe <= 0:
+            raise SearchError(f"nprobe must be positive, got {nprobe}")
+        d1 = ((self.l1_centroids - q) ** 2).sum(axis=1)
         top1 = np.argsort(d1)[: self.nprobe_l1]
         sub = self.l2_centroids[top1]  # (w1, k2, dim)
-        if self.metric is Metric.L2:
-            d2 = ((sub - q) ** 2).sum(axis=2)
-        else:
-            d2 = -(sub @ q)
+        d2 = ((sub - q) ** 2).sum(axis=2)
         if self.l2_valid is not None:
             d2 = np.where(self.l2_valid[top1], d2, np.inf)  # mask pad cells
         flat = d2.ravel()

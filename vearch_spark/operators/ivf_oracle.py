@@ -83,11 +83,10 @@ def float_probe_cells(
     cents: np.ndarray, query: list[float], nprobe: int
 ) -> list[int]:
     """Probe order for float IVF — same numpy call as
-    ``ivf._query_cell_order`` (L2 metric)."""
+    ``ivf._query_cell_order`` (always the quantizer's L2 geometry)."""
     from vearch_spark.operators.ivf import _query_cell_order
-    from vearch_spark.schema import Metric
 
-    order = _query_cell_order(cents, np.asarray(query, dtype=np.float64), Metric.L2)
+    order = _query_cell_order(cents, np.asarray(query, dtype=np.float64))
     return [int(c) for c in order[:nprobe]]
 
 
