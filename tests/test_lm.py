@@ -5,6 +5,7 @@ import math
 
 import pytest
 
+from vearch_spark.errors import SearchError
 from vearch_spark.operators.lm import BigramLM
 
 
@@ -81,3 +82,40 @@ def test_lm_short_docs_score_null(spark, docs):
     lm.unpersist()
     assert got[1] is None  # no bigrams → explicit NULL row, never dropped
     assert got[2] is not None
+
+
+def test_lam_bounds_rejected():
+    """lam=1 silently drops unseen bigrams from the NLL average
+    (log(0) is NULL under ANSI and avg() skips NULLs) — rejected."""
+    for bad in (1.0, 1.5, -0.1):
+        with pytest.raises(SearchError, match="lam"):
+            BigramLM(lam=bad)
+
+
+def test_fit_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(SearchError, match="empty corpus"):
+        BigramLM().fit(empty)
+    # all-empty text: no tokens anywhere is equally unfittable
+    blank = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(SearchError, match="empty corpus"):
+        BigramLM().fit(blank)
+
+
+def test_score_tokenizes_once_per_row(spark):
+    """The bigram Generate must reference a bound token column, not
+    re-evaluate split() per size/slice reference (5x tokenization on
+    long docs otherwise). Plan regression on the score path."""
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    lm = BigramLM().fit(docs)
+    try:
+        plan = lm.score(docs)._jdf.queryExecution().executedPlan().toString()
+        gen_lines = [
+            ln for ln in plan.splitlines()
+            if "Generate" in ln and "arrays_zip" in ln and "InMemory" not in ln
+        ]
+        assert gen_lines, "bigram Generate node not found"
+        for ln in gen_lines:
+            assert "split(" not in ln, f"split re-evaluated inside Generate: {ln[:160]}"
+    finally:
+        lm.unpersist()

@@ -54,3 +54,31 @@ def test_hard_negatives_ip_metric_descends(emb_df):
     ).collect()
     scores = [r._score for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_string_metric_accepted(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0], "a"), (2, [1.0, 0.0], "b"), (3, [2.0, 0.0], "a")],
+        "doc_id long, embedding array<double>, label string",
+    )
+    out = hard_negatives(emb, emb, k=1, metric="InnerProduct").collect()
+    assert {r.anchor_id for r in out} == {1, 2, 3}
+
+
+def test_null_labels_are_their_own_class(spark):
+    """NULL-labeled rows must not vanish: NULL is a label class of its
+    own (null-safe comparison), so unlabeled rows are negatives for
+    every labeled anchor and vice versa."""
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0], "a"), (2, [1.0, 0.0], None), (3, [2.0, 0.0], None)],
+        "doc_id long, embedding array<double>, label string",
+    )
+    out = hard_negatives(emb, emb, k=5).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, set()).add(r.doc_id)
+    # labeled anchor sees both unlabeled rows; unlabeled anchors see
+    # only the labeled row (they share the NULL class with each other)
+    assert by_anchor[1] == {2, 3}
+    assert by_anchor[2] == {1}
+    assert by_anchor[3] == {1}

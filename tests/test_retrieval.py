@@ -187,3 +187,36 @@ def test_tfidf_keywords_filter_does_not_reweight(docs, bm25):
     part = {(r.doc_id, r.rank): (r.term, r.score)
             for r in bm25.keywords(k=2, docs_filter=F.col("doc_id") < 10).collect()}
     assert full == part
+
+
+def test_list_query_entries_are_tokenized(bm25):
+    """A list entry containing a space means the terms it reads as —
+    the indexed vocabulary never contains a space, so treating the
+    entry as one term would silently match nothing."""
+    joined = bm25.search(["hash join"], limit=5).collect()
+    split = bm25.search("hash join", limit=5).collect()
+    assert [(r[0], r[1]) for r in joined] == [(r[0], r[1]) for r in split]
+
+
+def test_empty_queries_raise(bm25):
+    import pytest as _pytest
+
+    from vearch_spark.errors import SearchError
+
+    with _pytest.raises(SearchError, match="empty query"):
+        bm25.search([""])
+    with _pytest.raises(SearchError, match="empty query at index 1"):
+        bm25.search_batch(["hash", "  "])
+    with _pytest.raises(SearchError, match="empty query batch"):
+        bm25.search_batch([])
+
+
+def test_fit_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    from vearch_spark.errors import SearchError
+    from vearch_spark.operators.retrieval import BM25Index
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(SearchError, match="empty corpus"):
+        BM25Index().fit(empty)

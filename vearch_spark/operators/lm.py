@@ -47,10 +47,6 @@ def _bigrams_of(t) -> "F.Column":
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
-def _bigrams(text_col: str):
-    return _bigrams_of(tokens(F.col(text_col)))
-
-
 class BigramLM:
     """Pruned bigram LM with Jelinek-Mercer smoothing."""
 
@@ -62,6 +58,13 @@ class BigramLM:
     ):
         self.text_col = text_col
         self.lam = float(lam)
+        # lam=1 drops the add-one backoff entirely: an unseen bigram
+        # gets p=0, -log(0) is NULL under ANSI, and avg() silently
+        # SKIPS it — all-unseen docs score NULL and partially-unseen
+        # docs average only their seen bigrams (scored as MORE fluent).
+        # The backoff term keeps p>0 for any lam < 1.
+        if not 0.0 <= self.lam < 1.0:
+            raise SearchError(f"lam must be in [0, 1), got {self.lam}")
         self.min_count = int(min_count)
         self.unigrams: DataFrame | None = None  # (w, c1)
         self.bigrams: DataFrame | None = None  # (w1, w2, c12)
@@ -84,6 +87,10 @@ class BigramLM:
         totals = uni_all.select(
             F.sum("c1").alias("n"), F.count("*").alias("v")
         ).first()
+        if totals["n"] is None:  # no docs, or no tokens anywhere
+            tk.unpersist()
+            uni_all.unpersist()
+            raise SearchError("cannot fit LM on an empty corpus")
         self.n_tokens, self.vocab = int(totals["n"]), int(totals["v"])
         self.unigrams = uni_all.where(F.col("c1") >= self.min_count)
         self._uni_all = uni_all  # unpersist handle
@@ -117,9 +124,18 @@ class BigramLM:
         uni, bi = self.unigrams, self.bigrams
         if broadcast_model:
             uni, bi = F.broadcast(uni), F.broadcast(bi)
-        pairs = docs.select(
-            F.col(id_col), F.explode_outer(_bigrams(self.text_col)).alias("b")
-        ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        # bind the token array to a named column BEFORE _bigrams_of —
+        # its size/slice expressions reference the array 5×, and
+        # feeding the raw split() in makes the Generate node evaluate
+        # split 5× per row (plan-verified); binding first makes
+        # CollapseProject keep the projection split runs once in
+        pairs = (
+            docs.select(
+                F.col(id_col), tokens(F.col(self.text_col)).alias("_tk")
+            )
+            .select(F.col(id_col), F.explode_outer(_bigrams_of(F.col("_tk"))).alias("b"))
+            .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        )
         joined = (
             pairs.join(bi, on=["w1", "w2"], how="left")
             .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "_cw1"), on="w1", how="left")

@@ -36,7 +36,7 @@ def hard_negatives(
     id_col: str = "doc_id",
     label_col: str = "label",
     k: int = 5,
-    metric: Metric = Metric.L2,
+    metric: Metric | str = Metric.L2,
 ) -> DataFrame:
     """Per-anchor top-``k`` nearest rows with a different label.
 
@@ -45,15 +45,19 @@ def hard_negatives(
     k largest similarities (descending); ties break on the corpus id.
     Self-pairs need no special case: an anchor's own row shares its
     label, so the wrong-label test already excludes it (along with all
-    other same-label rows — the positives).
+    other same-label rows — the positives). NULL labels compare
+    null-safely: NULL is its own label class (unlabeled rows are
+    negatives for every labeled anchor and vice versa) — a plain ``!=``
+    would silently drop every anchor or candidate with a NULL label.
     """
+    metric = Metric.parse(metric) if isinstance(metric, str) else metric
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
         F.col(label_col).alias("_albl"),
     )
     joined = corpus.join(
-        F.broadcast(a), on=corpus[label_col] != F.col("_albl"), how="inner"
+        F.broadcast(a), on=~corpus[label_col].eqNullSafe(F.col("_albl")), how="inner"
     )
     scored = joined.withColumn(
         "_score", score_expr(F.col(vec_col), F.col("_qv"), metric)

@@ -37,22 +37,25 @@ from vearch_spark.errors import SearchError
 from vearch_spark.functions.text import token_count, tokens
 
 
-def build_postings(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Inverted postings: one row per (doc, term) with term frequency
-    and doc length. One explode + one aggregation (map-side partial);
-    the result is clustered by term so query-term filters prune cached
-    batches / parquet row groups."""
-    toks = docs.select(
+def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One tokenize pass per doc: (id, doc_len, token array). Postings
+    AND corpus stats both derive from this relation so fit() never
+    splits the corpus twice (split dominates on long documents)."""
+    return docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("doc_len"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+
+
+def _postings_of(base: DataFrame, id_col: str) -> DataFrame:
+    toks = base.select(
+        F.col(id_col), F.col("doc_len"), F.explode("_tk").alias("term")
     )
     # the single-space tokenizer emits "" for doubled/trailing spaces;
-    # no query can ever contain it (str.split drops empties), so
-    # indexing it would build a dead, potentially corpus-sized posting
-    # list. doc_len keeps counting empties — oracle parity.
+    # query parsing drops empties too (_query_terms), so indexing ""
+    # would build a dead, potentially corpus-sized posting list.
+    # doc_len keeps counting empties — oracle parity.
     toks = toks.where(F.col("term") != "")
     return (
         toks.groupBy("term", id_col, "doc_len")
@@ -60,6 +63,28 @@ def build_postings(
         .repartitionByRange(F.col("term"))
         .sortWithinPartitions("term")
     )
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted postings: one row per (doc, term) with term frequency
+    and doc length. One explode + one aggregation (map-side partial);
+    the result is clustered by term so query-term filters prune cached
+    batches / parquet row groups."""
+    return _postings_of(_tokenized(docs, text_col, id_col), id_col)
+
+
+def _query_terms(query: str | list[str]) -> list[str]:
+    """Normalize a query to sorted unique non-empty terms. List entries
+    go through the same single-space split as strings, so
+    ``["hash join"]`` means the two terms it reads as — the indexed
+    vocabulary can never contain a space or "" (build_postings drops
+    them), so un-split entries would silently match nothing."""
+    raw = query.split() if isinstance(query, str) else [
+        t for entry in query for t in entry.split()
+    ]
+    return sorted({t for t in raw if t})
 
 
 def _dfreq(postings: DataFrame) -> DataFrame:
@@ -90,12 +115,20 @@ class BM25Index:
         self.avgdl: float | None = None
 
     def fit(self, docs: DataFrame) -> "BM25Index":
-        self.postings = build_postings(docs, self.text_col, self.id_col).persist()
+        # one tokenize pass: postings and corpus stats both read the
+        # cached token relation (the BigramLM.fit pattern — a second
+        # full-corpus split for n/avgdl doubled the expensive part)
+        base = _tokenized(docs, self.text_col, self.id_col).persist()
+        self.postings = _postings_of(base, self.id_col).persist()
         self.postings.count()
-        row = docs.select(
-            F.count("*").alias("n"),
-            F.avg(token_count(F.col(self.text_col))).alias("avgdl"),
+        row = base.select(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
         ).first()
+        base.unpersist()
+        if not row["n"]:
+            self.postings.unpersist()
+            self.postings = None
+            raise SearchError("cannot fit BM25 on an empty corpus")
         self.n_docs, self.avgdl = int(row["n"]), float(row["avgdl"])
         return self
 
@@ -117,7 +150,7 @@ class BM25Index:
         back — no corpus-wide work anywhere."""
         if self.postings is None:
             raise SearchError("index not trained")
-        terms = sorted(set(query.split() if isinstance(query, str) else query))
+        terms = _query_terms(query)
         if not terms:
             raise SearchError("empty query")
         p = self.postings.where(F.col("term").isin(terms))
@@ -151,11 +184,13 @@ class BM25Index:
         is a rank window."""
         if self.postings is None:
             raise SearchError("index not trained")
-        pairs = [
-            (qid, t)
-            for qid, q in enumerate(queries)
-            for t in sorted(set(q.split() if isinstance(q, str) else q))
-        ]
+        per_query = [_query_terms(q) for q in queries]
+        empties = [qid for qid, ts in enumerate(per_query) if not ts]
+        if empties:
+            # fail loudly like single-query search — a silently absent
+            # query_id is indistinguishable from "matched zero docs"
+            raise SearchError(f"empty query at index {empties[0]}")
+        pairs = [(qid, t) for qid, ts in enumerate(per_query) for t in ts]
         if not pairs:
             raise SearchError("empty query batch")
         spark = self.postings.sparkSession
