@@ -176,3 +176,20 @@ def test_interval_merge_semantics(df):
     # != is the complement (IsUnion=NOT IN, doc_query.go:579-585)
     ne = {"operator": "AND", "conditions": [{"field": "num", "operator": "!=", "value": 20}]}
     assert sorted(r.num for r in df.where(compile_filter(ne)).collect()) == [10, 30, 40]
+
+
+def test_unparseable_date_literal_rejected():
+    """cast.ToTimeE errors at parse time in the reference; a literal
+    that to_timestamp would NULL-degrade must raise FilterError, not
+    silently match all ('!=') / none ('=') of the table."""
+    dschema = SpaceSchema(
+        name="d",
+        fields=[FieldSpec("ts", FieldType.DATE, index=IndexSpec("ts", "SCALAR"))],
+    )
+    for op in ("=", "!=", ">"):
+        flt = {
+            "operator": "AND",
+            "conditions": [{"field": "ts", "operator": op, "value": "2024-13-45"}],
+        }
+        with pytest.raises(FilterError, match="invalid date literal"):
+            compile_filter(flt, dschema)

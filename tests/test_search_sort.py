@@ -175,3 +175,45 @@ def test_api_search_verb_carries_sort_and_page(space):
     assert len(hits) == 3
     prices = [r["price"] for r in hits]
     assert prices == sorted(prices)
+
+
+def test_sorted_page_validates_page_size_and_bounds(spark):
+    from vearch_spark.errors import SearchError
+    from vearch_spark.operators.sort import sorted_page
+
+    df = spark.createDataFrame([(i, i) for i in range(10)], "_id int, v int")
+    with pytest.raises(SearchError, match="page_size"):
+        sorted_page(df, [("v", True)], page_size=0, page_num=1)
+    with pytest.raises(SearchError, match="offset"):
+        sorted_page(df, [("v", True)], offset=-3)
+    with pytest.raises(SearchError, match="limit"):
+        sorted_page(df, [("v", True)], limit=0)
+
+
+def test_operator_level_metric_mismatch_rejected(spark):
+    """multi_vector_search is a public operator — it must reject a
+    caller metric that contradicts the schema's field metric at the
+    operator level too, not only behind Space.search."""
+    from vearch_spark.errors import SearchError
+    from vearch_spark.operators.fusion import VectorQuery, multi_vector_search
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+
+    sch = SpaceSchema(
+        name="ipfields",
+        fields=[
+            FieldSpec("a", FieldType.VECTOR, dimension=2, metric="InnerProduct",
+                      index=IndexSpec("a", "FLAT")),
+            FieldSpec("b", FieldType.VECTOR, dimension=2, metric="InnerProduct",
+                      index=IndexSpec("b", "FLAT")),
+        ],
+    )
+    df = spark.createDataFrame(
+        [("1", [1.0, 0.0], [0.0, 1.0])],
+        "_id string, a array<float>, b array<float>",
+    )
+    qs = [VectorQuery("a", [1.0, 0.0]), VectorQuery("b", [1.0, 0.0])]
+    with pytest.raises(SearchError, match="metric"):
+        multi_vector_search(df, qs, limit=1, metric="L2", schema=sch)
+    # matching metric passes
+    out = multi_vector_search(df, qs, limit=1, metric="InnerProduct", schema=sch)
+    assert out.count() == 1

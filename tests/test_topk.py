@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+
+from vearch_spark.errors import SearchError
 from pyspark.sql import functions as F
 
 from vearch_spark.operators import topk
@@ -111,3 +113,43 @@ def test_output_fields_and_vector_value(embeddings):
     assert "embedding" not in out.columns and "_score" in out.columns
     out2 = topk.search(embeddings, "embedding", Q, limit=3, id_col="vec_id", vector_value=True)
     assert "embedding" in out2.columns
+
+
+def test_null_score_rows_rank_last_and_meta_excludes_them(spark):
+    """A NULL vector scores NULL; it must never outrank a real hit
+    (bare .asc() is NULLS FIRST in Spark) and must not inflate
+    search_meta's total — unscoreable rows can't be returned."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    hits = topk.search(df, "embedding", [0.0, 0.0], limit=3, id_col="vec_id").collect()
+    assert [r.vec_id for r in hits[:2]] == [1, 2]
+    assert hits[0]._score is not None
+    meta = topk.search_meta(df, "embedding", [0.0, 0.0]).first()
+    assert meta.total == 2
+
+    qdf = spark.createDataFrame([(0, [0.0, 0.0])], "query_id int, query_vec array<double>")
+    bhits = topk.search_batch(df, "embedding", qdf, limit=2, id_col="vec_id").collect()
+    assert [r.vec_id for r in bhits] == [1, 2]
+
+
+def test_batch_search_validates_limit_and_offset(spark):
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame([(0, [0.0])], "query_id int, query_vec array<double>")
+    with pytest.raises(SearchError, match="limit"):
+        topk.search_batch(df, "embedding", qdf, limit=0, id_col="vec_id")
+    with pytest.raises(SearchError, match="offset"):
+        topk.search_batch(df, "embedding", qdf, limit=5, offset=-1, id_col="vec_id")
+
+
+def test_default_projection_hides_system_columns(spark):
+    """_seq/_partition_name are engine bookkeeping — the reference's
+    default projection is _id + user scalar fields only, and leaking
+    them made the schema depend on brute-vs-index dispatch."""
+    df = spark.createDataFrame(
+        [("a", [0.0], 1, "p0", 7)],
+        "_id string, embedding array<double>, _seq long, _partition_name string, color int",
+    )
+    out = topk.search(df, "embedding", [0.0], limit=1)
+    assert out.columns == ["_id", "color", "_score"]

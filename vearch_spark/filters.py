@@ -50,12 +50,23 @@ TERM_OPS = {"IN", "NOT IN"}
 
 def _date_literal(value: Any) -> Column:
     """Coerce a date literal: int = epoch seconds, str = parsed ts
-    (doc_query.go:710-724, cast.ToTimeE)."""
+    (doc_query.go:710-724, cast.ToTimeE). Strings are validated at
+    COMPILE time like the reference's request parser: an unparseable
+    literal fed to to_timestamp would otherwise degrade to NULL
+    (non-ANSI: '!=' then matches EVERY row via the complement form,
+    '=' matches none) or throw a raw executor exception (ANSI) —
+    either way, silently or opaquely wrong instead of a FilterError."""
     if isinstance(value, bool):
         raise FilterError(f"invalid date literal: {value!r}")
     if isinstance(value, (int, float)):
         return F.timestamp_seconds(F.lit(value))
     if isinstance(value, str):
+        from datetime import datetime
+
+        try:
+            datetime.fromisoformat(value.replace("Z", "+00:00"))
+        except ValueError:
+            raise FilterError(f"invalid date literal: {value!r}") from None
         return F.to_timestamp(F.lit(value))
     raise FilterError(f"invalid date literal: {value!r}")
 

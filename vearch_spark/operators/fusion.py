@@ -68,6 +68,17 @@ def multi_vector_search(
     parts: list[DataFrame] = []
     for i, q in enumerate(queries):
         field_spec = schema.field(q.field) if schema is not None else None
+        if field_spec is not None and getattr(field_spec, "metric", None):
+            fm = Metric.parse(field_spec.metric)
+            if fm is not m:
+                # mirror the Space.search gate: scoring an IP-declared
+                # field with L2 (or vice versa) fuses silently wrong
+                # ranks — the reference requires one metric across the
+                # fused fields (doc_query.go:1488-1493)
+                raise SearchError(
+                    f"metric {m.value} does not match field {q.field!r}"
+                    f" metric {fm.value}"
+                )
         part = topk.search(
             df,
             vector_col=q.field,
@@ -127,12 +138,22 @@ def fuse_parts(
     )
     fused = fused.withColumn(score_col, score)
 
-    order = F.col(score_col).asc() if m.ascending else F.col(score_col).desc()
+    order = (
+        F.col(score_col).asc_nulls_last()
+        if m.ascending
+        else F.col(score_col).desc_nulls_last()
+    )
     fused = fused.orderBy(order, F.col(id_col).asc()).limit(limit)
 
     if output_fields and df is not None:
         wanted = [c for c in output_fields if c != id_col]
-        fused = fused.join(df.select(id_col, *wanted), on=id_col, how="left")
-        fused = fused.orderBy(order, F.col(id_col).asc())
-        return fused.select(id_col, *wanted, score_col)
+        # enrich by broadcasting the ≤limit fused side against the full
+        # docs table — inner is safe (every fused id came from df) and
+        # lets the tiny side be the build side; a left join would leave
+        # the physical strategy to pre-AQE stats and can shuffle df
+        enriched = df.select(id_col, *wanted).join(
+            F.broadcast(fused), on=id_col, how="inner"
+        )
+        enriched = enriched.orderBy(order, F.col(id_col).asc())
+        return enriched.select(id_col, *wanted, score_col)
     return fused.select(id_col, score_col)

@@ -68,10 +68,16 @@ def sorted_page(
     """Sort + slice. ``page_size``/``page_num`` override offset/limit
     ((page_num-1)*page_size, client.go:888-904)."""
     if page_size is not None:
+        if page_size < 1:
+            raise SearchError(f"page_size must be >= 1, got {page_size}")
         if page_num is None or page_num < 1:
             raise SearchError("page_num must be >= 1 when page_size is set")
         offset = (page_num - 1) * page_size
         limit = page_size
+    if offset < 0:
+        raise SearchError(f"offset must be >= 0, got {offset}")
+    if limit is not None and limit < 1:
+        raise SearchError(f"limit must be positive, got {limit}")
     out = df.orderBy(*sort_columns(sort, tie_break))
     if offset:
         out = out.offset(offset)

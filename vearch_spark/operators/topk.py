@@ -47,7 +47,10 @@ DEFAULT_LIMIT = 50  # DefaultSize doc_query.go:43
 
 
 def _score_order(metric: Metric, score: Column) -> Column:
-    return score.asc() if metric.ascending else score.desc()
+    # NULLS LAST both ways: a NULL score (null/ragged vector) must
+    # never outrank a real hit — bare .asc() is NULLS FIRST in Spark,
+    # which would hand rank 1 to unscoreable rows on every L2 search
+    return score.asc_nulls_last() if metric.ascending else score.desc_nulls_last()
 
 
 def _apply_score_band(
@@ -140,6 +143,10 @@ def search_batch(
     partitioned by query_id (SURVEY.md §4 custom op (4)).
     """
     m = Metric.parse(metric) if isinstance(metric, str) else metric
+    if limit <= 0:
+        raise SearchError(f"limit must be positive, got {limit}")
+    if offset < 0:
+        raise SearchError(f"offset must be >= 0, got {offset}")
     pred = compile_filter(flt, schema)
     if pred is not None:
         df = df.where(pred)
@@ -183,6 +190,9 @@ def search_meta(
         df = df.where(pred)
     score = score_expr(F.col(vector_col), query, m, l2_sqrt=l2_sqrt)
     scored = df.select(score.alias("_score"))
+    # unscoreable rows (NULL/ragged vector → NULL score) can never be
+    # returned as hits, so they must not inflate `total` either
+    scored = scored.where(F.col("_score").isNotNull())
     scored = _apply_score_band(scored, F.col("_score"), min_score, max_score)
     best = F.min("_score") if m.ascending else F.max("_score")
     return scored.agg(F.count("*").alias("total"), best.alias("best_score"))
@@ -198,8 +208,15 @@ def _output_cols(
 ) -> list[Column]:
     """Projection rules (doc_query.go:1425-1459): ``_id`` always
     included; default = all scalar fields, vectors excluded unless
-    ``vector_value``; ``_score`` synthesized."""
+    ``vector_value``; ``_score`` synthesized. Engine-internal columns
+    (``_seq``, ``_partition_name``) are never part of the default —
+    the reference returns _id + user fields only (doc_query.go:
+    1425-1434), and leaking them here made the search output schema
+    depend on whether the brute or index path served the request."""
     if output_fields is None:
+        from vearch_spark.schema import PARTITION_FIELD, SEQ_FIELD
+
+        hidden = {SEQ_FIELD, PARTITION_FIELD} - {id_col}
         array_cols = {
             f.name
             for f in df.schema.fields
@@ -207,7 +224,11 @@ def _output_cols(
             or f.dataType.simpleString().startswith("array<double")
         }
         array_cols.discard(id_col)
-        names = [c for c in df.columns if c == id_col or c not in array_cols]
+        names = [
+            c
+            for c in df.columns
+            if c == id_col or (c not in array_cols and c not in hidden)
+        ]
         if vector_value and vector_col not in names:
             names.append(vector_col)
     else:
