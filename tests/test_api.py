@@ -519,3 +519,31 @@ def test_partition_grow_persists_on_empty_space(spark, tmp_path):
     assert api.update_space(sp, {"partition_num": 4}) == {"partition_num": 4}
     reloaded = Space(spark, schema, path=p)
     assert reloaded.n_buckets == 4
+
+
+def test_fused_search_honors_is_brute_search(spark):
+    """is_brute_search must reach the fused path: 0 with an untrained
+    fused field is a typed error (never a silent full scan), 1 forces
+    the exact path."""
+    sch = SpaceSchema(name="fusedapi", fields=[
+        FieldSpec("a", FieldType.VECTOR, dimension=2,
+                  index=IndexSpec("a", "IVFFLAT")),
+        FieldSpec("b", FieldType.VECTOR, dimension=2,
+                  index=IndexSpec("b", "IVFFLAT")),
+    ])
+    sp = Space(spark, sch)
+    sp.upsert([{"_id": str(i), "a": [float(i), 0.0], "b": [0.0, float(i)]}
+               for i in range(5)])
+    req = {
+        "vectors": [
+            {"field": "a", "feature": [1.0, 0.0]},
+            {"field": "b", "feature": [0.0, 1.0]},
+        ],
+        "limit": 3,
+    }
+    # untrained indexes + forced-index → typed error through the API
+    with pytest.raises(SearchError, match="trained"):
+        api.search(sp, {**req, "is_brute_search": 0})
+    # forced-exact works and returns fused hits
+    out = api.search(sp, {**req, "is_brute_search": 1})
+    assert out.count() == 3

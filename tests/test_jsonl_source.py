@@ -41,7 +41,7 @@ def test_read_jsonl_valid_and_rejects(spark, tmp_path):
     reasons = sorted(r.reason for r in rejects.collect())
     assert len(reasons) == 3
     assert any("unknown fields: nope" in r for r in reasons)
-    assert any("dimension != 4" in r for r in reasons)
+    assert any("length != 4" in r for r in reasons)
     assert any("malformed" in r for r in reasons)
 
 
@@ -98,3 +98,20 @@ def test_load_jsonl_permissive_loads_valid(spark, tmp_path):
     assert n == 1
     assert sp.count() == 1
     assert sp.get(["a"]).count() == 1
+
+
+def test_binary_field_expects_packed_bytes(spark, tmp_path):
+    """BINARYIVF fields carry d/8 packed bytes — validating against the
+    raw bit dimension rejected every valid binary document."""
+    sch = SpaceSchema(name="bin", fields=[
+        FieldSpec("code", FieldType.VECTOR, dimension=32,
+                  index=IndexSpec("code", "BINARYIVF")),
+    ])
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"_id": "ok", "code": [1, 2, 3, 4]}\n'
+        '{"_id": "bad", "code": [1, 2, 3, 4, 5]}\n'
+    )
+    docs, rejects = read_jsonl(spark, str(p), sch)
+    assert [r._id for r in docs.collect()] == ["ok"]
+    assert rejects.count() == 1 and "length != 4" in rejects.first().reason

@@ -82,3 +82,15 @@ def test_real_name_wins_over_alias(reg):
     reg.create_alias("docs2", "db1", "docs")
     assert reg.space("db1", "docs2") is sp2
     assert sp1 is not sp2
+
+
+def test_alias_does_not_resolve_under_missing_db(spark):
+    reg = Registry(spark)
+    reg.create_db("db1")
+    reg.create_space("db1", SpaceSchema(name="s1", fields=[
+        FieldSpec("v", FieldType.VECTOR, dimension=2, index=IndexSpec("v", "FLAT")),
+    ]))
+    reg.create_alias("a", "db1", "s1")
+    assert reg.space("db1", "a").schema.name == "s1"
+    with pytest.raises(SchemaError, match="database"):
+        reg.space("nope", "a")

@@ -210,3 +210,33 @@ def test_stream_trigger_follows_space_config(spark):
     sp.update_config({"refresh_interval": -1})
     with pytest.raises(SearchError):
         resolve_trigger_seconds(None, sp)
+
+
+def test_intra_batch_duplicates_last_occurrence_wins(spark):
+    """Two writes to one _id inside a single micro-batch must pick the
+    LAST occurrence deterministically (the Space._prepare_batch rule) —
+    ordering by batch stamp alone left the winner to shuffle order."""
+    main = spark.createDataFrame([("1", [0.0, 0.0])], "_id string, vec array<float>")
+    buf = RealtimeBuffer(main)
+    batch = spark.createDataFrame(
+        [("7", [1.0, 0.0]), ("7", [2.0, 0.0]), ("7", [3.0, 0.0])],
+        "_id string, vec array<float>",
+    ).coalesce(1)
+    buf.append_batch(batch)
+    rows = {r._id: r.vec for r in buf.unified().collect()}
+    assert rows["7"] == [3.0, 0.0]
+    merged = buf.compact()
+    assert {r._id: r.vec for r in merged.collect()}["7"] == [3.0, 0.0]
+
+
+def test_appended_batches_are_materialized(spark):
+    """foreachBatch hands over a lazy plan rooted at source offsets;
+    the buffer must persist it at append so later searches never
+    re-execute the source read."""
+    main = spark.createDataFrame([("1", [0.0, 0.0])], "_id string, vec array<float>")
+    buf = RealtimeBuffer(main)
+    batch = spark.createDataFrame([("2", [1.0, 0.0])], "_id string, vec array<float>")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    buf.append_batch(batch)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    buf.compact()  # compact releases the batch pins

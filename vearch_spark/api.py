@@ -97,11 +97,20 @@ def search(space: Space, req: dict) -> DataFrame:
             **common,
         )
     weights = _parse_ranker(req, len(parsed))
-    # fusion path ignores single-query knobs that don't apply
-    common.pop("is_brute_search")
+    # fusion path ignores single-query knobs that don't apply — but
+    # is_brute_search and index_params DO apply (the fused path honors
+    # forced-exact/forced-index and per-probe tuning, space.py
+    # _fused_index_search); dropping them silently served approximate
+    # results to is_brute_search=1 requests
     common.pop("vector_value")
     common.pop("offset")
-    return space.search(vectors=parsed, weights=weights, **common)
+    return space.search(
+        vectors=parsed,
+        weights=weights,
+        nprobe=(req.get("index_params") or {}).get("nprobe"),
+        ef_search=(req.get("index_params") or {}).get("efSearch"),
+        **common,
+    )
 
 
 def query(space: Space, req: dict) -> DataFrame:
@@ -214,21 +223,6 @@ def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
     ``limit_cpu`` is accepted for payload parity and ignored — Spark's
     scheduler owns parallelism. Returns the rebuilt field names."""
     req = req or {}
-    if bool(req.get("drop_before_rebuild", True)):
-        for model in space._indexes.values():
-            # release the old models' cached relations — clearing the
-            # dict alone would leak one full cached copy per rebuild
-            model.unpersist()
-        space._indexes.clear()
-    before = {name: id(model) for name, model in space._indexes.items()}
-    rebuilt = []
-    for f in space.schema.vector_fields:
-        if f.index is not None and f.index.is_vector and f.index.physical_type != "FLAT":
-            space.build_index(f.name)
-            # report a field only when a NEW model landed — with
-            # drop_before_rebuild=False a below-threshold skip leaves
-            # the old model in place, which is not a rebuild
-            model = space._indexes.get(f.name)
-            if model is not None and id(model) != before.get(f.name):
-                rebuilt.append(f.name)
-    return rebuilt
+    return space.rebuild_indexes(
+        drop_before_rebuild=bool(req.get("drop_before_rebuild", True))
+    )

@@ -123,9 +123,15 @@ class Registry:
     def space(self, db: str, name: str) -> Space:
         """Resolve a space by (db, name); ``name`` may be an alias —
         the per-request indirection the router applies
-        (doc_http.go:237-241)."""
+        (doc_http.go:237-241). The addressed db must EXIST even when an
+        alias carries its own (db, space) target — a request routed at
+        a never-created database is a client error, not a resolvable
+        path (the reference validates the URL db before the alias
+        lookup)."""
         spaces = self._dbs.get(db)
-        if spaces is not None and name in spaces:
+        if spaces is None:
+            raise SchemaError(f"database {db!r} not found")
+        if name in spaces:
             return spaces[name]
         if name in self._aliases:
             adb, aspace = self._aliases[name]

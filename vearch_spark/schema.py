@@ -350,3 +350,22 @@ class SpaceSchema:
         """Default projection = ``_id`` + all scalar fields, vectors
         excluded (doc_query.go:1425-1434)."""
         return [ID_FIELD] + [f.name for f in self.scalar_fields]
+
+
+def is_binary_field(spec: FieldSpec) -> bool:
+    """BINARYIVF-indexed vector fields carry PACKED codes: dimension d
+    bits arrive as d/8 byte values (doc_query.go:296-301)."""
+    return (
+        spec.type is FieldType.VECTOR
+        and spec.index is not None
+        and getattr(spec.index, "index_type", None) == "BINARYIVF"
+    )
+
+
+def expected_vector_len(spec: FieldSpec) -> int | None:
+    """Input length for a vector field: d floats, or d/8 bytes when the
+    field is Hamming-space — the ONE dimension contract every ingest
+    path (upsert, partial update, JSONL bulk load) validates against."""
+    if not spec.dimension:
+        return None
+    return spec.dimension // 8 if is_binary_field(spec) else spec.dimension

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from vearch_spark.errors import DocumentError
-from vearch_spark.schema import ID_FIELD, SpaceSchema
+from vearch_spark.schema import ID_FIELD, SpaceSchema, expected_vector_len
 
 
 def read_jsonl(
@@ -54,14 +54,20 @@ def read_jsonl(
         .alias("_reason"),
     )
     for f in schema.vector_fields:
+        # the same contract Space.upsert enforces: d floats, or d/8
+        # packed bytes for Hamming-space fields — checking the raw
+        # dimension would reject every VALID binary-vector document
+        want = expected_vector_len(f)
+        if want is None:
+            continue
         parsed = parsed.withColumn(
             "_reason",
             F.coalesce(
                 F.col("_reason"),
                 F.when(
                     F.col(f"_doc.{f.name}").isNotNull()
-                    & (F.size(F.col(f"_doc.{f.name}")) != f.dimension),
-                    F.lit(f"vector '{f.name}' dimension != {f.dimension}"),
+                    & (F.size(F.col(f"_doc.{f.name}")) != want),
+                    F.lit(f"vector '{f.name}' length != {want}"),
                 ),
             ),
         )

@@ -28,6 +28,23 @@ _COMPONENT = {
 }
 
 
+def _read_dim_header(spark: SparkSession, path: str) -> int:
+    """Read a file's leading little-endian int32 (the per-record dim)
+    via the Hadoop FileSystem API: exactly 4 bytes cross to the driver,
+    and the same code path serves file://, hdfs:// and s3a:// URIs."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        raw = [stream.read() for _ in range(4)]
+    finally:
+        stream.close()
+    if any(b < 0 for b in raw):  # EOF before 4 bytes
+        raise ValueError(f"{path}: shorter than a {path.rsplit('.', 1)[-1]} header")
+    return int(np.frombuffer(bytes(raw), dtype="<i4")[0])
+
+
 def _read(spark: SparkSession, path: str, kind: str) -> DataFrame:
     dtype, spark_elem = _COMPONENT[kind]
     itemsize = np.dtype(dtype).itemsize
@@ -44,19 +61,13 @@ def _read(spark: SparkSession, path: str, kind: str) -> DataFrame:
     sizes.sort()
     if not sizes:
         raise FileNotFoundError(f"no .{kind} files under {path}")
-    offsets: dict[str, int] = {}
-    base = 0
-    for p, length in sizes:
-        offsets[p] = base
-        # row count needs dim; defer exact validation to the parser —
-        # here we just need *some* dim to derive counts, read lazily
-        base += length  # placeholder, fixed below
-    # dims are constant per format family; derive from the first file's
-    # header to convert byte offsets into row offsets
-    first_path = sizes[0][0]
-    head = spark.read.format("binaryFile").load(first_path).select("content").first()[0]
-    dim = int(np.frombuffer(head[:4], dtype="<i4")[0])
+    # dims are constant per format family; read the first file's 4-byte
+    # header through the Hadoop FS API — a binaryFile .first() would
+    # materialize the whole shard (multi-GB for bigann) on the driver
+    # just to slice 4 bytes
+    dim = _read_dim_header(spark, sizes[0][0])
     stride = 4 + dim * itemsize
+    offsets: dict[str, int] = {}
     base = 0
     for p, length in sizes:
         if length % stride:

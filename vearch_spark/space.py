@@ -59,27 +59,11 @@ from vearch_spark.schema import (
     FieldType,
     Metric,
     SpaceSchema,
+    expected_vector_len as _expected_vector_len,
+    is_binary_field as _is_binary_field,
 )
 
 GET_BY_IDS_CAP = 500  # doc_http.go:579-583
-
-
-def _is_binary_field(spec) -> bool:
-    """BINARYIVF-indexed vector fields carry PACKED codes: dimension d
-    bits arrive as d/8 byte values (doc_query.go:296-301)."""
-    return (
-        spec.type is FieldType.VECTOR
-        and spec.index is not None
-        and getattr(spec.index, "index_type", None) == "BINARYIVF"
-    )
-
-
-def _expected_vector_len(spec) -> int | None:
-    """Input length for a vector field: d floats, or d/8 bytes when
-    the field is Hamming-space (doc_query.go:296-301)."""
-    if not spec.dimension:
-        return None
-    return spec.dimension // 8 if _is_binary_field(spec) else spec.dimension
 
 
 def _check_scalar_value(spec, value) -> None:
@@ -1498,6 +1482,35 @@ class Space:
         self._indexes[vector_field] = model
         if self.path:
             self._persist_index(vector_field, model)
+
+    def rebuild_indexes(self, drop_before_rebuild: bool = True) -> list[str]:
+        """Retrain every declared non-FLAT vector index from the
+        current table (Engine::RebuildIndex engine.cc:1013-1084).
+        ``drop_before_rebuild`` (the reference's default) releases the
+        trained models first so searches fall back to brute force
+        during the rebuild instead of serving the stale index. Returns
+        the field names for which a NEW model landed — with
+        ``drop_before_rebuild=False`` a below-threshold skip leaves the
+        old model in place, which is not a rebuild."""
+        if drop_before_rebuild:
+            for model in self._indexes.values():
+                # release the cached relations — clearing the dict
+                # alone would leak one full cached copy per rebuild
+                model.unpersist()
+            self._indexes.clear()
+        before = {name: id(model) for name, model in self._indexes.items()}
+        rebuilt = []
+        for f in self.schema.vector_fields:
+            if (
+                f.index is not None
+                and f.index.is_vector
+                and f.index.physical_type != "FLAT"
+            ):
+                self.build_index(f.name)
+                model = self._indexes.get(f.name)
+                if model is not None and id(model) != before.get(f.name):
+                    rebuilt.append(f.name)
+        return rebuilt
 
     def _index_meta_path(self) -> str:
         return os.path.join(self.path, "indexes", "meta.json")

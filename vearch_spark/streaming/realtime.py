@@ -31,6 +31,7 @@ cluster-pruned parquet and the buffer is a few recent files.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -40,21 +41,48 @@ from vearch_spark.schema import ID_FIELD, Metric
 
 
 class RealtimeBuffer:
-    """Micro-batch buffer with LWW union-view semantics."""
+    """Micro-batch buffer with LWW union-view semantics.
+
+    Thread model: ``append_batch`` runs on the stream-execution thread
+    (foreachBatch) while ``search``/``compact`` run on the caller's —
+    every read-modify-write of ``_buffer`` holds ``_lock``, and
+    ``compact`` swaps the buffer out atomically so a batch landing
+    mid-compaction goes to the NEXT buffer instead of being dropped."""
 
     def __init__(self, main: DataFrame, id_col: str = ID_FIELD):
         self.main = main
         self.id_col = id_col
         self._buffer: DataFrame | None = None
         self._batch_no = 0
+        self._lock = threading.Lock()
+        self._pinned: list[DataFrame] = []  # persisted batch handles
+        self._main_pin: DataFrame | None = None  # compacted-main handle
 
     def append_batch(self, batch: DataFrame) -> None:
-        """The ``foreachBatch`` sink body: blind append + batch stamp."""
-        stamped = batch.withColumn("_batch", F.lit(self._batch_no))
-        self._batch_no += 1
-        self._buffer = (
-            stamped if self._buffer is None else self._buffer.unionByName(stamped)
-        )
+        """The ``foreachBatch`` sink body: blind append + batch stamp.
+
+        The batch is MATERIALIZED (persist + count) before it joins the
+        buffer: foreachBatch hands over a lazy plan rooted at the
+        source offsets, and re-executing it on a later search would
+        re-read the source — which fails or silently loses rows once a
+        non-replayable source (expired Kafka retention) ages out.
+        ``_mono`` freezes the intra-batch arrival order at
+        materialization so same-id writes within one micro-batch have a
+        deterministic last-occurrence winner (the Space._prepare_batch
+        rule)."""
+        stamped = batch.withColumn(
+            "_mono", F.monotonically_increasing_id()
+        ).persist()
+        stamped.count()
+        with self._lock:
+            stamped = stamped.withColumn("_batch", F.lit(self._batch_no))
+            self._batch_no += 1
+            self._pinned.append(stamped)
+            self._buffer = (
+                stamped
+                if self._buffer is None
+                else self._buffer.unionByName(stamped)
+            )
 
     @property
     def buffer(self) -> DataFrame | None:
@@ -64,7 +92,12 @@ class RealtimeBuffer:
         """main ∪ buffer with buffer rows winning on id collision and
         later batches winning inside the buffer (LWW, dedup by docid —
         vector_manager.cc:1096-1145's merge-dedup)."""
-        latest = self._latest_buffer_rows()
+        with self._lock:
+            buf = self._buffer
+        return self._merged_view(buf)
+
+    def _merged_view(self, buf: DataFrame | None) -> DataFrame:
+        latest = self._latest_rows_of(buf)
         if latest is None:
             return self.main
         survivors = self.main.join(
@@ -94,14 +127,19 @@ class RealtimeBuffer:
             **kw,
         )
 
-    def _latest_buffer_rows(self) -> DataFrame | None:
-        if self._buffer is None:
+    def _latest_rows_of(self, buf: DataFrame | None) -> DataFrame | None:
+        if buf is None:
             return None
-        w = Window.partitionBy(self.id_col).orderBy(F.col("_batch").desc())
+        # later batch wins; within a batch the later occurrence wins
+        # (same tie-break as Space._prepare_batch — _batch alone left
+        # intra-batch duplicates to shuffle order)
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("_batch").desc(), F.col("_mono").desc()
+        )
         return (
-            self._buffer.withColumn("_rn", F.row_number().over(w))
+            buf.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .drop("_rn", "_batch")
+            .drop("_rn", "_batch", "_mono")
         )
 
     def compact(self, index=None) -> DataFrame:
@@ -114,15 +152,32 @@ class RealtimeBuffer:
         ids tombstoned (``remove``), latest versions cluster-assigned
         with the trained quantizers (``add``) — the background
         Indexing() loop consuming realtime vectors without a retrain
-        (engine.cc:1084-1138)."""
-        merged = self.unified()
-        latest = self._latest_buffer_rows()
+        (engine.cc:1084-1138).
+
+        The buffer is swapped out under the lock FIRST, so batches the
+        stream appends mid-compaction land in the next buffer instead
+        of vanishing; main and the index both fold the same snapshot."""
+        with self._lock:
+            buf, pins = self._buffer, self._pinned
+            self._buffer, self._pinned = None, []
+        latest = self._latest_rows_of(buf)
+        merged = self._merged_view(buf)
+        if latest is not None:
+            # materialize the new main off the still-pinned batch
+            # caches before releasing them
+            merged = merged.persist()
+            merged.count()
         if index is not None and latest is not None:
             ids = [r[0] for r in latest.select(self.id_col).collect()]
             index.remove(ids)  # stale versions of updated docs
             index.add(latest.select(*self.main.columns))
+        if latest is not None:
+            for p in pins:
+                p.unpersist()
+            if self._main_pin is not None:
+                self._main_pin.unpersist()
+            self._main_pin = merged
         self.main = merged
-        self._buffer = None
         return merged
 
 
