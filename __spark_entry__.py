@@ -91,8 +91,11 @@ def _sql_lang_scores(text_col: str) -> str:
     cols = []
     for lang in sorted(STOPWORDS):
         words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        # zh votes by CHARACTER membership (unsegmented text never
+        # space-splits into the profile), mirroring stopword_count
+        sep = "''" if lang == "zh" else "' '"
         cols.append(
-            f"len(list_filter(string_split({text_col}, ' '), t -> t IN ({words}))) AS s_{lang}"
+            f"len(list_filter(string_split({text_col}, {sep}), t -> t IN ({words}))) AS s_{lang}"
         )
     return ", ".join(cols)
 
@@ -2060,6 +2063,7 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM documents
             )
             SELECT CASE
+                     WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN NULL
                      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
                      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
                      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
@@ -2223,6 +2227,9 @@ def _oracle_sql_base() -> dict[str, str]:
               array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ')
                 AS chunk_text
             FROM t CROSS JOIN UNNEST(range((len(toks) + 47) // 48)) AS u(i)
+            -- a trailing remainder <= overlap is wholly contained in
+            -- the previous chunk and is not emitted (text.chunk_spans)
+            WHERE i = 0 OR len(toks) - i*48 > 16
             ORDER BY doc_id, chunk_idx
         """,
         # SimHash with sha256 token hashing (first 8 digest bytes,

@@ -59,3 +59,15 @@ def test_custom_decoder_registration(spark):
         assert feat[0] == pytest.approx(0.0) and feat[31] == pytest.approx(31 / 255.0)
     finally:
         mm._DECODERS.pop("audio", None)
+
+
+def test_null_content_yields_null_feature(spark):
+    """One failed fetch (NULL content) must not abort the job — the row
+    emits a NULL feature."""
+    df = spark.createDataFrame(
+        [("m1", "image", None), ("m2", "image", b"xyz")],
+        "media_id string, kind string, content binary",
+    )
+    out = {r.media_id: r.feature for r in mm.extract_features(df).collect()}
+    assert out["m1"] is None
+    assert out["m2"] is not None and len(out["m2"]) == 64

@@ -156,3 +156,19 @@ def test_embedding_outliers_flags_planted_noise(spark):
     assert {(r.doc_id, r.z) for r in out2.collect()} == {
         (r.doc_id, r.z) for r in rows.values()
     }
+
+
+def test_temperature_mix_handles_null_stratum(spark):
+    """A NULL source is its own stratum (rides default_rate) — it used
+    to crash the whole mixing job in sorted()/create_map."""
+    from vearch_spark.operators.sample import temperature_mix_sample
+
+    rows = [(f"d{i}", "web") for i in range(40)] + [
+        (f"n{i}", None) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = temperature_mix_sample(df, alpha=1.0, target_fraction=0.5)
+    got = out.collect()
+    assert 0 < len(got) < 80
+    # both strata participate proportionally (alpha=1 → natural mix)
+    assert any(r.source is None for r in got) and any(r.source == "web" for r in got)

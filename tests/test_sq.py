@@ -51,3 +51,18 @@ def test_sq8_search_matches_exact_topk(spark, emb):
     rr = [r.vec_id for r in q.search(
         enc, query, limit=10, rerank_col="embedding", rerank_k=50).collect()]
     assert rr == exact
+
+
+def test_null_vector_encodes_to_null(spark):
+    """NULL embeddings must encode to NULL codes, not a valid-looking
+    vmin-corner vector (greatest/least skip NULLs → code 0)."""
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [("t", [0.0, 1.0]), ("u", [2.0, 3.0])], "_id string, embedding array<double>"
+    )
+    q = SQ8Quantizer("embedding").fit(train)
+    df = spark.createDataFrame([("a", None)], "_id string, embedding array<double>")
+    assert q.encode(df).select("sq8_codes").first().sq8_codes is None
+    dec = df.withColumn("sq8_codes", F.lit(None).cast("array<smallint>"))
+    assert dec.select(q.decode_col("sq8_codes").alias("v")).first().v is None

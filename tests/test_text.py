@@ -42,8 +42,9 @@ def test_lang_id(df):
     assert get(df, T.lang_id("text"), 0) == "en"
     assert get(df, T.lang_id("text"), 1) == "de"
     assert get(df, T.lang_id("text"), 2) == "es"
-    # no stopwords at all → tie at 0 → lexicographically first ("de")
-    assert get(df, T.lang_id("text"), 3) == "de"
+    # no stopwords at all → zero signal → NULL (unknown), never a
+    # confident wrong guess
+    assert get(df, T.lang_id("text"), 3) is None
 
 
 def test_quality_score_bounds(df):
@@ -141,3 +142,26 @@ def test_dedup_lines_and_fraction(spark):
     assert rows[0].d == "a\nb\nc" and rows[0].f == pytest.approx(2 / 5)
     assert rows[1].d == "x\ny" and rows[1].f == 0.0
     assert rows[2].d == "same" and rows[2].f == pytest.approx(2 / 3)
+
+
+def test_lang_id_detects_unsegmented_chinese(spark):
+    """zh votes by character membership: unsegmented Chinese never
+    space-splits into the profile, so token membership scored 0 and the
+    text fell through to the zero-signal path."""
+    df = spark.createDataFrame([("我是中国人这是不了",)], "text string")
+    assert df.select(T.lang_id("text").alias("v")).first().v == "zh"
+
+
+def test_chunk_spans_no_contained_trailing_chunk(spark):
+    """A trailing remainder <= overlap is wholly inside the previous
+    chunk — emitting it duplicates content."""
+    text = " ".join(f"w{i}" for i in range(105))
+    df = spark.createDataFrame([(text,)], "text string")
+    chunks = df.select(
+        F.explode(T.chunk_spans("text", chunk_size=30, overlap=10)).alias("c")
+    ).select("c.*").collect()
+    # starts 0,20,40,60,80 — the start-100 remainder (5 <= 10) is dropped
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2, 3, 4]
+    assert chunks[-1].n_tokens == 25  # [80, 105)
+    joined = " ".join(c.chunk_text for c in chunks)
+    assert "w104" in joined  # the tail is still covered

@@ -85,9 +85,16 @@ def mean_token_length(text: Column | str) -> Column:
 
 
 def stopword_count(text: Column | str, lang: str) -> Column:
-    """Tokens (with multiplicity) found in ``lang``'s stopword set."""
+    """Tokens (with multiplicity) found in ``lang``'s stopword set.
+    For zh the profile is single CHARACTERS, not space-separated words
+    — real Chinese text is unsegmented, so the vote counts character
+    membership (split on "") instead of token membership, which could
+    never match."""
     words = STOPWORDS[lang]
-    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+    col = F.col(text) if isinstance(text, str) else text
+    if lang == "zh":
+        return F.size(F.filter(F.split(col, ""), lambda c: c.isin(*words)))
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
@@ -96,7 +103,10 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 
 def lang_id(text: Column | str) -> Column:
     """Predicted language = argmax stopword-profile vote (ties →
-    lexicographically first language code)."""
+    lexicographically first language code). Zero signal — no profile
+    matched anything (code, URLs, unsupported languages) — returns
+    NULL rather than confidently tagging the text with whatever
+    language sorts first."""
     scores = [
         F.struct(
             stopword_count(text, lang).alias("score"),
@@ -120,7 +130,7 @@ def lang_id(text: Column | str) -> Column:
             ]
         )
     )
-    return best["lang"]
+    return F.when(best["score"] > 0, best["lang"])
 
 
 def quality_score(text: Column | str) -> Column:
@@ -168,7 +178,15 @@ def chunk_spans(text: Column | str, chunk_size: int = 64, overlap: int = 16) -> 
     # row; inner references are O(1) variable reads.
     def per_tokens(tk: Column) -> Column:
         n = F.size(tk)
-        starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        # drop a trailing start whose remainder fits inside the
+        # previous chunk's overlap (s > 0 and n − s ≤ overlap): that
+        # chunk would be wholly contained in its predecessor —
+        # duplicate content entering exactly the pipeline that exists
+        # to remove duplicates
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: (s == F.lit(0)) | ((n - s) > F.lit(overlap)),
+        )
         return F.transform(
             starts,
             lambda s, i: F.struct(

@@ -69,7 +69,10 @@ def extract_features(
     """decode → fixed-dim feature vector, Arrow-batched.
 
     Output: (id_col, feature: array<float>) — the embedding column the
-    rest of the engine (topk/dedup/IVF) consumes unchanged.
+    rest of the engine (topk/dedup/IVF) consumes unchanged. NULL
+    content (a failed fetch — the schema declares it nullable) yields a
+    NULL feature row rather than raising inside the task: one bad blob
+    must not abort a corpus-scale extraction job.
     """
     decoder = _DECODERS.get(kind)
 
@@ -79,6 +82,9 @@ def extract_features(
         for pdf in batches:
             feats = []
             for content in pdf[content_col]:
+                if content is None:
+                    feats.append(None)
+                    continue
                 raw = (
                     decoder(content)
                     if decoder is not None
@@ -91,7 +97,7 @@ def extract_features(
     schema = T.StructType(
         [
             df.schema[id_col],
-            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), True),
         ]
     )
     return df.mapInPandas(run, schema=schema)

@@ -188,9 +188,19 @@ def temperature_mix_sample(
         r[stratum_col]: r["count"]
         for r in df.groupBy(stratum_col).count().collect()
     }
-    rates = temperature_rates(counts, alpha, target_fraction)
+    # a NULL stratum is its own source ("unlabeled"): it can't key the
+    # create_map in hash_sample (and None breaks the sorted() there),
+    # so its temperature rate rides through default_rate instead — the
+    # map lookup on a NULL stratum returns NULL and coalesces to it
+    null_count = counts.pop(None, 0)
+    null_key = object()  # collision-proof stand-in inside the rate calc
+    all_counts: dict = dict(counts)
+    if null_count:
+        all_counts[null_key] = null_count
+    rates = temperature_rates(all_counts, alpha, target_fraction)
+    null_rate = rates.pop(null_key, 0.0)
     return hash_sample(
-        df, rates, id_col=id_col, stratum_col=stratum_col, default_rate=0.0
+        df, rates, id_col=id_col, stratum_col=stratum_col, default_rate=null_rate
     )
 
 

@@ -72,40 +72,50 @@ class SQ8Quantizer:
             raise ValueError("SQ8Quantizer not fitted")
 
     def encode_col(self, vec: Column | str) -> Column:
-        """``array<smallint>`` of uint8 codes (JVM-only expression)."""
+        """``array<smallint>`` of uint8 codes (JVM-only expression).
+
+        NULL propagates: a NULL vector encodes to NULL (not a
+        valid-looking vmin-corner code — F.greatest/F.least SKIP nulls,
+        so the naive clamp silently turned missing embeddings into
+        code 0), and a missing element (short vector) yields a NULL
+        element rather than 0."""
         self._check_fit()
         col = F.col(vec) if isinstance(vec, str) else vec
         lo = F.array(*[F.lit(float(v)) for v in self.vmin])
         hi = F.array(*[F.lit(float(v)) for v in self.vmax])
         idx = F.sequence(F.lit(0), F.lit(len(self.vmin) - 1))
-        return F.transform(
-            idx,
-            lambda i: F.least(
-                F.lit(255),
-                F.greatest(
-                    F.lit(0),
-                    F.round(
-                        (F.element_at(col, i + 1) - F.element_at(lo, i + 1))
-                        / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
-                        * 255
-                    ).cast("int"),
-                ),
-            ).cast("smallint"),
-        )
+
+        def code(i: Column) -> Column:
+            raw = F.round(
+                (F.element_at(col, i + 1) - F.element_at(lo, i + 1))
+                / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
+                * 255
+            ).cast("int")
+            return (
+                F.when(raw.isNull(), F.lit(None))
+                .otherwise(F.least(F.lit(255), F.greatest(F.lit(0), raw)))
+                .cast("smallint")
+            )
+
+        return F.when(col.isNotNull(), F.transform(idx, code))
 
     def decode_col(self, codes: Column | str) -> Column:
-        """``array<double>`` reconstruction of a code column."""
+        """``array<double>`` reconstruction of a code column (NULL codes
+        decode to NULL, mirroring encode_col)."""
         self._check_fit()
         col = F.col(codes) if isinstance(codes, str) else codes
         lo = F.array(*[F.lit(float(v)) for v in self.vmin])
         hi = F.array(*[F.lit(float(v)) for v in self.vmax])
         idx = F.sequence(F.lit(0), F.lit(len(self.vmin) - 1))
-        return F.transform(
-            idx,
-            lambda i: F.element_at(lo, i + 1)
-            + F.element_at(col, i + 1).cast("double")
-            / 255
-            * (F.element_at(hi, i + 1) - F.element_at(lo, i + 1)),
+        return F.when(
+            col.isNotNull(),
+            F.transform(
+                idx,
+                lambda i: F.element_at(lo, i + 1)
+                + F.element_at(col, i + 1).cast("double")
+                / 255
+                * (F.element_at(hi, i + 1) - F.element_at(lo, i + 1)),
+            ),
         )
 
     def encode(self, df: DataFrame, out_col: str = "sq8_codes") -> DataFrame:

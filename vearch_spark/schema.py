@@ -186,6 +186,14 @@ class FieldSpec:
                 raise SchemaError(f"vector field {self.name!r} needs a vector index type")
             if self.type is not FieldType.VECTOR and self.index.is_vector:
                 raise SchemaError(f"scalar field {self.name!r} cannot take a vector index")
+            if is_binary_field(self) and self.dimension % 8:
+                # codes arrive as whole packed bytes; a non-multiple-of-8
+                # bit dimension would silently validate against
+                # dimension//8 bytes and lose the remainder bits
+                raise SchemaError(
+                    f"binary vector field {self.name!r} requires a dimension "
+                    f"divisible by 8, got {self.dimension}"
+                )
 
     @property
     def spark_type(self) -> T.DataType:
@@ -218,6 +226,30 @@ class PartitionRule:
         names = [n for n, _ in self.ranges]
         if len(set(names)) != len(names):
             raise SchemaError("duplicate partition range names")
+        # bounds must parse and ascend: routing walks the declared
+        # order and takes the FIRST bound exceeding the value, so an
+        # unordered declaration silently misroutes (a 2019 doc lands in
+        # the partition declared first, not the one covering it)
+        from datetime import datetime
+
+        parsed = []
+        for n, v in self.ranges:
+            try:
+                parsed.append(datetime.fromisoformat(str(v).replace("Z", "+00:00")))
+            except ValueError:
+                raise SchemaError(
+                    f"partition range {n!r} has unparseable bound {v!r}"
+                ) from None
+        try:
+            for prev, cur in zip(parsed, parsed[1:]):
+                if cur <= prev:
+                    raise SchemaError(
+                        "partition range bounds must be strictly ascending"
+                    )
+        except TypeError:
+            raise SchemaError(
+                "partition range bounds mix timezone-aware and naive timestamps"
+            ) from None
 
     def names(self) -> list[str]:
         return [n for n, _ in self.ranges]
@@ -255,23 +287,28 @@ class SpaceSchema:
         fields = []
         for fj in spec.get("fields", []):
             idx = fj.get("index")
+            # an explicit "params": null is a present key — coalesce it
+            # so it doesn't crash .get chains with AttributeError
+            idx_params = (idx.get("params") or {}) if idx else {}
             index = (
                 IndexSpec(
                     name=idx.get("name", fj["name"]),
                     index_type=idx.get("type", "SCALAR"),
-                    params=idx.get("params", {}),
+                    params=idx_params,
                 )
                 if idx
                 else None
             )
+            # metric lives at field level for unindexed vector fields
+            # (to_json emits it there — index params alone lost it and
+            # round-tripped InnerProduct fields back to L2)
+            metric_s = fj.get("metric_type") or idx_params.get("metric_type")
             fields.append(
                 FieldSpec(
                     name=fj["name"],
                     type=FieldType.parse(fj.get("type", "string")),
                     dimension=fj.get("dimension"),
-                    metric=Metric.parse(idx["params"]["metric_type"])
-                    if idx and idx.get("params", {}).get("metric_type")
-                    else Metric.L2,
+                    metric=Metric.parse(metric_s) if metric_s else Metric.L2,
                     normalize=fj.get("format") == "normalization",
                     index=index,
                 )
@@ -297,6 +334,11 @@ class SpaceSchema:
                 fj["dimension"] = f.dimension
             if f.normalize:
                 fj["format"] = "normalization"
+            if f.type is FieldType.VECTOR and f.index is None:
+                # no index params to carry the metric — emit it at
+                # field level or a backup/restore round-trip silently
+                # degrades InnerProduct to L2 (worst hits sort first)
+                fj["metric_type"] = f.metric.value
             if f.index is not None:
                 params = dict(f.index.params)
                 if f.type is FieldType.VECTOR:
