@@ -21,7 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # parse the scale factor UP FRONT: failing in the payload build
+    # after every suite has run would lose the whole run's numbers
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0  # non-'sfN' data dir; bench still completes
 
     import __spark_entry__ as entry
     from vearch_spark.session import get_spark
@@ -64,7 +69,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "qps": qps_suite(spark, sf_dir),
-        "sf": float(sf),
+        "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_1M", "1") != "0":
         payload["scale_1m"] = recall_1m_suite(spark)
@@ -104,6 +109,7 @@ def recall_1m_suite(spark) -> dict:
     import numpy as np
 
     from tools.stress_1m import N_CLUSTERS, make_df
+    from tools.stress_hnsw import by_query_scores, tie_aware_recall
     from vearch_spark.operators.ivf import IVFFlatIndex
     from vearch_spark.schema import Metric
 
@@ -124,24 +130,14 @@ def recall_1m_suite(spark) -> dict:
     index.fit(df)
     build_s = round(time.time() - t0, 2)
 
-    def by_query(rows):
-        per: dict[int, list] = {}
-        for r in rows:
-            per.setdefault(r["query_id"], []).append((r["vec_id"], r["_score"]))
-        for v in per.values():
-            v.sort(key=lambda t: (t[1], t[0]))
-        return per
-
-    exact = by_query(index.search_batch(qlist, limit=100, nprobe=256).collect())
-    approx = by_query(index.search_batch(qlist, limit=100).collect())
+    # shared grouping + tie-aware thresholds (tools/stress_hnsw) — one
+    # definition for every recall suite in the repo
+    exact = by_query_scores(index.search_batch(qlist, limit=100, nprobe=256).collect())
+    approx = by_query_scores(index.search_batch(qlist, limit=100).collect())
 
     out = {"n": n, "dim": dim, "index_build_s": build_s}
-    for k in (1, 10, 100):
-        hit = 0
-        for qid in range(nq):
-            kth = exact[qid][k - 1][1]  # tie-aware: any score ≤ kth counts
-            hit += sum(1 for _, s in approx[qid][:k] if s <= kth + 1e-6)
-        out[f"hnsw_sub_recall_at_{k}"] = round(hit / (k * nq), 4)
+    for k, v in tie_aware_recall(exact, approx, nq).items():
+        out[f"hnsw_sub_{k}"] = v
     index.unpersist()
 
     # the reference CI gate runs BOTH regimes: SIFT1M-shaped L2 (above)
@@ -170,16 +166,19 @@ def recall_1m_suite(spark) -> dict:
     # at half the L2 block's weight while the gate stays well-powered
     nq_ip = 10
     qnl = [q.tolist() for q in qn[:nq_ip]]
-    exact_ip = by_query(ip_index.search_batch(qnl, limit=100, nprobe=256).collect())
-    approx_ip = by_query(ip_index.search_batch(qnl, limit=100).collect())
-    for per in (*exact_ip.values(), *approx_ip.values()):
-        per.sort(key=lambda t: (-t[1], t[0]))  # IP: higher is better
-    for k in (1, 10, 100):
-        hit = 0
-        for qid in range(nq_ip):
-            kth = exact_ip[qid][k - 1][1]
-            hit += sum(1 for _, s in approx_ip[qid][:k] if s >= kth - 1e-6)
-        out[f"hnsw_sub_ip_recall_at_{k}"] = round(hit / (k * nq_ip), 4)
+
+    def _neg_scores(rows):  # IP is higher-better; negate to reuse the
+        per: dict[int, list] = {}  # shared smaller-is-better threshold
+        for r in rows:
+            per.setdefault(r.query_id, []).append((-r["_score"], r.vec_id))
+        for v in per.values():
+            v.sort()
+        return per
+
+    exact_ip = _neg_scores(ip_index.search_batch(qnl, limit=100, nprobe=256).collect())
+    approx_ip = _neg_scores(ip_index.search_batch(qnl, limit=100).collect())
+    for k, v in tie_aware_recall(exact_ip, approx_ip, nq_ip).items():
+        out[f"hnsw_sub_ip_{k}"] = v
     ndf.unpersist()
     ip_index.unpersist()
     df.unpersist()
@@ -312,10 +311,12 @@ def qps_suite(spark, sf_dir: str) -> dict:
         space.query(flt=F.col("l_quantity") > float(i), limit=50).count()
     out["query_qps"] = round(20 / (time.time() - t0), 2)
 
-    # delete QPS (docs/s): delete-by-query through the Space verb
+    # delete QPS (docs/s): delete-by-query through the Space verb —
+    # the DataFrame form, so a larger SF's match count can never trip
+    # the driver-side id cap mid-bench and lose the run
     t0 = time.time()
-    doomed = space.delete_by_query(F.col("l_quantity") > 49.5)
-    out["delete_docs_per_s"] = round(len(doomed) / (time.time() - t0), 1)
+    n_del = space.delete_by_query_df(F.col("l_quantity") > 49.5).count()
+    out["delete_docs_per_s"] = round(n_del / (time.time() - t0), 1)
 
     # index build (IVFFLAT fit) + ANN search QPS + recall@10 vs exact,
     # in-distribution queries (dataset vectors, as the reference's
@@ -334,7 +335,7 @@ def qps_suite(spark, sf_dir: str) -> dict:
     t0 = time.time()
     for q in data_q:
         index.search(emb, q, limit=10).count()
-    out["ann_search_qps"] = round(10 / (time.time() - t0), 2)
+    out["ann_search_qps"] = round(len(data_q) / (time.time() - t0), 2)
     # recall@{1,10,100} vs exact — the reference's published metric set
     # (benchs/README.md k ∈ {1,10,100}; CI gates @100≥0.90 @10≥0.80
     # @1≥0.50, test_recall_baseline.py:301-303)

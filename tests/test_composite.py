@@ -62,3 +62,13 @@ def test_unknown_field_rejected():
 
 def test_sort_key():
     assert composite_sort_key(IDX) == IDX
+
+
+def test_negation_ops_rejected():
+    """A prefix-key scan answers ranges, not complements — '!='/'NOT IN'
+    cannot be served by the composite index."""
+    for op, val in (("!=", 1), ("<>", 1), ("NOT IN", ["x"])):
+        with pytest.raises(FilterError):
+            validate_composite_filter(
+                [{"field": "a", "operator": op, "value": val}], ["a", "b"]
+            )

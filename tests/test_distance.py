@@ -56,3 +56,22 @@ def test_hamming(spark):
 def test_array_lit_type(spark):
     df = spark.range(1).select(array_lit([1, 2]).alias("a"))
     assert df.schema["a"].dataType.simpleString() == "array<double>"
+
+
+def test_l2_normalize_null_element_yields_null(spark):
+    """A vector containing NULL normalizes to NULL in BOTH forms — the
+    expression used to coalesce to an all-zero vector (corrupt data
+    indistinguishable from a real zero vector) while the fast form
+    returned NaNs."""
+    from vearch_spark.functions.distance import l2_normalize, l2_normalize_fast
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 2.0]), (2, None), (3, [3.0, 4.0]), (4, [0.0, 0.0])],
+        "id int, v array<double>",
+    )
+    slow = {r.id: r.out for r in df.select("id", l2_normalize(F.col("v")).alias("out")).collect()}
+    fast = {r.id: r.out for r in df.select("id", l2_normalize_fast(F.col("v")).alias("out")).collect()}
+    for got in (slow, fast):
+        assert got[1] is None and got[2] is None
+        assert got[3] == pytest.approx([0.6, 0.8])
+        assert got[4] == [0.0, 0.0]  # zero vector stays zero

@@ -250,3 +250,26 @@ def test_span_dedup_two_shuffles_pruned_scan(spark, sf_dir):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     schemas = X.read_schemas(df)
     assert all(s.count(":") <= 2 for s in schemas)  # doc_id[,text] only
+
+
+def test_count_exchanges_sees_roundrobin(spark):
+    """repartition() is a real shuffle (RoundRobinPartitioning) — the
+    zero-shuffle posture assertions must count it."""
+    df = spark.range(100).repartition(8)
+    assert X.count_exchanges(df) >= 1
+
+
+def test_pushed_filters_handles_nested_in(spark, tmp_path):
+    """In(...) nests brackets; filters after it must not be dropped."""
+    p = str(tmp_path / "pf.parquet")
+    spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 9)], "id int, f string, q int"
+    ).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .where(F.col("f").isin("a", "b") & (F.col("q") > 5))
+        .select("id")
+    )
+    pushed = " ".join(X.pushed_filters(df))
+    assert "In(f" in pushed
+    assert "GreaterThan(q,5)" in pushed

@@ -69,6 +69,12 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            # a typo must not skip every check and print a false ALL OK
+            print(f"unknown query name(s): {', '.join(unknown)}")
+            sys.exit(2)
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:

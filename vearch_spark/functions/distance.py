@@ -79,7 +79,10 @@ def cosine_similarity(vec: Column, query: Column | Sequence[float]) -> Column:
 def l2_normalize(vec: Column) -> Column:
     """L2-normalize a vector column (reference normalizes docs at ingest
     and queries on the router when ``format: normalization`` —
-    doc_parse.go:487-515, client.go:603-658). A zero vector stays zero.
+    doc_parse.go:487-515, client.go:603-658). A zero vector stays zero;
+    a NULL vector or a vector containing a NULL element yields NULL —
+    the norm fold is NULL then, and coalescing to 0.0 would silently
+    turn corrupt input into a legitimate-looking zero vector.
     """
     v = _as_double(vec)
     n = vector_norm(v)
@@ -87,11 +90,15 @@ def l2_normalize(vec: Column) -> Column:
     # re-evaluate captured subexpressions per ELEMENT, turning the O(d)
     # norm fold into O(d²)/row (measured 18× slower at dim=128 over 1M
     # rows). array_repeat materializes the norm as a lambda ARGUMENT —
-    # same double arithmetic, one fold per row.
-    return F.zip_with(
-        v,
-        F.array_repeat(n, F.size(v)),
-        lambda x, nn: F.coalesce(F.try_divide(x, nn), F.lit(0.0)),
+    # same double arithmetic, one fold per row. (The isNotNull guard
+    # adds one extra fold per row — still O(d).)
+    return F.when(
+        n.isNotNull(),
+        F.zip_with(
+            v,
+            F.array_repeat(n, F.size(v)),
+            lambda x, nn: F.coalesce(F.try_divide(x, nn), F.lit(0.0)),
+        ),
     )
 
 
@@ -103,7 +110,8 @@ def l2_normalize_fast(vec: Column | str) -> Column:
     within a few ulps of :func:`l2_normalize`'s sequential fold; use
     the expression form where an external oracle must reproduce the
     fold bit-for-bit (query literals, oracle-checked paths). NULL rows
-    pass through; zero vectors stay zero."""
+    and rows with NULL elements yield NULL (matching
+    :func:`l2_normalize`); zero vectors stay zero."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     col = F.col(vec) if isinstance(vec, str) else vec
@@ -116,6 +124,9 @@ def l2_normalize_fast(vec: Column | str) -> Column:
                 out.append(None)
                 continue
             x = np.asarray(v, dtype=np.float64)
+            if np.isnan(x).any():  # NULL element → NULL row, not NaNs
+                out.append(None)
+                continue
             n = np.linalg.norm(x)
             out.append(x / n if n > 0 else x)
         return pd.Series(out)

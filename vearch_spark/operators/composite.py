@@ -21,6 +21,11 @@ from vearch_spark.filters import RANGE_OPS, TERM_OPS
 from vearch_spark.schema import FieldType, SpaceSchema
 
 _EQUALITY_OPS = {"=", "IN"}
+# negations cannot be answered by a prefix-key range scan: the matched
+# set is the complement of a key range, which the modeled composite
+# index (equality prefix + one trailing range, composite_index.cc)
+# cannot enumerate — and min/max page pruning gives nothing for them
+_NEGATION_OPS = {"!=", "<>", "NOT IN"}
 
 
 def validate_composite_filter(
@@ -62,6 +67,12 @@ def validate_composite_filter(
             op = str(cond["operator"]).upper().strip()
             if op not in RANGE_OPS | TERM_OPS:
                 raise FilterError(f"unsupported operator {op!r} in composite filter")
+            if op in _NEGATION_OPS:
+                raise FilterError(
+                    f"composite index cannot serve negation {op!r} on "
+                    f"{fname!r} (a prefix-key scan answers ranges, not "
+                    "complements)"
+                )
             is_equality = op in _EQUALITY_OPS
             if schema is not None and schema.field(fname).type is FieldType.STRING:
                 if not is_equality:

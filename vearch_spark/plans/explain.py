@@ -60,26 +60,66 @@ def _strip_cached_subtrees(plan: str) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    # count only shuffle exchanges; broadcast exchanges are cheap fan-out.
-    # simple plan inlines "Exchange hashpartitioning(...)"; formatted mode
-    # hides arguments in a detail section.
+    # Count only shuffle exchanges; broadcast exchanges are cheap
+    # fan-out. "\bExchange " cannot match inside "BroadcastExchange"
+    # (no word boundary between 't' and 'E'), and deliberately matches
+    # EVERY shuffle partitioning — an explicit hash/range/roundrobin/
+    # single-partition allowlist silently missed repartition()'s
+    # RoundRobinPartitioning, letting zero-shuffle assertions pass on
+    # plans that actually shuffle.
     return len(
-        re.findall(
-            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
-            _strip_cached_subtrees(simple_plan(df)),
-        )
+        re.findall(r"\bExchange [A-Za-z]", _strip_cached_subtrees(simple_plan(df)))
     )
 
 
 def uses_broadcast(df: DataFrame) -> bool:
-    return "BroadcastExchange" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df) or "BroadcastHashJoin" in formatted_plan(df)
+    # simple plan (one fetch), with InMemoryRelation BUILD subtrees
+    # stripped: a broadcast paid once at cache-build time must not
+    # satisfy an assertion about the QUERY's join strategy
+    plan = _strip_cached_subtrees(simple_plan(df))
+    return any(
+        k in plan
+        for k in ("BroadcastExchange", "BroadcastNestedLoopJoin", "BroadcastHashJoin")
+    )
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters listed in every scan's ``PushedFilters: [...]``.
+
+    Bracket-aware: ``In(f, [a,b])`` nests brackets and commas, so a
+    non-greedy ``\\[(.*?)\\]`` regex truncated at the first ``]`` and
+    dropped every filter after an In — splitting happens only at
+    depth-0 commas, and the list ends at the matching close bracket."""
+    plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[(.*?)\]", formatted_plan(df)):
-        if m.group(1).strip():
-            out.extend(s.strip() for s in m.group(1).split(","))
+    for m in re.finditer(r"PushedFilters: \[", plan):
+        i, depth, buf = m.end(), 1, []
+        while i < len(plan) and depth:
+            c = plan[i]
+            if c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+            if depth:
+                buf.append(c)
+            i += 1
+        inner = "".join(buf).strip()
+        if not inner:
+            continue
+        parts, d, cur = [], 0, []
+        for c in inner:
+            if c in "[(":
+                d += 1
+            elif c in "])":
+                d -= 1
+            if c == "," and d == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+        if cur:
+            parts.append("".join(cur).strip())
+        out.extend(p for p in parts if p)
     return out
 
 
