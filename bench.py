@@ -76,22 +76,73 @@ def main() -> None:
         payload["scale_hnsw"] = hnsw_scale_suite(spark)
     # stop Spark BEFORE printing: the JVM flushes progress/log frames to
     # the shared pty asynchronously, and a late stderr write landing
-    # inside the JSON line is exactly what broke the driver's parse in
-    # round 2 (BENCH_r02.json "parsed": null). After stop() the JVM is
-    # gone; the flushed one-line JSON is guaranteed to be the last,
-    # uncorrupted stdout line.
+    # inside the JSON line could corrupt the parse. After stop() the JVM
+    # is gone; the flushed JSON is guaranteed uncorrupted stdout.
     spark.stop()
-    line = json.dumps(payload)
-    sys.stdout.write("\n" + line + "\n")
-    sys.stdout.flush()
-    # belt-and-braces: persist the same payload next to the repo so a
-    # stdout-capture failure never loses the round's numbers
+    full_line = json.dumps(payload)
+    # full payload: persisted to BENCH_LOCAL.json AND printed first so
+    # the driver's stdout tail carries as much of it as fits
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as fh:
-            fh.write(line + "\n")
+            fh.write(full_line + "\n")
     except OSError:
         pass
+    sys.stdout.write("\n" + full_line + "\n")
+    # THE driver-parsed line must be LAST and must fit entirely inside
+    # the driver's 2000-char stdout tail — round 2's line grew to
+    # ~2600 chars and was truncated mid-line (BENCH_r02.json
+    # "parsed": null, tail len 2000). Emit a compact core line with a
+    # hard length budget; recall gates ride along while they fit.
+    sys.stdout.write(compact_line(payload) + "\n")
+    sys.stdout.flush()
+
+
+# keep comfortably under the driver's 2000-char tail window: the tail
+# must hold the full line PLUS its trailing newline
+LINE_BUDGET = 1900
+
+
+def compact_line(payload: dict) -> str:
+    """Build the driver-parsed JSON line under LINE_BUDGET chars.
+
+    Degradation order (each step only if still over budget):
+    timings at 2dp + recall summary -> drop recall -> 1dp timings ->
+    drop fastest queries (count recorded in queries_omitted). The
+    required driver keys {metric, value, unit, queries, sf} always
+    survive; the full-precision payload lives in BENCH_LOCAL.json.
+    """
+    def dumps(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    core = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": {k: round(v, 2) for k, v in payload["queries"].items()},
+        "sf": payload["sf"],
+    }
+    recall = {
+        k: v for k, v in payload.get("qps", {}).items()
+        if "recall" in k or k in ("search_qps", "ann_search_qps")
+    }
+    if recall:
+        core["recall"] = recall
+    if len(dumps(core)) <= LINE_BUDGET:
+        return dumps(core)
+    core.pop("recall", None)
+    if len(dumps(core)) <= LINE_BUDGET:
+        return dumps(core)
+    core["queries"] = {k: round(v, 1) for k, v in payload["queries"].items()}
+    if len(dumps(core)) <= LINE_BUDGET:
+        return dumps(core)
+    # last resort: drop the fastest queries until the line fits
+    items = sorted(payload["queries"].items(), key=lambda kv: -kv[1])
+    while items and len(dumps(core)) > LINE_BUDGET:
+        items.pop()
+        core["queries"] = {k: round(v, 1) for k, v in items}
+        core["queries_omitted"] = len(payload["queries"]) - len(items)
+    return dumps(core)
 
 
 def recall_1m_suite(spark) -> dict:
