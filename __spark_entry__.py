@@ -797,6 +797,29 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (dedup.dedup_against_corpus): the new shard
+    (doc_id ≥ 400) matched against the existing corpus (doc_id < 400)
+    — exact fingerprint join plus cross-side-only MinHash-LSH, best
+    corpus match per new doc (exact before near, then Jaccard, then
+    lowest corpus id). md5_31 configuration: the DuckDB oracle
+    recomputes both arms — fingerprints, the full signature pipeline,
+    the asymmetric band join, the verify, and the best-match pick."""
+    from vearch_spark.operators.dedup import dedup_against_corpus
+
+    docs = _docs(spark, sf_dir)
+    out = dedup_against_corpus(
+        docs.where(F.col("doc_id") >= 400),
+        docs.where(F.col("doc_id") < 400),
+        num_hashes=128, bands=32, shingle_n=3, jaccard_threshold=0.3,
+        shingle_hash="md5_31", max_bucket=None,
+    )
+    return out.orderBy("doc_id").select(
+        "doc_id", "match_id", "match_type",
+        F.col("jaccard").cast("float").alias("jaccard"),
+    )
+
+
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length percentiles per source — the stats that set quality
     -filter thresholds in a training-data pipeline. Exact interpolated
@@ -1339,6 +1362,28 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk kNN join (operators/knn_join.py): for each of the first 100
+    embedding rows, the top-5 nearest OTHER rows among its 4 probed IVF
+    cells — the kNN-graph / SemDeDup / kNN-LM primitive. One shuffle-
+    keyed equi join on the cell id (never a cross product), map-side
+    WindowGroupLimit rank cut. Deterministic: the DuckDB oracle
+    rebuilds the assignment, the per-row probe ranks, and the pruned
+    exact top-k from the recomputed centroid literals — same
+    ``‖c‖²−2·x·c`` arithmetic on both sides."""
+    from vearch_spark.operators.ivf import CLUSTER_COL
+    from vearch_spark.operators.knn_join import knn_join
+
+    index = _ivf_index(spark, sf_dir, "ivfflat")
+    emb = _emb(spark, sf_dir)
+    # corpus side = the index's own persisted assignment relation
+    # (already cluster-range-partitioned, zero extra Arrow work)
+    return knn_join(
+        emb.where(F.col("vec_id") < 100), index.assigned, index.centroids,
+        k=5, nprobe=4, right_cluster_col=CLUSTER_COL, exclude_self=True,
+    ).orderBy("vec_id", "rank")
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based corpus mixing (p_s ∝ n_s^alpha, the
     multilingual-pretraining recipe) at alpha=0.5 targeting half the
@@ -1493,7 +1538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "doc_chunks": q_doc_chunks,
-    "vocab_top_terms": q_vocab_top_terms,
+    "incremental_dedup": q_incremental_dedup,
     "cosine_near_dup": q_cosine_near_dup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1504,7 +1549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfflat_knn": q_ivfflat_knn,
     "ivfpq_knn": q_ivfpq_knn,
     "ivfrabitq_knn": q_ivfrabitq_knn,
-    "ivf2_knn": q_ivf2_knn,
+    "knn_self_join": q_knn_self_join,
     "ivf_batch_knn": q_ivf_batch_knn,
     "realtime_union_knn": q_realtime_union_knn,
     "multimodal_features": q_multimodal_features,
@@ -1534,6 +1579,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hnsw_knn": q_hnsw_knn,  # graph ANN: recall-gated in tests/test_hnsw.py
     "knn_meta": q_knn_meta,  # total/max_score over the FLAT kernel: flat_knn_l2
     "tfidf_keywords": q_tfidf_keywords,  # postings+idf kernel: bm25_topk
+    "ivf2_knn": q_ivf2_knn,  # hierarchical quantizer: ivfflat_knn + its own oracle
+    "vocab_top_terms": q_vocab_top_terms,  # postings/count kernel: tfidf_keywords/bm25_topk
 }
 
 
@@ -2491,19 +2538,43 @@ def _minhash_oracle_sql() -> str:
     slice, which is equality-equivalent (a cross-bucket xxhash64
     collision has P≈1e-11 at this scale and would also have to survive
     the exact verify)."""
+    jac = _MINHASH_JAC
+    return f"""
+        WITH {_minhash_ctes()},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b, CAST(jaccard AS REAL) AS jaccard FROM (
+          SELECT c.id_a, c.id_b, {jac} AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+        ) WHERE jaccard >= 0.3
+        ORDER BY id_a, id_b
+    """
+
+
+_MINHASH_JAC = (
+    "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / "
+    "(len(sa.shingles) + len(sb.shingles)"
+    " - len(list_intersect(sa.shingles, sb.shingles)))"
+)
+
+
+def _minhash_ctes() -> str:
+    """The shared md5_31 MinHash pipeline CTEs (perms → shingles →
+    hashes → 128 permutations → signatures → 32×4 bands) — one
+    definition serves the self-join oracle (minhash_dedup) and the
+    corpus-delta oracle (incremental_dedup)."""
     from vearch_spark.operators.dedup import _PRIME31, affine_family
 
     a, b = affine_family(128, 42, _PRIME31)
     perm_rows = ", ".join(
         f"({i}, {int(ai)}, {int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
     )
-    jac = (
-        "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / "
-        "(len(sa.shingles) + len(sb.shingles)"
-        " - len(list_intersect(sa.shingles, sb.shingles)))"
-    )
-    return f"""
-        WITH perms(i, a, b) AS (VALUES {perm_rows}),
+    return f"""perms(i, a, b) AS (VALUES {perm_rows}),
         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         sh AS (
           SELECT doc_id, list_distinct(list_transform(
@@ -2527,19 +2598,47 @@ def _minhash_oracle_sql() -> str:
         bands AS (
           SELECT doc_id, u.b, sig[4*u.b+1 : 4*u.b+4] AS key
           FROM sigs CROSS JOIN UNNEST(range(32)) AS u(b)
+        )"""
+
+
+def _incremental_dedup_sql() -> str:
+    """Corpus-delta oracle: exact md5-fingerprint arm UNION the
+    asymmetric (new ≥ 400 vs corpus < 400) band-join arm over the same
+    md5_31 MinHash CTEs as the self-join oracle, then the best-match
+    pick — 'exact' before 'near' (lexicographic), Jaccard desc, lowest
+    corpus id. Jaccard is integer-ratio arithmetic: bit-identical to
+    the Spark side."""
+    jac = _MINHASH_JAC
+    return f"""
+        WITH {_minhash_ctes()},
+        exact AS (
+          SELECT n.doc_id AS nid, c.doc_id AS match_id,
+                 'exact' AS match_type, 1.0::DOUBLE AS jaccard
+          FROM documents n JOIN documents c ON md5(n.text) = md5(c.text)
+          WHERE n.doc_id >= 400 AND c.doc_id < 400
         ),
         cand AS (
-          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM bands x JOIN bands y
-            ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+          SELECT DISTINCT x.doc_id AS nid, y.doc_id AS match_id
+          FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+          WHERE x.doc_id >= 400 AND y.doc_id < 400
+        ),
+        near AS (
+          SELECT nid, match_id, 'near' AS match_type, jaccard FROM (
+            SELECT c.nid, c.match_id, {jac} AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.nid
+            JOIN sh sb ON sb.doc_id = c.match_id
+          ) WHERE jaccard >= 0.3
+        ),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY nid
+            ORDER BY match_type ASC, jaccard DESC, match_id ASC) AS rk
+          FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
         )
-        SELECT id_a, id_b, CAST(jaccard AS REAL) AS jaccard FROM (
-          SELECT c.id_a, c.id_b, {jac} AS jaccard
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.id_a
-          JOIN sh sb ON sb.doc_id = c.id_b
-        ) WHERE jaccard >= 0.3
-        ORDER BY id_a, id_b
+        SELECT nid AS doc_id, match_id, match_type,
+               CAST(jaccard AS REAL) AS jaccard
+        FROM best WHERE rk = 1
+        ORDER BY doc_id
     """
 
 
@@ -2556,6 +2655,47 @@ def _hard_negatives_sql() -> str:
                    ORDER BY {sc} ASC, e.vec_id ASC) AS rn
           FROM embeddings e JOIN a ON e.label != a.albl
         ) WHERE rn <= 3
+    """
+
+
+def _knn_join_sql() -> str:
+    """Bulk kNN-join oracle: DuckDB rebuilds BOTH halves of the blocked
+    join from the recomputed centroid literals — the corpus side's
+    primary assignment (probe rank 1) and the query side's 4-cell
+    multi-probe (rank ≤ 4), both ranked by the UDF's expanded-L2 form
+    ``c2 − 2·x·c`` with ties to the lowest cid — then the pruned exact
+    top-5 per query row."""
+    from vearch_spark.operators.ivf_oracle import float_centroids
+
+    cents = float_centroids(ORACLE_SF_DIR)
+    dot = _sql_ip_cols("e.embedding", "c.c")
+    sc = _sql_l2sq_cols("p.embedding", "pr.nbr_vec")
+    return f"""
+        WITH {_sql_cents_cte(cents)},
+        rk AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY c.c2 - 2 * ({dot}) ASC, c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        prim AS (SELECT vec_id AS nbr_id, embedding AS nbr_vec, cid
+                 FROM rk WHERE rn = 1),
+        probes AS (SELECT vec_id, embedding, cid
+                   FROM rk WHERE rn <= 4 AND vec_id < 100),
+        cand AS (
+          SELECT p.vec_id, pr.nbr_id, {sc} AS s
+          FROM probes p JOIN prim pr USING (cid)
+          WHERE p.vec_id <> pr.nbr_id
+        )
+        SELECT vec_id, nbr_id AS neighbor_id, CAST(s AS REAL) AS score,
+               rnk AS "rank"
+        FROM (
+          SELECT vec_id, nbr_id, s,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s ASC, nbr_id ASC) AS rnk
+          FROM cand
+        ) WHERE rnk <= 5
+        ORDER BY vec_id, rnk
     """
 
 
@@ -2837,7 +2977,9 @@ def oracle_sql() -> dict[str, str]:
     d["embedding_outliers"] = _embedding_outliers_sql()
     d["lm_perplexity"] = _lm_perplexity_sql()
     d["minhash_dedup"] = _minhash_oracle_sql()
+    d["incremental_dedup"] = _incremental_dedup_sql()
     d["hard_negatives"] = _hard_negatives_sql()
+    d["knn_self_join"] = _knn_join_sql()
     d["temperature_mix"] = _temperature_mix_sql()
     d["semantic_decontaminate"] = _semantic_decontaminate_sql()
     d["dedup_lines"] = _dedup_lines_sql()

@@ -1,0 +1,137 @@
+"""Bulk kNN-join (operators/knn_join.py): the bucketed all-rows
+neighbor join. Semantics are pinned against a numpy twin that applies
+the SAME cell pruning (so the comparison is exact, not recall-gated),
+plus an exhaustive-probe run that must equal the true exact kNN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vearch_spark.operators.ivf_oracle import float_centroids
+from vearch_spark.operators.knn_join import knn_join, knn_self_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cents():
+    return float_centroids(SF)
+
+
+def _np_knn_join(ids, mat, cents, k, nprobe, exclude_self):
+    """Numpy twin: same expanded-L2 probe/assign arithmetic, same
+    pruning, exact scoring, ties to lowest neighbor id."""
+    c2 = (cents**2).sum(axis=1)
+    d = c2 - 2.0 * (mat @ cents.T)
+    order = np.argsort(d, axis=1, kind="stable")
+    primary = order[:, 0]
+    out = {}
+    for qi in range(len(ids)):
+        cells = set(order[qi, :nprobe].tolist())
+        cand = [
+            j
+            for j in range(len(ids))
+            if primary[j] in cells and not (exclude_self and j == qi)
+        ]
+        sc = ((mat[cand] - mat[qi]) ** 2).sum(axis=1)
+        ranked = sorted(zip(sc, ids[cand]))[:k]
+        out[int(ids[qi])] = [(int(i), float(s)) for s, i in ranked]
+    return out
+
+
+def test_self_join_matches_numpy_twin(spark, embeddings, embeddings_np, cents):
+    ids, mat, _ = embeddings_np
+    got = knn_self_join(embeddings, cents, k=5, nprobe=4).collect()
+    want = _np_knn_join(ids, mat, cents, k=5, nprobe=4, exclude_self=True)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.vec_id, []).append(r)
+    assert set(by_q) == set(want)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.neighbor_id for r in rows] == [i for i, _ in want[q]]
+        for r, (_, s) in zip(rows, want[q]):
+            assert r.score == pytest.approx(s, rel=1e-6)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_exhaustive_probe_is_exact(spark, embeddings, embeddings_np, cents):
+    # nprobe == ncentroids ⇒ no pruning ⇒ the true exact kNN join
+    ids, mat, _ = embeddings_np
+    got = knn_self_join(embeddings, cents, k=3, nprobe=len(cents)).collect()
+    d = ((mat[None, :, :] - mat[:, None, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d, np.inf)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.vec_id, []).append(r)
+    for qi, q in enumerate(ids):
+        rows = sorted(by_q[int(q)], key=lambda r: r.rank)
+        want = sorted(zip(d[qi], ids))[:3]
+        assert [r.neighbor_id for r in rows] == [int(i) for _, i in want]
+
+
+def test_two_table_join_and_no_self_rows(spark, embeddings, cents):
+    left = embeddings.where(F.col("vec_id") < 10)
+    out = knn_join(left, embeddings, cents, k=4, nprobe=4).collect()
+    qids = {r.vec_id for r in out}
+    assert qids == set(range(10))
+    # without exclude_self each left row's nearest right row is itself
+    for r in out:
+        if r.rank == 1:
+            assert r.neighbor_id == r.vec_id and r.score == 0.0
+    out2 = knn_self_join(embeddings.where(F.col("vec_id") < 10), cents, k=4)
+    assert all(r.neighbor_id != r.vec_id for r in out2.collect())
+
+
+def test_preassigned_right_side_matches_recompute(spark, embeddings, cents):
+    """right_cluster_col (the index's persisted assignment) must give
+    the exact result of the recompute path — same argmin geometry."""
+    from vearch_spark.operators.ivf import CLUSTER_COL
+    from vearch_spark.operators.knn_join import probe_cells_udf
+
+    assigned = embeddings.withColumn(
+        CLUSTER_COL, F.element_at(probe_cells_udf(cents, 1)(
+            F.col("embedding").cast("array<double>")), 1)
+    )
+    left = embeddings.where(F.col("vec_id") < 50)
+    a = knn_join(left, embeddings, cents, k=5, nprobe=4, exclude_self=True)
+    b = knn_join(
+        left, assigned, cents, k=5, nprobe=4,
+        right_cluster_col=CLUSTER_COL, exclude_self=True,
+    )
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+
+
+def test_ip_metric_orders_descending(spark, embeddings, cents):
+    out = (
+        knn_self_join(embeddings.where("vec_id < 50"), cents, k=5, metric="InnerProduct")
+        .where("vec_id = 0")
+        .orderBy("rank")
+        .collect()
+    )
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_plan_shape(spark, embeddings, cents):
+    """The join must be an EQUI join on the cell id — never a nested
+    loop / cross product — and the top-k must be a WindowGroupLimit
+    rank cut applied Partial (map-side) before the exchange, so the
+    shuffle carries at most k rows per query. Broadcast-vs-shuffle for
+    the equi join is Catalyst's size-based call (broadcast is correct
+    at this fixture's scale; stats flip it to shuffle-hash when the
+    corpus side is large) — the operator only fixes the join KEY."""
+    plan = (
+        knn_self_join(embeddings, cents, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    joins = [ln for ln in plan.splitlines() if "HashJoin" in ln]
+    assert joins, plan

@@ -122,6 +122,22 @@ def main() -> None:
     index.search_batch([q.tolist() for q in queries], limit=10).count()
     t_batch = (time.time() - t0) / NQ
 
+    # bulk kNN join: 2048 query rows against the full corpus through
+    # the same quantizer (multi-probe × primary-cell equi join) — the
+    # kNN-graph/SemDeDup building block at its scale shape; per-left-row
+    # candidates ≈ nprobe·n/ncentroids
+    from pyspark.sql import functions as F
+
+    from vearch_spark.operators.knn_join import knn_join
+
+    n_left = 2048
+    t0 = time.time()
+    knn_join(
+        df.where(F.col("vec_id") < n_left), df, index.centroids,
+        k=10, nprobe=4,
+    ).count()
+    t_knn_join = time.time() - t0
+
     # persisted form: partitionBy(_cluster_id) parquet — probes prune
     # DIRECTORIES (PartitionFilters), the layout that holds at 100 TB
     import shutil
@@ -146,6 +162,7 @@ def main() -> None:
         "exact_scan_s_per_query": round(t_exact, 3),
         "pruned_search_s_per_query": round(t_pruned, 3),
         "batched_search_s_per_query": round(t_batch, 3),
+        "knn_join_left_rows_per_s": round(n_left / t_knn_join, 1),
         "file_pruned_search_s_per_query": round(t_loaded, 3),
         "speedup_cached": round(t_exact / t_pruned, 1),
         "speedup_file_pruned": round(t_exact / t_loaded, 1),

@@ -108,6 +108,21 @@ def main() -> None:
     out["span_total"] = int(agg["s"])
     out["span_dup"] = int(agg["d"])
 
+    # incremental form: the newest 10% of the corpus matched against
+    # the other 90% — the per-crawl shape (cross-side band join only)
+    from vearch_spark.operators.dedup import dedup_against_corpus
+
+    cut = int(n * 0.9)
+    t0 = time.time()
+    matches = dedup_against_corpus(
+        docs.where(F.col("doc_id") >= cut),
+        docs.where(F.col("doc_id") < cut),
+        jaccard_threshold=0.5,
+    ).count()
+    dt = time.time() - t0
+    out["incremental_matches"] = matches
+    out["incremental_new_docs_per_s"] = round((n - cut) / dt, 1)
+
     print(json.dumps(out))
     spark.stop()
 

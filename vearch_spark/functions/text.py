@@ -101,36 +101,55 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return F.try_divide(stopword_count(text, lang), token_count(text))
 
 
+_LANG_ID_UDF = None
+
+
 def lang_id(text: Column | str) -> Column:
     """Predicted language = argmax stopword-profile vote (ties →
     lexicographically first language code). Zero signal — no profile
     matched anything (code, URLs, unsupported languages) — returns
     NULL rather than confidently tagging the text with whatever
-    language sorts first."""
-    scores = [
-        F.struct(
-            stopword_count(text, lang).alias("score"),
-            F.lit(lang).alias("lang"),
-        )
-        for lang in sorted(STOPWORDS)
-    ]
-    # array_max on struct compares (score, lang) lexicographically;
-    # invert the lang for ties so the *first* code wins, then recover it
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    s["score"].alias("score"),
-                    # negate tie order: 'zz' - lang rank; simpler: use
-                    # struct (score, reversed lang marker)
-                    F.lit(len(STOPWORDS) - i).alias("pri"),
-                    s["lang"].alias("lang"),
-                )
-                for i, s in enumerate(scores)
-            ]
-        )
-    )
-    return F.when(best["score"] > 0, best["lang"])
+    language sorts first.
+
+    One Arrow-batched pass with set lookups. The equivalent Catalyst
+    form (per-language ``filter``+``isin`` lambda trees folded through
+    ``array_max``) re-splits the text once per language and costs ~1.1s
+    of fresh-plan analysis alone at sf0.1 vs ~0.44s end-to-end here —
+    the measured-UDF exception, like ``dedup.word_shingles``. Per-lang
+    counts for ratio features stay JVM-side (``stopword_count``)."""
+    global _LANG_ID_UDF
+    col = F.col(text) if isinstance(text, str) else text
+    if _LANG_ID_UDF is None:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        sets = {lang: frozenset(w) for lang, w in STOPWORDS.items()}
+        langs = sorted(STOPWORDS)
+
+        @pandas_udf("string")
+        def lid(ts: pd.Series) -> pd.Series:
+            out = []
+            for t in ts:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = t.split(" ")
+                best, best_score = None, 0
+                for lang in langs:
+                    # zh votes by CHARACTER membership (unsegmented
+                    # text never matches token-wise) — same rule as
+                    # stopword_count
+                    s = (
+                        sum(1 for ch in t if ch in sets["zh"])
+                        if lang == "zh"
+                        else sum(1 for w in toks if w in sets[lang])
+                    )
+                    if s > best_score:  # strict: ties keep the first code
+                        best, best_score = lang, s
+                out.append(best)
+            return pd.Series(out, dtype=object)
+
+        _LANG_ID_UDF = lid
+    return _LANG_ID_UDF(col)
 
 
 def quality_score(text: Column | str) -> Column:

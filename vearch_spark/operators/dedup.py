@@ -1011,3 +1011,166 @@ def semantic_decontaminate(
             )
 
     return train.select(icol, vcol).mapInPandas(run, schema=out_schema)
+
+
+def dedup_against_corpus(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    shingle_hash: str = "xxhash64",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Incremental dedup: match a NEW shard against an EXISTING corpus.
+
+    Production pipelines rarely re-dedup the whole corpus per crawl —
+    they ask "which of today's documents already exist?" and anti-join
+    the answer. This is that operator: exact (content fingerprint) plus
+    near (MinHash-LSH banded join, *across* the two sides only — never
+    within either side), one row per matched new document:
+
+        (<id_col>, match_id, match_type 'exact'|'near', jaccard)
+
+    picking the best corpus match per new doc — exact before near, then
+    highest exact-verified Jaccard, then lowest corpus id. The clean
+    (novel) subset is ``new.join(result, id_col, "left_anti")``.
+    Within-shard duplicates are :func:`minhash_lsh_pairs`'s job.
+
+    Scale shape: the exact arm is one equi join on a 32-char md5 (in a
+    real deployment the corpus side is a precomputed, bucketed
+    fingerprint relation — here derived inline); the near arm reuses
+    the narrow (id, band, bandhash) banding of the self-join variant,
+    but joins new-bands against corpus-bands, so cost is proportional
+    to cross-side bucket overlap, not corpus². ``max_bucket`` caps the
+    CORPUS side of a band bucket at its lowest-id members (boilerplate
+    buckets on a degenerate corpus would otherwise fan every colliding
+    new doc out quadratically); the exact-Jaccard verify still gates
+    every emitted pair, so the cap only bounds recall in buckets it
+    truncates — raise it or pass ``None`` for parity with the unguarded
+    join (the DuckDB oracle runs unguarded; at oracle scale no bucket
+    reaches the cap).
+
+    ``jaccard`` is exact-verified intersection/union of the distinct
+    shingle sets — integer-ratio arithmetic any SQL engine reproduces
+    bit-for-bit. Exact matches report jaccard 1.0 without a shingle
+    pass (equal texts have equal shingle sets).
+    """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(f"bands must divide num_hashes: {bands} vs {num_hashes}")
+    rows_per_band = num_hashes // bands
+
+    # ONE side-tagged relation drives everything: the shingle/signature
+    # pipeline (the expensive Arrow pass) runs once over new ∪ corpus
+    # and persists once, instead of once per side. The side flag rides
+    # every derived relation, so overlapping id spaces between the two
+    # inputs can never cross-contaminate.
+    tagged = new.select(
+        F.lit(0).alias("_side"),
+        F.col(id_col).alias("_did"),
+        F.col(text_col).alias("_tx"),
+    ).unionByName(
+        corpus.select(
+            F.lit(1).alias("_side"),
+            F.col(id_col).alias("_did"),
+            F.col(text_col).alias("_tx"),
+        )
+    )
+
+    # fingerprints only through the join — the text never shuffles
+    fp = tagged.select("_side", "_did", F.md5(F.col("_tx")).alias("_fp"))
+    exact = (
+        fp.where(F.col("_side") == 0)
+        .select(F.col("_did").alias("_nid"), "_fp")
+        .join(
+            fp.where(F.col("_side") == 1).select("_fp", F.col("_did").alias("_cid")),
+            "_fp",
+        )
+        .select(
+            F.col("_nid"),
+            F.col("_cid").alias("match_id"),
+            F.lit("exact").alias("match_type"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    base = tagged.select(
+        "_side", "_did", word_shingles(F.col("_tx"), shingle_n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    base = base.persist()  # feeds the banding AND the verify lookback
+    sig = base.withColumn(
+        "_sig",
+        minhash_signature_fast(F.col("_sh"), num_hashes, shingle_hash=shingle_hash),
+    )
+    banded = sig.select(
+        "_side",
+        "_did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("_bd"),
+    ).select(
+        "_side", "_did", F.col("_bd.band").alias("_b"), F.col("_bd.bh").alias("_bh")
+    )
+    banded = banded.persist()  # both bucket-join sides read it
+    nbands = banded.where(F.col("_side") == 0)
+    cbands = banded.where(F.col("_side") == 1)
+    if max_bucket is not None:
+        wcap = Window.partitionBy("_b", "_bh").orderBy("_did")
+        cbands = (
+            cbands.withColumn("_r", F.row_number().over(wcap))
+            .where(F.col("_r") <= int(max_bucket))
+            .drop("_r")
+        )
+    cand = (
+        nbands.select("_b", "_bh", F.col("_did").alias("_nid"))
+        .join(cbands.select("_b", "_bh", F.col("_did").alias("_mid")), ["_b", "_bh"])
+        .select("_nid", "_mid")
+        .dropDuplicates(["_nid", "_mid"])
+    )
+    inter = F.size(F.array_intersect("_sh_n", "_sh_c"))
+    union = F.size("_sh_n") + F.size("_sh_c") - inter
+    nsh = base.where(F.col("_side") == 0).select(
+        F.col("_did").alias("_nid"), F.col("_sh").alias("_sh_n")
+    )
+    csh = base.where(F.col("_side") == 1).select(
+        F.col("_did").alias("_mid"), F.col("_sh").alias("_sh_c")
+    )
+    near = (
+        cand.join(nsh, "_nid")
+        .join(csh, "_mid")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            "_nid",
+            F.col("_mid").alias("match_id"),
+            F.lit("near").alias("match_type"),
+            "jaccard",
+        )
+    )
+
+    both = exact.unionByName(near)
+    wbest = Window.partitionBy("_nid").orderBy(
+        # exact < near lexicographically — exact wins, then best overlap
+        F.col("match_type").asc(), F.col("jaccard").desc(), F.col("match_id").asc()
+    )
+    return (
+        both.withColumn("_rk", F.row_number().over(wbest))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("_nid").alias(id_col),
+            "match_id",
+            "match_type",
+            F.col("jaccard").cast("double").alias("jaccard"),
+        )
+    )

@@ -194,6 +194,13 @@ class IVFFlatIndex:
         self._assigned.count()
         return self
 
+    @property
+    def assigned(self) -> DataFrame | None:
+        """The persisted cluster-assigned relation (rows + ``_cluster_id``,
+        range-partitioned and sorted by cell) — the ready-made corpus
+        side for :func:`~vearch_spark.operators.knn_join.knn_join`."""
+        return self._assigned
+
     def add(self, df: DataFrame) -> "IVFFlatIndex":
         """Incremental add: assign new rows to the EXISTING coarse cells
         and append — no retrain. This is the reference's background
