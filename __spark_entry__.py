@@ -1378,9 +1378,14 @@ def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     # corpus side = the index's own persisted assignment relation
     # (already cluster-range-partitioned, zero extra Arrow work)
+    # kernel="expr": the JVM fold is bit-identical to DuckDB's
+    # sequential list_sum — the hash-checked configuration. The BLAS
+    # cogroup kernel (default; 20× at 1M×64) is parity-tested against
+    # this one in tests/test_knn_join.py and benched in stress_1m.
     return knn_join(
         emb.where(F.col("vec_id") < 100), index.assigned, index.centroids,
         k=5, nprobe=4, right_cluster_col=CLUSTER_COL, exclude_self=True,
+        kernel="expr",
     ).orderBy("vec_id", "rank")
 
 

@@ -135,6 +135,33 @@ def test_embedding_cosine_pairs_bucketed(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_cosine_bucketed_blas_kernel_parity(spark):
+    """kernel='blas' (per-bucket matmul, no pair join) must emit the
+    same pairs as the expr join, cosines equal to float tolerance; a
+    zero vector must pair with nothing (try_divide parity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, (rng.normal(0, 1, 6)).tolist(), int(i % 3)) for i in range(60)
+    ] + [(100, [0.0] * 6, 0)]
+    # plant near-dups inside bucket 0
+    rows.append((101, [v * 1.001 for v in rows[0][1]], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, bkt int")
+    a = {(r.id_a, r.id_b): r.cosine for r in dedup.embedding_cosine_pairs(
+        df, threshold=0.8, bucket_col="bkt", kernel="expr").collect()}
+    b = {(r.id_a, r.id_b): r.cosine for r in dedup.embedding_cosine_pairs(
+        df, threshold=0.8, bucket_col="bkt", kernel="blas").collect()}
+    assert set(a) == set(b) and (0, 101) in b
+    assert all(100 not in p for p in b)
+    for k, v in a.items():
+        assert b[k] == pytest.approx(v, rel=1e-9)
+    plan = dedup.embedding_cosine_pairs(
+        df, threshold=0.8, bucket_col="bkt", kernel="blas"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan and "Join" not in plan
+
+
 def test_connected_components_both_paths(spark):
     # two chains and a singleton edge: {1,2,3,4}, {10,11}, {20,21}
     pairs = spark.createDataFrame(

@@ -78,9 +78,11 @@ def test_two_table_join_and_no_self_rows(spark, embeddings, cents):
     qids = {r.vec_id for r in out}
     assert qids == set(range(10))
     # without exclude_self each left row's nearest right row is itself
+    # (BLAS expanded form: |q|^2-2qx+|x|^2 leaves ~1e-16 residue at 0)
     for r in out:
         if r.rank == 1:
-            assert r.neighbor_id == r.vec_id and r.score == 0.0
+            assert r.neighbor_id == r.vec_id
+            assert r.score == pytest.approx(0.0, abs=1e-9)
     out2 = knn_self_join(embeddings.where(F.col("vec_id") < 10), cents, k=4)
     assert all(r.neighbor_id != r.vec_id for r in out2.collect())
 
@@ -117,16 +119,58 @@ def test_ip_metric_orders_descending(spark, embeddings, cents):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_blas_kernel_matches_expr_kernel(spark, embeddings, cents):
+    """The default BLAS cogroup kernel must reproduce the oracle-exact
+    expression kernel: same pairs, same ranks, scores equal at float32
+    output precision (BLAS reassociates float64 additions)."""
+    left = embeddings.where(F.col("vec_id") < 60)
+    a = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.score)
+        for r in knn_join(left, embeddings, cents, k=5, nprobe=4,
+                          exclude_self=True, kernel="expr").collect()
+    }
+    b = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.score)
+        for r in knn_join(left, embeddings, cents, k=5, nprobe=4,
+                          exclude_self=True, kernel="blas").collect()
+    }
+    assert set(a) == set(b)
+    for key, (nbr, s) in a.items():
+        assert b[key][0] == nbr
+        assert b[key][1] == pytest.approx(s, rel=1e-6)
+
+
+def test_blas_kernel_ip_and_self_exclusion(spark, embeddings, cents):
+    out = (
+        knn_self_join(
+            embeddings.where("vec_id < 40"), cents, k=4,
+            metric="InnerProduct", kernel="blas",
+        ).collect()
+    )
+    assert out and all(r.neighbor_id != r.vec_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.vec_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_unknown_kernel_rejected(spark, embeddings, cents):
+    with pytest.raises(ValueError, match="kernel"):
+        knn_join(embeddings, embeddings, cents, kernel="gpu")
+
+
 def test_plan_shape(spark, embeddings, cents):
-    """The join must be an EQUI join on the cell id — never a nested
-    loop / cross product — and the top-k must be a WindowGroupLimit
-    rank cut applied Partial (map-side) before the exchange, so the
-    shuffle carries at most k rows per query. Broadcast-vs-shuffle for
-    the equi join is Catalyst's size-based call (broadcast is correct
-    at this fixture's scale; stats flip it to shuffle-hash when the
-    corpus side is large) — the operator only fixes the join KEY."""
+    """expr kernel: an EQUI join on the cell id — never a nested loop /
+    cross product — with the top-k as a WindowGroupLimit rank cut
+    applied Partial (map-side) before the exchange. Broadcast-vs-
+    shuffle for the equi join is Catalyst's size-based call — the
+    operator only fixes the join KEY. blas kernel: no pair join at all
+    (FlatMapCoGroupsInPandas per cell), same window cut downstream."""
     plan = (
-        knn_self_join(embeddings, cents, k=5)
+        knn_self_join(embeddings, cents, k=5, kernel="expr")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -135,3 +179,13 @@ def test_plan_shape(spark, embeddings, cents):
     assert "WindowGroupLimit" in plan and "Partial" in plan
     joins = [ln for ln in plan.splitlines() if "HashJoin" in ln]
     assert joins, plan
+
+    bplan = (
+        knn_self_join(embeddings, cents, k=5, kernel="blas")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in bplan
+    assert "Join" not in bplan
+    assert "WindowGroupLimit" in bplan

@@ -82,3 +82,45 @@ def test_null_labels_are_their_own_class(spark):
     assert by_anchor[1] == {2, 3}
     assert by_anchor[2] == {1}
     assert by_anchor[3] == {1}
+
+
+def test_blas_kernel_matches_expr_kernel(emb_df):
+    """mapInPandas BLAS kernel == broadcast-join expr kernel: same
+    pairs, ranks preserved by the shared window, scores equal at
+    float tolerance (BLAS reassociates)."""
+    df, _ = emb_df
+    anchors = df.where(F.col("doc_id") < 6)
+    for metric in (Metric.L2, Metric.INNER_PRODUCT):
+        a = [(r.anchor_id, r.doc_id) for r in hard_negatives(
+            anchors, df, id_col="doc_id", k=4, metric=metric,
+            kernel="expr").collect()]
+        b = [(r.anchor_id, r.doc_id) for r in hard_negatives(
+            anchors, df, id_col="doc_id", k=4, metric=metric,
+            kernel="blas").collect()]
+        assert sorted(a) == sorted(b)
+    sa = {(r.anchor_id, r.doc_id): r._score for r in hard_negatives(
+        anchors, df, id_col="doc_id", k=4, kernel="expr").collect()}
+    sb = {(r.anchor_id, r.doc_id): r._score for r in hard_negatives(
+        anchors, df, id_col="doc_id", k=4, kernel="blas").collect()}
+    for k2, v in sa.items():
+        assert sb[k2] == pytest.approx(v, rel=1e-9)
+
+
+def test_blas_kernel_null_labels(spark):
+    """NULL is its own label class in BOTH kernels (eqNullSafe parity):
+    unlabeled rows are negatives for labeled anchors and vice versa,
+    never dropped, never matched to each other."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], None),
+        (2, [0.8, 0.2], 0),
+        (3, [0.7, 0.3], None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>, label int")
+    anchors = df.where(F.col("doc_id").isin(0, 1))
+    for kern in ("expr", "blas"):
+        got = {}
+        for r in hard_negatives(anchors, df, id_col="doc_id", k=4, kernel=kern).collect():
+            got.setdefault(r.anchor_id, set()).add(r.doc_id)
+        assert got[0] == {1, 3}, kern  # labeled anchor: only NULL rows differ
+        assert got[1] == {0, 2}, kern  # NULL anchor: only labeled rows differ

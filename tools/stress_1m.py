@@ -133,8 +133,11 @@ def main() -> None:
     n_left = 2048
     t0 = time.time()
     knn_join(
-        df.where(F.col("vec_id") < n_left), df, index.centroids,
-        k=10, nprobe=4,
+        df.where(F.col("vec_id") < n_left),
+        # corpus side = the index's persisted assignment relation:
+        # zero corpus-side Arrow work, already cluster-partitioned
+        index.assigned, index.centroids,
+        k=10, nprobe=4, right_cluster_col="_cluster_id",
     ).count()
     t_knn_join = time.time() - t0
 

@@ -108,20 +108,29 @@ def main() -> None:
     out["span_total"] = int(agg["s"])
     out["span_dup"] = int(agg["d"])
 
-    # incremental form: the newest 10% of the corpus matched against
-    # the other 90% — the per-crawl shape (cross-side band join only)
+    # incremental form: a re-crawl shard (10% of the corpus re-presented
+    # under new ids — even ids verbatim = exact, odd ids with a token
+    # appended = near) matched against the full corpus. Throughput is
+    # per TOTAL doc processed: the batch operator re-shingles both sides
+    # (the streaming form, CorpusDeltaDedup, amortizes the corpus side
+    # into a stored signature index instead).
     from vearch_spark.operators.dedup import dedup_against_corpus
 
-    cut = int(n * 0.9)
+    n_new = n // 10
+    recrawl = docs.where(F.col("doc_id") < n_new).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(" xz")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     t0 = time.time()
-    matches = dedup_against_corpus(
-        docs.where(F.col("doc_id") >= cut),
-        docs.where(F.col("doc_id") < cut),
-        jaccard_threshold=0.5,
-    ).count()
+    matched = dedup_against_corpus(recrawl, docs, jaccard_threshold=0.5)
+    by_type = {r["match_type"]: r["n"] for r in
+               matched.groupBy("match_type").agg(F.count("*").alias("n")).collect()}
     dt = time.time() - t0
-    out["incremental_matches"] = matches
-    out["incremental_new_docs_per_s"] = round((n - cut) / dt, 1)
+    out["incremental_exact"] = by_type.get("exact", 0)
+    out["incremental_near"] = by_type.get("near", 0)
+    out["incremental_total_docs_per_s"] = round((n + n_new) / dt, 1)
 
     print(json.dumps(out))
     spark.stop()

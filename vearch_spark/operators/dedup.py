@@ -724,6 +724,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     bucket_col: str | None = None,
     max_bucket: int | None = 100_000,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -739,6 +740,14 @@ def embedding_cosine_pairs(
     cap raise with guidance (refine the quantizer — e.g. a two-level
     cell tree — or raise the cap). One cheap map-side-combined count
     probe; ``None`` disables.
+
+    ``kernel`` (bucketed path only): ``"blas"`` scores each bucket as
+    ONE numpy normalized-matmul inside ``applyInPandas`` and emits only
+    the ≥-threshold pairs — the pair join disappears from the plan
+    entirely (same measured ~20× as the knn-join kernel; the bucket
+    block must fit a task, which ``max_bucket`` already enforces).
+    ``"expr"`` keeps the JVM per-pair fold — the DuckDB-reproducible
+    configuration the oracle checks.
     """
     from vearch_spark.functions.distance import inner_product, vector_norm
 
@@ -764,6 +773,40 @@ def embedding_cosine_pairs(
                 "join would be quadratic — refine the coarse quantizer (more "
                 "cells / a two-level tree) or raise max_bucket"
             )
+    if kernel not in ("blas", "expr"):
+        raise ValueError(f"unknown kernel: {kernel!r} (blas | expr)")
+    if kernel == "blas":
+        if not bucket_col:
+            # the unbucketed brute form IS embedding_cosine_pairs_blas
+            raise ValueError(
+                "kernel='blas' needs bucket_col; for the unbucketed "
+                "brute form use embedding_cosine_pairs_blas"
+            )
+        thr = float(threshold)
+        id_t = base.schema[id_col].dataType.simpleString()
+
+        def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            n = pdf["_n"].to_numpy(dtype=np.float64)
+            n = np.where(n == 0.0, np.nan, n)  # try_divide parity: 0-norm → no pair
+            sims = (x @ x.T) / (n[:, None] * n[None, :])
+            ia, ib = np.triu_indices(len(pdf), k=1)
+            keep = sims[ia, ib] >= thr
+            ids = pdf[id_col].to_numpy()
+            id_a, id_b = ids[ia[keep]], ids[ib[keep]]
+            swap = id_a > id_b  # triu is frame order, contract is id order
+            id_a2 = np.where(swap, id_b, id_a)
+            id_b2 = np.where(swap, id_a, id_b)
+            return pd.DataFrame(
+                {"id_a": id_a2, "id_b": id_b2, "cosine": sims[ia, ib][keep]}
+            )
+
+        return base.groupBy(bucket_col).applyInPandas(
+            bucket_pairs, schema=f"id_a {id_t}, id_b {id_t}, cosine double"
+        )
+
     a = base.select(
         *([F.col(bucket_col)] if bucket_col else []),
         F.col(id_col).alias("id_a"),
