@@ -926,6 +926,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/classifier.py): a linear
+    classifier distilled from the rule-based gate (fastText/CCNet
+    recipe shape), trained deterministically driver-side (pyarrow +
+    fixed-iteration numpy GD — the trained-IVF pattern), scored as one
+    narrow JVM projection. Output is the LOGIT (pure multiply-add over
+    literal weights — cross-engine exact; sigmoid/exp may differ in the
+    last libm ulp). The oracle recomputes the features in SQL and holds
+    the SAME weight literals from the same fit."""
+    from vearch_spark.operators.classifier import fit_from_parquet, score_docs
+
+    params = fit_from_parquet(sf_dir)
+    return score_docs(_docs(spark, sf_dir), params).orderBy("doc_id")
+
+
 def q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-data selection: top-3 docs per source by quality score
     (window rank with deterministic tie-break) — the step that turns
@@ -1546,7 +1561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "cosine_near_dup": q_cosine_near_dup,
     "lang_id": q_lang_id,
-    "quality_score": q_quality_score,
+    "quality_classifier": q_quality_classifier,
     "date_range_agg": q_date_range_agg,
     "binaryivf_knn": q_binaryivf_knn,
     "normalized_ip_knn": q_normalized_ip_knn,
@@ -1586,6 +1601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,  # postings+idf kernel: bm25_topk
     "ivf2_knn": q_ivf2_knn,  # hierarchical quantizer: ivfflat_knn + its own oracle
     "vocab_top_terms": q_vocab_top_terms,  # postings/count kernel: tfidf_keywords/bm25_topk
+    "quality_score": q_quality_score,  # banded composite: quality_topk_per_source SQL twin
 }
 
 
@@ -2663,6 +2679,52 @@ def _hard_negatives_sql() -> str:
     """
 
 
+def _quality_classifier_sql() -> str:
+    """Distilled-classifier oracle: DuckDB recomputes the four surface
+    features (exact integer counts and ratios) and folds the SAME
+    standardized-logit literals, in the same left-to-right order, from
+    the same deterministic pyarrow+numpy fit the Spark query used. The
+    logit is multiply-add only — no exp(), no libm drift."""
+    from vearch_spark.functions.text import STOPWORDS
+    from vearch_spark.operators.classifier import FEATURES, fit_from_parquet
+
+    w, b, mu, sd = fit_from_parquet(ORACLE_SF_DIR)
+    sw_words = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    feats_sql = {
+        "n_tok": "len(string_split(text, ' '))::DOUBLE",
+        "mtl": (
+            "coalesce(list_sum(list_transform(string_split(text, ' '), "
+            "t -> len(t)))::BIGINT / len(string_split(text, ' ')), 0.0)"
+        ),
+        "punct": (
+            "coalesce(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))"
+            " / len(text), 0.0)"
+        ),
+        "sw_en": (
+            f"coalesce(len(list_filter(string_split(text, ' '), "
+            f"t -> t IN ({sw_words})))::DOUBLE"
+            " / len(string_split(text, ' ')), 0.0)"
+        ),
+    }
+    logit = f"{b!r}"
+    for i, name in enumerate(FEATURES):
+        logit += f" + {w[i]!r} * (({name} - {mu[i]!r}) / {sd[i]!r})"
+    cols = ",\n                 ".join(
+        f"{expr} AS {name}" for name, expr in feats_sql.items()
+    )
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 {cols}
+          FROM documents
+        )
+        SELECT doc_id, CAST(logit AS REAL) AS quality_logit,
+               (logit > 0)::INT AS is_match
+        FROM (SELECT doc_id, {logit} AS logit FROM f)
+        ORDER BY doc_id
+    """
+
+
 def _knn_join_sql() -> str:
     """Bulk kNN-join oracle: DuckDB rebuilds BOTH halves of the blocked
     join from the recomputed centroid literals — the corpus side's
@@ -2985,6 +3047,7 @@ def oracle_sql() -> dict[str, str]:
     d["incremental_dedup"] = _incremental_dedup_sql()
     d["hard_negatives"] = _hard_negatives_sql()
     d["knn_self_join"] = _knn_join_sql()
+    d["quality_classifier"] = _quality_classifier_sql()
     d["temperature_mix"] = _temperature_mix_sql()
     d["semantic_decontaminate"] = _semantic_decontaminate_sql()
     d["dedup_lines"] = _dedup_lines_sql()
