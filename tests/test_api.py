@@ -414,61 +414,6 @@ def test_upsert_duplicate_ids_in_batch(spark):
 
 def test_config_update_is_atomic(spark):
     """A request mixing valid and invalid keys applies NOTHING
-    (the reference unmarshals then applies — all-or-none)."""
-    schema = SpaceSchema(
-        name="cfg_atomic",
-        fields=[FieldSpec("field_int", FieldType.INT,
-                          index=IndexSpec("field_int", "SCALAR"))],
-    )
-    sp = Space(spark, schema)
-    with pytest.raises(DocumentError):
-        api.update_config(sp, {"engine_cache_size": 1024,
-                               "refresh_interval": "fast"})
-    assert "engine_cache_size" not in api.get_config(sp)  # not half-applied
-    with pytest.raises(DocumentError):
-        api.update_config(sp, {"path": 5})  # path is not updatable... 
-    # ...but non-int path isn't even validated: unknown/unupdatable keys
-    # are ignored like the Go unmarshal — assert it did not land
-    assert api.get_config(sp).get("path") is None
-    with pytest.raises(DocumentError):
-        api.update_space(sp, {"partition_num": "four"})
-    with pytest.raises(DocumentError):
-        api.update_space(sp, {"partition_num": None})
-
-
-def test_upsert_scalar_vector_value_typed_error(spark):
-    schema = SpaceSchema(
-        name="scalar_vec",
-        fields=[FieldSpec("v", FieldType.VECTOR, dimension=DIM,
-                          index=IndexSpec("v", "FLAT"))],
-    )
-    sp = Space(spark, schema)
-    with pytest.raises(DocumentError):
-        api.upsert(sp, {"documents": [{"_id": "1", "v": 3.0}]})
-    with pytest.raises(DocumentError):
-        sp.partial_update("1", {"v": 3.0})
-
-
-def test_partition_grow_persists_on_empty_space(spark, tmp_path):
-    """Growing partition_num on an empty-but-committed space persists
-    the new count to the manifest — a reload must not resurrect the
-    old routing."""
-    schema = SpaceSchema(
-        name="grow_empty",
-        fields=[FieldSpec("field_int", FieldType.INT,
-                          index=IndexSpec("field_int", "SCALAR"))],
-    )
-    p = str(tmp_path / "grow_empty")
-    sp = Space(spark, schema, path=p, n_buckets=2)
-    api.upsert(sp, {"documents": [{"_id": "1", "field_int": 1}]})
-    api.delete(sp, {"document_ids": ["1"]})
-    assert api.update_space(sp, {"partition_num": 4}) == {"partition_num": 4}
-    reloaded = Space(spark, schema, path=p)
-    assert reloaded.n_buckets == 4
-
-
-def test_config_update_is_atomic(spark):
-    """A request mixing valid and invalid keys applies NOTHING
     (the reference unmarshals then applies — all-or-none); path is
     reported but not updatable."""
     schema = SpaceSchema(
