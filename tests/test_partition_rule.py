@@ -149,3 +149,81 @@ def test_hnsw_search_with_partition_names_fills_limit(spark):
     assert all(i % 12 == 0 for i in ids)  # only p2021 docs
     # and they are the nearest p2021 docs, in order
     assert ids == [0, 12, 24, 36, 48, 60, 72, 84]
+
+
+def test_drop_partition_removes_range_and_docs(spark):
+    """operator_type=DROP (space_service.go:1055-1098,
+    test_module_partition.py::test_drop_partitions): the named range
+    leaves the rule and its documents are deleted."""
+    from vearch_spark import api
+
+    sp = Space(spark, make_schema())
+    sp.upsert(rows())
+    n_before = sp.count()
+    out = api.update_space(
+        sp, {"operator_type": "DROP", "partition_name": "p2021"}
+    )
+    names = [r["name"] for r in out["partition_rule"]["ranges"]]
+    assert names == ["p2020", "p2022"]
+    # the two 2021-docs are gone; remaining docs intact
+    assert sp.count() == n_before - 2
+    assert sp.schema.partition_rule.names() == ["p2020", "p2022"]
+    # dropped partition is no longer a valid target
+    with pytest.raises(SearchError):
+        sp.query(limit=10, partition_names=["p2021"])
+    # a doc in the dropped range's old span now routes to the next
+    # bound (first-bound-exceeding routing): p2021's span joins p2022
+    sp.upsert([{"_id": "x1", "ts": __import__("datetime").datetime.fromisoformat("2021-06-01"),
+                "field_int": 1, "vec": [0.1, 0.2]}])
+    hits = sp.query(limit=10, partition_names=["p2022"]).collect()
+    assert "x1" in [r["_id"] for r in hits]
+
+
+def test_drop_partition_validation(spark):
+    from vearch_spark import api
+
+    sp = Space(spark, make_schema())
+    with pytest.raises(DocumentError):
+        sp.update_partition_rule("DROP")  # name empty (space_service.go:1056)
+    with pytest.raises(DocumentError):
+        sp.update_partition_rule("DROP", partition_name="nope")  # not exist
+    with pytest.raises(DocumentError):
+        sp.update_partition_rule("MERGE", partition_name="p2020")  # bad op
+    with pytest.raises(DocumentError):
+        api.update_space(sp, {})  # neither partition_num nor operator_type
+
+
+def test_add_partitions_merges_sorted_and_rejects_collisions(spark):
+    """operator_type=ADD (space_service.go:1100-1150; RangeIsSame
+    partition.go:256-280): new ranges join the rule; name OR value
+    collisions reject; bounds keep ascending order regardless of
+    request order."""
+    from vearch_spark import api
+
+    sp = Space(spark, make_schema())
+    sp.upsert(rows())
+    out = api.update_space(sp, {
+        "operator_type": "ADD",
+        "partition_rule": {"ranges": [
+            {"name": "p2024", "value": "2025-01-01"},   # out of order on purpose
+            {"name": "p2023", "value": "2024-01-01"},
+        ]},
+    })
+    names = [r["name"] for r in out["partition_rule"]["ranges"]]
+    assert names == ["p2020", "p2021", "p2022", "p2023", "p2024"]
+    # the new range accepts ingest and is targetable
+    import datetime as dt
+
+    sp.upsert([{"_id": "n1", "ts": dt.datetime.fromisoformat("2024-06-01"),
+                "field_int": 9, "vec": [0.5, 0.5]}])
+    hits = sp.query(limit=10, partition_names=["p2024"]).collect()
+    assert [r["_id"] for r in hits] == ["n1"]
+    # collisions: existing name / existing value / within-request dupes
+    with pytest.raises(DocumentError):
+        sp.update_partition_rule("ADD", ranges=[("p2020", "2030-01-01")])
+    with pytest.raises(DocumentError):
+        sp.update_partition_rule("ADD", ranges=[("pX", "2022-01-01")])
+    with pytest.raises(DocumentError):
+        sp.update_partition_rule("ADD", ranges=[("pY", "2031-01-01"), ("pY", "2032-01-01")])
+    with pytest.raises(DocumentError):
+        sp.update_partition_rule("ADD")  # empty rule (space_service.go:1101)

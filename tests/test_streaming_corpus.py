@@ -51,10 +51,23 @@ def test_epoch_replay_is_idempotent(spark, ingest):
     ingest.process_batch(_mk(spark, B1), epoch=0)
     ingest.process_batch(_mk(spark, B2), epoch=1)
     n_before = ingest.docs(spark).count()
-    # a crash-replay of epoch 1 overwrites its own partition, not appends
+    rej_before = sorted(
+        (r.doc_id, r.match_id, r.match_type)
+        for r in ingest.rejects(spark).collect()
+    )
+    # a crash-replay of epoch 1 (its own rows already in the index from
+    # the first attempt) must converge to the identical state: same
+    # docs, same rejects — in particular NO self-matches of the
+    # replayed rows against their own first-attempt index entries
     ingest.process_batch(_mk(spark, B2), epoch=1)
     assert ingest.docs(spark).count() == n_before
     assert ingest.docs(spark).where(F.col("doc_id") == 12).count() == 1
+    rej_after = sorted(
+        (r.doc_id, r.match_id, r.match_type)
+        for r in ingest.rejects(spark).collect()
+    )
+    assert rej_after == rej_before
+    assert all(d != m for d, m, _ in rej_after)
 
 
 def test_blank_docs_exact_dedup_only(spark, ingest):

@@ -186,11 +186,25 @@ def index_forcemerge(space: Space, req: dict | None = None) -> int:
 
 
 def update_space(space: Space, req: dict) -> dict:
-    """`PUT /dbs/{db}/spaces/{space}`: space update. The supported
-    mutation is growing `partition_num` (reduction is rejected with an
-    error, test_module_space.py::test_update_space_partition)."""
+    """`PUT /dbs/{db}/spaces/{space}`: space update. Supported
+    mutations (space_service.go:560-580): growing `partition_num`
+    (reduction rejected, test_module_space.py::test_update_space_partition)
+    and range-rule edits via `operator_type` ADD | DROP
+    (test_module_partition.py::test_add_partitions/test_drop_partitions —
+    DROP names the range with `partition_name`, ADD carries the new
+    ranges under `partition_rule.ranges`)."""
+    if "operator_type" in req:
+        rule = req.get("partition_rule") or {}
+        ranges = [
+            (r.get("name"), r.get("value")) for r in rule.get("ranges") or []
+        ]
+        return space.update_partition_rule(
+            req["operator_type"],
+            partition_name=req.get("partition_name"),
+            ranges=ranges or None,
+        )
     if "partition_num" not in req:
-        raise DocumentError("update_space requires partition_num")
+        raise DocumentError("update_space requires partition_num or operator_type")
     try:
         n = int(req["partition_num"])
     except (TypeError, ValueError):

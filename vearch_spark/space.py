@@ -58,6 +58,7 @@ from vearch_spark.schema import (
     SEQ_FIELD,
     FieldType,
     Metric,
+    PartitionRule,
     SpaceSchema,
     expected_vector_len as _expected_vector_len,
     is_binary_field as _is_binary_field,
@@ -508,6 +509,114 @@ class Space:
             self.n_buckets = old
             raise
         return n
+
+    def update_partition_rule(
+        self,
+        operator_type: str,
+        partition_name: str | None = None,
+        ranges: Sequence[tuple[str, str]] | None = None,
+    ) -> dict:
+        """``PUT /dbs/{db}/spaces/{space}`` with ``operator_type``
+        ADD | DROP (space_service.go:1053-1150; entity.Add/Drop
+        partition.go:116-117; exercised by test_module_partition.py's
+        test_add_partitions / test_drop_partitions):
+
+        - DROP: ``partition_name`` required and must exist
+          (space_service.go:1056-1068); the range leaves the rule and
+          its documents are deleted (the reference deletes the
+          partition's replicas — get_space_num()==0 after dropping the
+          only populated range). Bucketed layout nests
+          ``_partition_name=`` under each bucket, so the delete
+          rewrites only buckets holding affected rows; a pure
+          directory-drop commit is the available optimization if the
+          rewrite ever shows up at scale.
+        - ADD: new ranges must collide with no existing range name OR
+          bound value (RangeIsSame partition.go:256-280); the merged
+          rule is kept bound-ordered (routing is by value, so order is
+          representation, not semantics — our declared-order router
+          requires ascending bounds).
+
+        Trained indexes are untouched by ADD; DROP tombstones the
+        deleted ids through the normal write-sync path.
+        """
+        from dataclasses import replace as _dc_replace
+        from datetime import datetime
+
+        rule = self.schema.partition_rule
+        if rule is None:
+            raise DocumentError("space has no partition rule")
+        if operator_type not in ("ADD", "DROP"):
+            # mirrors space_service.go:570-573
+            raise DocumentError(
+                f"partition operator type should be ADD or DROP, "
+                f"got {operator_type!r}"
+            )
+        if operator_type == "DROP":
+            if not partition_name:
+                raise DocumentError("partition name is empty")
+            if partition_name not in rule.names():
+                raise DocumentError(
+                    f"partition name {partition_name} not exist"
+                )
+            remaining = [r for r in rule.ranges if r[0] != partition_name]
+            if not remaining:
+                raise DocumentError(
+                    "cannot drop the last partition range of the rule"
+                )
+            if self._df is not None:
+                pred = F.col(PARTITION_FIELD) == partition_name
+                matched = (
+                    self.df.where(pred)
+                    .select(ID_FIELD)
+                    .localCheckpoint(eager=True)
+                )
+                self._delete_matches(pred, matched)
+            new_rule = PartitionRule(field=rule.field, ranges=remaining)
+        else:  # ADD
+            if not ranges:
+                raise DocumentError("partition rule is empty")
+            pairs = [(str(n), str(v)) for n, v in ranges]
+            names = set(rule.names())
+            values = {v for _, v in rule.ranges}
+            for n, v in pairs:
+                if n in names:
+                    raise DocumentError(
+                        f"partition rule range name {n} has same one"
+                    )
+                if v in values:
+                    raise DocumentError(
+                        f"partition rule range value {v} has same one"
+                    )
+                names.add(n)
+                values.add(v)
+
+            def _bound(r: tuple[str, str]):
+                try:
+                    return datetime.fromisoformat(
+                        str(r[1]).replace("Z", "+00:00")
+                    )
+                except ValueError:
+                    raise DocumentError(
+                        f"partition range {r[0]!r} has unparseable "
+                        f"bound {r[1]!r}"
+                    ) from None
+
+            try:
+                merged = sorted(rule.ranges + pairs, key=_bound)
+            except TypeError:
+                raise DocumentError(
+                    "partition range bounds mix timezone-aware and "
+                    "naive timestamps"
+                ) from None
+            new_rule = PartitionRule(field=rule.field, ranges=merged)
+        self.schema = _dc_replace(self.schema, partition_rule=new_rule)
+        return {
+            "partition_rule": {
+                "type": "RANGE",
+                "field": new_rule.field,
+                "ranges": [{"name": n, "value": v} for n, v in new_rule.ranges],
+            }
+        }
 
     # ------------------------------------------------------------ config
     # "path" is reported (SpaceConfig carries it) but NOT updatable —

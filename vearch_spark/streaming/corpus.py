@@ -161,6 +161,13 @@ class CorpusDeltaDedup:
             if index is None:
                 matched = None
             else:
+                # id-equal rows never match: after a crash BETWEEN the
+                # index append and the rejects append, the replayed
+                # epoch's own rows are already in the index — without
+                # this, every replayed doc exact-matches itself, the
+                # rejects relation gains bogus self-rows, and the docs
+                # partition survives only because an empty dynamic
+                # overwrite happens to write nothing
                 exact = (
                     sigrel.select("_did", "_fp")
                     .join(
@@ -170,6 +177,7 @@ class CorpusDeltaDedup:
                         ),
                         "_fp",
                     )
+                    .where(F.col("_did") != F.col("match_id"))
                     .select(
                         "_did",
                         "match_id",
@@ -193,6 +201,7 @@ class CorpusDeltaDedup:
                             ),
                             ["_b", "_bh"],
                         )
+                        .where(F.col("_did") != F.col("_mid"))  # replay self-rows
                         .select("_did", "_mid")
                         .dropDuplicates(["_did", "_mid"])
                     )
