@@ -1272,12 +1272,16 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND noise detection. Oracle: DuckDB recomputes assignment from the
     centroid literals (the IVF-oracle machinery), the JVM-fold distance,
     and the per-cluster moments."""
+    from vearch_spark.operators.ivf import CLUSTER_COL
     from vearch_spark.operators.sample import embedding_outliers
 
     index = _ivf_index(spark, sf_dir, "ivfflat")
+    # one fit, four uses: score over the index's own persisted
+    # assignment relation — no re-assignment Arrow pass
     out = embedding_outliers(
-        _emb(spark, sf_dir), index.centroids,
+        index.assigned, index.centroids,
         vec_col="embedding", id_col="vec_id", z_threshold=2.0,
+        cluster_col=CLUSTER_COL,
     )
     return out.orderBy("vec_id")
 

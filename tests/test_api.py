@@ -492,3 +492,48 @@ def test_fused_search_honors_is_brute_search(spark):
     # forced-exact works and returns fused hits
     out = api.search(sp, {**req, "is_brute_search": 1})
     assert out.count() == 3
+
+
+def test_list_and_delete_indexes(spark):
+    """GET /dbs/{db}/spaces/{space}/indexes + DELETE .../indexes/{name}
+    (cluster_api.go:291-294; test_module_space_indexes.py:311-324 —
+    inline field indexes appear in the list; RemoveIndex
+    space_service.go:1727-1782 — empty name rejected, unknown name
+    errors, the field's inline index is cleared so it cannot
+    resurrect)."""
+    schema = SpaceSchema(
+        name="idx_list",
+        fields=[
+            FieldSpec("field_int", FieldType.INT,
+                      index=IndexSpec("idx_int", "SCALAR")),
+            FieldSpec("field_str", FieldType.STRING),
+            FieldSpec("v", FieldType.VECTOR, dimension=DIM,
+                      index=IndexSpec("idx_vec", "FLAT")),
+        ],
+    )
+    sp = Space(spark, schema)
+    out = api.list_indexes(sp, detail=True, db_name="db1")
+    assert out["db_name"] == "db1" and out["space_name"] == "idx_list"
+    by_name = {i["name"]: i for i in out["indexes"]}
+    assert set(by_name) == {"idx_int", "idx_vec"}
+    assert by_name["idx_int"]["state"] == "INDEXED"   # scalar: no training
+    assert by_name["idx_vec"]["state"] == "UNINDEXED"  # vector: not built
+
+    # dynamically added index shows up (POST /indexes twin)
+    sp.add_index("field_str", "SCALAR")
+    assert "field_str" in {i["name"] for i in api.list_indexes(sp)["indexes"]}
+
+    # delete: scalar index removal makes the field unfilterable again
+    api.delete_index(sp, "idx_int")
+    assert "idx_int" not in {i["name"] for i in api.list_indexes(sp)["indexes"]}
+    api.upsert(sp, {"documents": [
+        {"_id": "1", "field_int": 5, "field_str": "a", "v": [0.1] * DIM}]})
+    with pytest.raises(Exception):
+        sp.query(flt={"operator": "AND", "conditions": [
+            {"operator": ">", "field": "field_int", "value": 1}]}, limit=10)
+
+    # validation surface
+    with pytest.raises(DocumentError):
+        sp.remove_index("")
+    with pytest.raises(DocumentError):
+        sp.remove_index("nope")

@@ -227,3 +227,19 @@ def test_add_partitions_merges_sorted_and_rejects_collisions(spark):
         sp.update_partition_rule("ADD", ranges=[("pY", "2031-01-01"), ("pY", "2032-01-01")])
     with pytest.raises(DocumentError):
         sp.update_partition_rule("ADD")  # empty rule (space_service.go:1101)
+
+
+def test_drop_partition_on_bucketed_space(spark, tmp_path):
+    """DROP on a path-backed space: the delete rewrites only buckets
+    holding affected rows, the physical _partition_name=p2021 dirs stop
+    being referenced, and reads after the drop are consistent."""
+    sp = Space(spark, make_schema(), path=str(tmp_path / "tl2"))
+    sp.upsert(rows())
+    n = sp.count()
+    sp.update_partition_rule("DROP", partition_name="p2021")
+    assert sp.count() == n - 2
+    assert sorted(r._id for r in sp.query(limit=100).collect()) == ["0", "1", "4"]
+    # reopened from disk, the data state persists (the rule itself is
+    # schema-level — the caller's registry carries it, as with create)
+    reopened = Space(spark, make_schema(), path=str(tmp_path / "tl2"))
+    assert reopened.count() == n - 2

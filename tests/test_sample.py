@@ -172,3 +172,28 @@ def test_temperature_mix_handles_null_stratum(spark):
     assert 0 < len(got) < 80
     # both strata participate proportionally (alpha=1 → natural mix)
     assert any(r.source is None for r in got) and any(r.source == "web" for r in got)
+
+
+def test_outliers_preassigned_cluster_col_parity(spark, embeddings):
+    """cluster_col (the index's persisted assignment) must reproduce
+    the recompute path exactly — same cells, same z-scores."""
+    from pyspark.sql import functions as F
+
+    from vearch_spark.operators.ivf import CLUSTER_COL
+    from vearch_spark.operators.ivf_oracle import float_centroids
+    from vearch_spark.operators.knn_join import probe_cells_udf
+    from vearch_spark.operators.sample import embedding_outliers
+
+    cents = float_centroids("/root/testdata/sf0.001")
+    pre = embeddings.withColumn(
+        CLUSTER_COL,
+        F.element_at(
+            probe_cells_udf(cents, 1)(F.col("embedding").cast("array<double>")), 1
+        ),
+    )
+    a = sorted(map(tuple, embedding_outliers(
+        embeddings, cents, id_col="vec_id", z_threshold=2.0).collect()))
+    b = sorted(map(tuple, embedding_outliers(
+        pre, cents, id_col="vec_id", z_threshold=2.0,
+        cluster_col=CLUSTER_COL).collect()))
+    assert a == b

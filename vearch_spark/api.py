@@ -228,6 +228,24 @@ def update_config(space: Space, req: dict) -> dict:
     return space.update_config(req or {})
 
 
+def list_indexes(space: Space, detail: bool = False, db_name: str | None = None) -> dict:
+    """`GET /dbs/{db}/spaces/{space}/indexes[?detail=true]`
+    (cluster_api.go:291-292; payload shape
+    test_module_space_indexes.py:311-324)."""
+    out = space.list_indexes(detail=detail)
+    if db_name is not None:
+        out = {"db_name": db_name, **out}
+    return out
+
+
+def delete_index(space: Space, index_name: str) -> dict:
+    """`DELETE /dbs/{db}/spaces/{space}/indexes/{name}`
+    (cluster_api.go:294 → RemoveIndex space_service.go:1727-1782);
+    echoes the remaining indexes like the route's space payload."""
+    space.remove_index(index_name)
+    return space.list_indexes()
+
+
 def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
     """`POST /index/rebuild` (doc_http.go:937 → Engine::RebuildIndex
     engine.cc:1013-1084): retrain every declared vector index from the

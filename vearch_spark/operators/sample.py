@@ -210,6 +210,7 @@ def embedding_outliers(
     vec_col: str = "embedding",
     id_col: str = "doc_id",
     z_threshold: float = 3.0,
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """Embedding-space outlier scoring — the semantic-noise gate of a
     training-data pipeline (mislabeled pairs, corrupt decodes, and
@@ -226,7 +227,12 @@ def embedding_outliers(
     centroid join is a broadcast of a (k, dim) relation; the per-cluster
     moments are one map-side-combined aggregation over (cluster, dist)
     — two scans, one tiny shuffle, no row ever leaves its partition
-    with more than two doubles attached.
+    with more than two doubles attached. ``cluster_col`` names a
+    PRE-COMPUTED assignment column on ``df`` (pass the trained index's
+    own ``IVFFlatIndex.assigned`` relation — one fit, four uses: ANN
+    pruning, diversity sampling, kNN join, outlier scoring) and the
+    Arrow assignment pass disappears; the column must come from the
+    SAME centroids or the z-scores group by the wrong Voronoi cells.
     """
     import numpy as np
 
@@ -240,9 +246,13 @@ def embedding_outliers(
         [(int(i), [float(x) for x in c[i]]) for i in range(len(c))],
         f"{CLUSTER_COL} int, _centroid array<double>",
     )
-    assigned = df.withColumn(
-        CLUSTER_COL, _nearest_centroid_udf(c)(F.col(vec_col))
-    ).join(F.broadcast(cents), on=CLUSTER_COL)
+    if cluster_col is not None:
+        assigned = df.withColumn(CLUSTER_COL, F.col(cluster_col))
+    else:
+        assigned = df.withColumn(
+            CLUSTER_COL, _nearest_centroid_udf(c)(F.col(vec_col))
+        )
+    assigned = assigned.join(F.broadcast(cents), on=CLUSTER_COL)
     scored = assigned.withColumn(
         "_dist", score_expr(F.col(vec_col), F.col("_centroid"), Metric.L2)
     ).drop("_centroid")

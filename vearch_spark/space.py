@@ -1706,6 +1706,60 @@ class Space:
             )
         spec.index = new_index
 
+    def list_indexes(self, detail: bool = False) -> dict:
+        """``GET /dbs/{db}/spaces/{space}/indexes`` (cluster_api.go:
+        291-292 → SpaceService.ListIndexes space_service.go:1425-1455;
+        test_module_space_indexes.py:311-324 expects explicit and
+        inline per-field indexes in ONE list — here every index is
+        field-inline, so the list is the fields' specs). ``detail``
+        mirrors ``?detail=true``: the reference fans out per-replica
+        build state (collectIndexBuildState); the single local engine
+        collapses that to each index's state."""
+        indexes = []
+        for f in self.schema.fields:
+            if f.index is None:
+                continue
+            entry: dict = {
+                "name": f.index.name,
+                "type": f.index.index_type,
+                "field": f.name,
+            }
+            if f.index.params:
+                entry["params"] = dict(f.index.params)
+            if detail:
+                entry["state"] = (
+                    self.index_state(f.name)
+                    if f.type is FieldType.VECTOR
+                    else "INDEXED"  # scalar filters need no training
+                )
+            indexes.append(entry)
+        return {"space_name": self.schema.name, "indexes": indexes}
+
+    def remove_index(self, index_name: str) -> None:
+        """``DELETE /dbs/{db}/spaces/{space}/indexes/{name}``
+        (cluster_api.go:294 → SpaceService.RemoveIndex
+        space_service.go:1727-1782): empty name rejected, unknown name
+        errors, and the FIELD's inline index is cleared too (the
+        reference clears fields[].index or the removed index would
+        resurrect from SpaceProperties on restart). A vector field's
+        trained model is dropped with its declaration — subsequent
+        searches brute-force, filters on the field reject
+        (doc_query.go:1169-1171 parity)."""
+        if not index_name:
+            raise DocumentError("index name cannot be empty")
+        for f in self.schema.fields:
+            if f.index is not None and f.index.name == index_name:
+                model = self._indexes.pop(f.name, None)
+                if model is not None:
+                    unp = getattr(model, "unpersist", None)
+                    if unp is not None:
+                        unp()
+                f.index = None
+                return
+        raise DocumentError(
+            f"index {index_name} not found in space {self.schema.name}"
+        )
+
     def backup(self, path: str) -> int:
         """Space-level export (master backup routes doc_http.go:217-222,
         internal/ps/backup/): one parquet snapshot + the create-space
