@@ -132,6 +132,31 @@ def main() -> None:
     out["incremental_near"] = by_type.get("near", 0)
     out["incremental_total_docs_per_s"] = round((n + n_new) / dt, 1)
 
+    # streaming form: 5 sequential micro-batches through the durable
+    # signature index (streaming/corpus.py). The evidence is per-batch
+    # FLATNESS — batch cost must not grow with the accumulated corpus,
+    # because matching reads the stored fingerprint/sig/posting
+    # relations instead of re-shingling corpus text.
+    import shutil
+    import tempfile
+
+    from vearch_spark.streaming.corpus import CorpusDeltaDedup
+
+    d = tempfile.mkdtemp(prefix="corpus_stress_")
+    ing = CorpusDeltaDedup(d + "/c", jaccard_threshold=0.5)
+    bs = n // 10
+    t_batches = []
+    for e in range(5):
+        b = docs.where(
+            (F.col("doc_id") >= e * bs) & (F.col("doc_id") < (e + 1) * bs)
+        ).select("doc_id", "text")
+        t0 = time.time()
+        ing.process_batch(b, e)
+        t_batches.append(time.time() - t0)
+    out["stream_batch_s"] = [round(t, 2) for t in t_batches]
+    out["stream_docs_per_s"] = round(bs * len(t_batches) / sum(t_batches), 1)
+    shutil.rmtree(d)
+
     print(json.dumps(out))
     spark.stop()
 
