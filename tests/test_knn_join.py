@@ -189,3 +189,30 @@ def test_plan_shape(spark, embeddings, cents):
     assert "FlatMapCoGroupsInPandas" in bplan
     assert "Join" not in bplan
     assert "WindowGroupLimit" in bplan
+
+
+def test_blas_kernel_tie_break_matches_expr(spark, cents):
+    """Duplicate embeddings (the SemDeDup case) make score ties routine
+    at the per-cell k boundary: the blas kernel must keep the LOWEST
+    neighbor id, exactly like the expr kernel's (score, id) window."""
+    base = [0.5] * cents.shape[1]
+    rows = [(i, base) for i in range(12)]  # 12 identical vectors
+    rows += [(100 + i, [v + 0.3 for v in base]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        (r.vec_id, r.rank, r.neighbor_id)
+        for r in knn_join(df, df, cents, k=5, nprobe=4,
+                          exclude_self=True, kernel="expr").collect()
+    )
+    b = sorted(
+        (r.vec_id, r.rank, r.neighbor_id)
+        for r in knn_join(df, df, cents, k=5, nprobe=4,
+                          exclude_self=True, kernel="blas").collect()
+    )
+    assert a == b
+    # and the contract itself: for an identical-vector query, the five
+    # nearest are the five lowest OTHER ids
+    by_q = {}
+    for qid, rank, nbr in b:
+        by_q.setdefault(qid, []).append(nbr)
+    assert by_q[3] == [0, 1, 2, 4, 5]

@@ -124,3 +124,20 @@ def test_blas_kernel_null_labels(spark):
             got.setdefault(r.anchor_id, set()).add(r.doc_id)
         assert got[0] == {1, 3}, kern  # labeled anchor: only NULL rows differ
         assert got[1] == {0, 2}, kern  # NULL anchor: only labeled rows differ
+
+
+def test_blas_kernel_tie_break_and_empty_anchors(spark):
+    """Ties at the per-batch k boundary keep the lowest id (expr
+    parity); an empty anchor set returns empty, not an error."""
+    rows = [(i, [1.0, 0.0], i % 2) for i in range(10)]  # identical per label
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>, label int")
+    anchors = df.where(F.col("doc_id") == 0)
+    for kern in ("expr", "blas"):
+        got = [r.doc_id for r in hard_negatives(
+            anchors, df, id_col="doc_id", k=3, kernel=kern
+        ).orderBy("anchor_id", "_score", "doc_id").collect()]
+        assert got == [1, 3, 5], kern  # lowest wrong-label ids win ties
+    empty = hard_negatives(
+        df.where(F.col("doc_id") < 0), df, id_col="doc_id", k=3, kernel="blas"
+    )
+    assert empty.count() == 0

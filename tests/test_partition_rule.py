@@ -243,3 +243,17 @@ def test_drop_partition_on_bucketed_space(spark, tmp_path):
     # schema-level — the caller's registry carries it, as with create)
     reopened = Space(spark, make_schema(), path=str(tmp_path / "tl2"))
     assert reopened.count() == n - 2
+
+
+def test_add_partition_requires_name_and_value(spark):
+    """A {"value": ...} entry without a name must reject — not coerce
+    to a partition literally named "None"."""
+    from vearch_spark import api
+
+    sp = Space(spark, make_schema())
+    with pytest.raises(DocumentError):
+        api.update_space(sp, {"operator_type": "ADD", "partition_rule": {
+            "ranges": [{"value": "2030-01-01"}]}})
+    with pytest.raises(DocumentError):
+        sp.update_partition_rule("ADD", ranges=[("p9", None)])
+    assert sp.schema.partition_rule.names() == ["p2020", "p2021", "p2022"]

@@ -70,6 +70,28 @@ def test_epoch_replay_is_idempotent(spark, ingest):
     assert all(d != m for d, m, _ in rej_after)
 
 
+def test_replay_keeps_in_batch_near_dups(spark, ingest):
+    """A batch holding two near-duplicate NOVEL docs (within-batch near
+    dedup is out of scope — both are clean) must survive a crash-replay
+    of its own epoch: without the running-epoch exclusion each doc
+    near-matches the OTHER's first-attempt index entry and both are
+    dropped from the corpus."""
+    ingest.process_batch(_mk(spark, B1), epoch=0)
+    near_pair = [
+        (30, "watermark semantics for stateful stream operators in micro batch engines"),
+        (31, "watermark semantics for stateful stream operators in tiny batch engines"),
+    ]
+    ingest.process_batch(_mk(spark, near_pair), epoch=1)
+    docs1 = {r.doc_id for r in ingest.docs(spark).collect()}
+    assert {30, 31} <= docs1  # both novel vs corpus, both kept
+    # crash-replay of epoch 1: index/postings already hold 30 and 31
+    ingest.process_batch(_mk(spark, near_pair), epoch=1)
+    docs2 = {r.doc_id for r in ingest.docs(spark).collect()}
+    assert docs2 == docs1
+    rej = ingest.rejects(spark)
+    assert rej is None or not {r.doc_id for r in rej.collect()} & {30, 31}
+
+
 def test_blank_docs_exact_dedup_only(spark, ingest):
     ingest.process_batch(_mk(spark, [(0, ""), (1, "")]), epoch=0)
     assert [r.doc_id for r in ingest.docs(spark).collect()] == [0]

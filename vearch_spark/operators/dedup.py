@@ -69,6 +69,23 @@ def md5_mod31_expr(col: Column) -> Column:
     return (dec % F.lit(_PRIME31)).cast("long")
 
 
+def band_postings_expr(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """``array<struct<band:int, bh:bigint>>`` of banded signature-slice
+    hashes — THE banding definition. Every consumer (the self-join LSH,
+    the corpus-delta join, the streaming index's stored postings) must
+    band identically or match recall silently diverges between them;
+    they all call this one expression."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.slice(sig, b * rows_per_band + 1, rows_per_band)
+            ).alias("bh"),
+        ),
+    )
+
+
 _SHINGLE_UDFS: dict[int, object] = {}
 
 
@@ -371,15 +388,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "_did",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                        "bh"
-                    ),
-                ),
-            )
+            band_postings_expr(F.col("_sig"), bands, rows_per_band)
         ).alias("_band"),
     ).select("_did", F.col("_band.band").alias("_b"), F.col("_band.bh").alias("_bh"))
     # cached: both bucket-join sides read this narrow (id, band, hash)
@@ -1101,6 +1110,16 @@ def dedup_against_corpus(
     shingle sets — integer-ratio arithmetic any SQL engine reproduces
     bit-for-bit. Exact matches report jaccard 1.0 without a shingle
     pass (equal texts have equal shingle sets).
+
+    Caching: the shared shingle relation and the banded relation back
+    the RETURNED lazy DataFrame and stay persisted for the session
+    (the same contract as :func:`ngram_jaccard_pairs` — the driver and
+    bench pipelines re-run these queries, and re-shingling costs more
+    than the cached narrow relations hold). Callers that loop the
+    batch operator per micro-batch should use the streaming form
+    (``streaming.corpus.CorpusDeltaDedup``), which unpersists per batch
+    and never re-shingles the corpus at all; ``spark.catalog.clearCache()``
+    reclaims everything otherwise.
     """
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(f"bands must divide num_hashes: {bands} vs {num_hashes}")
@@ -1152,15 +1171,7 @@ def dedup_against_corpus(
         "_side",
         "_did",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bh"),
-                ),
-            )
+            band_postings_expr(F.col("_sig"), bands, rows_per_band)
         ).alias("_bd"),
     ).select(
         "_side", "_did", F.col("_bd.band").alias("_b"), F.col("_bd.bh").alias("_bh")

@@ -192,6 +192,14 @@ def _cogroup_cell_topk(
     def score_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(cpdf) == 0:
             return pd.DataFrame({"_qid": [], "_nbr_id": [], "_score": []})
+        # pre-sort the corpus block by neighbor id: a row-wise STABLE
+        # argsort then breaks score ties toward the lowest id — the
+        # contract the expr kernel's (score, id) window gives. A bare
+        # argpartition keeps an arbitrary tied candidate, so the
+        # per-cell cut could drop the very row the global window would
+        # have ranked inside k (duplicate embeddings — the SemDeDup
+        # case — make such ties routine).
+        cpdf = cpdf.sort_values("_nbr_id", kind="stable")
         q = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["_qv"]])
         x = np.stack([np.asarray(v, dtype=np.float64) for v in cpdf["_nbr_vec"]])
         qid = qpdf["_qid"].to_numpy()
@@ -207,16 +215,13 @@ def _cogroup_cell_topk(
         if exclude_self:
             d[qid[:, None] == nid[None, :]] = np.inf
         m = min(kk, d.shape[1])
-        # argpartition bounds the sort to k per row; ties on the id are
-        # re-broken exactly by the global rank window downstream
-        part = np.argpartition(d, m - 1, axis=1)[:, :m]
+        order = np.argsort(d, axis=1, kind="stable")[:, :m]
         rows_q, rows_n, rows_s = [], [], []
         for i in range(len(qid)):
-            cols = part[i]
-            keep = cols[np.isfinite(d[i, cols])]
-            rows_q.extend([qid[i]] * len(keep))
-            rows_n.extend(nid[keep])
-            rows_s.extend(d[i, keep] if ascending else -d[i, keep])
+            cols = order[i][np.isfinite(d[i, order[i]])]
+            rows_q.extend([qid[i]] * len(cols))
+            rows_n.extend(nid[cols])
+            rows_s.extend(d[i, cols] if ascending else -d[i, cols])
         return pd.DataFrame({"_qid": rows_q, "_nbr_id": rows_n, "_score": rows_s})
 
     qt = queries.schema["_qid"].dataType.simpleString()

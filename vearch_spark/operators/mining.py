@@ -107,15 +107,6 @@ def _blas_scored(
     import pandas as pd
 
     rows = anchors.select(id_col, vec_col, label_col).collect()
-    if not rows:
-        raise ValueError("hard_negatives: empty anchor set")
-    a_ids = [r[0] for r in rows]
-    a_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    a_lbl = [r[2] for r in rows]
-    a2 = (a_mat**2).sum(axis=1)
-    ascending = metric.ascending
-    kk = int(k)
-
     sch = corpus.schema
     out_schema = (
         f"anchor_id {anchors.schema[id_col].dataType.simpleString()}, "
@@ -123,11 +114,28 @@ def _blas_scored(
         f"{label_col} {sch[label_col].dataType.simpleString()}, "
         "_score double"
     )
+    if not rows:
+        # kernel parity: the expr path's broadcast join of an empty
+        # anchor set yields an empty result, not an error — a dynamic
+        # anchor filter hitting zero rows must not crash on the scale
+        # kernel either
+        return anchors.sparkSession.createDataFrame([], out_schema)
+    a_ids = [r[0] for r in rows]
+    a_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    a_lbl = [r[2] for r in rows]
+    a2 = (a_mat**2).sum(axis=1)
+    ascending = metric.ascending
+    kk = int(k)
 
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # pre-sort by id + row-wise STABLE argsort: score ties cut
+            # toward the lowest id, matching the expr kernel's
+            # (score, id) window — argpartition would keep an arbitrary
+            # tied row (duplicate embeddings make ties routine)
+            pdf = pdf.sort_values(id_col, kind="stable")
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if ascending:
                 d = a2[:, None] - 2.0 * (a_mat @ x.T) + (x**2).sum(axis=1)[None, :]
@@ -145,11 +153,11 @@ def _blas_scored(
                 )
                 d[i, same] = np.inf
             m = min(kk, d.shape[1])
-            part = np.argpartition(d, m - 1, axis=1)[:, :m]
+            order = np.argsort(d, axis=1, kind="stable")[:, :m]
             ids = pdf[id_col].to_numpy()
             out_a, out_i, out_l, out_s = [], [], [], []
             for i in range(len(a_ids)):
-                cols = part[i][np.isfinite(d[i, part[i]])]
+                cols = order[i][np.isfinite(d[i, order[i]])]
                 out_a.extend([a_ids[i]] * len(cols))
                 out_i.extend(ids[cols])
                 out_l.extend(lbl[cols])

@@ -575,6 +575,14 @@ class Space:
         else:  # ADD
             if not ranges:
                 raise DocumentError("partition rule is empty")
+            for n, v in ranges:
+                # a {"value": ...} entry without a name would otherwise
+                # coerce to the literal range name "None"
+                if n is None or str(n) == "" or v is None:
+                    raise DocumentError(
+                        f"partition range needs both name and value, "
+                        f"got name={n!r} value={v!r}"
+                    )
             pairs = [(str(n), str(v)) for n, v in ranges]
             names = set(rule.names())
             values = {v for _, v in rule.ranges}

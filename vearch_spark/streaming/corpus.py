@@ -25,9 +25,12 @@ here it is a plain parquet append — the join is still narrow
 (3 longs/row).
 
 Exactly-once: batch writes are idempotent per epoch — each relation is
-written under ``_epoch=N`` subdirectories, and a replayed epoch
-OVERWRITES its own subdirectory (dynamic partition overwrite), so a
-crash between the four appends re-runs cleanly. Reads glob the roots.
+written under ``_epoch=N`` subdirectories, a replayed epoch OVERWRITES
+its own subdirectory (dynamic partition overwrite), and the matching
+reads EXCLUDE the running epoch's own partition, so a crash between the
+four appends re-runs cleanly even when the batch holds in-batch
+near-duplicates that the first attempt already indexed. Reads glob the
+roots.
 """
 
 from __future__ import annotations
@@ -76,7 +79,9 @@ class CorpusDeltaDedup:
 
     # ------------------------------------------------------------ reads
 
-    def _read(self, spark, sub: str) -> DataFrame | None:
+    def _read(
+        self, spark, sub: str, exclude_epoch: int | None = None
+    ) -> DataFrame | None:
         import os
 
         root = f"{self.path}/{sub}"
@@ -84,7 +89,16 @@ class CorpusDeltaDedup:
             n.startswith(f"{_EPOCH}=") for n in os.listdir(root)
         ):
             return None
-        return spark.read.parquet(root)
+        df = spark.read.parquet(root)
+        if exclude_epoch is not None:
+            # replay correctness: a crashed epoch's own first-attempt
+            # partition must be invisible while the epoch re-runs —
+            # otherwise its rows match THEMSELVES (same id) or EACH
+            # OTHER (in-batch near-dups that were clean the first time)
+            # and the replay drops them from the corpus. The epoch
+            # filter is a partition-directory prune, not a row filter.
+            df = df.where(F.col(_EPOCH) != int(exclude_epoch))
+        return df
 
     def docs(self, spark) -> DataFrame | None:
         """The accumulated clean corpus (None before the first batch)."""
@@ -112,19 +126,13 @@ class CorpusDeltaDedup:
         )
 
     def _postings(self, sigrel: DataFrame) -> DataFrame:
+        from vearch_spark.operators.dedup import band_postings_expr
+
         rpb = self.num_hashes // self.bands
         return sigrel.where(F.col("_sig").isNotNull()).select(
             "_did",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(self.bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), b * rpb + 1, rpb)
-                        ).alias("bh"),
-                    ),
-                )
+                band_postings_expr(F.col("_sig"), self.bands, rpb)
             ).alias("_bd"),
         ).select("_did", F.col("_bd.band").alias("_b"), F.col("_bd.bh").alias("_bh"))
 
@@ -157,17 +165,14 @@ class CorpusDeltaDedup:
         try:
             sigrel = self._sig_relation(batch).persist()
 
-            index = self._read(spark, "index")
+            index = self._read(spark, "index", exclude_epoch=epoch)
             if index is None:
                 matched = None
             else:
-                # id-equal rows never match: after a crash BETWEEN the
-                # index append and the rejects append, the replayed
-                # epoch's own rows are already in the index — without
-                # this, every replayed doc exact-matches itself, the
-                # rejects relation gains bogus self-rows, and the docs
-                # partition survives only because an empty dynamic
-                # overwrite happens to write nothing
+                # the epoch exclusion above is the replay fix; the
+                # id-equal guards below stay as defense-in-depth (an
+                # upstream that re-sends an id across DIFFERENT epochs
+                # is an update/replay, never a new doc to reject)
                 exact = (
                     sigrel.select("_did", "_fp")
                     .join(
@@ -188,7 +193,7 @@ class CorpusDeltaDedup:
                 # postings may be absent even when the index exists: an
                 # all-blank corpus writes index rows (NULL sigs) but no
                 # posting — the near arm then has nothing to join
-                posts = self._read(spark, "postings")
+                posts = self._read(spark, "postings", exclude_epoch=epoch)
                 cand = None
                 if posts is not None:
                     cand = (
