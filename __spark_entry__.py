@@ -840,6 +840,40 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus data card — the summary row a curation run logs
+    per snapshot: doc/source/lang counts, token volume and percentiles,
+    blank and exact-duplicate counts, mean rule-quality. One pure-JVM
+    aggregation pass (map-side partials; the exact percentiles become
+    approx_percentile at 100 TB, as in length_percentiles). Mean
+    quality crosses engines as an INTEGER sum (per-doc quality is
+    6dp-rounded, scaled by 1e6, cast long) — a float SUM's association
+    order differs between engines, an integer sum cannot."""
+    from vearch_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    ntok = F.size(F.split("text", " "))
+    q6 = F.round(quality_score("text") * 1000000.0, 0).cast("long")
+    prof = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.percentile(ntok, 0.5).alias("p50_tokens"),
+        F.percentile(ntok, 0.95).alias("p95_tokens"),
+        F.sum((F.length("text") == 0).cast("int")).alias("blank_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("distinct_texts"),
+        F.sum(q6).alias("_sq6"),
+    )
+    return prof.select(
+        "n_docs", "n_sources", "n_langs", "total_tokens",
+        "p50_tokens", "p95_tokens", "blank_docs", "distinct_texts",
+        F.round(F.col("_sq6") / F.col("n_docs") / 1000000.0, 6).alias(
+            "mean_quality"
+        ),
+    )
+
+
 def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-30 terms by document-collection frequency
     (tokenizer-training / stopword discovery). Classic map-side-combine
@@ -1606,6 +1640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf2_knn": q_ivf2_knn,  # hierarchical quantizer: ivfflat_knn + its own oracle
     "vocab_top_terms": q_vocab_top_terms,  # postings/count kernel: tfidf_keywords/bm25_topk
     "quality_score": q_quality_score,  # banded composite: quality_topk_per_source SQL twin
+    "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
 }
 
 
@@ -2729,6 +2764,45 @@ def _quality_classifier_sql() -> str:
     """
 
 
+def _corpus_profile_sql() -> str:
+    """Data-card oracle: the same aggregates over the same exact-int
+    feature kernels; mean quality rides an integer sum (see the query's
+    docstring) so no cross-row float association can drift."""
+    return """
+        WITH f AS (
+          SELECT text, source, lang,
+                 len(string_split(text, ' ')) AS n_tok,
+                 coalesce(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                          / len(text), 0.0) AS p,
+                 coalesce(list_sum(list_transform(string_split(text, ' '),
+                          t -> len(t)))::BIGINT / len(string_split(text, ' ')),
+                          0.0) AS mtl
+          FROM documents
+        ), q AS (
+          SELECT *, round(
+            (CASE WHEN n_tok >= 20 AND n_tok <= 5000 THEN 1.0
+                  WHEN n_tok > 5000 THEN 0.5
+                  ELSE n_tok / 20.0 END) * 0.4
+            + (CASE WHEN p <= 0.1 THEN 1.0
+                    ELSE greatest(0.0, 1.0 - (p - 0.1) * 4.0) END) * 0.4
+            + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0
+                    ELSE 0.4 END) * 0.2, 6) AS quality
+          FROM f
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               sum(n_tok)::BIGINT AS total_tokens,
+               quantile_cont(n_tok, 0.5) AS p50_tokens,
+               quantile_cont(n_tok, 0.95) AS p95_tokens,
+               sum((len(text) = 0)::INT)::BIGINT AS blank_docs,
+               count(DISTINCT md5(text))::BIGINT AS distinct_texts,
+               round(sum(round(quality * 1000000.0, 0)::BIGINT)
+                     / count(*) / 1000000.0, 6) AS mean_quality
+        FROM q
+    """
+
+
 def _knn_join_sql() -> str:
     """Bulk kNN-join oracle: DuckDB rebuilds BOTH halves of the blocked
     join from the recomputed centroid literals — the corpus side's
@@ -3052,6 +3126,7 @@ def oracle_sql() -> dict[str, str]:
     d["hard_negatives"] = _hard_negatives_sql()
     d["knn_self_join"] = _knn_join_sql()
     d["quality_classifier"] = _quality_classifier_sql()
+    d["corpus_profile"] = _corpus_profile_sql()
     d["temperature_mix"] = _temperature_mix_sql()
     d["semantic_decontaminate"] = _semantic_decontaminate_sql()
     d["dedup_lines"] = _dedup_lines_sql()
