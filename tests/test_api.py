@@ -537,3 +537,87 @@ def test_list_and_delete_indexes(spark):
         sp.remove_index("")
     with pytest.raises(DocumentError):
         sp.remove_index("nope")
+
+
+def test_search_batched_qxdim_feature(space):
+    """A single vectors entry with a q×dim flat feature = req_num
+    independent top-k queries (parseVectors doc_query.go:255-338):
+    one row per (query_id, hit), each query's hits exact."""
+    req = {
+        "vectors": [{
+            "field": "field_vector",
+            # two queries: near doc 5 and near doc 12
+            "feature": [5.0, 0.0, 1.0, 0.0] + [12.0, 0.0, 1.0, 0.0],
+        }],
+        "limit": 2,
+    }
+    rows = api.search(space, req).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    assert sorted(r._id for r in by_q[0]) == ["4", "5"] or \
+        [r._id for r in sorted(by_q[0], key=lambda r: r._score)][0] == "5"
+    assert [r._id for r in sorted(by_q[1], key=lambda r: r._score)][0] == "12"
+    # list-of-lists shape parses identically
+    req2 = {
+        "vectors": [{"field": "field_vector",
+                     "feature": [[5.0, 0.0, 1.0, 0.0], [12.0, 0.0, 1.0, 0.0]]}],
+        "limit": 2,
+    }
+    rows2 = api.search(space, req2).collect()
+    assert sorted((r.query_id, r._id) for r in rows2) == \
+        sorted((r.query_id, r._id) for r in rows)
+    # filters apply to every query in the batch
+    req3 = dict(req, filters={"operator": "AND", "conditions": [
+        {"field": "field_int", "operator": ">=", "value": 10}]})
+    rows3 = api.search(space, req3).collect()
+    assert all(int(r._id) >= 10 for r in rows3)
+
+
+def test_search_batched_rejections(space):
+    base = {"vectors": [{"field": "field_vector",
+                         "feature": [1.0, 0.0, 1.0, 0.0] * 3}], "limit": 2}
+    with pytest.raises(SearchError):
+        api.search(space, dict(base, sort=[{"field_int": {"order": "asc"}}]))
+    with pytest.raises(SearchError):
+        api.search(space, {
+            "vectors": [
+                {"field": "field_vector", "feature": [1.0, 0.0, 1.0, 0.0] * 2},
+                {"field": "field_vector", "feature": [2.0, 0.0, 1.0, 0.0]},
+            ],
+        })
+    # a wrong-length flat feature is NOT a batch — the single-query
+    # path rejects it with the dimension error
+    with pytest.raises(SearchError):
+        api.search(space, {"vectors": [
+            {"field": "field_vector", "feature": [1.0, 2.0, 3.0]}]})
+
+
+def test_search_batched_through_ivf_index(spark):
+    """Auto mode routes a batched request through a trained float-IVF
+    index (index.search_batch — broadcast probe relation), matching
+    the exact batch scan."""
+    from vearch_spark import api as _api
+
+    schema = SpaceSchema(
+        name="batch_ivf",
+        fields=[FieldSpec("v", FieldType.VECTOR, dimension=DIM,
+                          index=IndexSpec("v", "IVFFLAT",
+                                          params={"ncentroids": 4, "nprobe": 4}))],
+    )
+    sp = Space(spark, schema)
+    _api.upsert(sp, {"documents": [
+        {"_id": str(i), "v": [float(i), 0.0, 1.0, 0.0]} for i in range(40)]})
+    req = {"vectors": [{"field": "v",
+                        "feature": [3.0, 0.0, 1.0, 0.0, 30.0, 0.0, 1.0, 0.0]}],
+           "limit": 3}
+    exact = sorted((r.query_id, r._id) for r in _api.search(
+        sp, dict(req, is_brute_search=1)).collect())
+    sp.build_index("v", training_threshold=10)
+    auto = sorted((r.query_id, r._id) for r in _api.search(sp, req).collect())
+    assert auto == exact
+    # nprobe=all cells makes the index path exhaustive
+    forced = sorted((r.query_id, r._id) for r in _api.search(
+        sp, dict(req, is_brute_search=0, index_params={"nprobe": 4})).collect())
+    assert forced == exact

@@ -60,12 +60,75 @@ def _parse_ranker(req: dict, n_vectors: int) -> list[float] | None:
     return params
 
 
+def _split_batch_feature(space: Space, v: dict) -> list[list[float]] | None:
+    """The reference's req_num parse (parseVectors doc_query.go:
+    255-338): one entry's ``feature`` may hold q×dim floats — q
+    independent queries in one request — either flat (the reference's
+    wire shape) or as a list of q vectors. Returns the split queries
+    for q ≥ 2, else None (the single-query path handles validation and
+    its own error surface). Binary (Hamming) fields are excluded —
+    their byte codes ride the single-query verb."""
+    from vearch_spark.schema import FieldType, expected_vector_len, is_binary_field
+
+    feat = v.get("feature") or []
+    if feat and isinstance(feat[0], (list, tuple)):
+        return [list(map(float, f)) for f in feat] if len(feat) > 1 else None
+    try:
+        spec = space.schema.field(v["field"])
+        if spec.type is not FieldType.VECTOR or is_binary_field(spec):
+            return None
+        expected = expected_vector_len(spec)
+    except Exception:
+        return None
+    if expected and len(feat) > expected and len(feat) % expected == 0:
+        q = len(feat) // expected
+        return [
+            list(map(float, feat[i * expected : (i + 1) * expected]))
+            for i in range(q)
+        ]
+    return None
+
+
 def search(space: Space, req: dict) -> DataFrame:
     """`POST /document/search` (doc_http.go:659-744,
-    request shape search_doc.go:71-94)."""
+    request shape search_doc.go:71-94). A single vector entry whose
+    feature holds q×dim floats becomes a BATCHED search (req_num
+    independent top-k queries — one row per (query_id, hit)); batched
+    multi-field fusion and batched sort/pagination are rejected."""
     vectors = req.get("vectors") or []
     if not vectors:
         raise SearchError("search requires at least one vector query")
+    if len(vectors) == 1 and "field" in vectors[0]:
+        feat = vectors[0].get("feature") or []
+        if feat and isinstance(feat[0], (list, tuple)) and len(feat) == 1:
+            # a singly-nested feature is one query, not a batch
+            vectors = [dict(vectors[0], feature=list(feat[0]))]
+        batch = _split_batch_feature(space, vectors[0])
+        if batch is not None:
+            if req.get("sort") or req.get("page_size") or req.get("page_num"):
+                raise SearchError(
+                    "sort/pagination are per-query verbs; not supported "
+                    "on a batched (q×dim) search request"
+                )
+            return space.search_batch(
+                batch,
+                vector_field=vectors[0]["field"],
+                limit=int(req.get("limit", 50)),
+                flt=req.get("filters"),
+                min_score=vectors[0].get("min_score"),
+                max_score=vectors[0].get("max_score"),
+                offset=int(req.get("offset", 0)),
+                l2_sqrt=bool(req.get("l2_sqrt", False)),
+                is_brute_search=int(req.get("is_brute_search", 2)),
+                nprobe=(req.get("index_params") or {}).get("nprobe"),
+                output_fields=req.get("fields"),
+                partition_names=req.get("partition_names"),
+            )
+    elif any(_split_batch_feature(space, v) for v in vectors if "field" in v):
+        raise SearchError(
+            "batched (q×dim) features cannot be combined with "
+            "multi-field fusion in one request"
+        )
     parsed = _parse_vectors(space, vectors)
     common = dict(
         limit=int(req.get("limit", 50)),

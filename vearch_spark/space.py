@@ -1439,6 +1439,127 @@ class Space:
         )
         return self._post_sort(hits, order, spec.metric, page_size, page_num)
 
+    def search_batch(
+        self,
+        features: Sequence[Sequence[float]],
+        vector_field: str | None = None,
+        limit: int = topk.DEFAULT_LIMIT,
+        flt: dict | Column | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        offset: int = 0,
+        l2_sqrt: bool = False,
+        is_brute_search: int = 2,
+        nprobe: int | None = None,
+        output_fields: list[str] | None = None,
+        partition_names: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Batched search: ``features`` = req_num query vectors in ONE
+        request (the reference's q×dim feature parse, parseVectors
+        doc_query.go:255-338) — returns one row per (query_id, hit),
+        the flat form of the router's per-query documents lists.
+
+        Physical routing mirrors :meth:`search`: exact scan =
+        ``topk.search_batch`` (one docs scan for the whole batch,
+        broadcast queries, per-query rank window); trained float-IVF
+        index = ``index.search_batch`` (broadcast probe relation,
+        cell-pruned scan). Binary/HNSW indexes have no batch form —
+        auto mode (2) falls back to the exact batch scan, forcing
+        is_brute_search=0 on them raises. Score band / offset /
+        projection ride the exact path only (the IVF batch relation is
+        (query_id, _id, _score)); requesting them forces the exact
+        scan, erroring only under is_brute_search=0.
+        """
+        if not features:
+            raise SearchError("search_batch requires at least one query")
+        if vector_field is None:
+            vfields = self.schema.vector_fields
+            if len(vfields) != 1:
+                raise SearchError(
+                    "vector_field is required with multiple vector fields"
+                )
+            vector_field = vfields[0].name
+        spec = self.schema.field(vector_field)
+        if spec.type is not FieldType.VECTOR:
+            raise SearchError(f"field {vector_field!r} is not a vector field")
+        expected = _expected_vector_len(spec)
+        qs = [list(map(float, q)) for q in features]
+        for q in qs:
+            if expected and len(q) != expected:
+                raise SearchError(
+                    f"query dimension {len(q)} != expected {expected}"
+                )
+        if spec.normalize:
+            # router-side query normalization (client.go:603-658), once
+            # per query vector
+            qs = [
+                [x / n for x in q] if (n := math.sqrt(sum(x * x for x in q))) > 0
+                else q
+                for q in qs
+            ]
+
+        index = self._indexes.get(vector_field)
+        from vearch_spark.operators.hnsw import HNSWIndex
+        from vearch_spark.operators.ivf import BinaryIVFIndex
+
+        batchable = (
+            index is not None
+            and not isinstance(index, (BinaryIVFIndex, HNSWIndex))
+            and hasattr(index, "search_batch")
+        )
+        extras = (
+            min_score is not None
+            or max_score is not None
+            or offset != 0
+            or output_fields is not None
+        )
+        use_index = False
+        if is_brute_search == 0:
+            if index is None:
+                raise SearchError(f"no trained index on {vector_field!r}")
+            if not batchable:
+                raise SearchError(
+                    "batched search through this index type is not "
+                    "supported; use is_brute_search=1"
+                )
+            if extras:
+                raise SearchError(
+                    "score band / offset / projection are exact-path "
+                    "batch features; drop them or use is_brute_search!=0"
+                )
+            use_index = True
+        elif is_brute_search == 2 and batchable and not extras:
+            use_index = True
+
+        self._route_scheduler_pool(limit, flt, nprobe, index if use_index else None)
+        if use_index:
+            pred = compile_filter(flt, self.schema)
+            if partition_names is not None:
+                ppred = F.col(PARTITION_FIELD).isin(list(partition_names))
+                pred = ppred if pred is None else (pred & ppred)
+            return index.search_batch(
+                qs, limit=limit, flt=pred, nprobe=nprobe, l2_sqrt=l2_sqrt
+            )
+        base_df = self._target_partitions(self.df, partition_names)
+        queries = self.spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qs)],
+            "query_id int, query_vec array<double>",
+        )
+        return topk.search_batch(
+            base_df,
+            vector_field,
+            queries,
+            limit=limit,
+            metric=spec.metric,
+            flt=flt,
+            schema=self.schema,
+            min_score=min_score,
+            max_score=max_score,
+            offset=offset,
+            l2_sqrt=l2_sqrt,
+            output_fields=output_fields,
+        )
+
     def _fused_index_search(
         self,
         vectors: list[VectorQuery],
