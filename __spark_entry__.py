@@ -2729,20 +2729,22 @@ def _quality_classifier_sql() -> str:
 
     w, b, mu, sd = fit_from_parquet(ORACLE_SF_DIR)
     sw_words = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    # txt = coalesce(text, '') — the Spark feature kernel coalesces the
+    # text column so NULL docs score like np_features' None → "" rows
     feats_sql = {
-        "n_tok": "len(string_split(text, ' '))::DOUBLE",
+        "n_tok": "len(string_split(txt, ' '))::DOUBLE",
         "mtl": (
-            "coalesce(list_sum(list_transform(string_split(text, ' '), "
-            "t -> len(t)))::BIGINT / len(string_split(text, ' ')), 0.0)"
+            "coalesce(list_sum(list_transform(string_split(txt, ' '), "
+            "t -> len(t)))::BIGINT / len(string_split(txt, ' ')), 0.0)"
         ),
         "punct": (
-            "coalesce(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))"
-            " / len(text), 0.0)"
+            "coalesce(len(regexp_replace(txt, '[A-Za-z0-9 ]', '', 'g'))"
+            " / len(txt), 0.0)"
         ),
         "sw_en": (
-            f"coalesce(len(list_filter(string_split(text, ' '), "
+            f"coalesce(len(list_filter(string_split(txt, ' '), "
             f"t -> t IN ({sw_words})))::DOUBLE"
-            " / len(string_split(text, ' ')), 0.0)"
+            " / len(string_split(txt, ' ')), 0.0)"
         ),
     }
     logit = f"{b!r}"
@@ -2755,7 +2757,7 @@ def _quality_classifier_sql() -> str:
         WITH f AS (
           SELECT doc_id,
                  {cols}
-          FROM documents
+          FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents)
         )
         SELECT doc_id, CAST(logit AS REAL) AS quality_logit,
                (logit > 0)::INT AS is_match

@@ -621,3 +621,69 @@ def test_search_batched_through_ivf_index(spark):
     forced = sorted((r.query_id, r._id) for r in _api.search(
         sp, dict(req, is_brute_search=0, index_params={"nprobe": 4})).collect())
     assert forced == exact
+
+
+def test_search_batched_binary_hamming(spark):
+    """req_num batching on a BINARYIVF (Hamming) field — parseVectors
+    accepts q×(d/8) byte codes for binary fields too (doc_query.go:
+    296-309). The batch must score HAMMING distance, matching the
+    single-query verb per query — before the fix the nested-list parse
+    bypassed the field-spec lookup and the batch scored L2² over the
+    packed bytes (wrong metric, wrong ranking, no error)."""
+    import numpy as np
+
+    DIMBITS = 32  # -> 4 packed bytes
+    sch = SpaceSchema(
+        name="binbatch",
+        fields=[FieldSpec("code", FieldType.VECTOR, dimension=DIMBITS,
+                          index=IndexSpec("code", "BINARYIVF",
+                                          params={"ncentroids": 4, "nprobe": 4,
+                                                  "training_threshold": 10}))],
+    )
+    sp = Space(spark, sch)
+    rng = np.random.default_rng(23)
+    codes = rng.integers(0, 256, size=(60, 4))
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "code": [int(b) for b in codes[i]]} for i in range(60)]})
+
+    q0, q1 = [int(b) for b in codes[7]], [int(b) for b in codes[30]]
+    singles = []
+    for q in (q0, q1):
+        hits = api.search(sp, {"vectors": [{"field": "code", "feature": q}],
+                               "limit": 3, "is_brute_search": 1}).collect()
+        singles.append([(r._id, r._score) for r in hits])
+    assert singles[0][0] == ("7", 0)  # Hamming self-match
+
+    # flat q×(d/8) feature
+    req = {"vectors": [{"field": "code", "feature": q0 + q1}],
+           "limit": 3, "is_brute_search": 1}
+    rows = api.search(sp, req).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r._id, r._score))
+    for qid in (0, 1):
+        by_q[qid].sort(key=lambda t: (t[1], t[0]))
+        assert by_q[qid] == singles[qid]
+
+    # nested list-of-codes shape parses identically (the ADVICE repro)
+    req2 = {"vectors": [{"field": "code", "feature": [q0, q1]}],
+            "limit": 3, "is_brute_search": 1}
+    rows2 = api.search(sp, req2).collect()
+    assert sorted((r.query_id, r._id, r._score) for r in rows2) == \
+        sorted((r.query_id, r._id, r._score) for r in rows)
+
+    # trained BINARYIVF serves the batch through the index
+    # (BinaryIVFIndex.search_batch); nprobe=ncentroids ⇒ exact
+    sp.build_index("code")
+    auto = api.search(sp, {"vectors": [{"field": "code", "feature": q0 + q1}],
+                           "limit": 3}).collect()
+    got = {}
+    for r in auto:
+        got.setdefault(r.query_id, []).append((r._id, float(r._score)))
+    for qid in (0, 1):
+        got[qid].sort(key=lambda t: (t[1], t[0]))
+        assert got[qid] == [(i, float(s)) for i, s in singles[qid]]
+    forced = api.search(sp, {"vectors": [{"field": "code", "feature": q0 + q1}],
+                             "limit": 3, "is_brute_search": 0}).collect()
+    assert sorted((r.query_id, r._id) for r in forced) == \
+        sorted((r.query_id, r._id) for r in auto)

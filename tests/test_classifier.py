@@ -112,3 +112,26 @@ def test_scoring_plan_is_narrow(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_null_text_scores_like_training(spark):
+    """A NULL text row must score exactly like np_features' None → ""
+    training rows (uncoalesced split(NULL) NULLed the logit and let
+    rows ride through any is_match gate as NULL)."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, "")], "doc_id long, text string"
+    )
+    params = (
+        (0.5, -0.25, 0.1, 0.3), 0.05,
+        (10.0, 4.0, 0.05, 0.2), (5.0, 1.0, 0.02, 0.1),
+    )
+    rows = {r.doc_id: r for r in score_docs(docs, params).collect()}
+    assert rows[0].quality_logit is not None
+    assert rows[0].is_match is not None
+    assert rows[0].quality_logit == rows[1].quality_logit  # NULL ≡ ""
+    x = np_features([None])
+    w, b, mu, sd = params
+    expected = b + sum(
+        w[i] * (x[0, i] - mu[i]) / sd[i] for i in range(len(w))
+    )
+    assert abs(rows[0].quality_logit - expected) < 1e-6

@@ -94,3 +94,26 @@ def test_md5_31_family_variant(spark, sides):
         ).collect()
     }
     assert out == {100: "exact", 101: "near"}
+
+
+def test_id_equal_cross_match_excluded(spark):
+    """Overlapping id spaces: a re-crawl resending the SAME doc_id with
+    identical text is an update/replay (the streaming twin's
+    `_did != match_id` contract), never a match that would anti-join
+    the doc out of the clean set — on BOTH the exact and near arms."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # exact replay
+         (2, "one two three four five six EIGHT"),     # near replay
+         (9, "alpha beta gamma delta epsilon zeta")],  # true exact dup
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_against_corpus(
+        new, corpus, jaccard_threshold=0.3).collect()}
+    assert 1 not in out  # exact self-replay excluded
+    assert 2 not in out  # near self-replay excluded
+    assert out[9].match_id == 1 and out[9].match_type == "exact"

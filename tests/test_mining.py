@@ -141,3 +141,20 @@ def test_blas_kernel_tie_break_and_empty_anchors(spark):
         df.where(F.col("doc_id") < 0), df, id_col="doc_id", k=3, kernel="blas"
     )
     assert empty.count() == 0
+
+
+def test_blas_kernel_anchor_ceiling_guard(spark):
+    """The BLAS kernel limit-probes the anchor set BEFORE collecting
+    (the embedding_cosine_pairs_blas discipline): a dynamically
+    filtered anchor set past the ceiling errors cleanly instead of
+    OOMing the driver; the expr kernel still serves the same call."""
+    import pytest
+
+    rows = [(i, [float(i), 0.0], i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>, label int")
+    with pytest.raises(ValueError, match="exceeds 4 rows"):
+        hard_negatives(df, df, id_col="doc_id", k=2, kernel="blas",
+                       max_anchor_rows=4)
+    ok = hard_negatives(df, df, id_col="doc_id", k=2, kernel="expr",
+                        max_anchor_rows=4)
+    assert ok.count() == 20  # 10 anchors × k=2, guard is blas-only

@@ -62,28 +62,35 @@ def _parse_ranker(req: dict, n_vectors: int) -> list[float] | None:
 
 def _split_batch_feature(space: Space, v: dict) -> list[list[float]] | None:
     """The reference's req_num parse (parseVectors doc_query.go:
-    255-338): one entry's ``feature`` may hold q×dim floats — q
+    255-338): one entry's ``feature`` may hold q×dim values — q
     independent queries in one request — either flat (the reference's
     wire shape) or as a list of q vectors. Returns the split queries
     for q ≥ 2, else None (the single-query path handles validation and
-    its own error surface). Binary (Hamming) fields are excluded —
-    their byte codes ride the single-query verb."""
+    its own error surface). The field-spec lookup gates EVERY shape,
+    nested lists included: on a binary (Hamming) field the split
+    queries stay int byte codes (q×(d/8), doc_query.go:296-309) and
+    route to the Hamming batch kernel — floats through the L2 kernel
+    over packed bytes was the silent-wrong-scores bug this ordering
+    fixes. Unknown / non-vector fields return None so the single-query
+    verb raises its own typed error."""
     from vearch_spark.schema import FieldType, expected_vector_len, is_binary_field
 
     feat = v.get("feature") or []
-    if feat and isinstance(feat[0], (list, tuple)):
-        return [list(map(float, f)) for f in feat] if len(feat) > 1 else None
     try:
         spec = space.schema.field(v["field"])
-        if spec.type is not FieldType.VECTOR or is_binary_field(spec):
+        if spec.type is not FieldType.VECTOR:
             return None
+        binary = is_binary_field(spec)
         expected = expected_vector_len(spec)
     except Exception:
         return None
+    cast = int if binary else float
+    if feat and isinstance(feat[0], (list, tuple)):
+        return [list(map(cast, f)) for f in feat] if len(feat) > 1 else None
     if expected and len(feat) > expected and len(feat) % expected == 0:
         q = len(feat) // expected
         return [
-            list(map(float, feat[i * expected : (i + 1) * expected]))
+            list(map(cast, feat[i * expected : (i + 1) * expected]))
             for i in range(q)
         ]
     return None

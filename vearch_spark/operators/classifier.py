@@ -43,16 +43,21 @@ FEATURES = ("n_tok", "mtl", "punct", "sw_en")
 def feature_exprs(text_col: str = "text") -> dict[str, Column]:
     """The JVM feature expressions — each has an exact DuckDB twin
     (integer counts and ratios of exact integers; NULL-free via
-    coalesce so empty/degenerate docs score instead of vanishing)."""
-    t = tokens(F.col(text_col))
+    coalesce so empty/degenerate docs score instead of vanishing).
+    The text column itself is coalesced to "" so a NULL doc scores
+    exactly like :func:`np_features`' ``None → ""`` training rows —
+    an uncoalesced ``F.size(split(NULL))`` is NULL, which silently
+    NULLed quality_logit/is_match and drifted scoring from training."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = tokens(txt)
     n_tok = F.size(t).cast("double")
     sw = F.size(
         F.filter(t, lambda x: x.isin(*STOPWORDS["en"]))
     ).cast("double")
     return {
         "n_tok": n_tok,
-        "mtl": F.coalesce(mean_token_length(F.col(text_col)), F.lit(0.0)),
-        "punct": F.coalesce(punct_ratio(F.col(text_col)), F.lit(0.0)),
+        "mtl": F.coalesce(mean_token_length(txt), F.lit(0.0)),
+        "punct": F.coalesce(punct_ratio(txt), F.lit(0.0)),
         "sw_en": F.coalesce(F.try_divide(sw, n_tok), F.lit(0.0)),
     }
 

@@ -1092,6 +1092,14 @@ def dedup_against_corpus(
     (novel) subset is ``new.join(result, id_col, "left_anti")``.
     Within-shard duplicates are :func:`minhash_lsh_pairs`'s job.
 
+    Id-equal cross-matches are EXCLUDED on both arms, matching the
+    streaming twin (``streaming.corpus.CorpusDeltaDedup`` guards
+    ``_did != match_id``): with overlapping id spaces — a re-crawl
+    resending the same doc_id with identical text — the row is an
+    update/replay of the corpus document, never a new doc to reject;
+    without the guard it matched itself and was anti-joined out of the
+    clean set.
+
     Scale shape: the exact arm is one equi join on a 32-char md5 (in a
     real deployment the corpus side is a precomputed, bucketed
     fingerprint relation — here derived inline); the near arm reuses
@@ -1151,6 +1159,7 @@ def dedup_against_corpus(
             fp.where(F.col("_side") == 1).select("_fp", F.col("_did").alias("_cid")),
             "_fp",
         )
+        .where(F.col("_nid") != F.col("_cid"))  # replay, not a new doc
         .select(
             F.col("_nid"),
             F.col("_cid").alias("match_id"),
@@ -1189,6 +1198,7 @@ def dedup_against_corpus(
     cand = (
         nbands.select("_b", "_bh", F.col("_did").alias("_nid"))
         .join(cbands.select("_b", "_bh", F.col("_did").alias("_mid")), ["_b", "_bh"])
+        .where(F.col("_nid") != F.col("_mid"))  # replay, not a new doc
         .select("_nid", "_mid")
         .dropDuplicates(["_nid", "_mid"])
     )

@@ -1021,6 +1021,55 @@ class BinaryIVFIndex:
             out = out.offset(offset)
         return out.limit(limit)
 
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[int]],
+        limit: int = 50,
+        flt: Column | None = None,
+        nprobe: int | None = None,
+        score_col: str = "_score",
+        **_: object,  # l2_sqrt: no meaning in Hamming space
+    ) -> DataFrame:
+        """Batched multi-query Hamming ANN — the reference's req_num
+        parse covers BINARYIVF too (parseVectors doc_query.go:296-309:
+        q×(d/8) byte codes split per query). Same physical shape as
+        :meth:`IVFFlatIndex.search_batch`: broadcast (query_id, cell,
+        query_code) probe relation joined on ``_cluster_id`` prunes the
+        scan to the probed cells; per-query top-k is a rank window
+        (map-side limited by WindowGroupLimit). Returns
+        (query_id, id, score) rows."""
+        from pyspark.sql import Window
+
+        from vearch_spark.functions.distance import hamming_distance
+        from vearch_spark.operators.topk import _score_order
+
+        if self._assigned is None:
+            raise SearchError("index not trained")
+        spark = self._assigned.sparkSession
+        probe_rows = [
+            (qid, cell, [int(b) for b in q])
+            for qid, q in enumerate(queries)
+            for cell in self.probe_cells(q, nprobe)
+        ]
+        probes = spark.createDataFrame(
+            probe_rows, f"query_id int, {CLUSTER_COL} int, query_code array<int>"
+        )
+        pruned = self._assigned
+        if flt is not None:
+            pruned = pruned.where(flt)
+        joined = pruned.join(F.broadcast(probes), on=CLUSTER_COL)
+        scored = joined.withColumn(
+            score_col, hamming_distance(F.col(self.code_col), F.col("query_code"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).asc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= limit)
+            .select("query_id", self.id_col, score_col)
+        )
+
     def save(self, path: str) -> None:
         import json as _json
         import os

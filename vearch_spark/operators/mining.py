@@ -38,6 +38,7 @@ def hard_negatives(
     k: int = 5,
     metric: Metric | str = Metric.L2,
     kernel: str = "expr",
+    max_anchor_rows: int = 1_000_000,
 ) -> DataFrame:
     """Per-anchor top-``k`` nearest rows with a different label.
 
@@ -65,7 +66,8 @@ def hard_negatives(
         raise ValueError(f"unknown kernel: {kernel!r} (blas | expr)")
     if kernel == "blas":
         scored = _blas_scored(
-            anchors, corpus, vec_col, id_col, label_col, k, metric
+            anchors, corpus, vec_col, id_col, label_col, k, metric,
+            max_anchor_rows=max_anchor_rows,
         )
     else:
         a = anchors.select(
@@ -99,6 +101,7 @@ def _blas_scored(
     label_col: str,
     k: int,
     metric: Metric,
+    max_anchor_rows: int = 1_000_000,
 ) -> DataFrame:
     """(anchor_id, id, label, _score) candidates: anchor matrix in the
     closure (the driver-side analog of the expr path's broadcast),
@@ -106,6 +109,17 @@ def _blas_scored(
     import numpy as np
     import pandas as pd
 
+    # limit-probe BEFORE collecting — the same ceiling discipline as
+    # embedding_cosine_pairs_blas: a dynamically filtered anchor set
+    # that is unexpectedly large must error before the driver heap is
+    # blown, not after
+    probe = anchors.select(id_col).limit(max_anchor_rows + 1).count()
+    if probe > max_anchor_rows:
+        raise ValueError(
+            f"anchor set exceeds {max_anchor_rows} rows — too large for "
+            "the closure-shipped BLAS kernel; batch the anchors, or use "
+            "kernel='expr' (broadcast join) / cell-blocked knn_join"
+        )
     rows = anchors.select(id_col, vec_col, label_col).collect()
     sch = corpus.schema
     out_schema = (

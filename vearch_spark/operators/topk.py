@@ -135,12 +135,20 @@ def search_batch(
     output_fields: list[str] | None = None,
     vector_value: bool = False,
     score_col: str = "_score",
+    binary: bool = False,
 ) -> DataFrame:
     """Batched multi-query top-k: one row per (query_id, hit).
 
     ``queries`` is a small DataFrame (query_id, query_vec) — broadcast
     against the docs table; per-query top-k via a rank window
     partitioned by query_id (SURVEY.md §4 custom op (4)).
+
+    ``binary``: score by Hamming distance over packed uint8 codes
+    (the BINARYIVF brute form, gamma_index_binary_ivf.cc) instead of
+    the float metric — ascending, like L2. The reference's parseVectors
+    accepts req_num batches of q×(d/8) byte codes (doc_query.go:
+    296-309); without this flag the float kernel would silently score
+    L2² over the raw bytes.
     """
     m = Metric.parse(metric) if isinstance(metric, str) else metric
     if limit <= 0:
@@ -152,7 +160,13 @@ def search_batch(
         df = df.where(pred)
 
     joined = df.crossJoin(F.broadcast(queries))
-    score = score_expr(F.col(vector_col), F.col(query_vec_col), m, l2_sqrt=l2_sqrt)
+    if binary:
+        from vearch_spark.functions.distance import hamming_distance
+
+        m = Metric.L2  # Hamming sorts ascending, same as L2
+        score = hamming_distance(F.col(vector_col), F.col(query_vec_col))
+    else:
+        score = score_expr(F.col(vector_col), F.col(query_vec_col), m, l2_sqrt=l2_sqrt)
     scored = joined.withColumn(score_col, score)
     scored = _apply_score_band(scored, F.col(score_col), min_score, max_score)
 
