@@ -94,3 +94,97 @@ def test_alias_does_not_resolve_under_missing_db(spark):
     assert reg.space("db1", "a").schema.name == "s1"
     with pytest.raises(SchemaError, match="database"):
         reg.space("nope", "a")
+
+
+def _vec_schema(name="docs"):
+    return SpaceSchema(
+        name=name,
+        fields=[
+            FieldSpec("field_int", FieldType.INT,
+                      index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec("v", FieldType.VECTOR, dimension=4,
+                      index=IndexSpec("v", "IVFFLAT",
+                                      params={"ncentroids": 4, "nprobe": 4,
+                                              "training_threshold": 10})),
+        ],
+    )
+
+
+def test_durable_catalog_reattach(spark, tmp_path):
+    """The master's etcd persistence surface: a rooted Registry saves
+    dbs/spaces/aliases to _CATALOG.json on every mutation; a NEW
+    session (here: a fresh Registry.load over the same root — the same
+    code path a new SparkSession walks, Space.open reading _SPACE.json
+    and the manifest) resolves the alias and serves a hash-identical
+    search, trained index included."""
+    root = str(tmp_path / "catalog")
+    r1 = Registry(spark, root=root)
+    r1.create_db("db1")
+    sp = r1.create_space("db1", _vec_schema())
+    sp.upsert([{"_id": str(i), "field_int": i, "v": [float(i), 0.0, 1.0, 0.0]}
+               for i in range(40)])
+    sp.build_index("v")
+    r1.create_alias("prod", "db1", "docs")
+    q = [7.0, 0.0, 1.0, 0.0]
+    want = [(r._id, r._score) for r in sp.search(vector=q, limit=5).collect()]
+
+    r2 = Registry.load(spark, root)
+    assert r2.list_dbs() == ["db1"]
+    assert r2.list_spaces("db1") == ["docs"]
+    assert r2.list_aliases() == {"prod": ("db1", "docs")}
+    sp2 = r2.space("db1", "prod")  # alias route survives the restart
+    assert sp2 is not sp
+    assert sp2.schema.to_json() == sp.schema.to_json()
+    got = [(r._id, r._score) for r in sp2.search(vector=q, limit=5).collect()]
+    assert got == want
+    # the trained index reattached (not silently brute-forcing)
+    assert sp2.index_state("v") == "INDEXED"
+    forced = [(r._id, r._score)
+              for r in sp2.search(vector=q, limit=5, is_brute_search=0).collect()]
+    assert forced == want  # nprobe = ncentroids: exhaustive
+
+
+def test_durable_catalog_mutations_survive(spark, tmp_path):
+    """drop_space removes the data dir under the root and cascades its
+    aliases; config updates and index removal made by one session are
+    what the next session sees (the on-disk _SPACE.json is
+    authoritative over the client's stale create-time schema)."""
+    import os
+
+    root = str(tmp_path / "cat2")
+    r1 = Registry(spark, root=root)
+    r1.create_db("db1")
+    sp = r1.create_space("db1", _vec_schema())
+    sp.upsert([{"_id": "1", "field_int": 1, "v": [1.0, 0.0, 0.0, 0.0]}])
+    sp.update_config({"refresh_interval": 5000})
+    sp.remove_index("v")
+    r1.create_alias("prod", "db1", "docs")
+
+    r2 = Registry.load(spark, root)
+    sp2 = r2.space("db1", "docs")
+    assert sp2.get_config()["refresh_interval"] == 5000
+    assert sp2.schema.field("v").index is None  # removal persisted
+    assert sp2.count() == 1
+
+    space_dir = os.path.join(root, "db1", "docs")
+    assert os.path.isdir(space_dir)
+    r2.drop_space("db1", "docs")
+    assert not os.path.exists(space_dir)
+    r3 = Registry.load(spark, root)
+    assert r3.list_spaces("db1") == []
+    assert r3.list_aliases() == {}  # cascade persisted
+    r3.drop_db("db1")
+    assert Registry.load(spark, root).list_dbs() == []
+
+
+def test_rooted_registry_name_validation(spark, tmp_path):
+    """Durable catalogs derive paths from names — separators and empty
+    names reject (the master's name validation)."""
+    r = Registry(spark, root=str(tmp_path / "cat3"))
+    with pytest.raises(SchemaError):
+        r.create_db("a/b")
+    r.create_db("ok")
+    with pytest.raises(SchemaError):
+        r.create_space("ok", make_schema(name="../evil"))
+    with pytest.raises(SchemaError):
+        r.create_alias("x/y", "ok", "nope")

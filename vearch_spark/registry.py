@@ -5,10 +5,22 @@ The reference master keeps cluster metadata in etcd: databases
 and aliases — a name → (db, space) indirection resolved on every
 document route (`internal/entity/alias.go`; routes proxied at
 `internal/router/document/doc_http.go:237-241`). On Spark there is no
-cluster to coordinate, so the registry is a plain in-process catalog:
+cluster to coordinate, so the registry is a catalog:
 create/list/drop databases and spaces, create/update/delete aliases,
 and resolve either a real space name or an alias at lookup time —
 the same indirection a SQL view gives a table.
+
+Durability (the etcd-persistence analog): construct with ``root`` (or
+``Registry.load(spark, root)``) and the catalog persists itself to
+``root/_CATALOG.json`` — dbs, space paths, aliases — on every mutation
+(atomic tmp+rename, same discipline as the Space manifest). Spaces
+created under a rooted registry default to ``root/<db>/<space>`` and
+are therefore path-backed; a NEW session's ``Registry.load(root)``
+reattaches every space lazily via :meth:`Space.open` (schema/config
+from the space's own ``_SPACE.json``), so ``space("db", "alias")`` →
+search works across restarts with no client-held schema — the
+reference master's restart behavior (`internal/master/services/`,
+exercised by `test/test_module_space.py`).
 
 Validation mirrors the master's rules: duplicate db/space/alias names
 rejected, dropping a non-empty db rejected (master requires spaces
@@ -17,29 +29,100 @@ deleted first), alias must point at an existing space.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import SparkSession
 
 from vearch_spark.errors import SchemaError
 from vearch_spark.schema import SpaceSchema
 from vearch_spark.space import Space
 
+_NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
+
 
 class Registry:
-    """In-process catalog of databases, spaces, and aliases."""
+    """Catalog of databases, spaces, and aliases — in-process by
+    default, durable under ``root``."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, root: str | None = None):
         self.spark = spark
-        self._dbs: dict[str, dict[str, Space]] = {}
+        self.root = root
+        # name -> (Space | None): None = persisted but not yet
+        # reattached this session (materialized lazily by space())
+        self._dbs: dict[str, dict[str, Space | None]] = {}
+        self._paths: dict[tuple[str, str], str] = {}
         self._aliases: dict[str, tuple[str, str]] = {}
+        if root:
+            os.makedirs(root, exist_ok=True)
+            self._load_catalog()
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "Registry":
+        """Reattach to a persisted catalog — the new-session entry
+        point (`Registry.load(root)` → `space("db","name")` → search)."""
+        return cls(spark, root=root)
+
+    # ------------------------------------------------------------- catalog
+
+    def _catalog_path(self) -> str:
+        return os.path.join(self.root, "_CATALOG.json")
+
+    def _load_catalog(self) -> None:
+        import json as _json
+
+        p = self._catalog_path()
+        if not os.path.exists(p):
+            return
+        with open(p) as fh:
+            cat = _json.load(fh)
+        for db, spaces in (cat.get("dbs") or {}).items():
+            self._dbs[db] = {}
+            for name, entry in (spaces or {}).items():
+                self._dbs[db][name] = None  # lazy: Space.open on demand
+                self._paths[(db, name)] = entry["path"]
+        self._aliases = {
+            a: (tgt[0], tgt[1]) for a, tgt in (cat.get("aliases") or {}).items()
+        }
+
+    def _save_catalog(self) -> None:
+        import json as _json
+
+        if not self.root:
+            return
+        cat = {
+            "dbs": {
+                db: {
+                    name: {"path": self._paths[(db, name)]}
+                    for name in sorted(spaces)
+                }
+                for db, spaces in self._dbs.items()
+            },
+            "aliases": {a: list(t) for a, t in self._aliases.items()},
+        }
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(cat, fh)
+        os.replace(tmp, self._catalog_path())
+
+    def _check_name(self, kind: str, name: str) -> None:
+        if not name:
+            raise SchemaError(f"{kind} name required")
+        if self.root and not _NAME_RE.match(name):
+            # durable catalogs derive filesystem paths from names —
+            # the master likewise rejects names that can't be keys
+            raise SchemaError(
+                f"{kind} name {name!r} must match [A-Za-z0-9_.-]+"
+            )
 
     # ------------------------------------------------------------ databases
 
     def create_db(self, name: str) -> None:
-        if not name:
-            raise SchemaError("database name required")
+        self._check_name("database", name)
         if name in self._dbs:
             raise SchemaError(f"database {name!r} already exists")
         self._dbs[name] = {}
+        self._save_catalog()
 
     def list_dbs(self) -> list[str]:
         return sorted(self._dbs)
@@ -54,6 +137,7 @@ class Registry:
                 f"database {name!r} still holds spaces: {sorted(spaces)}"
             )
         del self._dbs[name]
+        self._save_catalog()
 
     # --------------------------------------------------------------- spaces
 
@@ -69,10 +153,17 @@ class Registry:
             raise SchemaError(f"database {db!r} not found")
         if schema.name in spaces:
             raise SchemaError(f"space {schema.name!r} already exists in {db!r}")
+        if self.root and path is None:
+            # durable by default under a rooted registry
+            self._check_name("space", schema.name)
+            path = os.path.join(self.root, db, schema.name)
         space = Space(
             self.spark, schema, path=path, refresh_interval=refresh_interval
         )
         spaces[schema.name] = space
+        if path is not None:
+            self._paths[(db, schema.name)] = path
+        self._save_catalog()
         return space
 
     def list_spaces(self, db: str) -> list[str]:
@@ -82,33 +173,51 @@ class Registry:
         return sorted(spaces)
 
     def drop_space(self, db: str, name: str) -> None:
+        """Deletes the catalog entry AND, for a space stored under the
+        registry root, its data directory — the master deletes the
+        space's partitions on DELETE /dbs/{db}/spaces/{space}. A space
+        at a caller-supplied path outside the root only leaves the
+        catalog (the registry doesn't own that storage)."""
         spaces = self._dbs.get(db)
         if spaces is None or name not in spaces:
             raise SchemaError(f"space {db!r}/{name!r} not found")
         del spaces[name]
+        path = self._paths.pop((db, name), None)
+        if path and self.root:
+            rootp = os.path.realpath(self.root)
+            real = os.path.realpath(path)
+            if real.startswith(rootp + os.sep):
+                import shutil
+
+                shutil.rmtree(real, ignore_errors=True)
         # cascade: aliases pointing at the dropped space die with it
         self._aliases = {
             a: tgt for a, tgt in self._aliases.items() if tgt != (db, name)
         }
+        self._save_catalog()
 
     # -------------------------------------------------------------- aliases
 
     def create_alias(self, alias: str, db: str, space: str) -> None:
+        self._check_name("alias", alias)
         if alias in self._aliases:
             raise SchemaError(f"alias {alias!r} already exists")
-        self._check_space(db, space)
+        self._check_space_exists(db, space)
         self._aliases[alias] = (db, space)
+        self._save_catalog()
 
     def update_alias(self, alias: str, db: str, space: str) -> None:
         if alias not in self._aliases:
             raise SchemaError(f"alias {alias!r} not found")
-        self._check_space(db, space)
+        self._check_space_exists(db, space)
         self._aliases[alias] = (db, space)
+        self._save_catalog()
 
     def delete_alias(self, alias: str) -> None:
         if alias not in self._aliases:
             raise SchemaError(f"alias {alias!r} not found")
         del self._aliases[alias]
+        self._save_catalog()
 
     def get_alias(self, alias: str) -> tuple[str, str]:
         if alias not in self._aliases:
@@ -132,14 +241,26 @@ class Registry:
         if spaces is None:
             raise SchemaError(f"database {db!r} not found")
         if name in spaces:
-            return spaces[name]
+            return self._materialize(db, name)
         if name in self._aliases:
             adb, aspace = self._aliases[name]
-            return self._check_space(adb, aspace)
+            self._check_space_exists(adb, aspace)
+            return self._materialize(adb, aspace)
         raise SchemaError(f"space {db!r}/{name!r} not found")
 
-    def _check_space(self, db: str, name: str) -> Space:
+    def _check_space_exists(self, db: str, name: str) -> None:
         spaces = self._dbs.get(db)
         if spaces is None or name not in spaces:
             raise SchemaError(f"space {db!r}/{name!r} not found")
-        return spaces[name]
+
+    def _materialize(self, db: str, name: str) -> Space:
+        sp = self._dbs[db][name]
+        if sp is None:  # persisted by a previous session — reattach
+            sp = Space.open(self.spark, self._paths[(db, name)])
+            self._dbs[db][name] = sp
+        return sp
+
+    # backward-compat internal name used by earlier call sites
+    def _check_space(self, db: str, name: str) -> Space:
+        self._check_space_exists(db, name)
+        return self._materialize(db, name)

@@ -222,6 +222,29 @@ class Space:
         self._indexes: dict[str, object] = {}  # field -> trained index model
         if path:
             os.makedirs(path, exist_ok=True)
+            meta = self._load_space_meta()
+            if meta is not None:
+                # the on-disk metadata is authoritative (the reference
+                # master's etcd SpaceProperties survive restarts and
+                # win over whatever a reattaching client passes —
+                # space_service.go loads, never re-creates): schema
+                # mutations (partition-rule ADD/DROP, remove_index) and
+                # config updates made by a PREVIOUS session must not be
+                # silently undone by reattaching with the stale
+                # create-time schema
+                stored = SpaceSchema.from_json(meta["schema"])
+                if stored.name != schema.name:
+                    raise SchemaError(
+                        f"path {path!r} already holds space "
+                        f"{stored.name!r}, not {schema.name!r}"
+                    )
+                self.schema = stored
+                cfg = dict(meta.get("config") or {})
+                cfg["path"] = path
+                self._config.update(cfg)
+                self.n_buckets = int(meta.get("n_buckets", self.n_buckets))
+            else:
+                self._store_space_meta()
             man = self._load_manifest()
             if man is not None:
                 self._manifest = man
@@ -229,6 +252,64 @@ class Space:
                 self._max_seq = int(man["max_seq"])
                 self._refresh_df()
                 self._load_persisted_indexes()
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Space":
+        """Reattach to a PERSISTED space by path alone — schema, config
+        and bucket count come from the stored ``_SPACE.json`` (the
+        master's load-from-etcd shape, space_service.go): a new session
+        needs no create-time schema in hand to resume searching."""
+        import json as _json
+
+        meta_path = os.path.join(path, "_SPACE.json")
+        if not os.path.exists(meta_path):
+            raise SchemaError(f"no persisted space at {path!r}")
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+        schema = SpaceSchema.from_json(meta["schema"])
+        return cls(
+            spark,
+            schema,
+            path=path,
+            n_buckets=int(meta.get("n_buckets", 16)),
+            refresh_interval=int(
+                (meta.get("config") or {}).get("refresh_interval", 1000)
+            ),
+        )
+
+    # ----------------------------------------------------------- space meta
+    #
+    # _SPACE.json: the durable schema/config record (the reference
+    # master persists SpaceProperties in etcd; internal/entity/space.go).
+    # Written at create and after every schema/config mutation, atomic
+    # tmp+rename like the manifest.
+
+    def _space_meta_path(self) -> str:
+        return os.path.join(self.path, "_SPACE.json")
+
+    def _load_space_meta(self) -> dict | None:
+        import json as _json
+
+        p = self._space_meta_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return _json.load(fh)
+
+    def _store_space_meta(self) -> None:
+        import json as _json
+
+        if not self.path:
+            return
+        meta = {
+            "schema": self.schema.to_json(),
+            "config": {k: v for k, v in self._config.items() if k != "path"},
+            "n_buckets": int(self.n_buckets),
+        }
+        tmp = self._space_meta_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(meta, fh)
+        os.replace(tmp, self._space_meta_path())
 
     # ------------------------------------------------------------------ io
     #
@@ -508,6 +589,7 @@ class Space:
             # and layout change together or not at all
             self.n_buckets = old
             raise
+        self._store_space_meta()
         return n
 
     def update_partition_rule(
@@ -618,6 +700,7 @@ class Space:
                 ) from None
             new_rule = PartitionRule(field=rule.field, ranges=merged)
         self.schema = _dc_replace(self.schema, partition_rule=new_rule)
+        self._store_space_meta()
         return {
             "partition_rule": {
                 "type": "RANGE",
@@ -669,6 +752,8 @@ class Space:
                     raise DocumentError(f"config {key!r} must be an int")
             updates[key] = value
         self._config.update(updates)
+        if updates:
+            self._store_space_meta()  # config survives restarts (etcd parity)
         return self.get_config()
 
     @property
@@ -1461,14 +1546,16 @@ class Space:
 
         Physical routing mirrors :meth:`search`: exact scan =
         ``topk.search_batch`` (one docs scan for the whole batch,
-        broadcast queries, per-query rank window); trained float-IVF
-        index = ``index.search_batch`` (broadcast probe relation,
-        cell-pruned scan). Binary/HNSW indexes have no batch form —
-        auto mode (2) falls back to the exact batch scan, forcing
-        is_brute_search=0 on them raises. Score band / offset /
-        projection ride the exact path only (the IVF batch relation is
-        (query_id, _id, _score)); requesting them forces the exact
-        scan, erroring only under is_brute_search=0.
+        broadcast queries, per-query rank window — the Hamming
+        ``bit_count(xor)`` kernel on binary fields, parseVectors
+        doc_query.go:296-309); trained IVF index (float or binary) =
+        ``index.search_batch`` (broadcast probe relation, cell-pruned
+        scan). HNSW has no batch form — auto mode (2) falls back to
+        the exact batch scan, forcing is_brute_search=0 on it raises.
+        Score band / offset / projection ride the exact path only (the
+        IVF batch relation is (query_id, _id, _score)); requesting
+        them forces the exact scan, erroring only under
+        is_brute_search=0.
         """
         if not features:
             raise SearchError("search_batch requires at least one query")
@@ -1482,14 +1569,18 @@ class Space:
         spec = self.schema.field(vector_field)
         if spec.type is not FieldType.VECTOR:
             raise SearchError(f"field {vector_field!r} is not a vector field")
+        binary = _is_binary_field(spec)
         expected = _expected_vector_len(spec)
-        qs = [list(map(float, q)) for q in features]
+        if binary:
+            qs = [[int(b) for b in q] for q in features]
+        else:
+            qs = [list(map(float, q)) for q in features]
         for q in qs:
             if expected and len(q) != expected:
                 raise SearchError(
                     f"query dimension {len(q)} != expected {expected}"
                 )
-        if spec.normalize:
+        if spec.normalize and not binary:
             # router-side query normalization (client.go:603-658), once
             # per query vector
             qs = [
@@ -1500,11 +1591,10 @@ class Space:
 
         index = self._indexes.get(vector_field)
         from vearch_spark.operators.hnsw import HNSWIndex
-        from vearch_spark.operators.ivf import BinaryIVFIndex
 
         batchable = (
             index is not None
-            and not isinstance(index, (BinaryIVFIndex, HNSWIndex))
+            and not isinstance(index, HNSWIndex)
             and hasattr(index, "search_batch")
         )
         extras = (
@@ -1543,7 +1633,9 @@ class Space:
         base_df = self._target_partitions(self.df, partition_names)
         queries = self.spark.createDataFrame(
             [(i, q) for i, q in enumerate(qs)],
-            "query_id int, query_vec array<double>",
+            "query_id int, query_vec array<int>"
+            if binary
+            else "query_id int, query_vec array<double>",
         )
         return topk.search_batch(
             base_df,
@@ -1558,6 +1650,7 @@ class Space:
             offset=offset,
             l2_sqrt=l2_sqrt,
             output_fields=output_fields,
+            binary=binary,
         )
 
     def _fused_index_search(
@@ -1884,6 +1977,8 @@ class Space:
                     if unp is not None:
                         unp()
                 f.index = None
+                if self.path:
+                    self._store_space_meta()  # removal survives restarts
                 return
         raise DocumentError(
             f"index {index_name} not found in space {self.schema.name}"
