@@ -242,3 +242,37 @@ def test_get_by_ids_prunes_to_touched_buckets(space):
     assert roots == {str(touched[0])}  # one bucket dir, not N_BUCKETS
     # a missing id in an existing bucket still returns empty cleanly
     assert space.get(["no_such_id"]).count() == 0
+
+
+def test_concurrent_commit_cas(spark, tmp_path):
+    """Two writers on one space path: the manifest commit is an
+    optimistic CAS under the commit lock — interleaved commits
+    serialize or the loser fails with ConcurrentWriteError, and the
+    winner's committed data survives untouched (no version-dir
+    clobber: the loser stages its write privately and cleans it up).
+    The reference serializes this through raft
+    (internal/ps/storage/raftstore/)."""
+    from vearch_spark.errors import ConcurrentWriteError
+
+    path = str(tmp_path / "cc")
+    sp1 = Space(spark, make_schema(), path=path, n_buckets=4)
+    sp1.upsert(seed_rows(16))
+    sp2 = Space(spark, make_schema(), path=path)  # second writer attaches
+
+    sp1.upsert([{"_id": "d1", "field_int": 1000, "field_string": "w1"}])
+    with pytest.raises(ConcurrentWriteError):
+        # sp2's manifest is stale (pre-sp1-commit): its commit must
+        # lose cleanly, not overwrite sp1's
+        sp2.upsert([{"_id": "d2", "field_int": 2000, "field_string": "w2"}])
+
+    # winner's commit intact, loser left no staging orphan
+    sp3 = Space(spark, make_schema(), path=path)
+    got = {r._id: r.field_int for r in sp3.df.collect()}
+    assert got["d1"] == 1000 and got["d2"] == 2
+    assert not [d for d in os.listdir(path) if d.startswith("_staging_")]
+
+    # the documented retry: reload (fresh attach) then re-apply — wins
+    sp4 = Space(spark, make_schema(), path=path)
+    sp4.upsert([{"_id": "d2", "field_int": 2000, "field_string": "w2"}])
+    sp5 = Space(spark, make_schema(), path=path)
+    assert {r.field_int for r in sp5.df.where(F.col("_id") == "d2").collect()} == {2000}

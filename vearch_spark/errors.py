@@ -43,3 +43,15 @@ class DocumentError(VearchSparkError):
 
     def __init__(self, message: str):
         super().__init__(message, code="DOCUMENT_PARAM_ERROR")
+
+
+class ConcurrentWriteError(VearchSparkError):
+    """A manifest commit lost the optimistic-concurrency race: another
+    writer advanced ``_CURRENT`` past the version this commit was based
+    on. The reference serializes writes per partition through raft
+    (internal/ps/storage/raftstore/); here the CAS rejects the loser
+    cleanly instead of silently dropping its bucket updates — re-read
+    and retry the operation."""
+
+    def __init__(self, message: str):
+        super().__init__(message, code="CONCURRENT_WRITE_ERROR")

@@ -45,7 +45,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from vearch_spark.errors import DocumentError, SchemaError, SearchError
+from vearch_spark.errors import (
+    ConcurrentWriteError,
+    DocumentError,
+    SchemaError,
+    SearchError,
+)
 from vearch_spark.filters import compile_filter
 from vearch_spark.functions.distance import l2_normalize, l2_normalize_fast
 from vearch_spark.operators import sort as sort_ops
@@ -346,13 +351,52 @@ class Space:
             )
         return man
 
-    def _store_manifest(self, man: dict) -> None:
+    def _store_manifest(self, man: dict, staging_dir: str | None = None) -> None:
         import json as _json
 
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(man, fh)
-        os.replace(tmp, self._manifest_path())  # atomic commit point
+        # Optimistic CAS under an advisory commit lock: two writers
+        # that both read version N would otherwise both publish N+1 and
+        # the first commit's bucket updates silently vanish (the
+        # reference serializes partition writes through raft,
+        # internal/ps/storage/raftstore/). The lock bounds the check-
+        # then-rename window; the version check rejects the loser with
+        # a typed error instead of losing its commit. flock is
+        # advisory and POSIX-local — on object stores, swap for a
+        # conditional-put (S3 If-None-Match / GCS generation match).
+        # ``staging_dir``: a commit-private data directory _commit
+        # staged; it becomes v{version} here, after the CAS — so a
+        # losing writer can never clobber the winner's version dir.
+        lock_path = os.path.join(self.path, "_COMMIT.lock")
+        with open(lock_path, "w") as lock_fh:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: CAS check still applies
+                pass
+            on_disk = self._load_manifest()
+            disk_v = int(on_disk["version"]) if on_disk else 0
+            if disk_v != int(man["version"]) - 1:
+                raise ConcurrentWriteError(
+                    f"manifest commit conflict: expected on-disk version "
+                    f"{int(man['version']) - 1}, found {disk_v} — another "
+                    "writer committed first; reload the space and retry"
+                )
+            if staging_dir is not None:
+                target = self._version_dir(int(man["version"]))
+                if os.path.exists(target):
+                    # orphan of a commit that crashed between the dir
+                    # rename and the manifest swap — provably
+                    # unreferenced (every live bucket version ≤ disk_v
+                    # < this version)
+                    import shutil
+
+                    shutil.rmtree(target)
+                os.replace(staging_dir, target)
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(man, fh)
+            os.replace(tmp, self._manifest_path())  # atomic commit point
         self._manifest = man
         # archive the committed manifest AFTER the commit point, with
         # the same tmp+rename atomicity: a crash in the commit window
@@ -427,7 +471,15 @@ class Space:
             "buckets": {},
         }
         nxt = int(man["version"]) + 1
-        vdir = self._version_dir(nxt)
+        # Stage the data write in a commit-private directory: writing
+        # v{n} directly would let a concurrent writer that also read
+        # version n-1 OVERWRITE a just-committed v{n} before the
+        # manifest CAS rejects it — data and manifest must win or lose
+        # the race together. The staging dir renames to v{n} inside
+        # _store_manifest's commit lock, after the CAS check.
+        import uuid
+
+        vdir = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         data = df.withColumn(_BUCKET_COL, self._bucket_expr())
         pb = [_BUCKET_COL] + (
             [PARTITION_FIELD] if self.schema.partition_rule is not None else []
@@ -440,7 +492,7 @@ class Space:
         for name in os.listdir(vdir):
             if name.startswith(f"{_BUCKET_COL}="):
                 b = int(name.split("=", 1)[1])
-                os.replace(os.path.join(vdir, name), self._bucket_dir(b, nxt))
+                os.replace(os.path.join(vdir, name), os.path.join(vdir, f"b{b}"))
                 written.add(b)
         buckets = dict(man["buckets"])
         for b in written if touched is None else set(touched):
@@ -451,14 +503,21 @@ class Space:
         if touched is None:
             # full rewrite: drop buckets that no longer exist
             buckets = {str(b): nxt for b in written}
-        self._store_manifest(
-            {
-                "version": nxt,
-                "n_buckets": self.n_buckets,
-                "max_seq": self._max_seq,
-                "buckets": buckets,
-            }
-        )
+        try:
+            self._store_manifest(
+                {
+                    "version": nxt,
+                    "n_buckets": self.n_buckets,
+                    "max_seq": self._max_seq,
+                    "buckets": buckets,
+                },
+                staging_dir=vdir,
+            )
+        except ConcurrentWriteError:
+            import shutil
+
+            shutil.rmtree(vdir, ignore_errors=True)  # loser leaves no orphan
+            raise
         self._refresh_df()
 
     def _read_buckets(self, buckets: Sequence[int]) -> DataFrame:
