@@ -1285,14 +1285,27 @@ def _hnsw_index(spark: SparkSession, sf_dir: str):
 
 
 def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-ANN top-k through the real HNSW index (operators/hnsw.py:
+    """Graph top-k through the real HNSW index (operators/hnsw.py:
     sharded Malkov–Yashunin graphs — the reference's hnswlib-per-shard
-    architecture, gamma_index_hnswlib.cc:130, params space.go:345-374).
-    No SQL oracle: beam-search traversal is not SQL-expressible; the
-    operator is recall-gated against exact FLAT in tests/test_hnsw.py
-    at the reference CI thresholds (recall@1/@10/@100 ≥ 0.50/0.80/0.90,
-    test_recall_baseline.py:301-303) plus bit-exact parity tests in the
-    exhaustive-ef regime."""
+    architecture, gamma_index_hnswlib.cc:130, params space.go:345-374)
+    in the EXHAUSTIVE-ef configuration: ef ≥ shard size makes the
+    per-shard beam visit every reachable node, so the result is the
+    exact global top-k — SQL-reproducible via the FLAT oracle and
+    hash-checked like every other index query (the scores themselves
+    always come from the shared FLAT kernel, so parity is bit-exact).
+    The production beam regime rides q_hnsw_beam_knn (rows-only)."""
+    index = _hnsw_index(spark, sf_dir)
+    out = index.search(None, QV_L2, limit=10, ef_search=1_000_000)
+    return out.select("vec_id", F.col("_score").cast("float").alias("score"))
+
+
+def q_hnsw_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production HNSW beam regime (efSearch=96). No SQL oracle:
+    bounded-beam traversal is not SQL-expressible; the operator is
+    recall-gated against exact FLAT in tests/test_hnsw.py at the
+    reference CI thresholds (recall@1/@10/@100 ≥ 0.50/0.80/0.90,
+    test_recall_baseline.py:301-303), and its exhaustive-ef twin
+    q_hnsw_knn IS hash-checked against the FLAT oracle."""
     index = _hnsw_index(spark, sf_dir)
     out = index.search(None, QV_L2, limit=10)
     return out.select("vec_id", F.col("_score").cast("float").alias("score"))
@@ -1561,6 +1574,82 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (no stub): stage 1 synthesizes
+    genuine containers per doc — a RIFF/WAVE 16-bit PCM file (stdlib
+    ``wave`` writer) and a binary netpbm P5 image — as binary columns;
+    stage 2 decodes them with the registered stdlib codecs
+    (functions/media.py) and emits exact integer stats of the DECODED
+    payloads (frame count from the RIFF header, Σ sample², pixel dims,
+    Σ pixels). The DuckDB oracle recomputes the same integers from the
+    generation formula arithmetically — so a hash match proves the
+    decoder recovered every sample/pixel bit-exactly through a real
+    container round-trip."""
+    import pandas as pd
+
+    from vearch_spark.functions.media import (
+        decode_pgm,
+        decode_wav_pcm,
+        pgm_bytes,
+        wav_bytes,
+        wav_info,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 40 + i % 13
+                samples = [((i * 31 + j * 17) % 65536) - 32768 for j in range(n)]
+                w, h = 4 + i % 5, 3 + i % 4
+                px = np.array(
+                    [(i * 7 + j * 13) % 256 for j in range(w * h)], dtype=np.uint8
+                ).reshape(h, w)
+                rows.append((str(i), wav_bytes(samples, 8000), pgm_bytes(px)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "audio_bytes", "image_bytes"]
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id string, audio_bytes binary, image_bytes binary"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for mid, ab, ib in zip(
+                pdf["media_id"], pdf["audio_bytes"], pdf["image_bytes"]
+            ):
+                info = wav_info(bytes(ab))
+                pcm = decode_wav_pcm(bytes(ab))[:, 0].astype(np.int64)
+                img = decode_pgm(bytes(ib))
+                out.append(
+                    (
+                        mid,
+                        info["n_frames"],
+                        int((pcm * pcm).sum()),
+                        img.shape[1],
+                        img.shape[0],
+                        int(img.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_frames", "sum_sq", "width", "height", "px_sum"],
+            )
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "media_id string, n_frames int, sum_sq long, "
+            "width int, height int, px_sum long"
+        ),
+    ).orderBy(F.col("media_id").cast("int"))
+
+
 # Ordering contract: the driver's CORRECTNESS gate checks the FIRST 50
 # entries (observed in rounds 1 and 2: exactly queries()[0:50] got rows,
 # the rest were silently dropped). The first 50 below are therefore the
@@ -1634,7 +1723,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_hamming_knn": q_binary_hamming_knn,  # hamming kernel: binaryivf_knn
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
-    "hnsw_knn": q_hnsw_knn,  # graph ANN: recall-gated in tests/test_hnsw.py
+    "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
+    "hnsw_beam_knn": q_hnsw_beam_knn,  # beam regime: recall-gated in tests/test_hnsw.py
     "knn_meta": q_knn_meta,  # total/max_score over the FLAT kernel: flat_knn_l2
     "tfidf_keywords": q_tfidf_keywords,  # postings+idf kernel: bm25_topk
     "ivf2_knn": q_ivf2_knn,  # hierarchical quantizer: ivfflat_knn + its own oracle
@@ -3133,6 +3223,14 @@ def oracle_sql() -> dict[str, str]:
     d["semantic_decontaminate"] = _semantic_decontaminate_sql()
     d["dedup_lines"] = _dedup_lines_sql()
     d.update(_ivf_oracle_sql())
+    # exhaustive-ef HNSW visits every reachable node per shard, and the
+    # global merge + scoring is the shared FLAT kernel — so the exact
+    # FLAT top-k IS its oracle (q_hnsw_beam_knn stays rows-only)
+    d["hnsw_knn"] = f"""
+        SELECT vec_id, CAST({_sql_l2sq('embedding', QV_L2)} AS REAL) AS score
+        FROM embeddings
+        ORDER BY score ASC, vec_id ASC LIMIT 10
+    """
     return d
 
 
