@@ -1585,6 +1585,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation formula arithmetically — so a hash match proves the
     decoder recovered every sample/pixel bit-exactly through a real
     container round-trip."""
+    import numpy as np
     import pandas as pd
 
     from vearch_spark.functions.media import (
@@ -1731,6 +1732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_top_terms": q_vocab_top_terms,  # postings/count kernel: tfidf_keywords/bm25_topk
     "quality_score": q_quality_score,  # banded composite: quality_topk_per_source SQL twin
     "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
+    "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
 }
 
 
@@ -3230,6 +3232,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST({_sql_l2sq('embedding', QV_L2)} AS REAL) AS score
         FROM embeddings
         ORDER BY score ASC, vec_id ASC LIMIT 10
+    """
+    # media_decode: the Spark side round-trips REAL containers (RIFF
+    # PCM + netpbm) through the stdlib codecs; the oracle recomputes
+    # the decoded-payload integer stats from the generation formula —
+    # a hash match proves bit-exact decode of every sample and pixel
+    d["media_decode"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               (40 + doc_id % 13)::INT AS n_frames,
+               list_sum(list_transform(range(40 + doc_id % 13), j ->
+                 ((doc_id*31 + j*17) % 65536 - 32768)
+                 * ((doc_id*31 + j*17) % 65536 - 32768)))::BIGINT AS sum_sq,
+               (4 + doc_id % 5)::INT AS width,
+               (3 + doc_id % 4)::INT AS height,
+               list_sum(list_transform(
+                 range((4 + doc_id % 5) * (3 + doc_id % 4)),
+                 j -> (doc_id*7 + j*13) % 256))::BIGINT AS px_sum
+        FROM documents WHERE doc_id < 100
+        ORDER BY doc_id
     """
     return d
 
