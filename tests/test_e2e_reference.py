@@ -139,3 +139,113 @@ def test_full_lifecycle(spark):
     reg.drop_space("ts_db", "ts_space")
     reg.drop_db("ts_db")
     assert reg.list_dbs() == []
+
+
+def test_admin_lifecycle_reference_payloads(spark):
+    """The full admin lifecycle driven by the reference's JSON payloads
+    in reference order (test_module_partition.py:268-318 DROP→ADD,
+    test_module_space.py partition_num / config / indexes): range-rule
+    DROP deletes the range and its docs; ADD accepts the reference's
+    out-of-order ranges payload and re-ingests; partition_num grows
+    (reduction rejects); config round-trips; index list/remove."""
+    import datetime as dt
+
+    from vearch_spark import api
+    from vearch_spark.schema import PartitionRule
+
+    schema = SpaceSchema(
+        name="ts_admin",
+        fields=[
+            FieldSpec("ts", FieldType.DATE, index=IndexSpec("ts", "SCALAR")),
+            FieldSpec("field_float", FieldType.FLOAT,
+                      index=IndexSpec("field_float", "SCALAR")),
+            FieldSpec("field_vector", FieldType.VECTOR, dimension=DIM,
+                      index=IndexSpec("field_vector", "FLAT")),
+        ],
+        partition_rule=PartitionRule(
+            field="ts",
+            ranges=[("p0", "2024-01-01"), ("p1", "2024-02-01"),
+                    ("p2", "2024-03-01")],
+        ),
+    )
+    reg = Registry(spark)
+    reg.create_db("ts_db")
+    sp = reg.create_space("ts_db", schema)
+
+    def docs_for(month_starts):
+        return [
+            {"_id": f"{m}-{i}", "ts": dt.datetime.fromisoformat(m),
+             "field_float": float(i), "field_vector": [float(i)] * DIM}
+            for m in month_starts for i in range(10)
+        ]
+
+    api.upsert(sp, {"documents": docs_for(
+        ["2023-12-15", "2024-01-15", "2024-02-15"])})
+    assert sp.count() == 30
+
+    # DROP p1 (reference payload: operator_type + partition_name)
+    out = api.update_space(sp, {"operator_type": "DROP", "partition_name": "p1"})
+    names = [r["name"] for r in out["partition_rule"]["ranges"]]
+    assert names == ["p0", "p2"]
+    assert sp.count() == 20  # p1's docs deleted with the range
+    desc = sp.describe()
+    assert [r for r in desc["partition_rule"]["ranges"]] == ["p0", "p2"]
+
+    # ADD back p1 plus p3, ranges deliberately OUT OF ORDER in the
+    # payload (the reference sends p3 before p1; the merged rule comes
+    # back bound-ordered)
+    out = api.update_space(sp, {
+        "operator_type": "ADD",
+        "partition_rule": {"ranges": [
+            {"name": "p3", "value": "2024-04-01"},
+            {"name": "p1", "value": "2024-02-01"},
+        ]},
+    })
+    names = [r["name"] for r in out["partition_rule"]["ranges"]]
+    assert names == ["p0", "p1", "p2", "p3"]
+    # 2024-01-15 routes to the re-added p1 (its docs died with the
+    # DROP); 2024-03-15 routes to the new p3
+    api.upsert(sp, {"documents": docs_for(["2024-01-15", "2024-03-15"])})
+    assert sp.count() == 40
+    # partition-targeted query through the verb payload
+    got = api.query(sp, {"filters": {"operator": "AND", "conditions": [
+        {"field": "field_float", "operator": ">=", "value": 0}]},
+        "limit": 50, "partition_names": ["p1"]}).count()
+    assert got == 10
+
+    # duplicate-name / duplicate-value ADDs reject (RangeIsSame)
+    with pytest.raises(DocumentError):
+        api.update_space(sp, {"operator_type": "ADD", "partition_rule": {
+            "ranges": [{"name": "p1", "value": "2025-01-01"}]}})
+    with pytest.raises(DocumentError):
+        api.update_space(sp, {"operator_type": "ADD", "partition_rule": {
+            "ranges": [{"name": "p9", "value": "2024-02-01"}]}})
+
+    # partition_num: grow-only (test_module_space.py::test_update_space_partition)
+    assert api.update_space(sp, {"partition_num": 24}) == {"partition_num": 24}
+    with pytest.raises(DocumentError):
+        api.update_space(sp, {"partition_num": 8})
+    with pytest.raises(DocumentError):
+        api.update_space(sp, {"partition_num": "lots"})
+    assert sp.count() == 40  # re-bucketed, nothing lost
+
+    # config GET/POST partial merge (config_service.go:97-133)
+    cfg = api.update_config(sp, {"refresh_interval": 250})
+    assert cfg["refresh_interval"] == 250
+    assert api.get_config(sp)["refresh_interval"] == 250
+
+    # index list / remove (cluster_api.go:291-294)
+    idx = api.list_indexes(sp, db_name="ts_db")
+    assert idx["db_name"] == "ts_db"
+    names = {i["name"] for i in idx["indexes"]}
+    assert {"ts", "field_float", "field_vector"} <= names
+    left = api.delete_index(sp, "field_float")
+    assert "field_float" not in {i["name"] for i in left["indexes"]}
+
+    # rebuild + forcemerge round out the admin verbs
+    assert api.index_rebuild(sp, {"drop_before_rebuild": True}) == []
+    assert api.index_forcemerge(sp) == 0  # in-memory space: nothing to vacuum
+
+    reg.drop_space("ts_db", "ts_admin")
+    reg.drop_db("ts_db")
+    assert reg.list_dbs() == []
