@@ -111,10 +111,12 @@ def compact_line(payload: dict) -> str:
     """Build the driver-parsed JSON line under LINE_BUDGET chars.
 
     Degradation order (each step only if still over budget):
-    timings at 2dp + recall summary -> drop recall -> 1dp timings ->
-    drop fastest queries (count recorded in queries_omitted). The
-    required driver keys {metric, value, unit, queries, sf} always
-    survive; the full-precision payload lives in BENCH_LOCAL.json.
+    timings at 2dp + recall summary -> 1dp timings (recall kept: the
+    recall gates are the baseline comparison and worth more than a
+    centisecond digit) -> drop recall -> drop fastest queries (count
+    recorded in queries_omitted). The required driver keys
+    {metric, value, unit, queries, sf} always survive; the
+    full-precision payload lives in BENCH_LOCAL.json.
     """
     def dumps(d: dict) -> str:
         return json.dumps(d, separators=(",", ":"))
@@ -134,10 +136,10 @@ def compact_line(payload: dict) -> str:
         core["recall"] = recall
     if len(dumps(core)) <= LINE_BUDGET:
         return dumps(core)
-    core.pop("recall", None)
+    core["queries"] = {k: round(v, 1) for k, v in payload["queries"].items()}
     if len(dumps(core)) <= LINE_BUDGET:
         return dumps(core)
-    core["queries"] = {k: round(v, 1) for k, v in payload["queries"].items()}
+    core.pop("recall", None)
     if len(dumps(core)) <= LINE_BUDGET:
         return dumps(core)
     # last resort: drop the fastest queries until the line fits

@@ -687,3 +687,58 @@ def test_search_batched_binary_hamming(spark):
                              "limit": 3, "is_brute_search": 0}).collect()
     assert sorted((r.query_id, r._id) for r in forced) == \
         sorted((r.query_id, r._id) for r in auto)
+
+
+def test_master_verbs_payload_parity(spark, tmp_path):
+    """The master's db/space/alias routes (cluster_api.go:300-339)
+    against a durable Registry: create-space via the reference's JSON
+    body (space.go:464-559), alias CRUD, describe, cascade on space
+    delete — then a fresh Registry.load sees the same catalog."""
+    from vearch_spark.registry import Registry
+    from vearch_spark.errors import SchemaError
+
+    reg = Registry(spark, root=str(tmp_path / "master"))
+    assert api.create_db(reg, "db1") == {"name": "db1"}
+    assert api.list_dbs(reg) == [{"name": "db1"}]
+
+    payload = {
+        "name": "ts_space",
+        "partition_num": 4,
+        "fields": [
+            {"name": "field_int", "type": "integer", "index": {"type": "SCALAR"}},
+            {"name": "field_vector", "type": "vector", "dimension": 4,
+             "index": {"type": "FLAT", "params": {"metric_type": "L2"}}},
+        ],
+    }
+    sp = api.create_space(reg, "db1", payload)
+    assert sp.n_buckets == 4
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "field_int": i, "field_vector": [float(i), 0, 0, 0]}
+        for i in range(10)]})
+    desc = api.describe_space(reg, "db1", "ts_space")
+    assert desc["doc_count"] == 10
+
+    assert api.create_alias(reg, "prod", "db1", "ts_space")["space_name"] == "ts_space"
+    api.modify_alias(reg, "prod", "db1", "ts_space")
+    assert api.get_alias(reg, "prod")["db_name"] == "db1"
+    assert api.get_alias(reg) == [
+        {"name": "prod", "db_name": "db1", "space_name": "ts_space"}]
+    # alias resolves through the document verbs
+    hits = api.search(reg.space("db1", "prod"), {
+        "vectors": [{"field": "field_vector", "feature": [3.0, 0, 0, 0]}],
+        "limit": 1})
+    assert hits.collect()[0]._id == "3"
+
+    # restart: the catalog (db + space + alias) reattaches
+    reg2 = Registry.load(spark, reg.root)
+    assert api.list_spaces(reg2, "db1") == [{"name": "ts_space"}]
+    assert api.get_alias(reg2, "prod")["space_name"] == "ts_space"
+
+    api.delete_space(reg2, "db1", "ts_space")
+    assert api.get_alias(reg2) == []  # cascade
+    with pytest.raises(SchemaError):
+        api.delete_db(reg2, "nope")
+    api.delete_db(reg2, "db1")
+    assert api.list_dbs(reg2) == []
+    with pytest.raises(SchemaError):
+        api.delete_alias(reg2, "prod")  # already cascaded away

@@ -276,3 +276,17 @@ def test_concurrent_commit_cas(spark, tmp_path):
     sp4.upsert([{"_id": "d2", "field_int": 2000, "field_string": "w2"}])
     sp5 = Space(spark, make_schema(), path=path)
     assert {r.field_int for r in sp5.df.where(F.col("_id") == "d2").collect()} == {2000}
+
+
+def test_vacuum_reclaims_staging_orphans(spark, tmp_path):
+    """A writer that crashes before its manifest CAS leaves a
+    commit-private _staging_* dir; vacuum (the exclusive-admin reclaim)
+    removes it along with dead version dirs."""
+    sp = Space(spark, make_schema(), path=str(tmp_path / "vs"), n_buckets=4)
+    sp.upsert(seed_rows(8))
+    orphan = os.path.join(sp.path, "_staging_deadbeef")
+    os.makedirs(orphan)
+    sp.upsert([{"_id": "d0", "field_int": 99, "field_string": "x"}])
+    sp.vacuum()
+    assert not os.path.exists(orphan)
+    assert {r.field_int for r in sp.df.where(F.col("_id") == "d0").collect()} == {99}

@@ -316,6 +316,94 @@ def delete_index(space: Space, index_name: str) -> dict:
     return space.list_indexes()
 
 
+# --------------------------------------------------- master (cluster) verbs
+# The master's db/space/alias routes (cluster_api.go:300-339) against a
+# Registry — the same URL params + JSON bodies, so admin tooling ports
+# by re-pointing the client like the document verbs above.
+
+
+def create_db(reg, db_name: str) -> dict:
+    """`POST /dbs/{db}` (cluster_api.go:304 → createDB)."""
+    reg.create_db(db_name)
+    return {"name": db_name}
+
+
+def list_dbs(reg) -> list[dict]:
+    """`GET /dbs` (cluster_api.go:306)."""
+    return [{"name": n} for n in reg.list_dbs()]
+
+
+def delete_db(reg, db_name: str) -> None:
+    """`DELETE /dbs/{db}` (cluster_api.go:307; non-empty dbs reject,
+    same as the master's service check)."""
+    reg.drop_db(db_name)
+
+
+def create_space(reg, db_name: str, payload: dict) -> Space:
+    """`POST /dbs/{db}/spaces` with the create-space JSON body
+    (space.go:464-559 — the same payload SpaceSchema.from_json parses;
+    `partition_num` is accepted as the bucket count)."""
+    from vearch_spark.schema import SpaceSchema
+
+    schema = SpaceSchema.from_json(payload)
+    sp = reg.create_space(db_name, schema)
+    if payload.get("partition_num"):
+        n = int(payload["partition_num"])
+        if n > sp.n_buckets:
+            sp.update_partition_num(n)
+        else:
+            sp.n_buckets = n
+    return sp
+
+
+def list_spaces(reg, db_name: str) -> list[dict]:
+    """`GET /dbs/{db}/spaces` (cluster_api.go:311)."""
+    return [{"name": n} for n in reg.list_spaces(db_name)]
+
+
+def describe_space(reg, db_name: str, space_name: str) -> dict:
+    """`GET /dbs/{db}/spaces/{space}` (cluster_api.go:312 →
+    describe_space payload shape: schema + index states + partition
+    rule + doc count)."""
+    return reg.space(db_name, space_name).describe()
+
+
+def delete_space(reg, db_name: str, space_name: str) -> None:
+    """`DELETE /dbs/{db}/spaces/{space}` (cluster_api.go:313; aliases
+    pointing at the space cascade, alias.go semantics)."""
+    reg.drop_space(db_name, space_name)
+
+
+def create_alias(reg, alias_name: str, db_name: str, space_name: str) -> dict:
+    """`POST /alias/{alias}/dbs/{db}/spaces/{space}`
+    (cluster_api.go:335 → entity.Alias)."""
+    reg.create_alias(alias_name, db_name, space_name)
+    return {"name": alias_name, "db_name": db_name, "space_name": space_name}
+
+
+def modify_alias(reg, alias_name: str, db_name: str, space_name: str) -> dict:
+    """`PUT /alias/{alias}/dbs/{db}/spaces/{space}` (cluster_api.go:339)."""
+    reg.update_alias(alias_name, db_name, space_name)
+    return {"name": alias_name, "db_name": db_name, "space_name": space_name}
+
+
+def get_alias(reg, alias_name: str | None = None):
+    """`GET /alias[/{alias}]` (cluster_api.go:336-337): one alias or
+    the full listing."""
+    if alias_name is not None:
+        db, sp = reg.get_alias(alias_name)
+        return {"name": alias_name, "db_name": db, "space_name": sp}
+    return [
+        {"name": a, "db_name": d, "space_name": s}
+        for a, (d, s) in sorted(reg.list_aliases().items())
+    ]
+
+
+def delete_alias(reg, alias_name: str) -> None:
+    """`DELETE /alias/{alias}` (cluster_api.go:338)."""
+    reg.delete_alias(alias_name)
+
+
 def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
     """`POST /index/rebuild` (doc_http.go:937 → Engine::RebuildIndex
     engine.cc:1013-1084): retrain every declared vector index from the

@@ -559,6 +559,16 @@ class Space:
         lakehouse vacuums give old readers)."""
         if not self.path or self._manifest is None:
             return 0
+        # staging orphans: a writer that crashed before its manifest CAS
+        # leaves a commit-private _staging_* dir behind (a losing writer
+        # cleans its own up). vacuum() is an exclusive-admin operation by
+        # contract (it deletes version dirs out from under readers), so
+        # reclaiming every staging dir here is safe.
+        import shutil as _sh
+
+        for name in os.listdir(self.path):
+            if name.startswith("_staging_"):
+                _sh.rmtree(os.path.join(self.path, name), ignore_errors=True)
         live = {int(v) for v in self._manifest["buckets"].values()}
         live.add(int(self._manifest["version"]))
         doomed = [
