@@ -280,13 +280,23 @@ def test_concurrent_commit_cas(spark, tmp_path):
 
 def test_vacuum_reclaims_staging_orphans(spark, tmp_path):
     """A writer that crashes before its manifest CAS leaves a
-    commit-private _staging_* dir; vacuum (the exclusive-admin reclaim)
-    removes it along with dead version dirs."""
+    commit-private _staging_* dir; vacuum removes it once past the
+    grace window — but must NOT touch a YOUNG staging dir, which may
+    belong to a live concurrent commit between its data write and its
+    commit lock."""
+    import time
+
     sp = Space(spark, make_schema(), path=str(tmp_path / "vs"), n_buckets=4)
     sp.upsert(seed_rows(8))
-    orphan = os.path.join(sp.path, "_staging_deadbeef")
-    os.makedirs(orphan)
+    old = os.path.join(sp.path, "_staging_deadbeef")
+    young = os.path.join(sp.path, "_staging_inflight")
+    os.makedirs(old)
+    os.makedirs(young)
+    stale = time.time() - 7200  # crashed hours ago
+    os.utime(old, (stale, stale))
     sp.upsert([{"_id": "d0", "field_int": 99, "field_string": "x"}])
     sp.vacuum()
-    assert not os.path.exists(orphan)
+    assert not os.path.exists(old)
+    assert os.path.exists(young)  # live commit's staging untouched
+    os.rmdir(young)
     assert {r.field_int for r in sp.df.where(F.col("_id") == "d0").collect()} == {99}

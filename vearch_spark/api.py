@@ -342,18 +342,26 @@ def delete_db(reg, db_name: str) -> None:
 def create_space(reg, db_name: str, payload: dict) -> Space:
     """`POST /dbs/{db}/spaces` with the create-space JSON body
     (space.go:464-559 — the same payload SpaceSchema.from_json parses;
-    `partition_num` is accepted as the bucket count)."""
+    `partition_num` is the bucket count, validated like the update
+    verb and applied at CONSTRUCTION so the persisted _SPACE.json
+    carries it from the first commit)."""
     from vearch_spark.schema import SpaceSchema
 
     schema = SpaceSchema.from_json(payload)
-    sp = reg.create_space(db_name, schema)
-    if payload.get("partition_num"):
-        n = int(payload["partition_num"])
-        if n > sp.n_buckets:
-            sp.update_partition_num(n)
-        else:
-            sp.n_buckets = n
-    return sp
+    n_buckets = 16
+    if payload.get("partition_num") is not None:
+        try:
+            n_buckets = int(payload["partition_num"])
+        except (TypeError, ValueError):
+            raise DocumentError(
+                f"partition_num must be an integer, got "
+                f"{payload['partition_num']!r}"
+            ) from None
+        if n_buckets < 1:
+            raise DocumentError(
+                f"partition_num must be >= 1, got {n_buckets}"
+            )
+    return reg.create_space(db_name, schema, n_buckets=n_buckets)
 
 
 def list_spaces(reg, db_name: str) -> list[dict]:

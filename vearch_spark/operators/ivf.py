@@ -1041,7 +1041,6 @@ class BinaryIVFIndex:
         from pyspark.sql import Window
 
         from vearch_spark.functions.distance import hamming_distance
-        from vearch_spark.operators.topk import _score_order
 
         if self._assigned is None:
             raise SearchError("index not trained")

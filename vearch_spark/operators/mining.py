@@ -109,18 +109,19 @@ def _blas_scored(
     import numpy as np
     import pandas as pd
 
-    # limit-probe BEFORE collecting — the same ceiling discipline as
-    # embedding_cosine_pairs_blas: a dynamically filtered anchor set
-    # that is unexpectedly large must error before the driver heap is
-    # blown, not after
-    probe = anchors.select(id_col).limit(max_anchor_rows + 1).count()
-    if probe > max_anchor_rows:
+    # ceiling-guarded collect: ONE job, bounded at max+1 rows by the
+    # limit itself — a separate count() probe would both re-run the
+    # anchor plan and race a nondeterministic source (sample/unordered
+    # limit) whose second evaluation could exceed what the probe saw
+    rows = anchors.select(id_col, vec_col, label_col).limit(
+        max_anchor_rows + 1
+    ).collect()
+    if len(rows) > max_anchor_rows:
         raise ValueError(
             f"anchor set exceeds {max_anchor_rows} rows — too large for "
             "the closure-shipped BLAS kernel; batch the anchors, or use "
             "kernel='expr' (broadcast join) / cell-blocked knn_join"
         )
-    rows = anchors.select(id_col, vec_col, label_col).collect()
     sch = corpus.schema
     out_schema = (
         f"anchor_id {anchors.schema[id_col].dataType.simpleString()}, "

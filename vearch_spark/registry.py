@@ -147,6 +147,7 @@ class Registry:
         schema: SpaceSchema,
         path: str | None = None,
         refresh_interval: int = 1000,
+        n_buckets: int = 16,
     ) -> Space:
         spaces = self._dbs.get(db)
         if spaces is None:
@@ -158,7 +159,8 @@ class Registry:
             self._check_name("space", schema.name)
             path = os.path.join(self.root, db, schema.name)
         space = Space(
-            self.spark, schema, path=path, refresh_interval=refresh_interval
+            self.spark, schema, path=path,
+            refresh_interval=refresh_interval, n_buckets=n_buckets,
         )
         spaces[schema.name] = space
         if path is not None:

@@ -236,7 +236,11 @@ class Space:
                 # mutations (partition-rule ADD/DROP, remove_index) and
                 # config updates made by a PREVIOUS session must not be
                 # silently undone by reattaching with the stale
-                # create-time schema
+                # create-time schema. Corollary: to CREATE a space with
+                # a genuinely new schema at a previously used path,
+                # delete the directory first (Registry.drop_space does
+                # this for registry-owned storage) — same-name reuse
+                # deliberately reattaches, it never re-creates
                 stored = SpaceSchema.from_json(meta["schema"])
                 if stored.name != schema.name:
                     raise SchemaError(
@@ -561,14 +565,24 @@ class Space:
             return 0
         # staging orphans: a writer that crashed before its manifest CAS
         # leaves a commit-private _staging_* dir behind (a losing writer
-        # cleans its own up). vacuum() is an exclusive-admin operation by
-        # contract (it deletes version dirs out from under readers), so
-        # reclaiming every staging dir here is safe.
+        # cleans its own up). Only dirs older than the grace window are
+        # reclaimed — a LIVE concurrent commit's staging dir is young
+        # (it stages, then immediately takes the commit lock), and
+        # deleting it mid-flight would fail that writer with a raw
+        # FileNotFoundError instead of the CAS's typed retry signal.
         import shutil as _sh
+        import time as _time
 
+        grace = 3600.0  # crashed-commit orphans are hours old, not seconds
+        now = _time.time()
         for name in os.listdir(self.path):
             if name.startswith("_staging_"):
-                _sh.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                p = os.path.join(self.path, name)
+                try:
+                    if now - os.path.getmtime(p) > grace:
+                        _sh.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass  # raced with the owner's own cleanup
         live = {int(v) for v in self._manifest["buckets"].values()}
         live.add(int(self._manifest["version"]))
         doomed = [
@@ -1996,6 +2010,7 @@ class Space:
                 f"index type {index_type!r} does not fit field {field_name!r}"
             )
         spec.index = new_index
+        self._store_space_meta()  # addition survives restarts (etcd parity)
 
     def list_indexes(self, detail: bool = False) -> dict:
         """``GET /dbs/{db}/spaces/{space}/indexes`` (cluster_api.go:
