@@ -273,3 +273,55 @@ def test_pushed_filters_handles_nested_in(spark, tmp_path):
     pushed = " ".join(X.pushed_filters(df))
     assert "In(f" in pushed
     assert "GreaterThan(q,5)" in pushed
+
+
+def test_binary_ivf_batch_probe_join_is_broadcast(spark, emb):
+    """Batched Hamming ANN (BinaryIVFIndex.search_batch): same physical
+    shape as the float batch — tiny probe relation broadcasts, docs
+    never shuffle for the join, per-query top-k window-limited
+    map-side, one exchange."""
+    from vearch_spark.operators.ivf import BinaryIVFIndex
+
+    codes = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: (F.element_at("embedding", j * 8 + 1) > 0.5).cast("int"),
+        ).alias("code"),
+    )
+    index = BinaryIVFIndex("code", ncentroids=8, nprobe=4, id_col="vec_id")
+    index.fit(codes)
+    try:
+        df = index.search_batch([[1, 0, 1, 0, 1, 0, 1, 0],
+                                 [0, 1, 0, 1, 0, 1, 0, 1]], limit=5)
+        assert X.uses_broadcast(df)
+        assert X.count_exchanges(df) <= 1
+        assert "WindowGroupLimit" in X.simple_plan(df)
+        assert "_cluster_id" in X.simple_plan(df)  # probe pruning applied
+    finally:
+        index.unpersist()
+
+
+def test_exact_hamming_batch_is_broadcast_window(spark, emb):
+    """Exact Hamming batch scan (topk.search_batch binary=True): the
+    query relation broadcasts against ONE docs scan and the rank
+    window is map-side limited — the docs side shuffles once (on
+    query_id), exactly like the float exact batch."""
+    from vearch_spark.operators import topk
+
+    codes = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: (F.element_at("embedding", j * 8 + 1) > 0.5).cast("int"),
+        ).alias("code"),
+    )
+    qdf = spark.createDataFrame(
+        [(0, [1, 0, 1, 0, 1, 0, 1, 0]), (1, [0, 1, 0, 1, 0, 1, 0, 1])],
+        "query_id int, query_vec array<int>",
+    )
+    df = topk.search_batch(codes, "code", qdf, limit=5, id_col="vec_id",
+                           binary=True)
+    assert X.uses_broadcast(df)
+    assert X.count_exchanges(df) <= 1
+    assert "WindowGroupLimit" in X.simple_plan(df)
