@@ -412,6 +412,68 @@ def delete_alias(reg, alias_name: str) -> None:
     reg.delete_alias(alias_name)
 
 
+# ------------------------------------------------------- user / role verbs
+# The master's RBAC routes (/users, /roles — payload shapes as driven by
+# test/utils/vearch_utils.py:1833-1913, rules in vearch_spark.auth).
+
+
+def create_user(reg, req: dict) -> dict:
+    """`POST /users`: {name, password, role_name}."""
+    if "password" not in req or "role_name" not in req:
+        raise DocumentError("create user requires name, password, role_name")
+    return reg.auth.create_user(req["name"], req["password"], req["role_name"])
+
+
+def get_user(reg, user_name: str) -> dict:
+    """`GET /users/{name}` — never echoes the credential."""
+    return reg.auth.get_user(user_name)
+
+
+def list_users(reg) -> list[dict]:
+    """`GET /users`."""
+    return reg.auth.list_users()
+
+
+def update_user(reg, req: dict) -> dict:
+    """`PUT /users`: {name, password[, old_password][, role_name]} —
+    partial update; password change verifies old_password when given
+    (the self-service route), omitting it is the root-credential path
+    (test_module_user.py::test_update_user_password_with_root)."""
+    return reg.auth.update_user(
+        req["name"],
+        password=req.get("password"),
+        old_password=req.get("old_password"),
+        role_name=req.get("role_name"),
+    )
+
+
+def drop_user(reg, user_name: str) -> None:
+    """`DELETE /users/{name}` (root undeletable, user_service.go:85)."""
+    reg.auth.drop_user(user_name)
+
+
+def create_role(reg, req: dict) -> dict:
+    """`POST /roles`: {name, privileges: {Resource: Privilege}}."""
+    return reg.auth.create_role(req["name"], req.get("privileges") or {}).to_json()
+
+
+def get_role(reg, role_name: str) -> dict:
+    """`GET /roles/{name}` — built-ins resolve from the ROLE map."""
+    return reg.auth.get_role(role_name).to_json()
+
+
+def change_role_privilege(reg, req: dict) -> dict:
+    """`PUT /roles`: {name, operator: Grant|Revoke, privileges}."""
+    return reg.auth.change_role_privilege(
+        req["name"], req.get("operator", ""), req.get("privileges") or {}
+    ).to_json()
+
+
+def drop_role(reg, role_name: str) -> None:
+    """`DELETE /roles/{name}` (built-ins immutable)."""
+    reg.auth.delete_role(role_name)
+
+
 def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
     """`POST /index/rebuild` (doc_http.go:937 → Engine::RebuildIndex
     engine.cc:1013-1084): retrain every declared vector index from the

@@ -46,6 +46,8 @@ class Registry:
     default, durable under ``root``."""
 
     def __init__(self, spark: SparkSession, root: str | None = None):
+        from vearch_spark.auth import AuthStore
+
         self.spark = spark
         self.root = root
         # name -> (Space | None): None = persisted but not yet
@@ -53,9 +55,13 @@ class Registry:
         self._dbs: dict[str, dict[str, Space | None]] = {}
         self._paths: dict[tuple[str, str], str] = {}
         self._aliases: dict[str, tuple[str, str]] = {}
+        # the master's RBAC surface (users/roles, vearch_spark.auth) —
+        # persisted with the catalog under a rooted registry
+        self.auth = AuthStore()
         if root:
             os.makedirs(root, exist_ok=True)
             self._load_catalog()
+        self.auth._on_change = self._save_catalog
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "Registry":
@@ -84,6 +90,10 @@ class Registry:
         self._aliases = {
             a: (tgt[0], tgt[1]) for a, tgt in (cat.get("aliases") or {}).items()
         }
+        if cat.get("auth"):
+            from vearch_spark.auth import AuthStore
+
+            self.auth = AuthStore.from_json(cat["auth"])
 
     def _save_catalog(self) -> None:
         import json as _json
@@ -99,6 +109,7 @@ class Registry:
                 for db, spaces in self._dbs.items()
             },
             "aliases": {a: list(t) for a, t in self._aliases.items()},
+            "auth": self.auth.to_json(),
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
