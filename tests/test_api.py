@@ -742,3 +742,37 @@ def test_master_verbs_payload_parity(spark, tmp_path):
     assert api.list_dbs(reg2) == []
     with pytest.raises(SchemaError):
         api.delete_alias(reg2, "prod")  # already cascaded away
+
+
+def test_cluster_health_and_stats(spark, tmp_path):
+    """GET /cluster/health + /cluster/stats (cluster_api.go:356-357):
+    per-db/space doc counts, detail adds bucket count + index states,
+    stats reports real on-disk bytes for path-backed spaces."""
+    from vearch_spark.registry import Registry
+
+    reg = Registry(spark, root=str(tmp_path / "mon"))
+    api.create_db(reg, "db1")
+    sp = api.create_space(reg, "db1", {
+        "name": "s1", "partition_num": 4,
+        "fields": [
+            {"name": "field_int", "type": "integer", "index": {"type": "SCALAR"}},
+            {"name": "v", "type": "vector", "dimension": 4,
+             "index": {"type": "IVFFLAT",
+                       "params": {"ncentroids": 2, "training_threshold": 5}}},
+        ]})
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "field_int": i, "v": [float(i), 0, 0, 0]}
+        for i in range(8)]})
+    health = api.cluster_health(reg, detail=True)
+    assert health == [{
+        "db_name": "db1", "status": "green",
+        "spaces": [{"name": "s1", "doc_num": 8, "status": "green",
+                    "partition_num": 4, "indexes": {"v": "UNINDEXED"}}],
+    }]
+    sp.build_index("v")
+    assert api.cluster_health(reg, db_name="db1", space_name="s1",
+                              detail=True)[0]["spaces"][0]["indexes"] == {
+        "v": "INDEXED"}
+    stats = api.cluster_stats(reg)
+    assert stats[0]["doc_num"] == 8 and stats[0]["disk_bytes"] > 0
+    assert stats[0]["path"].endswith("db1/s1")

@@ -412,6 +412,65 @@ def delete_alias(reg, alias_name: str) -> None:
     reg.delete_alias(alias_name)
 
 
+def cluster_health(
+    reg, db_name: str = "", space_name: str = "", detail: bool = False
+) -> list[dict]:
+    """`GET /cluster/health[?db=&space=&detail=]` (cluster_api.go:357 →
+    PartitionInfo): per-db → per-space doc counts and status; `detail`
+    adds per-space partition (bucket) counts and index states. Spark
+    has no replica raft groups, so a resolvable space IS green."""
+    out = []
+    for db in reg.list_dbs():
+        if db_name and db != db_name:
+            continue
+        spaces = []
+        for name in reg.list_spaces(db):
+            if space_name and name != space_name:
+                continue
+            sp = reg.space(db, name)
+            entry: dict = {
+                "name": name,
+                "doc_num": sp.count(),
+                "status": "green",
+            }
+            if detail:
+                entry["partition_num"] = sp.n_buckets
+                entry["indexes"] = {
+                    f.name: sp.index_state(f.name)
+                    for f in sp.schema.vector_fields
+                    if f.index is not None
+                }
+            spaces.append(entry)
+        out.append({"db_name": db, "status": "green", "spaces": spaces})
+    return out
+
+
+def cluster_stats(reg) -> list[dict]:
+    """`GET /cluster/stats` (cluster_api.go:356): per-space storage
+    stats — doc counts plus on-disk bytes for path-backed spaces (the
+    reference reports per-partition disk paths and sizes)."""
+    import os as _os
+
+    out = []
+    for db in reg.list_dbs():
+        for name in reg.list_spaces(db):
+            sp = reg.space(db, name)
+            size = 0
+            if sp.path:
+                for root, _dirs, files in _os.walk(sp.path):
+                    size += sum(
+                        _os.path.getsize(_os.path.join(root, f)) for f in files
+                    )
+            out.append({
+                "db_name": db,
+                "space_name": name,
+                "doc_num": sp.count(),
+                "disk_bytes": size,
+                "path": sp.path,
+            })
+    return out
+
+
 # ------------------------------------------------------- user / role verbs
 # The master's RBAC routes (/users, /roles — payload shapes as driven by
 # test/utils/vearch_utils.py:1833-1913, rules in vearch_spark.auth).
