@@ -188,3 +188,44 @@ def test_rooted_registry_name_validation(spark, tmp_path):
         r.create_space("ok", make_schema(name="../evil"))
     with pytest.raises(SchemaError):
         r.create_alias("x/y", "ok", "nope")
+
+
+def test_resource_limit_gates_writes(spark, tmp_path):
+    """PUT /cluster/resource_limit (test_module_resource_limit.py):
+    empty-cluster set rejects; while set, document writes on every
+    space (current AND reattached) reject with a typed error, reads
+    keep serving; clearing re-enables; the flag survives restarts."""
+    from vearch_spark import api
+    from vearch_spark.errors import DocumentError
+
+    root = str(tmp_path / "rl")
+    reg = Registry(spark, root=root)
+    with pytest.raises(SchemaError):
+        api.server_resource_limit(reg, resource_exhausted=True)  # empty
+
+    reg.create_db("db1")
+    with pytest.raises(SchemaError):
+        reg.set_resource_limit(True)  # db but no spaces: still empty
+    sp = reg.create_space("db1", make_schema())
+    sp.upsert([{"_id": "1", "field_int": 1}])
+
+    assert api.server_resource_limit(reg, resource_exhausted=True) == {
+        "resource_exhausted": True}
+    with pytest.raises(DocumentError, match="resource exhausted"):
+        sp.upsert([{"_id": "2", "field_int": 2}])
+    with pytest.raises(DocumentError, match="resource exhausted"):
+        sp.delete(["1"])
+    with pytest.raises(DocumentError, match="resource exhausted"):
+        sp.partial_update("1", {"field_int": 9})
+    assert sp.count() == 1  # reads serve
+
+    # the limit survives a restart and applies to reattached spaces
+    reg2 = Registry.load(spark, root)
+    sp2 = reg2.space("db1", "docs")
+    with pytest.raises(DocumentError, match="resource exhausted"):
+        sp2.upsert([{"_id": "2", "field_int": 2}])
+
+    # clearing (flag omitted, the reference's clear shape) re-enables
+    api.server_resource_limit(reg2)
+    sp2.upsert([{"_id": "2", "field_int": 2}])
+    assert sp2.count() == 2

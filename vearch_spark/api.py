@@ -412,6 +412,15 @@ def delete_alias(reg, alias_name: str) -> None:
     reg.delete_alias(alias_name)
 
 
+def server_resource_limit(reg, resource_exhausted: bool | None = None) -> dict:
+    """`PUT /cluster/resource_limit` (test_module_resource_limit.py
+    shape: omitting the flag clears the limit): while exhausted,
+    document writes on every space reject and reads keep serving;
+    setting it on an empty cluster rejects."""
+    reg.set_resource_limit(bool(resource_exhausted))
+    return {"resource_exhausted": bool(resource_exhausted)}
+
+
 def cluster_health(
     reg, db_name: str = "", space_name: str = "", detail: bool = False
 ) -> list[dict]:

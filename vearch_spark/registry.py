@@ -58,6 +58,9 @@ class Registry:
         # the master's RBAC surface (users/roles, vearch_spark.auth) —
         # persisted with the catalog under a rooted registry
         self.auth = AuthStore()
+        # cluster resource limit (PUT /cluster/resource_limit): while
+        # set, document writes on every space reject; reads serve
+        self._resource_exhausted = False
         if root:
             os.makedirs(root, exist_ok=True)
             self._load_catalog()
@@ -94,6 +97,7 @@ class Registry:
             from vearch_spark.auth import AuthStore
 
             self.auth = AuthStore.from_json(cat["auth"])
+        self._resource_exhausted = bool(cat.get("resource_exhausted", False))
 
     def _save_catalog(self) -> None:
         import json as _json
@@ -110,6 +114,7 @@ class Registry:
             },
             "aliases": {a: list(t) for a, t in self._aliases.items()},
             "auth": self.auth.to_json(),
+            "resource_exhausted": self._resource_exhausted,
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -173,6 +178,7 @@ class Registry:
             self.spark, schema, path=path,
             refresh_interval=refresh_interval, n_buckets=n_buckets,
         )
+        space.set_resource_limit(self._resource_exhausted)
         spaces[schema.name] = space
         if path is not None:
             self._paths[(db, schema.name)] = path
@@ -266,10 +272,30 @@ class Registry:
         if spaces is None or name not in spaces:
             raise SchemaError(f"space {db!r}/{name!r} not found")
 
+    def set_resource_limit(self, exhausted: bool) -> None:
+        """`PUT /cluster/resource_limit` (the disk-pressure write gate,
+        test_module_resource_limit.py): while set, document writes on
+        EVERY space reject with a typed error and reads keep serving;
+        clearing re-enables. Setting the limit on an empty cluster (no
+        spaces anywhere) rejects, like the reference's empty-cluster
+        error. Persists with the catalog."""
+        exhausted = bool(exhausted)
+        if exhausted and not any(self._dbs.get(db) for db in self._dbs):
+            raise SchemaError(
+                "cannot set resource limit on an empty cluster"
+            )
+        self._resource_exhausted = exhausted
+        for db, spaces in self._dbs.items():
+            for name, sp in spaces.items():
+                if sp is not None:
+                    sp.set_resource_limit(exhausted)
+        self._save_catalog()
+
     def _materialize(self, db: str, name: str) -> Space:
         sp = self._dbs[db][name]
         if sp is None:  # persisted by a previous session — reattach
             sp = Space.open(self.spark, self._paths[(db, name)])
+            sp.set_resource_limit(self._resource_exhausted)
             self._dbs[db][name] = sp
         return sp
 

@@ -225,6 +225,7 @@ class Space:
         self._max_seq = 0
         self._manifest: dict | None = None  # path mode: bucket -> version map
         self._indexes: dict[str, object] = {}  # field -> trained index model
+        self._resource_exhausted = False  # cluster resource-limit gate
         if path:
             os.makedirs(path, exist_ok=True)
             meta = self._load_space_meta()
@@ -1009,6 +1010,22 @@ class Space:
             )
             self._max_seq += (nparts << _SEQ_STRIDE_BITS) + n
 
+    def set_resource_limit(self, exhausted: bool) -> None:
+        """The master's cluster resource limit applied to this space:
+        while exhausted, document WRITES reject with a typed error and
+        reads keep serving (`PUT /cluster/resource_limit`, exercised by
+        test_module_resource_limit.py — upserts return total=0 until
+        the limit clears). Clearing re-enables writes."""
+        self._resource_exhausted = bool(exhausted)
+
+    def _check_writable(self) -> None:
+        if self._resource_exhausted:
+            raise DocumentError(
+                "resource exhausted: document writes are rejected until "
+                "the cluster resource limit clears "
+                "(api.server_resource_limit)"
+            )
+
     def upsert(self, rows: DataFrame | list[dict]) -> int:
         """Insert-or-replace by ``_id``; existing keys keep their
         ``_seq`` (docid stable on update, engine.cc:747). Returns the
@@ -1024,6 +1041,7 @@ class Space:
         # scan + normalize + dedup window per action (an external-source
         # batch would otherwise be rescanned each time)
         self._clear_scheduler_pool()
+        self._check_writable()
         batch = self._prepare_batch(rows).persist()
         try:
             return self._upsert_prepared(batch)
@@ -1103,6 +1121,7 @@ class Space:
         """Update only the named fields of one doc (Engine::Update
         engine.cc:831-867); vector fields are replaced whole."""
         self._clear_scheduler_pool()
+        self._check_writable()
         unknown = set(fields) - {f.name for f in self.schema.fields}
         if unknown:
             raise DocumentError(f"unknown fields: {sorted(unknown)}")
@@ -1154,6 +1173,7 @@ class Space:
         number actually deleted. Bucketed path: reads/rewrites only the
         buckets the ids hash into."""
         self._clear_scheduler_pool()
+        self._check_writable()
         ids = [str(i) for i in ids]
         if self._bucketed():
             touched = self._buckets_of_ids(ids)
@@ -1195,6 +1215,7 @@ class Space:
         raises WITHOUT deleting anything and points at
         :meth:`delete_by_query_df`, the unbounded distributed form —
         a broad predicate can never OOM the driver."""
+        self._check_writable()
         pred = compile_filter(flt, self.schema)
         probe = [
             r[ID_FIELD]
@@ -1215,6 +1236,7 @@ class Space:
         snapshotted (localCheckpoint, executor-side storage) before the
         commit so the returned relation stays valid after the table
         version advances or :meth:`vacuum` reclaims old files."""
+        self._check_writable()
         pred = compile_filter(flt, self.schema)
         matched = (
             self.df.where(pred).select(ID_FIELD).localCheckpoint(eager=True)
