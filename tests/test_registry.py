@@ -229,3 +229,50 @@ def test_resource_limit_gates_writes(spark, tmp_path):
     api.server_resource_limit(reg2)
     sp2.upsert([{"_id": "2", "field_int": 2}])
     assert sp2.count() == 2
+
+
+def test_backup_routes_versioned_roundtrip(spark, tmp_path):
+    """POST /backup/dbs/{db}[/spaces/{space}] (test_module_backup.py):
+    versioned create, restore-latest after a drop (hash-identical
+    content), restore a NAMED older version, db-wide backup, version
+    listing + delete; restore of a still-existing space rejects."""
+    from vearch_spark import api
+
+    root = str(tmp_path / "breg")
+    bpath = str(tmp_path / "backups")
+    reg = Registry(spark, root=root)
+    reg.create_db("db1")
+    sp = reg.create_space("db1", _vec_schema())
+    sp.upsert([{"_id": str(i), "field_int": i, "v": [float(i), 0, 0, 0]}
+               for i in range(12)])
+    assert api.backup_space(reg, "db1", "docs", {"command": "create",
+                                                 "path": bpath}) == {"backup_id": 1}
+    sp.upsert([{"_id": "99", "field_int": 99, "v": [9.0, 0, 0, 0]}])
+    assert api.backup_space(reg, "db1", "docs", {"command": "create",
+                                                 "path": bpath}) == {"backup_id": 2}
+    assert reg.list_backup_versions("db1", "docs", bpath) == [1, 2]
+
+    with pytest.raises(SchemaError):  # restore over a live space
+        api.backup_space(reg, "db1", "docs", {"command": "restore", "path": bpath})
+
+    reg.drop_space("db1", "docs")
+    out = api.backup_space(reg, "db1", "docs", {"command": "restore", "path": bpath})
+    assert out == {"backup_id": 2}  # latest by default
+    sp2 = reg.space("db1", "docs")
+    assert sp2.count() == 13
+    assert {r._id for r in sp2.get(["99"]).collect()} == {"99"}
+    # restored space registers durably: a fresh session still sees it
+    assert Registry.load(spark, root).space("db1", "docs").count() == 13
+
+    # named older version
+    reg.drop_space("db1", "docs")
+    api.backup_space(reg, "db1", "docs", {"command": "restore", "path": bpath,
+                                          "backup_id": 1})
+    assert reg.space("db1", "docs").count() == 12
+
+    # db-wide backup + version delete
+    assert api.backup_db(reg, "db1", {"path": bpath}) == {"spaces": {"docs": 3}}
+    reg.delete_backup_version("db1", "docs", bpath, 1)
+    assert reg.list_backup_versions("db1", "docs", bpath) == [2, 3]
+    with pytest.raises(SchemaError):
+        reg.delete_backup_version("db1", "docs", bpath, 1)

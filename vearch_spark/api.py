@@ -412,6 +412,27 @@ def delete_alias(reg, alias_name: str) -> None:
     reg.delete_alias(alias_name)
 
 
+def backup_space(reg, db_name: str, space_name: str, req: dict) -> dict:
+    """`POST /backup/dbs/{db}/spaces/{space}` (cluster_api.go:297):
+    {command: create|restore, path, [backup_id]}."""
+    if not req.get("path"):
+        raise DocumentError("backup requires a path")
+    return reg.backup_space(
+        db_name,
+        space_name,
+        req["path"],
+        command=req.get("command", "create"),
+        version=req.get("backup_id"),
+    )
+
+
+def backup_db(reg, db_name: str, req: dict) -> dict:
+    """`POST /backup/dbs/{db}` (cluster_api.go:298)."""
+    if not req.get("path"):
+        raise DocumentError("backup requires a path")
+    return reg.backup_db(db_name, req["path"], command=req.get("command", "create"))
+
+
 def server_resource_limit(reg, resource_exhausted: bool | None = None) -> dict:
     """`PUT /cluster/resource_limit` (test_module_resource_limit.py
     shape: omitting the flag clears the limit): while exhausted,

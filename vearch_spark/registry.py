@@ -272,6 +272,106 @@ class Registry:
         if spaces is None or name not in spaces:
             raise SchemaError(f"space {db!r}/{name!r} not found")
 
+    # -------------------------------------------------------------- backup
+
+    def backup_space(
+        self,
+        db: str,
+        name: str,
+        backup_path: str,
+        command: str = "create",
+        version: int | None = None,
+    ) -> dict:
+        """`POST /backup/dbs/{db}/spaces/{space}` (cluster_api.go:297;
+        payload command create|restore, test_module_backup.py):
+
+        - create: snapshot the space (schema + docs, Space.backup) into
+          ``{backup_path}/{db}/{name}/v{N}`` — N auto-increments, the
+          route's versioned backups; returns {"backup_id": N}.
+        - restore: recreate the space from version N (default: latest)
+          via Space.restore and register it; the space must not
+          currently exist (the reference restores after a destroy).
+        """
+        import os as _os
+
+        root = _os.path.join(backup_path, db, name)
+        if command == "create":
+            sp = self.space(db, name)
+            versions = self._backup_versions(root)
+            n = version if version is not None else (max(versions, default=0) + 1)
+            sp.backup(_os.path.join(root, f"v{n}"))
+            return {"backup_id": n}
+        if command == "restore":
+            spaces = self._dbs.get(db)
+            if spaces is None:
+                raise SchemaError(f"database {db!r} not found")
+            if name in spaces:
+                raise SchemaError(
+                    f"space {db!r}/{name!r} still exists — drop it before restore"
+                )
+            versions = self._backup_versions(root)
+            if not versions:
+                raise SchemaError(f"no backup versions under {root!r}")
+            n = version if version is not None else max(versions)
+            if n not in versions:
+                raise SchemaError(f"backup version {n} not found under {root!r}")
+            target = None
+            if self.root:
+                self._check_name("space", name)
+                target = os.path.join(self.root, db, name)
+            sp = Space.restore(
+                self.spark, _os.path.join(root, f"v{n}"), target_path=target
+            )
+            sp.set_resource_limit(self._resource_exhausted)
+            spaces[name] = sp
+            if target is not None:
+                self._paths[(db, name)] = target
+            self._save_catalog()
+            return {"backup_id": n}
+        raise SchemaError(f"backup command not supported: {command!r}")
+
+    def backup_db(self, db: str, backup_path: str, command: str = "create") -> dict:
+        """`POST /backup/dbs/{db}` (cluster_api.go:298): the space verb
+        across every space in the db; returns per-space backup ids."""
+        names = self.list_spaces(db)
+        return {
+            "spaces": {
+                n: self.backup_space(db, n, backup_path, command)["backup_id"]
+                for n in names
+            }
+        }
+
+    def list_backup_versions(self, db: str, name: str, backup_path: str) -> list[int]:
+        """`GET /backup/.../versions` listing analog."""
+        import os as _os
+
+        return self._backup_versions(_os.path.join(backup_path, db, name))
+
+    def delete_backup_version(
+        self, db: str, name: str, backup_path: str, version: int
+    ) -> None:
+        """`DELETE /backup/dbs/{db}/spaces/{space}/versions/{v}`
+        (cluster_api.go:301)."""
+        import os as _os
+        import shutil as _sh
+
+        p = _os.path.join(backup_path, db, name, f"v{int(version)}")
+        if not _os.path.isdir(p):
+            raise SchemaError(f"backup version {version} not found")
+        _sh.rmtree(p)
+
+    @staticmethod
+    def _backup_versions(root: str) -> list[int]:
+        import os as _os
+
+        if not _os.path.isdir(root):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in _os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
     def set_resource_limit(self, exhausted: bool) -> None:
         """`PUT /cluster/resource_limit` (the disk-pressure write gate,
         test_module_resource_limit.py): while set, document writes on
