@@ -776,3 +776,16 @@ def test_cluster_health_and_stats(spark, tmp_path):
     stats = api.cluster_stats(reg)
     assert stats[0]["doc_num"] == 8 and stats[0]["disk_bytes"] > 0
     assert stats[0]["path"].endswith("db1/s1")
+
+
+def test_search_timeout_param_validation(space):
+    """?timeout= badcase parity (test_document_search.py
+    wrong_timeout_param: 10.5 rejects): integer milliseconds accepted
+    (advisory under Spark), fractional / non-numeric / bool reject."""
+    base = {"vectors": [{"field": "field_vector",
+                         "feature": [5.0, 0.0, 1.0, 0.0]}], "limit": 1}
+    assert api.search(space, dict(base, timeout=1000)).count() == 1
+    assert api.search(space, dict(base, timeout="10")).count() == 1
+    for bad in (10.5, "10.5", "soon", True):
+        with pytest.raises(SearchError, match="timeout"):
+            api.search(space, dict(base, timeout=bad))

@@ -102,6 +102,22 @@ def search(space: Space, req: dict) -> DataFrame:
     feature holds q×dim floats becomes a BATCHED search (req_num
     independent top-k queries — one row per (query_id, hit)); batched
     multi-field fusion and batched sort/pagination are rejected."""
+    # ?timeout= rides the route's query string as integer milliseconds;
+    # a non-integer value rejects (test_document_search.py's
+    # wrong_timeout_param badcase). Spark's scheduler owns cancellation,
+    # so a VALID timeout is accepted-and-advisory, like limit_cpu.
+    if "timeout" in req and req["timeout"] is not None:
+        t = req["timeout"]
+        bad = isinstance(t, bool)
+        if not bad and not isinstance(t, int):
+            try:
+                bad = float(t) != int(float(t))
+            except (TypeError, ValueError):
+                bad = True
+        if bad:
+            raise SearchError(
+                f"timeout must be integer milliseconds, got {t!r}"
+            )
     vectors = req.get("vectors") or []
     if not vectors:
         raise SearchError("search requires at least one vector query")
