@@ -789,3 +789,26 @@ def test_search_timeout_param_validation(space):
     for bad in (10.5, "10.5", "soon", True):
         with pytest.raises(SearchError, match="timeout"):
             api.search(space, dict(base, timeout=bad))
+
+
+def test_timeout_overflow_and_health_unknown_targets(spark, space, tmp_path):
+    """Review fixes: overflowing/infinite timeout values reject with
+    the typed error (not OverflowError); cluster_health raises for
+    unknown db/space filters instead of reading as healthy-and-empty."""
+    from vearch_spark.errors import SchemaError
+    from vearch_spark.registry import Registry
+
+    base = {"vectors": [{"field": "field_vector",
+                         "feature": [5.0, 0.0, 1.0, 0.0]}], "limit": 1}
+    for bad in ("1e400", "inf", float("inf")):
+        with pytest.raises(SearchError, match="timeout"):
+            api.search(space, dict(base, timeout=bad))
+
+    reg = Registry(spark, root=str(tmp_path / "h2"))
+    api.create_db(reg, "db1")
+    with pytest.raises(SchemaError):
+        api.cluster_health(reg, db_name="dbl")
+    with pytest.raises(SchemaError):
+        api.cluster_health(reg, db_name="db1", space_name="nosuch")
+    assert api.cluster_health(reg, db_name="db1") == [
+        {"db_name": "db1", "status": "green", "spaces": []}]

@@ -276,3 +276,49 @@ def test_backup_routes_versioned_roundtrip(spark, tmp_path):
     assert reg.list_backup_versions("db1", "docs", bpath) == [2, 3]
     with pytest.raises(SchemaError):
         reg.delete_backup_version("db1", "docs", bpath, 1)
+
+
+def test_backup_review_hardening(spark, tmp_path):
+    """Review fixes: create never clobbers an existing version (stray
+    backup_id ignored), restore preserves partition_num/config, alias
+    names reject, db-wide restore enumerates backup dirs (not live
+    spaces), and restore is a write — it rejects while the resource
+    limit is set."""
+    from vearch_spark import api
+    from vearch_spark.errors import DocumentError
+
+    bpath = str(tmp_path / "b2")
+    reg = Registry(spark, root=str(tmp_path / "r2"))
+    reg.create_db("db1")
+    sp = reg.create_space("db1", _vec_schema(), n_buckets=4)
+    sp.update_config({"refresh_interval": 750})
+    sp.upsert([{"_id": str(i), "field_int": i, "v": [float(i), 0, 0, 0]}
+               for i in range(6)])
+    reg.create_alias("prod", "db1", "docs")
+
+    assert api.backup_space(reg, "db1", "docs",
+                            {"path": bpath}) == {"backup_id": 1}
+    # a stray backup_id on create must NOT overwrite v1
+    sp.upsert([{"_id": "9", "field_int": 9, "v": [9.0, 0, 0, 0]}])
+    out = api.backup_space(reg, "db1", "docs",
+                           {"command": "create", "path": bpath, "backup_id": 1})
+    assert out == {"backup_id": 2}
+    with pytest.raises(SchemaError, match="alias"):
+        api.backup_space(reg, "db1", "prod", {"path": bpath})
+
+    reg.drop_space("db1", "docs")
+    # restore is a bulk write: blocked under the resource limit...
+    reg.create_space("db1", _vec_schema("other"))
+    reg.set_resource_limit(True)
+    with pytest.raises(DocumentError, match="resource exhausted"):
+        api.backup_space(reg, "db1", "docs",
+                         {"command": "restore", "path": bpath})
+    reg.set_resource_limit(False)
+    # ...and db-wide restore finds the DROPPED space's backups
+    out = api.backup_db(reg, "db1", {"command": "restore", "path": bpath})
+    assert out == {"spaces": {"docs": 2}}
+    sp2 = reg.space("db1", "docs")
+    assert sp2.count() == 7
+    # constructor knobs survived the round trip
+    assert sp2.n_buckets == 4
+    assert sp2.get_config()["refresh_interval"] == 750

@@ -112,8 +112,8 @@ def search(space: Space, req: dict) -> DataFrame:
         if not bad and not isinstance(t, int):
             try:
                 bad = float(t) != int(float(t))
-            except (TypeError, ValueError):
-                bad = True
+            except (TypeError, ValueError, OverflowError):
+                bad = True  # OverflowError: "1e400"/inf → int(inf)
         if bad:
             raise SearchError(
                 f"timeout must be integer milliseconds, got {t!r}"
@@ -433,12 +433,16 @@ def backup_space(reg, db_name: str, space_name: str, req: dict) -> dict:
     {command: create|restore, path, [backup_id]}."""
     if not req.get("path"):
         raise DocumentError("backup requires a path")
+    command = req.get("command", "create")
     return reg.backup_space(
         db_name,
         space_name,
         req["path"],
-        command=req.get("command", "create"),
-        version=req.get("backup_id"),
+        command=command,
+        # create ALWAYS auto-increments — forwarding a stray backup_id
+        # there would target (and the old code clobbered) an existing
+        # snapshot; the version selector is a restore-only concept
+        version=req.get("backup_id") if command == "restore" else None,
     )
 
 
@@ -464,7 +468,18 @@ def cluster_health(
     """`GET /cluster/health[?db=&space=&detail=]` (cluster_api.go:357 →
     PartitionInfo): per-db → per-space doc counts and status; `detail`
     adds per-space partition (bucket) counts and index states. Spark
-    has no replica raft groups, so a resolvable space IS green."""
+    has no replica raft groups, so a resolvable space IS green. An
+    unknown db/space filter raises like every other registry verb —
+    a misspelled monitoring target must fail loudly, never read as
+    'healthy and empty' forever."""
+    from vearch_spark.errors import SchemaError
+
+    if db_name and db_name not in reg.list_dbs():
+        raise SchemaError(f"database {db_name!r} not found")
+    if space_name:
+        scope = [db_name] if db_name else reg.list_dbs()
+        if not any(space_name in reg.list_spaces(d) for d in scope):
+            raise SchemaError(f"space {space_name!r} not found")
     out = []
     for db in reg.list_dbs():
         if db_name and db != db_name:

@@ -286,22 +286,39 @@ class Registry:
         payload command create|restore, test_module_backup.py):
 
         - create: snapshot the space (schema + docs, Space.backup) into
-          ``{backup_path}/{db}/{name}/v{N}`` — N auto-increments, the
-          route's versioned backups; returns {"backup_id": N}.
+          ``{backup_path}/{db}/{name}/v{N}`` — N ALWAYS auto-increments
+          (a caller-supplied version is ignored on create: honoring it
+          would let a stray ``backup_id`` silently overwrite an
+          existing snapshot); returns {"backup_id": N}.
         - restore: recreate the space from version N (default: latest)
           via Space.restore and register it; the space must not
-          currently exist (the reference restores after a destroy).
-        """
-        import os as _os
+          currently exist (the reference restores after a destroy), and
+          a restore is a bulk WRITE — it rejects while the cluster
+          resource limit is set, like every other write.
 
-        root = _os.path.join(backup_path, db, name)
+        ``name`` must be a real space name, never an alias: an alias
+        resolves to a different storage identity, and restoring under
+        one would register a duplicate that shadows the alias forever.
+        """
+        if name in self._aliases:
+            raise SchemaError(
+                f"{name!r} is an alias — back up / restore the target "
+                f"space {self._aliases[name][1]!r} directly"
+            )
+        root = os.path.join(backup_path, db, name)
         if command == "create":
             sp = self.space(db, name)
-            versions = self._backup_versions(root)
-            n = version if version is not None else (max(versions, default=0) + 1)
-            sp.backup(_os.path.join(root, f"v{n}"))
+            n = max(self._backup_versions(root), default=0) + 1
+            sp.backup(os.path.join(root, f"v{n}"))
             return {"backup_id": n}
         if command == "restore":
+            from vearch_spark.errors import DocumentError
+
+            if self._resource_exhausted:
+                raise DocumentError(
+                    "resource exhausted: restore is a bulk write and is "
+                    "rejected until the cluster resource limit clears"
+                )
             spaces = self._dbs.get(db)
             if spaces is None:
                 raise SchemaError(f"database {db!r} not found")
@@ -320,7 +337,7 @@ class Registry:
                 self._check_name("space", name)
                 target = os.path.join(self.root, db, name)
             sp = Space.restore(
-                self.spark, _os.path.join(root, f"v{n}"), target_path=target
+                self.spark, os.path.join(root, f"v{n}"), target_path=target
             )
             sp.set_resource_limit(self._resource_exhausted)
             spaces[name] = sp
@@ -332,8 +349,22 @@ class Registry:
 
     def backup_db(self, db: str, backup_path: str, command: str = "create") -> dict:
         """`POST /backup/dbs/{db}` (cluster_api.go:298): the space verb
-        across every space in the db; returns per-space backup ids."""
-        names = self.list_spaces(db)
+        across every space in the db. For create that is every LIVE
+        space; for restore it is every space with a backup directory
+        under ``{backup_path}/{db}`` that is not currently registered —
+        iterating live spaces would make a post-destroy db-wide restore
+        a silent no-op. Returns per-space backup ids."""
+        if command == "restore":
+            broot = os.path.join(backup_path, db)
+            live = set(self.list_spaces(db))  # validates the db exists
+            names = sorted(
+                d for d in (
+                    os.listdir(broot) if os.path.isdir(broot) else []
+                )
+                if d not in live and self._backup_versions(os.path.join(broot, d))
+            )
+        else:
+            names = self.list_spaces(db)
         return {
             "spaces": {
                 n: self.backup_space(db, n, backup_path, command)["backup_id"]
@@ -343,32 +374,27 @@ class Registry:
 
     def list_backup_versions(self, db: str, name: str, backup_path: str) -> list[int]:
         """`GET /backup/.../versions` listing analog."""
-        import os as _os
-
-        return self._backup_versions(_os.path.join(backup_path, db, name))
+        return self._backup_versions(os.path.join(backup_path, db, name))
 
     def delete_backup_version(
         self, db: str, name: str, backup_path: str, version: int
     ) -> None:
         """`DELETE /backup/dbs/{db}/spaces/{space}/versions/{v}`
         (cluster_api.go:301)."""
-        import os as _os
-        import shutil as _sh
+        import shutil
 
-        p = _os.path.join(backup_path, db, name, f"v{int(version)}")
-        if not _os.path.isdir(p):
+        p = os.path.join(backup_path, db, name, f"v{int(version)}")
+        if not os.path.isdir(p):
             raise SchemaError(f"backup version {version} not found")
-        _sh.rmtree(p)
+        shutil.rmtree(p)
 
     @staticmethod
     def _backup_versions(root: str) -> list[int]:
-        import os as _os
-
-        if not _os.path.isdir(root):
+        if not os.path.isdir(root):
             return []
         return sorted(
             int(d[1:])
-            for d in _os.listdir(root)
+            for d in os.listdir(root)
             if d.startswith("v") and d[1:].isdigit()
         )
 

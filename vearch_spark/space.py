@@ -2099,19 +2099,49 @@ class Space:
         os.makedirs(path, exist_ok=True)
         self.df.write.mode("overwrite").parquet(os.path.join(path, "docs"))
         with open(os.path.join(path, "schema.json"), "w") as fh:
-            _json.dump(self.schema.to_json(), fh)
+            # create-space payload PLUS the constructor-level knobs a
+            # restore must reproduce (partition_num = bucket count,
+            # space config) — SpaceSchema.from_json ignores the extra
+            # keys, so old backups stay readable
+            _json.dump(
+                {
+                    **self.schema.to_json(),
+                    "partition_num": int(self.n_buckets),
+                    "config": {
+                        k: v for k, v in self._config.items() if k != "path"
+                    },
+                },
+                fh,
+            )
         return self.count()
 
     @classmethod
     def restore(cls, spark: SparkSession, path: str,
                 target_path: str | None = None) -> "Space":
         """Recreate a Space from a backup (schema + docs, `_seq`
-        preserved so scan order survives the round trip)."""
+        preserved so scan order survives the round trip; bucket count
+        and config come back too — a restored space must not silently
+        revert to default partition_num/refresh_interval)."""
         import json as _json
 
         with open(os.path.join(path, "schema.json")) as fh:
-            schema = SpaceSchema.from_json(_json.load(fh))
-        space = cls(spark, schema, path=target_path)
+            payload = _json.load(fh)
+        schema = SpaceSchema.from_json(payload)
+        space = cls(
+            spark,
+            schema,
+            path=target_path,
+            n_buckets=int(payload.get("partition_num", 16)),
+            refresh_interval=int(
+                (payload.get("config") or {}).get("refresh_interval", 1000)
+            ),
+        )
+        cfg = dict(payload.get("config") or {})
+        cfg.pop("path", None)
+        space._config.update(cfg)
+        space._config["path"] = target_path
+        if target_path:
+            space._store_space_meta()  # persist the restored config too
         docs = spark.read.parquet(os.path.join(path, "docs"))
         # high-water mark first so a path-backed commit persists it
         row = docs.agg(F.max(SEQ_FIELD).alias("m")).collect()[0]
