@@ -1574,6 +1574,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffled-shard export order (sample.shuffle_shards
+    — the training-dataloader writer's contract): shard and
+    position-in-shard are pure md5 functions of (seed, doc_id), so the
+    same export reproduces byte-identical shards on any cluster and
+    the DuckDB oracle recomputes both exactly."""
+    from vearch_spark.operators.sample import shuffle_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return shuffle_shards(docs, 8, seed=42).orderBy("doc_id").select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end (no stub): stage 1 synthesizes
     genuine containers per doc — a RIFF/WAVE 16-bit PCM file (stdlib
@@ -1733,6 +1747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,  # banded composite: quality_topk_per_source SQL twin
     "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
     "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
+    "shard_export": q_shard_export,  # deterministic shuffled-shard order, md5 oracle
 }
 
 
@@ -3250,6 +3265,20 @@ def oracle_sql() -> dict[str, str]:
                  j -> (doc_id*7 + j*13) % 256))::BIGINT AS px_sum
         FROM documents WHERE doc_id < 100
         ORDER BY doc_id
+    """
+    d["shard_export"] = """
+        WITH b AS (
+          SELECT doc_id,
+            list_sum(list_transform(range(8), i ->
+              (strpos('0123456789abcdef',
+                      substr(md5('42:' || doc_id::VARCHAR), (i+1)::INT, 1)) - 1)::BIGINT
+              * (16 ** (7-i))::BIGINT))::BIGINT AS bucket
+          FROM documents
+        )
+        SELECT doc_id, (bucket % 8)::INT AS shard,
+               row_number() OVER (PARTITION BY bucket % 8
+                                  ORDER BY bucket, doc_id)::INT AS pos
+        FROM b ORDER BY doc_id
     """
     return d
 

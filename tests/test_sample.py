@@ -197,3 +197,42 @@ def test_outliers_preassigned_cluster_col_parity(spark, embeddings):
         pre, cents, id_col="vec_id", z_threshold=2.0,
         cluster_col=CLUSTER_COL).collect()))
     assert a == b
+
+
+def test_shuffle_shards_deterministic_export(spark, tmp_path):
+    """shuffle_shards/write_shards: shard+pos are pure (seed, id)
+    functions — two writes produce byte-identical shard orders, every
+    id appears exactly once, shard files come back sorted by pos, and
+    a different seed is a genuine reshuffle."""
+    from vearch_spark.operators.sample import shuffle_shards, write_shards
+
+    docs = spark.range(300).withColumnRenamed("id", "doc_id").repartition(7)
+    out = shuffle_shards(docs, 4, seed=1)
+    rows = out.collect()
+    assert len(rows) == 300
+    assert {r.doc_id for r in rows} == set(range(300))
+    assert {r.shard for r in rows} <= set(range(4))
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense ranks
+
+    again = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(
+        docs.repartition(3), 4, seed=1).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}  # layout-proof
+    reshuf = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(
+        docs, 4, seed=2).collect()}
+    assert reshuf != again  # a new seed is a real reshuffle
+
+    p = str(tmp_path / "shards")
+    write_shards(docs, p, 4, seed=1)
+    back = spark.read.parquet(p + "/shard=2").collect()
+    want = sorted(
+        [(r.doc_id, r.pos) for r in rows if r.shard == 2], key=lambda t: t[1]
+    )
+    assert [(r.doc_id, r.pos) for r in sorted(back, key=lambda r: r.pos)] == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(docs, 0)

@@ -272,3 +272,64 @@ def embedding_outliers(
         ).alias("z"),
     )
     return out.withColumn("is_outlier", (F.col("z") > float(z_threshold)).cast("int"))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic shuffled-shard export order — the training-data
+    writer's contract: every dataloader epoch must see the SAME
+    pseudo-random document order, independent of Spark partitioning,
+    task scheduling, or input file layout.
+
+    shard(id)    = md5-bucket("{seed}:{id}") mod n_shards
+    pos-in-shard = rank by that same hash (ties by id)
+
+    Both are pure functions of (id, seed) — re-running the export, on
+    any cluster size, reproduces byte-identical shards, and any engine
+    with md5 recomputes the assignment (the DuckDB oracle does).
+    Changing ``seed`` is a full reshuffle. Output: the input columns
+    plus (shard, pos).
+
+    Scale shape: one narrow projection plus ONE shuffle (the rank
+    window on shard) — the same exchange the physical shard write
+    needs anyway, so ordering is free; no driver participation.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = hash_bucket(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+    return (
+        df.withColumn("_key", key)
+        .withColumn("shard", (F.col("_key") % int(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_key")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> None:
+    """Materialize :func:`shuffle_shards` as the physical export:
+    ``partitionBy(shard)`` parquet with rows sorted by ``pos`` inside
+    each shard file — a dataloader streams shard k in the deterministic
+    shuffled order with zero read-time work."""
+    out = shuffle_shards(df, n_shards, id_col=id_col, seed=seed)
+    (
+        out.repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
