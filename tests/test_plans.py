@@ -325,3 +325,15 @@ def test_exact_hamming_batch_is_broadcast_window(spark, emb):
     assert X.uses_broadcast(df)
     assert X.count_exchanges(df) <= 1
     assert "WindowGroupLimit" in X.simple_plan(df)
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """Shuffled-shard export: one narrow projection + exactly the ONE
+    exchange the physical shard write needs anyway (the rank window on
+    shard) — deterministic epoch order is free at 100 TB."""
+    from vearch_spark.operators.sample import shuffle_shards
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    df = shuffle_shards(docs, 8, seed=1)
+    assert X.count_exchanges(df) == 1
+    assert "WindowGroupLimit" not in X.simple_plan(df)  # full ranks, no limit
