@@ -376,3 +376,32 @@ def test_slow_pool_tag_cleared_by_following_verbs(spark):
     assert sc.getLocalProperty("spark.scheduler.pool") == SLOW_POOL
     sp.query(limit=1)
     assert sc.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_string_length_caps(spark):
+    """Ingest string-length validation (doc_parse.go:45-46,220-235):
+    indexed string fields cap at 1024 bytes, unindexed at 65535;
+    string-array elements check individually; multibyte counts BYTES."""
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+
+    sch = SpaceSchema(
+        name="strcap",
+        fields=[
+            FieldSpec("tag", FieldType.STRING, index=IndexSpec("tag", "SCALAR")),
+            FieldSpec("body", FieldType.STRING),
+            FieldSpec("tags", FieldType.STRING_ARRAY,
+                      index=IndexSpec("tags", "SCALAR")),
+        ],
+    )
+    sp = Space(spark, sch)
+    sp.upsert([{"_id": "1", "tag": "x" * 1024, "body": "y" * 65535,
+                "tags": ["a" * 1024]}])  # at the caps: accepted
+    with pytest.raises(DocumentError, match="tag indexed.*1024"):
+        sp.upsert([{"_id": "2", "tag": "x" * 1025}])
+    with pytest.raises(DocumentError, match="body length.*65535"):
+        sp.upsert([{"_id": "2", "body": "y" * 65536}])
+    with pytest.raises(DocumentError, match="tags indexed"):
+        sp.upsert([{"_id": "2", "tags": ["ok", "z" * 1025]}])
+    with pytest.raises(DocumentError):  # 513 × 2-byte chars = 1026 bytes
+        sp.upsert([{"_id": "2", "tag": "é" * 513}])
+    assert sp.count() == 1

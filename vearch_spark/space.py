@@ -935,6 +935,25 @@ class Space:
                     # ints — coerce like the JSON parser would (byte
                     # codes for Hamming fields arrive as ints)
                     r[name] = [float(x) for x in val]
+                # string length caps (doc_parse.go:45-46, 220-235):
+                # indexed string fields ≤ 1024 bytes, any string field
+                # ≤ 65535 bytes; string-array elements check
+                # individually, like the parser's per-element loop
+                for f in self.schema.fields:
+                    if f.type not in (FieldType.STRING, FieldType.STRING_ARRAY):
+                        continue
+                    val = r.get(f.name)
+                    if val is None:
+                        continue
+                    cap = 1024 if f.index is not None else 65535
+                    elems = val if isinstance(val, (list, tuple)) else [val]
+                    for s in elems:
+                        if isinstance(s, str) and len(s.encode("utf-8")) > cap:
+                            raise DocumentError(
+                                f"string field {f.name} "
+                                f"{'indexed, ' if f.index is not None else ''}"
+                                f"length should less than {cap}"
+                            )
             from pyspark.sql import types as T
 
             struct = T.StructType(
