@@ -812,3 +812,13 @@ def test_timeout_overflow_and_health_unknown_targets(spark, space, tmp_path):
         api.cluster_health(reg, db_name="db1", space_name="nosuch")
     assert api.cluster_health(reg, db_name="db1") == [
         {"db_name": "db1", "status": "green", "spaces": []}]
+
+
+def test_timeout_validated_on_query_and_delete(space):
+    """The ?timeout= badcase applies to the query and delete verbs too
+    (test_document_query.py wrong_timeout_param)."""
+    with pytest.raises(SearchError, match="timeout"):
+        api.query(space, {"document_ids": ["0"], "timeout": 10.5})
+    with pytest.raises(SearchError, match="timeout"):
+        api.delete(space, {"document_ids": ["0"], "timeout": "x"})
+    assert api.query(space, {"document_ids": ["0"], "timeout": 1}).count() == 1

@@ -96,16 +96,12 @@ def _split_batch_feature(space: Space, v: dict) -> list[list[float]] | None:
     return None
 
 
-def search(space: Space, req: dict) -> DataFrame:
-    """`POST /document/search` (doc_http.go:659-744,
-    request shape search_doc.go:71-94). A single vector entry whose
-    feature holds q×dim floats becomes a BATCHED search (req_num
-    independent top-k queries — one row per (query_id, hit)); batched
-    multi-field fusion and batched sort/pagination are rejected."""
-    # ?timeout= rides the route's query string as integer milliseconds;
-    # a non-integer value rejects (test_document_search.py's
-    # wrong_timeout_param badcase). Spark's scheduler owns cancellation,
-    # so a VALID timeout is accepted-and-advisory, like limit_cpu.
+def _validate_timeout(req: dict) -> None:
+    """?timeout= rides the route's query string as integer milliseconds
+    on the search/query/delete verbs; a non-integer value rejects
+    (wrong_timeout_param badcases, test_document_{search,query}.py).
+    Spark's scheduler owns cancellation, so a VALID timeout is
+    accepted-and-advisory, like limit_cpu."""
     if "timeout" in req and req["timeout"] is not None:
         t = req["timeout"]
         bad = isinstance(t, bool)
@@ -118,6 +114,15 @@ def search(space: Space, req: dict) -> DataFrame:
             raise SearchError(
                 f"timeout must be integer milliseconds, got {t!r}"
             )
+
+
+def search(space: Space, req: dict) -> DataFrame:
+    """`POST /document/search` (doc_http.go:659-744,
+    request shape search_doc.go:71-94). A single vector entry whose
+    feature holds q×dim floats becomes a BATCHED search (req_num
+    independent top-k queries — one row per (query_id, hit)); batched
+    multi-field fusion and batched sort/pagination are rejected."""
+    _validate_timeout(req)
     vectors = req.get("vectors") or []
     if not vectors:
         raise SearchError("search requires at least one vector query")
@@ -202,6 +207,7 @@ def search(space: Space, req: dict) -> DataFrame:
 def query(space: Space, req: dict) -> DataFrame:
     """`POST /document/query` (doc_http.go:521-610): get-by-ids XOR
     filter scan."""
+    _validate_timeout(req)
     ids = req.get("document_ids")
     filters = req.get("filters")
     if ids is not None and filters is not None:
@@ -238,6 +244,7 @@ def upsert(space: Space, req: dict) -> int:
 def delete(space: Space, req: dict) -> list[str]:
     """`POST /document/delete` (doc_http.go:745): by ids or by query;
     returns deleted ids (DelByQueryeExecute client.go:1851-1897)."""
+    _validate_timeout(req)
     ids = req.get("document_ids")
     filters = req.get("filters")
     if ids is not None and filters is not None:
