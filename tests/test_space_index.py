@@ -173,12 +173,16 @@ def test_index_dump_reload_across_reopen(spark, tmp_path):
 
 
 def test_ivfpqfastscan_alias_uses_4bit_codes(spark):
-    """IVFPQFASTSCAN is served by IVFPQ with its defining 4-bit code
-    width (gamma_index_ivfpqfs.cc registers the SIMD 4-bit variant)."""
+    """IVFPQFASTSCAN is a DISTINCT physical path since round 4: the
+    real IVFPQFastScanIndex (4-bit codes + int8-quantized LUT screen,
+    gamma_index_ivfpqfs.cc registers the SIMD 4-bit variant)."""
+    from vearch_spark.operators.ivf import IVFPQFastScanIndex
+
     sp = Space(spark, schema(index_type="IVFPQFASTSCAN", threshold=50))
     sp.upsert(rows(200))
     sp.build_index("field_vector", nsubvector=4)
     model = sp._indexes["field_vector"]
+    assert isinstance(model, IVFPQFastScanIndex)
     assert model.ksub == 16  # 2^4
     assert sp.search(vector=[3.0] * DIM, limit=5).count() == 5
 

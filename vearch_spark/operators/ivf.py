@@ -693,6 +693,22 @@ class IVFPQIndex(IVFFlatIndex):
             ]
         )
 
+    def _query_lut(self, query: Sequence[float]) -> np.ndarray:
+        """Per-query (nsub, ksub) ADC partial-score table — float64
+        exact; the FastScan subclass quantizes it."""
+        q = np.asarray(query, dtype=np.float64)
+        nsub, _, dsub = self.codebooks.shape
+        if self.metric is Metric.L2:
+            return np.stack(
+                [
+                    ((self.codebooks[i] - q[i * dsub : (i + 1) * dsub]) ** 2).sum(axis=1)
+                    for i in range(nsub)
+                ]
+            )
+        return np.stack(
+            [self.codebooks[i] @ q[i * dsub : (i + 1) * dsub] for i in range(nsub)]
+        )
+
     def _augment(self, assigned: DataFrame) -> DataFrame:
         # assign PQ codes, Arrow-batched (closure must not capture
         # self — it holds unpicklable DataFrames)
@@ -787,20 +803,10 @@ class IVFPQIndex(IVFFlatIndex):
             pruned = pruned.where(flt)
 
         # ADC lookup table for this query: (nsub, ksub) partial scores
-        q = np.asarray(query, dtype=np.float64)
-        nsub, ksub, dsub = self.codebooks.shape
-        if self.metric is Metric.L2:
-            lut = np.stack(
-                [
-                    ((self.codebooks[i] - q[i * dsub : (i + 1) * dsub]) ** 2).sum(axis=1)
-                    for i in range(nsub)
-                ]
-            )
-        else:
-            lut = np.stack(
-                [self.codebooks[i] @ q[i * dsub : (i + 1) * dsub] for i in range(nsub)]
-            )
-        flat_lut = lut.ravel()
+        # (the FastScan subclass overrides _query_lut with the
+        # int8-quantized form — same gather+sum kernel either way)
+        flat_lut = self._query_lut(query).ravel()
+        nsub, ksub, _ = self.codebooks.shape
         offsets = (np.arange(nsub) * ksub).astype(np.int64)
 
         from pyspark.sql.pandas.functions import pandas_udf
@@ -835,6 +841,47 @@ class IVFPQIndex(IVFFlatIndex):
             vector_value=vector_value,
             score_col=score_col,
         )
+
+
+class IVFPQFastScanIndex(IVFPQIndex):
+    """IVFPQFastScan as a DISTINCT physical path
+    (gamma_index_ivfpqfs.cc:36 → faiss IndexIVFPQFastScan). FastScan's
+    two defining properties, both kept:
+
+    - **4-bit PQ codes** (``nbits=4`` default — ksub=16, half the code
+      bytes of classic PQ8);
+    - **integer-quantized lookup tables**: the per-query ADC table is
+      affine-quantized to uint8 (per-subquantizer bias, one shared
+      scale — faiss's quantize_LUT shape), so the candidate screen
+      gathers small ints and accumulates exactly in int32 instead of
+      gathering float64. faiss then feeds those int8 LUTs to an AVX2
+      shuffle; numpy's take+sum over a 16-entry int table is the
+      vectorized analog available here — same memory-traffic win
+      (16×int8 LUT per subquantizer fits a SIMD register / L1 line),
+      no platform intrinsics.
+
+    The quantization only coarsens the SCREEN ordering; the exact
+    rerank stage (shared with IVFPQ) re-scores raw vectors, so the
+    final contract is unchanged — recall is gated in
+    tests/test_ivf_recall.py and the screen's agreement with the
+    float-LUT screen is asserted directly."""
+
+    def __init__(self, *args, nbits: int = 4, **kw):
+        kw["nbits"] = nbits
+        super().__init__(*args, **kw)
+
+    def _query_lut(self, query: Sequence[float]) -> np.ndarray:
+        lut = super()._query_lut(query)
+        # faiss quantize_LUT: per-row (subquantizer) bias, one global
+        # scale — preserves the ORDER of total scores better than
+        # per-row scales (sums of per-row-rescaled terms aren't
+        # comparable across rows)
+        bias = lut.min(axis=1, keepdims=True)
+        spread = float((lut - bias).max())
+        if spread == 0.0:
+            return np.zeros_like(lut, dtype=np.int32)
+        q = np.round((lut - bias) * (255.0 / spread))
+        return q.astype(np.int32)
 
 
 # --- BINARYIVF -------------------------------------------------------------

@@ -111,7 +111,7 @@ VECTOR_INDEX_TYPES = {
     "FLAT": "FLAT",
     "IVFFLAT": "IVFFLAT",
     "IVFPQ": "IVFPQ",
-    "IVFPQFASTSCAN": "IVFPQ",
+    "IVFPQFASTSCAN": "IVFPQFASTSCAN",
     "IVFRABITQ": "IVFRABITQ",
     "BINARYIVF": "BINARYIVF",
     "HNSW": "HNSW",

@@ -1884,11 +1884,6 @@ class Space:
         physical = spec.index.physical_type
         if physical == "FLAT":
             return  # FLAT is the brute-force scan itself
-        if spec.index.index_type == "IVFPQFASTSCAN":
-            # FastScan's defining property is 4-bit PQ codes (SIMD
-            # blocking is a faiss physical detail, gamma_index_ivfpqfs.cc);
-            # honor the code width unless the caller overrides
-            merged.setdefault("nbits", 4)
         from vearch_spark.operators.hnsw import HNSWIndex
 
         if physical == "BINARYIVF":
@@ -1907,8 +1902,13 @@ class Space:
             if self.path:
                 self._persist_index(vector_field, model)
             return
+        from vearch_spark.operators.ivf import IVFPQFastScanIndex
+
         cls = {
             "IVFPQ": IVFPQIndex,
+            # FastScan is a distinct physical path: 4-bit codes +
+            # int8-quantized LUT screen (gamma_index_ivfpqfs.cc:36)
+            "IVFPQFASTSCAN": IVFPQFastScanIndex,
             "IVFRABITQ": IVFRaBitQIndex,
             "HNSW": HNSWIndex,
         }.get(physical, IVFFlatIndex)
@@ -2017,9 +2017,12 @@ class Space:
 
         from vearch_spark.operators.ivf import BinaryIVFIndex
 
+        from vearch_spark.operators.ivf import IVFPQFastScanIndex
+
         classes = {
             "IVFFlatIndex": IVFFlatIndex,
             "IVFPQIndex": IVFPQIndex,
+            "IVFPQFastScanIndex": IVFPQFastScanIndex,
             "IVFRaBitQIndex": IVFRaBitQIndex,
             "TwoLevelIVFFlatIndex": TwoLevelIVFFlatIndex,
             "HNSWIndex": HNSWIndex,
