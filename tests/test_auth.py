@@ -153,3 +153,75 @@ def test_rbac_survives_registry_restart(spark, tmp_path):
     assert [u["name"] for u in api.list_users(reg3)] == ["ingest", "root"]
     api.drop_user(reg3, "ingest")
     assert [u["name"] for u in api.list_users(Registry.load(spark, root))] == ["root"]
+
+
+# ------------------------------------------------- credential hardening
+
+
+def test_passwords_stored_pbkdf2_with_per_user_salt():
+    from vearch_spark.auth import AuthStore
+
+    store = AuthStore()
+    store.create_user("alice", "hunter2", "defaultDocumentAdmin")
+    store.create_user("bob", "hunter2", "defaultDocumentAdmin")
+    pa = store._users["alice"]["password"]
+    pb = store._users["bob"]["password"]
+    assert pa.startswith("pbkdf2_sha256$") and pb.startswith("pbkdf2_sha256$")
+    # same cleartext, different salts → different digests
+    assert pa != pb
+    assert "hunter2" not in pa
+    assert store.authenticate("alice", "hunter2").name == "defaultDocumentAdmin"
+    with pytest.raises(SchemaError, match="authentication failed"):
+        store.authenticate("alice", "wrong")
+
+
+def test_legacy_sha256_credential_verifies_and_upgrades():
+    import hashlib
+
+    from vearch_spark.auth import AuthStore
+
+    store = AuthStore()
+    store.create_user("old", "pw", "defaultDocumentAdmin")
+    # simulate a pre-r5 catalog record: single-round sha256(name:pw)
+    store._users["old"]["password"] = hashlib.sha256(b"old:pw").hexdigest()
+    assert store.authenticate("old", "pw") is not None
+    # upgraded in place on the successful login
+    assert store._users["old"]["password"].startswith("pbkdf2_sha256$")
+    with pytest.raises(SchemaError):
+        store.authenticate("old", "nope")
+
+
+def test_update_user_verifies_old_password_constant_time_path():
+    from vearch_spark.auth import AuthStore
+
+    store = AuthStore()
+    store.create_user("carol", "first", "defaultDocumentAdmin")
+    with pytest.raises(SchemaError, match="old password"):
+        store.update_user("carol", password="second", old_password="wrong")
+    store.update_user("carol", password="second", old_password="first")
+    assert store.authenticate("carol", "second") is not None
+
+
+def test_from_json_missing_root_fails_loudly():
+    from vearch_spark.auth import AuthStore
+
+    good = AuthStore()
+    good.create_user("dave", "pw", "defaultDocumentAdmin")
+    dumped = good.to_json()
+    # round-trip with root intact works
+    assert AuthStore.from_json(dumped).get_user("dave")["name"] == "dave"
+    # a corrupted auth dict that lost root must NOT silently re-seed
+    # root with the well-known default credential
+    del dumped["users"]["root"]
+    with pytest.raises(SchemaError, match="root user missing"):
+        AuthStore.from_json(dumped)
+
+
+def test_api_create_user_requires_name(spark):
+    from vearch_spark import api
+    from vearch_spark.errors import DocumentError
+    from vearch_spark.registry import Registry
+
+    reg = Registry(spark)
+    with pytest.raises(DocumentError, match="requires name"):
+        api.create_user(reg, {"password": "p", "role_name": "defaultDocumentAdmin"})

@@ -129,3 +129,28 @@ def test_space_build_index_selects_two_level(spark, tmp_path):
     a = [r._id for r in sp.search(vector=q, limit=5).collect()]
     b = [r._id for r in reopened.search(vector=q, limit=5).collect()]
     assert a == b
+
+
+def test_l2_fit_distributed_bit_identical_to_driver(emb):
+    """The executor-parallel grouped-applyInPandas level-2 fit must be
+    BIT-identical to the sequential driver loop (same slice order, same
+    per-cell seeds) — the ivf2_knn oracle hash depends on it."""
+    df, _ = emb
+    kw = dict(ncentroids_l1=8, ncentroids_l2=8, nprobe=12,
+              id_col="vec_id", coarse_train_sample=N)
+    drv = TwoLevelIVFFlatIndex("embedding", Metric.L2, l2_fit="driver", **kw).fit(df)
+    dist = TwoLevelIVFFlatIndex("embedding", Metric.L2, l2_fit="distributed", **kw).fit(df)
+    assert np.array_equal(drv.l1_centroids, dist.l1_centroids)
+    assert np.array_equal(drv.l2_centroids, dist.l2_centroids)
+    assert np.array_equal(drv.l2_valid, dist.l2_valid)
+    q = [0.5] * DIM
+    assert drv.probe_cells(q) == dist.probe_cells(q)
+
+
+def test_l2_fit_auto_threshold_routes():
+    from vearch_spark.errors import SearchError
+
+    idx = TwoLevelIVFFlatIndex("embedding", ncentroids_l1=8, ncentroids_l2=4)
+    assert idx.l2_fit == "auto"
+    with pytest.raises(SearchError, match="l2_fit"):
+        TwoLevelIVFFlatIndex("embedding", l2_fit="bogus")

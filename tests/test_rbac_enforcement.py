@@ -1,0 +1,136 @@
+"""RBAC enforced at the verb surface — the BasicAuthMiddleware +
+Role.HasPermissionForResources chain (doc_http.go:69-131,
+user.go:191-313) driven through api verbs, mirroring the reference's
+test/test_module_user.py privilege matrix."""
+
+import pytest
+
+from vearch_spark import api
+from vearch_spark.errors import SchemaError
+from vearch_spark.registry import Registry
+from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+
+
+def _schema(name="docs"):
+    return SpaceSchema(
+        name=name,
+        fields=[
+            FieldSpec("field_int", FieldType.INT,
+                      index=IndexSpec("field_int", "SCALAR")),
+            FieldSpec("v", FieldType.VECTOR, dimension=4,
+                      index=IndexSpec("v", "FLAT")),
+        ],
+    )
+
+
+@pytest.fixture()
+def rig(spark, tmp_path):
+    reg = Registry(spark, root=str(tmp_path / "rbac"))
+    reg.create_db("db1")
+    sp = reg.create_space("db1", _schema())
+    api.upsert(sp, {"documents": [
+        {"_id": str(i), "field_int": i, "v": [float(i), 0.0, 1.0, 0.0]}
+        for i in range(5)
+    ]})
+    reg.auth.create_role("docWriter", {"ResourceDocument": "WriteOnly"})
+    reg.auth.create_role("docReader", {"ResourceDocument": "ReadOnly"})
+    reg.auth.create_user("writer", "pw1", "docWriter")
+    reg.auth.create_user("reader", "pw2", "docReader")
+    reg.auth.create_user("clusteradmin", "pw3", "defaultClusterAdmin")
+    return reg, sp
+
+
+SEARCH_REQ = {"vectors": [{"field": "v", "feature": [1.0, 0.0, 1.0, 0.0]}],
+              "limit": 3}
+
+
+def test_writeonly_user_rejected_on_search(rig):
+    reg, sp = rig
+    with pytest.raises(SchemaError, match="lacks read privilege"):
+        api.search(sp, SEARCH_REQ, user="writer")
+    with pytest.raises(SchemaError, match="lacks read privilege"):
+        api.query(sp, {"limit": 1}, user="writer")
+    # but writes serve
+    assert api.upsert(
+        sp, {"documents": [{"_id": "w1", "field_int": 9,
+                            "v": [9.0, 0.0, 1.0, 0.0]}]},
+        user="writer",
+    ) == 1
+    assert api.delete(sp, {"document_ids": ["w1"]}, user="writer") == ["w1"]
+
+
+def test_readonly_user_rejected_on_upsert_and_delete(rig):
+    reg, sp = rig
+    with pytest.raises(SchemaError, match="lacks write privilege"):
+        api.upsert(sp, {"documents": [{"_id": "x", "field_int": 1,
+                                       "v": [0.0] * 4}]}, user="reader")
+    with pytest.raises(SchemaError, match="lacks write privilege"):
+        api.delete(sp, {"document_ids": ["0"]}, user="reader")
+    # reads serve
+    assert api.search(sp, SEARCH_REQ, user="reader").count() == 3
+    assert api.query(sp, {"limit": 2}, user="reader").count() == 2
+
+
+def test_root_passes_everything_and_is_undeletable(rig):
+    reg, sp = rig
+    assert api.search(sp, SEARCH_REQ, user="root").count() == 3
+    assert api.search(sp, SEARCH_REQ).count() == 3  # default user=root
+    with pytest.raises(SchemaError, match="root"):
+        api.drop_user(reg, "root")
+
+
+def test_admin_verbs_guarded_by_resource_class(rig):
+    reg, sp = rig
+    # a document-only role has no ResourceDB / ResourceSpace / etc.
+    with pytest.raises(SchemaError, match="lacks write privilege"):
+        api.create_db(reg, "db2", user="writer")
+    with pytest.raises(SchemaError, match="lacks read privilege"):
+        api.list_dbs(reg, user="writer")
+    with pytest.raises(SchemaError, match="lacks write privilege"):
+        api.create_user(reg, {"name": "u", "password": "p",
+                              "role_name": "docReader"}, user="reader")
+    with pytest.raises(SchemaError, match="lacks write privilege"):
+        api.index_rebuild(sp, user="reader")
+    with pytest.raises(SchemaError, match="lacks write privilege"):
+        api.delete_index(sp, "field_int", user="reader")
+    # defaultClusterAdmin covers db/space/alias/index/config/cluster
+    api.create_db(reg, "db2", user="clusteradmin")
+    assert {"name": "db1"} in api.list_dbs(reg, user="clusteradmin")
+    api.update_config(sp, {"refresh_interval": 500}, user="clusteradmin")
+    assert api.get_config(sp, user="clusteradmin")["refresh_interval"] == 500
+    api.cluster_health(reg, user="clusteradmin")
+    # ...but NOT user administration (no ResourceUser in its matrix?
+    # it HAS ResourceUser per user.go:94-112 — verify the grant works)
+    api.create_user(reg, {"name": "u2", "password": "p",
+                          "role_name": "docReader"}, user="clusteradmin")
+
+
+def test_unknown_user_rejected(rig):
+    reg, sp = rig
+    with pytest.raises(SchemaError, match="not found"):
+        api.search(sp, SEARCH_REQ, user="ghost")
+
+
+def test_standalone_space_skips_auth(spark):
+    """A Space outside any Registry carries no auth store — the
+    reference's SkipAuth deployment mode (doc_http.go:180-183)."""
+    from vearch_spark.space import Space
+
+    sp = Space(spark, _schema("solo"))
+    sp.upsert([{"_id": "1", "field_int": 1, "v": [1.0, 0.0, 1.0, 0.0]}])
+    assert api.search(sp, dict(SEARCH_REQ, limit=1), user="whoever").count() == 1
+
+
+def test_grant_revoke_changes_take_effect_immediately(rig):
+    reg, sp = rig
+    reg.auth.change_role_privilege(
+        "docReader", "Grant", {"ResourceDocument": "WriteRead"}
+    )
+    assert api.upsert(sp, {"documents": [{"_id": "g", "field_int": 1,
+                                          "v": [0.0] * 4}]},
+                      user="reader") == 1
+    reg.auth.change_role_privilege(
+        "docReader", "Revoke", {"ResourceDocument": "WriteRead"}
+    )
+    with pytest.raises(SchemaError, match="lacks"):
+        api.query(sp, {"limit": 1}, user="reader")

@@ -1,0 +1,139 @@
+"""sf1 spot-bench: per-family scaling exponents (VERDICT r4 ask #7).
+
+The driver benches at sf0.1; an operator that is accidentally
+super-linear would only surface there once it is already slow. This
+harness synthesizes an sf1-shaped corpus (10x sf0.1) by replicating
+the driver's documents/embeddings tables with salted ids, perturbed
+texts (a replica token keeps exact-dup structure realistic instead of
+collapsing clones), and noise-jittered vectors -- then times the
+dedup/knn/text headline `queries()` entries at both scales and prints
+the ratio per query. A healthy (at-worst-linear) operator lands
+<= ~12x; anything above flags super-linear behavior long before the
+100 TB deployment would find it.
+
+    python tools/spot_sf1.py            # all families
+    python tools/spot_sf1.py minhash_dedup cosine_near_dup
+
+Writes the scaled tables under /tmp/vearch_spark_sf1 (reused across
+runs) and prints one JSON line:
+  {"sf01": {q: sec}, "sf1": {q: sec}, "ratio": {q: r}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/vearch_spark_sf1")
+REPLICAS = 10
+
+#: headline queries per family (documents/embeddings-backed only --
+#: the TPC-H-ish tables are not part of the dedup/knn scale posture)
+FAMILIES = [
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "dedup_clusters",
+    "cosine_near_dup",
+    "knn_self_join",
+    "lang_id",
+    "corpus_pipeline",
+    "flat_knn_l2",
+    "ivfflat_knn",
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    done = os.path.join(SF1_DIR, "_DONE")
+    if os.path.exists(done):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs * 10)
+        # replica 0 keeps the original text (the sf0.1 dup structure
+        # survives verbatim); others get a replica token so clones are
+        # NEAR-dups, not exact dups -- the realistic 10x profile
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string"))
+            ),
+        )
+        .drop("rep")
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/documents.parquet")
+    )
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    n_emb = emb.count()
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb * 10)
+        # deterministic per-(id, dim) jitter ~ +-0.005: keeps the
+        # cluster structure (IVF trains sanely) without exact clones
+        .withColumn(
+            "embedding",
+            F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+                F.transform(
+                    "embedding",
+                    lambda v, i: (
+                        v
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id"), i, F.col("rep")),
+                                F.lit(1000),
+                            ).cast("float")
+                            / F.lit(100000.0)
+                            - F.lit(0.005)
+                        )
+                    ).cast("float"),
+                )
+            ),
+        )
+        .drop("rep")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/embeddings.parquet")
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from vearch_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    names = [q for q in FAMILIES if not only or q in only]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="spot-sf1", master=f"local[{cpus}]")
+    build_sf1(spark)
+    queries = entry.queries()
+    out = {"sf01": {}, "sf1": {}, "ratio": {}}
+    for name in names:
+        fn = queries[name]
+        for key, d in (("sf01", SF01), ("sf1", SF1_DIR)):
+            t0 = time.time()
+            fn(spark, d).collect()
+            out[key][name] = round(time.time() - t0, 2)
+        r = out["sf1"][name] / max(out["sf01"][name], 0.01)
+        out["ratio"][name] = round(r, 1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,48 @@ def main() -> None:
     out.update(tie_aware_recall(
         by_query_scores(exact_rows), by_query_scores(approx_rows), nq
     ))
+
+    # ---- incremental append (hnsw.add — touched-shard regrow only):
+    # two same-sized batches, one crafted to hash into a SINGLE shard,
+    # one uniform (touches every shard). Cost must track the touched
+    # shard count (≈ build_s/nshards vs ≈ build_s), not the corpus —
+    # the reference's background Indexing() incremental add
+    # (engine.cc:1084-1138) has the same bounded-rewrite contract.
+    n_add = max(500, n // 100)
+    rng = np.random.default_rng(99)
+    cand_ids = list(range(n, n + n_add * 3 * nshards))
+    cand_df = spark.createDataFrame([(i,) for i in cand_ids], "vec_id long")
+    from pyspark.sql import functions as F
+
+    shard_of = {
+        r.vec_id: r.s
+        for r in cand_df.withColumn(
+            "s", F.pmod(F.xxhash64(F.col("vec_id").cast("string")),
+                        F.lit(nshards)).cast("int")
+        ).collect()
+    }
+    one_shard_ids = [i for i in cand_ids if shard_of[i] == 0][:n_add]
+    uniform_ids = cand_ids[:n_add]
+
+    def _batch(ids):
+        vecs = centers[rng.integers(0, len(centers), len(ids))] + rng.normal(
+            0.0, 0.8, (len(ids), dim)
+        )
+        return spark.createDataFrame(
+            [(int(i), v.tolist()) for i, v in zip(ids, vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    t0 = time.time()
+    idx.add(_batch(one_shard_ids))
+    idx._graph.count()  # materialize the regrow
+    out["append_1shard_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    idx.add(_batch(uniform_ids))
+    idx._graph.count()
+    out["append_allshard_s"] = round(time.time() - t0, 2)
+    out["append_rows"] = n_add
+
     idx.unpersist()
     df.unpersist()
     print(json.dumps(out))

@@ -22,9 +22,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from vearch_spark.auth import Resource
 from vearch_spark.errors import DocumentError, SearchError
-from vearch_spark.operators.fusion import VectorQuery
 from vearch_spark.space import Space
+from vearch_spark.operators.fusion import VectorQuery
+
+# ------------------------------------------------------------- middleware
+# Every verb takes ``user=`` (default root) and authorizes it against the
+# owning auth store with the route's (resource, read|write) class — the
+# BasicAuthMiddleware + Role.HasPermissionForResources chain the
+# reference wraps every route in (doc_http.go:69-131, user.go:191-269
+# ParseResources). Document verbs additionally pass the request-rate
+# gate (HttpLimitMiddleware doc_http.go:133-165). A STANDALONE Space
+# (no Registry) carries no auth store and skips the check — the
+# reference's ``SkipAuth`` deployment switch (doc_http.go:180-183).
+
+
+def _authorize(auth, user: str, resource: Resource, write: bool) -> None:
+    if auth is None:  # SkipAuth mode: standalone Space, no registry
+        return
+    auth.authorize(user, resource, write)
+
+
+def _doc_gate(space: Space, user: str, write: bool) -> None:
+    """Auth + rate-limit entry check for the four /document verbs."""
+    _authorize(getattr(space, "_auth", None), user, Resource.DOCUMENT, write)
+    limiter = getattr(space, "_limiter", None)
+    if limiter is not None:
+        limiter.acquire(write)
 
 
 def _parse_vectors(space: Space, vectors: list[dict]) -> list[VectorQuery]:
@@ -116,12 +141,13 @@ def _validate_timeout(req: dict) -> None:
             )
 
 
-def search(space: Space, req: dict) -> DataFrame:
+def search(space: Space, req: dict, user: str = "root") -> DataFrame:
     """`POST /document/search` (doc_http.go:659-744,
     request shape search_doc.go:71-94). A single vector entry whose
     feature holds q×dim floats becomes a BATCHED search (req_num
     independent top-k queries — one row per (query_id, hit)); batched
     multi-field fusion and batched sort/pagination are rejected."""
+    _doc_gate(space, user, write=False)
     _validate_timeout(req)
     vectors = req.get("vectors") or []
     if not vectors:
@@ -204,9 +230,10 @@ def search(space: Space, req: dict) -> DataFrame:
     )
 
 
-def query(space: Space, req: dict) -> DataFrame:
+def query(space: Space, req: dict, user: str = "root") -> DataFrame:
     """`POST /document/query` (doc_http.go:521-610): get-by-ids XOR
     filter scan."""
+    _doc_gate(space, user, write=False)
     _validate_timeout(req)
     ids = req.get("document_ids")
     filters = req.get("filters")
@@ -232,18 +259,20 @@ def query(space: Space, req: dict) -> DataFrame:
     )
 
 
-def upsert(space: Space, req: dict) -> int:
+def upsert(space: Space, req: dict, user: str = "root") -> int:
     """`POST /document/upsert` (doc_http.go:467): documents list,
     auto-_id when absent."""
+    _doc_gate(space, user, write=True)
     docs = req.get("documents")
     if not docs:
         raise DocumentError("upsert requires a non-empty documents list")
     return space.upsert(docs)
 
 
-def delete(space: Space, req: dict) -> list[str]:
+def delete(space: Space, req: dict, user: str = "root") -> list[str]:
     """`POST /document/delete` (doc_http.go:745): by ids or by query;
     returns deleted ids (DelByQueryeExecute client.go:1851-1897)."""
+    _doc_gate(space, user, write=True)
     _validate_timeout(req)
     ids = req.get("document_ids")
     filters = req.get("filters")
@@ -262,23 +291,25 @@ def delete(space: Space, req: dict) -> list[str]:
 # POST /index/{flush,forcemerge,rebuild} (doc_http.go:327-329)
 
 
-def index_flush(space: Space, req: dict | None = None) -> None:
+def index_flush(space: Space, req: dict | None = None, user: str = "root") -> None:
     """`POST /index/flush` (doc_http.go:832 → Engine::Dump
     engine.cc:1246): persist engine state. Spark writes are durable at
     commit, so this delegates to the documented no-op."""
+    _authorize(getattr(space, "_auth", None), user, Resource.INDEX, True)
     space.flush()
 
 
-def index_forcemerge(space: Space, req: dict | None = None) -> int:
+def index_forcemerge(space: Space, req: dict | None = None, user: str = "root") -> int:
     """`POST /index/forcemerge` (doc_http.go:874): compact segments.
     The bucketed store's version directories are the segment analog —
     compaction reclaims every directory the current manifest no longer
     references. Returns the number removed (the reference returns a
     per-partition ack)."""
+    _authorize(getattr(space, "_auth", None), user, Resource.INDEX, True)
     return space.vacuum()
 
 
-def update_space(space: Space, req: dict) -> dict:
+def update_space(space: Space, req: dict, user: str = "root") -> dict:
     """`PUT /dbs/{db}/spaces/{space}`: space update. Supported
     mutations (space_service.go:560-580): growing `partition_num`
     (reduction rejected, test_module_space.py::test_update_space_partition)
@@ -286,6 +317,7 @@ def update_space(space: Space, req: dict) -> dict:
     (test_module_partition.py::test_add_partitions/test_drop_partitions —
     DROP names the range with `partition_name`, ADD carries the new
     ranges under `partition_rule.ranges`)."""
+    _authorize(getattr(space, "_auth", None), user, Resource.SPACE, True)
     if "operator_type" in req:
         rule = req.get("partition_rule") or {}
         ranges = [
@@ -307,34 +339,40 @@ def update_space(space: Space, req: dict) -> dict:
     return {"partition_num": space.update_partition_num(n)}
 
 
-def get_config(space: Space) -> dict:
+def get_config(space: Space, user: str = "root") -> dict:
     """`GET /config/{db}/{space}` (config_service.go:82-95): current
     space config — engine_cache_size / refresh_interval /
     slow_search_time / enable_id_cache / path."""
+    _authorize(getattr(space, "_auth", None), user, Resource.CONFIG, False)
     return space.get_config()
 
 
-def update_config(space: Space, req: dict) -> dict:
+def update_config(space: Space, req: dict, user: str = "root") -> dict:
     """`POST /config/{db}/{space}`: partial-merge config update
     (UpdateSpaceConfig config_service.go:97-133) — only the provided
     keys overwrite; echoes the merged config like the route's `data`."""
+    _authorize(getattr(space, "_auth", None), user, Resource.CONFIG, True)
     return space.update_config(req or {})
 
 
-def list_indexes(space: Space, detail: bool = False, db_name: str | None = None) -> dict:
+def list_indexes(space: Space, detail: bool = False, db_name: str | None = None, user: str = "root") -> dict:
     """`GET /dbs/{db}/spaces/{space}/indexes[?detail=true]`
     (cluster_api.go:291-292; payload shape
     test_module_space_indexes.py:311-324)."""
+    # GET /dbs/{db}/spaces/{space}/indexes parses to ResourceSpace
+    # (ParseResources user.go:215-221 — /dbs + /spaces wins)
+    _authorize(getattr(space, "_auth", None), user, Resource.SPACE, False)
     out = space.list_indexes(detail=detail)
     if db_name is not None:
         out = {"db_name": db_name, **out}
     return out
 
 
-def delete_index(space: Space, index_name: str) -> dict:
+def delete_index(space: Space, index_name: str, user: str = "root") -> dict:
     """`DELETE /dbs/{db}/spaces/{space}/indexes/{name}`
     (cluster_api.go:294 → RemoveIndex space_service.go:1727-1782);
     echoes the remaining indexes like the route's space payload."""
+    _authorize(getattr(space, "_auth", None), user, Resource.SPACE, True)
     space.remove_index(index_name)
     return space.list_indexes()
 
@@ -345,29 +383,33 @@ def delete_index(space: Space, index_name: str) -> dict:
 # by re-pointing the client like the document verbs above.
 
 
-def create_db(reg, db_name: str) -> dict:
+def create_db(reg, db_name: str, user: str = "root") -> dict:
     """`POST /dbs/{db}` (cluster_api.go:304 → createDB)."""
+    _authorize(reg.auth, user, Resource.DB, True)
     reg.create_db(db_name)
     return {"name": db_name}
 
 
-def list_dbs(reg) -> list[dict]:
+def list_dbs(reg, user: str = "root") -> list[dict]:
     """`GET /dbs` (cluster_api.go:306)."""
+    _authorize(reg.auth, user, Resource.DB, False)
     return [{"name": n} for n in reg.list_dbs()]
 
 
-def delete_db(reg, db_name: str) -> None:
+def delete_db(reg, db_name: str, user: str = "root") -> None:
     """`DELETE /dbs/{db}` (cluster_api.go:307; non-empty dbs reject,
     same as the master's service check)."""
+    _authorize(reg.auth, user, Resource.DB, True)
     reg.drop_db(db_name)
 
 
-def create_space(reg, db_name: str, payload: dict) -> Space:
+def create_space(reg, db_name: str, payload: dict, user: str = "root") -> Space:
     """`POST /dbs/{db}/spaces` with the create-space JSON body
     (space.go:464-559 — the same payload SpaceSchema.from_json parses;
     `partition_num` is the bucket count, validated like the update
     verb and applied at CONSTRUCTION so the persisted _SPACE.json
     carries it from the first commit)."""
+    _authorize(reg.auth, user, Resource.SPACE, True)
     from vearch_spark.schema import SpaceSchema
 
     schema = SpaceSchema.from_json(payload)
@@ -387,40 +429,46 @@ def create_space(reg, db_name: str, payload: dict) -> Space:
     return reg.create_space(db_name, schema, n_buckets=n_buckets)
 
 
-def list_spaces(reg, db_name: str) -> list[dict]:
+def list_spaces(reg, db_name: str, user: str = "root") -> list[dict]:
     """`GET /dbs/{db}/spaces` (cluster_api.go:311)."""
+    _authorize(reg.auth, user, Resource.SPACE, False)
     return [{"name": n} for n in reg.list_spaces(db_name)]
 
 
-def describe_space(reg, db_name: str, space_name: str) -> dict:
+def describe_space(reg, db_name: str, space_name: str, user: str = "root") -> dict:
     """`GET /dbs/{db}/spaces/{space}` (cluster_api.go:312 →
     describe_space payload shape: schema + index states + partition
     rule + doc count)."""
+    _authorize(reg.auth, user, Resource.SPACE, False)
     return reg.space(db_name, space_name).describe()
 
 
-def delete_space(reg, db_name: str, space_name: str) -> None:
+def delete_space(reg, db_name: str, space_name: str, user: str = "root") -> None:
     """`DELETE /dbs/{db}/spaces/{space}` (cluster_api.go:313; aliases
     pointing at the space cascade, alias.go semantics)."""
+    _authorize(reg.auth, user, Resource.SPACE, True)
     reg.drop_space(db_name, space_name)
 
 
-def create_alias(reg, alias_name: str, db_name: str, space_name: str) -> dict:
+def create_alias(reg, alias_name: str, db_name: str, space_name: str, user: str = "root") -> dict:
     """`POST /alias/{alias}/dbs/{db}/spaces/{space}`
     (cluster_api.go:335 → entity.Alias)."""
+    _authorize(reg.auth, user, Resource.ALIAS, True)
     reg.create_alias(alias_name, db_name, space_name)
     return {"name": alias_name, "db_name": db_name, "space_name": space_name}
 
 
-def modify_alias(reg, alias_name: str, db_name: str, space_name: str) -> dict:
+def modify_alias(reg, alias_name: str, db_name: str, space_name: str, user: str = "root") -> dict:
     """`PUT /alias/{alias}/dbs/{db}/spaces/{space}` (cluster_api.go:339)."""
+    _authorize(reg.auth, user, Resource.ALIAS, True)
     reg.update_alias(alias_name, db_name, space_name)
     return {"name": alias_name, "db_name": db_name, "space_name": space_name}
 
 
-def get_alias(reg, alias_name: str | None = None):
+def get_alias(reg, alias_name: str | None = None, user: str = "root"):
     """`GET /alias[/{alias}]` (cluster_api.go:336-337): one alias or
     the full listing."""
+    _authorize(reg.auth, user, Resource.ALIAS, False)
     if alias_name is not None:
         db, sp = reg.get_alias(alias_name)
         return {"name": alias_name, "db_name": db, "space_name": sp}
@@ -430,14 +478,16 @@ def get_alias(reg, alias_name: str | None = None):
     ]
 
 
-def delete_alias(reg, alias_name: str) -> None:
+def delete_alias(reg, alias_name: str, user: str = "root") -> None:
     """`DELETE /alias/{alias}` (cluster_api.go:338)."""
+    _authorize(reg.auth, user, Resource.ALIAS, True)
     reg.delete_alias(alias_name)
 
 
-def backup_space(reg, db_name: str, space_name: str, req: dict) -> dict:
+def backup_space(reg, db_name: str, space_name: str, req: dict, user: str = "root") -> dict:
     """`POST /backup/dbs/{db}/spaces/{space}` (cluster_api.go:297):
     {command: create|restore, path, [backup_id]}."""
+    _authorize(reg.auth, user, Resource.SPACE, True)
     if not req.get("path"):
         raise DocumentError("backup requires a path")
     command = req.get("command", "create")
@@ -453,24 +503,27 @@ def backup_space(reg, db_name: str, space_name: str, req: dict) -> dict:
     )
 
 
-def backup_db(reg, db_name: str, req: dict) -> dict:
+def backup_db(reg, db_name: str, req: dict, user: str = "root") -> dict:
     """`POST /backup/dbs/{db}` (cluster_api.go:298)."""
+    _authorize(reg.auth, user, Resource.SPACE, True)
     if not req.get("path"):
         raise DocumentError("backup requires a path")
     return reg.backup_db(db_name, req["path"], command=req.get("command", "create"))
 
 
-def server_resource_limit(reg, resource_exhausted: bool | None = None) -> dict:
+def server_resource_limit(reg, resource_exhausted: bool | None = None, user: str = "root") -> dict:
     """`PUT /cluster/resource_limit` (test_module_resource_limit.py
     shape: omitting the flag clears the limit): while exhausted,
     document writes on every space reject and reads keep serving;
     setting it on an empty cluster rejects."""
+    _authorize(reg.auth, user, Resource.PARTITION, True)
     reg.set_resource_limit(bool(resource_exhausted))
     return {"resource_exhausted": bool(resource_exhausted)}
 
 
 def cluster_health(
-    reg, db_name: str = "", space_name: str = "", detail: bool = False
+    reg, db_name: str = "", space_name: str = "", detail: bool = False,
+    user: str = "root",
 ) -> list[dict]:
     """`GET /cluster/health[?db=&space=&detail=]` (cluster_api.go:357 →
     PartitionInfo): per-db → per-space doc counts and status; `detail`
@@ -481,6 +534,7 @@ def cluster_health(
     'healthy and empty' forever."""
     from vearch_spark.errors import SchemaError
 
+    _authorize(reg.auth, user, Resource.CLUSTER, False)
     if db_name and db_name not in reg.list_dbs():
         raise SchemaError(f"database {db_name!r} not found")
     if space_name:
@@ -513,10 +567,11 @@ def cluster_health(
     return out
 
 
-def cluster_stats(reg) -> list[dict]:
+def cluster_stats(reg, user: str = "root") -> list[dict]:
     """`GET /cluster/stats` (cluster_api.go:356): per-space storage
     stats — doc counts plus on-disk bytes for path-backed spaces (the
     reference reports per-partition disk paths and sizes)."""
+    _authorize(reg.auth, user, Resource.CLUSTER, False)
     import os as _os
 
     out = []
@@ -544,28 +599,32 @@ def cluster_stats(reg) -> list[dict]:
 # test/utils/vearch_utils.py:1833-1913, rules in vearch_spark.auth).
 
 
-def create_user(reg, req: dict) -> dict:
+def create_user(reg, req: dict, user: str = "root") -> dict:
     """`POST /users`: {name, password, role_name}."""
-    if "password" not in req or "role_name" not in req:
+    _authorize(reg.auth, user, Resource.USER, True)
+    if any(k not in req for k in ("name", "password", "role_name")):
         raise DocumentError("create user requires name, password, role_name")
     return reg.auth.create_user(req["name"], req["password"], req["role_name"])
 
 
-def get_user(reg, user_name: str) -> dict:
+def get_user(reg, user_name: str, user: str = "root") -> dict:
     """`GET /users/{name}` — never echoes the credential."""
+    _authorize(reg.auth, user, Resource.USER, False)
     return reg.auth.get_user(user_name)
 
 
-def list_users(reg) -> list[dict]:
+def list_users(reg, user: str = "root") -> list[dict]:
     """`GET /users`."""
+    _authorize(reg.auth, user, Resource.USER, False)
     return reg.auth.list_users()
 
 
-def update_user(reg, req: dict) -> dict:
+def update_user(reg, req: dict, user: str = "root") -> dict:
     """`PUT /users`: {name, password[, old_password][, role_name]} —
     partial update; password change verifies old_password when given
     (the self-service route), omitting it is the root-credential path
     (test_module_user.py::test_update_user_password_with_root)."""
+    _authorize(reg.auth, user, Resource.USER, True)
     return reg.auth.update_user(
         req["name"],
         password=req.get("password"),
@@ -574,34 +633,39 @@ def update_user(reg, req: dict) -> dict:
     )
 
 
-def drop_user(reg, user_name: str) -> None:
+def drop_user(reg, user_name: str, user: str = "root") -> None:
     """`DELETE /users/{name}` (root undeletable, user_service.go:85)."""
+    _authorize(reg.auth, user, Resource.USER, True)
     reg.auth.drop_user(user_name)
 
 
-def create_role(reg, req: dict) -> dict:
+def create_role(reg, req: dict, user: str = "root") -> dict:
     """`POST /roles`: {name, privileges: {Resource: Privilege}}."""
+    _authorize(reg.auth, user, Resource.ROLE, True)
     return reg.auth.create_role(req["name"], req.get("privileges") or {}).to_json()
 
 
-def get_role(reg, role_name: str) -> dict:
+def get_role(reg, role_name: str, user: str = "root") -> dict:
     """`GET /roles/{name}` — built-ins resolve from the ROLE map."""
+    _authorize(reg.auth, user, Resource.ROLE, False)
     return reg.auth.get_role(role_name).to_json()
 
 
-def change_role_privilege(reg, req: dict) -> dict:
+def change_role_privilege(reg, req: dict, user: str = "root") -> dict:
     """`PUT /roles`: {name, operator: Grant|Revoke, privileges}."""
+    _authorize(reg.auth, user, Resource.ROLE, True)
     return reg.auth.change_role_privilege(
         req["name"], req.get("operator", ""), req.get("privileges") or {}
     ).to_json()
 
 
-def drop_role(reg, role_name: str) -> None:
+def drop_role(reg, role_name: str, user: str = "root") -> None:
     """`DELETE /roles/{name}` (built-ins immutable)."""
+    _authorize(reg.auth, user, Resource.ROLE, True)
     reg.auth.delete_role(role_name)
 
 
-def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
+def index_rebuild(space: Space, req: dict | None = None, user: str = "root") -> list[str]:
     """`POST /index/rebuild` (doc_http.go:937 → Engine::RebuildIndex
     engine.cc:1013-1084): retrain every declared vector index from the
     current table. ``drop_before_rebuild`` (default true, as in the
@@ -609,7 +673,105 @@ def index_rebuild(space: Space, req: dict | None = None) -> list[str]:
     brute force during the rebuild rather than serving the stale index;
     ``limit_cpu`` is accepted for payload parity and ignored — Spark's
     scheduler owns parallelism. Returns the rebuilt field names."""
+    _authorize(getattr(space, "_auth", None), user, Resource.INDEX, True)
     req = req or {}
     return space.rebuild_indexes(
         drop_before_rebuild=bool(req.get("drop_before_rebuild", True))
     )
+
+
+# --------------------------------------------------- cluster config verbs
+# GET/POST /config/{request_limit,memory_limit,slow_search_isolation}
+# (cluster_api.go:309-317; payload shapes test_module_config.py and
+# entity/config.go:17-31). request_limit and memory_limit live on the
+# authed route group (→ ResourceConfig); slow_search_isolation rides
+# the UNAUTHED group in the reference (cluster_api.go:316 uses `group`,
+# not `groupAuth`) so it takes no privilege check here either.
+
+
+def get_request_limit(reg, user: str = "root") -> dict:
+    """`GET /config/request_limit` (cluster_api.go:2053-2066)."""
+    _authorize(reg.auth, user, Resource.CONFIG, False)
+    return reg.get_cluster_config("request_limit")
+
+
+def modify_request_limit(reg, req: dict, user: str = "root") -> dict:
+    """`POST /config/request_limit` (cluster_api.go:2069-2091 →
+    entity.SetRequestLimit): re-arms the document read/write token
+    buckets; counts ≤ 0 fall back to the 1e6 defaults; disabled →
+    unlimited. Echoes the stored config like the route's `data`."""
+    _authorize(reg.auth, user, Resource.CONFIG, True)
+    return reg.set_cluster_config("request_limit", req or {})
+
+
+def get_memory_limit(reg, user: str = "root") -> dict:
+    """`GET /config/memory_limit` (cluster_api.go:2094-2107)."""
+    _authorize(reg.auth, user, Resource.CONFIG, False)
+    return reg.get_cluster_config("memory_limit")
+
+
+def modify_memory_limit(reg, req: dict, user: str = "root") -> dict:
+    """`POST /config/memory_limit` (cluster_api.go:2110-2132 →
+    entity.SetMemoryLimit): stores the router/ps memory percents.
+    Enforcement is the JVM's job under Spark (executor/driver memory
+    config + spill), so the knob is stored-and-echoed — the analog of
+    the reference's gctuner wiring, which Spark replaces."""
+    _authorize(reg.auth, user, Resource.CONFIG, True)
+    return reg.set_cluster_config("memory_limit", req or {})
+
+
+def get_slow_search_isolation(reg) -> dict:
+    """`GET /config/slow_search_isolation` (cluster_api.go:2135-2148;
+    unauthed group)."""
+    return reg.get_cluster_config("slow_search_isolation")
+
+
+def modify_slow_search_isolation(reg, req: dict) -> dict:
+    """`POST /config/slow_search_isolation` (cluster_api.go:2150+ →
+    entity.SetSlowSearchIsolation): flips the cluster-wide switch that
+    feeds every space's slow-search scheduler-pool heuristic
+    (space.py _route_scheduler_pool)."""
+    return reg.set_cluster_config("slow_search_isolation", req or {})
+
+
+# ----------------------------------------------------- backup progress
+# GET /backup/dbs/{db}/spaces/{space}/versions/{id}/progress and
+# GET /restore/dbs/{db}/spaces/{space}/progress (cluster_api.go:298-301).
+# The reference streams snapshots asynchronously and reports percent
+# done; this rebuild's Space.backup/restore are SYNCHRONOUS (the parquet
+# copy is the commit), so a version that exists is by definition 100%
+# complete and one that doesn't is an error — the same response shape,
+# degenerate progress values.
+
+
+def get_backup_progress(
+    reg, db_name: str, space_name: str, backup_path: str, version: int,
+    user: str = "root",
+) -> dict:
+    """`GET /backup/.../versions/{id}/progress`: completed-progress
+    document for an existing snapshot; unknown versions raise."""
+    _authorize(reg.auth, user, Resource.SPACE, False)
+    versions = reg.list_backup_versions(db_name, space_name, backup_path)
+    if int(version) not in versions:
+        from vearch_spark.errors import SchemaError
+
+        raise SchemaError(
+            f"backup version {version} not found for "
+            f"{db_name!r}/{space_name!r}"
+        )
+    return {
+        "backup_id": int(version),
+        "status": "completed",
+        "progress": 100,
+    }
+
+
+def get_restore_progress(
+    reg, db_name: str, space_name: str, user: str = "root"
+) -> dict:
+    """`GET /restore/dbs/{db}/spaces/{space}/progress`: a restored
+    space either exists (restore committed → 100%) or it doesn't
+    (no restore in flight — synchronous restores can't be mid-way)."""
+    _authorize(reg.auth, user, Resource.SPACE, False)
+    reg.space(db_name, space_name)  # raises if absent
+    return {"status": "completed", "progress": 100}

@@ -177,10 +177,46 @@ BUILTIN_ROLES: dict[str, Role] = {
 ROOT_NAME = "root"
 
 
+_PBKDF2_ITERATIONS = 100_000
+
+
 def _hash_password(name: str, password: str) -> str:
-    # salted digest — the analog of the reference's stored credential
-    # (etcd holds the user record; never the cleartext here)
-    return hashlib.sha256(f"{name}:{password}".encode()).hexdigest()
+    """Stored credential: PBKDF2-HMAC-SHA256 with a per-user random
+    salt (the analog of the reference's etcd-held user record — never
+    the cleartext here, and never a fast predictable-salt digest a
+    leaked catalog file could be brute-forced against offline)."""
+    import os as _os
+
+    salt = _os.urandom(16).hex()
+    digest = hashlib.pbkdf2_hmac(
+        "sha256",
+        f"{name}:{password}".encode(),
+        bytes.fromhex(salt),
+        _PBKDF2_ITERATIONS,
+    ).hex()
+    return f"pbkdf2_sha256${_PBKDF2_ITERATIONS}${salt}${digest}"
+
+
+def _verify_password(name: str, password: str, stored: str) -> bool:
+    """Constant-time verification; accepts the legacy single-round
+    sha256(name:password) format from pre-r5 catalogs (callers upgrade
+    the record on the next successful check)."""
+    import hmac as _hmac
+
+    if stored.startswith("pbkdf2_sha256$"):
+        try:
+            _, iters, salt, digest = stored.split("$")
+            cand = hashlib.pbkdf2_hmac(
+                "sha256",
+                f"{name}:{password}".encode(),
+                bytes.fromhex(salt),
+                int(iters),
+            ).hex()
+        except (ValueError, TypeError):
+            return False
+        return _hmac.compare_digest(cand, digest)
+    legacy = hashlib.sha256(f"{name}:{password}".encode()).hexdigest()
+    return _hmac.compare_digest(legacy, stored)
 
 
 class AuthStore:
@@ -323,8 +359,8 @@ class AuthStore:
         if password is not None:
             if not password:
                 raise SchemaError("user password is empty")
-            if old_password is not None and (
-                u["password"] != _hash_password(name, old_password)
+            if old_password is not None and not _verify_password(
+                name, old_password, u["password"]
             ):
                 raise SchemaError("old password is incorrect")
             u["password"] = _hash_password(name, password)
@@ -339,11 +375,18 @@ class AuthStore:
     # ---------------------------------------------------------- authz/authn
 
     def authenticate(self, name: str, password: str) -> Role:
-        if name not in self._users or (
-            self._users[name]["password"] != _hash_password(name, password)
+        if name not in self._users or not _verify_password(
+            name, password, self._users[name]["password"]
         ):
             raise SchemaError("authentication failed")
-        return self.get_role(self._users[name]["role"])
+        u = self._users[name]
+        if not u["password"].startswith("pbkdf2_sha256$"):
+            # transparent upgrade of a legacy (pre-PBKDF2) record on
+            # the first successful login — the cleartext is in hand
+            # exactly here and nowhere else
+            u["password"] = _hash_password(name, password)
+            self._notify()
+        return self.get_role(u["role"])
 
     def authorize(self, user_name: str, resource: Resource | str, write: bool) -> None:
         """The router's per-request privilege check: raises unless the
@@ -374,6 +417,16 @@ class AuthStore:
         }
         store._users = dict(d.get("users") or {})
         store._on_change = None  # the owning Registry re-points this
-        if ROOT_NAME not in store._users:  # corrupted catalog: re-seed root
-            store._users[ROOT_NAME] = AuthStore()._users[ROOT_NAME]
+        if ROOT_NAME not in store._users:
+            # a catalog whose auth dict exists but lost its root record
+            # is corrupted — silently re-seeding root with the
+            # well-known default password would hand anyone the root
+            # credential; fail loudly instead (a catalog with NO auth
+            # key at all never reaches here: Registry only calls
+            # from_json when the key is present)
+            raise SchemaError(
+                "catalog auth record is corrupted: root user missing — "
+                "restore the catalog from backup or delete the 'auth' "
+                "key to re-initialize RBAC from scratch"
+            )
         return store

@@ -1218,6 +1218,7 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
         id_col: str = ID_FIELD,
         seed: int = 42,
         coarse_train_sample: int = 262_144,
+        l2_fit: str = "auto",
         **kw: object,
     ):
         super().__init__(
@@ -1230,6 +1231,9 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
             coarse_train_sample=coarse_train_sample,
             **kw,
         )
+        if l2_fit not in ("auto", "driver", "distributed"):
+            raise SearchError(f"l2_fit must be auto|driver|distributed, got {l2_fit!r}")
+        self.l2_fit = l2_fit
         self.k1 = int(ncentroids_l1)
         self.k2 = int(ncentroids_l2)
         # enough level-1 beams that nprobe cells are reachable, plus
@@ -1239,20 +1243,87 @@ class TwoLevelIVFFlatIndex(IVFFlatIndex):
         self.l2_centroids: np.ndarray | None = None  # (k1, k2, dim)
         self.l2_valid: np.ndarray | None = None  # (k1, k2) bool
 
+    #: below this many level-1 cells the per-cell fits run as the plain
+    #: driver loop — a Spark job's fixed overhead would dominate, and
+    #: both paths are bit-identical anyway (same order, same seeds)
+    _L2_DISTRIBUTED_MIN_CELLS = 64
+
+    def _fit_l2_cells(
+        self, spark, x: np.ndarray, a1: np.ndarray, k1: int
+    ) -> dict[int, np.ndarray]:
+        """Level-2 KMeans for every populated level-1 cell. The k1 fits
+        are INDEPENDENT, so at real cell counts (k1 = 1024-4096 for the
+        10^5-10^6-cell regime) they run as ONE grouped Arrow job —
+        `groupBy(c1).applyInPandas` — instead of a sequential driver
+        loop (which was the fit wall-time at k1=4096: ~20 s of
+        single-core numpy). Bit-identical to the driver loop by
+        construction: each group re-sorts its rows by sample index
+        (restoring the exact slice order `x[a1 == c]` yields) and uses
+        the same per-cell seed, so `ivf2_knn` hashes are unchanged
+        whichever path ran."""
+        k2, base_seed = self.k2, self.seed
+        distributed = self.l2_fit == "distributed" or (
+            self.l2_fit == "auto" and k1 >= self._L2_DISTRIBUTED_MIN_CELLS
+        )
+        if not distributed or spark is None:
+            return {
+                c: _kmeans_np(
+                    x[a1 == c], min(k2, int((a1 == c).sum())), iters=10,
+                    seed=base_seed + 1000 + c,
+                )
+                for c in range(k1)
+                if (a1 == c).any()
+            }
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "c1": a1.astype("int32"),
+            "i": np.arange(len(x), dtype="int64"),
+            "vec": [row.tolist() for row in x],
+        })
+        sdf = spark.createDataFrame(pdf, schema="c1 int, i long, vec array<double>")
+
+        def fit_cell(g: "pd.DataFrame") -> "pd.DataFrame":
+            c = int(g["c1"].iloc[0])
+            g = g.sort_values("i")
+            sub = np.array(g["vec"].tolist(), dtype=np.float64)
+            cents = _kmeans_np(sub, min(k2, len(sub)), iters=10,
+                               seed=base_seed + 1000 + c)
+            return pd.DataFrame({
+                "c1": np.full(len(cents), c, dtype="int32"),
+                "c2": np.arange(len(cents), dtype="int32"),
+                "cent": [list(map(float, row)) for row in cents],
+            })
+
+        rows = (
+            sdf.groupBy("c1")
+            .applyInPandas(fit_cell, "c1 int, c2 int, cent array<double>")
+            .collect()  # k1*k2 centroid rows — model-sized, not data-sized
+        )
+        by_cell: dict[int, dict[int, list]] = {}
+        for r in rows:
+            by_cell.setdefault(r["c1"], {})[r["c2"]] = r["cent"]
+        return {
+            c: np.array([m[j] for j in sorted(m)], dtype=np.float64)
+            for c, m in by_cell.items()
+        }
+
     def _fit_coarse(self, df: DataFrame) -> np.ndarray:
         x = self._train_sample(df)
         dim = x.shape[1]
         k1 = max(1, min(self.k1, len(x)))
         l1 = _kmeans_np(x, k1, iters=20, seed=self.seed)
         a1 = ((l1**2).sum(axis=1)[None, :] - 2.0 * (x @ l1.T)).argmin(axis=1)
+        fitted = self._fit_l2_cells(df.sparkSession, x, a1, k1)
         l2 = np.empty((k1, self.k2, dim), dtype=np.float64)
         valid = np.ones((k1, self.k2), dtype=bool)
         for c in range(k1):
-            sub = x[a1 == c]
-            if len(sub) == 0:
-                sub = l1[c][None, :]
-            cents = _kmeans_np(sub, min(self.k2, len(sub)), iters=10,
-                               seed=self.seed + 1000 + c)
+            cents = fitted.get(c)
+            if cents is None:
+                # empty cell: its only sub-centroid is the l1 centroid
+                # itself (the driver loop's `sub = l1[c][None, :]` case)
+                cents = _kmeans_np(l1[c][None, :], 1, iters=10,
+                                   seed=self.seed + 1000 + c)
             if len(cents) < self.k2:
                 # pad under-populated cells with far sentinels so the
                 # L2 assignment argmin never picks them; the explicit

@@ -34,11 +34,97 @@ import re
 
 from pyspark.sql import SparkSession
 
-from vearch_spark.errors import SchemaError
+from vearch_spark.errors import ConcurrentWriteError, SchemaError
 from vearch_spark.schema import SpaceSchema
 from vearch_spark.space import Space
 
 _NAME_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
+
+
+def _default_cluster_config() -> dict:
+    """entity.ConfigInfo defaults (config.go:39-45, 63-67). Note the
+    reference's limiters START unlimited (rate.Inf, burst 0 —
+    config.go:52-53) regardless of the enabled flag; limiting begins
+    only when a POST /config/request_limit arrives."""
+    return {
+        "request_limit": {
+            "request_limit_enabled": True,
+            "read_request_limit_count": 1000000.0,
+            "write_request_limit_count": 1000000.0,
+        },
+        "memory_limit": {
+            "memory_limit_enabled": True,
+            "router_memory_limit": 90,
+            "ps_memory_limit": 90,
+        },
+        "slow_search_isolation": {"slow_search_isolation_enabled": True},
+    }
+
+
+class RequestLimiter:
+    """The router's document-request token buckets
+    (`entity.ReadLimiter`/`WriteLimiter`, config.go:52-53 +
+    SetRequestLimit config.go:69-122; gate applied per /document route
+    in `HttpLimitMiddleware`, doc_http.go:133-165). Semantics kept
+    exactly: rate = configured count / router count (ONE router here —
+    the driver), burst = int(rate * 1.1), and until the first
+    configure() both buckets are unlimited. A burst-0 bucket (count <
+    1) rejects every request — the reference's
+    test_upsert_over_write_limit relies on that with count 0.5."""
+
+    _UNLIMITED = float("inf")
+
+    def __init__(self):
+        import time as _time
+
+        self._clock = _time.monotonic
+        # start unlimited like rate.NewLimiter(rate.Inf, 0)
+        self._rate = {"read": self._UNLIMITED, "write": self._UNLIMITED}
+        self._burst = {"read": 0, "write": 0}
+        self._tokens = {"read": 0.0, "write": 0.0}
+        self._last = {"read": self._clock(), "write": self._clock()}
+        self._configured = False
+
+    def configure(self, cfg: dict) -> None:
+        if cfg.get("request_limit_enabled"):
+            for kind, key in (
+                ("read", "read_request_limit_count"),
+                ("write", "write_request_limit_count"),
+            ):
+                count = float(cfg.get(key) or 0.0)
+                rate = count if count > 0 else 1000000.0
+                self._rate[kind] = rate
+                self._burst[kind] = int(rate * 1.1)
+                self._tokens[kind] = float(self._burst[kind])
+                self._last[kind] = self._clock()
+        else:
+            for kind in ("read", "write"):
+                self._rate[kind] = self._UNLIMITED
+                self._burst[kind] = 0
+                self._tokens[kind] = 0.0
+        self._configured = True
+
+    def acquire(self, write: bool) -> None:
+        """Raises the middleware's typed reject when the bucket is dry
+        (doc_http.go:148/156)."""
+        from vearch_spark.errors import DocumentError
+
+        kind = "write" if write else "read"
+        if self._rate[kind] == self._UNLIMITED:
+            return
+        now = self._clock()
+        self._tokens[kind] = min(
+            float(self._burst[kind]),
+            self._tokens[kind] + (now - self._last[kind]) * self._rate[kind],
+        )
+        self._last[kind] = now
+        if self._tokens[kind] >= 1.0:
+            self._tokens[kind] -= 1.0
+            return
+        raise DocumentError(
+            f"document {kind} request too frequency, have reached "
+            f"limit {self._burst[kind]}"
+        )
 
 
 class Registry:
@@ -61,6 +147,14 @@ class Registry:
         # cluster resource limit (PUT /cluster/resource_limit): while
         # set, document writes on every space reject; reads serve
         self._resource_exhausted = False
+        # monotone catalog version for the save-time CAS — 0 = no
+        # persisted catalog seen yet (see _save_catalog)
+        self._catalog_version = 0
+        # cluster-wide config verbs (/config/request_limit etc.,
+        # cluster_api.go:309-317) — defaults mirror entity.ConfigInfo
+        # (config.go:63-67)
+        self._cluster_config = _default_cluster_config()
+        self._limiter = RequestLimiter()
         if root:
             os.makedirs(root, exist_ok=True)
             self._load_catalog()
@@ -85,6 +179,7 @@ class Registry:
             return
         with open(p) as fh:
             cat = _json.load(fh)
+        self._catalog_version = int(cat.get("version", 0))
         for db, spaces in (cat.get("dbs") or {}).items():
             self._dbs[db] = {}
             for name, entry in (spaces or {}).items():
@@ -98,6 +193,46 @@ class Registry:
 
             self.auth = AuthStore.from_json(cat["auth"])
         self._resource_exhausted = bool(cat.get("resource_exhausted", False))
+        if cat.get("cluster_config"):
+            cc = _default_cluster_config()
+            for k, v in cat["cluster_config"].items():
+                if k in cc and isinstance(v, dict):
+                    cc[k].update(v)
+            self._cluster_config = cc
+        if cat.get("request_limit_configured"):
+            self._limiter.configure(self._cluster_config["request_limit"])
+
+    def reload(self) -> "Registry":
+        """Refresh this instance from the persisted catalog — the retry
+        path after a :class:`ConcurrentWriteError` (another Registry on
+        the same root committed first; the reference client simply
+        re-reads etcd). Already-materialized Space handles survive when
+        their catalog entry (same path) does."""
+        if not self.root:
+            return self
+        live = {
+            (db, name): sp
+            for db, spaces in self._dbs.items()
+            for name, sp in spaces.items()
+            if sp is not None
+        }
+        old_paths = dict(self._paths)
+        self._dbs = {}
+        self._paths = {}
+        self._aliases = {}
+        from vearch_spark.auth import AuthStore
+
+        self.auth = AuthStore()
+        self._resource_exhausted = False
+        self._cluster_config = _default_cluster_config()
+        self._load_catalog()
+        self.auth._on_change = self._save_catalog
+        for (db, name), sp in live.items():
+            if self._paths.get((db, name)) == old_paths.get((db, name)):
+                if name in self._dbs.get(db, {}):
+                    sp.set_resource_limit(self._resource_exhausted)
+                    self._dbs[db][name] = sp
+        return self
 
     def _save_catalog(self) -> None:
         import json as _json
@@ -105,6 +240,7 @@ class Registry:
         if not self.root:
             return
         cat = {
+            "version": self._catalog_version + 1,
             "dbs": {
                 db: {
                     name: {"path": self._paths[(db, name)]}
@@ -115,11 +251,39 @@ class Registry:
             "aliases": {a: list(t) for a, t in self._aliases.items()},
             "auth": self.auth.to_json(),
             "resource_exhausted": self._resource_exhausted,
+            "cluster_config": self._cluster_config,
+            "request_limit_configured": self._limiter._configured,
         }
-        tmp = self._catalog_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(cat, fh)
-        os.replace(tmp, self._catalog_path())
+        # Optimistic CAS under an advisory lock — the same discipline
+        # the Space manifest commit uses (space.py _store_manifest):
+        # two Registry instances on one root that both loaded version N
+        # would otherwise both publish N+1 and the first writer's
+        # catalog entry silently vanishes (the reference serializes ALL
+        # metadata writes through etcd, master/services/*). The loser
+        # gets a typed error; reload() is its retry path.
+        lock_path = self._catalog_path() + ".lock"
+        with open(lock_path, "w") as lock_fh:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: the CAS check still applies
+                pass
+            disk_v = 0
+            if os.path.exists(self._catalog_path()):
+                with open(self._catalog_path()) as fh:
+                    disk_v = int((_json.load(fh) or {}).get("version", 0))
+            if disk_v != self._catalog_version:
+                raise ConcurrentWriteError(
+                    f"catalog commit conflict: expected on-disk version "
+                    f"{self._catalog_version}, found {disk_v} — another "
+                    "Registry committed first; call reload() and retry"
+                )
+            tmp = self._catalog_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(cat, fh)
+            os.replace(tmp, self._catalog_path())
+        self._catalog_version = cat["version"]
 
     def _check_name(self, kind: str, name: str) -> None:
         if not name:
@@ -174,11 +338,19 @@ class Registry:
             # durable by default under a rooted registry
             self._check_name("space", schema.name)
             path = os.path.join(self.root, db, schema.name)
+        if path is not None:
+            # CREATE means create: stale storage at the target (e.g. a
+            # drop whose rmtree failed) must not silently reattach the
+            # OLD schema/data under the new space's name — Space's
+            # stored-meta-wins reattach is for Space.open / same-schema
+            # reattach, not for a create that asked for something else
+            self._reject_stale_space_meta(path, schema)
         space = Space(
             self.spark, schema, path=path,
             refresh_interval=refresh_interval, n_buckets=n_buckets,
         )
         space.set_resource_limit(self._resource_exhausted)
+        self._wire(space)
         spaces[schema.name] = space
         if path is not None:
             self._paths[(db, schema.name)] = path
@@ -200,15 +372,27 @@ class Registry:
         spaces = self._dbs.get(db)
         if spaces is None or name not in spaces:
             raise SchemaError(f"space {db!r}/{name!r} not found")
-        del spaces[name]
-        path = self._paths.pop((db, name), None)
+        path = self._paths.get((db, name))
         if path and self.root:
             rootp = os.path.realpath(self.root)
             real = os.path.realpath(path)
-            if real.startswith(rootp + os.sep):
+            if real.startswith(rootp + os.sep) and os.path.exists(real):
                 import shutil
 
-                shutil.rmtree(real, ignore_errors=True)
+                # delete BEFORE the catalog mutation and surface
+                # failures: a swallowed rmtree error used to leave the
+                # old _SPACE.json behind, and the next create_space at
+                # this path silently reattached the old schema/data
+                try:
+                    shutil.rmtree(real)
+                except OSError as e:
+                    raise SchemaError(
+                        f"drop_space {db!r}/{name!r}: failed to delete "
+                        f"storage at {real!r}: {e} — catalog entry kept; "
+                        "resolve and retry"
+                    ) from e
+        del spaces[name]
+        self._paths.pop((db, name), None)
         # cascade: aliases pointing at the dropped space die with it
         self._aliases = {
             a: tgt for a, tgt in self._aliases.items() if tgt != (db, name)
@@ -340,6 +524,7 @@ class Registry:
                 self.spark, os.path.join(root, f"v{n}"), target_path=target
             )
             sp.set_resource_limit(self._resource_exhausted)
+            self._wire(sp)
             spaces[name] = sp
             if target is not None:
                 self._paths[(db, name)] = target
@@ -422,8 +607,97 @@ class Registry:
         if sp is None:  # persisted by a previous session — reattach
             sp = Space.open(self.spark, self._paths[(db, name)])
             sp.set_resource_limit(self._resource_exhausted)
+            self._wire(sp)
             self._dbs[db][name] = sp
         return sp
+
+    def _wire(self, sp: Space) -> None:
+        """Attach the cluster-level gates a registry-owned space serves
+        under: the RBAC store (api verbs authorize against it — the
+        BasicAuthMiddleware analog), the document-request limiter
+        (HttpLimitMiddleware), and the slow-search-isolation switch."""
+        sp._auth = self.auth
+        sp._limiter = self._limiter
+        sp._slow_search_isolation = bool(
+            self._cluster_config["slow_search_isolation"][
+                "slow_search_isolation_enabled"
+            ]
+        )
+
+    def _reject_stale_space_meta(self, path: str, schema: SpaceSchema) -> None:
+        import json as _json
+
+        meta_p = os.path.join(path, "_SPACE.json")
+        if not os.path.exists(meta_p):
+            return
+        with open(meta_p) as fh:
+            stored = _json.load(fh).get("schema")
+        if stored != schema.to_json():
+            raise SchemaError(
+                f"create_space: path {path!r} already holds a space "
+                "with a DIFFERENT schema (a previous drop may have "
+                "failed) — delete the directory or drop the old space "
+                "first"
+            )
+
+    # -------------------------------------------------------- cluster config
+
+    def get_cluster_config(self, key: str) -> dict:
+        """`GET /config/{request_limit|memory_limit|slow_search_isolation}`
+        (cluster_api.go:309-317)."""
+        if key not in self._cluster_config:
+            raise SchemaError(f"cluster config key not supported: {key!r}")
+        return dict(self._cluster_config[key])
+
+    def set_cluster_config(self, key: str, payload: dict) -> dict:
+        """`POST /config/{...}` — merge semantics per key mirror the
+        reference setters (config.go:69-191): request_limit re-arms the
+        token buckets (counts ≤ 0 fall back to the 1e6 defaults),
+        memory_limit stores the percents (Spark's memory manager owns
+        actual enforcement), slow_search_isolation flips the switch
+        feeding the scheduler-pool heuristic on every space."""
+        if key not in self._cluster_config:
+            raise SchemaError(f"cluster config key not supported: {key!r}")
+        cfg = self._cluster_config[key]
+        unknown = [k for k in payload if k not in cfg]
+        if unknown:
+            raise SchemaError(
+                f"cluster config {key!r}: unknown keys {unknown}"
+            )
+        if key == "request_limit":
+            if "request_limit_enabled" not in payload:
+                raise SchemaError("request_limit_enabled is required")
+            cfg.update(payload)
+            if cfg["request_limit_enabled"]:
+                for k, dflt in (
+                    ("read_request_limit_count", 1000000.0),
+                    ("write_request_limit_count", 1000000.0),
+                ):
+                    if float(cfg.get(k) or 0.0) <= 0:
+                        cfg[k] = dflt
+            self._limiter.configure(cfg)
+        elif key == "memory_limit":
+            if "memory_limit_enabled" not in payload:
+                raise SchemaError("memory_limit_enabled is required")
+            cfg.update(payload)
+            if cfg["memory_limit_enabled"]:
+                for k, dflt in (
+                    ("router_memory_limit", 90),
+                    ("ps_memory_limit", 90),
+                ):
+                    if int(cfg.get(k) or 0) <= 0:
+                        cfg[k] = dflt
+        else:  # slow_search_isolation
+            if "slow_search_isolation_enabled" not in payload:
+                raise SchemaError("slow_search_isolation_enabled is required")
+            cfg.update(payload)
+            enabled = bool(cfg["slow_search_isolation_enabled"])
+            for spaces in self._dbs.values():
+                for sp in spaces.values():
+                    if sp is not None:
+                        sp._slow_search_isolation = enabled
+        self._save_catalog()
+        return dict(cfg)
 
     # backward-compat internal name used by earlier call sites
     def _check_space(self, db: str, name: str) -> Space:

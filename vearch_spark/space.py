@@ -226,6 +226,14 @@ class Space:
         self._manifest: dict | None = None  # path mode: bucket -> version map
         self._indexes: dict[str, object] = {}  # field -> trained index model
         self._resource_exhausted = False  # cluster resource-limit gate
+        # cluster-level gates a rooted Registry wires in (Registry._wire):
+        # the RBAC store (api verbs' BasicAuthMiddleware analog), the
+        # document-request limiter (HttpLimitMiddleware), and the
+        # slow-search-isolation switch (entity.SlowSearchIsolationEnabled,
+        # config.go:55 — default true)
+        self._auth = None
+        self._limiter = None
+        self._slow_search_isolation = True
         if path:
             os.makedirs(path, exist_ok=True)
             meta = self._load_space_meta()
@@ -576,11 +584,32 @@ class Space:
 
         grace = 3600.0  # crashed-commit orphans are hours old, not seconds
         now = _time.time()
+
+        def _newest_mtime(root: str) -> float:
+            # the grace window keys off the NEWEST mtime anywhere under
+            # the staging tree, not the top directory's: Spark stamps
+            # the top dir when it creates the partition subdirs at the
+            # START of the write, so a live parquet write that runs
+            # longer than the grace would otherwise be reclaimed
+            # mid-commit (crashing the writer with FileNotFoundError
+            # instead of the CAS's typed retry)
+            newest = os.path.getmtime(root)
+            for r, _dirs, files in os.walk(root):
+                try:
+                    newest = max(newest, os.path.getmtime(r))
+                    for f in files:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(r, f))
+                        )
+                except OSError:
+                    pass  # a file vanished mid-walk: the tree is live
+            return newest
+
         for name in os.listdir(self.path):
             if name.startswith("_staging_"):
                 p = os.path.join(self.path, name)
                 try:
-                    if now - os.path.getmtime(p) > grace:
+                    if now - _newest_mtime(p) > grace:
                         _sh.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass  # raced with the owner's own cleanup
@@ -1348,10 +1377,18 @@ class Space:
         is the thread-local ``spark.scheduler.pool`` property (one
         request per serving thread); under ``spark.scheduler.mode=FAIR``
         with a pools file the isolation is enforced, under FIFO it is
-        an inert label."""
+        an inert label. The cluster-wide switch
+        (`POST /config/slow_search_isolation`, cluster_api.go:316 →
+        entity.SetSlowSearchIsolation) turns the classification off
+        entirely."""
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool",
-            SLOW_POOL if is_slow_search(limit, flt, nprobe, index) else None,
+            SLOW_POOL
+            if (
+                self._slow_search_isolation
+                and is_slow_search(limit, flt, nprobe, index)
+            )
+            else None,
         )
 
     def _clear_scheduler_pool(self) -> None:
