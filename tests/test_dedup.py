@@ -332,3 +332,29 @@ def test_band_parameter_validation(spark):
         simhash_pairs(docs, bands=128).collect()
     with pytest.raises(ValueError):
         simhash_pairs(docs, bands=5).collect()
+
+
+def test_simhash_skew_guard_linear_on_clone_heavy_corpus(spark):
+    """A clone-heavy corpus makes one (band, block) bucket quadratic;
+    the max_bucket chain guard keeps emission linear while the exact
+    Hamming verify preserves precision (pairs within the clone group
+    still come out, via chain adjacency + other non-hot bands)."""
+    from vearch_spark.operators.dedup import simhash_pairs
+
+    rows = [(i, "the same exact document text repeated many times over")
+            for i in range(120)]
+    rows += [(1000 + i, f"unrelated text number {i} with its own words {i*7}")
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = simhash_pairs(df, max_bucket=50)
+    unguarded = simhash_pairs(df, max_bucket=None)
+    # identical texts → hamming 0 → every guarded pair is a true pair
+    assert guarded.where("hamming > 3").count() == 0
+    # the clone group stays connected under the guard: its pair set,
+    # viewed as a graph over the 120 clones, must span all of them
+    ids = set()
+    for r in guarded.where("id_a < 1000").collect():
+        ids.add(r.id_a); ids.add(r.id_b)
+    assert ids == set(range(120))
+    # and the guard emits far fewer candidate pairs than all-pairs
+    assert 0 < guarded.count() < unguarded.count()

@@ -134,3 +134,49 @@ def test_grant_revoke_changes_take_effect_immediately(rig):
     )
     with pytest.raises(SchemaError, match="lacks"):
         api.query(sp, {"limit": 1}, user="reader")
+
+
+def test_cache_routes_resource_class(rig):
+    """/cache/* routes parse to ResourceCache (user.go:263-266) and
+    return the live record — the drift-free cached view."""
+    reg, sp = rig
+    assert api.cache_space_info(reg, "db1", "docs")["name"] == "docs"
+    assert api.cache_user_info(reg, "reader") == {
+        "name": "reader", "role_name": "docReader"}
+    assert api.cache_role_info(reg, "docWriter")["privileges"] == {
+        "ResourceDocument": "WriteOnly"}
+    # a document-only role holds no ResourceCache privilege
+    with pytest.raises(SchemaError, match="lacks read privilege"):
+        api.cache_space_info(reg, "db1", "docs", user="reader")
+    reg.auth.create_role("cacheReader", {"ResourceCache": "ReadOnly"})
+    reg.auth.create_user("debugger", "pw", "cacheReader")
+    assert api.cache_role_info(reg, "root", user="debugger")["name"] == "root"
+
+
+def test_route_sweep_completions(rig, tmp_path):
+    reg, sp = rig
+    assert api.describe_db(reg, "db1") == {
+        "name": "db1", "space_num": 1, "spaces": ["docs"]}
+    with pytest.raises(SchemaError):
+        api.describe_db(reg, "nope")
+    # built-ins are never listed; user-defined roles are
+    names = [r["name"] for r in api.list_roles(reg)]
+    assert "docWriter" in names and "root" not in names
+    # create_index: scalar index on an unindexed field via the route
+    out = api.create_index(reg, "db1", "docs",
+                           {"field": "field_int", "type": "SCALAR"})
+    assert "field_int" in str(out)
+    with pytest.raises(SchemaError, match="lacks"):
+        api.create_index(reg, "db1", "docs", {"field": "field_int"},
+                         user="reader")
+    # backup version listing + direct delete round-trip
+    bdir = str(tmp_path / "b")
+    vid = api.backup_space(reg, "db1", "docs",
+                           {"command": "create", "path": bdir})["backup_id"]
+    assert api.list_backup_versions(
+        reg, "db1", "docs", {"path": bdir})["versions"] == [vid]
+    out = api.delete_backup_version(reg, "db1", "docs", {"path": bdir},
+                                    vid, direct=True)
+    assert out["deleted"] is True
+    assert api.list_backup_versions(
+        reg, "db1", "docs", {"path": bdir})["versions"] == []

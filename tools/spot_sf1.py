@@ -50,9 +50,27 @@ FAMILIES = [
 
 
 def build_sf1(spark) -> None:
+    """10x replication with a SCALE-INVARIANT duplicate profile.
+
+    The naive 10x (append a replica token) makes every doc 9 near-dups
+    of its clones, inflating true near-dup density 10x -- the measured
+    "superlinearity" was then mostly legitimate output growth, not
+    plan behavior. Instead each replica applies a uniform per-replica
+    transform that (a) preserves ALL pair structure WITHIN the replica
+    (two near-dups stay near-dups) and (b) makes cross-replica pairs
+    non-duplicates:
+
+    - text: every word is prefixed with an r{k}q salt -- shingle sets
+      and simhash token sets within a replica transform identically,
+      across replicas they are disjoint;
+    - embeddings: a per-replica deterministic sign reflection (an
+      orthogonal transform): norms, L2 distances, and cosines within
+      the replica are EXACTLY preserved; cross-replica cosines land at
+      chance.
+    """
     from pyspark.sql import functions as F
 
-    done = os.path.join(SF1_DIR, "_DONE")
+    done = os.path.join(SF1_DIR, "_DONE_v2")
     if os.path.exists(done):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -62,13 +80,14 @@ def build_sf1(spark) -> None:
     (
         docs.crossJoin(F.broadcast(reps))
         .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs * 10)
-        # replica 0 keeps the original text (the sf0.1 dup structure
-        # survives verbatim); others get a replica token so clones are
-        # NEAR-dups, not exact dups -- the realistic 10x profile
         .withColumn(
             "text",
             F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string"))
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(^|\s)"),
+                    F.concat(F.lit("$1r"), F.col("rep").cast("string"), F.lit("q")),
+                )
             ),
         )
         .drop("rep")
@@ -82,24 +101,14 @@ def build_sf1(spark) -> None:
     (
         emb.crossJoin(F.broadcast(reps))
         .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb * 10)
-        # deterministic per-(id, dim) jitter ~ +-0.005: keeps the
-        # cluster structure (IVF trains sanely) without exact clones
         .withColumn(
             "embedding",
             F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
                 F.transform(
                     "embedding",
-                    lambda v, i: (
-                        v
-                        + (
-                            F.pmod(
-                                F.xxhash64(F.col("vec_id"), i, F.col("rep")),
-                                F.lit(1000),
-                            ).cast("float")
-                            / F.lit(100000.0)
-                            - F.lit(0.005)
-                        )
-                    ).cast("float"),
+                    lambda v, i: F.when(
+                        F.pmod(F.xxhash64(i, F.col("rep")), F.lit(2)) == 1, -v
+                    ).otherwise(v).cast("float"),
                 )
             ),
         )

@@ -775,3 +775,97 @@ def get_restore_progress(
     _authorize(reg.auth, user, Resource.SPACE, False)
     reg.space(db_name, space_name)  # raises if absent
     return {"status": "completed", "progress": 100}
+
+
+# ------------------------------------------------------------ cache verbs
+# GET /cache/dbs/{db}/spaces/{space}, /cache/users/{name},
+# /cache/roles/{name} (doc_http.go:336-339): the router's cached view
+# of master metadata — a debugging surface for cache-vs-etcd drift. A
+# Spark registry has no second cache layer (the catalog IS the live
+# record), so these return the current record under the CACHE resource
+# class, which is exactly what a drift-free reference router returns.
+
+
+def cache_space_info(reg, db_name: str, space_name: str, user: str = "root") -> dict:
+    """`GET /cache/dbs/{db}/spaces/{space}` (doc_http.go:337 →
+    Cache().SpaceByCache)."""
+    _authorize(reg.auth, user, Resource.CACHE, False)
+    return reg.space(db_name, space_name).describe()
+
+
+def cache_user_info(reg, user_name: str, user: str = "root") -> dict:
+    """`GET /cache/users/{name}` (doc_http.go:338) — like the /users
+    GET, never echoes the credential."""
+    _authorize(reg.auth, user, Resource.CACHE, False)
+    return reg.auth.get_user(user_name)
+
+
+def cache_role_info(reg, role_name: str, user: str = "root") -> dict:
+    """`GET /cache/roles/{name}` (doc_http.go:339)."""
+    _authorize(reg.auth, user, Resource.CACHE, False)
+    return reg.auth.get_role(role_name).to_json()
+
+
+# ----------------------------------------------- route-sweep completions
+# The remaining authed master routes (cluster_api.go:279-301) with a
+# Spark analog. PUT /dbs/{db} (modifyDB → UpdateDBIpList — the db's
+# allowed-PS ip placement list) and the /servers /partitions /schedule
+# groups are raft/etcd placement administration with no Spark analog —
+# out of scope like the other orchestration routes.
+
+
+def describe_db(reg, db_name: str, user: str = "root") -> dict:
+    """`GET /dbs/{db}` (cluster_api.go:279 → QueryDB): the db record.
+    The reference returns {id, name, ps ip list}; there is no PS list
+    here, so the useful payload is the name plus its space census."""
+    _authorize(reg.auth, user, Resource.DB, False)
+    spaces = reg.list_spaces(db_name)  # raises on unknown db
+    return {"name": db_name, "space_num": len(spaces), "spaces": spaces}
+
+
+def list_roles(reg, user: str = "root") -> list[dict]:
+    """`GET /roles` (cluster_api.go → user-defined roles; built-ins are
+    served from the ROLE map per role_service.go:104-106, not listed)."""
+    _authorize(reg.auth, user, Resource.ROLE, False)
+    return [r.to_json() for r in reg.auth.list_roles()]
+
+
+def create_index(reg, db_name: str, space_name: str, req: dict,
+                 user: str = "root") -> dict:
+    """`POST /dbs/{db}/spaces/{space}/indexes` (cluster_api.go:293 →
+    createIndex): {field, type, params} — add an index to an existing
+    field; vector indexes then train via the rebuild verb. Echoes the
+    index listing like the reference's space payload."""
+    _authorize(reg.auth, user, Resource.SPACE, True)
+    sp = reg.space(db_name, space_name)
+    if "field" not in req:
+        raise DocumentError("create index requires a field name")
+    sp.add_index(req["field"], req.get("type", "SCALAR"),
+                 req.get("params") or {})
+    return sp.list_indexes()
+
+
+def list_backup_versions(reg, db_name: str, space_name: str, req: dict,
+                         user: str = "root") -> dict:
+    """`GET /backup/.../versions` listing: {path} → version ids."""
+    _authorize(reg.auth, user, Resource.SPACE, False)
+    if not req.get("path"):
+        raise DocumentError("backup requires a path")
+    return {
+        "versions": reg.list_backup_versions(db_name, space_name, req["path"])
+    }
+
+
+def delete_backup_version(reg, db_name: str, space_name: str, req: dict,
+                          version: int, direct: bool = False,
+                          user: str = "root") -> dict:
+    """`DELETE /backup/.../versions/{v}[/direct]` (cluster_api.go:
+    300-301). The reference's non-direct form routes the delete through
+    the partition servers and /direct removes the snapshot master-side
+    only; snapshots here live in one place, so both forms delete the
+    version directory — ``direct`` is accepted for payload parity."""
+    _authorize(reg.auth, user, Resource.SPACE, True)
+    if not req.get("path"):
+        raise DocumentError("backup requires a path")
+    reg.delete_backup_version(db_name, space_name, req["path"], int(version))
+    return {"backup_id": int(version), "deleted": True, "direct": bool(direct)}

@@ -586,6 +586,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     token_hash: str = "xxhash64",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -595,6 +596,19 @@ def simhash_pairs(
     bit_count(xor) verifies candidates. With ``max_hamming > bands−1``
     the result is the banded approximation: pairs that share ≥1 block
     AND pass the Hamming check.
+
+    ``max_bucket`` (skew guard, same contract as
+    :func:`minhash_lsh_pairs`): a clone-heavy corpus concentrates one
+    (band, block-value) bucket and the self-join goes quadratic in its
+    size — the r5 sf1 spot-bench measured 22× wall at 10× data before
+    the guard, 4-5× after, with the other dedup families at ≤5×.
+    Oversized buckets switch from all-pairs to a consecutive chain over
+    id-sorted members (n−1 pairs); the exact Hamming check still gates
+    every emitted pair, so precision is unaffected and the recall
+    caveat is minhash's: only pairs whose SOLE collision was the hot
+    bucket AND that are not chain-adjacent can be missed. ``None``
+    disables (the DuckDB oracle runs unguarded; at the oracle SF no
+    bucket is hot, so results are identical either way).
     """
     if bands < 1 or 64 % bands != 0:
         # width=0 (bands>64) makes every block 0 — a full O(n²) cross
@@ -624,13 +638,45 @@ def simhash_pairs(
     # it the simhash signature UDF runs twice
     blocks = blocks.persist()
 
-    a = blocks.select("_b", "_v", F.col("_did").alias("id_a"), F.col("_sim").alias("_sim_a"))
-    b = blocks.select("_b", "_v", F.col("_did").alias("id_b"), F.col("_sim").alias("_sim_b"))
-    cands = (
-        a.join(b, on=["_b", "_v"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    if max_bucket is not None:
+        # same shape as the minhash guard: the oversized-key relation
+        # is tiny (≤ rows/max_bucket keys), so the split is two
+        # broadcast joins and the chain window sorts hot rows only
+        hot = F.broadcast(
+            blocks.groupBy("_b", "_v")
+            .count()
+            .where(F.col("count") > max_bucket)
+            .select("_b", "_v")
+        )
+        blocks_small = blocks.join(hot, ["_b", "_v"], "left_anti")
+        wo = Window.partitionBy("_b", "_v").orderBy("_did")
+        chain = (
+            blocks.join(hot, ["_b", "_v"], "semi")
+            .withColumn("_prev", F.lag("_did").over(wo))
+            .withColumn("_prev_sim", F.lag("_sim").over(wo))
+            .where(F.col("_prev").isNotNull())
+            .select(
+                F.col("_prev").alias("id_a"),
+                F.col("_did").alias("id_b"),
+                F.col("_prev_sim").alias("_sim_a"),
+                F.col("_sim").alias("_sim_b"),
+            )
+        )
+    else:
+        blocks_small = blocks
+        chain = None
+
+    a = blocks_small.select(
+        "_b", "_v", F.col("_did").alias("id_a"), F.col("_sim").alias("_sim_a")
     )
+    b = blocks_small.select(
+        "_b", "_v", F.col("_did").alias("id_b"), F.col("_sim").alias("_sim_b")
+    )
+    cands = a.join(b, on=["_b", "_v"]).where(F.col("id_a") < F.col("id_b"))
+    cands = cands.select("id_a", "id_b", "_sim_a", "_sim_b")
+    if chain is not None:
+        cands = cands.unionByName(chain)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
     ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
     return (
         cands.withColumn("hamming", ham)

@@ -75,9 +75,14 @@ class RequestLimiter:
     _UNLIMITED = float("inf")
 
     def __init__(self):
+        import threading
         import time as _time
 
         self._clock = _time.monotonic
+        # one request per serving thread (the scheduler-pool model) —
+        # the buckets are shared state like the reference's
+        # goroutine-safe rate.Limiter, so mutate under a lock
+        self._lock = threading.Lock()
         # start unlimited like rate.NewLimiter(rate.Inf, 0)
         self._rate = {"read": self._UNLIMITED, "write": self._UNLIMITED}
         self._burst = {"read": 0, "write": 0}
@@ -86,6 +91,10 @@ class RequestLimiter:
         self._configured = False
 
     def configure(self, cfg: dict) -> None:
+        with self._lock:
+            self._configure_locked(cfg)
+
+    def _configure_locked(self, cfg: dict) -> None:
         if cfg.get("request_limit_enabled"):
             for kind, key in (
                 ("read", "read_request_limit_count"),
@@ -110,20 +119,22 @@ class RequestLimiter:
         from vearch_spark.errors import DocumentError
 
         kind = "write" if write else "read"
-        if self._rate[kind] == self._UNLIMITED:
-            return
-        now = self._clock()
-        self._tokens[kind] = min(
-            float(self._burst[kind]),
-            self._tokens[kind] + (now - self._last[kind]) * self._rate[kind],
-        )
-        self._last[kind] = now
-        if self._tokens[kind] >= 1.0:
-            self._tokens[kind] -= 1.0
-            return
+        with self._lock:
+            if self._rate[kind] == self._UNLIMITED:
+                return
+            now = self._clock()
+            self._tokens[kind] = min(
+                float(self._burst[kind]),
+                self._tokens[kind] + (now - self._last[kind]) * self._rate[kind],
+            )
+            self._last[kind] = now
+            if self._tokens[kind] >= 1.0:
+                self._tokens[kind] -= 1.0
+                return
+            burst = self._burst[kind]
         raise DocumentError(
             f"document {kind} request too frequency, have reached "
-            f"limit {self._burst[kind]}"
+            f"limit {burst}"
         )
 
 
