@@ -1163,6 +1163,18 @@ def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
             idx = IVFFlatIndex(
                 "embedding", Metric.L2, ncentroids=16, nprobe=4, id_col="vec_id"
             )
+        elif kind == "scann":
+            from vearch_spark.operators.ivf import ScannIndex
+
+            # SCANN: residual 4-bit PQ + anisotropic assignment + exact
+            # reorder (scann/config.txt; operators/ivf.py ScannIndex).
+            # Same coarse fit as the ivfflat/ivfpq family (seed 42,
+            # ncentroids 16) so the pruned_knn oracle covers it; same
+            # wide rerank rationale as ivfpq on near-uniform embeddings
+            idx = ScannIndex(
+                "embedding", Metric.L2, ncentroids=16, nprobe=12,
+                nsubvector=8, rerank_k=100, id_col="vec_id",
+            )
         elif kind == "ivfpq":
             # the reference always reranks its modified IVFPQ
             # (benchs/README.md "Vearch" rows); near-uniform synthetic
@@ -1196,6 +1208,19 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rerank — gamma_index_ivfpq.cc analog). Approximate —
     rows-only check; recall gates live in tests/test_ivf_recall.py."""
     index = _ivf_index(spark, sf_dir, "ivfpq")
+    return index.search(_emb(spark, sf_dir), QV_L2, limit=10).select(
+        "vec_id", F.col("_score").cast("float").alias("score")
+    )
+
+
+def q_scann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCANN ANN search: IVF + residual PQ with anisotropic
+    (noise-shaped) code assignment + exact reordering
+    (internal/engine/index/impl/scann/gamma_index_vearch.cc + its
+    config.txt; algorithm Guo et al. ICML 2020). Oracle: exact top-k
+    within the probed cells (the exact reorder stage makes the screen
+    invisible at this SF, like ivfpq_knn)."""
+    index = _ivf_index(spark, sf_dir, "scann")
     return index.search(_emb(spark, sf_dir), QV_L2, limit=10).select(
         "vec_id", F.col("_score").cast("float").alias("score")
     )
@@ -1747,7 +1772,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,  # banded composite: quality_topk_per_source SQL twin
     "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
     "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
-    "shard_export": q_shard_export,  # deterministic shuffled-shard order, md5 oracle
+    "shard_export": q_shard_export,
+    "scann_knn": q_scann_knn,  # SCANN: ivfpq_knn skeleton twin + anisotropic tests in test_scann.py  # deterministic shuffled-shard order, md5 oracle
 }
 
 
@@ -2665,6 +2691,7 @@ def _ivf_oracle_sql() -> dict[str, str]:
         """,
         "ivfflat_knn": pruned_knn(QV_L2, nprobe=4, limit=10),
         "ivfpq_knn": pruned_knn(QV_L2, nprobe=12, limit=10),
+        "scann_knn": pruned_knn(QV_L2, nprobe=12, limit=10),
         "ivfrabitq_knn": pruned_knn(QV_L2, nprobe=14, limit=10),
         "ivf2_knn": ivf2_sql,
         "ivf_batch_knn": f"""{cte}

@@ -94,6 +94,7 @@ def test_ivf_oracle_sql_builds_for_default_sf():
     assert set(sqls) == {
         "ivfflat_knn",
         "ivfpq_knn",
+        "scann_knn",
         "ivfrabitq_knn",
         "ivf2_knn",
         "ivf_batch_knn",
