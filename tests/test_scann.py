@@ -39,13 +39,13 @@ def test_coordinate_descent_never_increases_anisotropic_loss():
         _kmeans_np(rng.normal(0, 0.7, (2000, dsub)), ksub, seed=i)
         for i in range(nsub)
     ])
-    thr = 0.2
+    thr = 6.0  # ~0.5x the ~11 data norm: eta > 1 (past the floor)
 
     def aniso_loss(codes):
         e = resid - np.concatenate([cb[i][codes[:, i]] for i in range(nsub)], 1)
         norms2 = (vecs**2).sum(1)
         t2 = np.clip(thr**2 / np.maximum(norms2, 1e-12), 0, 0.99)
-        eta = (dim - 1) * t2 / (1 - t2)
+        eta = np.maximum((dim - 1) * t2 / (1 - t2), 1.0)  # impl floors at 1
         xhat = vecs / np.sqrt(np.maximum(norms2, 1e-12))[:, None]
         p = (e * xhat).sum(1)
         return (e**2).sum(1) + (eta - 1.0) * p**2
@@ -119,10 +119,30 @@ def test_scann_save_load_roundtrip(emb, tmp_path):
     ).fit(df)
     q = centers[0].tolist()
     want = [(r.vec_id, round(r._score, 6)) for r in idx.search(df, q, limit=5).collect()]
+    # default "auto" resolved to a concrete float at fit time
+    assert isinstance(idx.noise_shaping_threshold, float)
+    assert idx.noise_shaping_threshold > 0
     path = str(tmp_path / "scann_idx")
     idx.save(path)
     idx._assigned.unpersist()
     loaded = ScannIndex.load(df.sparkSession, path)
-    assert loaded.noise_shaping_threshold == 0.2
+    assert loaded.noise_shaping_threshold == idx.noise_shaping_threshold
     got = [(r.vec_id, round(r._score, 6)) for r in loaded.search(df, q, limit=5).collect()]
     assert got == want
+
+
+def test_eta_floor_degrades_to_plain_pq_on_misscaled_threshold():
+    """An absolute threshold far below the data norms must behave like
+    plain residual PQ (eta floored at 1), never invert the objective."""
+    rng = np.random.default_rng(11)
+    n, dim, nsub, ksub = 200, 32, 8, 16
+    dsub = dim // nsub
+    vecs = rng.normal(0, 3.0, (n, dim))  # norms ~ 17
+    resid = rng.normal(0, 0.6, (n, dim))
+    cb = np.stack([
+        _kmeans_np(rng.normal(0, 0.6, (1500, dsub)), ksub, seed=50 + i)
+        for i in range(nsub)
+    ])
+    plain = ScannIndex._anisotropic_codes(vecs, resid, cb, None)
+    tiny_t = ScannIndex._anisotropic_codes(vecs, resid, cb, 0.2)
+    assert (plain == tiny_t).all()

@@ -78,6 +78,17 @@ def main() -> None:
             "embedding", Metric.L2, ncentroids_l1=k_side, ncentroids_l2=k_side,
             nprobe=nprobe, id_col="vec_id", coarse_train_sample=65_536,
         )
+    elif kind == "scann":
+        from vearch_spark.operators.ivf import ScannIndex
+
+        # SCANN at scale: the anisotropic coordinate-descent encode is
+        # the expensive part and runs inside mapInPandas — this point
+        # evidences it parallelizes with the data instead of serializing
+        index = ScannIndex(
+            "embedding", Metric.L2, ncentroids=ncentroids, nprobe=nprobe,
+            nsubvector=16, rerank_k=1000, id_col="vec_id",
+            coarse_train_sample=65_536,
+        )
     else:
         index = IVFFlatIndex(
             "embedding", Metric.L2, ncentroids=ncentroids, nprobe=nprobe,
@@ -150,7 +161,14 @@ def main() -> None:
     t0 = time.time()
     index.save(path)
     t_save = time.time() - t0
-    loaded = IVFFlatIndex.load(spark, path)
+    if kind == "scann":
+        # Scann's saved form needs its residual LUTs back; the flat and
+        # two-level kinds both reload as the base class (the two-level
+        # save IS a flat ncentroids=k1*k2 assignment table by contract)
+        from vearch_spark.operators.ivf import ScannIndex as _LoadCls
+    else:
+        _LoadCls = IVFFlatIndex
+    loaded = _LoadCls.load(spark, path)
     loaded.search(df, queries[0].tolist(), limit=10).count()  # warm FS
     t0 = time.time()
     for q in queries:

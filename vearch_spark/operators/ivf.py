@@ -931,7 +931,7 @@ class ScannIndex(IVFPQIndex):
         nprobe: int = 16,
         nsubvector: int = 8,
         nbits: int = 4,
-        noise_shaping_threshold: float | None = 0.2,
+        noise_shaping_threshold: float | str | None = "auto",
         rerank_k: int | None = None,
         train_sample: int = 65_536,
         id_col: str = ID_FIELD,
@@ -943,11 +943,15 @@ class ScannIndex(IVFPQIndex):
             nsubvector=nsubvector, nbits=nbits, rerank_k=rerank_k,
             train_sample=train_sample, id_col=id_col, seed=seed, **kw,
         )
-        self.noise_shaping_threshold = (
-            float(noise_shaping_threshold)
-            if noise_shaping_threshold is not None
-            else None
-        )
+        # "auto" resolves at fit time to 0.2 x the median training
+        # norm — the reference config's 0.2 default generalized off
+        # unit-norm embeddings (an ABSOLUTE 0.2 on data with norm ~20
+        # puts every point far outside the threshold sphere; see the
+        # eta floor in _anisotropic_codes)
+        if noise_shaping_threshold is None or noise_shaping_threshold == "auto":
+            self.noise_shaping_threshold = noise_shaping_threshold
+        else:
+            self.noise_shaping_threshold = float(noise_shaping_threshold)
 
     # ------------------------------------------------------------ training
 
@@ -959,6 +963,10 @@ class ScannIndex(IVFPQIndex):
         if dim % self.nsubvector:
             raise SearchError(
                 f"dimension {dim} not divisible by nsubvector {self.nsubvector}"
+            )
+        if self.noise_shaping_threshold == "auto":
+            self.noise_shaping_threshold = float(
+                0.2 * np.median(np.sqrt((x**2).sum(axis=1)))
             )
         a = (
             (self.centroids**2).sum(axis=1)[None, :] - 2.0 * (x @ self.centroids.T)
@@ -1006,7 +1014,13 @@ class ScannIndex(IVFPQIndex):
         # t̃² = T²/‖x‖², capped below 1 (a point inside the score
         # threshold sphere would want infinite parallel weight)
         t2 = np.clip((threshold**2) / safe, 0.0, 0.99)
-        eta = (dim - 1) * t2 / (1.0 - t2)  # h∥/h⊥ per point
+        # floored at 1: the derivation yields eta < 1 for points whose
+        # norm dwarfs the threshold, which REWARDS parallel error — on
+        # recall@k it is strictly worse than isotropic (measured 0.46
+        # vs 0.68 screen recall on the test fixture at T = 0.1·‖x‖).
+        # The floor makes mis-scaled thresholds degrade to plain
+        # residual PQ instead of inverting the objective.
+        eta = np.maximum((dim - 1) * t2 / (1.0 - t2), 1.0)  # h∥/h⊥ per point
         xhat = vecs / np.sqrt(safe)[:, None]
 
         # e = r − decode(codes); maintain ‖e‖² and p = e·x̂ incrementally
