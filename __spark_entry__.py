@@ -1309,6 +1309,30 @@ def _hnsw_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def q_diskann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISKANN_STATIC top-k through the real Vamana index
+    (operators/vamana.py: sharded RobustPrune graphs — the reference's
+    diskann static wrapper, gamma_index_diskann_static.cc, params
+    diskann_static_params.cc) in the EXHAUSTIVE-l_search configuration:
+    a beam >= shard size visits every medoid-reachable node, so the
+    result is the exact global top-k — FLAT-oracle hash-checked like
+    hnsw_knn (the production beam regime is recall-gated in
+    tests/test_vamana.py)."""
+    from vearch_spark.operators.vamana import DiskANNStaticIndex
+    from vearch_spark.schema import Metric
+
+    key = (id(spark), sf_dir, "diskann")
+    if key not in _INDEX_CACHE:
+        idx = DiskANNStaticIndex(
+            "embedding", Metric.L2, R=32, L=64, l_search=64,
+            nshards=4, id_col="vec_id",
+        )
+        idx.fit(_emb(spark, sf_dir))
+        _INDEX_CACHE[key] = idx
+    out = _INDEX_CACHE[key].search(None, QV_L2, limit=10, ef_search=1_000_000)
+    return out.select("vec_id", F.col("_score").cast("float").alias("score"))
+
+
 def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph top-k through the real HNSW index (operators/hnsw.py:
     sharded Malkov–Yashunin graphs — the reference's hnswlib-per-shard
@@ -1773,7 +1797,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
     "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
     "shard_export": q_shard_export,
-    "scann_knn": q_scann_knn,  # SCANN: ivfpq_knn skeleton twin + anisotropic tests in test_scann.py  # deterministic shuffled-shard order, md5 oracle
+    "scann_knn": q_scann_knn,  # SCANN: ivfpq_knn skeleton twin + anisotropic tests in test_scann.py
+    "diskann_knn": q_diskann_knn,  # Vamana, exhaustive-l_search: hash-checked vs FLAT like hnsw_knn  # deterministic shuffled-shard order, md5 oracle
 }
 
 
@@ -3275,6 +3300,10 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings
         ORDER BY score ASC, vec_id ASC LIMIT 10
     """
+    # same reasoning for the exhaustive-l_search Vamana query: every
+    # medoid-reachable node is visited, scores come from the shared
+    # FLAT kernel (shard connectivity pinned in tests/test_vamana.py)
+    d["diskann_knn"] = d["hnsw_knn"]
     # media_decode: the Spark side round-trips REAL containers (RIFF
     # PCM + netpbm) through the stdlib codecs; the oracle recomputes
     # the decoded-payload integer stats from the generation formula —

@@ -48,9 +48,10 @@ def main() -> None:
     # timed pass paid the two-level KMeans fit, which read as a 0.34 →
     # 1.15 s regression while the steady-state search was unchanged
     # (~0.35 s, same pruned cache-scan plan as ivfflat)
-    for kind in ("ivfflat", "ivfpq", "ivfrabitq", "binaryivf", "ivf2"):
+    for kind in ("ivfflat", "ivfpq", "ivfrabitq", "binaryivf", "ivf2", "scann"):
         entry._ivf_index(spark, sf_dir, kind)
     entry._hnsw_index(spark, sf_dir)
+    entry.q_diskann_knn(spark, sf_dir).count()  # caches the Vamana index
     entry._bm25_index(spark, sf_dir)
     entry.q_lm_perplexity(spark, sf_dir).count()  # caches the bigram LM
 

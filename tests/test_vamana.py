@@ -1,0 +1,184 @@
+"""DISKANN_STATIC: sharded Vamana graphs (reference
+internal/engine/index/impl/diskann/ + test_vector_index_diskann_static.py;
+method Subramanya et al. NeurIPS 2019)."""
+
+import numpy as np
+import pytest
+
+from vearch_spark.operators import topk
+from vearch_spark.operators.vamana import DiskANNStaticIndex, _VamanaShard
+from vearch_spark.schema import Metric
+
+DIM = 24
+N = 4000
+N_TRUE = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(21)
+    centers = rng.normal(0, 5.0, size=(N_TRUE, DIM))
+    vecs = centers[np.arange(N) % N_TRUE] + rng.normal(0, 1.0, (N, DIM))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    df.count()
+    return df, centers
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    df, _ = emb
+    idx = DiskANNStaticIndex(
+        "embedding", Metric.L2, R=24, L=48, l_search=64,
+        nshards=4, id_col="vec_id",
+    ).fit(df)
+    yield idx
+    idx.unpersist()
+
+
+def test_robust_prune_properties():
+    """RobustPrune: <= R neighbors, closest candidate always kept, and
+    every dropped candidate is alpha-dominated by a kept one."""
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(0, 1.0, (300, DIM))
+    g = _VamanaShard(vecs, Metric.L2, r=8, build_l=32, alpha=1.2)
+    pool = list(range(1, 200))
+    out = g._robust_prune(0, pool, 1.2)
+    assert 0 < len(out) <= 8
+    dp = ((vecs[pool] - vecs[0]) ** 2).sum(axis=1)
+    closest = pool[int(np.argmin(dp))]
+    assert closest in out
+    # domination property holds exactly when the prune DRAINS (did not
+    # stop at the R cap): with R >= pool size every non-kept candidate
+    # must be alpha-dominated by some kept neighbor
+    g_wide = _VamanaShard(vecs, Metric.L2, r=250, build_l=32, alpha=1.2)
+    out_w = g_wide._robust_prune(0, pool, 1.2)
+    assert len(out_w) < 250  # drained, not capped
+    kept = np.asarray(out_w)
+    for v in pool:
+        if v in out_w:
+            continue
+        dv = ((vecs[v] - vecs[0]) ** 2).sum()
+        dom = ((vecs[kept] - vecs[v]) ** 2).sum(axis=1)
+        assert (1.2 * dom <= dv).any()  # some kept neighbor dominates v
+
+
+def test_vamana_recall_vs_exact(index, emb):
+    df, centers = emb
+    rng = np.random.default_rng(4)
+    hits = 0
+    nq = 10
+    for _ in range(nq):
+        q = (centers[rng.integers(0, N_TRUE)] + rng.normal(0, 1.0, DIM)).tolist()
+        exact = {r.vec_id for r in topk.search(
+            df, "embedding", q, limit=10, id_col="vec_id").collect()}
+        got = {r.vec_id for r in index.search(df, q, limit=10).collect()}
+        hits += len(exact & got)
+    assert hits / (10 * nq) >= 0.9
+
+
+def test_vamana_graph_degree_bound_and_determinism(index, emb):
+    df, _ = emb
+    rows = index._graph.select("_node", "_layer", "_links", "_shard").collect()
+    assert all(r._layer == 0 for r in rows)  # single layer
+    assert all(len(r._links) == 1 for r in rows)
+    assert all(len(r._links[0]) <= 24 for r in rows)  # R bound
+    # rebuild from scratch is bit-identical (pure function of rows)
+    idx2 = DiskANNStaticIndex(
+        "embedding", Metric.L2, R=24, L=48, l_search=64,
+        nshards=4, id_col="vec_id",
+    ).fit(df)
+    a = {(r._shard, r._node): r._links for r in rows}
+    b = {(r._shard, r._node): r._links
+         for r in idx2._graph.select("_node", "_layer", "_links", "_shard").collect()}
+    assert a == b
+    # deliberately NOT unpersisted: the deterministic rebuild is
+    # plan-equal to the fixture's graph, so CacheManager dedups them
+    # into ONE entry — unpersisting this handle would evict the shared
+    # fixture cache (the exact trap space.py's rebuild docstring
+    # documents) and the later plan-pin test would see uncached
+    # lineage. The module fixture teardown releases the entry.
+
+
+def test_vamana_save_load_and_delete(index, emb, tmp_path):
+    df, centers = emb
+    q = centers[1].tolist()
+    want = [(r.vec_id, round(r._score, 6))
+            for r in index.search(df, q, limit=5).collect()]
+    path = str(tmp_path / "vamana_idx")
+    index.save(path)
+    loaded = DiskANNStaticIndex.load(df.sparkSession, path)
+    assert loaded.alpha == 1.2
+    got = [(r.vec_id, round(r._score, 6))
+           for r in loaded.search(df, q, limit=5).collect()]
+    assert got == want
+    # tombstone the top hit: it routes but never surfaces
+    top = want[0][0]
+    loaded.remove([top])
+    after = [r.vec_id for r in loaded.search(df, q, limit=5).collect()]
+    assert top not in after and len(after) == 5
+    loaded.unpersist()
+
+
+def test_space_serves_diskann_static(spark):
+    """End-to-end through the Space index factory with the reference's
+    knob names (test_vector_index_diskann_static.py create payload)."""
+    from vearch_spark.schema import FieldSpec, FieldType, IndexSpec, SpaceSchema
+    from vearch_spark.space import Space
+
+    rng = np.random.default_rng(33)
+    schema = SpaceSchema(name="dk", fields=[
+        FieldSpec("v", FieldType.VECTOR, dimension=8,
+                  index=IndexSpec("v", "DISKANN_STATIC",
+                                  params={"R": 16, "L": 32, "l_search": 48,
+                                          "beam_width": 4,
+                                          "training_threshold": 10})),
+    ])
+    sp = Space(spark, schema)
+    sp.upsert([{"_id": str(i), "v": rng.normal(0, 1, 8).tolist()}
+               for i in range(300)])
+    sp.build_index("v")
+    from vearch_spark.operators.vamana import DiskANNStaticIndex as D
+    assert isinstance(sp._indexes["v"], D)
+    assert sp._indexes["v"].nlinks == 16  # R mapped onto the degree slot
+    out = sp.search(vector=[0.0] * 8, limit=5).collect()
+    assert len(out) == 5
+
+
+def test_vamana_shards_connected_from_medoid(index):
+    """Exhaustive-l_search exactness (the diskann_knn oracle) relies on
+    every node being medoid-reachable — pin it on the fixture shards."""
+    from collections import deque
+
+    import numpy as np
+
+    full = index._graph.select("_shard", "_node", "_links", index.vector_col).collect()
+    for shard in {r._shard for r in full}:
+        shard_rows = sorted((r._node, r) for r in full if r._shard == shard)
+        vecs = np.array([np.asarray(r[index.vector_col], dtype=np.float64)
+                         for _, r in shard_rows])
+        mean = vecs.mean(axis=0)
+        medoid = int(((vecs - mean) ** 2).sum(axis=1).argmin())
+        adj = {node: list(r._links[0]) for node, r in shard_rows}
+        seen = {medoid}
+        dq = deque([medoid])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    dq.append(v)
+        assert len(seen) == len(adj), f"shard {shard}: {len(seen)}/{len(adj)} reachable"
+
+
+def test_vamana_search_plan_no_exchange_over_graph(index):
+    """Inherited scale posture: the per-shard Vamana probe reads the
+    cached shard-partitioned relation with NO new exchange — a search
+    never reshuffles the graph (same pin as HNSW's)."""
+    cand = index._candidates([[0.0] * DIM], 64, 64)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    live = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in live
+    assert "FlatMapGroupsInPandas" in live

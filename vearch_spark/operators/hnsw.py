@@ -376,12 +376,28 @@ class HNSWIndex:
             f"{LINKS_COL} array<array<int>>, {DELETED_COL} boolean"
         )
 
-    def _grow_udf(self):
+    def _graph_builder(self):
+        """The ONE hook per-shard graph construction goes through — a
+        picklable ``pdf -> (graph, node-ordered rows)`` closure shared
+        by the grow and probe UDFs, where ``graph`` exposes
+        ``search(q, ef, k) -> [(dist, node)]`` and ``.n``. Subclasses
+        substitute a different graph family here (operators/vamana.py
+        plugs DiskANN's Vamana in) and inherit every DataFrame-side
+        behavior: sharding, add/remove/vacuum, candidate merge,
+        save/load."""
         vector_col, id_col = self.vector_col, self.id_col
         metric, m, efc = self.metric, self.nlinks, self.ef_construction
 
+        def build(pdf: pd.DataFrame):
+            return _build_graph(pdf, vector_col, id_col, metric, m, efc)
+
+        return build
+
+    def _grow_udf(self):
+        build = self._graph_builder()
+
         def grow(pdf: pd.DataFrame) -> pd.DataFrame:
-            _, out = _build_graph(pdf, vector_col, id_col, metric, m, efc)
+            _, out = build(pdf)
             return out
 
         return grow
@@ -553,15 +569,14 @@ class HNSWIndex:
         over-fetch for tombstones is BOUNDED at ef: vacuum keeps the
         dead fraction ≤ VACUUM_DEAD_FRACTION, so one widening step is
         the common case even under churn."""
-        vector_col, id_col = self.vector_col, self.id_col
-        metric, m, efc = self.metric, self.nlinks, self.ef_construction
+        build = self._graph_builder()
         qs = [np.asarray(q, dtype=np.float64) for q in queries]
 
         def probe(pdf: pd.DataFrame) -> pd.DataFrame:
             # node ids are dense 0..n-1 within a shard (rows are never
             # dropped — deletes only flag), so position == node id;
-            # _build_graph's second return is already NODE_COL-sorted
-            g, ordered = _build_graph(pdf, vector_col, id_col, metric, m, efc)
+            # the builder's second return is already NODE_COL-sorted
+            g, ordered = build(pdf)
             ordered = ordered.reset_index(drop=True)
             ok = ~ordered[DELETED_COL].to_numpy()
             if ALLOWED_COL in ordered.columns:

@@ -1,0 +1,283 @@
+"""DISKANN_STATIC — sharded Vamana graphs on the HNSW scaffolding.
+
+The reference serves DiskANN through its static wrapper
+(`internal/engine/index/impl/diskann/gamma_index_diskann_static.cc`,
+params `diskann_static_params.cc`: R, L, beam_width, l_search;
+exercised by `test/test_vector_index_diskann_static.py`) — a
+disk-resident Vamana graph (Subramanya et al., *DiskANN: Fast Accurate
+Billion-point Nearest Neighbor Search on a Single Node*, NeurIPS 2019)
+built once over the full partition ("static": no auto-build; the
+forcemerge/rebuild verb triggers it).
+
+Here Vamana plugs into the sharded-graph scaffolding HNSW already
+provides (`HNSWIndex._graph_builder` is the one hook): per-shard
+graphs built in `applyInPandas`, hash routing, tombstone deletes,
+candidate merge through the exact FLAT kernel, shard-partitioned
+parquet save/load. What differs is the GRAPH FAMILY:
+
+- **single layer**: no level draw — every node lives at layer 0, and
+  search starts at the shard **medoid** (the point closest to the
+  shard mean), recomputed from the stored vectors on load (a pure
+  function of the rows, so nothing extra persists);
+- **build** (paper Algorithm 1): insertion in id order — for each
+  point, a greedy beam search from the medoid with beam ``L`` collects
+  the visited set, **RobustPrune** (Algorithm 2) selects ≤ ``R``
+  out-neighbors with the α-domination rule (drop v once a kept
+  neighbor p* has ``α·d(p*, v) ≤ d(p, v)``), and reverse edges are
+  added with the same prune on overflow. A second α-pass re-prunes
+  every node — the paper's two-round schedule (α=1 then α>1) that
+  keeps long-range edges for navigability;
+- **static semantics**: a shard touched by add() is REBUILT from its
+  rows (the reference's static index likewise rebuilds on forcemerge,
+  never splices) — stored adjacency is reused only for untouched reads.
+
+The graph is a pure function of (rows, params): id-ordered insertion,
+no RNG, so rebuilds, retries and save/load round-trips are
+bit-identical — the same determinism contract the HNSW and IVF
+families carry.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+from vearch_spark.operators.hnsw import (
+    DELETED_COL,
+    LAYER_COL,
+    LINKS_COL,
+    NODE_COL,
+    HNSWIndex,
+)
+from vearch_spark.schema import ID_FIELD, Metric
+
+
+class _VamanaShard:
+    """One shard's Vamana graph, plain numpy — lives inside a task."""
+
+    def __init__(self, vecs: np.ndarray, metric: Metric, r: int, build_l: int,
+                 alpha: float = 1.2):
+        self.vecs = np.ascontiguousarray(vecs, dtype=np.float64)
+        self.metric = metric
+        self.r = int(r)
+        self.build_l = int(build_l)
+        self.alpha = float(alpha)
+        self.n = len(self.vecs)
+        self.links: list[list[int]] = [[] for _ in range(self.n)]
+        # medoid: the point nearest the shard mean — deterministic and
+        # recomputable from the rows alone (nothing extra to persist)
+        if self.n:
+            mean = self.vecs.mean(axis=0)
+            d = ((self.vecs - mean) ** 2).sum(axis=1)
+            self.medoid = int(d.argmin())
+        else:
+            self.medoid = -1
+
+    # -- distances: smaller is always better (IP negated, like HNSW) --
+    def _dist_many(self, q: np.ndarray, nodes) -> np.ndarray:
+        x = self.vecs[np.asarray(nodes, dtype=np.int64)]
+        if self.metric is Metric.L2:
+            d = x - q
+            return np.einsum("ij,ij->i", d, d)
+        return -(x @ q)
+
+    def _dist_pair(self, a: int, b: np.ndarray) -> np.ndarray:
+        return self._dist_many(self.vecs[a], b)
+
+    def _greedy(self, q: np.ndarray, ef: int, upto: int | None = None):
+        """Greedy beam search from the medoid (paper Algorithm 1 /
+        GreedySearch): returns (best, visited) — ``best`` is the beam's
+        final (dist, node) list best-first, ``visited`` every expanded
+        node (the RobustPrune candidate pool). ``upto`` restricts the
+        graph to nodes < upto (build-time: only inserted prefix)."""
+        limit = self.n if upto is None else int(upto)
+        if limit <= 0 or self.medoid < 0:
+            return [], []
+        start = self.medoid if self.medoid < limit else 0
+        visited = np.zeros(limit, dtype=bool)
+        expanded: list[int] = []
+        d0 = float(self._dist_many(q, [start])[0])
+        cand = [(d0, start)]  # min-heap
+        best = [(-d0, start)]  # max-heap (negated)
+        visited[start] = True
+        while cand:
+            d, node = heapq.heappop(cand)
+            if d > -best[0][0] and len(best) >= ef:
+                break
+            expanded.append(node)
+            fresh = [x for x in self.links[node] if x < limit and not visited[x]]
+            if not fresh:
+                continue
+            visited[np.asarray(fresh, dtype=np.int64)] = True
+            nd = self._dist_many(q, fresh)
+            bound = -best[0][0]
+            for fd, fn in zip(nd, fresh):
+                fd = float(fd)
+                if len(best) < ef or fd < bound:
+                    heapq.heappush(cand, (fd, fn))
+                    heapq.heappush(best, (-fd, fn))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    bound = -best[0][0]
+        out = [(-d, n) for d, n in best]
+        out.sort(key=lambda t: (t[0], t[1]))
+        return out, expanded
+
+    def _robust_prune(self, p: int, pool: list[int], alpha: float) -> list[int]:
+        """RobustPrune (paper Algorithm 2): keep the closest candidate,
+        drop everything it α-dominates, repeat until R neighbors."""
+        cand = sorted((set(pool) | set(self.links[p])) - {p})
+        if not cand:
+            return []
+        cand = np.asarray(cand, dtype=np.int64)
+        dp = self._dist_many(self.vecs[p], cand)
+        order = np.lexsort((cand, dp))  # by distance, node-id ties
+        cand, dp = cand[order], dp[order]
+        alive = np.ones(len(cand), dtype=bool)
+        out: list[int] = []
+        for i in range(len(cand)):
+            if not alive[i]:
+                continue
+            star = int(cand[i])
+            out.append(star)
+            if len(out) >= self.r:
+                break
+            rest = alive.copy()
+            rest[: i + 1] = False
+            idx = np.nonzero(rest)[0]
+            if len(idx):
+                d_star = self._dist_pair(star, cand[idx])
+                alive[idx[alpha * d_star <= dp[idx]]] = False
+        return out
+
+    def _insert(self, node: int, alpha: float) -> None:
+        q = self.vecs[node]
+        _, visited = self._greedy(q, self.build_l, upto=node)
+        self.links[node] = self._robust_prune(node, visited, alpha)
+        for nb in self.links[node]:
+            nbl = self.links[nb]
+            if node not in nbl:
+                nbl.append(node)
+                if len(nbl) > self.r:
+                    self.links[nb] = self._robust_prune(nb, nbl, alpha)
+
+    def build(self) -> None:
+        # pass 1 (α = 1): nearest-first graph; pass 2 (α > 1): re-prune
+        # with domination slack, keeping long-range navigation edges
+        for node in range(self.n):
+            self._insert(node, 1.0)
+        if self.alpha > 1.0:
+            for node in range(self.n):
+                pool = self.links[node]
+                if pool:
+                    self.links[node] = self._robust_prune(node, pool, self.alpha)
+
+    def load(self, links: list) -> None:
+        """Adopt stored adjacency verbatim."""
+        self.links = [list(map(int, row)) for row in links]
+
+    def search(self, q: np.ndarray, ef: int, k: int) -> list[tuple[float, int]]:
+        """The probe contract HNSWIndex._probe_udf expects:
+        best-first (dist, node), ties by node."""
+        best, _ = self._greedy(np.asarray(q, dtype=np.float64), max(ef, k))
+        return best[:k]
+
+
+def _build_vamana(
+    pdf: pd.DataFrame, vector_col: str, id_col: str, metric: Metric,
+    r: int, build_l: int, alpha: float,
+) -> tuple[_VamanaShard, pd.DataFrame]:
+    """(Re)build one shard. All rows stored (``_node >= 0``) → adopt
+    the adjacency verbatim; ANY new row → full shard rebuild (static
+    index semantics — the reference's DiskANN static builds on
+    forcemerge, it never splices into a built graph)."""
+    ordered = pdf.sort_values(NODE_COL)
+    fresh = (pdf[NODE_COL] < 0).any()
+    if fresh:
+        ordered = pdf.sort_values(id_col, kind="stable")
+        if ordered[id_col].duplicated().any():
+            raise ValueError("duplicate ids in DiskANN shard input")
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in ordered[vector_col]])
+    g = _VamanaShard(vecs, metric, r, build_l, alpha)
+    if fresh:
+        g.build()
+        out = ordered.copy()
+        out[NODE_COL] = np.arange(len(out), dtype=np.int32)
+        out[LAYER_COL] = np.zeros(len(out), dtype=np.int32)
+        out[LINKS_COL] = [[list(map(int, row))] for row in g.links]
+    else:
+        g.load([row[0] for row in ordered[LINKS_COL]])
+        out = ordered
+    return g, out
+
+
+class DiskANNStaticIndex(HNSWIndex):
+    """DISKANN_STATIC with the reference's knob names: ``R`` (degree),
+    ``L`` (build beam), ``l_search`` (query beam), ``alpha``
+    (domination slack), ``beam_width`` accepted-and-advisory (it tunes
+    DiskANN's SSD IO pipelining; Spark's scan parallelism owns IO
+    here). The base-class names double as aliases so the inherited
+    save/load round-trips unchanged."""
+
+    def __init__(
+        self,
+        vector_col: str,
+        metric: Metric = Metric.L2,
+        R: int | None = None,
+        L: int | None = None,
+        l_search: int | None = None,
+        alpha: float = 1.2,
+        beam_width: int | None = None,  # accepted, advisory
+        nshards: int | None = None,
+        shard_max_rows: int = 65_536,
+        id_col: str = ID_FIELD,
+        # base-class spellings (the inherited load() uses these)
+        nlinks: int | None = None,
+        efConstruction: int | None = None,
+        efSearch: int | None = None,
+        **kw: object,
+    ):
+        super().__init__(
+            vector_col,
+            metric,
+            nlinks=int(R if R is not None else (nlinks or 32)),
+            efConstruction=int(L if L is not None else (efConstruction or 64)),
+            efSearch=int(
+                l_search if l_search is not None else (efSearch or 64)
+            ),
+            nshards=nshards,
+            shard_max_rows=shard_max_rows,
+            id_col=id_col,
+            **kw,
+        )
+        self.alpha = float(alpha)
+
+    def _graph_builder(self):
+        vector_col, id_col = self.vector_col, self.id_col
+        metric = self.metric
+        r, build_l, alpha = self.nlinks, self.ef_construction, self.alpha
+
+        def build(pdf: pd.DataFrame):
+            return _build_vamana(pdf, vector_col, id_col, metric, r, build_l, alpha)
+
+        return build
+
+    def save(self, path: str) -> None:
+        import json as _json
+        import os
+
+        super().save(path)
+        with open(os.path.join(path, "vamana.json"), "w") as fh:
+            _json.dump({"alpha": self.alpha}, fh)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DiskANNStaticIndex":
+        import json as _json
+        import os
+
+        idx = super().load(spark, path)
+        with open(os.path.join(path, "vamana.json")) as fh:
+            idx.alpha = float(_json.load(fh)["alpha"])
+        return idx

@@ -103,10 +103,10 @@ class Metric(str, Enum):
 # Vector index types the reference registers (SURVEY.md §2.4). HNSW is
 # real (sharded per-partition graphs + global merge — the reference's
 # own hnswlib-per-PS-shard architecture, operators/hnsw.py); SSG (also
-# a graph method) is served by it. SCANN / DISKANN / GPU_* are
-# SIMD/GPU-specific physical strategies; they are accepted as aliases
-# and *served* by the closest Spark-native strategy (documented
-# substitution).
+# a graph method) is served by it. SCANN and DISKANN_STATIC are real
+# implementations since round 5 (see their entries below); only the
+# GPU_* types remain aliases — GPU-specific physical strategies served
+# by their CPU-native counterparts (documented substitution).
 VECTOR_INDEX_TYPES = {
     "FLAT": "FLAT",
     "IVFFLAT": "IVFFLAT",
@@ -116,12 +116,14 @@ VECTOR_INDEX_TYPES = {
     "BINARYIVF": "BINARYIVF",
     "HNSW": "HNSW",
     "SSG": "HNSW",
-    "SCANN": "IVFPQ",
-    # DiskANN is a disk-resident graph (Vamana); the closest native
-    # strategy is the sharded HNSW graph, whose durable form already
-    # IS an on-disk graph read back per shard (hnsw.py save/load with
-    # shard-directory pruning)
-    "DISKANN_STATIC": "HNSW",
+    # SCANN is real since round 5: IVF + residual PQ with anisotropic
+    # (noise-shaped) assignment + exact reorder (operators/ivf.py
+    # ScannIndex, scann/config.txt parity)
+    "SCANN": "SCANN",
+    # DISKANN_STATIC is real since round 5: sharded Vamana graphs on
+    # the HNSW scaffolding (operators/vamana.py, R/L/l_search/alpha
+    # knobs, static full-build semantics)
+    "DISKANN_STATIC": "DISKANN_STATIC",
     "GPU_IVFPQ": "IVFPQ",
     "GPU_IVFFLAT": "IVFFLAT",
 }

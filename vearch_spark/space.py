@@ -1941,6 +1941,9 @@ class Space:
             return
         from vearch_spark.operators.ivf import IVFPQFastScanIndex
 
+        from vearch_spark.operators.ivf import ScannIndex
+        from vearch_spark.operators.vamana import DiskANNStaticIndex
+
         cls = {
             "IVFPQ": IVFPQIndex,
             # FastScan is a distinct physical path: 4-bit codes +
@@ -1948,11 +1951,17 @@ class Space:
             "IVFPQFASTSCAN": IVFPQFastScanIndex,
             "IVFRABITQ": IVFRaBitQIndex,
             "HNSW": HNSWIndex,
+            # real since round 5 (were documented aliases before)
+            "SCANN": ScannIndex,
+            "DISKANN_STATIC": DiskANNStaticIndex,
         }.get(physical, IVFFlatIndex)
         passthrough = {"ncentroids", "nprobe", "nsubvector", "nbits", "rerank_k"}
         if cls is HNSWIndex:
             # the reference's graph knobs (space.go:345-374)
             passthrough = {"nlinks", "efConstruction", "efSearch", "nshards"}
+        elif cls is DiskANNStaticIndex:
+            # diskann_static_params.cc knob names (beam_width advisory)
+            passthrough = {"R", "L", "l_search", "beam_width", "nshards"}
         if cls is IVFFlatIndex and "ncentroids_l2" in merged:
             # the >64k-cell scale path: an IVFFLAT declaration carrying
             # level-2 params selects the hierarchical coarse quantizer
@@ -2055,6 +2064,10 @@ class Space:
         from vearch_spark.operators.ivf import BinaryIVFIndex
 
         from vearch_spark.operators.ivf import IVFPQFastScanIndex
+        from vearch_spark.operators.ivf import ScannIndex as _ScannIndex
+        from vearch_spark.operators.vamana import (
+            DiskANNStaticIndex as _DiskANNStaticIndex,
+        )
 
         classes = {
             "IVFFlatIndex": IVFFlatIndex,
@@ -2064,6 +2077,8 @@ class Space:
             "TwoLevelIVFFlatIndex": TwoLevelIVFFlatIndex,
             "HNSWIndex": HNSWIndex,
             "BinaryIVFIndex": BinaryIVFIndex,
+            "ScannIndex": _ScannIndex,
+            "DiskANNStaticIndex": _DiskANNStaticIndex,
         }
         for field, entry in meta.items():
             if int(entry["table_version"]) != current:
