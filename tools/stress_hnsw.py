@@ -76,6 +76,9 @@ def main() -> None:
     from vearch_spark.session import get_spark
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    # graph family: "hnsw" (default) or "diskann" (sharded Vamana —
+    # same scaffolding, same append semantics via the builder hook)
+    kind = sys.argv[2] if len(sys.argv) > 2 else "hnsw"
     dim, nq, k = 64, 20, 100
     spark = get_spark(app_name="hnsw-stress")
     df, centers = make_df(spark, n, dim=dim)
@@ -83,13 +86,21 @@ def main() -> None:
     df.count()
     qlist = [q.tolist() for q in clustered_queries(centers, nq, dim)]
     nshards = max(4, math.ceil(n / 62_500))
-    idx = HNSWIndex(
-        "embedding", Metric.L2, nlinks=16, efConstruction=100, efSearch=128,
-        nshards=nshards, id_col="vec_id",
-    )
+    if kind == "diskann":
+        from vearch_spark.operators.vamana import DiskANNStaticIndex
+
+        idx = DiskANNStaticIndex(
+            "embedding", Metric.L2, R=32, L=64, l_search=128,
+            nshards=nshards, id_col="vec_id",
+        )
+    else:
+        idx = HNSWIndex(
+            "embedding", Metric.L2, nlinks=16, efConstruction=100, efSearch=128,
+            nshards=nshards, id_col="vec_id",
+        )
     t0 = time.time()
     idx.fit(df)
-    out = {"n": n, "dim": dim, "nshards": nshards,
+    out = {"kind": kind, "n": n, "dim": dim, "nshards": nshards,
            "build_s": round(time.time() - t0, 1)}
 
     qdf = spark.createDataFrame(
@@ -127,7 +138,10 @@ def main() -> None:
         ).collect()
     }
     one_shard_ids = [i for i in cand_ids if shard_of[i] == 0][:n_add]
-    uniform_ids = cand_ids[:n_add]
+    taken = set(one_shard_ids)
+    # disjoint from the first batch: re-adding an id would measure a
+    # duplicate insert, not an append (Vamana's dup check rejects it)
+    uniform_ids = [i for i in cand_ids if i not in taken][:n_add]
 
     def _batch(ids):
         vecs = centers[rng.integers(0, len(centers), len(ids))] + rng.normal(
