@@ -395,18 +395,29 @@ def minhash_lsh_pairs(
     # relation — without it the signature UDF pipeline runs twice
     banded = banded.persist()
 
-    if max_bucket is not None:
-        # hot-bucket detection is a groupBy with map-side partial
-        # aggregation whose output is only the OVERSIZED keys — at most
-        # rows/max_bucket of them, tiny in any non-degenerate corpus —
-        # so the split below is two broadcast joins (map-side, no
+    # hot-bucket detection is a groupBy with map-side partial
+    # aggregation whose output is only the OVERSIZED keys — at most
+    # rows/max_bucket of them by construction, so it is safe to
+    # materialize on the driver ONCE (one job over the cached narrow
+    # relation). In the common no-hot-bucket case the main plan then
+    # carries ZERO guard cost: no anti/semi joins, no union — the
+    # always-on detection subtree was round 5's only bench regression.
+    hot_rows = (
+        banded.groupBy("_b", "_bh")
+        .count()
+        .where(F.col("count") > max_bucket)
+        .select("_b", "_bh")
+        .collect()
+        if max_bucket is not None
+        else []
+    )
+    if hot_rows:
+        # hot keys exist: split via two broadcast joins (map-side, no
         # shuffle) and the chain window sorts only hot-bucket rows
-        # (normally zero), not the whole banded relation
         hot = F.broadcast(
-            banded.groupBy("_b", "_bh")
-            .count()
-            .where(F.col("count") > max_bucket)
-            .select("_b", "_bh")
+            df.sparkSession.createDataFrame(
+                hot_rows, banded.select("_b", "_bh").schema
+            )
         )
         banded_small = banded.join(hot, ["_b", "_bh"], "left_anti")
         wo = Window.partitionBy("_b", "_bh").orderBy("_did")
@@ -638,15 +649,24 @@ def simhash_pairs(
     # it the simhash signature UDF runs twice
     blocks = blocks.persist()
 
-    if max_bucket is not None:
-        # same shape as the minhash guard: the oversized-key relation
-        # is tiny (≤ rows/max_bucket keys), so the split is two
-        # broadcast joins and the chain window sorts hot rows only
+    # same shape as the minhash guard: the oversized-key relation is
+    # tiny (≤ rows/max_bucket keys), so materialize it ONCE on the
+    # driver and short-circuit to the plain self-join when empty —
+    # the common case pays nothing beyond one count job on the cache
+    hot_rows = (
+        blocks.groupBy("_b", "_v")
+        .count()
+        .where(F.col("count") > max_bucket)
+        .select("_b", "_v")
+        .collect()
+        if max_bucket is not None
+        else []
+    )
+    if hot_rows:
         hot = F.broadcast(
-            blocks.groupBy("_b", "_v")
-            .count()
-            .where(F.col("count") > max_bucket)
-            .select("_b", "_v")
+            df.sparkSession.createDataFrame(
+                hot_rows, blocks.select("_b", "_v").schema
+            )
         )
         blocks_small = blocks.join(hot, ["_b", "_v"], "left_anti")
         wo = Window.partitionBy("_b", "_v").orderBy("_did")
