@@ -1767,12 +1767,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_sample": q_cluster_sample,
     "hard_negatives": q_hard_negatives,
     "temperature_mix": q_temperature_mix,
-    "semantic_decontaminate": q_semantic_decontaminate,
+    "scann_knn": q_scann_knn,
     "bm25_topk": q_bm25_topk,
-    "hybrid_rrf": q_hybrid_rrf,
+    "diskann_knn": q_diskann_knn,
     "embedding_outliers": q_embedding_outliers,
     "lm_perplexity": q_lm_perplexity,
     # ---- 51+: kernels oracle-checked by an in-budget twin ----
+    # (r6: scann_knn/diskann_knn promoted in-50 per ADVICE — the two
+    # headline r5 indexes deserve the driver stamp; demoted in their
+    # place: semantic_decontaminate (cosine kernel twins cosine_near_dup
+    # + decontaminate, both in-50) and hybrid_rrf (fuses the in-50
+    # bm25_topk ranking with the in-50 knn kernel))
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "hybrid_rrf": q_hybrid_rrf,
     "knn_batch": q_knn_batch,  # FLAT batch kernel: ivf_batch_knn + flat_knn_l2
     "dataset_split": q_dataset_split,  # hash thresholds: temperature_mix/mix_sample
     "quality_topk_per_source": q_quality_topk_per_source,  # rank-quota window: cluster_sample
@@ -1796,9 +1803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,  # banded composite: quality_topk_per_source SQL twin
     "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
     "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
-    "shard_export": q_shard_export,
-    "scann_knn": q_scann_knn,  # SCANN: ivfpq_knn skeleton twin + anisotropic tests in test_scann.py
-    "diskann_knn": q_diskann_knn,  # Vamana, exhaustive-l_search: hash-checked vs FLAT like hnsw_knn  # deterministic shuffled-shard order, md5 oracle
+    "shard_export": q_shard_export,  # deterministic shuffled-shard order, md5 oracle
 }
 
 

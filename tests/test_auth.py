@@ -225,3 +225,40 @@ def test_api_create_user_requires_name(spark):
     reg = Registry(spark)
     with pytest.raises(DocumentError, match="requires name"):
         api.create_user(reg, {"password": "p", "role_name": "defaultDocumentAdmin"})
+
+
+def test_legacy_upgrade_login_survives_concurrent_catalog_commit():
+    """ADVICE r5: the transparent legacy-hash upgrade persists via
+    _notify(), which can hit a ConcurrentWriteError when another
+    Registry committed first — that must NOT fail a valid login (a
+    read); the next login retries the rewrite."""
+    import hashlib
+
+    from vearch_spark.auth import AuthStore
+    from vearch_spark.errors import ConcurrentWriteError
+
+    store = AuthStore()
+    store.create_user("old", "pw", "defaultDocumentAdmin")
+    store._users["old"]["password"] = hashlib.sha256(b"old:pw").hexdigest()
+
+    def conflicted():
+        raise ConcurrentWriteError("catalog commit conflict")
+
+    store._on_change = conflicted
+    # the login succeeds despite the failed persist...
+    assert store.authenticate("old", "pw").name == "defaultDocumentAdmin"
+    # ...and the in-memory record is upgraded (durable on next commit)
+    assert store._users["old"]["password"].startswith("pbkdf2_sha256$")
+    # a WRONG password still fails regardless of the persist path
+    with pytest.raises(SchemaError, match="authentication failed"):
+        store.authenticate("old", "nope")
+
+
+def test_require_credentials_round_trips_json():
+    from vearch_spark.auth import AuthStore
+
+    store = AuthStore()
+    assert store.require_credentials is False  # embedded default
+    store.require_credentials = True
+    clone = AuthStore.from_json(store.to_json())
+    assert clone.require_credentials is True

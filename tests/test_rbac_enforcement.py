@@ -180,3 +180,85 @@ def test_route_sweep_completions(rig, tmp_path):
     assert out["deleted"] is True
     assert api.list_backup_versions(
         reg, "db1", "docs", {"path": bdir})["versions"] == []
+
+
+# -------------------------------------------- authentication on the verb path
+
+
+def test_credentialed_user_tuple_authenticates_then_authorizes(rig):
+    """user=(name, password) is the Basic-Auth analog: authenticate()
+    runs BEFORE the privilege check (middleware order), so a wrong
+    password fails even for a user whose role would grant the verb."""
+    reg, sp = rig
+    assert api.search(sp, SEARCH_REQ, user=("reader", "pw2")).count() == 3
+    with pytest.raises(SchemaError, match="authentication failed"):
+        api.search(sp, SEARCH_REQ, user=("reader", "WRONG"))
+    # credentials valid but privilege missing → the authz error
+    with pytest.raises(SchemaError, match="lacks read privilege"):
+        api.search(sp, SEARCH_REQ, user=("writer", "pw1"))
+    with pytest.raises(SchemaError, match="name, password"):
+        api.search(sp, SEARCH_REQ, user=("reader",))
+
+
+def test_require_credentials_rejects_bare_names(rig):
+    """With enforcement on, the cooperative bare-name assertion is
+    rejected on every gated verb — and enabling it demands that the
+    caller themselves present valid credentials."""
+    reg, sp = rig
+    # enabling with a bare asserted name is refused
+    with pytest.raises(SchemaError, match="needs user="):
+        api.modify_auth_mode(reg, {"require_credentials": True}, user="root")
+    out = api.modify_auth_mode(reg, {"require_credentials": True},
+                               user=("root", "secret"))
+    assert out == {"require_credentials": True}
+    with pytest.raises(SchemaError, match="authentication required"):
+        api.search(sp, SEARCH_REQ, user="reader")
+    with pytest.raises(SchemaError, match="authentication required"):
+        api.list_dbs(reg, user="root")
+    assert api.search(sp, SEARCH_REQ, user=("reader", "pw2")).count() == 3
+    # disabling restores the embedded-library default; a credentialed
+    # caller may disable (a bare name cannot, enforcement is still on)
+    api.modify_auth_mode(reg, {"require_credentials": False},
+                         user=("root", "secret"))
+    assert api.get_auth_mode(reg) == {"require_credentials": False}
+    assert api.search(sp, SEARCH_REQ, user="reader").count() == 3
+
+
+def test_require_credentials_persists_in_catalog(spark, tmp_path):
+    from vearch_spark.registry import Registry as R
+
+    root = str(tmp_path / "authmode")
+    reg = R(spark, root=root)
+    api.modify_auth_mode(reg, {"require_credentials": True},
+                         user=("root", "secret"))
+    fresh = R.load(spark, root)
+    assert fresh.auth.require_credentials is True
+    with pytest.raises(SchemaError, match="authentication required"):
+        api.list_dbs(fresh, user="root")
+    assert api.list_dbs(fresh, user=("root", "secret")) == []
+
+
+def test_reload_rewires_surviving_space_auth(spark, tmp_path):
+    """ADVICE r5: after the ConcurrentWriteError→reload() retry path, a
+    surviving Space handle must serve under the RELOADED AuthStore —
+    RBAC changes committed by the other Registry apply to it."""
+    from vearch_spark.registry import Registry as R
+
+    root = str(tmp_path / "rewire")
+    r1 = R(spark, root=root)
+    r1.create_db("db1")
+    sp = r1.create_space("db1", _schema())
+    api.upsert(sp, {"documents": [
+        {"_id": "1", "field_int": 1, "v": [1.0, 0.0, 1.0, 0.0]}]})
+    # the OTHER registry commits an RBAC change: a new read-only user
+    r2 = R.load(spark, root)
+    r2.auth.create_role("docReader2", {"ResourceDocument": "ReadOnly"})
+    r2.auth.create_user("newbie", "pw", "docReader2")
+    r1.reload()
+    # the survivor is wired onto the reloaded store...
+    assert sp._auth is r1.auth
+    # ...so the user committed by r2 is honored on its document verbs
+    assert api.query(sp, {"limit": 1}, user="newbie").count() == 1
+    with pytest.raises(SchemaError, match="lacks write privilege"):
+        api.upsert(sp, {"documents": [
+            {"_id": "2", "field_int": 2, "v": [0.0] * 4}]}, user="newbie")

@@ -182,3 +182,53 @@ def test_vamana_search_plan_no_exchange_over_graph(index):
     live = plan.split("InMemoryRelation")[0]
     assert "Exchange" not in live
     assert "FlatMapGroupsInPandas" in live
+
+
+def test_robust_prune_ip_metric_shifted_nonnegative_domination():
+    """ADVICE r5: alpha-domination over negated inner products inverts
+    for negative values (multiplying a negative by alpha>1 loosens the
+    bound). The prune therefore shifts IP distances by the shard's max
+    squared norm — an upper bound on |x.y| — so every distance the
+    alpha rule sees is nonnegative while the IP ordering is untouched."""
+    rng = np.random.default_rng(7)
+    # non-unit norms + centered data -> plenty of NEGATIVE inner products
+    vecs = rng.normal(0, 1.0, (300, DIM)) * rng.uniform(0.2, 5.0, (300, 1))
+    g = _VamanaShard(vecs, Metric.INNER_PRODUCT, r=250, build_l=32, alpha=1.2)
+    pool = list(range(1, 200))
+    assert (g._dist_many(vecs[0], pool) < 0).any()  # raw IPs go negative
+    assert (g._dist_prune(vecs[0], pool) >= 0).all()  # shifted never do
+    out = g._robust_prune(0, pool, 1.2)
+    assert len(out) < 250  # drained, not capped
+    # domination holds in the SHIFTED geometry for every dropped candidate
+    dp = g._dist_prune(vecs[0], pool)
+    for j, v in enumerate(pool):
+        if v in out:
+            continue
+        dom = g._dist_prune(vecs[v], out)
+        assert (1.2 * dom <= dp[j]).any()
+
+
+def test_vamana_ip_metric_recall_on_nonunit_norms():
+    """End-to-end shard check for the IP fix: graph recall vs exact
+    max-inner-product on corpora whose norms vary 25x. The clustered
+    corpus is the regime the inverted rule collapsed in (0.075
+    recall@10 pre-fix; the same build measures ~0.86 shifted)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1.0, (2000, DIM)) * rng.uniform(0.2, 5.0, (2000, 1))
+    rng2 = np.random.default_rng(3)
+    c = rng2.normal(0, 1, (10, DIM))
+    clustered = np.concatenate(
+        [c[i] + 0.1 * rng2.normal(0, 1, (200, DIM)) for i in range(10)]
+    ) * rng2.uniform(0.2, 5.0, (2000, 1))
+    for corpus, floor, seed in ((vecs, 0.9, 12), (clustered, 0.7, 5)):
+        g = _VamanaShard(corpus, Metric.INNER_PRODUCT, r=24, build_l=64,
+                         alpha=1.2)
+        g.build()
+        r = np.random.default_rng(seed)
+        hits, nq = 0, 20
+        for _ in range(nq):
+            q = r.normal(0, 1.0, DIM)
+            exact = set(np.argsort(-(corpus @ q), kind="stable")[:10].tolist())
+            got = {n for _, n in g.search(q, ef=64, k=10)}
+            hits += len(exact & got)
+        assert hits / (10 * nq) >= floor

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from vearch_spark.auth import Resource
-from vearch_spark.errors import DocumentError, SearchError
+from vearch_spark.errors import DocumentError, SchemaError, SearchError
 from vearch_spark.space import Space
 from vearch_spark.operators.fusion import VectorQuery
 
@@ -36,12 +36,35 @@ from vearch_spark.operators.fusion import VectorQuery
 # gate (HttpLimitMiddleware doc_http.go:133-165). A STANDALONE Space
 # (no Registry) carries no auth store and skips the check — the
 # reference's ``SkipAuth`` deployment switch (doc_http.go:180-183).
+#
+# ``user`` is either a bare NAME — cooperative identity assertion, the
+# embedded-library default where the caller is the trusted in-process
+# host — or a ``(name, password)`` pair, the Basic-Auth analog:
+# authenticate() verifies the credential BEFORE authorize() checks the
+# privilege, exactly the middleware order. Setting
+# ``AuthStore.require_credentials = True`` (persisted in the catalog)
+# rejects bare names on every gated verb, making the authentication
+# half mandatory as in the reference's clustered deployment.
 
 
-def _authorize(auth, user: str, resource: Resource, write: bool) -> None:
+def _authorize(auth, user, resource: Resource, write: bool) -> None:
     if auth is None:  # SkipAuth mode: standalone Space, no registry
         return
-    auth.authorize(user, resource, write)
+    if isinstance(user, (tuple, list)):
+        if len(user) != 2:
+            raise SchemaError(
+                "user credentials must be a (name, password) pair"
+            )
+        name, password = user
+        auth.authenticate(name, password)
+    else:
+        name = user
+        if getattr(auth, "require_credentials", False):
+            raise SchemaError(
+                "authentication required: this cluster rejects bare "
+                "user names — pass user=(name, password)"
+            )
+    auth.authorize(name, resource, write)
 
 
 def _doc_gate(space: Space, user: str, write: bool) -> None:
@@ -637,6 +660,30 @@ def drop_user(reg, user_name: str, user: str = "root") -> None:
     """`DELETE /users/{name}` (root undeletable, user_service.go:85)."""
     _authorize(reg.auth, user, Resource.USER, True)
     reg.auth.drop_user(user_name)
+
+
+def get_auth_mode(reg, user: str = "root") -> dict:
+    """Whether verbs demand (name, password) credentials or accept a
+    bare asserted name (see the middleware note at the top)."""
+    _authorize(reg.auth, user, Resource.CONFIG, False)
+    return {"require_credentials": reg.auth.require_credentials}
+
+
+def modify_auth_mode(reg, req: dict, user: str = "root") -> dict:
+    """Flip credential enforcement cluster-wide. Persisted in the
+    catalog like every other auth mutation; flipping it ON requires the
+    caller to already present valid credentials (it gates itself)."""
+    enabled = bool(req.get("require_credentials", False))
+    if enabled:
+        # the caller enabling enforcement must themselves authenticate —
+        # otherwise an asserted-root could lock out the real root
+        if not isinstance(user, (tuple, list)):
+            raise SchemaError(
+                "enabling require_credentials needs user=(name, password)"
+            )
+    _authorize(reg.auth, user, Resource.CONFIG, True)
+    reg.auth.set_require_credentials(enabled)
+    return {"require_credentials": reg.auth.require_credentials}
 
 
 def create_role(reg, req: dict, user: str = "root") -> dict:

@@ -240,6 +240,12 @@ class AuthStore:
         # a durability hook: the rooted Registry points this at its
         # catalog save so every auth mutation persists (etcd parity)
         self._on_change = None
+        # when True, api verbs reject a bare user NAME and demand
+        # (name, password) credentials — the BasicAuthMiddleware posture
+        # (doc_http.go:69-131 authenticates before permission-checking).
+        # Default False = cooperative identity assertion, the embedded-
+        # library deployment where the caller IS the trusted process.
+        self.require_credentials = False
 
     def _notify(self) -> None:
         if self._on_change is not None:
@@ -383,9 +389,17 @@ class AuthStore:
         if not u["password"].startswith("pbkdf2_sha256$"):
             # transparent upgrade of a legacy (pre-PBKDF2) record on
             # the first successful login — the cleartext is in hand
-            # exactly here and nowhere else
+            # exactly here and nowhere else. The catalog rewrite is
+            # best-effort: a concurrent commit by another Registry must
+            # not turn a VALID login (a read) into a failure — the next
+            # login retries the upgrade against the fresh catalog.
+            from vearch_spark.errors import ConcurrentWriteError
+
             u["password"] = _hash_password(name, password)
-            self._notify()
+            try:
+                self._notify()
+            except ConcurrentWriteError:
+                pass
         return self.get_role(u["role"])
 
     def authorize(self, user_name: str, resource: Resource | str, write: bool) -> None:
@@ -403,10 +417,15 @@ class AuthStore:
 
     # ------------------------------------------------------------- persist
 
+    def set_require_credentials(self, enabled: bool) -> None:
+        self.require_credentials = bool(enabled)
+        self._notify()
+
     def to_json(self) -> dict:
         return {
             "roles": {n: r.to_json() for n, r in self._roles.items()},
             "users": dict(self._users),
+            "require_credentials": self.require_credentials,
         }
 
     @classmethod
@@ -417,6 +436,7 @@ class AuthStore:
         }
         store._users = dict(d.get("users") or {})
         store._on_change = None  # the owning Registry re-points this
+        store.require_credentials = bool(d.get("require_credentials", False))
         if ROOT_NAME not in store._users:
             # a catalog whose auth dict exists but lost its root record
             # is corrupted — silently re-seeding root with the

@@ -242,6 +242,12 @@ class Registry:
             if self._paths.get((db, name)) == old_paths.get((db, name)):
                 if name in self._dbs.get(db, {}):
                     sp.set_resource_limit(self._resource_exhausted)
+                    # re-wire the survivor onto the RELOADED gates —
+                    # without this sp._auth keeps pointing at the
+                    # pre-reload AuthStore, so RBAC changes committed
+                    # by the other Registry (new users, revoked
+                    # privileges) would not be enforced on it
+                    self._wire(sp)
                     self._dbs[db][name] = sp
         return self
 
