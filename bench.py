@@ -104,8 +104,16 @@ def main() -> None:
 
 
 # keep comfortably under the driver's 2000-char tail window: the tail
-# must hold the full line PLUS its trailing newline
-LINE_BUDGET = 1900
+# must hold the full line PLUS its trailing newline, and every round
+# adds queries — 300 chars of headroom absorbs ~15 new names before
+# the ladder has to degrade further (round 5 ran at 1878/1900 and the
+# next additions would have spilled, the round-2 failure mode)
+LINE_BUDGET = 1700
+
+# sf0.1 seconds: queries at least this slow keep an individual timing
+# in the compact line; faster ones are named in the space-joined
+# "fast" string (full-precision timings always live in BENCH_LOCAL.json)
+FOLD_UNDER = 0.45
 
 
 def compact_line(payload: dict) -> str:
@@ -114,10 +122,12 @@ def compact_line(payload: dict) -> str:
     Degradation order (each step only if still over budget):
     timings at 2dp + recall summary -> 1dp timings (recall kept: the
     recall gates are the baseline comparison and worth more than a
-    centisecond digit) -> drop recall -> drop fastest queries (count
-    recorded in queries_omitted). The required driver keys
-    {metric, value, unit, queries, sf} always survive; the
-    full-precision payload lives in BENCH_LOCAL.json.
+    centisecond digit) -> fold sub-FOLD_UNDER queries into the "fast"
+    string (every query NAME stays on the line; fast_n/fast_sec keep
+    the aggregate) -> drop recall -> fold the fastest remaining timed
+    queries too -> trim names off "fast" (count in queries_omitted).
+    The required driver keys {metric, value, unit, queries, sf} always
+    survive; the full-precision payload lives in BENCH_LOCAL.json.
     """
     def dumps(d: dict) -> str:
         return json.dumps(d, separators=(",", ":"))
@@ -140,15 +150,39 @@ def compact_line(payload: dict) -> str:
     core["queries"] = {k: round(v, 1) for k, v in payload["queries"].items()}
     if len(dumps(core)) <= LINE_BUDGET:
         return dumps(core)
+    # fold: drop per-query values for the fast tail, keep every name
+    items = sorted(payload["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+    slow = [(k, v) for k, v in items if v >= FOLD_UNDER]
+    fast = sorted(k for k, v in items if v < FOLD_UNDER)
+
+    def fold(slow_items, fast_names):
+        core["queries"] = {k: round(v, 1) for k, v in slow_items}
+        core["fast"] = " ".join(fast_names)
+        core["fast_n"] = len(fast_names)
+        core["fast_sec"] = round(
+            payload["value"] - sum(v for _, v in slow_items), 1
+        )
+
+    fold(slow, fast)
+    if len(dumps(core)) <= LINE_BUDGET:
+        return dumps(core)
     core.pop("recall", None)
     if len(dumps(core)) <= LINE_BUDGET:
         return dumps(core)
-    # last resort: drop the fastest queries until the line fits
-    items = sorted(payload["queries"].items(), key=lambda kv: -kv[1])
-    while items and len(dumps(core)) > LINE_BUDGET:
-        items.pop()
-        core["queries"] = {k: round(v, 1) for k, v in items}
-        core["queries_omitted"] = len(payload["queries"]) - len(items)
+    # fold the fastest still-timed queries too
+    while slow and len(dumps(core)) > LINE_BUDGET:
+        k, v = slow.pop()
+        fast = sorted(fast + [k])
+        fold(slow, fast)
+    if len(dumps(core)) <= LINE_BUDGET:
+        return dumps(core)
+    # last resort: trim names off the fast string
+    omitted = 0
+    while fast and len(dumps(core)) > LINE_BUDGET:
+        fast.pop()
+        omitted += 1
+        fold(slow, fast)
+        core["queries_omitted"] = omitted
     return dumps(core)
 
 
