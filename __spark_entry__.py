@@ -1640,21 +1640,27 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end (no stub): stage 1 synthesizes
     genuine containers per doc — a RIFF/WAVE 16-bit PCM file (stdlib
-    ``wave`` writer) and a binary netpbm P5 image — as binary columns;
-    stage 2 decodes them with the registered stdlib codecs
+    ``wave`` writer), a binary netpbm P5 image, and an RGB PNG (stdlib
+    zlib; per-row filter = row%5 so every scanline filter
+    None/Sub/Up/Average/Paeth is exercised on every image) — as binary
+    columns; stage 2 decodes them with the registered stdlib codecs
     (functions/media.py) and emits exact integer stats of the DECODED
     payloads (frame count from the RIFF header, Σ sample², pixel dims,
-    Σ pixels). The DuckDB oracle recomputes the same integers from the
-    generation formula arithmetically — so a hash match proves the
-    decoder recovered every sample/pixel bit-exactly through a real
-    container round-trip."""
+    Σ pixels, and the PNG's position-WEIGHTED Σ (j+1)·px[j], which any
+    mis-unfiltered or misplaced pixel breaks). The DuckDB oracle
+    recomputes the same integers from the generation formula
+    arithmetically — so a hash match proves the decoders recovered
+    every sample/pixel bit-exactly through real container
+    round-trips."""
     import numpy as np
     import pandas as pd
 
     from vearch_spark.functions.media import (
         decode_pgm,
+        decode_png,
         decode_wav_pcm,
         pgm_bytes,
+        png_bytes,
         wav_bytes,
         wav_info,
     )
@@ -1672,24 +1678,38 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = np.array(
                     [(i * 7 + j * 13) % 256 for j in range(w * h)], dtype=np.uint8
                 ).reshape(h, w)
-                rows.append((str(i), wav_bytes(samples, 8000), pgm_bytes(px)))
+                w2, h2 = 3 + i % 6, 5 + i % 3
+                rgb = np.array(
+                    [(i * 11 + j * 19) % 256 for j in range(w2 * h2 * 3)],
+                    dtype=np.uint8,
+                ).reshape(h2, w2, 3)
+                rows.append(
+                    (str(i), wav_bytes(samples, 8000), pgm_bytes(px), png_bytes(rgb))
+                )
             yield pd.DataFrame(
-                rows, columns=["media_id", "audio_bytes", "image_bytes"]
+                rows,
+                columns=["media_id", "audio_bytes", "image_bytes", "png_bytes"],
             )
 
     media = docs.mapInPandas(
-        synth, schema="media_id string, audio_bytes binary, image_bytes binary"
+        synth,
+        schema=(
+            "media_id string, audio_bytes binary, image_bytes binary, "
+            "png_bytes binary"
+        ),
     )
 
     def decode(batches):
         for pdf in batches:
             out = []
-            for mid, ab, ib in zip(
-                pdf["media_id"], pdf["audio_bytes"], pdf["image_bytes"]
+            for mid, ab, ib, pb in zip(
+                pdf["media_id"], pdf["audio_bytes"], pdf["image_bytes"],
+                pdf["png_bytes"],
             ):
                 info = wav_info(bytes(ab))
                 pcm = decode_wav_pcm(bytes(ab))[:, 0].astype(np.int64)
                 img = decode_pgm(bytes(ib))
+                png = decode_png(bytes(pb)).astype(np.int64).ravel()
                 out.append(
                     (
                         mid,
@@ -1698,18 +1718,23 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         img.shape[1],
                         img.shape[0],
                         int(img.astype(np.int64).sum()),
+                        int(png.sum()),
+                        int((png * (np.arange(len(png)) + 1)).sum()),
                     )
                 )
             yield pd.DataFrame(
                 out,
-                columns=["media_id", "n_frames", "sum_sq", "width", "height", "px_sum"],
+                columns=[
+                    "media_id", "n_frames", "sum_sq", "width", "height",
+                    "px_sum", "png_sum", "png_wsum",
+                ],
             )
 
     return media.mapInPandas(
         decode,
         schema=(
             "media_id string, n_frames int, sum_sq long, "
-            "width int, height int, px_sum long"
+            "width int, height int, px_sum long, png_sum long, png_wsum long"
         ),
     ).orderBy(F.col("media_id").cast("int"))
 
@@ -3310,9 +3335,11 @@ def oracle_sql() -> dict[str, str]:
     # FLAT kernel (shard connectivity pinned in tests/test_vamana.py)
     d["diskann_knn"] = d["hnsw_knn"]
     # media_decode: the Spark side round-trips REAL containers (RIFF
-    # PCM + netpbm) through the stdlib codecs; the oracle recomputes
-    # the decoded-payload integer stats from the generation formula —
-    # a hash match proves bit-exact decode of every sample and pixel
+    # PCM + netpbm + PNG with all five scanline filters) through the
+    # stdlib codecs; the oracle recomputes the decoded-payload integer
+    # stats from the generation formula — a hash match proves bit-exact
+    # decode of every sample and pixel (png_wsum is position-weighted,
+    # so a single mis-unfiltered byte anywhere breaks it)
     d["media_decode"] = """
         SELECT CAST(doc_id AS VARCHAR) AS media_id,
                (40 + doc_id % 13)::INT AS n_frames,
@@ -3323,7 +3350,13 @@ def oracle_sql() -> dict[str, str]:
                (3 + doc_id % 4)::INT AS height,
                list_sum(list_transform(
                  range((4 + doc_id % 5) * (3 + doc_id % 4)),
-                 j -> (doc_id*7 + j*13) % 256))::BIGINT AS px_sum
+                 j -> (doc_id*7 + j*13) % 256))::BIGINT AS px_sum,
+               list_sum(list_transform(
+                 range((3 + doc_id % 6) * (5 + doc_id % 3) * 3),
+                 j -> (doc_id*11 + j*19) % 256))::BIGINT AS png_sum,
+               list_sum(list_transform(
+                 range((3 + doc_id % 6) * (5 + doc_id % 3) * 3),
+                 j -> (j+1) * ((doc_id*11 + j*19) % 256)))::BIGINT AS png_wsum
         FROM documents WHERE doc_id < 100
         ORDER BY doc_id
     """

@@ -116,3 +116,136 @@ def test_registered_decoder_through_multimodal_operator(spark):
         # other tests exercise the documented fake-decoder default
         mm._DECODERS.pop("audio", None)
         mm._DECODERS.pop("image", None)
+
+
+# -------------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_all_filters_all_color_types():
+    """Bit-exact encode→decode for every scanline filter × gray /
+    gray+alpha / RGB / RGBA, plus the default row%5 schedule that
+    exercises all five filters inside one image."""
+    from vearch_spark.functions.media import decode_png, png_bytes
+
+    rng = np.random.default_rng(0)
+    for shape in [(7, 5), (6, 9, 2), (16, 9, 3), (5, 13, 4), (1, 1), (2, 300, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for filt in (0, 1, 2, 3, 4, None):
+            back = decode_png(png_bytes(px, filters=filt))
+            assert back.shape == px.shape
+            assert (back == px).all(), (shape, filt)
+
+
+def test_png_filter_bytes_match_spec_vectors():
+    """Pins the filter arithmetic to RFC 2083 §6 independently of the
+    decoder: inflate the IDAT and compare the FILTERED bytes to values
+    computed here with scalar spec formulas (Sub/Up/Average/Paeth with
+    the floor division and tie-breaking the spec prescribes)."""
+    import struct
+    import zlib
+
+    from vearch_spark.functions.media import png_bytes
+
+    px = np.array([[10, 20, 250], [30, 7, 140], [255, 0, 128]], dtype=np.uint8)
+
+    def inflate(content):
+        pos, idat = 8, b""
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack(">I", content[pos:pos + 4])
+            tag = content[pos + 4:pos + 8]
+            if tag == b"IDAT":
+                idat += content[pos + 8:pos + 8 + length]
+            pos += 12 + length
+        return zlib.decompress(idat)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    rows = px.astype(int).tolist()
+    for ftype in (0, 1, 2, 3, 4):
+        want = bytearray()
+        prev = [0, 0, 0]
+        for row in rows:
+            want.append(ftype)
+            for i, x in enumerate(row):
+                a = row[i - 1] if i else 0  # left (bpp=1)
+                b = prev[i]  # up
+                c = prev[i - 1] if i else 0  # up-left
+                if ftype == 0:
+                    f = x
+                elif ftype == 1:
+                    f = x - a
+                elif ftype == 2:
+                    f = x - b
+                elif ftype == 3:
+                    f = x - (a + b) // 2
+                else:
+                    f = x - paeth(a, b, c)
+                want.append(f % 256)
+            prev = row
+        assert inflate(png_bytes(px, filters=ftype)) == bytes(want), ftype
+
+
+def test_png_info_and_multi_idat():
+    """png_info reads IHDR without inflating; decode concatenates
+    split IDAT chunks (the spec allows any number)."""
+    import struct
+    import zlib
+
+    from vearch_spark.functions.media import (
+        _png_chunk, decode_png, png_bytes, png_info,
+    )
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    b = png_bytes(px)
+    assert png_info(b) == {
+        "width": 4, "height": 4, "bit_depth": 8, "color_type": 2,
+        "channels": 3, "interlace": 0,
+    }
+    # split the single IDAT into two chunks
+    pos, parts, idat = 8, [b[:8]], b""
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + length]
+        if tag == b"IDAT":
+            idat = body
+            parts.append(_png_chunk(b"IDAT", idat[:7]))
+            parts.append(_png_chunk(b"IDAT", idat[7:]))
+        else:
+            parts.append(b[pos:pos + 12 + length])
+        pos += 12 + length
+    assert (decode_png(b"".join(parts)) == px).all()
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    from vearch_spark.functions.media import decode_png, png_bytes
+
+    px = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    good = png_bytes(px)
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # flip an IHDR byte → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + good[4:])
+    depth16 = bytearray(good)
+    depth16[24] = 16  # IHDR bit depth — CRC will fail first? no: fix CRC
+    import struct
+    import zlib as _z
+    body = bytes(depth16[16:29])
+    depth16[29:33] = struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bytes(depth16))
+
+
+def test_decode_image_dispatches_on_magic():
+    from vearch_spark.functions.media import decode_image, pgm_bytes, png_bytes
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    via_png = decode_image(png_bytes(px))
+    via_pgm = decode_image(pgm_bytes(px))
+    assert np.allclose(via_png, px / 255.0)
+    assert np.allclose(via_pgm, px / 255.0)
