@@ -759,10 +759,14 @@ def get_memory_limit(reg, user: str = "root") -> dict:
 
 def modify_memory_limit(reg, req: dict, user: str = "root") -> dict:
     """`POST /config/memory_limit` (cluster_api.go:2110-2132 →
-    entity.SetMemoryLimit): stores the router/ps memory percents.
-    Enforcement is the JVM's job under Spark (executor/driver memory
-    config + spill), so the knob is stored-and-echoed — the analog of
-    the reference's gctuner wiring, which Spark replaces."""
+    entity.SetMemoryLimit): stores the router/ps memory percents AND
+    arms the write gate — while enabled and the worst executor's
+    storage-memory use exceeds ``ps_memory_limit`` percent, document
+    writes on every registry-owned space reject with a typed error and
+    reads keep serving (the reference's PS write rejection under
+    memory pressure). The metric source is
+    SparkContext.getExecutorMemoryStatus; heap sizing/spill remain the
+    JVM's job (the gctuner analog Spark replaces)."""
     _authorize(reg.auth, user, Resource.CONFIG, True)
     return reg.set_cluster_config("memory_limit", req or {})
 

@@ -632,14 +632,82 @@ class Registry:
         """Attach the cluster-level gates a registry-owned space serves
         under: the RBAC store (api verbs authorize against it — the
         BasicAuthMiddleware analog), the document-request limiter
-        (HttpLimitMiddleware), and the slow-search-isolation switch."""
+        (HttpLimitMiddleware), the memory-pressure write gate, and the
+        slow-search-isolation switch."""
         sp._auth = self.auth
         sp._limiter = self._limiter
+        sp._memory_gate = self.check_memory_pressure
         sp._slow_search_isolation = bool(
             self._cluster_config["slow_search_isolation"][
                 "slow_search_isolation_enabled"
             ]
         )
+
+    # ------------------------------------------------------ memory pressure
+
+    def set_memory_metrics_source(self, fn) -> None:
+        """Inject the storage-memory reading ``() -> float percent used
+        (0-100) | None`` — tests drive the gate deterministically with
+        this; production uses the JVM executor-memory status below."""
+        self._memory_metrics = fn
+
+    def _memory_used_percent(self) -> float | None:
+        """Worst executor's storage-memory utilization in percent, from
+        SparkContext.getExecutorMemoryStatus (max vs remaining block-
+        manager memory) — None when the metric is unavailable (gate
+        then stays open: availability must not take down ingest)."""
+        fn = getattr(self, "_memory_metrics", None)
+        if fn is not None:
+            return fn()
+        # the py4j round-trip is ~ms — memoize for a second so a bulk
+        # ingest loop doesn't pay it per batch (pressure moves slowly;
+        # an injected test source above bypasses the cache entirely)
+        import time as _time
+
+        now = _time.monotonic()
+        cached = getattr(self, "_memory_pct_cache", None)
+        if cached is not None and now - cached[0] < 1.0:
+            return cached[1]
+        pct = self._jvm_memory_used_percent()
+        self._memory_pct_cache = (now, pct)
+        return pct
+
+    def _jvm_memory_used_percent(self) -> float | None:
+        try:
+            status = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+            worst = None
+            it = status.iterator()
+            while it.hasNext():
+                kv = it.next()
+                mx = float(kv._2()._1())
+                rem = float(kv._2()._2())
+                if mx > 0:
+                    pct = 100.0 * (mx - rem) / mx
+                    worst = pct if worst is None else max(worst, pct)
+            return worst
+        except Exception:  # py4j surface varies across deploy modes
+            return None
+
+    def check_memory_pressure(self) -> None:
+        """The memory_limit write gate (entity/config.go SetMemoryLimit
+        — the reference's PS rejects writes under memory pressure):
+        while enabled AND the worst executor's storage-memory use
+        exceeds ``ps_memory_limit`` percent, document writes reject
+        with a typed error; reads never consult this."""
+        cfg = self._cluster_config["memory_limit"]
+        if not cfg.get("memory_limit_enabled"):
+            return
+        pct = self._memory_used_percent()
+        limit = float(cfg.get("ps_memory_limit") or 0)
+        if pct is not None and limit > 0 and pct > limit:
+            from vearch_spark.errors import DocumentError
+
+            raise DocumentError(
+                f"memory limit exceeded: executor storage memory at "
+                f"{pct:.1f}% > ps_memory_limit {limit:.0f}% — document "
+                "writes are rejected until pressure clears "
+                "(api.modify_memory_limit)"
+            )
 
     def _reject_stale_space_meta(self, path: str, schema: SpaceSchema) -> None:
         import json as _json

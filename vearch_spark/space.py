@@ -226,6 +226,7 @@ class Space:
         self._manifest: dict | None = None  # path mode: bucket -> version map
         self._indexes: dict[str, object] = {}  # field -> trained index model
         self._resource_exhausted = False  # cluster resource-limit gate
+        self._memory_gate = None  # registry-wired memory-pressure gate
         # cluster-level gates a rooted Registry wires in (Registry._wire):
         # the RBAC store (api verbs' BasicAuthMiddleware analog), the
         # document-request limiter (HttpLimitMiddleware), and the
@@ -1073,6 +1074,11 @@ class Space:
                 "the cluster resource limit clears "
                 "(api.server_resource_limit)"
             )
+        if self._memory_gate is not None:
+            # registry-wired memory_limit gate: raises DocumentError
+            # while executor storage-memory pressure exceeds the
+            # configured percent (reads never pass through here)
+            self._memory_gate()
 
     def upsert(self, rows: DataFrame | list[dict]) -> int:
         """Insert-or-replace by ``_id``; existing keys keep their
