@@ -232,3 +232,78 @@ def test_vamana_ip_metric_recall_on_nonunit_norms():
             got = {n for _, n in g.search(q, ef=64, k=10)}
             hits += len(exact & got)
         assert hits / (10 * nq) >= floor
+
+
+def test_staged_append_searchable_before_rebuild(spark, emb, tmp_path):
+    """r5 VERDICT ask #6: add() on the static index stages rows in a
+    side buffer — searchable immediately at zero rebuild cost; the
+    Vamana shard rebuild happens on merge_staged() (the forcemerge
+    hook), matching the reference's explicit-rebuild-verb semantics."""
+    df, _ = emb
+    idx = DiskANNStaticIndex(
+        "embedding", Metric.L2, R=16, L=32, l_search=48,
+        nshards=4, id_col="vec_id",
+    ).fit(df)
+    try:
+        # append a vector far from every cluster so it is the exact top-1
+        probe = [100.0] * DIM
+        new = spark.createDataFrame(
+            [(999_001, [100.0] * DIM), (999_002, [99.0] * DIM)],
+            "vec_id long, embedding array<double>",
+        )
+        before = {r.vec_id for r in idx.search(df, probe, limit=2).collect()}
+        assert not {999_001, 999_002} & before
+        idx.add(new)
+        assert idx.needs_rebuild  # a merge is pending
+        # staged rows surface IMMEDIATELY, ahead of every graph row
+        got = [r.vec_id for r in idx.search(df, probe, limit=3).collect()]
+        assert got[:2] == [999_001, 999_002]
+        # batch path sees them too
+        b = idx.search_batch([probe], limit=2).collect()
+        assert {r.vec_id for r in b} == {999_001, 999_002}
+        # the graph relation itself is UNTOUCHED (static: no splice)
+        assert idx._graph.where("vec_id >= 999000").count() == 0
+        # save/load round-trips the buffer
+        p = str(tmp_path / "staged_idx")
+        idx.save(p)
+        idx2 = DiskANNStaticIndex.load(spark, p)
+        try:
+            got2 = [r.vec_id for r in idx2.search(df, probe, limit=2).collect()]
+            assert got2 == [999_001, 999_002]
+        finally:
+            idx2.unpersist()
+        # remove() drops a staged row without touching the graph
+        idx.remove([999_002])
+        got3 = [r.vec_id for r in idx.search(df, probe, limit=2).collect()]
+        assert 999_002 not in got3 and got3[0] == 999_001
+        # merge folds the survivor into its shard and clears the buffer
+        idx.merge_staged()
+        assert idx._staged is None and not idx.needs_rebuild
+        assert idx._graph.where("vec_id = 999001").count() == 1
+        got4 = [r.vec_id for r in idx.search(df, probe, limit=2).collect()]
+        assert got4[0] == 999_001 and 999_002 not in got4
+    finally:
+        idx.unpersist()
+
+
+def test_staged_update_buffer_wins_over_tombstoned_graph_row(spark, emb):
+    """The Space write-sync order (remove old version -> add new) must
+    surface the NEW vector: the graph row is tombstoned, the staged row
+    wins the id dedup."""
+    df, _ = emb
+    idx = DiskANNStaticIndex(
+        "embedding", Metric.L2, R=16, L=32, l_search=48,
+        nshards=4, id_col="vec_id",
+    ).fit(df)
+    try:
+        moved = spark.createDataFrame(
+            [(7, [50.0] * DIM)], "vec_id long, embedding array<double>"
+        )
+        idx.remove([7])
+        idx.add(moved)
+        got = idx.search(df, [50.0] * DIM, limit=1).collect()
+        assert got[0].vec_id == 7
+        # and its score reflects the NEW vector (exact zero distance)
+        assert abs(got[0]._score) < 1e-9
+    finally:
+        idx.unpersist()

@@ -51,6 +51,9 @@ from vearch_spark.operators.hnsw import (
     NODE_COL,
     HNSWIndex,
 )
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
 from vearch_spark.schema import ID_FIELD, Metric
 
 
@@ -243,7 +246,19 @@ class DiskANNStaticIndex(HNSWIndex):
     (domination slack), ``beam_width`` accepted-and-advisory (it tunes
     DiskANN's SSD IO pipelining; Spark's scan parallelism owns IO
     here). The base-class names double as aliases so the inherited
-    save/load round-trips unchanged."""
+    save/load round-trips unchanged.
+
+    **Staged appends** (static semantics, cheap ingest): a STATIC index
+    never splices into a built graph — the reference rebuilds on the
+    explicit forcemerge verb (engine.cc:1013-1084), not per add. So
+    ``add()`` stages rows in a side buffer that searches EXACTLY
+    (realtime-union pattern, streaming/realtime.py): candidates =
+    graph probe ∪ buffer brute top-k, dedup by id with the buffer
+    winning. Appends are searchable immediately at zero build cost;
+    ``merge_staged()`` — the forcemerge hook — folds the buffer into
+    its touched shards with the Vamana rebuild and clears it.
+    ``needs_rebuild`` flags a non-empty buffer so operators know a
+    merge is pending."""
 
     def __init__(
         self,
@@ -277,6 +292,112 @@ class DiskANNStaticIndex(HNSWIndex):
             **kw,
         )
         self.alpha = float(alpha)
+        self._staged: DataFrame | None = None
+
+    # ------------------------------------------------------ staged buffer
+
+    def fit(self, df: DataFrame) -> "DiskANNStaticIndex":
+        self._drop_staged()
+        super().fit(df)
+        return self
+
+    def add(self, df: DataFrame) -> "DiskANNStaticIndex":
+        """Stage rows instead of rebuilding touched shards: a 1000-row
+        append on a 100k index cost a 42.8 s shard rebuild before; now
+        it is a buffer union, searchable immediately, and the rebuild
+        happens once on :meth:`merge_staged` (the forcemerge verb)."""
+        if self._graph is None:
+            from vearch_spark.errors import SearchError
+
+            raise SearchError("index not trained")
+        fresh = df if self._staged is None else self._staged.unionByName(df)
+        staged = fresh.persist()
+        staged.count()  # materialize before the old buffer unpersists
+        if self._staged is not None:
+            self._staged.unpersist()
+        self._staged = staged
+        self.needs_rebuild = True
+        return self
+
+    def remove(self, ids) -> "DiskANNStaticIndex":
+        """Graph rows tombstone (inherited bitmap semantics); staged
+        rows — not yet in any graph — simply drop from the buffer."""
+        if self._staged is not None:
+            if isinstance(ids, DataFrame):
+                key = ids.select(
+                    F.col(ids.columns[0]).alias(self.id_col)
+                ).distinct()
+                kept = self._staged.join(
+                    F.broadcast(key), on=self.id_col, how="left_anti"
+                )
+            else:
+                kept = self._staged.where(
+                    ~F.col(self.id_col).isin([i for i in ids])
+                )
+            kept = kept.persist()
+            kept.count()
+            self._staged.unpersist()
+            self._staged = kept
+        super().remove(ids)
+        return self
+
+    def merge_staged(self) -> "DiskANNStaticIndex":
+        """Fold the staged buffer into its hash shards — the per-shard
+        Vamana rebuild the reference runs on forcemerge — and clear the
+        buffer. No-op when nothing is staged."""
+        if self._staged is None:
+            return self
+        staged, self._staged = self._staged, None
+        self.needs_rebuild = False  # before add(): shard overflow re-flags
+        try:
+            super().add(staged)  # touched-shard rebuild
+        finally:
+            staged.unpersist()
+        return self
+
+    def _drop_staged(self) -> None:
+        if self._staged is not None:
+            self._staged.unpersist()
+            self._staged = None
+
+    def _candidates(
+        self,
+        queries: list[list[float]],
+        ef: int,
+        k: int,
+        flt: Column | None = None,
+    ) -> DataFrame:
+        """Graph candidates ∪ exact top-k over the staged buffer, dedup
+        by id with the buffer winning (an id staged after its graph row
+        was tombstone-updated must surface the NEW vector)."""
+        from vearch_spark.functions.distance import score_expr
+        from vearch_spark.operators.topk import _score_order
+
+        cand = super()._candidates(queries, ef, k, flt=flt)
+        if self._staged is None:
+            return cand
+        buf = self._staged
+        if flt is not None:
+            buf = buf.where(flt)
+        spark = buf.sparkSession
+        qdf = spark.createDataFrame(
+            [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+            "query_id int, __qv array<double>",
+        )
+        scored = buf.crossJoin(F.broadcast(qdf)).withColumn(
+            "__d", score_expr(F.col(self.vector_col), F.col("__qv"), self.metric)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            _score_order(self.metric, F.col("__d")), F.col(self.id_col).asc()
+        )
+        buf_top = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .drop("__qv", "__d", "__r")
+        )
+        buf_ids = self._staged.select(self.id_col).distinct()
+        cand = cand.join(F.broadcast(buf_ids), on=self.id_col, how="left_anti")
+        return cand.unionByName(buf_top.select(*cand.columns))
 
     def _graph_builder(self):
         vector_col, id_col = self.vector_col, self.id_col
@@ -295,6 +416,10 @@ class DiskANNStaticIndex(HNSWIndex):
         super().save(path)
         with open(os.path.join(path, "vamana.json"), "w") as fh:
             _json.dump({"alpha": self.alpha}, fh)
+        if self._staged is not None:
+            self._staged.write.mode("overwrite").parquet(
+                os.path.join(path, "staged")
+            )
 
     @classmethod
     def load(cls, spark, path: str) -> "DiskANNStaticIndex":
@@ -304,4 +429,8 @@ class DiskANNStaticIndex(HNSWIndex):
         idx = super().load(spark, path)
         with open(os.path.join(path, "vamana.json")) as fh:
             idx.alpha = float(_json.load(fh)["alpha"])
+        staged_dir = os.path.join(path, "staged")
+        if os.path.isdir(staged_dir):
+            idx._staged = spark.read.parquet(staged_dir).persist()
+            idx.needs_rebuild = True
         return idx

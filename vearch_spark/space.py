@@ -570,7 +570,16 @@ class Space:
         from :meth:`as_of` BEFORE a vacuum reads lazily and will fail
         at job time if its files are reclaimed underneath it — re-call
         as_of after vacuum for the clear-error path (the same contract
-        lakehouse vacuums give old readers)."""
+        lakehouse vacuums give old readers).
+
+        Also the static-index merge point: DISKANN_STATIC stages
+        appends in a side buffer (searchable immediately, no rebuild);
+        forcemerge folds them into their shards here — the reference's
+        explicit-rebuild-verb semantics (engine.cc:1013-1084)."""
+        for model in self._indexes.values():
+            merge = getattr(model, "merge_staged", None)
+            if callable(merge):
+                merge()
         if not self.path or self._manifest is None:
             return 0
         # staging orphans: a writer that crashed before its manifest CAS
