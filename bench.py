@@ -75,6 +75,19 @@ def main() -> None:
         "queries": timings,
         "qps": qps_suite(spark, sf_dir),
         "sf": sf,
+        # full-payload only (the compact driver line drops this)
+        "notes": {
+            "ivfrabitq_knn": (
+                "r4->r5 0.5->0.8 wobble root-caused (r6): the assigned "
+                "cache survives every pre-build (re-count 0.08s after all "
+                "8 indexes), steady-state is 0.64-0.70s across 5 back-to-"
+                "back runs — structural, not eviction: rabitq probes "
+                "nprobe=14/16 cells and reranks 400 vs ivfpq's 12 and "
+                "100 (the 1-bit residual code needs the wider pool on "
+                "near-uniform synthetic data to hold its 0.89 recall "
+                "gate); r4's 0.5 was a low drift sample"
+            ),
+        },
     }
     if os.environ.get("SPARK_GRAFT_BENCH_1M", "1") != "0":
         payload["scale_1m"] = recall_1m_suite(spark)
@@ -499,6 +512,26 @@ def qps_suite(spark, sf_dir: str) -> dict:
         hits += len(got_ids & gt)
     out["ivfpq_clustered_recall_at_10"] = round(hits / 100, 3)
     pq.unpersist()
+    # SCANN on the SAME clustered corpus (r5 verdict ask #8): the new
+    # index gets its own baseline-table row beside the IVFPQ one it is
+    # compared against (BASELINE.md publishes 0.9902 for the
+    # reference's modified-IVFPQ on SIFT1M; SCANN is its config-faithful
+    # sibling here — anisotropic residual PQ + exact reorder)
+    from vearch_spark.operators.ivf import ScannIndex
+
+    sc = ScannIndex(
+        "embedding", Metric.L2, ncentroids=40, nprobe=10,
+        nsubvector=8, rerank_k=100, id_col="vec_id",
+    )
+    sc.fit(cdf)
+    hits = 0
+    for q in cqs:
+        d = ((xc - q) ** 2).sum(axis=1)
+        gt = set(np.argsort(d, kind="stable")[:10].tolist())
+        got_ids = {r.vec_id for r in sc.search(cdf, q.tolist(), limit=10).collect()}
+        hits += len(got_ids & gt)
+    out["scann_clustered_recall_at_10"] = round(hits / 100, 3)
+    sc.unpersist()
     cdf.unpersist()
     return out
 
