@@ -46,6 +46,15 @@ FAMILIES = [
     "corpus_pipeline",
     "flat_knn_l2",
     "ivfflat_knn",
+    # r6 (VERDICT r5 ask #5): the remaining headline families
+    "event_sessions",  # events table — replicated with disjoint users
+    "bm25_topk",
+    "hybrid_rrf",
+    "tfidf_keywords",
+    "embedding_outliers",
+    "lm_perplexity",
+    "multimodal_features",  # fixed 200-doc slice by design: expect ~1x
+    "sequence_packing",
 ]
 
 
@@ -70,7 +79,7 @@ def build_sf1(spark) -> None:
     """
     from pyspark.sql import functions as F
 
-    done = os.path.join(SF1_DIR, "_DONE_v2")
+    done = os.path.join(SF1_DIR, "_DONE_v3")  # v3: + events table
     if os.path.exists(done):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -116,6 +125,22 @@ def build_sf1(spark) -> None:
         .repartition(8)
         .write.mode("overwrite")
         .parquet(f"{SF1_DIR}/embeddings.parquet")
+    )
+    # events: per-replica DISJOINT users (salted user_id) with
+    # timestamps untouched — every user's session structure transforms
+    # identically, so sessions/user and events/session are
+    # scale-invariant while total rows grow 10x
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    n_ev = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    (
+        ev.crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev * 10)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * n_users * 10)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/events.parquet")
     )
     with open(done, "w") as fh:
         fh.write("ok")
