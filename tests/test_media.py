@@ -249,3 +249,41 @@ def test_decode_image_dispatches_on_magic():
     via_pgm = decode_image(pgm_bytes(px))
     assert np.allclose(via_png, px / 255.0)
     assert np.allclose(via_pgm, px / 255.0)
+
+
+def test_png_property_roundtrip_random_shapes_and_filters():
+    """Hypothesis sweep: any uint8 image in the supported envelope
+    (8-bit, 1/2/3/4 channels, arbitrary small dims) round-trips
+    bit-exactly under any per-row filter schedule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vearch_spark.functions.media import decode_png, png_bytes, png_info
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def check(h, w, ch, seed, data):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        filters = data.draw(
+            st.one_of(
+                st.none(),
+                st.integers(0, 4),
+                st.lists(st.integers(0, 4), min_size=h, max_size=h),
+            )
+        )
+        blob = png_bytes(px, filters=filters)
+        info = png_info(blob)
+        assert (info["width"], info["height"]) == (w, h)
+        assert info["channels"] == ch
+        back = decode_png(blob)
+        assert back.shape == px.shape and (back == px).all()
+
+    check()

@@ -360,6 +360,10 @@ class DiskANNStaticIndex(HNSWIndex):
             self._staged.unpersist()
             self._staged = None
 
+    def unpersist(self) -> None:
+        self._drop_staged()
+        super().unpersist()
+
     def _candidates(
         self,
         queries: list[list[float]],
