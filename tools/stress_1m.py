@@ -83,11 +83,17 @@ def main() -> None:
 
         # SCANN at scale: the anisotropic coordinate-descent encode is
         # the expensive part and runs inside mapInPandas — this point
-        # evidences it parallelizes with the data instead of serializing
+        # evidences it parallelizes with the data instead of serializing.
+        # rerank_k tracks the PROBED set: a fixed 1000 over the SIFT10M
+        # config's ~390k probed rows starves the exact reorder (measured
+        # recall@10 0.80; 1.6% of probed -> 0.95; 3.2% -> see SCALE.md).
+        # The rerank is an exact re-score of rerank_k rows, so the pool
+        # costs linearly and tiny next to the screened scan
+        probed = max(1, int(n * nprobe / ncentroids))
         index = ScannIndex(
             "embedding", Metric.L2, ncentroids=ncentroids, nprobe=nprobe,
-            nsubvector=16, rerank_k=1000, id_col="vec_id",
-            coarse_train_sample=65_536,
+            nsubvector=16, rerank_k=max(1000, int(probed * 0.032)),
+            id_col="vec_id", coarse_train_sample=65_536,
         )
     else:
         index = IVFFlatIndex(
