@@ -1640,25 +1640,31 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end (no stub): stage 1 synthesizes
     genuine containers per doc — a RIFF/WAVE 16-bit PCM file (stdlib
-    ``wave`` writer), a binary netpbm P5 image, and an RGB PNG (stdlib
+    ``wave`` writer), a binary netpbm P5 image, an RGB PNG (stdlib
     zlib; per-row filter = row%5 so every scanline filter
-    None/Sub/Up/Average/Paeth is exercised on every image) — as binary
-    columns; stage 2 decodes them with the registered stdlib codecs
-    (functions/media.py) and emits exact integer stats of the DECODED
-    payloads (frame count from the RIFF header, Σ sample², pixel dims,
-    Σ pixels, and the PNG's position-WEIGHTED Σ (j+1)·px[j], which any
-    mis-unfiltered or misplaced pixel breaks). The DuckDB oracle
-    recomputes the same integers from the generation formula
-    arithmetically — so a hash match proves the decoders recovered
-    every sample/pixel bit-exactly through real container
-    round-trips."""
+    None/Sub/Up/Average/Paeth is exercised on every image), and a
+    baseline JPEG (hand-implemented T.81: numpy DCT + Annex K Huffman,
+    functions/media.py) — as binary columns; stage 2 decodes them with
+    the registered stdlib codecs and emits exact integer stats of the
+    DECODED payloads (frame count from the RIFF header, Σ sample²,
+    pixel dims, Σ pixels, the PNG's position-WEIGHTED Σ (j+1)·px[j],
+    which any mis-unfiltered or misplaced pixel breaks, and the JPEG's
+    parsed dims + a max-|err|≤6 bound vs the source gradient — JPEG is
+    lossy, so the bound, dims, and pytest-pinned determinism are its
+    checkable surface). The DuckDB oracle recomputes the same integers
+    from the generation formula arithmetically — so a hash match
+    proves the lossless decoders recovered every sample/pixel
+    bit-exactly and the JPEG decode stayed inside its error
+    envelope."""
     import numpy as np
     import pandas as pd
 
     from vearch_spark.functions.media import (
+        decode_jpeg,
         decode_pgm,
         decode_png,
         decode_wav_pcm,
+        jpeg_bytes,
         pgm_bytes,
         png_bytes,
         wav_bytes,
@@ -1683,33 +1689,57 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [(i * 11 + j * 19) % 256 for j in range(w2 * h2 * 3)],
                     dtype=np.uint8,
                 ).reshape(h2, w2, 3)
+                # JPEG source: a clip-free linear gradient (smooth, so
+                # the q=90 error envelope is tight); dims sweep the
+                # non-multiple-of-8 padding path
+                jw, jh = 8 + i % 9, 6 + i % 7
+                jx, jy = np.meshgrid(np.arange(jw), np.arange(jh))
+                jpx = np.stack(
+                    [(i % 97) + 2 * jx + 3 * jy + 5 * c for c in range(3)], -1
+                ).astype(np.uint8)
                 rows.append(
-                    (str(i), wav_bytes(samples, 8000), pgm_bytes(px), png_bytes(rgb))
+                    (
+                        str(i),
+                        wav_bytes(samples, 8000),
+                        pgm_bytes(px),
+                        png_bytes(rgb),
+                        jpeg_bytes(jpx, 90),
+                        jpx.astype(np.int64).ravel(),
+                    )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "audio_bytes", "image_bytes", "png_bytes"],
+                columns=[
+                    "media_id", "audio_bytes", "image_bytes", "png_bytes",
+                    "jpeg_bytes", "jpeg_src",
+                ],
             )
 
     media = docs.mapInPandas(
         synth,
         schema=(
             "media_id string, audio_bytes binary, image_bytes binary, "
-            "png_bytes binary"
+            "png_bytes binary, jpeg_bytes binary, jpeg_src array<long>"
         ),
     )
 
     def decode(batches):
         for pdf in batches:
             out = []
-            for mid, ab, ib, pb in zip(
+            for mid, ab, ib, pb, jb, jsrc in zip(
                 pdf["media_id"], pdf["audio_bytes"], pdf["image_bytes"],
-                pdf["png_bytes"],
+                pdf["png_bytes"], pdf["jpeg_bytes"], pdf["jpeg_src"],
             ):
                 info = wav_info(bytes(ab))
                 pcm = decode_wav_pcm(bytes(ab))[:, 0].astype(np.int64)
                 img = decode_pgm(bytes(ib))
                 png = decode_png(bytes(pb)).astype(np.int64).ravel()
+                jpg = decode_jpeg(bytes(jb))
+                jerr = int(
+                    np.abs(
+                        jpg.astype(np.int64).ravel() - np.asarray(jsrc, dtype=np.int64)
+                    ).max()
+                )
                 out.append(
                     (
                         mid,
@@ -1720,13 +1750,17 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(img.astype(np.int64).sum()),
                         int(png.sum()),
                         int((png * (np.arange(len(png)) + 1)).sum()),
+                        jpg.shape[1],
+                        jpg.shape[0],
+                        bool(jerr <= 6),
                     )
                 )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "media_id", "n_frames", "sum_sq", "width", "height",
-                    "px_sum", "png_sum", "png_wsum",
+                    "px_sum", "png_sum", "png_wsum", "jpeg_w", "jpeg_h",
+                    "jpeg_ok",
                 ],
             )
 
@@ -1734,7 +1768,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         schema=(
             "media_id string, n_frames int, sum_sq long, "
-            "width int, height int, px_sum long, png_sum long, png_wsum long"
+            "width int, height int, px_sum long, png_sum long, png_wsum long, "
+            "jpeg_w int, jpeg_h int, jpeg_ok boolean"
         ),
     ).orderBy(F.col("media_id").cast("int"))
 
@@ -3335,11 +3370,14 @@ def oracle_sql() -> dict[str, str]:
     # FLAT kernel (shard connectivity pinned in tests/test_vamana.py)
     d["diskann_knn"] = d["hnsw_knn"]
     # media_decode: the Spark side round-trips REAL containers (RIFF
-    # PCM + netpbm + PNG with all five scanline filters) through the
-    # stdlib codecs; the oracle recomputes the decoded-payload integer
-    # stats from the generation formula — a hash match proves bit-exact
-    # decode of every sample and pixel (png_wsum is position-weighted,
-    # so a single mis-unfiltered byte anywhere breaks it)
+    # PCM + netpbm + PNG with all five scanline filters + baseline
+    # JPEG) through the stdlib codecs; the oracle recomputes the
+    # decoded-payload integer stats from the generation formula — a
+    # hash match proves bit-exact decode of every sample and pixel
+    # (png_wsum is position-weighted, so a single mis-unfiltered byte
+    # anywhere breaks it). JPEG is lossy: its oracle surface is the
+    # parsed dims + jpeg_ok (decode within the max-|err|≤6 envelope of
+    # the source gradient); byte/pixel determinism is pytest-pinned.
     d["media_decode"] = """
         SELECT CAST(doc_id AS VARCHAR) AS media_id,
                (40 + doc_id % 13)::INT AS n_frames,
@@ -3356,7 +3394,10 @@ def oracle_sql() -> dict[str, str]:
                  j -> (doc_id*11 + j*19) % 256))::BIGINT AS png_sum,
                list_sum(list_transform(
                  range((3 + doc_id % 6) * (5 + doc_id % 3) * 3),
-                 j -> (j+1) * ((doc_id*11 + j*19) % 256)))::BIGINT AS png_wsum
+                 j -> (j+1) * ((doc_id*11 + j*19) % 256)))::BIGINT AS png_wsum,
+               (8 + doc_id % 9)::INT AS jpeg_w,
+               (6 + doc_id % 7)::INT AS jpeg_h,
+               TRUE AS jpeg_ok
         FROM documents WHERE doc_id < 100
         ORDER BY doc_id
     """

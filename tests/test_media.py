@@ -287,3 +287,156 @@ def test_png_property_roundtrip_random_shapes_and_filters():
         assert back.shape == px.shape and (back == px).all()
 
     check()
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def _gradient_rgb(h, w, phase=0):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [
+            (2 * x + 3 * y + phase) % 180 + 20,
+            (x + 5 * y + phase) % 150 + 40,
+            (4 * x + y + phase) % 200 + 10,
+        ],
+        -1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_error_bound_rgb_and_gray():
+    """Baseline JPEG is lossy: pin an error BOUND on smooth images,
+    across non-multiple-of-8 dims (edge-replication padding path)."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    for h, w in [(8, 8), (13, 21), (9, 7), (24, 16)]:
+        rgb = _gradient_rgb(h, w)
+        out = decode_jpeg(jpeg_bytes(rgb, 90))
+        assert out.shape == rgb.shape and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 6
+        gray = rgb[..., 0]
+        gout = decode_jpeg(jpeg_bytes(gray, 90))
+        assert gout.shape == gray.shape
+        assert np.abs(gout.astype(int) - gray.astype(int)).max() <= 6
+
+
+def test_jpeg_deterministic_and_quality_behavior():
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    rgb = _gradient_rgb(17, 23)
+    b1, b2 = jpeg_bytes(rgb, 85), jpeg_bytes(rgb, 85)
+    assert b1 == b2  # encode is byte-deterministic
+    assert np.array_equal(decode_jpeg(b1), decode_jpeg(b1))
+    # higher quality → larger file and lower mean error
+    lo, hi = jpeg_bytes(rgb, 20), jpeg_bytes(rgb, 95)
+    assert len(hi) > len(lo)
+    err = lambda blob: np.abs(
+        decode_jpeg(blob).astype(int) - rgb.astype(int)
+    ).mean()
+    assert err(hi) < err(lo)
+    # q=100 (all-ones luma table is the clamp edge) stays near-exact
+    # even on uint8 noise — every DCT/Huffman path exercised hard
+    noise = np.random.default_rng(3).integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    nout = decode_jpeg(jpeg_bytes(noise, 100))
+    assert np.abs(nout.astype(int) - noise.astype(int)).max() <= 3
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn: the entropy stream re-syncs and DC predictors reset at
+    every restart — decoded pixels identical to the no-DRI stream."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    rgb = _gradient_rgb(20, 19)
+    plain = decode_jpeg(jpeg_bytes(rgb, 88))
+    for dri in (1, 2, 5):
+        blob = jpeg_bytes(rgb, 88, restart_interval=dri)
+        assert b"\xff\xdd" in blob  # DRI segment present
+        assert np.array_equal(decode_jpeg(blob), plain)
+
+
+def test_jpeg_info_and_typed_rejections():
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes, jpeg_info
+
+    rgb = _gradient_rgb(13, 21)
+    blob = jpeg_bytes(rgb, 90)
+    info = jpeg_info(blob)
+    assert (info["width"], info["height"]) == (21, 13)
+    assert info["components"] == 3 and info["bit_depth"] == 8
+    assert info["progressive"] is False
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01" + blob[2:])
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        decode_jpeg(blob[:-20])
+    # progressive (SOF2): decode rejects, info still reports geometry
+    prog = bytearray(blob)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    pinfo = jpeg_info(bytes(prog))
+    assert pinfo["progressive"] is True and pinfo["width"] == 21
+    # 4:2:0 sampling byte: typed rejection, no approximate decode
+    sub = bytearray(blob)
+    sub[i + 11] = 0x22
+    with pytest.raises(ValueError, match="4:4:4"):
+        decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError, match="quality"):
+        jpeg_bytes(rgb, 0)
+    with pytest.raises(ValueError, match="expected"):
+        jpeg_bytes(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_jpeg_decode_reads_tables_from_stream():
+    """The decoder honors DQT/DHT as written in the container, not the
+    encoder's constants: doubling a stored luma quant entry changes the
+    decoded pixels accordingly (proof it dequantizes with the stream's
+    table)."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    gray = _gradient_rgb(16, 16)[..., 0]
+    blob = bytearray(jpeg_bytes(gray, 50))
+    base = decode_jpeg(bytes(blob))
+    i = blob.find(b"\xff\xdb")
+    # DQT body: [2B len][1B pq/tq][64B zigzag table]; entry 0 = DC
+    dc_q = blob[i + 5]
+    blob[i + 5] = min(255, dc_q * 2)
+    bent = decode_jpeg(bytes(blob))
+    assert not np.array_equal(base, bent)
+
+
+def test_jpeg_property_roundtrip_bounded_error():
+    """Hypothesis sweep: any small uint8 image decodes within the
+    q=95 error envelope and exactly round-trips shape/dtype."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        color=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, color, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(jpeg_bytes(px, 95))
+        assert out.shape == px.shape and out.dtype == np.uint8
+        # uint8 noise is JPEG's worst case; q=95 quant steps bound the
+        # per-pixel error well under 64 even there
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 48
+
+    check()
+
+
+def test_decode_image_dispatches_jpeg_magic():
+    from vearch_spark.functions.media import decode_image, jpeg_bytes
+
+    rgb = _gradient_rgb(9, 11)
+    out = decode_image(jpeg_bytes(rgb, 95))
+    assert out.shape == rgb.shape
+    assert np.abs(out * 255.0 - rgb).max() <= 4.0

@@ -17,14 +17,21 @@ implementation can decode FOR REAL — no fake, no stub:
   RGB / RGBA, all five scanline filters (None/Sub/Up/Average/Paeth,
   RFC 2083 §6), CRC-verified chunks, multi-IDAT; decode returns the
   (H, W[, C]) uint8 pixel array. Palette / 16-bit / interlaced
-  variants raise a typed error (JPEG/MP3 stay sanctioned out — no
-  stdlib DCT/entropy codecs).
+  variants raise a typed error.
+- **JPEG (baseline sequential, T.81)** hand-implemented: numpy
+  float64 FDCT/IDCT, Annex K quantization tables scaled by the
+  libjpeg quality convention, canonical Huffman coding with the
+  tables read from the stream's own DHT segments, restart intervals.
+  8-bit gray and YCbCr 4:4:4; progressive / arithmetic / subsampled
+  streams raise a typed error. Lossy by design — tests pin encode
+  byte-determinism, decode pixel-determinism, and error BOUNDS vs the
+  source (MP3 stays sanctioned out — no stdlib entropy/MDCT path).
 
 ``register_media_decoders()`` plugs them into the multimodal
-extract_features path ('audio' → WAV, 'image' → PNG or netpbm by
-magic). Encoders (``wav_bytes`` / ``pgm_bytes`` / ``png_bytes``) exist
-so pipelines and tests can round-trip real containers
-deterministically.
+extract_features path ('audio' → WAV, 'image' → PNG/JPEG/netpbm by
+magic). Encoders (``wav_bytes`` / ``pgm_bytes`` / ``png_bytes`` /
+``jpeg_bytes``) exist so pipelines and tests can round-trip real
+containers deterministically.
 """
 
 from __future__ import annotations
@@ -360,11 +367,527 @@ def decode_png(content: bytes) -> np.ndarray:
     return out.reshape((h, w) if ch == 1 else (h, w, ch))
 
 
+# ------------------------------------------------------------------ JPEG
+#
+# ITU-T T.81 baseline sequential DCT: SOI + JFIF APP0 + DQT + SOF0 +
+# DHT + SOS(entropy data) + EOI. The encoder emits 8-bit gray
+# (1 component) or YCbCr 4:4:4 (3 components, no chroma subsampling),
+# Annex K quantization tables scaled by the libjpeg quality formula,
+# and the Annex K "typical" Huffman tables written into DHT. The
+# decoder is a REAL baseline decoder — it reads DQT/DHT from the
+# stream (no assumption the encoder was ours), supports restart
+# intervals (DRI/RSTn), and raises typed errors on progressive (SOF2),
+# arithmetic coding, 12-bit precision, or subsampled chroma rather
+# than decode approximately. JPEG is lossy, so round-trip tests pin
+# (a) byte-determinism of encode and pixel-determinism of decode and
+# (b) an error BOUND vs the source image — not bit equality.
+
+# Annex K Table K.1 / K.2 base quantization tables (row-major 8×8).
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Zigzag scan order: _JPEG_ZZ[k] = row-major index of the k-th
+# coefficient in scan order (T.81 Figure 5).
+_JPEG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K "typical" Huffman tables as (BITS[1..16], HUFFVAL) pairs.
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT-II basis: S = _DCT8 @ block @ _DCT8.T is
+# exactly T.81's FDCT (and _DCT8.T @ S @ _DCT8 its inverse). float64
+# matmul with a fixed operation order keeps decode deterministic.
+_DCT8 = 0.5 * np.cos(
+    (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+)
+_DCT8[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def _jpeg_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """Scale an Annex K base table by the libjpeg quality convention:
+    q<50 boosts (5000/q), q≥50 attenuates (200−2q); entries clamp to
+    [1, 255] (baseline requires 8-bit table values)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"jpeg quality must be in [1, 100]: {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman code assignment (T.81 Annex C):
+    symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (an emitted
+    0xFF data byte is followed by 0x00)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.put(0x7F, 8 - self._n)
+
+
+def _jpeg_put_coeff(w: _BitWriter, huff: dict, sym_high: int, v: int) -> None:
+    """Emit one (runlength|size) Huffman symbol + the magnitude bits of
+    ``v`` (negative values use the one's-complement convention)."""
+    size = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    code, length = huff[(sym_high << 4) | size]
+    w.put(code, length)
+    if size:
+        w.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+
+def jpeg_bytes(
+    pixels: np.ndarray | list, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Encode a uint8 array as a real baseline JFIF JPEG: (H, W) →
+    grayscale, (H, W, 3) → YCbCr 4:4:4 (no chroma subsampling, so
+    every component tiles the same 8×8 grid). ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs (the
+    stream-resync feature real encoders use for error resilience).
+    Deterministic: the same inputs always produce the same bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        ncomp = 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ncomp = 3
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    if ncomp == 1:
+        planes = [arr.astype(np.float64) - 128.0]
+    else:
+        r = arr[..., 0].astype(np.float64)
+        g = arr[..., 1].astype(np.float64)
+        b = arr[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ]
+    qt = [_jpeg_qtable(_JPEG_QL, quality)]
+    if ncomp == 3:
+        qt.append(_jpeg_qtable(_JPEG_QC, quality))
+
+    # pad to whole blocks by edge replication (standard practice: keeps
+    # block boundaries smooth, minimizing ringing at the crop edge)
+    bh, bw = -(-h // 8), -(-w // 8)
+    pad = [np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") for p in planes]
+
+    dc_tabs = [_huff_encode_table(_DC_L_BITS, _DC_L_VALS)]
+    ac_tabs = [_huff_encode_table(_AC_L_BITS, _AC_L_VALS)]
+    if ncomp == 3:
+        dc_tabs.append(_huff_encode_table(_DC_C_BITS, _DC_C_VALS))
+        ac_tabs.append(_huff_encode_table(_AC_C_BITS, _AC_C_VALS))
+
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    mcu = 0
+    # 4:4:4 → one MCU = one 8×8 block per component, raster MCU order
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.flush()  # byte-align (1-padded) before the marker
+                wtr.buf += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                pred = [0] * ncomp
+            mcu += 1
+            for ci in range(ncomp):
+                t = min(ci, 1)  # table slot: 0 = luma, 1 = chroma
+                block = pad[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeffs = _DCT8 @ block @ _DCT8.T
+                qd = np.round(coeffs / qt[t].reshape(8, 8)).astype(np.int32)
+                # baseline AC magnitude cap is 1023 (size ≤ 10); only
+                # reachable at quality=100 (q=1) on near-basis blocks.
+                # DC is exempt: its size-11 symbol covers the full
+                # [-1024, 1016] range an 8-bit block can produce.
+                dc = qd[0, 0]
+                qd = np.clip(qd, -1023, 1023)
+                qd[0, 0] = dc
+                zz = qd.ravel()[_JPEG_ZZ]
+                _jpeg_put_coeff(wtr, dc_tabs[t], 0, int(zz[0]) - pred[ci])
+                pred[ci] = int(zz[0])
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_tabs[t][0xF0]  # ZRL
+                        wtr.put(code, length)
+                        run -= 16
+                    _jpeg_put_coeff(wtr, ac_tabs[t], run, v)
+                    run = 0
+                if last < 63:
+                    code, length = ac_tabs[t][0x00]  # EOB
+                    wtr.put(code, length)
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for i, q in enumerate(qt):
+        out += seg(0xFFDB, bytes([i]) + bytes(int(v) for v in q[_JPEG_ZZ]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += seg(0xFFC0, sof)
+    huffs = [(0x00, _DC_L_BITS, _DC_L_VALS), (0x10, _AC_L_BITS, _AC_L_VALS)]
+    if ncomp == 3:
+        huffs += [(0x01, _DC_C_BITS, _DC_C_VALS), (0x11, _AC_C_BITS, _AC_C_VALS)]
+    for tid, bits, vals in huffs:
+        out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += wtr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data: undoes 0xFF00
+    stuffing, byte-aligns at RSTn markers, stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise ValueError("hit marker inside entropy data")
+            else:
+                self.pos += 1
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker (T.81 E.1.4)."""
+        self._n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RST marker at restart interval")
+        self.pos += 2
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol map for canonical JPEG Huffman codes."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """Sign-extend a magnitude-bits value (T.81 F.2.2.1 EXTEND)."""
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_info(content: bytes) -> dict:
+    """Frame metadata from the SOF marker without entropy decoding."""
+    hdr = _jpeg_parse_headers(content, info_only=True)
+    return {
+        "width": hdr["width"],
+        "height": hdr["height"],
+        "components": hdr["ncomp"],
+        "bit_depth": hdr["precision"],
+        "progressive": hdr["progressive"],
+    }
+
+
+def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
+    """Walk the marker stream up to SOS (or SOF for ``info_only``),
+    collecting DQT/DHT/DRI/SOF state."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    st: dict = {"dri": 0, "progressive": False}
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        body = content[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                tab = np.zeros(64, dtype=np.int32)
+                tab[_JPEG_ZZ] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qt[tq] = tab
+                i += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (st["dri"],) = struct.unpack(">H", body[:2])
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                st["progressive"] = True
+            if marker not in (0xC0, 0xC1):
+                if info_only and marker == 0xC2:
+                    pass  # still report geometry for progressive files
+                else:
+                    raise ValueError(
+                        f"only baseline sequential JPEG supported (SOF marker 0x{marker:02X})"
+                    )
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            st.update(precision=prec, height=h, width=w, ncomp=ncomp, comps=[])
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                st["comps"].append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if info_only:
+                return st
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            st["scan"] = [(body[1 + i * 2], body[2 + i * 2]) for i in range(ns)]
+            st["data_pos"] = pos + 2 + length
+            st["qt"], st["huff"] = qt, huff
+            return st
+        pos += 2 + length
+    if info_only and "width" in st:
+        return st
+    raise ValueError("JPEG missing SOS/SOF")
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to uint8 pixels: (H, W) for
+    grayscale, (H, W, 3) RGB for 3-component YCbCr. Requires 8-bit
+    precision and 4:4:4 sampling (every component h=v=1); progressive,
+    arithmetic-coded, or subsampled streams raise ValueError.
+    Deterministic: fixed-order float64 IDCT."""
+    st = _jpeg_parse_headers(content)
+    if st["progressive"]:
+        raise ValueError("progressive JPEG not supported")
+    if st["precision"] != 8:
+        raise ValueError(f"only 8-bit JPEG supported (precision {st['precision']})")
+    ncomp = st["ncomp"]
+    if ncomp not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {ncomp}")
+    if any(c["h"] != 1 or c["v"] != 1 for c in st["comps"]):
+        raise ValueError("subsampled JPEG (non-4:4:4) not supported")
+    h, w = st["height"], st["width"]
+    bh, bw = -(-h // 8), -(-w // 8)
+    scan_by_id = dict(
+        (cid, (td_ta >> 4, td_ta & 0x0F)) for cid, td_ta in st["scan"]
+    )
+
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)]
+    rdr = _BitReader(content, st["data_pos"])
+    pred = [0] * ncomp
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if st["dri"] and mcu and mcu % st["dri"] == 0:
+                rdr.restart()
+                pred = [0] * ncomp
+            mcu += 1
+            for ci in range(ncomp):
+                comp = st["comps"][ci]
+                td, ta = scan_by_id[comp["id"]]
+                dc_tab = st["huff"].get((0, td))
+                ac_tab = st["huff"].get((1, ta))
+                q = st["qt"].get(comp["tq"])
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise ValueError("JPEG scan references a missing DHT/DQT table")
+                zz = np.zeros(64, dtype=np.int64)
+                size = _huff_read(rdr, dc_tab)
+                pred[ci] += _extend(rdr.bits(size), size)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_read(rdr, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(f"invalid AC symbol 0x{sym:02X}")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(rdr.bits(size), size)
+                    k += 1
+                levels = np.zeros(64, dtype=np.int64)
+                levels[_JPEG_ZZ] = zz  # zigzag → row-major, THEN dequant
+                coeffs = (levels * q).astype(np.float64)
+                block = _DCT8.T @ coeffs.reshape(8, 8) @ _DCT8
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = [p[:h, :w] + 128.0 for p in planes]
+    if ncomp == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136286 * cb - 0.714136286 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Decoder-contract form (bytes → (H, W[, C]) floats in [0, 1]);
-    dispatches PNG vs netpbm on the container magic."""
+    dispatches PNG vs JPEG vs netpbm on the container magic."""
     if content[:8] == _PNG_SIG:
         return decode_png(content).astype(np.float64) / 255.0
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content).astype(np.float64) / 255.0
     return decode_pgm(content).astype(np.float64) / 255.0
 
 

@@ -279,6 +279,9 @@ def rrf_fuse(
     contribs = []
     for df, ascending in hits:
         order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+        # unpartitioned on purpose (inputs are bounded top-k lists; see
+        # docstring) — a constant partition key would be stripped by
+        # Spark 4's EliminateWindowPartitions rule anyway
         w = Window.orderBy(order, F.col(id_col).asc())
         contribs.append(
             df.select(

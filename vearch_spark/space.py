@@ -148,6 +148,11 @@ def _with_id_rank(df: DataFrame, out_col: str, n: int) -> DataFrame:
     """Rank-by-_id dispatch: tiny batches use the plain window (dense,
     no shuffle worth saving), large ones the distributed strided form."""
     if n <= _RANK_WINDOW_MAX:
+        # the unpartitioned window here logs Spark's "No Partition
+        # Defined" warning — intentional: input is bounded ≤
+        # _RANK_WINDOW_MAX by the branch, and a constant partition key
+        # would be stripped by Spark 4's EliminateWindowPartitions
+        # anyway; the distributed strided form below is the scale path
         w = Window.orderBy(ID_FIELD)
         return df.withColumn(out_col, F.row_number().over(w).cast("long"))
     return _rank_by_id(df, out_col)
