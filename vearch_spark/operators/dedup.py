@@ -391,45 +391,31 @@ def minhash_lsh_pairs(
             band_postings_expr(F.col("_sig"), bands, rows_per_band)
         ).alias("_band"),
     ).select("_did", F.col("_band.band").alias("_b"), F.col("_band.bh").alias("_bh"))
-    # cached: both bucket-join sides read this narrow (id, band, hash)
-    # relation — without it the signature UDF pipeline runs twice
-    banded = banded.persist()
 
-    # hot-bucket detection is a groupBy with map-side partial
-    # aggregation whose output is only the OVERSIZED keys — at most
-    # rows/max_bucket of them by construction, so it is safe to
-    # materialize on the driver ONCE (one job over the cached narrow
-    # relation). In the common no-hot-bucket case the main plan then
-    # carries ZERO guard cost: no anti/semi joins, no union — the
-    # always-on detection subtree was round 5's only bench regression.
-    hot_rows = (
-        banded.groupBy("_b", "_bh")
-        .count()
-        .where(F.col("count") > max_bucket)
-        .select("_b", "_bh")
-        .collect()
-        if max_bucket is not None
-        else []
-    )
-    if hot_rows:
-        # hot keys exist: split via two broadcast joins (map-side, no
-        # shuffle) and the chain window sorts only hot-bucket rows
-        hot = F.broadcast(
-            df.sparkSession.createDataFrame(
-                hot_rows, banded.select("_b", "_bh").schema
-            )
-        )
-        banded_small = banded.join(hot, ["_b", "_bh"], "left_anti")
+    if max_bucket is None:
+        # unguarded (oracle-parity) path: cache the narrow relation for
+        # the two join sides
+        banded = banded.persist()
+        banded_small, chain = banded, None
+    else:
+        # hot-bucket detection folded INTO the main plan: a count
+        # window partitioned by the join keys. No driver collect, no
+        # separate detection job (round 5's only bench regression was
+        # exactly that job) — and because the cache materializes
+        # already hash-partitioned on (_b, _bh), the all-pairs
+        # self-join below reuses that partitioning instead of
+        # exchanging both sides. Hot rows (> max_bucket) divert to the
+        # consecutive id-chain, everything else takes the plain join.
+        wc = Window.partitionBy("_b", "_bh")
+        banded = banded.withColumn("_n", F.count(F.lit(1)).over(wc)).persist()
+        banded_small = banded.where(F.col("_n") <= max_bucket).drop("_n")
         wo = Window.partitionBy("_b", "_bh").orderBy("_did")
         chain = (
-            banded.join(hot, ["_b", "_bh"], "semi")
+            banded.where(F.col("_n") > max_bucket)
             .withColumn("_prev", F.lag("_did").over(wo))
             .where(F.col("_prev").isNotNull())
             .select(F.col("_prev").alias("id_a"), F.col("_did").alias("id_b"))
         )
-    else:
-        banded_small = banded
-        chain = None
 
     left = banded_small.select("_b", "_bh", F.col("_did").alias("id_a"))
     right = banded_small.select("_b", "_bh", F.col("_did").alias("id_b"))
@@ -645,33 +631,24 @@ def simhash_pairs(
             )
         ).alias("_blk"),
     ).select("_did", "_sim", F.col("_blk.band").alias("_b"), F.col("_blk.blk").alias("_v"))
-    # cached: both block-join sides read this narrow relation — without
-    # it the simhash signature UDF runs twice
-    blocks = blocks.persist()
 
-    # same shape as the minhash guard: the oversized-key relation is
-    # tiny (≤ rows/max_bucket keys), so materialize it ONCE on the
-    # driver and short-circuit to the plain self-join when empty —
-    # the common case pays nothing beyond one count job on the cache
-    hot_rows = (
-        blocks.groupBy("_b", "_v")
-        .count()
-        .where(F.col("count") > max_bucket)
-        .select("_b", "_v")
-        .collect()
-        if max_bucket is not None
-        else []
-    )
-    if hot_rows:
-        hot = F.broadcast(
-            df.sparkSession.createDataFrame(
-                hot_rows, blocks.select("_b", "_v").schema
-            )
-        )
-        blocks_small = blocks.join(hot, ["_b", "_v"], "left_anti")
+    if max_bucket is None:
+        # unguarded (oracle-parity) path: cache the narrow relation for
+        # the two join sides
+        blocks = blocks.persist()
+        blocks_small, chain = blocks, None
+    else:
+        # same shape as the minhash guard: hot-bucket detection as a
+        # count window over the join keys inside the main plan — no
+        # driver collect, no separate detection job, and the cache
+        # comes out hash-partitioned on (_b, _v) so the self-join
+        # reuses the partitioning
+        wc = Window.partitionBy("_b", "_v")
+        blocks = blocks.withColumn("_n", F.count(F.lit(1)).over(wc)).persist()
+        blocks_small = blocks.where(F.col("_n") <= max_bucket).drop("_n")
         wo = Window.partitionBy("_b", "_v").orderBy("_did")
         chain = (
-            blocks.join(hot, ["_b", "_v"], "semi")
+            blocks.where(F.col("_n") > max_bucket)
             .withColumn("_prev", F.lag("_did").over(wo))
             .withColumn("_prev_sim", F.lag("_sim").over(wo))
             .where(F.col("_prev").isNotNull())
@@ -682,9 +659,6 @@ def simhash_pairs(
                 F.col("_sim").alias("_sim_b"),
             )
         )
-    else:
-        blocks_small = blocks
-        chain = None
 
     a = blocks_small.select(
         "_b", "_v", F.col("_did").alias("id_a"), F.col("_sim").alias("_sim_a")
