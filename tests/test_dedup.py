@@ -358,3 +358,27 @@ def test_simhash_skew_guard_linear_on_clone_heavy_corpus(spark):
     assert ids == set(range(120))
     # and the guard emits far fewer candidate pairs than all-pairs
     assert 0 < guarded.count() < unguarded.count()
+
+
+def test_hot_bucket_window_fallback_matches_broadcast_split(spark, monkeypatch):
+    """Above _HOT_KEY_CAP oversized keys, the skew guard stops
+    collecting hot keys to the driver and splits via an in-plan count
+    window instead. Both strategies must emit the same pairs."""
+    from vearch_spark.operators import dedup
+
+    rows = [(i, "the same exact document text repeated many times over")
+            for i in range(80)]
+    rows += [(1000 + i, f"unrelated text number {i} with its own words {i*7}")
+             for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(fn, **kw):
+        return sorted(
+            (r.id_a, r.id_b) for r in fn(df, max_bucket=40, **kw).collect()
+        )
+
+    via_broadcast_sim = pairs(dedup.simhash_pairs)
+    via_broadcast_min = pairs(dedup.minhash_lsh_pairs)
+    monkeypatch.setattr(dedup, "_HOT_KEY_CAP", 0)
+    assert pairs(dedup.simhash_pairs) == via_broadcast_sim
+    assert pairs(dedup.minhash_lsh_pairs) == via_broadcast_min

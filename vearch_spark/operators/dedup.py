@@ -325,6 +325,85 @@ def minhash_signature_fast(
     return sig(base)
 
 
+# above this many OVERSIZED bucket keys the skew guard stops collecting
+# them to the driver and falls back to an all-in-plan window split; a
+# corpus that hot is degenerate (≥ cap·max_bucket clone rows)
+_HOT_KEY_CAP = 65536
+
+
+def _split_hot_buckets(
+    rel: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    pair_cols: list[tuple[str, str, str]],
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Shared LSH skew guard: split a banded relation into the
+    all-pairs-joinable part and a consecutive id-chain over oversized
+    buckets.
+
+    Returns ``(persisted_rel, small, chain)`` — ``small`` feeds the
+    all-pairs self-join on ``keys``; ``chain`` (or ``None``) is the
+    (n−1)-pair chain over each hot bucket's id-sorted members, emitting
+    ``(out_a, out_b)`` per entry of ``pair_cols`` (src column lagged).
+
+    Strategy, measured at sf1 on the clone-heavy spot corpus
+    (tools/spot_sf1.py):
+
+    - Common path: one groupBy-count detection job over the cached
+      relation (partial aggregation collapses hot keys map-side), hot
+      keys broadcast into map-side anti/semi joins. Fastest in both the
+      flat and the skewed regime (skewed sf1: 11.8 s vs 22.5 s for the
+      window form, whose count window must globally sort the full
+      relation including the giant hot-bucket partition).
+    - No hot keys (the common corpus): zero plan overhead — the plain
+      self-join, exactly the unguarded shape.
+    - Degenerate escape hatch: if more than ``_HOT_KEY_CAP`` oversized
+      keys exist, collecting them is itself a driver hazard, so the
+      split folds into the plan as a count window (driver-free at any
+      scale; slower, but this regime means ≥ cap·max_bucket clone
+      rows)."""
+    if max_bucket is None:
+        rel = rel.persist()
+        return rel, rel, None
+    id_col = pair_cols[0][0]
+
+    def chain_of(hot_rel: DataFrame) -> DataFrame:
+        wo = Window.partitionBy(*keys).orderBy(id_col)
+        out = hot_rel
+        sel = []
+        for src, out_a, out_b in pair_cols:
+            out = out.withColumn(f"_prev{src}", F.lag(src).over(wo))
+            sel += [F.col(f"_prev{src}").alias(out_a), F.col(src).alias(out_b)]
+        return out.where(F.col(f"_prev{id_col}").isNotNull()).select(*sel)
+
+    rel = rel.persist()
+    # detection job: partial agg shrinks map output to distinct keys,
+    # and hot keys by definition collapse max_bucket+ rows each
+    hot_rows = (
+        rel.groupBy(*keys)
+        .count()
+        .where(F.col("count") > max_bucket)
+        .select(*keys)
+        .limit(_HOT_KEY_CAP + 1)
+        .collect()
+    )
+    if not hot_rows:
+        return rel, rel, None
+    if len(hot_rows) <= _HOT_KEY_CAP:
+        hot = F.broadcast(
+            rel.sparkSession.createDataFrame(hot_rows, rel.select(*keys).schema)
+        )
+        return rel, rel.join(hot, keys, "left_anti"), chain_of(rel.join(hot, keys, "semi"))
+    # degenerate corpus: window split, no driver participation
+    wc = Window.partitionBy(*keys)
+    counted = rel.withColumn("_n", F.count(F.lit(1)).over(wc))
+    return (
+        rel,
+        counted.where(F.col("_n") <= max_bucket).drop("_n"),
+        chain_of(counted.where(F.col("_n") > max_bucket).drop("_n")),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -391,31 +470,9 @@ def minhash_lsh_pairs(
             band_postings_expr(F.col("_sig"), bands, rows_per_band)
         ).alias("_band"),
     ).select("_did", F.col("_band.band").alias("_b"), F.col("_band.bh").alias("_bh"))
-
-    if max_bucket is None:
-        # unguarded (oracle-parity) path: cache the narrow relation for
-        # the two join sides
-        banded = banded.persist()
-        banded_small, chain = banded, None
-    else:
-        # hot-bucket detection folded INTO the main plan: a count
-        # window partitioned by the join keys. No driver collect, no
-        # separate detection job (round 5's only bench regression was
-        # exactly that job) — and because the cache materializes
-        # already hash-partitioned on (_b, _bh), the all-pairs
-        # self-join below reuses that partitioning instead of
-        # exchanging both sides. Hot rows (> max_bucket) divert to the
-        # consecutive id-chain, everything else takes the plain join.
-        wc = Window.partitionBy("_b", "_bh")
-        banded = banded.withColumn("_n", F.count(F.lit(1)).over(wc)).persist()
-        banded_small = banded.where(F.col("_n") <= max_bucket).drop("_n")
-        wo = Window.partitionBy("_b", "_bh").orderBy("_did")
-        chain = (
-            banded.where(F.col("_n") > max_bucket)
-            .withColumn("_prev", F.lag("_did").over(wo))
-            .where(F.col("_prev").isNotNull())
-            .select(F.col("_prev").alias("id_a"), F.col("_did").alias("id_b"))
-        )
+    banded, banded_small, chain = _split_hot_buckets(
+        banded, ["_b", "_bh"], max_bucket, [("_did", "id_a", "id_b")]
+    )
 
     left = banded_small.select("_b", "_bh", F.col("_did").alias("id_a"))
     right = banded_small.select("_b", "_bh", F.col("_did").alias("id_b"))
@@ -631,34 +688,12 @@ def simhash_pairs(
             )
         ).alias("_blk"),
     ).select("_did", "_sim", F.col("_blk.band").alias("_b"), F.col("_blk.blk").alias("_v"))
-
-    if max_bucket is None:
-        # unguarded (oracle-parity) path: cache the narrow relation for
-        # the two join sides
-        blocks = blocks.persist()
-        blocks_small, chain = blocks, None
-    else:
-        # same shape as the minhash guard: hot-bucket detection as a
-        # count window over the join keys inside the main plan — no
-        # driver collect, no separate detection job, and the cache
-        # comes out hash-partitioned on (_b, _v) so the self-join
-        # reuses the partitioning
-        wc = Window.partitionBy("_b", "_v")
-        blocks = blocks.withColumn("_n", F.count(F.lit(1)).over(wc)).persist()
-        blocks_small = blocks.where(F.col("_n") <= max_bucket).drop("_n")
-        wo = Window.partitionBy("_b", "_v").orderBy("_did")
-        chain = (
-            blocks.where(F.col("_n") > max_bucket)
-            .withColumn("_prev", F.lag("_did").over(wo))
-            .withColumn("_prev_sim", F.lag("_sim").over(wo))
-            .where(F.col("_prev").isNotNull())
-            .select(
-                F.col("_prev").alias("id_a"),
-                F.col("_did").alias("id_b"),
-                F.col("_prev_sim").alias("_sim_a"),
-                F.col("_sim").alias("_sim_b"),
-            )
-        )
+    blocks, blocks_small, chain = _split_hot_buckets(
+        blocks,
+        ["_b", "_v"],
+        max_bucket,
+        [("_did", "id_a", "id_b"), ("_sim", "_sim_a", "_sim_b")],
+    )
 
     a = blocks_small.select(
         "_b", "_v", F.col("_did").alias("id_a"), F.col("_sim").alias("_sim_a")
