@@ -1774,6 +1774,55 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("media_id").cast("int"))
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over REAL containers: per doc,
+    synthesize a 16×18 RGB texture (group = doc_id//4; the 4 variants
+    per group perturb one corner block), round-trip it through the PNG
+    codec (lossless, so decode is bit-exact), take the 64-bit
+    perceptual dHash (functions/media.py dhash64 — integer grayscale,
+    8×9 floor-mean grid, row-wise brightness-gradient bits), and emit
+    all pairs with Hamming ≤ 3 via the banded hamming_pairs operator
+    (bands=4 > max_hamming, so the pigeonhole banding is EXACT, and the
+    candidate join never goes O(n²)). The DuckDB oracle recomputes the
+    grid, the bits, and the brute-force pair set arithmetically from
+    the generation formula — a hash match proves decoder + dHash +
+    banded pair search end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from vearch_spark.functions.media import decode_png, dhash64, png_bytes
+    from vearch_spark.operators.dedup import hamming_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400).select("doc_id")
+
+    def hash_images(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, v = i // 4, i % 4
+                x, y = np.meshgrid(np.arange(18), np.arange(16))
+                img = np.stack(
+                    [
+                        (g * 37 + x * x * 7 + y * y * 11 + x * y * 13 + c * 19) % 256
+                        for c in range(3)
+                    ],
+                    -1,
+                )
+                img[:2, :2, :] = (img[:2, :2, :] + v * 3) % 256
+                # through the REAL container: encode → decode → hash
+                decoded = decode_png(png_bytes(img.astype(np.uint8)))
+                out.append((i, dhash64(decoded)))
+            yield pd.DataFrame(out, columns=["doc_id", "_h"])
+
+    hashed = docs.mapInPandas(hash_images, schema="doc_id long, _h long")
+    out = hamming_pairs(
+        hashed, hash_col="_h", id_col="doc_id", max_hamming=3, bands=4,
+        max_bucket=None,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 # Ordering contract: the driver's CORRECTNESS gate checks the FIRST 50
 # entries (observed in rounds 1 and 2: exactly queries()[0:50] got rows,
 # the rest were silently dropped). The first 50 below are therefore the
@@ -1852,6 +1901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_percentiles": q_length_percentiles,  # corpus stats: vocab_top_terms
     "doc_fingerprint": q_doc_fingerprint,  # fingerprint: simhash/minhash oracles
     "binary_hamming_knn": q_binary_hamming_knn,  # hamming kernel: binaryivf_knn
+    "image_near_dup": q_image_near_dup,  # PNG round-trip + dHash + banded hamming (full oracle)
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -3400,6 +3450,44 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS jpeg_ok
         FROM documents WHERE doc_id < 100
         ORDER BY doc_id
+    """
+    # image_near_dup: the Spark side goes through the REAL PNG codec
+    # (lossless round-trip) then dHash then banded hamming_pairs; the
+    # oracle recomputes the pooled grayscale grid, the 64 gradient
+    # bits, and the brute-force Hamming pair set arithmetically from
+    # the generation formula. bands=4 > max_hamming=3 makes the banded
+    # search EXACT (pigeonhole), so the sets must match pair-for-pair.
+    d["image_near_dup"] = """
+        WITH px AS (
+          SELECT doc_id, ci,
+            list_sum(list_transform(range(4), s ->
+              list_sum(list_transform(range(3), c ->
+                ((doc_id//4)*37
+                 + ((ci%9)*2 + s%2)*((ci%9)*2 + s%2)*7
+                 + ((ci//9)*2 + s//2)*((ci//9)*2 + s//2)*11
+                 + ((ci%9)*2 + s%2)*((ci//9)*2 + s//2)*13 + c*19
+                 + CASE WHEN ((ci%9)*2 + s%2) < 2 AND ((ci//9)*2 + s//2) < 2
+                        THEN (doc_id%4)*3 ELSE 0 END) % 256
+              )) // 3
+            )) // 4 AS cell
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 400) t, range(72) u(ci)
+        ),
+        grids AS (
+          SELECT doc_id, list(cell ORDER BY ci) AS grid FROM px GROUP BY doc_id
+        ),
+        bits AS (
+          SELECT doc_id, list_transform(range(64), k ->
+            (grid[(k//8)*9 + (k%8) + 2] > grid[(k//8)*9 + (k%8) + 1])::INT) AS b
+          FROM grids
+        ),
+        cand AS (
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 list_sum(list_transform(range(64), k ->
+                   CASE WHEN a.b[k+1] != b2.b[k+1] THEN 1 ELSE 0 END))::INT AS hamming
+          FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+        ORDER BY id_a, id_b
     """
     d["shard_export"] = """
         WITH b AS (

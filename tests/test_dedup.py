@@ -382,3 +382,36 @@ def test_hot_bucket_window_fallback_matches_broadcast_split(spark, monkeypatch):
     monkeypatch.setattr(dedup, "_HOT_KEY_CAP", 0)
     assert pairs(dedup.simhash_pairs) == via_broadcast_sim
     assert pairs(dedup.minhash_lsh_pairs) == via_broadcast_min
+
+
+def test_hamming_pairs_generalizes_simhash_banding(spark):
+    """hamming_pairs is the extracted banded-Hamming kernel: over a
+    hash column it must find exactly the brute-force pair set whenever
+    max_hamming <= bands-1 (pigeonhole exactness)."""
+    import itertools
+
+    import numpy as np
+
+    from vearch_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(5)
+    base = int(rng.integers(0, 2**63))
+    rows = []
+    for i in range(40):
+        h = base
+        for b in rng.choice(64, size=i % 5, replace=False):
+            h ^= 1 << int(b)
+        rows.append((i, h - (1 << 64) if h >= 1 << 63 else h))
+    df = spark.createDataFrame(rows, "doc_id long, _h long")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs(df, "_h", max_hamming=3, bands=4).collect()
+    )
+    want = []
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            want.append((ia, ib, d))
+    assert got == sorted(want)
+    with pytest.raises(ValueError, match="divide"):
+        hamming_pairs(df, "_h", bands=5)

@@ -440,3 +440,32 @@ def test_decode_image_dispatches_jpeg_magic():
     out = decode_image(jpeg_bytes(rgb, 95))
     assert out.shape == rgb.shape
     assert np.abs(out * 255.0 - rgb).max() <= 4.0
+
+
+def test_dhash64_properties():
+    """Perceptual-hash basics: deterministic, shape-validated, small
+    perturbations move few bits, structural changes move many."""
+    from vearch_spark.functions.media import dhash64
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+    h1 = dhash64(img)
+    assert h1 == dhash64(img)  # deterministic
+    assert isinstance(h1, int) and -(1 << 63) <= h1 < (1 << 63)  # signed 64
+    # gray path agrees with an all-equal-channel RGB image
+    gray = img[..., 0]
+    rgb_from_gray = np.repeat(gray[..., None], 3, axis=2)
+    assert dhash64(gray) == dhash64(rgb_from_gray)
+    # one corner-block tweak flips at most a few bits
+    tweaked = img.copy()
+    tweaked[:2, :2, :] = (tweaked[:2, :2, :].astype(int) + 9) % 256
+    ham = bin((h1 ^ dhash64(tweaked)) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6
+    # an unrelated image lands far away
+    other = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+    far = bin((h1 ^ dhash64(other)) & ((1 << 64) - 1)).count("1")
+    assert far > 10
+    with pytest.raises(ValueError, match="H%8"):
+        dhash64(np.zeros((10, 18), dtype=np.uint8))
+    with pytest.raises(ValueError, match="expected"):
+        dhash64(np.zeros((16, 18, 2), dtype=np.uint8))

@@ -891,6 +891,41 @@ def decode_image(content: bytes) -> np.ndarray:
     return decode_pgm(content).astype(np.float64) / 255.0
 
 
+def dhash64(pixels: np.ndarray | list) -> int:
+    """64-bit difference hash (perceptual image fingerprint): integer
+    grayscale ((r+g+b)//3), average-pool to an 8-row × 9-col grid
+    (floor mean; input dims must be exact multiples — this engine's
+    pipelines synthesize/resize to the grid, keeping the hash an exact
+    integer function any oracle can recompute), bit r·8+c set when
+    grid[r, c+1] > grid[r, c]. Near-identical images differ in few
+    bits, so Hamming ≤ t over this hash is image near-dup detection —
+    pairs via operators/dedup.py hamming_pairs. Returns a SIGNED int64
+    (bit 63 = sign) to match Spark/DuckDB BIGINT xor/bit_count
+    semantics."""
+    arr = np.asarray(pixels)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        g = (
+            arr[..., 0].astype(np.int64)
+            + arr[..., 1].astype(np.int64)
+            + arr[..., 2].astype(np.int64)
+        ) // 3
+    elif arr.ndim == 2:
+        g = arr.astype(np.int64)
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3), got {arr.shape}")
+    h, w = g.shape
+    if h % 8 or w % 9:
+        raise ValueError(f"dhash64 needs H%8==0 and W%9==0, got {h}x{w}")
+    bh, bw = h // 8, w // 9
+    grid = g.reshape(8, bh, 9, bw).sum(axis=(1, 3)) // (bh * bw)
+    bits = (grid[:, 1:] > grid[:, :-1]).ravel()  # row-major (8, 8)
+    val = 0
+    for k in range(64):
+        if bits[k]:
+            val |= 1 << k
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
 def register_media_decoders() -> None:
     """Plug the real codecs into the multimodal operator: 'audio' →
     RIFF PCM WAV, 'image' → PNG or netpbm (by magic). Other formats

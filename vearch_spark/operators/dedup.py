@@ -664,14 +664,38 @@ def simhash_pairs(
     disables (the DuckDB oracle runs unguarded; at the oracle SF no
     bucket is hot, so results are identical either way).
     """
+    sh = df.select(
+        F.col(id_col).alias(id_col), simhash64(text_col, token_hash).alias("_sim")
+    )
+    return hamming_pairs(
+        sh,
+        hash_col="_sim",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ ``max_hamming`` over any 64-bit
+    hash column (simhash, image dHash, audio fingerprint, …), via the
+    pigeonhole banding + exact-verify plan documented on
+    :func:`simhash_pairs`. Exact (not approximate) whenever
+    ``max_hamming ≤ bands − 1``."""
     if bands < 1 or 64 % bands != 0:
         # width=0 (bands>64) makes every block 0 — a full O(n²) cross
         # product; a non-divisor silently ignores the top bits
         raise ValueError(f"bands must divide 64: {bands}")
     width = 64 // bands
-    sh = df.select(
-        F.col(id_col).alias("_did"), simhash64(text_col, token_hash).alias("_sim")
-    )
+    sh = df.select(F.col(id_col).alias("_did"), F.col(hash_col).alias("_sim"))
     mask = F.lit((1 << width) - 1).cast("long")
     blocks = sh.select(
         "_did",
