@@ -1823,6 +1823,51 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection over REAL containers — the audio
+    analog of image_near_dup: per doc, synthesize a waveform (group =
+    doc_id//4; the 4 variants per group perturb one window), round-trip
+    it through a genuine RIFF/WAVE 16-bit PCM container (lossless), take
+    the 64-bit energy-envelope fingerprint (functions/media.py
+    audio_fingerprint64 — 65 integer window energies, sign-of-difference
+    bits), and emit pairs with Hamming ≤ 3 via the shared banded
+    hamming_pairs kernel (bands=4 > max_hamming → exact). The DuckDB
+    oracle recomputes window energies, bits, and the brute-force pair
+    set arithmetically from the generation formula."""
+    import numpy as np
+    import pandas as pd
+
+    from vearch_spark.functions.media import (
+        audio_fingerprint64,
+        decode_wav_pcm,
+        wav_bytes,
+    )
+    from vearch_spark.operators.dedup import hamming_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400).select("doc_id")
+
+    def hash_audio(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, v = i // 4, i % 4
+                w = 4 + g % 3
+                j = np.arange(65 * w)
+                s = ((g * 31 + j * 17 + np.where(j // w == 2, v * 7, 0)) % 4096) - 2048
+                # through the REAL container: encode → decode → hash
+                pcm = decode_wav_pcm(wav_bytes(s.astype(np.int16), 8000))
+                out.append((i, audio_fingerprint64(pcm)))
+            yield pd.DataFrame(out, columns=["doc_id", "_h"])
+
+    hashed = docs.mapInPandas(hash_audio, schema="doc_id long, _h long")
+    out = hamming_pairs(
+        hashed, hash_col="_h", id_col="doc_id", max_hamming=3, bands=4,
+        max_bucket=None,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 # Ordering contract: the driver's CORRECTNESS gate checks the FIRST 50
 # entries (observed in rounds 1 and 2: exactly queries()[0:50] got rows,
 # the rest were silently dropped). The first 50 below are therefore the
@@ -1902,6 +1947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,  # fingerprint: simhash/minhash oracles
     "binary_hamming_knn": q_binary_hamming_knn,  # hamming kernel: binaryivf_knn
     "image_near_dup": q_image_near_dup,  # PNG round-trip + dHash + banded hamming (full oracle)
+    "audio_near_dup": q_audio_near_dup,  # WAV round-trip + energy fingerprint + banded hamming (full oracle)
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -3479,6 +3525,36 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, list_transform(range(64), k ->
             (grid[(k//8)*9 + (k%8) + 2] > grid[(k//8)*9 + (k%8) + 1])::INT) AS b
           FROM grids
+        ),
+        cand AS (
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 list_sum(list_transform(range(64), k ->
+                   CASE WHEN a.b[k+1] != b2.b[k+1] THEN 1 ELSE 0 END))::INT AS hamming
+          FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+        ORDER BY id_a, id_b
+    """
+    # audio_near_dup: same proof shape as image_near_dup, audio modality
+    # (RIFF PCM round-trip → integer window energies → sign bits →
+    # banded Hamming; bands=4 > max_hamming=3 → exact)
+    d["audio_near_dup"] = """
+        WITH e AS (
+          SELECT doc_id, i,
+            list_sum(list_transform(range((4 + (doc_id//4) % 3)), k ->
+              abs((((doc_id//4)*31 + (i*(4 + (doc_id//4) % 3) + k)*17
+                    + CASE WHEN i = 2 THEN (doc_id%4)*7 ELSE 0 END) % 4096)
+                  - 2048)
+            )) AS energy
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 400) t, range(65) u(i)
+        ),
+        fp AS (
+          SELECT doc_id, list(energy ORDER BY i) AS es FROM e GROUP BY doc_id
+        ),
+        bits AS (
+          SELECT doc_id, list_transform(range(64), k ->
+            (es[k+2] > es[k+1])::INT) AS b
+          FROM fp
         ),
         cand AS (
           SELECT a.doc_id AS id_a, b2.doc_id AS id_b,

@@ -469,3 +469,35 @@ def test_dhash64_properties():
         dhash64(np.zeros((10, 18), dtype=np.uint8))
     with pytest.raises(ValueError, match="expected"):
         dhash64(np.zeros((16, 18, 2), dtype=np.uint8))
+
+
+def test_audio_fingerprint64_properties():
+    """Energy-envelope fingerprint: deterministic, survives the WAV
+    container round-trip, small perturbations move few bits."""
+    from vearch_spark.functions.media import (
+        audio_fingerprint64,
+        decode_wav_pcm,
+        wav_bytes,
+    )
+
+    rng = np.random.default_rng(13)
+    s = rng.integers(-2048, 2048, 65 * 5, dtype=np.int64)
+    h1 = audio_fingerprint64(s)
+    assert h1 == audio_fingerprint64(s)
+    assert isinstance(h1, int) and -(1 << 63) <= h1 < (1 << 63)
+    # through a real RIFF container: identical (PCM is lossless)
+    pcm = decode_wav_pcm(wav_bytes(s.astype(np.int16), 8000))
+    assert audio_fingerprint64(pcm) == h1
+    # boosting one window flips at most its two boundary bits
+    tweaked = s.copy()
+    tweaked[10 * 5 : 11 * 5] = np.clip(tweaked[10 * 5 : 11 * 5] * 2, -2048, 2047)
+    ham = bin((h1 ^ audio_fingerprint64(tweaked)) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2
+    # unrelated audio lands far away
+    other = rng.integers(-2048, 2048, 65 * 5, dtype=np.int64)
+    far = bin((h1 ^ audio_fingerprint64(other)) & ((1 << 64) - 1)).count("1")
+    assert far > 10
+    with pytest.raises(ValueError, match="too short"):
+        audio_fingerprint64(np.arange(10))
+    with pytest.raises(ValueError, match="chunks"):
+        audio_fingerprint64(s, chunks=32)

@@ -891,6 +891,40 @@ def decode_image(content: bytes) -> np.ndarray:
     return decode_pgm(content).astype(np.float64) / 255.0
 
 
+def _pack_bits64(bits) -> int:
+    """Pack 64 binary values (bit k = index k) into a SIGNED int64 —
+    the layout Spark/DuckDB BIGINT xor + bit_count operate on."""
+    val = 0
+    for k in range(64):
+        if bits[k]:
+            val |= 1 << k
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def audio_fingerprint64(pcm: np.ndarray | list, chunks: int = 65) -> int:
+    """64-bit audio fingerprint over integer PCM: split the (first
+    channel of the) waveform into ``chunks`` equal windows (the tail
+    past chunks·⌊n/chunks⌋ is dropped), take each window's integer
+    energy Σ|s|, and set bit k when energy[k+1] > energy[k] — the
+    energy-envelope analog of the image dHash (Haitsma-Kalker-style
+    sign-of-difference coding, reduced to exact integer ops so any
+    oracle can recompute it). Near-identical recordings differ in few
+    bits; pairs via operators/dedup.py hamming_pairs. Returns a SIGNED
+    int64 like :func:`dhash64`."""
+    if chunks != 65:
+        raise ValueError("audio_fingerprint64 emits 64 bits: chunks must be 65")
+    arr = np.asarray(pcm, dtype=np.int64)
+    if arr.ndim == 2:
+        arr = arr[:, 0]
+    elif arr.ndim != 1:
+        raise ValueError(f"expected (n,) or (n, channels) PCM, got {arr.shape}")
+    w = len(arr) // chunks
+    if w < 1:
+        raise ValueError(f"waveform too short for {chunks} windows: {len(arr)}")
+    e = np.abs(arr[: chunks * w]).reshape(chunks, w).sum(axis=1)
+    return _pack_bits64((e[1:] > e[:-1]).astype(np.int64))
+
+
 def dhash64(pixels: np.ndarray | list) -> int:
     """64-bit difference hash (perceptual image fingerprint): integer
     grayscale ((r+g+b)//3), average-pool to an 8-row × 9-col grid
@@ -918,12 +952,7 @@ def dhash64(pixels: np.ndarray | list) -> int:
         raise ValueError(f"dhash64 needs H%8==0 and W%9==0, got {h}x{w}")
     bh, bw = h // 8, w // 9
     grid = g.reshape(8, bh, 9, bw).sum(axis=(1, 3)) // (bh * bw)
-    bits = (grid[:, 1:] > grid[:, :-1]).ravel()  # row-major (8, 8)
-    val = 0
-    for k in range(64):
-        if bits[k]:
-            val |= 1 << k
-    return val - (1 << 64) if val >= 1 << 63 else val
+    return _pack_bits64((grid[:, 1:] > grid[:, :-1]).ravel())  # row-major (8, 8)
 
 
 def register_media_decoders() -> None:
