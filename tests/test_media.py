@@ -501,3 +501,70 @@ def test_audio_fingerprint64_properties():
         audio_fingerprint64(np.arange(10))
     with pytest.raises(ValueError, match="chunks"):
         audio_fingerprint64(s, chunks=32)
+
+
+def test_decoders_fuzz_corruption_typed_errors_only():
+    """Scraped corpora contain corrupt bytes: every decoder must either
+    succeed or raise ValueError — never struct.error / zlib.error /
+    KeyError / IndexError — under single-byte corruption and random
+    truncation of valid containers."""
+    from vearch_spark.functions.media import (
+        decode_jpeg,
+        decode_pgm,
+        decode_png,
+        decode_wav_pcm,
+        jpeg_bytes,
+        jpeg_info,
+        pgm_bytes,
+        png_bytes,
+        png_info,
+        wav_bytes,
+        wav_info,
+    )
+
+    rng = np.random.default_rng(17)
+    rgb = _gradient_rgb(16, 18)
+    blobs = {
+        decode_png: png_bytes(rgb),
+        decode_jpeg: jpeg_bytes(rgb, 88),
+        decode_pgm: pgm_bytes(rgb[..., 0]),
+        decode_wav_pcm: wav_bytes(
+            rng.integers(-3000, 3000, 200).astype(np.int16)
+        ),
+        png_info: png_bytes(rgb),
+        jpeg_info: jpeg_bytes(rgb, 88),
+        wav_info: wav_bytes(rng.integers(-3000, 3000, 200).astype(np.int16)),
+    }
+    for decode, blob in blobs.items():
+        for _ in range(120):
+            bad = bytearray(blob)
+            if rng.integers(2):
+                bad[int(rng.integers(len(bad)))] = int(rng.integers(256))
+            else:
+                bad = bad[: int(rng.integers(1, len(bad)))]
+            try:
+                decode(bytes(bad))
+            except ValueError:
+                pass  # the ONLY legal failure mode
+
+
+def test_image_decoders_reject_decompression_bombs():
+    """A hostile header claiming giant dims must raise before any
+    giant allocation (both PNG and JPEG)."""
+    import struct as _s
+    import zlib as _z
+
+    from vearch_spark.functions.media import decode_jpeg, decode_png, jpeg_bytes, png_bytes
+
+    blob = bytearray(png_bytes(np.zeros((4, 4), dtype=np.uint8)))
+    blob[16:24] = _s.pack(">II", 60000, 60000)  # IHDR w, h
+    body = bytes(blob[12:29])
+    blob[29:33] = _s.pack(">I", _z.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(bytes(blob))
+
+    jb = bytearray(jpeg_bytes(np.zeros((4, 4), dtype=np.uint8), 80))
+    i = jb.find(b"\xff\xc0")
+    jb[i + 5 : i + 9] = _s.pack(">HH", 60000, 60000)  # SOF h, w
+    with pytest.raises(ValueError, match="too large"):
+        decode_jpeg(bytes(jb))

@@ -36,12 +36,34 @@ containers deterministically.
 
 from __future__ import annotations
 
+import functools
 import io
 import struct
 import wave
 import zlib
 
 import numpy as np
+
+
+def _typed_decode_errors(fn):
+    """Corrupt bytes must surface as ValueError, never as the stdlib's
+    incidental exception zoo (struct.error, zlib.error, wave.Error,
+    KeyError/IndexError from malformed tables) — a pipeline over
+    scraped corpora filters decode failures by type."""
+
+    @functools.wraps(fn)
+    def wrapped(content, *a, **kw):
+        try:
+            return fn(content, *a, **kw)
+        except ValueError:
+            raise
+        except (struct.error, zlib.error, wave.Error, EOFError, KeyError,
+                IndexError, OSError, RuntimeError) as exc:
+            # RuntimeError/OSError: the stdlib wave/chunk modules raise
+            # both bare on corrupt chunk lengths and seeks
+            raise ValueError(f"corrupt {fn.__name__} payload: {exc}") from exc
+
+    return wrapped
 
 # ------------------------------------------------------------------ WAV
 
@@ -61,6 +83,7 @@ def wav_bytes(
     return buf.getvalue()
 
 
+@_typed_decode_errors
 def wav_info(content: bytes) -> dict:
     """Container metadata without decoding the payload: sample_rate,
     channels, sampwidth (bytes), n_frames, duration_ms."""
@@ -76,6 +99,7 @@ def wav_info(content: bytes) -> dict:
         }
 
 
+@_typed_decode_errors
 def decode_wav_pcm(content: bytes) -> np.ndarray:
     """Decode RIFF PCM to the raw integer sample matrix
     (n_frames, channels) — exact, no float rounding: 8-bit unsigned is
@@ -104,6 +128,7 @@ def decode_wav_pcm(content: bytes) -> np.ndarray:
     return x.reshape(-1, ch)
 
 
+@_typed_decode_errors
 def decode_wav(content: bytes) -> np.ndarray:
     """Decoder-contract form (register_decoder: bytes → (samples,)):
     mono-mixed waveform as float64 in [-1, 1) — channel mean divided by
@@ -157,6 +182,7 @@ def _pbm_tokens(content: bytes, n: int) -> tuple[list[int], int]:
     return out, pos + 1  # exactly ONE whitespace byte before the payload
 
 
+@_typed_decode_errors
 def decode_pgm(content: bytes) -> np.ndarray:
     """Decode binary netpbm (P5 grayscale → (H, W); P6 RGB →
     (H, W, 3)) with maxval ≤ 255. Exact uint8 pixels."""
@@ -182,6 +208,12 @@ def decode_pgm(content: bytes) -> np.ndarray:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+# decompression-bomb guard shared by the image decoders: a corrupt or
+# hostile header must not drive a giant allocation — scraped corpora
+# contain both. 64M pixels ≈ a 256 MB RGBA buffer, far above any
+# legitimate training-data thumbnail and far below executor memory.
+_MAX_DECODE_PIXELS = 1 << 26
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -297,6 +329,7 @@ def png_bytes(pixels: np.ndarray | list, filters: int | list[int] | None = None)
     )
 
 
+@_typed_decode_errors
 def png_info(content: bytes) -> dict:
     """IHDR metadata without inflating the payload."""
     if content[:8] != _PNG_SIG:
@@ -316,6 +349,7 @@ def png_info(content: bytes) -> dict:
     }
 
 
+@_typed_decode_errors
 def decode_png(content: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to exact uint8 pixels:
     (H, W) for gray, (H, W, C) for gray+alpha / RGB / RGBA. Chunk CRCs
@@ -349,6 +383,8 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(f"image too large to decode: {w}x{h}")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
@@ -720,6 +756,7 @@ def _extend(v: int, size: int) -> int:
     return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+@_typed_decode_errors
 def jpeg_info(content: bytes) -> dict:
     """Frame metadata from the SOF marker without entropy decoding."""
     hdr = _jpeg_parse_headers(content, info_only=True)
@@ -801,6 +838,7 @@ def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
     raise ValueError("JPEG missing SOS/SOF")
 
 
+@_typed_decode_errors
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG to uint8 pixels: (H, W) for
     grayscale, (H, W, 3) RGB for 3-component YCbCr. Requires 8-bit
@@ -818,6 +856,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if any(c["h"] != 1 or c["v"] != 1 for c in st["comps"]):
         raise ValueError("subsampled JPEG (non-4:4:4) not supported")
     h, w = st["height"], st["width"]
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(f"image too large to decode: {w}x{h}")
     bh, bw = -(-h // 8), -(-w // 8)
     scan_by_id = dict(
         (cid, (td_ta >> 4, td_ta & 0x0F)) for cid, td_ta in st["scan"]
