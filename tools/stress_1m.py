@@ -7,7 +7,10 @@ builds the IVFFLAT index, and reports build time, exact-scan vs
 pruned-probe latency, and tie-aware recall@10 — the numbers behind
 SCALE.md's "pruning cuts the scan by nprobe/ncentroids" claim.
 
-Usage: python tools/stress_1m.py [N] [ncentroids] [nprobe]
+Usage: python tools/stress_1m.py [N] [ncentroids] [nprobe] [kind] [dim]
+kind ∈ {flat, two_level, scann, ivfpq}; dim defaults to 64 — dim=512
+with kind=ivfpq, ncentroids=1024, nprobe=40 mirrors the reference's
+published VGG1M configuration (benchs/README.md:108-116).
 Prints one JSON line.
 """
 
@@ -25,7 +28,9 @@ import pandas as pd  # noqa: E402  (module-level: pandas_udf type hints)
 
 DIM = 64
 N_CLUSTERS = 256  # data-generating mixture components
-NQ = 20
+# override for high-dim runs where the exact ground-truth scans
+# dominate wall-clock (512-dim VGG config: ~25 s/query at 1M)
+NQ = int(os.environ.get("STRESS_1M_NQ", "20"))
 
 
 def make_df(spark, n: int, dim: int = DIM):
@@ -58,6 +63,7 @@ def main() -> None:
     # same TOTAL cell count (k1 = k2 = sqrt(ncentroids)), evidencing the
     # >64k-centroid scale path at measurable size
     kind = sys.argv[4] if len(sys.argv) > 4 else "flat"
+    dim = int(sys.argv[5]) if len(sys.argv) > 5 else DIM
 
     from vearch_spark.operators import topk
     from vearch_spark.operators.ivf import IVFFlatIndex, TwoLevelIVFFlatIndex
@@ -65,12 +71,12 @@ def main() -> None:
     from vearch_spark.session import get_spark
 
     spark = get_spark(app_name="stress-1m")
-    df, centers = make_df(spark, n)
+    df, centers = make_df(spark, n, dim)
     df = df.persist()
     df.count()
 
     queries = centers[np.random.default_rng(3).integers(0, N_CLUSTERS, NQ)] + \
-        np.random.default_rng(4).normal(0.0, 1.5, size=(NQ, DIM))
+        np.random.default_rng(4).normal(0.0, 1.5, size=(NQ, dim))
 
     if kind == "two_level":
         k_side = max(2, int(round(ncentroids**0.5)))
@@ -93,6 +99,19 @@ def main() -> None:
         index = ScannIndex(
             "embedding", Metric.L2, ncentroids=ncentroids, nprobe=nprobe,
             nsubvector=16, rerank_k=max(1000, int(probed * 0.032)),
+            id_col="vec_id", coarse_train_sample=65_536,
+        )
+    elif kind == "ivfpq":
+        from vearch_spark.operators.ivf import IVFPQIndex
+
+        # the reference's published "Vearch" recall config: modified
+        # IVFPQ + exact rerank, nbytes=64 → nsubvector=64
+        # (benchs/README.md:84-129); rerank pool sized like the SCANN
+        # row — a fixed fraction of the probed set
+        probed = max(1, int(n * nprobe / ncentroids))
+        index = IVFPQIndex(
+            "embedding", Metric.L2, ncentroids=ncentroids, nprobe=nprobe,
+            nsubvector=64, rerank_k=max(1000, int(probed * 0.032)),
             id_col="vec_id", coarse_train_sample=65_536,
         )
     else:
@@ -172,6 +191,8 @@ def main() -> None:
         # two-level kinds both reload as the base class (the two-level
         # save IS a flat ncentroids=k1*k2 assignment table by contract)
         from vearch_spark.operators.ivf import ScannIndex as _LoadCls
+    elif kind == "ivfpq":
+        from vearch_spark.operators.ivf import IVFPQIndex as _LoadCls
     else:
         _LoadCls = IVFFlatIndex
     loaded = _LoadCls.load(spark, path)
@@ -183,7 +204,7 @@ def main() -> None:
     shutil.rmtree(path)
 
     print(json.dumps({
-        "n": n, "dim": DIM, "ncentroids": ncentroids, "nprobe": nprobe,
+        "n": n, "dim": dim, "ncentroids": ncentroids, "nprobe": nprobe,
         "index_build_s": round(t_build, 2),
         "index_save_s": round(t_save, 2),
         "exact_scan_s_per_query": round(t_exact, 3),
