@@ -651,7 +651,19 @@ class IVFRaBitQIndex(IVFFlatIndex):
 
 class IVFPQIndex(IVFFlatIndex):
     """IVFPQ with ADC scoring + exact rerank (the published Vearch
-    config: ncentroids, nprobe, nsubvector — space.go:76-85)."""
+    config: ncentroids, nprobe, nsubvector — space.go:76-85).
+
+    ``by_residual`` (default True, matching faiss IndexIVFPQ which the
+    gamma engine wraps — gamma_index_ivfpq.cc): PQ codes quantize the
+    RESIDUAL x − centroid(cell), and the ADC table is built per probed
+    cell from the query's residual against that cell. Raw-vector PQ
+    (by_residual=False) looks fine on low-dim data but collapses on
+    high-dim clustered corpora: the cluster offset dominates every
+    code, same-cell candidates become ADC-indistinguishable, and the
+    rerank pool degrades to a random sample of the cell — measured at
+    the reference's published VGG1M config (1M×512, ncentroids=1024,
+    nprobe=40, nsubvector=64): recall@10 0.44 raw vs the residual
+    form's (see SCALE.md)."""
 
     def __init__(
         self,
@@ -667,6 +679,7 @@ class IVFPQIndex(IVFFlatIndex):
         train_sample: int = 65_536,
         id_col: str = ID_FIELD,
         seed: int = 42,
+        by_residual: bool = True,
         **_: object,
     ):
         super().__init__(vector_col, metric, ncentroids, nprobe, id_col=id_col, seed=seed)
@@ -674,12 +687,29 @@ class IVFPQIndex(IVFFlatIndex):
         self.ksub = 2**nbits
         self.rerank_k = rerank_k
         self.train_sample = train_sample
+        self.by_residual = by_residual
         self.codebooks: np.ndarray | None = None  # (nsub, ksub, dsub)
+
+    def _residualize(self, x: np.ndarray) -> np.ndarray:
+        """x − nearest-centroid(x), chunked so the distance matrix
+        never exceeds ~64 MB driver-side."""
+        out = np.empty_like(x)
+        c2 = (self.centroids**2).sum(axis=1)[None, :]
+        step = max(1, (1 << 23) // max(1, len(self.centroids)))
+        for lo in range(0, len(x), step):
+            blk = x[lo : lo + step]
+            d = (blk**2).sum(axis=1)[:, None] - 2.0 * (blk @ self.centroids.T) + c2
+            out[lo : lo + step] = blk - self.centroids[d.argmin(axis=1)]
+        return out
 
     def _train_encoders(self, sample: np.ndarray) -> None:
         # reuse the coarse training sample for the PQ codebooks (same
-        # distribution, skips a second driver-side collect job)
+        # distribution, skips a second driver-side collect job); with
+        # by_residual the codebooks quantize residual space, like
+        # faiss's IndexIVFPQ train_residual
         x = sample[: self.train_sample]
+        if self.by_residual:
+            x = self._residualize(x)
         dim = x.shape[1]
         if dim % self.nsubvector:
             raise SearchError(
@@ -694,8 +724,11 @@ class IVFPQIndex(IVFFlatIndex):
         )
 
     def _query_lut(self, query: Sequence[float]) -> np.ndarray:
-        """Per-query (nsub, ksub) ADC partial-score table — float64
-        exact; the FastScan subclass quantizes it."""
+        """Per-query (nsub, ksub) ADC partial-score table against the
+        RAW query (no residual) — float64 exact; the FastScan subclass
+        quantizes it. Kept as the shared building block: with
+        by_residual the per-cell tables in :meth:`_pq_cell_luts` are
+        this same computation over each probed cell's query residual."""
         q = np.asarray(query, dtype=np.float64)
         nsub, _, dsub = self.codebooks.shape
         if self.metric is Metric.L2:
@@ -709,6 +742,38 @@ class IVFPQIndex(IVFFlatIndex):
             [self.codebooks[i] @ q[i * dsub : (i + 1) * dsub] for i in range(nsub)]
         )
 
+    def _pq_cell_luts(
+        self, query: Sequence[float], cells: list[int]
+    ) -> tuple[np.ndarray, np.ndarray, float]:
+        """ADC tables for the probed cells: (luts (m, nsub·ksub),
+        add_back (m,), scale) with
+        score ≈ lut_gather_sum · scale + add_back[cell].
+
+        by_residual + L2: per-cell table over the query residual
+        q − centroid(cell) (faiss IndexIVFPQ by_residual). by_residual
+        + IP: q·x = q·c + q·residual, so one shared table over q plus a
+        per-cell q·c add-back. Raw PQ: the cell-independent table,
+        replicated. The float base form returns scale=1.0; FastScan
+        overrides with the int8-quantized form."""
+        q = np.asarray(query, dtype=np.float64)
+        nsub, ksub, dsub = self.codebooks.shape
+        m = len(cells)
+        add_back = np.zeros(m, dtype=np.float64)
+        if self.by_residual and self.metric is Metric.L2:
+            luts = np.empty((m, nsub, ksub), dtype=np.float64)
+            for ci, cell in enumerate(cells):
+                qr = q - self.centroids[cell]
+                for i in range(nsub):
+                    blk = qr[i * dsub : (i + 1) * dsub]
+                    luts[ci, i] = ((self.codebooks[i] - blk) ** 2).sum(axis=1)
+        else:
+            base = self._query_lut(query)  # raw-q table (nsub, ksub)
+            luts = np.broadcast_to(base, (m, nsub, ksub)).copy()
+            if self.by_residual:  # IP: fold q·centroid back per cell
+                for ci, cell in enumerate(cells):
+                    add_back[ci] = float(q @ self.centroids[cell])
+        return luts.reshape(m, nsub * ksub), add_back, 1.0
+
     def _augment(self, assigned: DataFrame) -> DataFrame:
         # assign PQ codes, Arrow-batched (closure must not capture
         # self — it holds unpicklable DataFrames)
@@ -717,10 +782,15 @@ class IVFPQIndex(IVFFlatIndex):
         cb = self.codebooks
         nsub, _, dsub_ = cb.shape
         vcol = self.vector_col
+        cents = self.centroids if self.by_residual else None
 
         def encode(batches):
             for pdf in batches:
                 vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vcol]])
+                if cents is not None and len(vecs):
+                    # residual PQ: codes quantize x − centroid(cell);
+                    # the row's cell id is already assigned upstream
+                    vecs = vecs - cents[pdf[CLUSTER_COL].to_numpy()]
                 codes = np.empty((len(vecs), nsub), dtype=np.int32)
                 for i in range(nsub):
                     sub = vecs[:, i * dsub_ : (i + 1) * dsub_]
@@ -753,7 +823,8 @@ class IVFPQIndex(IVFFlatIndex):
         np.save(os.path.join(path, "codebooks.npy"), self.codebooks)
         with open(os.path.join(path, "pq.json"), "w") as fh:
             _json.dump({"nsubvector": self.nsubvector, "ksub": self.ksub,
-                        "rerank_k": self.rerank_k}, fh)
+                        "rerank_k": self.rerank_k,
+                        "by_residual": self.by_residual}, fh)
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFPQIndex":
@@ -771,6 +842,8 @@ class IVFPQIndex(IVFFlatIndex):
             nsubvector=pq["nsubvector"],
             rerank_k=pq["rerank_k"],
             id_col=base.id_col,
+            # saves from before the residual default carried raw codes
+            by_residual=pq.get("by_residual", False),
         )
         idx.ksub = pq["ksub"]
         idx.centroids = base.centroids
@@ -802,23 +875,32 @@ class IVFPQIndex(IVFFlatIndex):
         if flt is not None:
             pruned = pruned.where(flt)
 
-        # ADC lookup table for this query: (nsub, ksub) partial scores
-        # (the FastScan subclass overrides _query_lut with the
-        # int8-quantized form — same gather+sum kernel either way)
-        flat_lut = self._query_lut(query).ravel()
+        # per-probed-cell ADC tables (residual-aware; the FastScan
+        # subclass overrides _pq_cell_luts with the int8-quantized
+        # form — same gather+sum kernel either way)
+        luts, add_back, scale = self._pq_cell_luts(query, list(cells))
+        cell_idx = {int(c): j for j, c in enumerate(cells)}
         nsub, ksub, _ = self.codebooks.shape
         offsets = (np.arange(nsub) * ksub).astype(np.int64)
 
         from pyspark.sql.pandas.functions import pandas_udf
 
         @pandas_udf("double")
-        def adc(codes: pd.Series) -> pd.Series:
+        def adc(cl: pd.Series, codes: pd.Series) -> pd.Series:
             if len(codes) == 0:
                 return pd.Series([], dtype="float64")
             mat = np.stack(codes.to_numpy())
-            return pd.Series(flat_lut[mat + offsets].sum(axis=1))
+            cj = np.fromiter(
+                (cell_idx[int(c)] for c in cl.to_numpy()), dtype=np.int64,
+                count=len(mat),
+            )
+            out = np.empty(len(mat), dtype=np.float64)
+            for j in np.unique(cj):
+                msk = cj == j
+                out[msk] = luts[j][mat[msk] + offsets].sum(axis=1)
+            return pd.Series(out * scale + add_back[cj])
 
-        approx = pruned.withColumn("_adc", adc(F.col(CODES_COL)))
+        approx = pruned.withColumn("_adc", adc(F.col(CLUSTER_COL), F.col(CODES_COL)))
         # candidates must cover the page the caller will slice
         # (topk.search applies .offset(offset).limit(limit) downstream)
         rerank_k = max(self.rerank_k or max(limit * 4, 64), offset + limit)
@@ -882,6 +964,25 @@ class IVFPQFastScanIndex(IVFPQIndex):
             return np.zeros_like(lut, dtype=np.int32)
         q = np.round((lut - bias) * (255.0 / spread))
         return q.astype(np.int32)
+
+    def _pq_cell_luts(
+        self, query: Sequence[float], cells: list[int]
+    ) -> tuple[np.ndarray, np.ndarray, float]:
+        # quantize the residual-aware per-cell tables the same way:
+        # per-(cell, subquantizer) bias + ONE global scale, bias sums
+        # folded into the per-cell add-back so screen scores stay
+        # comparable ACROSS cells (the ScannIndex INT8_LUT16 shape)
+        luts, add_back, _ = super()._pq_cell_luts(query, cells)
+        m = luts.shape[0]
+        l3 = luts.reshape(m, self.nsubvector, self.ksub)
+        bias = l3.min(axis=2, keepdims=True)
+        spread = float((l3 - bias).max())
+        back = add_back + bias.sum(axis=1).ravel()
+        if spread == 0.0:
+            return np.zeros_like(l3, dtype=np.int32).reshape(m, -1), back, 1.0
+        scale = spread / 255.0
+        iq = np.round((l3 - bias) / scale).astype(np.int32)
+        return iq.reshape(m, -1), back, scale
 
 
 class ScannIndex(IVFPQIndex):
