@@ -499,8 +499,6 @@ def test_audio_fingerprint64_properties():
     assert far > 10
     with pytest.raises(ValueError, match="too short"):
         audio_fingerprint64(np.arange(10))
-    with pytest.raises(ValueError, match="chunks"):
-        audio_fingerprint64(s, chunks=32)
 
 
 def test_decoders_fuzz_corruption_typed_errors_only():
@@ -568,3 +566,30 @@ def test_image_decoders_reject_decompression_bombs():
     jb[i + 5 : i + 9] = _s.pack(">HH", 60000, 60000)  # SOF h, w
     with pytest.raises(ValueError, match="too large"):
         decode_jpeg(bytes(jb))
+
+
+def test_jpeg_tolerates_fill_bytes_and_bounds_inflate():
+    """T.81 B.1.1.2: markers may be padded by any number of 0xFF fill
+    bytes — real encoders emit them; and a zlib bomb behind an honest
+    small PNG header must be rejected without materializing."""
+    import zlib as _z
+
+    from vearch_spark.functions.media import decode_jpeg, decode_png, jpeg_bytes
+
+    rgb = _gradient_rgb(12, 14)
+    blob = jpeg_bytes(rgb, 90)
+    base = decode_jpeg(blob)
+    # insert two fill bytes before the DQT marker
+    i = blob.find(b"\xff\xdb")
+    padded = blob[:i] + b"\xff\xff" + blob[i:]
+    assert np.array_equal(decode_jpeg(padded), base)
+
+    # honest 4x4 IHDR, but IDAT inflates to ~1 MB (bomb)
+    from vearch_spark.functions.media import _png_chunk, _PNG_SIG
+    import struct as _s
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = _z.compress(b"\x00" * 1_000_000, 9)
+    blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(blob)

@@ -209,11 +209,15 @@ def decode_pgm(content: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
 
-# decompression-bomb guard shared by the image decoders: a corrupt or
-# hostile header must not drive a giant allocation — scraped corpora
-# contain both. 64M pixels ≈ a 256 MB RGBA buffer, far above any
-# legitimate training-data thumbnail and far below executor memory.
+# decompression-bomb guards: a corrupt or hostile header must not
+# drive a giant allocation or an unbounded decode loop — scraped
+# corpora contain both. PNG decodes into uint8 rows (64M px ≈ 256 MB
+# RGBA); JPEG decodes through float64 planes plus a per-block Python
+# loop, ~20× the footprint and far more CPU per pixel, so its cap is
+# proportionally lower (4M px = 2048×2048, still far above any
+# training-data thumbnail).
 _MAX_DECODE_PIXELS = 1 << 26
+_MAX_JPEG_PIXELS = 1 << 22
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -386,9 +390,15 @@ def decode_png(content: bytes) -> np.ndarray:
     if w * h > _MAX_DECODE_PIXELS:
         raise ValueError(f"image too large to decode: {w}x{h}")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    # bounded inflate: an honest-header zlib bomb (a small IDAT can
+    # inflate ~1032:1) must not materialize past the geometry's exact
+    # byte count — cap the decompressor at expected+1 and reject both
+    # overflow and leftover compressed tail
+    expect = h * (stride + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expect + 1)
+    if len(raw) != expect or dec.unconsumed_tail or dec.decompress(b"", 1):
         raise ValueError(
             f"PNG payload size mismatch: {len(raw)} != {h}*({stride}+1)"
         )
@@ -781,6 +791,10 @@ def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — real encoders emit them; skip, don't misparse
+        while pos + 2 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -856,7 +870,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if any(c["h"] != 1 or c["v"] != 1 for c in st["comps"]):
         raise ValueError("subsampled JPEG (non-4:4:4) not supported")
     h, w = st["height"], st["width"]
-    if w * h > _MAX_DECODE_PIXELS:
+    if w * h > _MAX_JPEG_PIXELS:
         raise ValueError(f"image too large to decode: {w}x{h}")
     bh, bw = -(-h // 8), -(-w // 8)
     scan_by_id = dict(
@@ -941,9 +955,9 @@ def _pack_bits64(bits) -> int:
     return val - (1 << 64) if val >= 1 << 63 else val
 
 
-def audio_fingerprint64(pcm: np.ndarray | list, chunks: int = 65) -> int:
+def audio_fingerprint64(pcm: np.ndarray | list) -> int:
     """64-bit audio fingerprint over integer PCM: split the (first
-    channel of the) waveform into ``chunks`` equal windows (the tail
+    channel of the) waveform into 65 equal windows (the tail
     past chunks·⌊n/chunks⌋ is dropped), take each window's integer
     energy Σ|s|, and set bit k when energy[k+1] > energy[k] — the
     energy-envelope analog of the image dHash (Haitsma-Kalker-style
@@ -951,8 +965,7 @@ def audio_fingerprint64(pcm: np.ndarray | list, chunks: int = 65) -> int:
     oracle can recompute it). Near-identical recordings differ in few
     bits; pairs via operators/dedup.py hamming_pairs. Returns a SIGNED
     int64 like :func:`dhash64`."""
-    if chunks != 65:
-        raise ValueError("audio_fingerprint64 emits 64 bits: chunks must be 65")
+    chunks = 65  # 64 difference bits need exactly 65 windows
     arr = np.asarray(pcm, dtype=np.int64)
     if arr.ndim == 2:
         arr = arr[:, 0]
