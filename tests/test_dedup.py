@@ -415,3 +415,61 @@ def test_hamming_pairs_generalizes_simhash_banding(spark):
     assert got == sorted(want)
     with pytest.raises(ValueError, match="divide"):
         hamming_pairs(df, "_h", bands=5)
+
+
+def test_hamming_pairs_property_exactness(spark):
+    """Hypothesis sweep: for any hash multiset and any max_hamming <
+    bands, the UNGUARDED banded plan emits EXACTLY the brute-force
+    pair set (pigeonhole), and the guarded plan (tiny max_bucket, so
+    clone floods divert to the chain) emits a SUBSET — the chain trades
+    pair exhaustiveness for linear emission, documented on
+    simhash_pairs — with perfect precision."""
+    import itertools
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vearch_spark.operators.dedup import hamming_pairs
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(5, 40),
+        max_hamming=st.integers(0, 3),
+        dup_rate=st.sampled_from([0, 3]),
+    )
+    def check(seed, n, max_hamming, dup_rate):
+        rng = np.random.default_rng(seed)
+        base = int(rng.integers(0, 2**63))
+        rows = []
+        for i in range(n):
+            if dup_rate and i % dup_rate == 0:
+                h = base  # exact clones → hamming-0 pairs + hot buckets
+            else:
+                h = base
+                for b in rng.choice(64, size=int(rng.integers(0, 7)), replace=False):
+                    h ^= 1 << int(b)
+            rows.append((i, h - (1 << 64) if h >= 1 << 63 else h))
+        df = spark.createDataFrame(rows, "doc_id long, _h long")
+        want = sorted(
+            (ia, ib, bin((ha ^ hb) & ((1 << 64) - 1)).count("1"))
+            for (ia, ha), (ib, hb) in itertools.combinations(rows, 2)
+            if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= max_hamming
+        )
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs(
+                df, "_h", max_hamming=max_hamming, bands=4, max_bucket=None
+            ).collect()
+        )
+        assert got == want
+        guarded = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs(
+                df, "_h", max_hamming=max_hamming, bands=4, max_bucket=5
+            ).collect()
+        )
+        assert set(guarded) <= set(want)  # chain never invents pairs
+
+    check()
