@@ -77,6 +77,19 @@ def main() -> None:
         "sf": sf,
         # full-payload only (the compact driver line drops this)
         "notes": {
+            "simhash_dedup": (
+                "r6: the skew guard's residual cost is ONE groupBy-count "
+                "detection job over the cached banded relation "
+                "(~0.2-0.3s at sf0.1 on this query's sha256 oracle "
+                "variant; minhash pays the same). Both alternatives "
+                "were measured and rejected: always-on anti/semi joins "
+                "(r5's +0.5s regression) and folding detection into a "
+                "count window (2x slower on the clone-heavy sf1 corpus "
+                "- it must sort the full relation including the hot "
+                "partition; kept only as the >64k-hot-keys driver-"
+                "safety fallback). See SCALE.md and dedup.py "
+                "_split_hot_buckets."
+            ),
             "ivfrabitq_knn": (
                 "r4->r5 0.5->0.8 wobble root-caused (r6): the assigned "
                 "cache survives every pre-build (re-count 0.08s after all "
