@@ -487,3 +487,70 @@ def test_fastscan_declared_space_builds_real_fastscan(spark):
     assert sp._indexes["v"].ksub == 16
     got = sp.search(vector=[3.0, 3.0] * 4, limit=5, is_brute_search=0).collect()
     assert len(got) == 5
+
+
+def test_ivfpq_inner_product_residual_paths(spark):
+    """IP-metric coverage for the residual paths (r6 review finding):
+    (a) the FastScan screen's int8 quantization must preserve float-ADC
+    pairwise ordering (the double-quantization bug measured ~0.70
+    agreement: the base class polymorphically re-used FastScan's
+    already-quantized table and summed it with the float q.centroid
+    add-back at scale 1.0); (b) end-to-end recall gates for IVFPQ and
+    FastScan under IP with a moderate rerank pool."""
+    import numpy as np
+
+    from vearch_spark.operators import topk
+    from vearch_spark.operators.ivf import IVFPQFastScanIndex, IVFPQIndex
+    from vearch_spark.schema import Metric
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(0, 10, (32, 64))
+    X = centers[rng.integers(0, 32, 8000)] + rng.normal(0, 1.0, (8000, 64))
+    df = spark.createDataFrame(
+        [(i, x.astype(float).tolist()) for i, x in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    df.count()
+    q = (centers[5] + rng.normal(0, 1.0, 64)).tolist()
+
+    # (a) screen-vs-float pairwise order agreement on random codes
+    fs = IVFPQFastScanIndex(
+        "embedding", Metric.INNER_PRODUCT, ncentroids=32, nprobe=8,
+        nsubvector=8, rerank_k=100, id_col="vec_id",
+    ).fit(df)
+    cells = list(fs.probe_cells(q))
+    iq, back_i, scale = fs._pq_cell_luts(q, cells)
+    fl, back_f, _ = IVFPQIndex._pq_cell_luts(fs, q, cells)
+    codes = rng.integers(0, fs.ksub, (500, fs.nsubvector))
+    offs = np.arange(fs.nsubvector) * fs.ksub
+    cj = rng.integers(0, len(cells), 500)
+    row = lambda t, j: t[np.zeros_like(j) if t.shape[0] == 1 else j]
+    s_f = np.take_along_axis(row(fl, cj), codes + offs, axis=1).sum(1) + back_f[cj]
+    s_i = np.take_along_axis(row(iq, cj), codes + offs, axis=1).sum(1) * scale + back_i[cj]
+    pairs = rng.integers(0, 500, (2000, 2))
+    agree = np.mean(
+        np.sign(s_f[pairs[:, 0]] - s_f[pairs[:, 1]])
+        == np.sign(s_i[pairs[:, 0]] - s_i[pairs[:, 1]])
+    )
+    assert agree >= 0.98, f"IP screen order agreement {agree}"
+
+    # (b) end-to-end recall under IP
+    qs = [(centers[c] + rng.normal(0, 1.0, 64)).tolist() for c in (5, 11, 23)]
+    for cls, gate in ((IVFPQIndex, 0.9), (IVFPQFastScanIndex, 0.7)):
+        idx = cls(
+            "embedding", Metric.INNER_PRODUCT, ncentroids=32, nprobe=8,
+            nsubvector=8, rerank_k=100, id_col="vec_id",
+        ).fit(df)
+        recs = []
+        for qv in qs:
+            exact = {
+                r.vec_id
+                for r in topk.search(
+                    df, "embedding", qv, limit=10, id_col="vec_id",
+                    metric=Metric.INNER_PRODUCT,
+                ).collect()
+            }
+            got = {r.vec_id for r in idx.search(df, qv, limit=10).collect()}
+            recs.append(len(got & exact) / 10)
+        assert np.mean(recs) >= gate, f"{cls.__name__} IP recall {recs}"
+    df.unpersist()

@@ -393,15 +393,21 @@ def decode_png(content: bytes) -> np.ndarray:
     stride = w * ch
     # bounded inflate: an honest-header zlib bomb (a small IDAT can
     # inflate ~1032:1) must not materialize past the geometry's exact
-    # byte count — cap the decompressor at expected+1 and reject both
-    # overflow and leftover compressed tail
+    # byte count — cap the decompressor at expected+1 (overflow shows
+    # as len != expect). dec.eof requires the stream's final block AND
+    # its adler32 trailer (zlib.decompress's integrity semantics — a
+    # truncated stream that happens to yield the right byte count must
+    # still be rejected); unused_data rejects trailing garbage after
+    # the stream (IDAT is exactly one zlib stream, RFC 2083 §2.2).
     expect = h * (stride + 1)
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expect + 1)
-    if len(raw) != expect or dec.unconsumed_tail or dec.decompress(b"", 1):
+    if len(raw) != expect:
         raise ValueError(
             f"PNG payload size mismatch: {len(raw)} != {h}*({stride}+1)"
         )
+    if not dec.eof or dec.unused_data:
+        raise ValueError("PNG IDAT stream truncated or carries trailing data")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):

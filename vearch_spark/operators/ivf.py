@@ -751,10 +751,15 @@ class IVFPQIndex(IVFFlatIndex):
 
         by_residual + L2: per-cell table over the query residual
         q − centroid(cell) (faiss IndexIVFPQ by_residual). by_residual
-        + IP: q·x = q·c + q·residual, so one shared table over q plus a
-        per-cell q·c add-back. Raw PQ: the cell-independent table,
-        replicated. The float base form returns scale=1.0; FastScan
-        overrides with the int8-quantized form."""
+        + IP: q·x = q·c + q·residual, so ONE shared table over q (the
+        returned luts has a single row — callers map every cell to row
+        0; no m-fold copy ships in the task closure) plus a per-cell
+        q·c add-back. Raw PQ: the single cell-independent table. The
+        float base form returns scale=1.0; FastScan overrides with the
+        int8-quantized form. The base tables are computed NON-
+        polymorphically (IVFPQIndex._query_lut, not self._query_lut):
+        a subclass's quantized table must never be mixed with the
+        float add-back — quantize-once happens in the override."""
         q = np.asarray(query, dtype=np.float64)
         nsub, ksub, dsub = self.codebooks.shape
         m = len(cells)
@@ -767,12 +772,11 @@ class IVFPQIndex(IVFFlatIndex):
                     blk = qr[i * dsub : (i + 1) * dsub]
                     luts[ci, i] = ((self.codebooks[i] - blk) ** 2).sum(axis=1)
         else:
-            base = self._query_lut(query)  # raw-q table (nsub, ksub)
-            luts = np.broadcast_to(base, (m, nsub, ksub)).copy()
+            luts = IVFPQIndex._query_lut(self, query)[None, :, :]  # (1, nsub, ksub)
             if self.by_residual:  # IP: fold q·centroid back per cell
                 for ci, cell in enumerate(cells):
                     add_back[ci] = float(q @ self.centroids[cell])
-        return luts.reshape(m, nsub * ksub), add_back, 1.0
+        return luts.reshape(luts.shape[0], nsub * ksub), add_back, 1.0
 
     def _augment(self, assigned: DataFrame) -> DataFrame:
         # assign PQ codes, Arrow-batched (closure must not capture
@@ -880,6 +884,7 @@ class IVFPQIndex(IVFFlatIndex):
         # form — same gather+sum kernel either way)
         luts, add_back, scale = self._pq_cell_luts(query, list(cells))
         cell_idx = {int(c): j for j, c in enumerate(cells)}
+        shared_lut = luts.shape[0] == 1  # one table for all cells (IP/raw)
         nsub, ksub, _ = self.codebooks.shape
         offsets = (np.arange(nsub) * ksub).astype(np.int64)
 
@@ -895,8 +900,8 @@ class IVFPQIndex(IVFFlatIndex):
                 count=len(mat),
             )
             out = np.empty(len(mat), dtype=np.float64)
-            for j in np.unique(cj):
-                msk = cj == j
+            for j in np.unique(np.zeros_like(cj) if shared_lut else cj):
+                msk = slice(None) if shared_lut else cj == j
                 out[msk] = luts[j][mat[msk] + offsets].sum(axis=1)
             return pd.Series(out * scale + add_back[cj])
 
@@ -968,21 +973,34 @@ class IVFPQFastScanIndex(IVFPQIndex):
     def _pq_cell_luts(
         self, query: Sequence[float], cells: list[int]
     ) -> tuple[np.ndarray, np.ndarray, float]:
-        # quantize the residual-aware per-cell tables the same way:
-        # per-(cell, subquantizer) bias + ONE global scale, bias sums
-        # folded into the per-cell add-back so screen scores stay
-        # comparable ACROSS cells (the ScannIndex INT8_LUT16 shape)
+        # quantize the FLOAT residual-aware tables from the base class
+        # (which computes them non-polymorphically, so this is the one
+        # and only quantization) — shared helper with ScannIndex
         luts, add_back, _ = super()._pq_cell_luts(query, cells)
-        m = luts.shape[0]
-        l3 = luts.reshape(m, self.nsubvector, self.ksub)
-        bias = l3.min(axis=2, keepdims=True)
-        spread = float((l3 - bias).max())
-        back = add_back + bias.sum(axis=1).ravel()
-        if spread == 0.0:
-            return np.zeros_like(l3, dtype=np.int32).reshape(m, -1), back, 1.0
-        scale = spread / 255.0
-        iq = np.round((l3 - bias) / scale).astype(np.int32)
-        return iq.reshape(m, -1), back, scale
+        return _quantize_cell_luts(
+            luts.reshape(luts.shape[0], self.nsubvector, self.ksub), add_back
+        )
+
+
+def _quantize_cell_luts(
+    luts3: np.ndarray, add_back: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """INT8_LUT16-style screen quantization shared by IVFPQFastScan and
+    SCANN: per-(cell, subquantizer) bias + ONE global scale, bias sums
+    folded into the per-cell add-back so integer screen scores stay
+    comparable ACROSS cells. (luts3: (m, nsub, ksub) float tables;
+    add_back may have more entries than m when the float tables are a
+    single shared row — the bias fold broadcasts.) Returns
+    (int32 (m, nsub·ksub), add_back', scale)."""
+    m = luts3.shape[0]
+    bias = luts3.min(axis=2, keepdims=True)
+    spread = float((luts3 - bias).max())
+    back = add_back + bias.sum(axis=1).ravel()
+    if spread == 0.0:
+        return np.zeros_like(luts3, dtype=np.int32).reshape(m, -1), back, 1.0
+    scale = spread / 255.0
+    iq = np.round((luts3 - bias) / scale).astype(np.int32)
+    return iq.reshape(m, -1), back, scale
 
 
 class ScannIndex(IVFPQIndex):
@@ -1208,16 +1226,7 @@ class ScannIndex(IVFPQIndex):
                 for i in range(nsub):
                     blk = q[i * dsub : (i + 1) * dsub]
                     luts[ci, i] = self.codebooks[i] @ blk
-        bias = luts.min(axis=2, keepdims=True)  # per (cell, subq)
-        spread = float((luts - bias).max())
-        if spread == 0.0:
-            iq = np.zeros_like(luts, dtype=np.int32)
-            scale = 1.0
-        else:
-            scale = spread / 255.0
-            iq = np.round((luts - bias) / scale).astype(np.int32)
-        add_back = const + bias.sum(axis=1).ravel()
-        return iq.reshape(m, nsub * ksub), add_back, scale
+        return _quantize_cell_luts(luts, const)
 
     def search(
         self,
