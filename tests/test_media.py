@@ -593,3 +593,25 @@ def test_jpeg_tolerates_fill_bytes_and_bounds_inflate():
     blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="size mismatch"):
         decode_png(blob)
+
+
+def test_png_rejects_truncated_zlib_stream():
+    """A truncated IDAT stream that still yields the right byte count
+    must be rejected (dec.eof requires the final block + adler32
+    trailer — the integrity semantics zlib.decompress had before the
+    bounded-inflate change)."""
+    import struct as _s
+    import zlib as _z
+
+    from vearch_spark.functions.media import _png_chunk, _PNG_SIG, decode_png, png_bytes
+
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    blob = png_bytes(px, filters=0)
+    assert (decode_png(blob) == px).all()
+    # rebuild with the IDAT's zlib stream missing its 4-byte adler32
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(6))
+    cut = _z.compress(raw, 9)[:-4]
+    ihdr = _s.pack(">IIBBBBB", 8, 6, 8, 0, 0, 0, 0)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", cut) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truncated|size mismatch"):
+        decode_png(bad)
