@@ -307,3 +307,105 @@ def test_staged_update_buffer_wins_over_tombstoned_graph_row(spark, emb):
         assert abs(got[0]._score) < 1e-9
     finally:
         idx.unpersist()
+
+
+def test_staged_save_after_merge_drops_stale_dir(spark, emb, tmp_path):
+    """r6 review finding: save -> merge -> save to the SAME path must
+    remove the staged/ directory, or load resurrects already-merged
+    rows as a live buffer next to their graph copies (duplicate live
+    ids on the next merge)."""
+    df, _ = emb
+    idx = DiskANNStaticIndex(
+        "embedding", Metric.L2, R=16, L=32, l_search=48,
+        nshards=4, id_col="vec_id",
+    ).fit(df)
+    p = str(tmp_path / "resave")
+    try:
+        new = spark.createDataFrame(
+            [(999_101, [100.0] * DIM)], "vec_id long, embedding array<double>"
+        )
+        idx.add(new)
+        idx.save(p)  # staged/ written
+        idx.merge_staged()
+        idx.save(p)  # must REMOVE the now-stale staged/
+        import os
+
+        assert not os.path.isdir(os.path.join(p, "staged"))
+        idx2 = DiskANNStaticIndex.load(spark, p)
+        try:
+            assert idx2._staged is None and not idx2.needs_rebuild
+            assert idx2._graph.where("vec_id = 999101").count() == 1
+            # no duplicate live row after a further merge-cycle
+            idx2.add(spark.createDataFrame(
+                [(999_102, [99.0] * DIM)], "vec_id long, embedding array<double>"
+            ))
+            idx2.merge_staged()
+            assert idx2._graph.where("vec_id = 999101 AND NOT _deleted").count() == 1
+        finally:
+            idx2.unpersist()
+    finally:
+        idx.unpersist()
+
+
+def test_staged_merge_failure_restores_buffer(spark, emb, monkeypatch):
+    """r6 review finding: a rebuild job that dies mid-merge must leave
+    the staged rows searchable and the merge retryable (previously the
+    buffer was cleared first and the rows silently vanished)."""
+    from vearch_spark.operators import vamana as vm
+
+    df, _ = emb
+    idx = DiskANNStaticIndex(
+        "embedding", Metric.L2, R=16, L=32, l_search=48,
+        nshards=4, id_col="vec_id",
+    ).fit(df)
+    try:
+        probe = [100.0] * DIM
+        idx.add(spark.createDataFrame(
+            [(999_201, [100.0] * DIM)], "vec_id long, embedding array<double>"
+        ))
+
+        def boom(*a, **kw):
+            raise RuntimeError("executor lost")
+
+        monkeypatch.setattr(vm.HNSWIndex, "add", boom)
+        with pytest.raises(RuntimeError):
+            idx.merge_staged()
+        monkeypatch.undo()
+        # buffer intact, still searchable, merge retryable
+        assert idx.needs_rebuild and idx._staged is not None
+        got = [r.vec_id for r in idx.search(df, probe, limit=1).collect()]
+        assert got == [999_201]
+        idx.merge_staged()
+        assert idx._staged is None
+        assert idx._graph.where("vec_id = 999201").count() == 1
+    finally:
+        idx.unpersist()
+
+
+def test_staged_append_cost_is_per_batch(spark, emb):
+    """r6 review finding: k small appends must persist/count only each
+    incoming batch (parts list), not re-materialize the accumulated
+    buffer every call; parts compact past _STAGED_COMPACT."""
+    df, _ = emb
+    idx = DiskANNStaticIndex(
+        "embedding", Metric.L2, R=16, L=32, l_search=48,
+        nshards=4, id_col="vec_id",
+    ).fit(df)
+    try:
+        for i in range(5):
+            idx.add(spark.createDataFrame(
+                [(999_300 + i, [100.0 + i] * DIM)],
+                "vec_id long, embedding array<double>",
+            ))
+        assert len(idx._staged_parts) == 5  # one persisted part per batch
+        assert idx._staged.count() == 5
+        # compaction bounds plan depth
+        idx._STAGED_COMPACT = 4
+        idx.add(spark.createDataFrame(
+            [(999_399, [90.0] * DIM)], "vec_id long, embedding array<double>"
+        ))
+        assert len(idx._staged_parts) == 1 and idx._staged.count() == 6
+        got = {r.vec_id for r in idx.search(df, [100.0] * DIM, limit=6).collect()}
+        assert {999_300 + i for i in range(5)} <= got
+    finally:
+        idx.unpersist()

@@ -292,7 +292,17 @@ class DiskANNStaticIndex(HNSWIndex):
             **kw,
         )
         self.alpha = float(alpha)
+        # staged buffer = a list of individually persisted append
+        # batches; _staged is their lazy union. Appends therefore cost
+        # O(batch) — persist + count only the NEW rows — instead of
+        # re-materializing the whole accumulated buffer every call
+        # (which made k small appends cost O(k²) cumulative rows).
+        # _STAGED_COMPACT bounds plan depth: past that many parts the
+        # union is materialized into one part (amortized O(rows/64)).
+        self._staged_parts: list[DataFrame] = []
         self._staged: DataFrame | None = None
+
+    _STAGED_COMPACT = 64
 
     # ------------------------------------------------------ staged buffer
 
@@ -301,21 +311,39 @@ class DiskANNStaticIndex(HNSWIndex):
         super().fit(df)
         return self
 
+    def _set_parts(self, parts: list[DataFrame]) -> None:
+        self._staged_parts = parts
+        if not parts:
+            self._staged = None
+            return
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        self._staged = u
+
+    def _compact_staged(self) -> None:
+        """Materialize the part union into a single persisted part."""
+        merged = self._staged.persist()
+        merged.count()
+        for p in self._staged_parts:
+            p.unpersist()
+        self._set_parts([merged])
+
     def add(self, df: DataFrame) -> "DiskANNStaticIndex":
         """Stage rows instead of rebuilding touched shards: a 1000-row
         append on a 100k index cost a 42.8 s shard rebuild before; now
-        it is a buffer union, searchable immediately, and the rebuild
-        happens once on :meth:`merge_staged` (the forcemerge verb)."""
+        it persists just the incoming batch (searchable immediately via
+        the part union), and the rebuild happens once on
+        :meth:`merge_staged` (the forcemerge verb)."""
         if self._graph is None:
             from vearch_spark.errors import SearchError
 
             raise SearchError("index not trained")
-        fresh = df if self._staged is None else self._staged.unionByName(df)
-        staged = fresh.persist()
-        staged.count()  # materialize before the old buffer unpersists
-        if self._staged is not None:
-            self._staged.unpersist()
-        self._staged = staged
+        batch = df.persist()
+        batch.count()
+        self._set_parts(self._staged_parts + [batch])
+        if len(self._staged_parts) >= self._STAGED_COMPACT:
+            self._compact_staged()
         self.needs_rebuild = True
         return self
 
@@ -336,29 +364,38 @@ class DiskANNStaticIndex(HNSWIndex):
                 )
             kept = kept.persist()
             kept.count()
-            self._staged.unpersist()
-            self._staged = kept
+            for p in self._staged_parts:
+                p.unpersist()
+            self._set_parts([kept])
         super().remove(ids)
         return self
 
     def merge_staged(self) -> "DiskANNStaticIndex":
         """Fold the staged buffer into its hash shards — the per-shard
         Vamana rebuild the reference runs on forcemerge — and clear the
-        buffer. No-op when nothing is staged."""
+        buffer. No-op when nothing is staged. Failure-safe: if the
+        rebuild job dies mid-flight, the buffer and the rebuild flag
+        are restored so the rows stay searchable and the forcemerge is
+        retryable (previously they silently vanished)."""
         if self._staged is None:
             return self
-        staged, self._staged = self._staged, None
+        staged, parts = self._staged, self._staged_parts
+        self._set_parts([])
         self.needs_rebuild = False  # before add(): shard overflow re-flags
         try:
             super().add(staged)  # touched-shard rebuild
-        finally:
-            staged.unpersist()
+        except BaseException:
+            self._set_parts(parts)
+            self.needs_rebuild = True
+            raise
+        for p in parts:
+            p.unpersist()
         return self
 
     def _drop_staged(self) -> None:
-        if self._staged is not None:
-            self._staged.unpersist()
-            self._staged = None
+        for p in self._staged_parts:
+            p.unpersist()
+        self._set_parts([])
 
     def unpersist(self) -> None:
         self._drop_staged()
@@ -420,10 +457,16 @@ class DiskANNStaticIndex(HNSWIndex):
         super().save(path)
         with open(os.path.join(path, "vamana.json"), "w") as fh:
             _json.dump({"alpha": self.alpha}, fh)
+        staged_dir = os.path.join(path, "staged")
         if self._staged is not None:
-            self._staged.write.mode("overwrite").parquet(
-                os.path.join(path, "staged")
-            )
+            self._staged.write.mode("overwrite").parquet(staged_dir)
+        elif os.path.isdir(staged_dir):
+            # a previous save of this path staged rows that have since
+            # been merged — leaving the directory would resurrect them
+            # on load as duplicate live rows next to their graph copies
+            import shutil
+
+            shutil.rmtree(staged_dir)
 
     @classmethod
     def load(cls, spark, path: str) -> "DiskANNStaticIndex":
@@ -435,6 +478,8 @@ class DiskANNStaticIndex(HNSWIndex):
             idx.alpha = float(_json.load(fh)["alpha"])
         staged_dir = os.path.join(path, "staged")
         if os.path.isdir(staged_dir):
-            idx._staged = spark.read.parquet(staged_dir).persist()
+            part = spark.read.parquet(staged_dir).persist()
+            part.count()
+            idx._set_parts([part])
             idx.needs_rebuild = True
         return idx

@@ -673,27 +673,30 @@ class Registry:
         return pct
 
     def _jvm_memory_used_percent(self) -> float | None:
+        """JVM heap pressure: used/max of the engine JVM's heap — the
+        closest Spark analog of the PROCESS-memory percent the
+        reference's PS gates on (entity/config.go). Deliberately NOT
+        executor storage-memory occupancy: storage blocks are
+        evictable, this engine itself fills them (graph relations,
+        staged buffers, dedup caches), and a long-running healthy
+        deployment keeps them near-full by design — gating on that
+        reads as a permanent spurious write outage. Heap used
+        self-relieves through GC and block eviction, so crossing the
+        limit tracks real allocation pressure."""
         try:
-            status = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
-            worst = None
-            it = status.iterator()
-            while it.hasNext():
-                kv = it.next()
-                mx = float(kv._2()._1())
-                rem = float(kv._2()._2())
-                if mx > 0:
-                    pct = 100.0 * (mx - rem) / mx
-                    worst = pct if worst is None else max(worst, pct)
-            return worst
+            rt = self.spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            mx = float(rt.maxMemory())
+            used = float(rt.totalMemory()) - float(rt.freeMemory())
+            return 100.0 * used / mx if mx > 0 else None
         except Exception:  # py4j surface varies across deploy modes
             return None
 
     def check_memory_pressure(self) -> None:
         """The memory_limit write gate (entity/config.go SetMemoryLimit
         — the reference's PS rejects writes under memory pressure):
-        while enabled AND the worst executor's storage-memory use
-        exceeds ``ps_memory_limit`` percent, document writes reject
-        with a typed error; reads never consult this."""
+        while enabled AND the engine JVM's heap use exceeds
+        ``ps_memory_limit`` percent, document writes reject with a
+        typed error; reads never consult this."""
         cfg = self._cluster_config["memory_limit"]
         if not cfg.get("memory_limit_enabled"):
             return
