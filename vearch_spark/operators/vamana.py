@@ -297,12 +297,15 @@ class DiskANNStaticIndex(HNSWIndex):
         # O(batch) — persist + count only the NEW rows — instead of
         # re-materializing the whole accumulated buffer every call
         # (which made k small appends cost O(k²) cumulative rows).
-        # _STAGED_COMPACT bounds plan depth: past that many parts the
-        # union is materialized into one part (amortized O(rows/64)).
+        # _STAGED_COMPACT bounds the per-part plan/scan overhead the
+        # search-time union pays (measured at 100k×64: search crept
+        # 1.6 s → 3.5 s between 6 and 24 live parts while appends
+        # stayed flat at ~0.4 s) — past that many parts the union is
+        # materialized into one (amortized O(rows/16) per append).
         self._staged_parts: list[DataFrame] = []
         self._staged: DataFrame | None = None
 
-    _STAGED_COMPACT = 64
+    _STAGED_COMPACT = 16
 
     # ------------------------------------------------------ staged buffer
 
