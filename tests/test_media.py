@@ -615,3 +615,185 @@ def test_png_rejects_truncated_zlib_stream():
     bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", cut) + _png_chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="truncated|size mismatch"):
         decode_png(bad)
+
+
+def test_png_palette_roundtrip_8bit_rgb_and_trns():
+    """Color-type-3 PNG: indices expand through PLTE to RGB, and a
+    tRNS chunk upgrades the result to RGBA with opaque defaults for
+    entries past the tRNS length (RFC 2083 §4.2.1)."""
+    from vearch_spark.functions.media import decode_png, png_info, png_palette_bytes
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, size=(9, 13), dtype=np.uint8)
+    blob = png_palette_bytes(idx, pal)
+    info = png_info(blob)
+    assert info["color_type"] == 3 and info["bit_depth"] == 8
+    out = decode_png(blob)
+    assert out.shape == (9, 13, 3)
+    assert (out == pal[idx.astype(np.int64)]).all()
+
+    # tRNS shorter than the palette: entries 0..2 get explicit alpha,
+    # 3..6 default to opaque
+    blob_a = png_palette_bytes(idx, pal, trns=[0, 128, 7])
+    out_a = decode_png(blob_a)
+    assert out_a.shape == (9, 13, 4)
+    assert (out_a[..., :3] == pal[idx.astype(np.int64)]).all()
+    alpha = np.array([0, 128, 7, 255, 255, 255, 255], dtype=np.uint8)
+    assert (out_a[..., 3] == alpha[idx.astype(np.int64)]).all()
+
+
+def test_png_palette_subbyte_depths_pack_msb_first():
+    """Bit depths 1/2/4 pack indices MSB-first within each scanline
+    byte; widths that don't fill the last byte pad with zero bits
+    (RFC 2083 §2.3) — every depth round-trips exactly."""
+    from vearch_spark.functions.media import decode_png, png_palette_bytes
+
+    rng = np.random.default_rng(12)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        # width 11 never fills the final byte at any sub-byte depth
+        idx = rng.integers(0, n, size=(5, 11), dtype=np.uint8)
+        out = decode_png(png_palette_bytes(idx, pal, bit_depth=depth))
+        assert out.shape == (5, 11, 3), depth
+        assert (out == pal[idx.astype(np.int64)]).all(), depth
+
+    # hand-check MSB-first: depth 1, row [1,0,1] must pack as 0b1010_0000
+    import struct as _s
+    import zlib as _z
+
+    from vearch_spark.functions.media import _png_chunk, _PNG_SIG
+
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    raw = b"\x00" + bytes([0b10100000])
+    ihdr = _s.pack(">IIBBBBB", 3, 1, 1, 3, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal2.tobytes())
+        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    assert (out == pal2[np.array([[1, 0, 1]])]).all()
+
+
+def test_png_palette_hostile_inputs():
+    """Hostile palette cases reject with typed errors: index past the
+    palette, PLTE missing or mis-sized, tRNS longer than the palette,
+    16-bit palette depth."""
+    import struct as _s
+
+    from vearch_spark.functions.media import decode_png, png_palette_bytes
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    good = png_palette_bytes(idx, pal)
+
+    # oversized index: rewrite IDAT with index 5 against a 2-entry PLTE
+    import zlib as _z
+
+    from vearch_spark.functions.media import _png_chunk, _PNG_SIG
+
+    raw = b"\x00" + bytes([5, 0]) + b"\x00" + bytes([0, 0])
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad_idx = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(bad_idx)
+
+    # PLTE missing entirely
+    no_plte = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(no_plte)
+
+    # short (non-multiple-of-3) palette
+    bad_plte = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", b"\x01\x02")
+        + _png_chunk(b"IDAT", _z.compress(b"\x00\x00\x00\x00\x00\x00", 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE length"):
+        decode_png(bad_plte)
+
+    # tRNS longer than the palette
+    long_trns = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"tRNS", b"\x00\x01\x02")
+        + _png_chunk(b"IDAT", _z.compress(b"\x00\x00\x00\x00\x00\x00", 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="tRNS longer"):
+        decode_png(long_trns)
+
+    # 16-bit palette depth is illegal per spec
+    ihdr16 = _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad_depth = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="1/2/4/8"):
+        decode_png(bad_depth)
+
+    # encoder-side validation
+    with pytest.raises(ValueError, match="index exceeds"):
+        png_palette_bytes(np.full((2, 2), 9, dtype=np.uint8), pal)
+    with pytest.raises(ValueError, match="bit depth"):
+        png_palette_bytes(idx, pal, bit_depth=3)
+
+
+def test_png_palette_all_filters_on_packed_bytes():
+    """Filters on palette rows operate on PACKED bytes with bpp=1
+    (RFC 2083 §6.2): re-filter a palette image's scanlines through
+    every filter type and confirm identical pixels."""
+    import struct as _s
+    import zlib as _z
+
+    from vearch_spark.functions.media import (
+        _filter_row, _png_chunk, _PNG_SIG, decode_png, png_palette_bytes,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 10), dtype=np.uint8)
+    base = decode_png(png_palette_bytes(idx, pal, bit_depth=4))
+
+    # rebuild the IDAT with per-row filters 0..4 over the packed bytes
+    packed = np.zeros((6, 5), dtype=np.uint8)
+    for r in range(6):
+        for c in range(10):
+            packed[r, c // 2] |= idx[r, c] << (4 if c % 2 == 0 else 0)
+    raw = bytearray()
+    prev = np.zeros(5, dtype=np.uint8)
+    for r in range(6):
+        f = r % 5
+        raw.append(f)
+        raw += _filter_row(f, packed[r], prev, 1).tobytes()
+        prev = packed[r]
+    ihdr = _s.pack(">IIBBBBB", 10, 6, 4, 3, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(blob) == base).all()

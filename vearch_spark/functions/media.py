@@ -14,10 +14,12 @@ implementation can decode FOR REAL — no fake, no stub:
   maxval ≤ 255; decode returns the (H, W) / (H, W, 3) uint8 pixel
   array.
 - **PNG** hand-parsed on stdlib ``zlib``: 8-bit gray / gray+alpha /
-  RGB / RGBA, all five scanline filters (None/Sub/Up/Average/Paeth,
-  RFC 2083 §6), CRC-verified chunks, multi-IDAT; decode returns the
-  (H, W[, C]) uint8 pixel array. Palette / 16-bit / interlaced
-  variants raise a typed error.
+  RGB / RGBA plus palette (color type 3) at bit depths 1/2/4/8 with
+  ``tRNS`` transparency, all five scanline filters
+  (None/Sub/Up/Average/Paeth, RFC 2083 §6), CRC-verified chunks,
+  multi-IDAT; decode returns the (H, W[, C]) uint8 pixel array
+  (palette images expand to RGB, or RGBA when ``tRNS`` is present).
+  16-bit / interlaced variants raise a typed error.
 - **JPEG (baseline sequential, T.81)** hand-implemented: numpy
   float64 FDCT/IDCT, Annex K quantization tables scaled by the
   libjpeg quality convention, canonical Huffman coding with the
@@ -353,15 +355,63 @@ def png_info(content: bytes) -> dict:
     }
 
 
+def png_palette_bytes(
+    indices: np.ndarray | list,
+    palette: np.ndarray | list,
+    trns: list[int] | None = None,
+    bit_depth: int = 8,
+) -> bytes:
+    """Encode an index matrix + RGB palette as a real color-type-3 PNG
+    at ``bit_depth`` ∈ {1, 2, 4, 8} (indices pack MSB-first within each
+    scanline byte, RFC 2083 §2.3). ``trns`` writes a tRNS chunk with
+    per-entry alpha (may be shorter than the palette; missing entries
+    are opaque). Deterministic; fixture/round-trip counterpart of
+    :func:`decode_png`'s palette path."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError(f"expected (H, W) index matrix, got {idx.shape}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError(f"palette must be (1..256, 3) uint8, got {pal.shape}")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette bit depth must be 1/2/4/8: {bit_depth}")
+    if idx.max(initial=0) >= min(pal.shape[0], 1 << bit_depth):
+        raise ValueError("palette index exceeds palette size / bit depth")
+    h, w = idx.shape
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)  # filter: None (filters act on packed bytes anyway)
+        if bit_depth == 8:
+            raw += idx[r].tobytes()
+        else:
+            per = 8 // bit_depth
+            padded = np.zeros(-(-w // per) * per, dtype=np.uint16)
+            padded[:w] = idx[r]
+            packed = np.zeros(len(padded) // per, dtype=np.uint16)
+            for k in range(per):
+                packed |= padded[k::per] << (8 - bit_depth * (k + 1))
+            raw += packed.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9)) + _png_chunk(b"IEND", b"")
+
+
 @_typed_decode_errors
 def decode_png(content: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to exact uint8 pixels:
-    (H, W) for gray, (H, W, C) for gray+alpha / RGB / RGBA. Chunk CRCs
-    are verified; palette (type 3), 16-bit and interlaced images raise
-    ValueError rather than decode approximately."""
+    """Decode a non-interlaced PNG to exact uint8 pixels: (H, W) for
+    gray, (H, W, C) for gray+alpha / RGB / RGBA; palette images
+    (color type 3, bit depth 1/2/4/8) expand through PLTE to RGB — or
+    RGBA when a tRNS chunk is present (entries past the tRNS length
+    are opaque, RFC 2083 §4.2.1). Chunk CRCs are verified; 16-bit and
+    interlaced images raise ValueError rather than decode
+    approximately."""
     if content[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos, ihdr, idat = 8, None, bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         tag = content[pos + 4 : pos + 8]
@@ -373,6 +423,10 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -381,16 +435,28 @@ def decode_png(content: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
+    paletted = color_type == 3
+    if paletted:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette PNG bit depth must be 1/2/4/8: {depth}")
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError(f"PLTE length must be 3·(1..256): {len(plte)}")
+    elif depth != 8:
         raise ValueError(f"only 8-bit PNG supported (bit depth {depth})")
-    if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
+    elif color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
     if w * h > _MAX_DECODE_PIXELS:
         raise ValueError(f"image too large to decode: {w}x{h}")
-    ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    ch = 1 if paletted else _PNG_CHANNELS[color_type]
+    # stride in BYTES: sub-byte palette depths pack ⌈w·depth/8⌉ per
+    # scanline; filters operate on packed bytes with bpp = 1 (RFC 2083
+    # §6.2: bpp rounds up to one byte below 8-bit depth)
+    stride = -(-w * depth * ch // 8)
+    bpp = max(1, depth * ch // 8)
     # bounded inflate: an honest-header zlib bomb (a small IDAT can
     # inflate ~1032:1) must not materialize past the geometry's exact
     # byte count — cap the decompressor at expected+1 (overflow shows
@@ -414,9 +480,33 @@ def decode_png(content: bytes) -> np.ndarray:
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
         )
-        prev = _unfilter_row(raw[r * (stride + 1)], line.copy(), prev, ch)
+        prev = _unfilter_row(raw[r * (stride + 1)], line.copy(), prev, bpp)
         out[r] = prev
-    return out.reshape((h, w) if ch == 1 else (h, w, ch))
+    if not paletted:
+        return out.reshape((h, w) if ch == 1 else (h, w, ch))
+    # unpack indices (MSB-first within each byte for depth < 8), then
+    # expand through the palette; tRNS upgrades the output to RGBA
+    if depth == 8:
+        idx = out[:, :w].astype(np.int64)
+    else:
+        per = 8 // depth
+        mask = (1 << depth) - 1
+        shifts = np.array([8 - depth * (k + 1) for k in range(per)], dtype=np.uint8)
+        idx = ((out[:, :, None] >> shifts[None, None, :]) & mask).reshape(h, -1)[
+            :, :w
+        ].astype(np.int64)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if idx.max(initial=0) >= pal.shape[0]:
+        raise ValueError(
+            f"palette index {int(idx.max())} out of range ({pal.shape[0]} entries)"
+        )
+    if trns is None:
+        return pal[idx]
+    if len(trns) > pal.shape[0]:
+        raise ValueError("tRNS longer than palette")
+    alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+    alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    return np.concatenate([pal[idx], alpha[idx][..., None]], axis=-1)
 
 
 # ------------------------------------------------------------------ JPEG
