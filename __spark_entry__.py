@@ -1651,11 +1651,18 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     which any mis-unfiltered or misplaced pixel breaks, and the JPEG's
     parsed dims + a max-|err|≤6 bound vs the source gradient — JPEG is
     lossy, so the bound, dims, and pytest-pinned determinism are its
-    checkable surface). The DuckDB oracle recomputes the same integers
-    from the generation formula arithmetically — so a hash match
-    proves the lossless decoders recovered every sample/pixel
-    bit-exactly and the JPEG decode stayed inside its error
-    envelope."""
+    checkable surface). Round 7 adds the wild-format battery: a
+    palette PNG (color type 3, depth cycling 1/2/4/8 with tRNS on odd
+    ids — exact expansion through PLTE, position-weighted sum), a
+    4:2:0 chroma-subsampled JPEG over a chroma-VARYING clip-free
+    gradient (max-|err|≤8), and a progressive (SOF2, 10-scan
+    successive-approximation) JPEG that must decode bit-identically to
+    its baseline twin (same quantized coefficients → exact equality is
+    the correct oracle). The DuckDB oracle recomputes the same
+    integers from the generation formula arithmetically — so a hash
+    match proves the lossless decoders recovered every sample/pixel
+    bit-exactly and both lossy decodes stayed inside their
+    envelopes."""
     import numpy as np
     import pandas as pd
 
@@ -1667,6 +1674,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpeg_bytes,
         pgm_bytes,
         png_bytes,
+        png_palette_bytes,
         wav_bytes,
         wav_info,
     )
@@ -1697,6 +1705,36 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 jpx = np.stack(
                     [(i % 97) + 2 * jx + 3 * jy + 5 * c for c in range(3)], -1
                 ).astype(np.uint8)
+                # palette PNG: depth cycles 1/2/4/8 (sub-byte MSB-first
+                # packing path), odd ids add a full-length tRNS (RGBA)
+                depth = (1, 2, 4, 8)[i % 4]
+                npal = min(3 + i % 6, 1 << depth)
+                pw_, ph_ = 2 + i % 5, 3 + i % 4
+                pidx = np.array(
+                    [(i * 13 + j * 7) % npal for j in range(pw_ * ph_)],
+                    dtype=np.uint8,
+                ).reshape(ph_, pw_)
+                pal = np.array(
+                    [
+                        [(i * 5 + p * 23 + k * 9) % 256 for k in range(3)]
+                        for p in range(npal)
+                    ],
+                    dtype=np.uint8,
+                )
+                trns = (
+                    [(i * 29 + p * 41) % 256 for p in range(npal)]
+                    if i % 2
+                    else None
+                )
+                # 4:2:0 source: per-channel slopes so chroma genuinely
+                # varies (constant chroma would make subsampling a
+                # no-op); clip-free, so the envelope stays tight
+                j4w, j4h = 10 + i % 11, 8 + i % 9
+                j4x, j4y = np.meshgrid(np.arange(j4w), np.arange(j4h))
+                jpx420 = np.stack(
+                    [20 + i % 60 + (1 + c) * j4x + (3 - c) * j4y for c in range(3)],
+                    -1,
+                ).astype(np.uint8)
                 rows.append(
                     (
                         str(i),
@@ -1705,13 +1743,18 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         png_bytes(rgb),
                         jpeg_bytes(jpx, 90),
                         jpx.astype(np.int64).ravel(),
+                        png_palette_bytes(pidx, pal, trns=trns, bit_depth=depth),
+                        jpeg_bytes(jpx420, 90, subsampling="4:2:0"),
+                        jpx420.astype(np.int64).ravel(),
+                        jpeg_bytes(jpx, 90, progressive=True),
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "audio_bytes", "image_bytes", "png_bytes",
-                    "jpeg_bytes", "jpeg_src",
+                    "jpeg_bytes", "jpeg_src", "pal_bytes", "jpeg420_bytes",
+                    "jpeg420_src", "prog_bytes",
                 ],
             )
 
@@ -1719,16 +1762,20 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth,
         schema=(
             "media_id string, audio_bytes binary, image_bytes binary, "
-            "png_bytes binary, jpeg_bytes binary, jpeg_src array<long>"
+            "png_bytes binary, jpeg_bytes binary, jpeg_src array<long>, "
+            "pal_bytes binary, jpeg420_bytes binary, "
+            "jpeg420_src array<long>, prog_bytes binary"
         ),
     )
 
     def decode(batches):
         for pdf in batches:
             out = []
-            for mid, ab, ib, pb, jb, jsrc in zip(
+            for mid, ab, ib, pb, jb, jsrc, plb, j4b, j4src, prb in zip(
                 pdf["media_id"], pdf["audio_bytes"], pdf["image_bytes"],
                 pdf["png_bytes"], pdf["jpeg_bytes"], pdf["jpeg_src"],
+                pdf["pal_bytes"], pdf["jpeg420_bytes"], pdf["jpeg420_src"],
+                pdf["prog_bytes"],
             ):
                 info = wav_info(bytes(ab))
                 pcm = decode_wav_pcm(bytes(ab))[:, 0].astype(np.int64)
@@ -1740,6 +1787,15 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         jpg.astype(np.int64).ravel() - np.asarray(jsrc, dtype=np.int64)
                     ).max()
                 )
+                palimg = decode_png(bytes(plb)).astype(np.int64).ravel()
+                j420 = decode_jpeg(bytes(j4b))
+                j4err = int(
+                    np.abs(
+                        j420.astype(np.int64).ravel()
+                        - np.asarray(j4src, dtype=np.int64)
+                    ).max()
+                )
+                prog_eq = bool(np.array_equal(decode_jpeg(bytes(prb)), jpg))
                 out.append(
                     (
                         mid,
@@ -1753,6 +1809,12 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         jpg.shape[1],
                         jpg.shape[0],
                         bool(jerr <= 6),
+                        int(palimg.sum()),
+                        int((palimg * (np.arange(len(palimg)) + 1)).sum()),
+                        j420.shape[1],
+                        j420.shape[0],
+                        bool(j4err <= 8),
+                        prog_eq,
                     )
                 )
             yield pd.DataFrame(
@@ -1760,7 +1822,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "media_id", "n_frames", "sum_sq", "width", "height",
                     "px_sum", "png_sum", "png_wsum", "jpeg_w", "jpeg_h",
-                    "jpeg_ok",
+                    "jpeg_ok", "pal_sum", "pal_wsum", "jpeg420_w", "jpeg420_h",
+                    "jpeg420_ok", "prog_eq",
                 ],
             )
 
@@ -1769,7 +1832,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "media_id string, n_frames int, sum_sq long, "
             "width int, height int, px_sum long, png_sum long, png_wsum long, "
-            "jpeg_w int, jpeg_h int, jpeg_ok boolean"
+            "jpeg_w int, jpeg_h int, jpeg_ok boolean, pal_sum long, "
+            "pal_wsum long, jpeg420_w int, jpeg420_h int, "
+            "jpeg420_ok boolean, prog_eq boolean"
         ),
     ).orderBy(F.col("media_id").cast("int"))
 
@@ -3466,36 +3531,69 @@ def oracle_sql() -> dict[str, str]:
     # FLAT kernel (shard connectivity pinned in tests/test_vamana.py)
     d["diskann_knn"] = d["hnsw_knn"]
     # media_decode: the Spark side round-trips REAL containers (RIFF
-    # PCM + netpbm + PNG with all five scanline filters + baseline
-    # JPEG) through the stdlib codecs; the oracle recomputes the
+    # PCM + netpbm + PNG with all five scanline filters + palette PNG
+    # at depths 1/2/4/8 with tRNS + baseline/4:2:0/progressive JPEG)
+    # through the stdlib codecs; the oracle recomputes the
     # decoded-payload integer stats from the generation formula — a
     # hash match proves bit-exact decode of every sample and pixel
-    # (png_wsum is position-weighted, so a single mis-unfiltered byte
-    # anywhere breaks it). JPEG is lossy: its oracle surface is the
-    # parsed dims + jpeg_ok (decode within the max-|err|≤6 envelope of
-    # the source gradient); byte/pixel determinism is pytest-pinned.
+    # (png_wsum/pal_wsum are position-weighted, so a single
+    # mis-unfiltered or mis-unpacked byte anywhere breaks them). JPEG
+    # is lossy: its oracle surface is the parsed dims + jpeg_ok /
+    # jpeg420_ok error envelopes, plus prog_eq — progressive decode
+    # must equal the baseline decode of the SAME quantized
+    # coefficients bit-exactly; byte/pixel determinism is
+    # pytest-pinned.
     d["media_decode"] = """
-        SELECT CAST(doc_id AS VARCHAR) AS media_id,
-               (40 + doc_id % 13)::INT AS n_frames,
-               list_sum(list_transform(range(40 + doc_id % 13), j ->
-                 ((doc_id*31 + j*17) % 65536 - 32768)
-                 * ((doc_id*31 + j*17) % 65536 - 32768)))::BIGINT AS sum_sq,
-               (4 + doc_id % 5)::INT AS width,
-               (3 + doc_id % 4)::INT AS height,
+        WITH palcfg AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN LEAST(3 + doc_id % 6, 2)
+                   WHEN 1 THEN LEAST(3 + doc_id % 6, 4)
+                   ELSE 3 + doc_id % 6
+                 END AS npal,
+                 (2 + doc_id % 5) * (3 + doc_id % 4) AS npx,
+                 3 + doc_id % 2 AS pch
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+               (40 + d.doc_id % 13)::INT AS n_frames,
+               list_sum(list_transform(range(40 + d.doc_id % 13), j ->
+                 ((d.doc_id*31 + j*17) % 65536 - 32768)
+                 * ((d.doc_id*31 + j*17) % 65536 - 32768)))::BIGINT AS sum_sq,
+               (4 + d.doc_id % 5)::INT AS width,
+               (3 + d.doc_id % 4)::INT AS height,
                list_sum(list_transform(
-                 range((4 + doc_id % 5) * (3 + doc_id % 4)),
-                 j -> (doc_id*7 + j*13) % 256))::BIGINT AS px_sum,
+                 range((4 + d.doc_id % 5) * (3 + d.doc_id % 4)),
+                 j -> (d.doc_id*7 + j*13) % 256))::BIGINT AS px_sum,
                list_sum(list_transform(
-                 range((3 + doc_id % 6) * (5 + doc_id % 3) * 3),
-                 j -> (doc_id*11 + j*19) % 256))::BIGINT AS png_sum,
+                 range((3 + d.doc_id % 6) * (5 + d.doc_id % 3) * 3),
+                 j -> (d.doc_id*11 + j*19) % 256))::BIGINT AS png_sum,
                list_sum(list_transform(
-                 range((3 + doc_id % 6) * (5 + doc_id % 3) * 3),
-                 j -> (j+1) * ((doc_id*11 + j*19) % 256)))::BIGINT AS png_wsum,
-               (8 + doc_id % 9)::INT AS jpeg_w,
-               (6 + doc_id % 7)::INT AS jpeg_h,
-               TRUE AS jpeg_ok
-        FROM documents WHERE doc_id < 100
-        ORDER BY doc_id
+                 range((3 + d.doc_id % 6) * (5 + d.doc_id % 3) * 3),
+                 j -> (j+1) * ((d.doc_id*11 + j*19) % 256)))::BIGINT AS png_wsum,
+               (8 + d.doc_id % 9)::INT AS jpeg_w,
+               (6 + d.doc_id % 7)::INT AS jpeg_h,
+               TRUE AS jpeg_ok,
+               list_sum(list_transform(range(p.npx), j ->
+                 list_sum(list_transform(range(p.pch), k ->
+                   CASE WHEN k < 3
+                     THEN (d.doc_id*5 + ((d.doc_id*13 + j*7) % p.npal)*23 + k*9) % 256
+                     ELSE (d.doc_id*29 + ((d.doc_id*13 + j*7) % p.npal)*41) % 256
+                   END))))::BIGINT AS pal_sum,
+               list_sum(list_transform(range(p.npx), j ->
+                 list_sum(list_transform(range(p.pch), k ->
+                   (j * p.pch + k + 1) *
+                   (CASE WHEN k < 3
+                     THEN (d.doc_id*5 + ((d.doc_id*13 + j*7) % p.npal)*23 + k*9) % 256
+                     ELSE (d.doc_id*29 + ((d.doc_id*13 + j*7) % p.npal)*41) % 256
+                   END)))))::BIGINT AS pal_wsum,
+               (10 + d.doc_id % 11)::INT AS jpeg420_w,
+               (8 + d.doc_id % 9)::INT AS jpeg420_h,
+               TRUE AS jpeg420_ok,
+               TRUE AS prog_eq
+        FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id
     """
     # image_near_dup: the Spark side goes through the REAL PNG codec
     # (lossless round-trip) then dHash then banded hamming_pairs; the

@@ -473,3 +473,23 @@ def test_hamming_pairs_property_exactness(spark):
         assert set(guarded) <= set(want)  # chain never invents pairs
 
     check()
+
+
+def test_release_skew_guard_caches(docs_df):
+    """The skew guard persists the banded relation (detection job +
+    returned plan would recompute the signature stage twice without
+    it); the operator cannot unpersist it, so the caller-facing
+    release handle must: (a) report at least one released relation
+    after a dedup materialization, (b) leave the session with no
+    guard-cached RDDs, (c) be idempotent."""
+    spark = docs_df.sparkSession
+    dedup.release_skew_guard_caches()  # clean slate from other tests
+    pairs = dedup.minhash_lsh_pairs(docs_df, text_col="text", id_col="doc_id")
+    pairs.count()  # materialize: detection job + banded join both ran
+    assert len(dedup._GUARD_CACHES) >= 1
+    released = dedup.release_skew_guard_caches()
+    assert released >= 1
+    assert dedup._GUARD_CACHES == []
+    assert dedup.release_skew_guard_caches() == 0  # idempotent
+    # the unpersisted plan still recomputes correctly
+    assert pairs.count() >= 0

@@ -368,23 +368,41 @@ def test_jpeg_info_and_typed_rejections():
         decode_jpeg(b"\x00\x01" + blob[2:])
     with pytest.raises(ValueError, match="truncated JPEG entropy"):
         decode_jpeg(blob[:-20])
-    # progressive (SOF2): decode rejects, info still reports geometry
+    i = blob.find(b"\xff\xc0")
+    # relabeling a BASELINE stream as SOF2 makes its full-band scan
+    # illegal under progressive rules — typed rejection, not garbage
     prog = bytearray(blob)
-    i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg(bytes(prog))
     pinfo = jpeg_info(bytes(prog))
     assert pinfo["progressive"] is True and pinfo["width"] == 21
-    # 4:2:0 sampling byte: typed rejection, no approximate decode
+    # arithmetic coding (SOF9): typed rejection
+    arith = bytearray(blob)
+    arith[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF marker"):
+        decode_jpeg(bytes(arith))
+    # patching the sampling byte of a 4:4:4 stream to 2x2 changes the
+    # MCU geometry out from under the entropy data — typed error, no
+    # approximate decode
     sub = bytearray(blob)
     sub[i + 11] = 0x22
-    with pytest.raises(ValueError, match="4:4:4"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(sub))
+    # fractional sampling ratio (3 does not divide 2): typed rejection
+    frac = bytearray(blob)
+    frac[i + 11] = 0x22
+    frac[i + 14] = 0x33
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(frac))
     with pytest.raises(ValueError, match="quality"):
         jpeg_bytes(rgb, 0)
     with pytest.raises(ValueError, match="expected"):
         jpeg_bytes(np.zeros((4, 4, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_bytes(rgb, 80, subsampling="4:2:1")
+    with pytest.raises(ValueError, match="baseline-only"):
+        jpeg_bytes(rgb, 80, restart_interval=2, progressive=True)
 
 
 def test_jpeg_decode_reads_tables_from_stream():
@@ -797,3 +815,144 @@ def test_png_palette_all_filters_on_packed_bytes():
         + _png_chunk(b"IEND", b"")
     )
     assert (decode_png(blob) == base).all()
+
+
+def _smooth_rgb(h, w):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [
+            128 + 100 * np.sin(x / 7) * np.cos(y / 9),
+            128 + 90 * np.cos(x / 11),
+            128 + 80 * np.sin((x + y) / 13),
+        ],
+        -1,
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:0 / 4:2:2: chroma is box-averaged before the DCT and
+    sample-replicated on decode — bounded error on smooth images,
+    exact shape at every odd/even dimension mix, deterministic."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes, jpeg_info
+
+    for sub, samp in [("4:2:0", (2, 2)), ("4:2:2", (2, 1))]:
+        for h, w in [(16, 16), (13, 21), (9, 7), (33, 31), (40, 56)]:
+            rgb = _smooth_rgb(h, w)
+            blob = jpeg_bytes(rgb, 90, subsampling=sub)
+            assert jpeg_info(blob)["sampling"] == [samp, (1, 1), (1, 1)]
+            out = decode_jpeg(blob)
+            assert out.shape == rgb.shape and out.dtype == np.uint8
+            err = np.abs(out.astype(int) - rgb.astype(int))
+            assert err.max() <= 20 and err.mean() <= 4.0, (sub, h, w)
+            assert np.array_equal(out, decode_jpeg(blob))  # deterministic
+        # subsampling strictly shrinks the stream on smooth content
+        rgb = _smooth_rgb(48, 48)
+        assert len(jpeg_bytes(rgb, 90, subsampling=sub)) < len(jpeg_bytes(rgb, 90))
+
+
+def test_jpeg_subsampled_restart_interval():
+    """DRI counts interleaved MCUs (not blocks) under 4:2:0 — decoded
+    pixels identical to the no-DRI stream at several intervals."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    rgb = _smooth_rgb(34, 37)  # 3x3 MCU grid at 4:2:0 (16px MCUs)
+    base = decode_jpeg(jpeg_bytes(rgb, 88, subsampling="4:2:0"))
+    for dri in (1, 2, 5):
+        blob = jpeg_bytes(rgb, 88, restart_interval=dri, subsampling="4:2:0")
+        assert b"\xff\xdd" in blob
+        assert np.array_equal(decode_jpeg(blob), base)
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """Progressive (SOF2) encode→decode must reproduce EXACTLY the
+    baseline decode of the same image: both paths share the quantized
+    coefficients, so the 10-scan spectral-selection + successive-
+    approximation round trip is pinned bit-exact — any error in EOB
+    runs, refinement bits, or point transforms would break equality."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes, jpeg_info
+
+    for h, w in [(8, 8), (16, 16), (13, 21), (9, 7), (33, 31)]:
+        for mk in (_gradient_rgb, _smooth_rgb):
+            rgb = mk(h, w)
+            pblob = jpeg_bytes(rgb, 90, progressive=True)
+            assert jpeg_info(pblob)["progressive"] is True
+            assert np.array_equal(
+                decode_jpeg(pblob), decode_jpeg(jpeg_bytes(rgb, 90))
+            ), (h, w, mk.__name__)
+            gray = rgb[..., 0]
+            assert np.array_equal(
+                decode_jpeg(jpeg_bytes(gray, 90, progressive=True)),
+                decode_jpeg(jpeg_bytes(gray, 90)),
+            ), ("gray", h, w)
+
+
+def test_jpeg_progressive_subsampled_and_noise():
+    """Progressive composes with chroma subsampling; uint8 noise at
+    q=100 drives the refinement/EOB-run machinery hardest (dense
+    nonzero coefficients at every successive-approximation level)."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    for sub in ("4:2:0", "4:2:2"):
+        rgb = _smooth_rgb(21, 19)
+        assert np.array_equal(
+            decode_jpeg(jpeg_bytes(rgb, 85, subsampling=sub, progressive=True)),
+            decode_jpeg(jpeg_bytes(rgb, 85, subsampling=sub)),
+        ), sub
+    noise = np.random.default_rng(3).integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(jpeg_bytes(noise, 100, progressive=True)),
+        decode_jpeg(jpeg_bytes(noise, 100)),
+    )
+    # byte-deterministic (two-pass optimal-Huffman tables included)
+    assert jpeg_bytes(noise, 95, progressive=True) == jpeg_bytes(
+        noise, 95, progressive=True
+    )
+
+
+def test_jpeg_progressive_fuzz_typed_errors_only():
+    """Single-byte corruption / truncation of a progressive stream
+    (multi-scan walk, per-scan DHT, refinement bits) must succeed or
+    raise ValueError — never an incidental exception type."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    rng = np.random.default_rng(23)
+    blob = jpeg_bytes(_smooth_rgb(18, 22), 88, progressive=True)
+    for _ in range(200):
+        bad = bytearray(blob)
+        if rng.integers(2):
+            bad[int(rng.integers(len(bad)))] = int(rng.integers(256))
+        else:
+            bad = bad[: int(rng.integers(1, len(bad)))]
+        try:
+            decode_jpeg(bytes(bad))
+        except ValueError:
+            pass  # the ONLY legal failure mode
+
+
+def test_jpeg_header_walk_skips_standalone_markers():
+    """TEM (0x01) and stray RSTn markers carry no length field — the
+    header walk must skip them rather than misparse their neighbors
+    as a segment length (T.81 B.1.1.2)."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    rgb = _gradient_rgb(12, 14)
+    blob = jpeg_bytes(rgb, 90)
+    base = decode_jpeg(blob)
+    i = blob.find(b"\xff\xdb")
+    for standalone in (b"\xff\x01", b"\xff\xd3"):
+        padded = blob[:i] + standalone + blob[i:]
+        assert np.array_equal(decode_jpeg(padded), base), standalone
+
+
+def test_jpeg_rejects_trailing_entropy_data():
+    """A scan whose entropy data outlives its declared geometry (e.g.
+    a tampered sampling byte turning 4:4:4 into 2x2) must raise, not
+    silently decode a prefix into garbage pixels."""
+    from vearch_spark.functions.media import decode_jpeg, jpeg_bytes
+
+    blob = jpeg_bytes(_gradient_rgb(13, 21), 90)
+    i = blob.find(b"\xff\xc0")
+    sub = bytearray(blob)
+    sub[i + 11] = 0x22  # comp 0: 1x1 → 2x2
+    with pytest.raises(ValueError, match="unconsumed entropy"):
+        decode_jpeg(bytes(sub))

@@ -409,3 +409,58 @@ def test_staged_append_cost_is_per_batch(spark, emb):
         assert {999_300 + i for i in range(5)} <= got
     finally:
         idx.unpersist()
+
+
+def test_staged_compaction_default_bound_and_search_exactness(spark, emb):
+    """r6 VERDICT ask #5: pin the 16-part compaction bound instead of
+    leaving it empirical — (a) the live part count never exceeds
+    _STAGED_COMPACT across >16 appends at the DEFAULT bound, (b)
+    compaction is invisible to results: search over the 15-part union
+    equals search over the compacted single part hash-exactly (same
+    rows, same scores), (c) no staged row is lost across repeated
+    compactions."""
+    df, _ = emb
+    idx = DiskANNStaticIndex(
+        "embedding", Metric.L2, R=16, L=32, l_search=48,
+        nshards=4, id_col="vec_id",
+    ).fit(df)
+    try:
+        probe = [100.0] * DIM
+        for i in range(15):
+            idx.add(spark.createDataFrame(
+                [(999_500 + 2 * i, [100.0 + i * 0.25] * DIM),
+                 (999_501 + 2 * i, [101.0 + i * 0.25] * DIM)],
+                "vec_id long, embedding array<double>",
+            ))
+        assert len(idx._staged_parts) == 15
+        pre = sorted(
+            (r.vec_id, r._score)
+            for r in idx.search(df, probe, limit=25).collect()
+        )
+        idx._compact_staged()
+        assert len(idx._staged_parts) == 1
+        post = sorted(
+            (r.vec_id, r._score)
+            for r in idx.search(df, probe, limit=25).collect()
+        )
+        assert post == pre  # hash-exact: same ids AND same scores
+        # keep appending past the default bound — the invariant holds
+        # at every step, and compaction preserves every staged row
+        for i in range(20):
+            idx.add(spark.createDataFrame(
+                [(999_600 + i, [90.0 + i] * DIM)],
+                "vec_id long, embedding array<double>",
+            ))
+            assert len(idx._staged_parts) <= idx._STAGED_COMPACT
+        assert idx._STAGED_COMPACT == 16  # the documented default
+        assert idx._staged.count() == 30 + 20
+        # every staged vector sits near [90..109]^DIM — far closer to
+        # the probe than any graph row (centers ~ N(0,5)) — so ALL 50
+        # must surface inside the top-60
+        got = {
+            r.vec_id for r in idx.search(df, probe, limit=60).collect()
+        }
+        assert {999_500 + j for j in range(30)} <= got
+        assert {999_600 + j for j in range(20)} <= got
+    finally:
+        idx.unpersist()

@@ -60,7 +60,7 @@ def _typed_decode_errors(fn):
         except ValueError:
             raise
         except (struct.error, zlib.error, wave.Error, EOFError, KeyError,
-                IndexError, OSError, RuntimeError) as exc:
+                IndexError, OSError, RuntimeError, OverflowError) as exc:
             # RuntimeError/OSError: the stdlib wave/chunk modules raise
             # both bare on corrupt chunk lengths and seeks
             raise ValueError(f"corrupt {fn.__name__} payload: {exc}") from exc
@@ -667,14 +667,283 @@ def _jpeg_put_coeff(w: _BitWriter, huff: dict, sym_high: int, v: int) -> None:
         w.put(v if v >= 0 else v + (1 << size) - 1, size)
 
 
+# Sampling-factor presets (Y, Cb, Cr). 4:2:0 halves chroma both ways,
+# 4:2:2 horizontally only; the reference pipeline ingests only float
+# vectors (doc_parse.go) — wild-format decode is this engine's
+# training-data extension, and real crawls are dominated by 4:2:0.
+_JPEG_SAMPLING = {
+    "4:4:4": ((1, 1), (1, 1), (1, 1)),
+    "4:2:2": ((2, 1), (1, 1), (1, 1)),
+    "4:2:0": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _fdct_quant_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize a block-aligned float64 plane in one vectorized
+    pass → int64 coefficients in zigzag order, shape (bh, bw, 64). AC
+    magnitudes clamp to ±1023 (baseline Huffman size ≤ 10 — only
+    reachable at quality=100 on near-basis blocks); DC is exempt (its
+    size-11 symbol covers the full range an 8-bit block can produce)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8)
+    qd = np.round(coeffs.reshape(bh, bw, 64) / q).astype(np.int64)
+    dc = qd[..., 0].copy()
+    np.clip(qd, -1023, 1023, out=qd)
+    qd[..., 0] = dc
+    return qd[..., _JPEG_ZZ]
+
+
+def _idct_plane(zcoef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Dequantize zigzag coefficients (bh, bw, 64) and inverse-DCT the
+    whole plane in one vectorized pass → float64 (bh·8, bw·8).
+    Fixed-order einsum keeps decode deterministic."""
+    bh, bw = zcoef.shape[:2]
+    levels = np.zeros((bh, bw, 64), dtype=np.float64)
+    levels[..., _JPEG_ZZ] = zcoef  # zigzag → row-major, THEN dequant
+    cb = (levels * q).reshape(bh, bw, 8, 8)
+    spat = np.einsum("ji,abjk,kl->abil", _DCT8, cb, _DCT8)
+    return spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _huff_build(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal canonical Huffman table from symbol frequencies — the
+    T.81 Annex K.2 procedure (code-size assignment by pairwise merge,
+    BITS-list limiting to 16, reserved all-ones codepoint removed).
+    Needed for progressive AC scans: their EOBn symbols (0x10..0xE0)
+    don't exist in the Annex K typical tables, so real progressive
+    encoders always emit custom DHT segments."""
+    f = [0] * 257
+    for sym, n in freq.items():
+        f[sym] = n
+    f[256] = 1  # reserved codepoint: guarantees no all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        # two least-frequent part-trees; ties break toward the larger
+        # symbol value (<=) — the deterministic Annex K convention
+        c1, v = -1, None
+        for i in range(257):
+            if f[i] and (v is None or f[i] <= v):
+                v, c1 = f[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if f[i] and i != c1 and (v is None or f[i] <= v):
+                v, c2 = f[i], i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # limit code lengths to 16 (Annex K.2 Figure K.3 adjustment)
+    for length in range(32, 16, -1):
+        while bits[length] > 0:
+            j = length - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[length] -= 2
+            bits[length - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    length = 16
+    while bits[length] == 0:
+        length -= 1
+    bits[length] -= 1  # drop the reserved codepoint
+    vals = sorted(
+        (s for s in range(256) if codesize[s]), key=lambda s: (codesize[s], s)
+    )
+    return bits[1:17], vals
+
+
+class _HuffEmitter:
+    """Two-pass sink for progressive AC scans: with no writer it
+    tallies Huffman symbol frequencies (pass 1 → _huff_build); with a
+    writer + table it emits real codes (pass 2). Magnitude/raw bits
+    cost nothing in count mode."""
+
+    def __init__(self, wtr: _BitWriter | None = None, tab: dict | None = None):
+        self.wtr = wtr
+        self.tab = tab
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        if self.wtr is None:
+            self.freq[s] = self.freq.get(s, 0) + 1
+        else:
+            code, length = self.tab[s]
+            self.wtr.put(code, length)
+
+    def put(self, v: int, n: int) -> None:
+        if self.wtr is not None and n:
+            self.wtr.put(v, n)
+
+
+def _emit_eobrun(em: _HuffEmitter, eobrun: int, pending: list[int]) -> None:
+    """Flush an EOB run (EOBn symbol = run-magnitude category << 4,
+    plus extension bits) followed by the buffered correction bits that
+    accumulated while the run was open (T.81 G.1.2.2-3)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        em.sym(r << 4)
+        em.put(eobrun - (1 << r), r)
+        for b in pending:
+            em.put(b, 1)
+        pending.clear()
+
+
+def _emit_ac_first(
+    em: _HuffEmitter, blocks: list[np.ndarray], ss: int, se: int, al: int
+) -> None:
+    """Progressive AC first scan (Ah=0): band Ss..Se point-transformed
+    by Al (truncation toward zero), run-length coded with EOB-run
+    accumulation across blocks."""
+    eobrun = 0
+    for zz in blocks:
+        vals = [
+            int(v) >> al if v >= 0 else -((-int(v)) >> al) for v in zz[ss : se + 1]
+        ]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(em, eobrun, [])
+                eobrun = 0
+            continue
+        _emit_eobrun(em, eobrun, [])
+        eobrun = 0
+        run, last = 0, nz[-1]
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                em.sym(0xF0)  # ZRL
+                run -= 16
+            size = abs(v).bit_length()
+            em.sym((run << 4) | size)
+            em.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(em, eobrun, [])
+                eobrun = 0
+    _emit_eobrun(em, eobrun, [])
+
+
+def _emit_ac_refine(
+    em: _HuffEmitter, blocks: list[np.ndarray], ss: int, se: int, ah: int, al: int
+) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): positions whose
+    history (>> Ah) is already nonzero emit one correction bit;
+    positions newly reaching magnitude 1 at this precision emit a
+    (run|1) symbol + sign; zero-history runs fold into EOB runs whose
+    buffered correction bits flush with the EOBn symbol."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits carried inside an open EOB run
+    for zz in blocks:
+        absv = [(-int(v) if v < 0 else int(v)) >> al for v in zz[ss : se + 1]]
+        eobp = -1  # last newly-significant position in this block
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobp = i
+        run, br = 0, []  # br: correction bits of the current block
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eobp:
+                _emit_eobrun(em, eobrun, pending)
+                eobrun = 0
+                em.sym(0xF0)
+                run -= 16
+                for b in br:
+                    em.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            _emit_eobrun(em, eobrun, pending)
+            eobrun = 0
+            em.sym((run << 4) | 1)
+            em.put(1 if zz[ss + i] >= 0 else 0, 1)
+            for b in br:
+                em.put(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                _emit_eobrun(em, eobrun, pending)
+                eobrun = 0
+    _emit_eobrun(em, eobrun, pending)
+
+
+def _jpeg_geometry(h: int, w: int, samp: list[tuple[int, int]]) -> dict:
+    """Per-component block geometry (T.81 A.1.1): component dims are
+    ceil(size·factor/max); interleaved scans tile the full MCU grid
+    (bh, bw), non-interleaved scans only the blocks covering actual
+    samples (nbh, nbw)."""
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    for sh, sv in samp:
+        if not (1 <= sh <= 4 and 1 <= sv <= 4) or hmax % sh or vmax % sv:
+            raise ValueError(f"unsupported JPEG sampling factors {samp}")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    comps = []
+    for sh, sv in samp:
+        cw, ch_ = -(-w * sh // hmax), -(-h * sv // vmax)
+        comps.append(
+            {
+                "sh": sh, "sv": sv, "cw": cw, "ch": ch_,
+                "bw": mcux * sh, "bh": mcuy * sv,
+                "nbw": -(-cw // 8), "nbh": -(-ch_ // 8),
+            }
+        )
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy, "comps": comps}
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _sos_segment(scan_comps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(scan_comps)])
+    for cid, td, ta in scan_comps:
+        body += bytes([cid, (td << 4) | ta])
+    return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
 def jpeg_bytes(
-    pixels: np.ndarray | list, quality: int = 85, restart_interval: int = 0
+    pixels: np.ndarray | list,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "4:4:4",
+    progressive: bool = False,
 ) -> bytes:
-    """Encode a uint8 array as a real baseline JFIF JPEG: (H, W) →
-    grayscale, (H, W, 3) → YCbCr 4:4:4 (no chroma subsampling, so
-    every component tiles the same 8×8 grid). ``restart_interval`` > 0
-    emits a DRI segment and RSTn markers every that-many MCUs (the
-    stream-resync feature real encoders use for error resilience).
+    """Encode a uint8 array as a real JFIF JPEG: (H, W) → grayscale,
+    (H, W, 3) → YCbCr at ``subsampling`` ("4:4:4", "4:2:2", "4:2:0" —
+    chroma box-averaged before the DCT). ``restart_interval`` > 0
+    emits DRI + RSTn every that-many MCUs (baseline only).
+    ``progressive=True`` emits SOF2 with the standard simple-
+    progression scan script (spectral selection + successive
+    approximation; DC scans use the Annex K typical tables, AC scans
+    per-scan optimal Huffman tables built by the Annex K.2 procedure —
+    their EOBn symbols don't exist in the typical tables).
     Deterministic: the same inputs always produce the same bytes."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
@@ -686,9 +955,14 @@ def jpeg_bytes(
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in _JPEG_SAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_JPEG_SAMPLING)}")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is baseline-only in this encoder")
 
     if ncomp == 1:
         planes = [arr.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
     else:
         r = arr[..., 0].astype(np.float64)
         g = arr[..., 1].astype(np.float64)
@@ -698,45 +972,91 @@ def jpeg_bytes(
             -0.168735892 * r - 0.331264108 * g + 0.5 * b,
             0.5 * r - 0.418687589 * g - 0.081312411 * b,
         ]
+        samp = list(_JPEG_SAMPLING[subsampling])
     qt = [_jpeg_qtable(_JPEG_QL, quality)]
     if ncomp == 3:
         qt.append(_jpeg_qtable(_JPEG_QC, quality))
+    geo = _jpeg_geometry(h, w, samp)
+    gc = geo["comps"]
 
-    # pad to whole blocks by edge replication (standard practice: keeps
-    # block boundaries smooth, minimizing ringing at the crop edge)
-    bh, bw = -(-h // 8), -(-w // 8)
-    pad = [np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") for p in planes]
+    # downsample chroma by box mean, then pad each component plane to
+    # its MCU-aligned block grid by edge replication (keeps block
+    # boundaries smooth, minimizing ringing at the crop edge)
+    coef: list[np.ndarray] = []
+    for ci in range(ncomp):
+        c = gc[ci]
+        fy, fx = geo["vmax"] // c["sv"], geo["hmax"] // c["sh"]
+        p = planes[ci]
+        if fy > 1 or fx > 1:
+            ph, pw = c["ch"] * fy, c["cw"] * fx
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            p = p.reshape(c["ch"], fy, c["cw"], fx).mean(axis=(1, 3))
+        p = np.pad(
+            p,
+            ((0, c["bh"] * 8 - p.shape[0]), (0, c["bw"] * 8 - p.shape[1])),
+            mode="edge",
+        )
+        coef.append(_fdct_quant_blocks(p, qt[min(ci, 1)]))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for i, q in enumerate(qt):
+        out += _seg(0xFFDB, bytes([i]) + bytes(int(v) for v in q[_JPEG_ZZ]))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (gc[ci]["sh"] << 4) | gc[ci]["sv"], min(ci, 1)])
+    out += _seg(0xFFC2 if progressive else 0xFFC0, sof)
+    dc_huffs = [(0x00, _DC_L_BITS, _DC_L_VALS)]
+    if ncomp == 3:
+        dc_huffs.append((0x01, _DC_C_BITS, _DC_C_VALS))
+    for tid, bits, vals in dc_huffs:
+        out += _seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
 
     dc_tabs = [_huff_encode_table(_DC_L_BITS, _DC_L_VALS)]
-    ac_tabs = [_huff_encode_table(_AC_L_BITS, _AC_L_VALS)]
     if ncomp == 3:
         dc_tabs.append(_huff_encode_table(_DC_C_BITS, _DC_C_VALS))
-        ac_tabs.append(_huff_encode_table(_AC_C_BITS, _AC_C_VALS))
 
-    wtr = _BitWriter()
-    pred = [0] * ncomp
-    mcu = 0
-    # 4:4:4 → one MCU = one 8×8 block per component, raster MCU order
-    for by in range(bh):
-        for bx in range(bw):
+    def mcu_blocks(scan_cis: list[int]) -> list[list[tuple[int, int, int]]]:
+        """Interleaved MCU partition: per MCU, each scan component
+        contributes its sv×sh block tile in raster order."""
+        mcus = []
+        for my in range(geo["mcuy"]):
+            for mx in range(geo["mcux"]):
+                blk = []
+                for ci in scan_cis:
+                    c = gc[ci]
+                    for by in range(c["sv"]):
+                        for bx in range(c["sh"]):
+                            blk.append((ci, my * c["sv"] + by, mx * c["sh"] + bx))
+                mcus.append(blk)
+        return mcus
+
+    if not progressive:
+        ac_tabs = [_huff_encode_table(_AC_L_BITS, _AC_L_VALS)]
+        if ncomp == 3:
+            ac_tabs.append(_huff_encode_table(_AC_C_BITS, _AC_C_VALS))
+        ac_huffs = [(0x10, _AC_L_BITS, _AC_L_VALS)]
+        if ncomp == 3:
+            ac_huffs.append((0x11, _AC_C_BITS, _AC_C_VALS))
+        for tid, bits, vals in ac_huffs:
+            out += _seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
+        if restart_interval:
+            out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += _sos_segment(
+            [(ci + 1, min(ci, 1), min(ci, 1)) for ci in range(ncomp)], 0, 63, 0, 0
+        )
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for mcu, blocks in enumerate(mcu_blocks(list(range(ncomp)))):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 wtr.flush()  # byte-align (1-padded) before the marker
-                wtr.buf += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                wtr.buf += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
                 pred = [0] * ncomp
-            mcu += 1
-            for ci in range(ncomp):
-                t = min(ci, 1)  # table slot: 0 = luma, 1 = chroma
-                block = pad[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coeffs = _DCT8 @ block @ _DCT8.T
-                qd = np.round(coeffs / qt[t].reshape(8, 8)).astype(np.int32)
-                # baseline AC magnitude cap is 1023 (size ≤ 10); only
-                # reachable at quality=100 (q=1) on near-basis blocks.
-                # DC is exempt: its size-11 symbol covers the full
-                # [-1024, 1016] range an 8-bit block can produce.
-                dc = qd[0, 0]
-                qd = np.clip(qd, -1023, 1023)
-                qd[0, 0] = dc
-                zz = qd.ravel()[_JPEG_ZZ]
+            for ci, by, bx in blocks:
+                t = min(ci, 1)
+                zz = coef[ci][by, bx]
                 _jpeg_put_coeff(wtr, dc_tabs[t], 0, int(zz[0]) - pred[ci])
                 pred[ci] = int(zz[0])
                 run = 0
@@ -756,35 +1076,81 @@ def jpeg_bytes(
                 if last < 63:
                     code, length = ac_tabs[t][0x00]  # EOB
                     wtr.put(code, length)
-    wtr.flush()
+        wtr.flush()
+        out += wtr.buf
+        return bytes(out + b"\xff\xd9")
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for i, q in enumerate(qt):
-        out += seg(0xFFDB, bytes([i]) + bytes(int(v) for v in q[_JPEG_ZZ]))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])
-    out += seg(0xFFC0, sof)
-    huffs = [(0x00, _DC_L_BITS, _DC_L_VALS), (0x10, _AC_L_BITS, _AC_L_VALS)]
-    if ncomp == 3:
-        huffs += [(0x01, _DC_C_BITS, _DC_C_VALS), (0x11, _AC_C_BITS, _AC_C_VALS)]
-    for tid, bits, vals in huffs:
-        out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        t = min(ci, 1)
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
-    out += wtr.buf
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    # --- progressive: the libjpeg "simple progression" scan script ---
+    # (scan, kind) with kind ∈ dc_first/dc_refine/ac_first/ac_refine;
+    # AC scans are per-component (T.81 requires non-interleaved AC)
+    if ncomp == 1:
+        script = [
+            ("dc_first", None, 0, 0, 0, 1),
+            ("ac_first", 0, 1, 5, 0, 2),
+            ("ac_first", 0, 6, 63, 0, 2),
+            ("ac_refine", 0, 1, 63, 2, 1),
+            ("dc_refine", None, 0, 0, 1, 0),
+            ("ac_refine", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc_first", None, 0, 0, 0, 1),
+            ("ac_first", 0, 1, 5, 0, 2),
+            ("ac_first", 2, 1, 63, 0, 1),
+            ("ac_first", 1, 1, 63, 0, 1),
+            ("ac_first", 0, 6, 63, 0, 2),
+            ("ac_refine", 0, 1, 63, 2, 1),
+            ("dc_refine", None, 0, 0, 1, 0),
+            ("ac_refine", 2, 1, 63, 1, 0),
+            ("ac_refine", 1, 1, 63, 1, 0),
+            ("ac_refine", 0, 1, 63, 1, 0),
+        ]
+    for kind, ci, ss, se, ah, al in script:
+        if kind == "dc_first":
+            out += _sos_segment(
+                [(k + 1, min(k, 1), 0) for k in range(ncomp)], 0, 0, ah, al
+            )
+            wtr = _BitWriter()
+            pred = [0] * ncomp
+            for blocks in mcu_blocks(list(range(ncomp))):
+                for cj, by, bx in blocks:
+                    v = int(coef[cj][by, bx, 0]) >> al
+                    _jpeg_put_coeff(wtr, dc_tabs[min(cj, 1)], 0, v - pred[cj])
+                    pred[cj] = v
+            wtr.flush()
+            out += wtr.buf
+        elif kind == "dc_refine":
+            # raw-bit scan: no Huffman tables involved
+            out += _sos_segment(
+                [(k + 1, 0, 0) for k in range(ncomp)], 0, 0, ah, al
+            )
+            wtr = _BitWriter()
+            for blocks in mcu_blocks(list(range(ncomp))):
+                for cj, by, bx in blocks:
+                    wtr.put((int(coef[cj][by, bx, 0]) >> al) & 1, 1)
+            wtr.flush()
+            out += wtr.buf
+        else:
+            c = gc[ci]
+            blocks = [
+                coef[ci][by, bx]
+                for by in range(c["nbh"])
+                for bx in range(c["nbw"])
+            ]
+            emit = _emit_ac_first if kind == "ac_first" else _emit_ac_refine
+            args = (ss, se, al) if kind == "ac_first" else (ss, se, ah, al)
+            counter = _HuffEmitter()
+            emit(counter, blocks, *args)
+            bits, vals = _huff_build(counter.freq)
+            # AC table slot 0, overwritten before every AC scan — legal
+            # per T.81 and exercises the decoder's between-scan DHT path
+            out += _seg(0xFFC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+            out += _sos_segment([(ci + 1, 0, 0)], ss, se, ah, al)
+            wtr = _BitWriter()
+            emit(_HuffEmitter(wtr, _huff_encode_table(bits, vals)), blocks, *args)
+            wtr.flush()
+            out += wtr.buf
+    return bytes(out + b"\xff\xd9")
 
 
 class _BitReader:
@@ -872,19 +1238,17 @@ def jpeg_info(content: bytes) -> dict:
         "components": hdr["ncomp"],
         "bit_depth": hdr["precision"],
         "progressive": hdr["progressive"],
+        "sampling": [(c["h"], c["v"]) for c in hdr["comps"]],
     }
 
 
-def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
-    """Walk the marker stream up to SOS (or SOF for ``info_only``),
-    collecting DQT/DHT/DRI/SOF state."""
-    if content[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (missing SOI)")
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
-    st: dict = {"dri": 0, "progressive": False}
-    pos = 2
-    while pos + 4 <= len(content):
+def _jpeg_walk(content: bytes, pos: int, st: dict, info_only: bool = False) -> str:
+    """Walk marker segments from ``pos``, updating DQT/DHT/DRI/SOF/SOS
+    state in ``st``; returns 'sos' (with st['scan']/st['data_pos'] set),
+    'eoi', or 'sof' (info_only). Tables may legally appear between
+    scans (progressive encoders emit per-scan DHT), so this runs both
+    before the first scan and between scans."""
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
@@ -893,6 +1257,15 @@ def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
             pos += 1
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
+            st["pos"] = pos + 2
+            return "eoi"
+        # standalone markers carry NO length field: TEM (0x01) and a
+        # stray RSTn outside entropy data — skip them instead of
+        # misreading their next two bytes as a segment length
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(content):
             break
         (length,) = struct.unpack(">H", content[pos + 2 : pos + 4])
         body = content[pos + 4 : pos + 2 + length]
@@ -906,7 +1279,7 @@ def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
                     raise ValueError("16-bit quantization tables not supported")
                 tab = np.zeros(64, dtype=np.int32)
                 tab[_JPEG_ZZ] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
-                qt[tq] = tab
+                st["qt"][tq] = tab
                 i += 65
         elif marker == 0xC4:  # DHT (may hold several tables)
             i = 0
@@ -915,19 +1288,18 @@ def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
-                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                st["huff"][(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (st["dri"],) = struct.unpack(">H", body[:2])
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             if marker == 0xC2:
                 st["progressive"] = True
-            if marker not in (0xC0, 0xC1):
-                if info_only and marker == 0xC2:
-                    pass  # still report geometry for progressive files
-                else:
+            elif marker not in (0xC0, 0xC1):
+                if not info_only:
                     raise ValueError(
-                        f"only baseline sequential JPEG supported (SOF marker 0x{marker:02X})"
+                        "only baseline/progressive Huffman JPEG supported "
+                        f"(SOF marker 0x{marker:02X})"
                     )
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             st.update(precision=prec, height=h, width=w, ncomp=ncomp, comps=[])
@@ -935,91 +1307,240 @@ def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 st["comps"].append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             if info_only:
-                return st
+                return "sof"
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if len(body) != 4 + ns * 2:
+                raise ValueError("malformed SOS header")
             st["scan"] = [(body[1 + i * 2], body[2 + i * 2]) for i in range(ns)]
+            st["ss"], st["se"] = body[1 + ns * 2], body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            st["ah"], st["al"] = ahal >> 4, ahal & 0x0F
             st["data_pos"] = pos + 2 + length
-            st["qt"], st["huff"] = qt, huff
-            return st
+            return "sos"
         pos += 2 + length
-    if info_only and "width" in st:
-        return st
     raise ValueError("JPEG missing SOS/SOF")
+
+
+def _jpeg_parse_headers(content: bytes, info_only: bool = False) -> dict:
+    """Parse from SOI to the first SOS (or SOF for ``info_only``)."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    st: dict = {"dri": 0, "progressive": False, "qt": {}, "huff": {}}
+    _jpeg_walk(content, 2, st, info_only=info_only)
+    if "width" not in st:
+        raise ValueError("JPEG missing SOF before SOS")
+    return st
+
+
+def _jpeg_decode_scan(
+    content: bytes, st: dict, geo: dict, coef: list[np.ndarray]
+) -> int:
+    """Entropy-decode one scan into the per-component zigzag
+    coefficient arrays; returns the stream position after the scan's
+    entropy data. Handles sequential (full-band) scans and all four
+    progressive scan kinds (T.81 G.1.2 / F.2.2), interleaved or not,
+    with restart intervals resetting DC predictors and the EOB run."""
+    comp_by_id = {c["id"]: i for i, c in enumerate(st["comps"])}
+    scomps: list[tuple[int, int, int]] = []
+    for cid, tdta in st["scan"]:
+        if cid not in comp_by_id:
+            raise ValueError(f"SOS references unknown component id {cid}")
+        scomps.append((comp_by_id[cid], tdta >> 4, tdta & 0x0F))
+    ss, se, ah, al = st["ss"], st["se"], st["ah"], st["al"]
+    progressive = st["progressive"]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        if not (ss <= se <= 63):
+            raise ValueError(f"bad spectral band {ss}..{se}")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("sequential scan must cover the full band at full precision")
+
+    gc = geo["comps"]
+    # block schedule: interleaved scans tile the MCU grid; a
+    # single-component scan walks that component's own block grid with
+    # MCU = one block (T.81 A.2)
+    if len(scomps) > 1:
+        mcus = []
+        for my in range(geo["mcuy"]):
+            for mx in range(geo["mcux"]):
+                blk = []
+                for ci, td, ta in scomps:
+                    c = gc[ci]
+                    for by in range(c["sv"]):
+                        for bx in range(c["sh"]):
+                            blk.append((ci, td, ta, my * c["sv"] + by, mx * c["sh"] + bx))
+                mcus.append(blk)
+    else:
+        ci, td, ta = scomps[0]
+        c = gc[ci]
+        mcus = [
+            [(ci, td, ta, by, bx)]
+            for by in range(c["nbh"])
+            for bx in range(c["nbw"])
+        ]
+
+    rdr = _BitReader(content, st["data_pos"])
+    pred = [0] * len(st["comps"])
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for mcu, blocks in enumerate(mcus):
+        if st["dri"] and mcu and mcu % st["dri"] == 0:
+            rdr.restart()
+            pred = [0] * len(st["comps"])
+            eobrun = 0
+        for ci, td, ta, by, bx in blocks:
+            zz = coef[ci][by, bx]
+            dc_tab = st["huff"].get((0, td))
+            ac_tab = st["huff"].get((1, ta))
+            if ss == 0 and ah == 0:
+                # DC first (or start of a sequential block)
+                if dc_tab is None:
+                    raise ValueError("JPEG scan references a missing DC table")
+                size = _huff_read(rdr, dc_tab)
+                if size > 15:  # corrupt DHT: DC category is ≤ 11 by spec
+                    raise ValueError(f"invalid DC size category {size}")
+                pred[ci] += _extend(rdr.bits(size), size)
+                zz[0] = pred[ci] << al
+            elif ss == 0:
+                # DC refinement: one raw magnitude bit per block
+                if rdr.bit():
+                    zz[0] |= p1
+            if se == 0:
+                continue
+            if ac_tab is None:
+                raise ValueError("JPEG scan references a missing AC table")
+            k = max(ss, 1)
+            if ah == 0:
+                # sequential AC / progressive AC first (F.2.2.2 / G.1.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                while k <= se:
+                    sym = _huff_read(rdr, ac_tab)
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        # EOBn: progressive-only for n>0; plain EOB else
+                        if run and not progressive:
+                            raise ValueError(f"invalid AC symbol 0x{sym:02X}")
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += rdr.bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run past end of band")
+                    zz[k] = _extend(rdr.bits(size), size) << al
+                    k += 1
+            else:
+                # AC refinement (G.1.2.3): correction bits for already-
+                # nonzero positions, ±1<<Al for newly-significant ones
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _huff_read(rdr, ac_tab)
+                        run, size = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if size:
+                            if size != 1:
+                                raise ValueError(
+                                    f"invalid refinement AC symbol 0x{sym:02X}"
+                                )
+                            newval = p1 if rdr.bit() else m1
+                        elif run != 15:
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += rdr.bits(run)
+                            break
+                        while k <= se:
+                            if zz[k] != 0:
+                                if rdr.bit() and not (zz[k] & p1):
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            else:
+                                run -= 1
+                                if run < 0:
+                                    break
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("AC refinement run past band")
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0 and rdr.bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return rdr.pos
 
 
 @_typed_decode_errors
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to uint8 pixels: (H, W) for
-    grayscale, (H, W, 3) RGB for 3-component YCbCr. Requires 8-bit
-    precision and 4:4:4 sampling (every component h=v=1); progressive,
-    arithmetic-coded, or subsampled streams raise ValueError.
+    """Decode a baseline sequential OR progressive (SOF2) JPEG to
+    uint8 pixels: (H, W) for grayscale, (H, W, 3) RGB for 3-component
+    YCbCr. Supports chroma subsampling (any h/v factors in 1..4 that
+    divide the frame maxima — 4:2:0, 4:2:2, 4:1:1, …) with
+    sample-replication upsampling, restart intervals, multi-scan
+    streams, and per-scan DHT/DQT updates. Arithmetic-coded, 12-bit,
+    lossless, and fractional-ratio streams raise ValueError.
     Deterministic: fixed-order float64 IDCT."""
     st = _jpeg_parse_headers(content)
-    if st["progressive"]:
-        raise ValueError("progressive JPEG not supported")
     if st["precision"] != 8:
         raise ValueError(f"only 8-bit JPEG supported (precision {st['precision']})")
     ncomp = st["ncomp"]
     if ncomp not in (1, 3):
         raise ValueError(f"unsupported JPEG component count {ncomp}")
-    if any(c["h"] != 1 or c["v"] != 1 for c in st["comps"]):
-        raise ValueError("subsampled JPEG (non-4:4:4) not supported")
     h, w = st["height"], st["width"]
     if w * h > _MAX_JPEG_PIXELS:
         raise ValueError(f"image too large to decode: {w}x{h}")
-    bh, bw = -(-h // 8), -(-w // 8)
-    scan_by_id = dict(
-        (cid, (td_ta >> 4, td_ta & 0x0F)) for cid, td_ta in st["scan"]
-    )
+    geo = _jpeg_geometry(h, w, [(c["h"], c["v"]) for c in st["comps"]])
+    coef = [
+        np.zeros((c["bh"], c["bw"], 64), dtype=np.int64) for c in geo["comps"]
+    ]
+    # scan loop: decode entropy data, then resume the marker walk
+    # (which may update DHT/DQT/DRI) until the next SOS or EOI
+    scans = 0
+    while True:
+        scans += 1
+        if scans > 64:
+            raise ValueError("too many JPEG scans")
+        pos = _jpeg_decode_scan(content, st, geo, coef)
+        # a well-formed scan ends at most one padding byte (plus its
+        # 0x00 stuffing if the pad is 0xFF) before the next marker —
+        # more unconsumed bytes means the entropy data didn't match
+        # the declared geometry (e.g. a tampered sampling byte)
+        skipped = 0
+        while pos + 1 < len(content) and (
+            content[pos] != 0xFF or content[pos + 1] == 0x00
+        ):
+            pos += 1
+            skipped += 1
+            if skipped > 2:
+                raise ValueError("unconsumed entropy data after JPEG scan")
+        if _jpeg_walk(content, pos, st) == "eoi":
+            break
 
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)]
-    rdr = _BitReader(content, st["data_pos"])
-    pred = [0] * ncomp
-    mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if st["dri"] and mcu and mcu % st["dri"] == 0:
-                rdr.restart()
-                pred = [0] * ncomp
-            mcu += 1
-            for ci in range(ncomp):
-                comp = st["comps"][ci]
-                td, ta = scan_by_id[comp["id"]]
-                dc_tab = st["huff"].get((0, td))
-                ac_tab = st["huff"].get((1, ta))
-                q = st["qt"].get(comp["tq"])
-                if dc_tab is None or ac_tab is None or q is None:
-                    raise ValueError("JPEG scan references a missing DHT/DQT table")
-                zz = np.zeros(64, dtype=np.int64)
-                size = _huff_read(rdr, dc_tab)
-                pred[ci] += _extend(rdr.bits(size), size)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_read(rdr, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError(f"invalid AC symbol 0x{sym:02X}")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(rdr.bits(size), size)
-                    k += 1
-                levels = np.zeros(64, dtype=np.int64)
-                levels[_JPEG_ZZ] = zz  # zigzag → row-major, THEN dequant
-                coeffs = (levels * q).astype(np.float64)
-                block = _DCT8.T @ coeffs.reshape(8, 8) @ _DCT8
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = [p[:h, :w] + 128.0 for p in planes]
+    planes = []
+    for ci, c in enumerate(geo["comps"]):
+        q = st["qt"].get(st["comps"][ci]["tq"])
+        if q is None:
+            raise ValueError("JPEG frame references a missing DQT table")
+        plane = _idct_plane(coef[ci], q)[: c["ch"], : c["cw"]] + 128.0
+        fy, fx = geo["vmax"] // c["sv"], geo["hmax"] // c["sh"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w])
     if ncomp == 1:
-        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
         [
             y + 1.402 * cr,

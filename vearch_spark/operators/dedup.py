@@ -330,6 +330,33 @@ def minhash_signature_fast(
 # corpus that hot is degenerate (≥ cap·max_bucket clone rows)
 _HOT_KEY_CAP = 65536
 
+# banded relations the skew guard persists: the plans it returns read
+# them lazily, so the operator itself can never unpersist them — the
+# caller releases them once the result is materialized
+_GUARD_CACHES: list[DataFrame] = []
+
+
+def release_skew_guard_caches() -> int:
+    """Unpersist every banded relation the LSH skew guard has cached
+    (minhash/simhash/hamming_pairs/incremental dedup all route through
+    ``_split_hot_buckets``, which must persist the banded relation: the
+    hot-key detection job and the returned plan would otherwise
+    recompute the shingle/signature stage twice). Call AFTER the
+    operator's result has been fully materialized (collected or
+    written); returns the number of relations released. Long-lived
+    sessions running many dedup queries should call this between
+    materializations — each invocation otherwise pins one cached
+    relation for the session's lifetime."""
+    n = 0
+    while _GUARD_CACHES:
+        df = _GUARD_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def _split_hot_buckets(
     rel: DataFrame,
@@ -364,6 +391,7 @@ def _split_hot_buckets(
       rows)."""
     if max_bucket is None:
         rel = rel.persist()
+        _GUARD_CACHES.append(rel)
         return rel, rel, None
     id_col = pair_cols[0][0]
 
@@ -377,6 +405,7 @@ def _split_hot_buckets(
         return out.where(F.col(f"_prev{id_col}").isNotNull()).select(*sel)
 
     rel = rel.persist()
+    _GUARD_CACHES.append(rel)
     # detection job: partial agg shrinks map output to distinct keys,
     # and hot keys by definition collapse max_bucket+ rows each
     hot_rows = (

@@ -682,7 +682,18 @@ class Registry:
         deployment keeps them near-full by design — gating on that
         reads as a permanent spurious write outage. Heap used
         self-relieves through GC and block eviction, so crossing the
-        limit tracks real allocation pressure."""
+        limit tracks real allocation pressure.
+
+        Deploy-mode scope: ``Runtime.getRuntime()`` reaches the JVM
+        this Python driver is attached to — in ``local[*]`` (this
+        engine's tested deployment) that IS the single engine JVM, so
+        the gate observes all memory. In a multi-executor cluster it
+        observes only the driver JVM; executor heap pressure would
+        need a per-executor signal (e.g. the executor metrics REST
+        endpoint) merged in via ``set_memory_metrics_source`` — which
+        is exactly the injection point provided for it: pass a
+        callable returning the fleet-max heap percent and the gate
+        uses it unchanged."""
         try:
             rt = self.spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
             mx = float(rt.maxMemory())
