@@ -956,3 +956,103 @@ def test_jpeg_rejects_trailing_entropy_data():
     sub[i + 11] = 0x22  # comp 0: 1x1 → 2x2
     with pytest.raises(ValueError, match="unconsumed entropy"):
         decode_jpeg(bytes(sub))
+
+
+def test_png_adam7_pass_table_matches_canonical_tile():
+    """The Adam7 pass grid must reproduce the canonical 8×8 pattern of
+    RFC 2083 §2.6 exactly — every pixel covered exactly once."""
+    from vearch_spark.functions.media import _ADAM7
+
+    canon = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    got = [[0] * 8 for _ in range(8)]
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, 1):
+        for y in range(y0, 8, dy):
+            for x in range(x0, 8, dx):
+                assert got[y][x] == 0  # no double coverage
+                got[y][x] = p
+    assert got == canon
+
+
+def test_png_adam7_roundtrip_all_color_types_and_filters():
+    """Interlaced encode→decode is bit-exact for every color type at
+    odd/even/degenerate dims (empty passes contribute no bytes — dims
+    below 8 skip whole passes), and each pass filters independently
+    (per-pass prev-row reset)."""
+    from vearch_spark.functions.media import decode_png, png_bytes, png_info
+
+    rng = np.random.default_rng(31)
+    shapes = [(7, 5), (6, 9, 2), (16, 9, 3), (5, 13, 4), (1, 1),
+              (2, 300, 3), (9, 1), (1, 9), (23, 17, 3)]
+    for shape in shapes:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for filt in (0, 2, 4, None):
+            blob = png_bytes(px, filters=filt, interlace=True)
+            assert png_info(blob)["interlace"] == 1
+            back = decode_png(blob)
+            assert back.shape == px.shape and (back == px).all(), (shape, filt)
+
+
+def test_png_adam7_palette_roundtrip_every_depth():
+    """Interlaced palette: each pass re-packs its own sub-byte
+    scanlines, so pass widths that split mid-byte are the hard case —
+    exact through PLTE (and RGBA through tRNS) at every depth."""
+    from vearch_spark.functions.media import decode_png, png_palette_bytes
+
+    rng = np.random.default_rng(32)
+    for depth in (1, 2, 4, 8):
+        n = min(1 << depth, 7)
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(11, 13), dtype=np.uint8)
+        out = decode_png(png_palette_bytes(idx, pal, bit_depth=depth, interlace=True))
+        assert (out == pal[idx.astype(np.int64)]).all(), depth
+        out_a = decode_png(
+            png_palette_bytes(idx, pal, trns=[5] * min(n, 2),
+                              bit_depth=depth, interlace=True)
+        )
+        assert out_a.shape == (11, 13, 4), depth
+
+
+def test_png_adam7_fuzz_and_bounded_inflate():
+    """Interlaced streams under single-byte corruption / truncation:
+    ValueError or success only; and the bounded-inflate expectation is
+    the per-pass sum, so a bomb behind an interlaced header still
+    rejects without materializing."""
+    import struct as _s
+    import zlib as _z
+
+    from vearch_spark.functions.media import (
+        _png_chunk, _PNG_SIG, decode_png, png_bytes,
+    )
+
+    rng = np.random.default_rng(33)
+    blob = png_bytes(
+        rng.integers(0, 256, (12, 14, 3), dtype=np.uint8), interlace=True
+    )
+    for _ in range(150):
+        bad = bytearray(blob)
+        if rng.integers(2):
+            bad[int(rng.integers(len(bad)))] = int(rng.integers(256))
+        else:
+            bad = bad[: int(rng.integers(1, len(bad)))]
+        try:
+            decode_png(bytes(bad))
+        except ValueError:
+            pass  # the ONLY legal failure mode
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlaced 4x4 gray
+    bomb = _z.compress(b"\x00" * 1_000_000, 9)
+    hostile = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb) + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(hostile)

@@ -337,3 +337,35 @@ def test_shuffle_shards_single_exchange(spark):
     df = shuffle_shards(docs, 8, seed=1)
     assert X.count_exchanges(df) == 1
     assert "WindowGroupLimit" not in X.simple_plan(df)  # full ranks, no limit
+
+
+def test_bucketed_cosine_plan_no_pair_join(spark, sf_dir):
+    """r6 VERDICT ask #4: the bucketed cosine near-dup path — the plan
+    that runs at 100 TB — must compile to a single hash exchange on
+    the bucket key feeding FlatMapGroupsInPandas (per-bucket BLAS
+    kernel). No crossJoin, no pair join of any kind, no broadcast of
+    the full relation: pair emission happens inside the grouped
+    kernel, so the quadratic never appears in the plan."""
+    from vearch_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucket = sum(
+        (F.element_at("embedding", j + 1) > 0).cast("int") * (1 << j)
+        for j in range(4)
+    )
+    out = embedding_cosine_pairs(
+        emb.withColumn("_bkt", bucket),
+        vec_col="embedding",
+        id_col="vec_id",
+        threshold=0.4,
+        bucket_col="_bkt",
+        max_bucket=100_000,
+        kernel="blas",
+    )
+    plan = X.formatted_plan(out)
+    assert "FlatMapGroupsInPandas" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert bad not in plan, bad
+    # exactly ONE exchange: the hash partition on the bucket key
+    assert X.count_exchanges(out) == 1

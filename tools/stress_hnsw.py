@@ -40,12 +40,14 @@ def clustered_queries(centers: "np.ndarray", nq: int, dim: int,
     )
 
 
-def by_query_scores(rows) -> dict[int, list]:
+def by_query_scores(rows, sign: float = 1.0) -> dict[int, list]:
     """Group collected (query_id, _score, vec_id) rows per query,
-    best-score first (scores are smaller-is-better for L2)."""
+    best-score first. Scores sort ascending (L2's smaller-is-better);
+    pass ``sign=-1.0`` for IP so larger-is-better scores reuse the
+    same ordering and the tie-aware threshold math unchanged."""
     per: dict[int, list] = {}
     for r in rows:
-        per.setdefault(r.query_id, []).append((r["_score"], r.vec_id))
+        per.setdefault(r.query_id, []).append((sign * r["_score"], r.vec_id))
     for v in per.values():
         v.sort()
     return per
@@ -79,6 +81,12 @@ def main() -> None:
     # graph family: "hnsw" (default) or "diskann" (sharded Vamana —
     # same scaffolding, same append semantics via the builder hook)
     kind = sys.argv[2] if len(sys.argv) > 2 else "hnsw"
+    # metric: "l2" (default) or "ip" — the IP run pins the Vamana
+    # prune-shift fix (r6: α-rule inverted on negative IP distances)
+    # at scale, where small-corpus recall can mask a bad prune
+    metric_s = sys.argv[3] if len(sys.argv) > 3 else "l2"
+    metric = Metric.INNER_PRODUCT if metric_s == "ip" else Metric.L2
+    sign = -1.0 if metric is Metric.INNER_PRODUCT else 1.0
     dim, nq, k = 64, 20, 100
     spark = get_spark(app_name="hnsw-stress")
     df, centers = make_df(spark, n, dim=dim)
@@ -90,32 +98,32 @@ def main() -> None:
         from vearch_spark.operators.vamana import DiskANNStaticIndex
 
         idx = DiskANNStaticIndex(
-            "embedding", Metric.L2, R=32, L=64, l_search=128,
+            "embedding", metric, R=32, L=64, l_search=128,
             nshards=nshards, id_col="vec_id",
         )
     else:
         idx = HNSWIndex(
-            "embedding", Metric.L2, nlinks=16, efConstruction=100, efSearch=128,
+            "embedding", metric, nlinks=16, efConstruction=100, efSearch=128,
             nshards=nshards, id_col="vec_id",
         )
     t0 = time.time()
     idx.fit(df)
-    out = {"kind": kind, "n": n, "dim": dim, "nshards": nshards,
-           "build_s": round(time.time() - t0, 1)}
+    out = {"kind": kind, "n": n, "dim": dim, "metric": metric_s,
+           "nshards": nshards, "build_s": round(time.time() - t0, 1)}
 
     qdf = spark.createDataFrame(
         [(i, q) for i, q in enumerate(qlist)], "query_id int, query_vec array<double>"
     )
     t0 = time.time()
     exact_rows = topk.search_batch(df, "embedding", qdf, limit=k,
-                                   id_col="vec_id").collect()
+                                   metric=metric, id_col="vec_id").collect()
     out["exact_batch_s"] = round(time.time() - t0, 2)
     t0 = time.time()
     approx_rows = idx.search_batch(qlist, limit=k).collect()
     out["hnsw_batch_s"] = round(time.time() - t0, 2)
 
     out.update(tie_aware_recall(
-        by_query_scores(exact_rows), by_query_scores(approx_rows), nq
+        by_query_scores(exact_rows, sign), by_query_scores(approx_rows, sign), nq
     ))
 
     # ---- incremental append (hnsw.add — touched-shard regrow only):

@@ -16,18 +16,24 @@ implementation can decode FOR REAL — no fake, no stub:
 - **PNG** hand-parsed on stdlib ``zlib``: 8-bit gray / gray+alpha /
   RGB / RGBA plus palette (color type 3) at bit depths 1/2/4/8 with
   ``tRNS`` transparency, all five scanline filters
-  (None/Sub/Up/Average/Paeth, RFC 2083 §6), CRC-verified chunks,
+  (None/Sub/Up/Average/Paeth, RFC 2083 §6), Adam7 interlacing (seven
+  independently filtered passes, §2.6), CRC-verified chunks,
   multi-IDAT; decode returns the (H, W[, C]) uint8 pixel array
   (palette images expand to RGB, or RGBA when ``tRNS`` is present).
-  16-bit / interlaced variants raise a typed error.
-- **JPEG (baseline sequential, T.81)** hand-implemented: numpy
-  float64 FDCT/IDCT, Annex K quantization tables scaled by the
-  libjpeg quality convention, canonical Huffman coding with the
-  tables read from the stream's own DHT segments, restart intervals.
-  8-bit gray and YCbCr 4:4:4; progressive / arithmetic / subsampled
-  streams raise a typed error. Lossy by design — tests pin encode
-  byte-determinism, decode pixel-determinism, and error BOUNDS vs the
-  source (MP3 stays sanctioned out — no stdlib entropy/MDCT path).
+  16-bit variants raise a typed error.
+- **JPEG (T.81)** hand-implemented: numpy float64 FDCT/IDCT, Annex K
+  quantization tables scaled by the libjpeg quality convention,
+  canonical Huffman coding with the tables read from the stream's own
+  DHT segments, restart intervals, chroma subsampling (4:2:0 / 4:2:2
+  and any h/v ∈ 1..4 dividing the maxima), and progressive (SOF2)
+  decoding — spectral selection + successive approximation, EOB runs,
+  per-scan DHT. The encoder can emit baseline or progressive (the
+  simple-progression scan script with Annex-K.2 optimal AC tables).
+  8-bit gray and YCbCr; arithmetic-coded / 12-bit / lossless streams
+  raise a typed error. Lossy by design — tests pin encode
+  byte-determinism, decode pixel-determinism, progressive ≡ baseline
+  pixel equality, and error BOUNDS vs the source (MP3 stays
+  sanctioned out — no stdlib entropy/MDCT path).
 
 ``register_media_decoders()`` plugs them into the multimodal
 extract_features path ('audio' → WAV, 'image' → PNG/JPEG/netpbm by
@@ -211,6 +217,14 @@ def decode_pgm(content: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
 
+# Adam7 interlace pass grid (x_start, y_start, x_step, y_step) per
+# pass, RFC 2083 §2.6 — each pass is an independently filtered
+# sub-image; empty passes contribute no bytes at all
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
 # decompression-bomb guards: a corrupt or hostile header must not
 # drive a giant allocation or an unbounded decode loop — scraped
 # corpora contain both. PNG decodes into uint8 rows (64M px ≈ 256 MB
@@ -295,13 +309,19 @@ def _unfilter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np
     return out.astype(np.uint8)
 
 
-def png_bytes(pixels: np.ndarray | list, filters: int | list[int] | None = None) -> bytes:
+def png_bytes(
+    pixels: np.ndarray | list,
+    filters: int | list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
     """Encode a uint8 array as a real PNG: (H, W) → gray, (H, W, 2) →
     gray+alpha, (H, W, 3) → RGB, (H, W, 4) → RGBA. ``filters`` picks
     the per-scanline filter type (int for all rows, list per row,
     default row-index mod 5 so every filter is exercised) — any choice
     decodes to the same pixels, which is exactly what the round-trip
-    tests pin."""
+    tests pin. ``interlace=True`` writes Adam7: seven independently
+    filtered sub-images (per-row ``filters`` lists then apply within
+    each pass by pass-row index)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         color_type, ch = 0, 1
@@ -311,22 +331,31 @@ def png_bytes(pixels: np.ndarray | list, filters: int | list[int] | None = None)
     else:
         raise ValueError(f"expected (H,W[,2|3|4]) uint8, got {arr.shape}")
     h, w = arr.shape[:2]
-    flat = arr.reshape(h, w * ch)
-    if filters is None:
-        ftypes = [r % 5 for r in range(h)]
-    elif isinstance(filters, int):
-        ftypes = [filters] * h
-    else:
-        ftypes = list(filters)
-        if len(ftypes) != h:
-            raise ValueError(f"filters: expected {h} row entries, got {len(ftypes)}")
+    arr3 = arr.reshape(h, w, ch)
+
+    def ftype_of(r: int, ph: int) -> int:
+        if filters is None:
+            return r % 5
+        if isinstance(filters, int):
+            return filters
+        if len(filters) < ph:
+            raise ValueError(f"filters: expected ≥{ph} row entries")
+        return filters[r]
+
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for r in range(h):
-        raw.append(ftypes[r])
-        raw += _filter_row(ftypes[r], flat[r], prev, ch).tobytes()
-        prev = flat[r]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    for x0, y0, dx, dy in (_ADAM7 if interlace else [(0, 0, 1, 1)]):
+        sub = arr3[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = np.ascontiguousarray(sub).reshape(ph, pw * ch)
+        prev = np.zeros(pw * ch, dtype=np.uint8)
+        for r in range(ph):
+            f = ftype_of(r, ph)
+            raw.append(f)
+            raw += _filter_row(f, flat[r], prev, ch).tobytes()
+            prev = flat[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -355,18 +384,35 @@ def png_info(content: bytes) -> dict:
     }
 
 
+def _pack_indices_row(row: np.ndarray, bit_depth: int) -> bytes:
+    """Pack one scanline of palette indices MSB-first (RFC 2083 §2.3);
+    a final partial byte pads with zero bits."""
+    if bit_depth == 8:
+        return row.astype(np.uint8).tobytes()
+    per = 8 // bit_depth
+    padded = np.zeros(-(-len(row) // per) * per, dtype=np.uint16)
+    padded[: len(row)] = row
+    packed = np.zeros(len(padded) // per, dtype=np.uint16)
+    for k in range(per):
+        packed |= padded[k::per] << (8 - bit_depth * (k + 1))
+    return packed.astype(np.uint8).tobytes()
+
+
 def png_palette_bytes(
     indices: np.ndarray | list,
     palette: np.ndarray | list,
     trns: list[int] | None = None,
     bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """Encode an index matrix + RGB palette as a real color-type-3 PNG
     at ``bit_depth`` ∈ {1, 2, 4, 8} (indices pack MSB-first within each
     scanline byte, RFC 2083 §2.3). ``trns`` writes a tRNS chunk with
     per-entry alpha (may be shorter than the palette; missing entries
-    are opaque). Deterministic; fixture/round-trip counterpart of
-    :func:`decode_png`'s palette path."""
+    are opaque). ``interlace=True`` writes Adam7 (each pass packs its
+    own scanlines, so sub-byte rows re-pack per pass). Deterministic;
+    fixture/round-trip counterpart of :func:`decode_png`'s palette
+    path."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     if idx.ndim != 2:
@@ -379,19 +425,14 @@ def png_palette_bytes(
         raise ValueError("palette index exceeds palette size / bit depth")
     h, w = idx.shape
     raw = bytearray()
-    for r in range(h):
-        raw.append(0)  # filter: None (filters act on packed bytes anyway)
-        if bit_depth == 8:
-            raw += idx[r].tobytes()
-        else:
-            per = 8 // bit_depth
-            padded = np.zeros(-(-w // per) * per, dtype=np.uint16)
-            padded[:w] = idx[r]
-            packed = np.zeros(len(padded) // per, dtype=np.uint16)
-            for k in range(per):
-                packed |= padded[k::per] << (8 - bit_depth * (k + 1))
-            raw += packed.astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+    for x0, y0, dx, dy in (_ADAM7 if interlace else [(0, 0, 1, 1)]):
+        sub = idx[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in range(sub.shape[0]):
+            raw.append(0)  # filter: None (filters act on packed bytes)
+            raw += _pack_indices_row(sub[r], bit_depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, int(interlace))
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal.tobytes())
     if trns is not None:
         out += _png_chunk(b"tRNS", bytes(trns))
@@ -400,12 +441,12 @@ def png_palette_bytes(
 
 @_typed_decode_errors
 def decode_png(content: bytes) -> np.ndarray:
-    """Decode a non-interlaced PNG to exact uint8 pixels: (H, W) for
-    gray, (H, W, C) for gray+alpha / RGB / RGBA; palette images
-    (color type 3, bit depth 1/2/4/8) expand through PLTE to RGB — or
-    RGBA when a tRNS chunk is present (entries past the tRNS length
-    are opaque, RFC 2083 §4.2.1). Chunk CRCs are verified; 16-bit and
-    interlaced images raise ValueError rather than decode
+    """Decode a PNG (non-interlaced or Adam7) to exact uint8 pixels:
+    (H, W) for gray, (H, W, C) for gray+alpha / RGB / RGBA; palette
+    images (color type 3, bit depth 1/2/4/8) expand through PLTE to
+    RGB — or RGBA when a tRNS chunk is present (entries past the tRNS
+    length are opaque, RFC 2083 §4.2.1). Chunk CRCs are verified;
+    16-bit non-palette images raise ValueError rather than decode
     approximately."""
     if content[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
@@ -447,15 +488,24 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError(f"only 8-bit PNG supported (bit depth {depth})")
     elif color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if w * h > _MAX_DECODE_PIXELS:
         raise ValueError(f"image too large to decode: {w}x{h}")
     ch = 1 if paletted else _PNG_CHANNELS[color_type]
-    # stride in BYTES: sub-byte palette depths pack ⌈w·depth/8⌉ per
-    # scanline; filters operate on packed bytes with bpp = 1 (RFC 2083
-    # §6.2: bpp rounds up to one byte below 8-bit depth)
-    stride = -(-w * depth * ch // 8)
+    # pass geometry: Adam7 splits the image into 7 sub-images, each
+    # filtered independently (RFC 2083 §2.6 — empty passes contribute
+    # no bytes, not even filter tags); non-interlaced is the single
+    # full-size "pass", so both paths share one unfilter/unpack loop.
+    # Strides are BYTES: sub-byte palette depths pack ⌈pw·depth/8⌉ per
+    # scanline; filters operate on packed bytes with bpp = 1 (§6.2:
+    # bpp rounds up to one byte below 8-bit depth)
+    grids = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    spans = []
+    for x0, y0, dx, dy in grids:
+        pw, ph = (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            spans.append((x0, y0, dx, dy, pw, ph, -(-pw * depth * ch // 8)))
     bpp = max(1, depth * ch // 8)
     # bounded inflate: an honest-header zlib bomb (a small IDAT can
     # inflate ~1032:1) must not materialize past the geometry's exact
@@ -465,36 +515,44 @@ def decode_png(content: bytes) -> np.ndarray:
     # truncated stream that happens to yield the right byte count must
     # still be rejected); unused_data rejects trailing garbage after
     # the stream (IDAT is exactly one zlib stream, RFC 2083 §2.2).
-    expect = h * (stride + 1)
+    expect = sum(ph * (stride + 1) for *_, ph, stride in spans)
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expect + 1)
     if len(raw) != expect:
         raise ValueError(
-            f"PNG payload size mismatch: {len(raw)} != {h}*({stride}+1)"
+            f"PNG payload size mismatch: {len(raw)} != {expect}"
         )
     if not dec.eof or dec.unused_data:
         raise ValueError("PNG IDAT stream truncated or carries trailing data")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        )
-        prev = _unfilter_row(raw[r * (stride + 1)], line.copy(), prev, bpp)
-        out[r] = prev
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, stride in spans:
+        rows = np.empty((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(ph):
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=off + r * (stride + 1) + 1
+            )
+            prev = _unfilter_row(raw[off + r * (stride + 1)], line.copy(), prev, bpp)
+            rows[r] = prev
+        off += ph * (stride + 1)
+        if depth == 8:
+            px = rows[:, : pw * ch].reshape(ph, pw, ch)
+        else:
+            # unpack sub-byte palette indices, MSB-first within a byte
+            per = 8 // depth
+            mask = (1 << depth) - 1
+            shifts = np.array(
+                [8 - depth * (k + 1) for k in range(per)], dtype=np.uint8
+            )
+            px = ((rows[:, :, None] >> shifts[None, None, :]) & mask).reshape(
+                ph, -1
+            )[:, :pw][..., None]
+        samples[y0::dy, x0::dx] = px
     if not paletted:
-        return out.reshape((h, w) if ch == 1 else (h, w, ch))
-    # unpack indices (MSB-first within each byte for depth < 8), then
-    # expand through the palette; tRNS upgrades the output to RGBA
-    if depth == 8:
-        idx = out[:, :w].astype(np.int64)
-    else:
-        per = 8 // depth
-        mask = (1 << depth) - 1
-        shifts = np.array([8 - depth * (k + 1) for k in range(per)], dtype=np.uint8)
-        idx = ((out[:, :, None] >> shifts[None, None, :]) & mask).reshape(h, -1)[
-            :, :w
-        ].astype(np.int64)
+        return samples.reshape((h, w)) if ch == 1 else samples
+    # expand indices through the palette; tRNS upgrades to RGBA
+    idx = samples[..., 0].astype(np.int64)
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if idx.max(initial=0) >= pal.shape[0]:
         raise ValueError(
@@ -511,18 +569,25 @@ def decode_png(content: bytes) -> np.ndarray:
 
 # ------------------------------------------------------------------ JPEG
 #
-# ITU-T T.81 baseline sequential DCT: SOI + JFIF APP0 + DQT + SOF0 +
-# DHT + SOS(entropy data) + EOI. The encoder emits 8-bit gray
-# (1 component) or YCbCr 4:4:4 (3 components, no chroma subsampling),
-# Annex K quantization tables scaled by the libjpeg quality formula,
-# and the Annex K "typical" Huffman tables written into DHT. The
-# decoder is a REAL baseline decoder — it reads DQT/DHT from the
-# stream (no assumption the encoder was ours), supports restart
-# intervals (DRI/RSTn), and raises typed errors on progressive (SOF2),
-# arithmetic coding, 12-bit precision, or subsampled chroma rather
-# than decode approximately. JPEG is lossy, so round-trip tests pin
-# (a) byte-determinism of encode and pixel-determinism of decode and
-# (b) an error BOUND vs the source image — not bit equality.
+# ITU-T T.81 DCT codec, coefficient-domain architecture: every scan
+# (sequential full-band, progressive DC/AC first and refinement)
+# entropy-decodes into per-component zigzag coefficient arrays; one
+# shared vectorized dequant+IDCT / upsample / color-convert stage
+# reconstructs pixels. The encoder emits 8-bit gray or YCbCr at
+# 4:4:4 / 4:2:2 / 4:2:0, baseline (Annex K typical Huffman tables) or
+# progressive (SOF2, the libjpeg simple-progression scan script with
+# per-scan optimal AC tables built by the Annex K.2 procedure — the
+# EOBn symbols progressive needs don't exist in the typical tables).
+# The decoder reads DQT/DHT from the stream (no assumption the
+# encoder was ours), supports restart intervals (DRI/RSTn), multi-
+# scan streams with between-scan table updates, any h/v sampling in
+# 1..4 dividing the frame maxima, and raises typed errors on
+# arithmetic coding, 12-bit precision, lossless modes, fractional
+# sampling ratios, or entropy data that outlives its geometry. JPEG
+# is lossy, so round-trip tests pin (a) byte-determinism of encode
+# and pixel-determinism of decode, (b) an error BOUND vs the source
+# image, and (c) progressive decode ≡ baseline decode bit-exactly
+# (both share the quantized coefficients).
 
 # Annex K Table K.1 / K.2 base quantization tables (row-major 8×8).
 _JPEG_QL = np.array([
