@@ -1671,6 +1671,86 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over REAL animated containers (the
+    multimodal brief's frame-sample op with a genuine decoder, not a
+    stub): stage 1 synthesizes an animated GIF per doc (3-6 frames,
+    hand-implemented variable-width LZW, functions/media.py
+    gif_bytes); stage 2 decodes it with the real GIF decoder inside
+    Arrow batches, samples every 2nd frame (the dataloader's
+    frame-stride pattern), and emits exact integer stats of the
+    DECODED sampled frames — Σ pixels and the position-weighted
+    Σ (pos+1)·px that any mis-decoded LZW code or misplaced pixel
+    breaks. GIF is lossless, so the DuckDB oracle recomputes both from
+    the generation formula arithmetically; binaries never leave the
+    executors."""
+    import numpy as np
+    import pandas as pd
+
+    from vearch_spark.functions.media import decode_gif, gif_bytes
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 60).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 3 + i % 4
+                gw, gh = 5 + i % 6, 4 + i % 5
+                npal = 4 + i % 5
+                pal = np.array(
+                    [
+                        [(i * 7 + p * 31 + k * 11) % 256 for k in range(3)]
+                        for p in range(npal)
+                    ],
+                    dtype=np.uint8,
+                )
+                stack = np.array(
+                    [
+                        [(i * 3 + f * 5 + j * 2) % npal for j in range(gw * gh)]
+                        for f in range(nf)
+                    ],
+                    dtype=np.uint8,
+                ).reshape(nf, gh, gw)
+                rows.append((str(i), gif_bytes(stack, pal)))
+            yield pd.DataFrame(rows, columns=["media_id", "gif_bytes"])
+
+    media = docs.mapInPandas(synth, schema="media_id string, gif_bytes binary")
+
+    def sample(batches):
+        for pdf in batches:
+            out = []
+            for mid, gb in zip(pdf["media_id"], pdf["gif_bytes"]):
+                frames = decode_gif(bytes(gb))
+                for f in range(0, frames.shape[0], 2):
+                    flat = frames[f].astype(np.int64).ravel()
+                    out.append(
+                        (
+                            mid,
+                            f,
+                            frames.shape[2],
+                            frames.shape[1],
+                            int(flat.sum()),
+                            int(((np.arange(len(flat)) + 1) * flat).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_no", "width", "height", "fsum", "fwsum",
+                ],
+            )
+
+    return media.mapInPandas(
+        sample,
+        schema=(
+            "media_id string, frame_no int, width int, height int, "
+            "fsum long, fwsum long"
+        ),
+    ).orderBy(F.col("media_id").cast("int"), "frame_no")
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end (no stub): stage 1 synthesizes
     genuine containers per doc — a RIFF/WAVE 16-bit PCM file (stdlib
@@ -2059,6 +2139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,  # banded composite: quality_topk_per_source SQL twin
     "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
     "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
+    "gif_frame_sample": q_gif_frame_sample,  # animated-GIF frame-stride sampling, exact-int oracle
     "shard_export": q_shard_export,  # deterministic shuffled-shard order, md5 oracle
 }
 
@@ -3645,6 +3726,33 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 100
         ORDER BY d.doc_id
+    """
+    # gif_frame_sample: the Spark side synthesizes animated GIFs,
+    # decodes them with the real LZW decoder, and frame-stride-samples;
+    # GIF is lossless, so the oracle recomputes each sampled frame's
+    # exact pixel sums from the generation formula (fwsum is
+    # position-weighted: one wrong LZW code anywhere breaks the hash)
+    d["gif_frame_sample"] = """
+        SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+               fr.f::INT AS frame_no,
+               (5 + d.doc_id % 6)::INT AS width,
+               (4 + d.doc_id % 5)::INT AS height,
+               list_sum(list_transform(
+                 range((5 + d.doc_id % 6) * (4 + d.doc_id % 5)), j ->
+                 list_sum(list_transform(range(3), k ->
+                   (d.doc_id*7
+                    + ((d.doc_id*3 + fr.f*5 + j*2) % (4 + d.doc_id % 5))*31
+                    + k*11) % 256))))::BIGINT AS fsum,
+               list_sum(list_transform(
+                 range((5 + d.doc_id % 6) * (4 + d.doc_id % 5)), j ->
+                 list_sum(list_transform(range(3), k ->
+                   (j*3 + k + 1) *
+                   ((d.doc_id*7
+                     + ((d.doc_id*3 + fr.f*5 + j*2) % (4 + d.doc_id % 5))*31
+                     + k*11) % 256)))))::BIGINT AS fwsum
+        FROM documents d, range(6) fr(f)
+        WHERE d.doc_id < 60 AND fr.f % 2 = 0 AND fr.f < 3 + d.doc_id % 4
+        ORDER BY d.doc_id, fr.f
     """
     # image_near_dup: the Spark side goes through the REAL PNG codec
     # (lossless round-trip) then dHash then banded hamming_pairs; the

@@ -1056,3 +1056,189 @@ def test_png_adam7_fuzz_and_bounded_inflate():
     )
     with pytest.raises(ValueError, match="size mismatch"):
         decode_png(hostile)
+
+
+# -------------------------------------------------------------------- GIF
+
+
+def test_gif_single_frame_roundtrip_every_palette_size():
+    """Lossless single-image GIF: indices → LZW → decode recovers the
+    exact palette expansion at palette sizes crossing every color-
+    table-bits boundary (2 → 256)."""
+    from vearch_spark.functions.media import decode_gif, gif_bytes, gif_info
+
+    rng = np.random.default_rng(41)
+    for npal in (2, 3, 7, 16, 200, 256):
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (13, 17), dtype=np.uint8)
+        blob = gif_bytes(idx, pal)
+        info = gif_info(blob)
+        assert (info["width"], info["height"], info["n_frames"]) == (17, 13, 1)
+        frames = decode_gif(blob)
+        assert frames.shape == (1, 13, 17, 3)
+        assert (frames[0] == pal[idx.astype(np.int64)]).all(), npal
+
+
+def test_gif_lzw_dictionary_overflow_and_interlace():
+    """A 9000-index random stream at 256 colors forces code widths to
+    12 bits and a mid-stream CLEAR (dictionary overflow at 4096) —
+    round-trip must stay exact; same for GIF's 4-pass row interlace."""
+    from vearch_spark.functions.media import decode_gif, gif_bytes
+
+    rng = np.random.default_rng(42)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (100, 90), dtype=np.uint8)
+    assert (decode_gif(gif_bytes(idx, pal))[0] == pal[idx.astype(np.int64)]).all()
+    idx2 = rng.integers(0, 16, (23, 9), dtype=np.uint8)
+    pal16 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    assert (
+        decode_gif(gif_bytes(idx2, pal16, interlace=True))[0]
+        == pal16[idx2.astype(np.int64)]
+    ).all()
+
+
+def test_gif_animation_transparency_and_disposal_2():
+    """Animated GIF89a with a transparency index: disposal 2 clears
+    each frame's rect, so every frame composites from a fresh canvas —
+    transparent pixels carry alpha 0, opaque ones their exact palette
+    color."""
+    from vearch_spark.functions.media import decode_gif, gif_bytes, gif_info
+
+    rng = np.random.default_rng(43)
+    stack = rng.integers(0, 8, (5, 11, 14), dtype=np.uint8)
+    pal8 = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    blob = gif_bytes(stack, pal8, transparent=0)
+    info = gif_info(blob)
+    assert info["n_frames"] == 5 and info["version"] == "89a"
+    frames = decode_gif(blob)
+    assert frames.shape == (5, 11, 14, 4)
+    for f in range(5):
+        opaque = stack[f] != 0
+        assert (frames[f][opaque, :3] == pal8[stack[f].astype(np.int64)][opaque]).all()
+        assert (frames[f][opaque, 3] == 255).all()
+        assert (frames[f][~opaque, 3] == 0).all()
+    # no transparency → plain RGB frames, exact
+    frames3 = decode_gif(gif_bytes(stack, pal8))
+    assert frames3.shape == (5, 11, 14, 3)
+    for f in range(5):
+        assert (frames3[f] == pal8[stack[f].astype(np.int64)]).all()
+
+
+def test_gif_disposal_1_subrect_compositing():
+    """Hand-built stream (not our encoder's shape): frame 2 is a 2×2
+    sub-rectangle with a transparent hole over a disposal-1 (keep)
+    frame 1 — holes and outside pixels must show frame 1's color,
+    exactly the 89a compositing model."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0]], dtype=np.uint8)
+    f1 = np.full((6, 8), 1, dtype=np.uint8)
+    f2 = np.array([[2, 0], [0, 2]], dtype=np.uint8)
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 8, 6) + bytes([0x80 | 1, 0, 0])
+    out += pal.tobytes() + b"\x00\x00\x00"
+    out += b"\x21\xf9\x04" + bytes([1 << 2]) + struct.pack("<H", 4) + bytes([0, 0])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 8, 6) + b"\x00" + bytes([2])
+    out += M._gif_subblocks(M._lzw_compress(f1.ravel(), 2))
+    out += b"\x21\xf9\x04" + bytes([(1 << 2) | 1]) + struct.pack("<H", 4) + bytes([0, 0])
+    out += b"\x2c" + struct.pack("<HHHH", 3, 2, 2, 2) + b"\x00" + bytes([2])
+    out += M._gif_subblocks(M._lzw_compress(f2.ravel(), 2))
+    out += b"\x3b"
+    fr = M.decode_gif(bytes(out))
+    assert fr.shape == (2, 6, 8, 4)
+    assert (fr[0][..., :3] == pal[1]).all() and (fr[0][..., 3] == 255).all()
+    exp = np.full((6, 8, 3), pal[1], dtype=np.uint8)
+    exp[2, 3] = pal[2]
+    exp[3, 4] = pal[2]
+    assert (fr[1][..., :3] == exp).all() and (fr[1][..., 3] == 255).all()
+
+
+def test_gif_hostile_inputs_typed_errors():
+    """Hostile GIF cases reject typed: LZW payload ballooning past the
+    declared frame geometry (decompression bomb), frame rect outside
+    the logical screen, index past the color table, truncation, and
+    single-byte fuzz across the whole container."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    rng = np.random.default_rng(44)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (9, 12), dtype=np.uint8)
+    good = M.gif_bytes(idx, pal, transparent=1)
+
+    # declared 2x2 frame whose LZW stream inflates to 9x12 indices
+    bomb = bytearray(b"GIF87a") + struct.pack("<HH", 12, 9) + bytes([0x80 | 2, 0, 0])
+    bomb += pal.tobytes()
+    bomb += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00" + bytes([3])
+    bomb += M._gif_subblocks(M._lzw_compress(idx.ravel(), 3))
+    bomb += b"\x3b"
+    with pytest.raises(ValueError, match="exceeds frame geometry"):
+        M.decode_gif(bytes(bomb))
+
+    # frame rect outside the logical screen
+    oob = bytearray(b"GIF87a") + struct.pack("<HH", 4, 4) + bytes([0x80 | 2, 0, 0])
+    oob += pal.tobytes()
+    oob += b"\x2c" + struct.pack("<HHHH", 3, 0, 4, 4) + b"\x00" + bytes([3])
+    oob += M._gif_subblocks(M._lzw_compress(np.zeros(16, np.uint8), 3))
+    oob += b"\x3b"
+    with pytest.raises(ValueError, match="outside logical screen"):
+        M.decode_gif(bytes(oob))
+
+    for _ in range(200):
+        bad = bytearray(good)
+        if rng.integers(2):
+            bad[int(rng.integers(len(bad)))] = int(rng.integers(256))
+        else:
+            bad = bad[: int(rng.integers(1, len(bad)))]
+        try:
+            M.decode_gif(bytes(bad))
+        except ValueError:
+            pass  # the ONLY legal failure mode
+        try:
+            M.gif_info(bytes(bad))
+        except ValueError:
+            pass
+
+    with pytest.raises(ValueError, match="palette"):
+        M.gif_bytes(idx, pal[:1])
+    with pytest.raises(ValueError, match="index exceeds"):
+        M.gif_bytes(np.full((2, 2), 9, np.uint8), pal)
+    with pytest.raises(ValueError, match="transparent"):
+        M.gif_bytes(idx, pal, transparent=99)
+
+
+def test_decode_image_dispatches_gif_magic():
+    from vearch_spark.functions.media import decode_image, gif_bytes
+
+    pal = np.array([[0, 0, 0], [255, 128, 64]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    out = decode_image(gif_bytes(idx, pal))
+    assert out.shape == (2, 2, 3)
+    assert np.allclose(out * 255.0, pal[idx.astype(np.int64)])
+
+
+def test_gif_lzw_width_boundary_sweep():
+    """Regression for a real encoder bug: the decoder adds one
+    dictionary entry after reading the FINAL real code, and if that
+    add lands on a power-of-two boundary it reads EOI one bit wider
+    than a naive encoder writes it. Sweep every alphabet size ×
+    length × content shape that crosses width boundaries."""
+    from vearch_spark.functions.media import _lzw_compress, _lzw_decompress
+
+    rng = np.random.default_rng(5)
+    for mcs in range(2, 9):
+        n = 1 << mcs
+        for ln in list(range(1, 70)) + [500]:
+            for kind in ("alt", "run", "rand"):
+                if kind == "alt":
+                    seq = np.array(
+                        [(j % 2) * (n - 1) for j in range(ln)], dtype=np.uint8
+                    )
+                elif kind == "run":
+                    seq = np.zeros(ln, dtype=np.uint8)
+                else:
+                    seq = rng.integers(0, n, ln, dtype=np.uint8)
+                out = _lzw_decompress(_lzw_compress(seq, mcs), mcs, ln)
+                assert (out == seq).all(), (mcs, ln, kind)

@@ -35,9 +35,16 @@ implementation can decode FOR REAL — no fake, no stub:
   pixel equality, and error BOUNDS vs the source (MP3 stays
   sanctioned out — no stdlib entropy/MDCT path).
 
+- **GIF (87a/89a)** hand-implemented: real variable-width LZW
+  (widths 3..12, CLEAR at 4096), global/local color tables,
+  transparency (GCE), animation frames with sub-rectangle placement
+  and disposal compositing, 4-pass row interlace. Lossless — exact
+  palette-index round-trips; animated streams are the frame-sample
+  pipeline path.
+
 ``register_media_decoders()`` plugs them into the multimodal
-extract_features path ('audio' → WAV, 'image' → PNG/JPEG/netpbm by
-magic). Encoders (``wav_bytes`` / ``pgm_bytes`` / ``png_bytes`` /
+extract_features path ('audio' → WAV, 'image' → PNG/JPEG/GIF/netpbm
+by magic). Encoders (``wav_bytes`` / ``pgm_bytes`` / ``png_bytes`` /
 ``jpeg_bytes``) exist so pipelines and tests can round-trip real
 containers deterministically.
 """
@@ -1619,11 +1626,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 def decode_image(content: bytes) -> np.ndarray:
     """Decoder-contract form (bytes → (H, W[, C]) floats in [0, 1]);
-    dispatches PNG vs JPEG vs netpbm on the container magic."""
+    dispatches PNG vs JPEG vs GIF (first frame) vs netpbm on the
+    container magic."""
     if content[:8] == _PNG_SIG:
         return decode_png(content).astype(np.float64) / 255.0
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content).astype(np.float64) / 255.0
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)[0].astype(np.float64) / 255.0
     return decode_pgm(content).astype(np.float64) / 255.0
 
 
@@ -1699,3 +1709,373 @@ def register_media_decoders() -> None:
 
     register_decoder("audio", decode_wav)
     register_decoder("image", decode_image)
+
+
+# ------------------------------------------------------------------- GIF
+#
+# GIF87a/89a (CompuServe spec; W3C GIF89a recommendation): logical
+# screen descriptor + global/local color tables + LZW-compressed image
+# data in 255-byte sub-blocks. Lossless (palette indices round-trip
+# exactly), so the same exact-integer oracle discipline as PNG applies.
+# The decoder composites animation frames (image descriptors may be
+# sub-rectangles; disposal methods none/keep (1) and restore-to-
+# background (2) per the 89a spec), honors the Graphic Control
+# Extension's transparency index, and GIF's own 4-pass row interlace.
+# The encoder emits real variable-width LZW (code widths grow 3..12
+# bits with the dictionary, CLEAR resets at 4096) so foreign decoders
+# read it, and multi-frame streams for the animation/frame-sample
+# pipeline path.
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (row start, step)
+
+
+def _lzw_compress(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """Variable-width LZW (GIF flavor): dictionary of index strings,
+    CLEAR emitted first and at dictionary overflow (4096), EOI last.
+    Deterministic."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs codes LSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    prefix: tuple = ()
+    for v in indices.tolist():
+        cand = prefix + (v,)
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        prefix = (v,)
+        if next_code > 4095:
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+    if prefix:
+        put(table[prefix], width)
+        # the decoder adds one dictionary entry after reading this
+        # final code (the encoder has nothing left to add) and bumps
+        # its code width if that entry lands on a power-of-two
+        # boundary — EOI must be written at the width the decoder
+        # will READ it with
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, expect: int) -> "np.ndarray":
+    """GIF LZW decode, bounded at ``expect`` output indices (hostile
+    streams must not balloon past the declared frame geometry)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW code before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if len(out) > expect:
+            raise ValueError(
+                f"GIF LZW output exceeds frame geometry ({len(out)} > {expect})"
+            )
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expect:
+        raise ValueError(f"GIF frame size mismatch: {len(out)} != {expect}")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    """Wrap a byte stream into ≤255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_bytes(
+    frames: "np.ndarray | list",
+    palette: "np.ndarray | list",
+    transparent: int | None = None,
+    delay_cs: int = 4,
+    interlace: bool = False,
+) -> bytes:
+    """Encode palette-index frames as a real GIF: one (H, W) matrix →
+    single-image GIF87a-style stream; a list / (N, H, W) stack →
+    animated GIF89a (NETSCAPE2.0 loop extension + per-frame Graphic
+    Control Extensions). ``transparent`` marks that palette index
+    transparent in every frame's GCE; ``interlace=True`` writes GIF's
+    4-pass row interlace. Deterministic (real variable-width LZW)."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 2 <= pal.shape[0] <= 256:
+        raise ValueError(f"palette must be (2..256, 3) uint8, got {pal.shape}")
+    stack = np.asarray(frames, dtype=np.uint8)
+    if stack.ndim == 2:
+        stack = stack[None]
+    if stack.ndim != 3:
+        raise ValueError(f"expected (H,W) or (N,H,W) indices, got {stack.shape}")
+    n, h, w = stack.shape
+    # color table size: next power of two ≥ palette, minimum 2
+    ct_bits = max(1, int(pal.shape[0] - 1).bit_length())
+    ct_size = 1 << ct_bits
+    if stack.max(initial=0) >= pal.shape[0]:
+        raise ValueError("frame index exceeds palette size")
+    if transparent is not None and not 0 <= transparent < pal.shape[0]:
+        raise ValueError(f"transparent index {transparent} outside palette")
+    min_code = max(2, ct_bits)
+
+    out = bytearray(b"GIF89a" if (n > 1 or transparent is not None) else b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT flag+size, bg, aspect
+    out += pal.tobytes() + b"\x00\x00\x00" * (ct_size - pal.shape[0])
+    if n > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0" + bytes([3, 1, 0, 0, 0])  # loop forever
+    for f in range(n):
+        if n > 1 or transparent is not None:
+            flags = 0
+            if n > 1:
+                flags |= 2 << 2  # disposal 2: restore to background
+            if transparent is not None:
+                flags |= 1
+            out += b"\x21\xf9\x04" + bytes([flags]) + struct.pack(
+                "<H", delay_cs
+            ) + bytes([transparent or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0])  # no local table
+        rows = stack[f]
+        if interlace:
+            order = [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+            rows = rows[order]
+        out += bytes([min_code])
+        out += _gif_subblocks(_lzw_compress(rows.ravel(), min_code))
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+@_typed_decode_errors
+def gif_info(content: bytes) -> dict:
+    """Logical-screen metadata + frame count without LZW decoding."""
+    st = _gif_parse(content, info_only=True)
+    return {
+        "width": st["width"],
+        "height": st["height"],
+        "n_frames": st["n_frames"],
+        "gct_size": st["gct_size"],
+        "version": st["version"],
+    }
+
+
+def _gif_parse(content: bytes, info_only: bool = False) -> dict:
+    """Walk the GIF block structure; collects frames (descriptor,
+    color table, GCE state, packed LZW payload) or just counts them."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    w, h = struct.unpack("<HH", content[6:10])
+    packed, bg, aspect = content[10], content[11], content[12]
+    pos = 13
+    gct = None
+    gct_size = 0
+    if packed & 0x80:
+        gct_size = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            content[pos : pos + gct_size * 3], dtype=np.uint8
+        ).reshape(-1, 3)
+        if gct.shape[0] != gct_size:
+            raise ValueError("truncated GIF global color table")
+        pos += gct_size * 3
+    st: dict = {
+        "width": w, "height": h, "gct": gct, "gct_size": gct_size,
+        "version": content[3:6].decode("ascii"), "frames": [], "n_frames": 0,
+    }
+    gce: dict | None = None
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x3B:  # trailer
+            return st
+        if b0 == 0x21:  # extension
+            if pos + 2 > len(content):
+                raise ValueError("truncated GIF extension")
+            label = content[pos + 1]
+            pos += 2
+            blocks = bytearray()
+            while True:
+                if pos >= len(content):
+                    raise ValueError("truncated GIF extension sub-blocks")
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                blocks += content[pos : pos + ln]
+                pos += ln
+            if label == 0xF9 and len(blocks) >= 4:  # Graphic Control
+                flags = blocks[0]
+                gce = {
+                    "disposal": (flags >> 2) & 0x07,
+                    "transparent": blocks[3] if flags & 1 else None,
+                    "delay_cs": struct.unpack("<H", bytes(blocks[1:3]))[0],
+                }
+            continue
+        if b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(content):
+                raise ValueError("truncated GIF image descriptor")
+            left, top, fw, fh = struct.unpack("<HHHH", content[pos + 1 : pos + 9])
+            iflags = content[pos + 9]
+            pos += 10
+            lct = None
+            if iflags & 0x80:
+                lsize = 2 << (iflags & 0x07)
+                lct = np.frombuffer(
+                    content[pos : pos + lsize * 3], dtype=np.uint8
+                ).reshape(-1, 3)
+                if lct.shape[0] != lsize:
+                    raise ValueError("truncated GIF local color table")
+                pos += lsize * 3
+            if pos >= len(content):
+                raise ValueError("truncated GIF image data")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(content):
+                    raise ValueError("truncated GIF LZW sub-blocks")
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                data += content[pos : pos + ln]
+                pos += ln
+            st["n_frames"] += 1
+            if not info_only:
+                st["frames"].append(
+                    {
+                        "left": left, "top": top, "w": fw, "h": fh,
+                        "interlace": bool(iflags & 0x40), "lct": lct,
+                        "min_code": min_code, "data": bytes(data),
+                        "gce": gce,
+                    }
+                )
+            gce = None
+            continue
+        raise ValueError(f"unknown GIF block 0x{b0:02X} at {pos}")
+    raise ValueError("GIF missing trailer")
+
+
+@_typed_decode_errors
+def decode_gif(content: bytes) -> "np.ndarray":
+    """Decode a GIF to composited uint8 frames: (N, H, W, 3) RGB, or
+    (N, H, W, 4) RGBA when any frame carries a transparency index.
+    Frames composite per the 89a disposal model (none/keep draw over
+    the previous canvas; restore-to-background clears the frame's
+    rect) with sub-rectangle placement, local color tables, and the
+    4-pass row interlace. Lossless: palette indices round-trip
+    exactly."""
+    st = _gif_parse(content)
+    w, h = st["width"], st["height"]
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(f"image too large to decode: {w}x{h}")
+    if not st["frames"]:
+        raise ValueError("GIF contains no image data")
+    if w == 0 or h == 0:
+        raise ValueError("GIF has zero-size logical screen")
+    has_alpha = any(
+        f["gce"] and f["gce"]["transparent"] is not None for f in st["frames"]
+    )
+    ch = 4 if has_alpha else 3
+    if len(st["frames"]) * w * h > _MAX_DECODE_PIXELS * 4:
+        raise ValueError("animation too large to decode")
+    canvas = np.zeros((h, w, ch), dtype=np.uint8)
+    out = []
+    for f in st["frames"]:
+        pal = f["lct"] if f["lct"] is not None else st["gct"]
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        left, top, fw, fh = f["left"], f["top"], f["w"], f["h"]
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            raise ValueError("GIF frame rectangle outside logical screen")
+        idx = _lzw_decompress(f["data"], f["min_code"], fw * fh)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF index outside color table")
+        idx = idx.reshape(fh, fw)
+        if f["interlace"]:
+            order = [
+                r for start, step in _GIF_INTERLACE for r in range(start, fh, step)
+            ]
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        rgb = pal[idx.astype(np.int64)]
+        trans = f["gce"]["transparent"] if f["gce"] else None
+        region = canvas[top : top + fh, left : left + fw]
+        if trans is None:
+            px = rgb if ch == 3 else np.concatenate(
+                [rgb, np.full((fh, fw, 1), 255, np.uint8)], axis=-1
+            )
+            region[:] = px
+        else:
+            opaque = idx != trans
+            region[opaque, :3] = rgb[opaque]
+            region[opaque, 3] = 255
+        out.append(canvas.copy())
+        disposal = f["gce"]["disposal"] if f["gce"] else 0
+        if disposal == 2:  # restore to background = clear the rect
+            canvas[top : top + fh, left : left + fw] = 0
+    return np.stack(out)
