@@ -1671,6 +1671,44 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sample.py domain_cap) — the
+    crawl-curation rule that stops one site from dominating a training
+    mix. URLs are synthesized deterministically per doc (five
+    subdomains × 23 sites × four TLDs incl. a ccSLD, every 7th doc
+    adding userinfo+port so host extraction proves it strips both);
+    host/registrable-domain extraction is pure JVM regex (RE2-safe, so
+    the oracle runs the SAME patterns), and the ≤3-per-domain winners
+    are picked by the md5 rank any engine recomputes. ONE shuffle (the
+    rank window on domain)."""
+    from vearch_spark.operators.sample import domain_cap
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in ("www", "cdn", "blog", "shop", "m")]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(s) for s in ("com", "org", "co.uk", "io")]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    creds = F.when(F.col("doc_id") % 7 == 0, F.lit("user:pw@")).otherwise(F.lit(""))
+    port = F.when(F.col("doc_id") % 7 == 0, F.lit(":8443")).otherwise(F.lit(""))
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), creds, sub, F.lit(".site"),
+            (F.col("doc_id") % 23).cast("string"), F.lit("."), tld, port,
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    return (
+        domain_cap(urls, url_col="url", cap=3, id_col="doc_id", seed=7)
+        .orderBy("doc_id")
+        .select("doc_id", "host", "domain")
+    )
+
+
 def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over REAL animated containers (the
     multimodal brief's frame-sample op with a genuine decoder, not a
@@ -2140,6 +2178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
     "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
     "gif_frame_sample": q_gif_frame_sample,  # animated-GIF frame-stride sampling, exact-int oracle
+    "domain_cap": q_domain_cap,  # registrable-domain crawl cap, md5-rank oracle
     "shard_export": q_shard_export,  # deterministic shuffled-shard order, md5 oracle
 }
 
@@ -3726,6 +3765,47 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 100
         ORDER BY d.doc_id
+    """
+    # domain_cap: the oracle rebuilds the synthetic URLs, extracts
+    # host/registrable-domain with the SAME RE2 regexes the Spark plan
+    # uses, and re-derives the md5 rank (shard_export's bucket trick);
+    # ties on the 32-bit bucket break by doc_id on both sides
+    d["domain_cap"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 'https://'
+                 || CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END
+                 || ['www','cdn','blog','shop','m'][(doc_id % 5 + 1)::INT]
+                 || '.site' || (doc_id % 23)::VARCHAR || '.'
+                 || ['com','org','co.uk','io'][(doc_id % 4 + 1)::INT]
+                 || CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END
+                 || '/p/' || doc_id::VARCHAR AS url
+          FROM documents
+        ), hosts AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]+@)?([^/:?#]+)', 1)) AS host
+          FROM u
+        ), dom AS (
+          SELECT doc_id, host,
+                 CASE WHEN regexp_extract(host,
+                        '([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$', 1) != ''
+                      THEN regexp_extract(host,
+                        '([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$', 1)
+                      ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                 END AS domain,
+                 list_sum(list_transform(range(8), i ->
+                   (strpos('0123456789abcdef',
+                           substr(md5('7:' || doc_id::VARCHAR), (i+1)::INT, 1)) - 1)::BIGINT
+                   * (16 ** (7-i))::BIGINT))::BIGINT AS rk
+          FROM hosts
+        )
+        SELECT doc_id, host, domain
+        FROM (
+          SELECT doc_id, host, domain,
+                 row_number() OVER (PARTITION BY domain ORDER BY rk, doc_id) AS pos
+          FROM dom
+        ) WHERE pos <= 3 ORDER BY doc_id
     """
     # gif_frame_sample: the Spark side synthesizes animated GIFs,
     # decodes them with the real LZW decoder, and frame-stride-samples;

@@ -236,3 +236,66 @@ def test_shuffle_shards_deterministic_export(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         shuffle_shards(docs, 0)
+
+
+def test_url_host_and_registrable_domain(spark):
+    """Host extraction strips scheme/userinfo/port/path exactly;
+    registrable-domain groups ccSLD hosts at three labels and
+    everything else at two; non-URLs map to ''."""
+    from pyspark.sql import functions as F
+
+    from vearch_spark.functions.text import registrable_domain, url_host
+
+    cases = [
+        ("https://www.Example.COM/a/b?q=1#f", "www.example.com", "example.com"),
+        ("http://user:pw@blog.shop.co.uk:8443/x", "blog.shop.co.uk", "shop.co.uk"),
+        ("ftp://cdn.site9.io", "cdn.site9.io", "site9.io"),
+        ("https://a.b.c.example.org", "a.b.c.example.org", "example.org"),
+        ("https://something.gov.br/page", "something.gov.br", "something.gov.br"),
+        ("not a url at all", "", ""),
+        ("https://localhost/x", "localhost", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = (
+        df.withColumn("host", url_host("url"))
+        .withColumn("domain", registrable_domain(F.col("host")))
+        .collect()
+    )
+    for (u, want_h, want_d), r in zip(cases, got):
+        assert r.host == want_h, u
+        assert r.domain == want_d, u
+
+
+def test_domain_cap_deterministic_and_bounded(spark):
+    """domain_cap keeps ≤ cap docs per registrable domain, the kept
+    set is a pure function of (seed, id) — identical across
+    repartitionings — and different seeds pick different winners."""
+    from pyspark.sql import functions as F
+
+    from vearch_spark.operators.sample import domain_cap
+
+    rows = [
+        (i, f"https://w{i % 3}.site{i % 4}.{'co.uk' if i % 2 else 'com'}/p/{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = domain_cap(df, cap=5, seed=1).collect()
+    per = {}
+    for r in kept:
+        per[r.domain] = per.get(r.domain, 0) + 1
+    assert per and all(v <= 5 for v in per.values())
+    # every domain with ≥5 candidates is filled to exactly 5
+    cand = {}
+    for i in range(200):
+        d = f"site{i % 4}." + ("co.uk" if i % 2 else "com")
+        cand[d] = cand.get(d, 0) + 1
+    for d, n in cand.items():
+        assert per.get(d, 0) == min(5, n), d
+    # layout-independence
+    kept2 = domain_cap(df.repartition(13), cap=5, seed=1).collect()
+    assert {r.doc_id for r in kept2} == {r.doc_id for r in kept}
+    # seed sensitivity
+    kept3 = domain_cap(df, cap=5, seed=2).collect()
+    assert {r.doc_id for r in kept3} != {r.doc_id for r in kept}
+    with pytest.raises(ValueError, match="cap"):
+        domain_cap(df, cap=0)

@@ -316,3 +316,31 @@ def dup_line_fraction(text: Column | str, sep: str = "\n") -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         (n - F.size(F.array_distinct(lines))) / n.cast("double")
     )
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased host of a URL, pure JVM regex: strips scheme,
+    userinfo, port, path, query, fragment. '' when the value isn't a
+    scheme-qualified URL (matching regexp_extract's no-match
+    convention, so downstream filters stay total). The pattern is
+    RE2-compatible, so the DuckDB oracle runs it verbatim."""
+    col = F.col(url) if isinstance(url, str) else url
+    return F.lower(
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]+@)?([^/:?#]+)", 1)
+    )
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Registrable (pay-level) domain of a host — the per-SITE key the
+    crawl-curation caps group on (a public-suffix-list lookup reduced
+    to the high-coverage heuristic any SQL engine can reproduce): the
+    last two labels, or three when the second-level label is a known
+    country-code SLD (co/com/net/org/gov/ac/edu under a 2-letter TLD:
+    example.co.uk → example.co.uk, www.example.com → example.com).
+    '' for hosts with fewer than two labels."""
+    col = F.col(host) if isinstance(host, str) else host
+    three = F.regexp_extract(
+        col, r"([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[a-z][a-z])$", 1
+    )
+    two = F.regexp_extract(col, r"([^.]+\.[^.]+)$", 1)
+    return F.when(three != "", three).otherwise(two)

@@ -333,3 +333,49 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-domain document cap — the crawl-curation rule that stops a
+    single site from dominating a training mix (boilerplate farms,
+    mirrors, SEO spam): keep at most ``cap`` docs per REGISTRABLE
+    domain (functions/text.py registrable_domain — co.uk-style ccSLDs
+    grouped correctly), chosen by the same deterministic md5 rank as
+    :func:`shuffle_shards`, so the kept set is a pure function of
+    (seed, id) — reproducible on any cluster and recomputable by any
+    engine with md5 (the DuckDB oracle does).
+
+    Scale shape: one narrow JVM projection (regex host/domain — no
+    Python) plus ONE shuffle (the rank window on domain). Domains are
+    high-cardinality so the window partitions well; a pathological
+    single-domain corpus degrades to one partition of that domain's
+    rows only — the cap itself bounds what survives.
+
+    Output: the input columns plus (host, domain), kept rows only.
+    """
+    from pyspark.sql import Window
+
+    from vearch_spark.functions.text import registrable_domain, url_host
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy("domain").orderBy("_rk", id_col)
+    return (
+        df.withColumn("host", url_host(url_col))
+        .withColumn("domain", registrable_domain(F.col("host")))
+        .withColumn(
+            "_rk",
+            hash_bucket(
+                F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+            ),
+        )
+        .withColumn("_pos", F.row_number().over(w))
+        .where(F.col("_pos") <= cap)
+        .drop("_rk", "_pos")
+    )
