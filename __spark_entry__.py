@@ -1671,6 +1671,125 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over REAL RIFF AVI containers (the
+    multimodal brief's video path with genuine decoders, not stubs):
+    per doc, stage 1 writes TWO real AVIs — an uncompressed-DIB
+    stream (lossless 24-bit bottom-up BGR, functions/media.py
+    avi_bytes) and an MJPEG stream (every frame a complete baseline
+    JPEG decoded by this engine's own T.81 decoder); stage 2 parses
+    the RIFF tree, decodes, samples every 2nd frame, and emits the
+    DIB frames' exact position-weighted pixel sums (any mis-unpacked
+    row padding or BGR swap breaks the hash) plus the MJPEG frames'
+    dims + error-envelope booleans (JPEG is lossy; its exactness is
+    pytest-pinned). Binaries never leave the executors; the DuckDB
+    oracle recomputes the DIB sums from the generation formula."""
+    import numpy as np
+    import pandas as pd
+
+    from vearch_spark.functions.media import avi_bytes, decode_avi
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 2 + i % 4
+                vw, vh = 6 + i % 7, 5 + i % 6
+                dib = np.array(
+                    [
+                        [
+                            (i * 13 + f * 7 + j * 3 + k * 5) % 256
+                            for j in range(vw * vh)
+                            for k in range(3)
+                        ]
+                        for f in range(nf)
+                    ],
+                    dtype=np.uint8,
+                ).reshape(nf, vh, vw, 3)
+                x, y = np.meshgrid(np.arange(vw), np.arange(vh))
+                mjpg = np.stack(
+                    [
+                        np.stack(
+                            [
+                                20 + i % 50 + (1 + c) * x + (3 - c) * y + f * 3
+                                for c in range(3)
+                            ],
+                            -1,
+                        )
+                        for f in range(nf)
+                    ]
+                ).astype(np.uint8)
+                rows.append(
+                    (
+                        str(i),
+                        avi_bytes(dib, codec="DIB", fps=8),
+                        avi_bytes(mjpg, codec="MJPG", quality=90),
+                        mjpg.astype(np.int64).reshape(nf, -1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "dib_bytes", "mjpg_bytes", "mjpg_src"],
+            )
+
+    media = docs.mapInPandas(
+        synth,
+        schema=(
+            "media_id string, dib_bytes binary, mjpg_bytes binary, "
+            "mjpg_src array<array<long>>"
+        ),
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out = []
+            for mid, db, mb, msrc in zip(
+                pdf["media_id"], pdf["dib_bytes"], pdf["mjpg_bytes"],
+                pdf["mjpg_src"],
+            ):
+                dib = decode_avi(bytes(db))
+                mjpg = decode_avi(bytes(mb))
+                if dib.shape != mjpg.shape:
+                    raise ValueError("container geometry mismatch")
+                for f in range(0, dib.shape[0], 2):
+                    flat = dib[f].astype(np.int64).ravel()
+                    merr = int(
+                        np.abs(
+                            mjpg[f].astype(np.int64).ravel()
+                            - np.asarray(msrc[f], dtype=np.int64)
+                        ).max()
+                    )
+                    out.append(
+                        (
+                            mid,
+                            f,
+                            dib.shape[2],
+                            dib.shape[1],
+                            int(flat.sum()),
+                            int(((np.arange(len(flat)) + 1) * flat).sum()),
+                            bool(merr <= 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_no", "width", "height",
+                    "dsum", "dwsum", "mjpg_ok",
+                ],
+            )
+
+    return media.mapInPandas(
+        sample,
+        schema=(
+            "media_id string, frame_no int, width int, height int, "
+            "dsum long, dwsum long, mjpg_ok boolean"
+        ),
+    ).orderBy(F.col("media_id").cast("int"), "frame_no")
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (operators/sample.py domain_cap) — the
     crawl-curation rule that stops one site from dominating a training
@@ -2179,6 +2298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
     "gif_frame_sample": q_gif_frame_sample,  # animated-GIF frame-stride sampling, exact-int oracle
     "domain_cap": q_domain_cap,  # registrable-domain crawl cap, md5-rank oracle
+    "video_frame_sample": q_video_frame_sample,  # RIFF AVI (DIB+MJPEG) frame sampling, exact-int oracle
     "shard_export": q_shard_export,  # deterministic shuffled-shard order, md5 oracle
 }
 
@@ -3765,6 +3885,31 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 100
         ORDER BY d.doc_id
+    """
+    # video_frame_sample: the DIB arm is lossless, so the oracle
+    # recomputes each sampled frame's exact pixel sums from the
+    # generation formula (dwsum position-weighted: a swapped BGR
+    # channel or mis-stripped row padding anywhere breaks the hash);
+    # the MJPEG arm is lossy — its oracle surface is dims + the
+    # error-envelope boolean, with exactness pytest-pinned
+    d["video_frame_sample"] = """
+        SELECT CAST(d.doc_id AS VARCHAR) AS media_id,
+               fr.f::INT AS frame_no,
+               (6 + d.doc_id % 7)::INT AS width,
+               (5 + d.doc_id % 6)::INT AS height,
+               list_sum(list_transform(
+                 range((6 + d.doc_id % 7) * (5 + d.doc_id % 6)), j ->
+                 list_sum(list_transform(range(3), k ->
+                   (d.doc_id*13 + fr.f*7 + j*3 + k*5) % 256))))::BIGINT AS dsum,
+               list_sum(list_transform(
+                 range((6 + d.doc_id % 7) * (5 + d.doc_id % 6)), j ->
+                 list_sum(list_transform(range(3), k ->
+                   (j*3 + k + 1) *
+                   ((d.doc_id*13 + fr.f*7 + j*3 + k*5) % 256)))))::BIGINT AS dwsum,
+               TRUE AS mjpg_ok
+        FROM documents d, range(5) fr(f)
+        WHERE d.doc_id < 50 AND fr.f % 2 = 0 AND fr.f < 2 + d.doc_id % 4
+        ORDER BY d.doc_id, fr.f
     """
     # domain_cap: the oracle rebuilds the synthetic URLs, extracts
     # host/registrable-domain with the SAME RE2 regexes the Spark plan

@@ -42,9 +42,14 @@ implementation can decode FOR REAL — no fake, no stub:
   palette-index round-trips; animated streams are the frame-sample
   pipeline path.
 
+- **AVI (RIFF)** hand-parsed: MJPEG ('00dc', each frame a complete
+  JPEG through this module's own T.81 decoder) and uncompressed
+  24-bit DIB ('00db', bottom-up BGR, lossless) video streams — the
+  real video-container path for frame sampling.
+
 ``register_media_decoders()`` plugs them into the multimodal
 extract_features path ('audio' → WAV, 'image' → PNG/JPEG/GIF/netpbm
-by magic). Encoders (``wav_bytes`` / ``pgm_bytes`` / ``png_bytes`` /
+by magic, 'video' → AVI frames). Encoders (``wav_bytes`` / ``pgm_bytes`` / ``png_bytes`` /
 ``jpeg_bytes``) exist so pipelines and tests can round-trip real
 containers deterministically.
 """
@@ -1709,6 +1714,7 @@ def register_media_decoders() -> None:
 
     register_decoder("audio", decode_wav)
     register_decoder("image", decode_image)
+    register_decoder("video", lambda b: decode_avi(b).astype(np.float64) / 255.0)
 
 
 # ------------------------------------------------------------------- GIF
@@ -2078,4 +2084,205 @@ def decode_gif(content: bytes) -> "np.ndarray":
         disposal = f["gce"]["disposal"] if f["gce"] else 0
         if disposal == 2:  # restore to background = clear the rect
             canvas[top : top + fh, left : left + fw] = 0
+    return np.stack(out)
+
+
+# ------------------------------------------------------------------- AVI
+#
+# Microsoft RIFF AVI (public spec: RIFF 'AVI ' → LIST hdrl {avih,
+# LIST strl {strh, strf}} → LIST movi {00dc/00db frames} → idx1):
+# the real video-container path for the multimodal pipeline. Two
+# genuine frame codings are supported — '00dc' MJPEG (each frame is a
+# complete JPEG, decoded by this module's own T.81 decoder) and
+# '00db' uncompressed DIB (24-bit BGR, bottom-up rows, 4-byte row
+# padding — BITMAPINFOHEADER semantics), which is lossless and so
+# carries the exact-integer oracle discipline. Chunks pad to even
+# sizes per RIFF.
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def _dib_pack(frame: np.ndarray) -> bytes:
+    """24-bit DIB pixel data: BGR channel order, bottom-up row order,
+    rows padded to 4-byte boundaries."""
+    h, w = frame.shape[:2]
+    bgr = frame[::-1, :, ::-1]  # bottom-up + RGB→BGR
+    stride = w * 3
+    pad = (-stride) % 4
+    if pad == 0:
+        return bgr.tobytes()
+    out = bytearray()
+    flat = bgr.reshape(h, stride)
+    for r in range(h):
+        out += flat[r].tobytes() + b"\x00" * pad
+    return bytes(out)
+
+
+def _dib_unpack(data: bytes, w: int, h: int) -> np.ndarray:
+    stride = w * 3
+    padded = stride + ((-stride) % 4)
+    if len(data) != padded * h:
+        raise ValueError(
+            f"DIB frame size mismatch: {len(data)} != {padded}*{h}"
+        )
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, padded)[:, :stride]
+    return rows.reshape(h, w, 3)[::-1, :, ::-1].copy()  # top-down + BGR→RGB
+
+
+def avi_bytes(
+    frames: "np.ndarray | list",
+    fps: int = 10,
+    codec: str = "MJPG",
+    quality: int = 90,
+) -> bytes:
+    """Encode an (N, H, W, 3) uint8 frame stack as a real AVI:
+    ``codec='MJPG'`` writes each frame as a complete baseline JPEG
+    ('00dc' chunks); ``codec='DIB'`` writes uncompressed 24-bit BGR
+    bottom-up frames ('00db') — lossless, the oracle-friendly form.
+    Deterministic."""
+    stack = np.asarray(frames, dtype=np.uint8)
+    if stack.ndim == 3:
+        stack = stack[None]
+    if stack.ndim != 4 or stack.shape[3] != 3:
+        raise ValueError(f"expected (N,H,W,3) uint8 frames, got {stack.shape}")
+    if codec not in ("MJPG", "DIB"):
+        raise ValueError(f"codec must be MJPG or DIB: {codec!r}")
+    n, h, w = stack.shape[:3]
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError("empty video")
+    if codec == "MJPG":
+        payloads = [jpeg_bytes(f, quality) for f in stack]
+        tag, fourcc = b"00dc", b"MJPG"
+    else:
+        payloads = [_dib_pack(f) for f in stack]
+        tag, fourcc = b"00db", b"\x00\x00\x00\x00"  # BI_RGB
+    max_bytes = max(len(p) for p in payloads)
+
+    # main AVI header (avih): microsec/frame, max bytes/sec, pad, flags,
+    # total frames, initial frames, streams, buffer, dims, reserved[4]
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(fps, 1), max_bytes * fps, 0, 0x10,  # HASINDEX
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    # video stream header (strh): fccType, fccHandler, flags, prio+lang,
+    # initial frames, scale, rate, start, length, buffer, quality,
+    # sample size, rcFrame
+    strh = b"vids" + fourcc + struct.pack(
+        "<8IiI4H", 0, 0, 0, 1, max(fps, 1), 0, n, max_bytes, -1, 0,
+        0, 0, w, h,
+    )
+    # BITMAPINFOHEADER (strf)
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, fourcc if codec == "MJPG" else b"\x00\x00\x00\x00",
+        w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(tag, p) for p in payloads)
+    movi = _riff_list(b"movi", movi_body)
+    # idx1: one entry per frame (chunk id, KEYFRAME flag, offset from
+    # movi list-type start, size)
+    idx = bytearray()
+    off = 4
+    for p in payloads:
+        idx += tag + struct.pack("<III", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return _riff_chunk(b"RIFF", body)
+
+
+def _avi_walk(content: bytes) -> dict:
+    """Parse the RIFF tree: header geometry + the movi frame chunks."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (bad RIFF signature)")
+    (total,) = struct.unpack("<I", content[4:8])
+    end = min(len(content), 8 + total)
+    st: dict = {"frames": [], "codec": None, "width": None, "height": None,
+                "fps": None, "n_frames_declared": None}
+
+    def walk(pos: int, stop: int) -> None:
+        while pos + 8 <= stop:
+            tag = content[pos : pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > stop:
+                raise ValueError(f"truncated AVI chunk {tag!r}")
+            if tag == b"LIST":
+                walk(body_start + 4, body_end)
+            elif tag == b"avih":
+                if size < 40:
+                    raise ValueError("short avih header")
+                vals = struct.unpack("<10I", content[body_start : body_start + 40])
+                st["n_frames_declared"] = vals[4]
+                st["width"], st["height"] = vals[8], vals[9]
+                if vals[0]:
+                    st["fps"] = round(1_000_000 / vals[0])
+            elif tag == b"strh" and content[body_start : body_start + 4] == b"vids":
+                st["codec"] = content[body_start + 4 : body_start + 8].decode(
+                    "latin-1"
+                ).strip("\x00 ") or "DIB"
+            elif tag in (b"00dc", b"00db"):
+                st["frames"].append((tag, content[body_start:body_end]))
+            pos = body_end + (size % 2)
+
+    walk(12, end)
+    return st
+
+
+@_typed_decode_errors
+def avi_info(content: bytes) -> dict:
+    """Container metadata without decoding frame payloads."""
+    st = _avi_walk(content)
+    return {
+        "width": st["width"],
+        "height": st["height"],
+        "n_frames": len(st["frames"]),
+        "fps": st["fps"],
+        "codec": st["codec"],
+    }
+
+
+@_typed_decode_errors
+def decode_avi(content: bytes) -> "np.ndarray":
+    """Decode an MJPEG or DIB AVI to (N, H, W, 3) uint8 RGB frames:
+    '00dc' chunks decode through this module's own T.81 JPEG decoder
+    (each frame is a complete JPEG and must match the container
+    geometry), '00db' chunks unpack as 24-bit bottom-up BGR DIBs —
+    exact. Typed errors on geometry mismatches and truncation."""
+    st = _avi_walk(content)
+    w, h = st["width"], st["height"]
+    if not st["frames"]:
+        raise ValueError("AVI contains no video frames")
+    if not w or not h:
+        raise ValueError("AVI missing video geometry (avih)")
+    if w * h * max(1, len(st["frames"])) > _MAX_DECODE_PIXELS * 4:
+        raise ValueError("video too large to decode")
+    out = []
+    for tag, payload in st["frames"]:
+        if tag == b"00dc":
+            if payload[:2] != b"\xff\xd8":
+                raise ValueError("MJPEG frame is not a JPEG stream")
+            frame = decode_jpeg(payload)
+            if frame.ndim == 2:
+                frame = np.stack([frame] * 3, axis=-1)
+        else:
+            frame = _dib_unpack(payload, w, h)
+        if frame.shape[:2] != (h, w):
+            raise ValueError(
+                f"frame geometry {frame.shape[:2]} != container {(h, w)}"
+            )
+        out.append(frame)
     return np.stack(out)
