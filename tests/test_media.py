@@ -231,14 +231,14 @@ def test_png_rejects_corrupt_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"\x89PNX" + good[4:])
-    depth16 = bytearray(good)
-    depth16[24] = 16  # IHDR bit depth — CRC will fail first? no: fix CRC
+    depth12 = bytearray(good)
+    depth12[24] = 12  # IHDR bit depth — no such PNG depth
     import struct
     import zlib as _z
-    body = bytes(depth16[16:29])
-    depth16[29:33] = struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
-    with pytest.raises(ValueError, match="8-bit"):
-        decode_png(bytes(depth16))
+    body = bytes(depth12[16:29])
+    depth12[29:33] = struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="8/16-bit"):
+        decode_png(bytes(depth12))
 
 
 def test_decode_image_dispatches_on_magic():
@@ -1350,3 +1350,27 @@ def test_avi_video_decoder_registered_through_multimodal(spark):
         mm._DECODERS.pop("audio", None)
         mm._DECODERS.pop("image", None)
         mm._DECODERS.pop("video", None)
+
+
+def test_png_16bit_roundtrip_all_color_types():
+    """16-bit PNG (big-endian sample pairs, filters over bytes with
+    bpp = 2·channels): exact uint16 round-trip for every color type,
+    interlaced and not, including the 0 / 65535 extremes; decode_image
+    scales by 65535."""
+    from vearch_spark.functions.media import (
+        decode_image, decode_png, png_bytes, png_info,
+    )
+
+    rng = np.random.default_rng(61)
+    for shape in [(7, 5), (6, 9, 2), (16, 9, 3), (5, 13, 4), (1, 1)]:
+        px = rng.integers(0, 65536, shape, dtype=np.uint16)
+        px.flat[0] = 0
+        px.flat[-1] = 65535
+        for inter in (False, True):
+            blob = png_bytes(px, interlace=inter)
+            assert png_info(blob)["bit_depth"] == 16
+            back = decode_png(blob)
+            assert back.dtype == np.uint16 and back.shape == px.shape
+            assert (back == px).all(), (shape, inter)
+    img = decode_image(png_bytes(np.array([[0, 65535]], dtype=np.uint16)))
+    assert np.allclose(img, [[0.0, 1.0]])

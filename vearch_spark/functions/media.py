@@ -19,8 +19,8 @@ implementation can decode FOR REAL — no fake, no stub:
   (None/Sub/Up/Average/Paeth, RFC 2083 §6), Adam7 interlacing (seven
   independently filtered passes, §2.6), CRC-verified chunks,
   multi-IDAT; decode returns the (H, W[, C]) uint8 pixel array
-  (palette images expand to RGB, or RGBA when ``tRNS`` is present).
-  16-bit variants raise a typed error.
+  (palette images expand to RGB, or RGBA when ``tRNS`` is present;
+  16-bit images return uint16).
 - **JPEG (T.81)** hand-implemented: numpy float64 FDCT/IDCT, Annex K
   quantization tables scaled by the libjpeg quality convention,
   canonical Huffman coding with the tables read from the stream's own
@@ -326,24 +326,29 @@ def png_bytes(
     filters: int | list[int] | None = None,
     interlace: bool = False,
 ) -> bytes:
-    """Encode a uint8 array as a real PNG: (H, W) → gray, (H, W, 2) →
-    gray+alpha, (H, W, 3) → RGB, (H, W, 4) → RGBA. ``filters`` picks
-    the per-scanline filter type (int for all rows, list per row,
-    default row-index mod 5 so every filter is exercised) — any choice
-    decodes to the same pixels, which is exactly what the round-trip
-    tests pin. ``interlace=True`` writes Adam7: seven independently
-    filtered sub-images (per-row ``filters`` lists then apply within
-    each pass by pass-row index)."""
-    arr = np.asarray(pixels, dtype=np.uint8)
+    """Encode a uint8 (or uint16 → 16-bit PNG) array as a real PNG:
+    (H, W) → gray, (H, W, 2) → gray+alpha, (H, W, 3) → RGB,
+    (H, W, 4) → RGBA. ``filters`` picks the per-scanline filter type
+    (int for all rows, list per row, default row-index mod 5 so every
+    filter is exercised) — any choice decodes to the same pixels,
+    which is exactly what the round-trip tests pin. ``interlace=True``
+    writes Adam7: seven independently filtered sub-images (per-row
+    ``filters`` lists then apply within each pass by pass-row index).
+    16-bit samples write big-endian (RFC 2083 §2.1); filters operate
+    on their BYTES with bpp = 2·channels."""
+    arr = np.asarray(pixels)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype(np.uint16 if depth == 16 else np.uint8)
     if arr.ndim == 2:
         color_type, ch = 0, 1
     elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
         ch = arr.shape[2]
         color_type = {2: 4, 3: 2, 4: 6}[ch]
     else:
-        raise ValueError(f"expected (H,W[,2|3|4]) uint8, got {arr.shape}")
+        raise ValueError(f"expected (H,W[,2|3|4]) uint8/uint16, got {arr.shape}")
     h, w = arr.shape[:2]
     arr3 = arr.reshape(h, w, ch)
+    bpp = ch * (depth // 8)
 
     def ftype_of(r: int, ph: int) -> int:
         if filters is None:
@@ -360,14 +365,19 @@ def png_bytes(
         ph, pw = sub.shape[:2]
         if ph == 0 or pw == 0:
             continue
-        flat = np.ascontiguousarray(sub).reshape(ph, pw * ch)
-        prev = np.zeros(pw * ch, dtype=np.uint8)
+        if depth == 16:
+            flat = np.frombuffer(
+                np.ascontiguousarray(sub).astype(">u2").tobytes(), dtype=np.uint8
+            ).reshape(ph, pw * bpp)
+        else:
+            flat = np.ascontiguousarray(sub).reshape(ph, pw * ch)
+        prev = np.zeros(pw * bpp, dtype=np.uint8)
         for r in range(ph):
             f = ftype_of(r, ph)
             raw.append(f)
-            raw += _filter_row(f, flat[r], prev, ch).tobytes()
+            raw += _filter_row(f, flat[r], prev, bpp).tobytes()
             prev = flat[r]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -457,9 +467,10 @@ def decode_png(content: bytes) -> np.ndarray:
     (H, W) for gray, (H, W, C) for gray+alpha / RGB / RGBA; palette
     images (color type 3, bit depth 1/2/4/8) expand through PLTE to
     RGB — or RGBA when a tRNS chunk is present (entries past the tRNS
-    length are opaque, RFC 2083 §4.2.1). Chunk CRCs are verified;
-    16-bit non-palette images raise ValueError rather than decode
-    approximately."""
+    length are opaque, RFC 2083 §4.2.1); 16-bit non-palette images
+    return uint16 (big-endian sample pairs, filter bpp = 2·channels).
+    Chunk CRCs are verified; undefined depth/color-type combinations
+    raise ValueError rather than decode approximately."""
     if content[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos, ihdr, idat = 8, None, bytearray()
@@ -496,8 +507,8 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError("palette PNG missing PLTE chunk")
         if len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError(f"PLTE length must be 3·(1..256): {len(plte)}")
-    elif depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (bit depth {depth})")
+    elif depth not in (8, 16):
+        raise ValueError(f"only 8/16-bit PNG supported (bit depth {depth})")
     elif color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
     if interlace not in (0, 1):
@@ -536,7 +547,7 @@ def decode_png(content: bytes) -> np.ndarray:
         )
     if not dec.eof or dec.unused_data:
         raise ValueError("PNG IDAT stream truncated or carries trailing data")
-    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    samples = np.zeros((h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8)
     off = 0
     for x0, y0, dx, dy, pw, ph, stride in spans:
         rows = np.empty((ph, stride), dtype=np.uint8)
@@ -548,7 +559,11 @@ def decode_png(content: bytes) -> np.ndarray:
             prev = _unfilter_row(raw[off + r * (stride + 1)], line.copy(), prev, bpp)
             rows[r] = prev
         off += ph * (stride + 1)
-        if depth == 8:
+        if depth == 16:
+            # big-endian sample pairs (RFC 2083 §2.1)
+            pairs = rows[:, : pw * ch * 2].reshape(ph, pw, ch, 2)
+            px = (pairs[..., 0].astype(np.uint16) << 8) | pairs[..., 1]
+        elif depth == 8:
             px = rows[:, : pw * ch].reshape(ph, pw, ch)
         else:
             # unpack sub-byte palette indices, MSB-first within a byte
@@ -1634,7 +1649,8 @@ def decode_image(content: bytes) -> np.ndarray:
     dispatches PNG vs JPEG vs GIF (first frame) vs netpbm on the
     container magic."""
     if content[:8] == _PNG_SIG:
-        return decode_png(content).astype(np.float64) / 255.0
+        px = decode_png(content)
+        return px.astype(np.float64) / (65535.0 if px.dtype == np.uint16 else 255.0)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content).astype(np.float64) / 255.0
     if content[:6] in (b"GIF87a", b"GIF89a"):
