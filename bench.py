@@ -100,6 +100,13 @@ def main() -> None:
         "sf": sf,
         # full-payload only (the compact driver line drops this)
         "notes": {
+            "media_decode": (
+                "r7: wall grew ~0.4s by design - the query now round-trips "
+                "FOUR more real containers per row (palette PNG at depths "
+                "1/2/4/8 with tRNS, 4:2:0 chroma-subsampled JPEG, "
+                "progressive SOF2 JPEG checked bit-equal to its baseline "
+                "twin) on top of the r6 set; per-container cost is flat"
+            ),
             "simhash_dedup": (
                 "r6: the skew guard's residual cost is ONE groupBy-count "
                 "detection job over the cached banded relation "
