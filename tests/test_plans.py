@@ -369,3 +369,35 @@ def test_bucketed_cosine_plan_no_pair_join(spark, sf_dir):
         assert bad not in plan, bad
     # exactly ONE exchange: the hash partition on the bucket key
     assert X.count_exchanges(out) == 1
+
+
+def test_domain_cap_single_window_exchange(spark):
+    """domain_cap = narrow JVM regex projection + ONE shuffle (the
+    rank window on domain); the cap filter applies as WindowGroupLimit
+    so the exchange never carries more than cap rows per domain per
+    partition map-side."""
+    from vearch_spark.operators.sample import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, f"https://w{i % 3}.site{i % 4}.com/p/{i}") for i in range(100)],
+        "doc_id long, url string",
+    )
+    out = domain_cap(df, cap=3, seed=1)
+    assert X.count_exchanges(out) == 1
+    plan = X.formatted_plan(out)
+    assert "WindowGroupLimit" in plan  # cap applied map-side pre-shuffle
+
+
+def test_frame_sample_queries_are_narrow_pipelines(spark, sf_dir):
+    """The GIF/AVI frame-sample queries are mapInPandas chains: media
+    binaries flow executor-side through Arrow and the only exchange is
+    the final presentation sort — no join, no aggregation shuffle."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_gif_frame_sample, entry.q_video_frame_sample):
+        out = q(spark, sf_dir)
+        plan = X.formatted_plan(out)
+        for bad in ("Join", "HashAggregate", "Window"):
+            assert bad not in plan, (q.__name__, bad)
+        # one exchange: the range partitioning of the final orderBy
+        assert X.count_exchanges(out) <= 1, q.__name__
