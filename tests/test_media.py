@@ -1374,3 +1374,41 @@ def test_png_16bit_roundtrip_all_color_types():
             assert (back == px).all(), (shape, inter)
     img = decode_image(png_bytes(np.array([[0, 65535]], dtype=np.uint16)))
     assert np.allclose(img, [[0.0, 1.0]])
+
+
+def test_bmp_roundtrip_and_hostile_inputs():
+    """24-bit BMP: exact round-trip (row padding at widths 7/13/6),
+    top-down (negative height) handling, decode_image dispatch, typed
+    rejections for other depths/compressions and fuzz."""
+    import struct as _s
+
+    from vearch_spark.functions.media import bmp_bytes, decode_bmp, decode_image
+
+    rng = np.random.default_rng(71)
+    px = None
+    for h, w in [(5, 7), (9, 13), (8, 8), (1, 1), (16, 6)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(bmp_bytes(px)) == px).all(), (h, w)
+    assert np.allclose(decode_image(bmp_bytes(px)) * 255.0, px)
+
+    blob = bytearray(bmp_bytes(px))
+    blob[22:26] = _s.pack("<i", -16)  # top-down: same bytes, flipped rows
+    assert (decode_bmp(bytes(blob)) == px[::-1]).all()
+
+    bad = bytearray(bmp_bytes(px))
+    bad[28] = 8  # bpp
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX" + bytes(bmp_bytes(px))[2:])
+    good = bmp_bytes(px)
+    for _ in range(150):
+        b = bytearray(good)
+        if rng.integers(2):
+            b[int(rng.integers(len(b)))] = int(rng.integers(256))
+        else:
+            b = b[: int(rng.integers(1, len(b)))]
+        try:
+            decode_bmp(bytes(b))
+        except ValueError:
+            pass  # the ONLY legal failure mode

@@ -1646,8 +1646,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 def decode_image(content: bytes) -> np.ndarray:
     """Decoder-contract form (bytes → (H, W[, C]) floats in [0, 1]);
-    dispatches PNG vs JPEG vs GIF (first frame) vs netpbm on the
-    container magic."""
+    dispatches PNG vs JPEG vs GIF (first frame) vs BMP vs netpbm on
+    the container magic."""
     if content[:8] == _PNG_SIG:
         px = decode_png(content)
         return px.astype(np.float64) / (65535.0 if px.dtype == np.uint16 else 255.0)
@@ -1655,6 +1655,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_jpeg(content).astype(np.float64) / 255.0
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)[0].astype(np.float64) / 255.0
+    if content[:2] == b"BM":
+        return decode_bmp(content).astype(np.float64) / 255.0
     return decode_pgm(content).astype(np.float64) / 255.0
 
 
@@ -2302,3 +2304,56 @@ def decode_avi(content: bytes) -> "np.ndarray":
             )
         out.append(frame)
     return np.stack(out)
+
+
+# ------------------------------------------------------------------- BMP
+#
+# Windows BMP = BITMAPFILEHEADER ('BM', file size, pixel-data offset)
+# + BITMAPINFOHEADER + the same 24-bit bottom-up padded DIB pixel
+# format the AVI '00db' frames use — decode reuses _dib_unpack, so a
+# BMP is exactly "a one-frame DIB video with a file header".
+
+
+def bmp_bytes(pixels: np.ndarray | list) -> bytes:
+    """Encode a (H, W, 3) uint8 RGB array as a real 24-bit BMP."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H,W,3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    pix = _dib_pack(arr)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return file_hdr + info + pix
+
+
+@_typed_decode_errors
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to exact (H, W, 3) uint8 RGB.
+    Bottom-up and top-down (negative height) row orders both handled;
+    other bit depths / compressions raise ValueError."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload (bad signature)")
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    (offset,) = struct.unpack("<I", content[10:14])
+    hdr_size, w, h = struct.unpack("<Iii", content[14:26])
+    planes, bpp = struct.unpack("<HH", content[26:30])
+    (compression,) = struct.unpack("<I", content[30:34])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP geometry {w}x{h}")
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(f"image too large to decode: {w}x{h}")
+    stride = w * 3 + ((-w * 3) % 4)
+    pix = content[offset : offset + stride * h]
+    out = _dib_unpack(pix, w, h)
+    return out[::-1].copy() if top_down else out
