@@ -46,6 +46,8 @@ implementation can decode FOR REAL — no fake, no stub:
   JPEG through this module's own T.81 decoder) and uncompressed
   24-bit DIB ('00db', bottom-up BGR, lossless) video streams — the
   real video-container path for frame sampling.
+- **BMP** (24-bit uncompressed, top-down and bottom-up): a one-frame
+  DIB with a file header — decode reuses the AVI pixel path; exact.
 
 ``register_media_decoders()`` plugs them into the multimodal
 extract_features path ('audio' → WAV, 'image' → PNG/JPEG/GIF/netpbm
