@@ -1412,3 +1412,71 @@ def test_bmp_roundtrip_and_hostile_inputs():
             decode_bmp(bytes(b))
         except ValueError:
             pass  # the ONLY legal failure mode
+
+
+def test_gif_property_roundtrip():
+    """Hypothesis sweep: any (frame stack, palette, transparency,
+    interlace) combination in the supported envelope round-trips
+    exactly — LZW width boundaries land at arbitrary stream offsets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vearch_spark.functions.media import decode_gif, gif_bytes
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 4),
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        npal=st.integers(2, 256),
+        trans=st.booleans(),
+        inter=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, h, w, npal, trans, inter, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        stack = rng.integers(0, npal, (n, h, w), dtype=np.uint8)
+        blob = gif_bytes(
+            stack, pal, transparent=0 if trans else None, interlace=inter
+        )
+        frames = decode_gif(blob)
+        ch = 4 if trans else 3
+        assert frames.shape == (n, h, w, ch)
+        exp = pal[stack.astype(np.int64)]
+        if not trans:
+            assert (frames == exp).all()
+            return
+        # disposal 2 on multi-frame (our encoder's animation mode);
+        # single-frame streams have no disposal to worry about either
+        for f in range(n):
+            opaque = stack[f] != 0
+            assert (frames[f][opaque, :3] == exp[f][opaque]).all()
+            assert (frames[f][opaque, 3] == 255).all()
+            if n > 1 or f == 0:
+                assert (frames[f][~opaque, 3] == 0).all()
+
+    check()
+
+
+def test_avi_property_roundtrip_dib():
+    """Hypothesis sweep: any DIB frame stack round-trips exactly at
+    any (row-padding) width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vearch_spark.functions.media import avi_bytes, decode_avi
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 5),
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, h, w, seed):
+        rng = np.random.default_rng(seed)
+        stack = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        assert (decode_avi(avi_bytes(stack, codec="DIB")) == stack).all()
+
+    check()
