@@ -1480,3 +1480,78 @@ def test_avi_property_roundtrip_dib():
         assert (decode_avi(avi_bytes(stack, codec="DIB")) == stack).all()
 
     check()
+
+
+def test_jpeg_sequential_multi_scan_reverse_component_order():
+    """Foreign-stream shape our encoder never emits: a SEQUENTIAL
+    3-component frame coded as three separate non-interleaved scans in
+    REVERSE component order (Cr, Cb, Y). T.81 allows it, and the r6
+    ADVICE flagged that decoding in SOF order instead of SOS order
+    would silently scramble planes — the decoder must reproduce the
+    interleaved stream's pixels exactly (same coefficients, same
+    tables)."""
+    import struct as _s
+
+    from vearch_spark.functions import media as M
+
+    x, y = np.meshgrid(np.arange(21), np.arange(13))
+    rgb = np.stack(
+        [20 + (1 + c) * x // 2 + (3 - c) * y // 2 for c in range(3)], -1
+    ).clip(0, 255).astype(np.uint8)
+    base_blob = M.jpeg_bytes(rgb, 88)
+    base_px = M.decode_jpeg(base_blob)
+
+    # recover the quantized coefficients from the interleaved stream
+    st = M._jpeg_parse_headers(base_blob)
+    geo = M._jpeg_geometry(
+        st["height"], st["width"], [(c["h"], c["v"]) for c in st["comps"]]
+    )
+    coef = [
+        np.zeros((c["bh"], c["bw"], 64), dtype=np.int64) for c in geo["comps"]
+    ]
+    M._jpeg_decode_scan(base_blob, st, geo, coef)
+
+    # rebuild: headers up to (not including) the original SOS, then one
+    # sequential scan per component, in reverse order
+    sos_at = base_blob.find(b"\xff\xda")
+    out = bytearray(base_blob[:sos_at])
+    dc_tabs = [
+        M._huff_encode_table(M._DC_L_BITS, M._DC_L_VALS),
+        M._huff_encode_table(M._DC_C_BITS, M._DC_C_VALS),
+    ]
+    ac_tabs = [
+        M._huff_encode_table(M._AC_L_BITS, M._AC_L_VALS),
+        M._huff_encode_table(M._AC_C_BITS, M._AC_C_VALS),
+    ]
+    for ci in (2, 1, 0):
+        t = min(ci, 1)
+        out += M._sos_segment([(ci + 1, t, t)], 0, 63, 0, 0)
+        wtr = M._BitWriter()
+        pred = 0
+        c = geo["comps"][ci]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                zz = coef[ci][by, bx]
+                M._jpeg_put_coeff(wtr, dc_tabs[t], 0, int(zz[0]) - pred)
+                pred = int(zz[0])
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[t][0xF0]
+                        wtr.put(code, ln)
+                        run -= 16
+                    M._jpeg_put_coeff(wtr, ac_tabs[t], run, v)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_tabs[t][0x00]
+                    wtr.put(code, ln)
+        wtr.flush()
+        out += wtr.buf
+    out += b"\xff\xd9"
+    assert np.array_equal(M.decode_jpeg(bytes(out)), base_px)
