@@ -75,6 +75,8 @@ def main() -> int:
             # a typo must not skip every check and print a false ALL OK
             print(f"unknown query name(s): {', '.join(unknown)}")
             sys.exit(2)
+    from vearch_spark.operators.dedup import release_skew_guard_caches
+
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
@@ -82,6 +84,10 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
+        # free the LSH skew guard's banded-relation cache after each
+        # materialization — a full 80+-query session otherwise pins
+        # one cached relation per dedup invocation
+        release_skew_guard_caches()
         if name not in oracles:
             print(f"  {name:28s} rows={len(sdf):6d}  (rows-only, no oracle)  {t_spark:.1f}s")
             continue
