@@ -1671,6 +1671,39 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/text.py html_to_text), the
+    first stage of every web-crawl pipeline, as pure JVM regex — no
+    Python in the hot path. Each doc is wrapped in a synthetic page
+    whose <script> payload contains a decoy '<p>' tag (stripping must
+    remove the element WITH its contents, not just the tags), a
+    comment, and double-escaped entities ('&amp;lt;' must surface as
+    the literal '&lt;', which any wrong decode order breaks). The
+    oracle runs the IDENTICAL RE2 chain in DuckDB."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><script type="text/javascript">var p = "<p>trap</p>";'
+            "</script><style>p { color: red; }</style></head><body><!-- c -->"
+            "<h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(" &amp;lt;tag&amp;gt; &quot;q&quot;&nbsp;&#39;s&#39;</p></body></html>"),
+    )
+    from vearch_spark.functions.text import html_to_text
+
+    return (
+        docs.withColumn("extracted", html_to_text(page))
+        .withColumn("n_chars", F.length("extracted"))
+        .orderBy("doc_id")
+        .select("doc_id", "extracted", "n_chars")
+    )
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling over REAL RIFF AVI containers (the
     multimodal brief's video path with genuine decoders, not stubs):
@@ -2299,6 +2332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_frame_sample": q_gif_frame_sample,  # animated-GIF frame-stride sampling, exact-int oracle
     "domain_cap": q_domain_cap,  # registrable-domain crawl cap, md5-rank oracle
     "video_frame_sample": q_video_frame_sample,  # RIFF AVI (DIB+MJPEG) frame sampling, exact-int oracle
+    "html_extract": q_html_extract,  # crawl HTML->text boilerplate strip, identical-regex oracle
     "shard_export": q_shard_export,  # deterministic shuffled-shard order, md5 oracle
 }
 
@@ -3885,6 +3919,40 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 100
         ORDER BY d.doc_id
+    """
+    # html_extract: the oracle rebuilds the synthetic page and runs
+    # the IDENTICAL RE2 regex/replace chain (inline (?is) flags +
+    # DuckDB's 'g' option = Spark regexp_replace's replace-all)
+    d["html_extract"] = """
+        WITH page AS (
+          SELECT doc_id,
+                 '<html><head><title>Doc ' || doc_id::VARCHAR
+                 || '</title><script type="text/javascript">var p = "<p>trap</p>";'
+                 || '</script><style>p { color: red; }</style></head><body><!-- c -->'
+                 || '<h1>Doc ' || doc_id::VARCHAR || '</h1><p>'
+                 || substr(text, 1, 120)
+                 || ' &amp;lt;tag&amp;gt; &quot;q&quot;&nbsp;&#39;s&#39;</p></body></html>'
+                 AS html
+          FROM documents
+        ), stripped AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(html,
+                        '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                  '(?s)<[^>]*>', ' ', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+              '\\s+', ' ', 'g')) AS extracted
+          FROM page
+        )
+        SELECT doc_id, extracted, length(extracted)::INT AS n_chars
+        FROM stripped ORDER BY doc_id
     """
     # video_frame_sample: the DIB arm is lossless, so the oracle
     # recomputes each sampled frame's exact pixel sums from the

@@ -165,3 +165,29 @@ def test_chunk_spans_no_contained_trailing_chunk(spark):
     assert chunks[-1].n_tokens == 25  # [80, 105)
     joined = " ".join(c.chunk_text for c in chunks)
     assert "w104" in joined  # the tail is still covered
+
+
+def test_html_to_text_strips_elements_entities_whitespace(spark):
+    """html_to_text: script/style elements drop WITH contents (a decoy
+    '<p>' inside script must not survive), comments drop, tags strip,
+    the five core entities decode with &amp; LAST ('&amp;lt;' yields
+    the literal '&lt;'), whitespace collapses. Pure JVM regex."""
+    from vearch_spark.functions.text import html_to_text
+
+    cases = [
+        (
+            '<html><head><script type="text/javascript">var x = "<p>not text</p>";'
+            "</script><style>p { color: red; }</style></head><body><!-- comment -->"
+            "<h1>Title</h1><p>hello &amp;lt; world &quot;q&quot; &#39;a&#39;&nbsp;&gt;</p></body></html>",
+            "Title hello &lt; world \"q\" 'a' >",
+        ),
+        ("no tags at all", "no tags at all"),
+        ("<p>unclosed", "unclosed"),
+        ("<SCRIPT>UPPER.case()</SCRIPT>after", "after"),
+        ("a  \n\t b", "a b"),
+        ("<br/><img src='x'>text<hr >", "text"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = df.select(html_to_text("html").alias("t")).collect()
+    for (h, want), r in zip(cases, got):
+        assert r.t == want, h

@@ -344,3 +344,27 @@ def registrable_domain(host: Column | str) -> Column:
     )
     two = F.regexp_extract(col, r"([^.]+\.[^.]+)$", 1)
     return F.when(three != "", three).otherwise(two)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Boilerplate-stripping HTML → text, the first stage of every
+    web-crawl pipeline, as pure JVM expressions (no Python): drop
+    <script>/<style> elements WITH their contents, drop comments,
+    strip remaining tags, decode the five core character entities
+    (&amp; last, so '&amp;lt;' correctly yields the literal '&lt;'),
+    and collapse whitespace. Every pattern is RE2-compatible (no
+    backreferences — script/style get separate patterns), so a SQL
+    oracle runs the identical chain; this is the deterministic
+    high-coverage heuristic, not a browser-grade parser (CDATA and
+    conditional comments pass through as text)."""
+    c = F.col(html) if isinstance(html, str) else html
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
