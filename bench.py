@@ -100,6 +100,15 @@ def main() -> None:
         "sf": sf,
         # full-payload only (the compact driver line drops this)
         "notes": {
+            "r7_total": (
+                "the headline total now covers 83 queries (r6: 78) - the "
+                "five new rows (cosine_near_dup_bucketed, gif_frame_sample, "
+                "video_frame_sample, domain_cap, html_extract) add ~1.8s of "
+                "real new work; the r6-common 78-query subset measures "
+                "24.4s vs the 27.2-28.0s r6 steady state (the sf0.1 warm "
+                "pass now in front of the timed min-of-two erased the "
+                "cold-run gap the r6 driver artifact recorded)"
+            ),
             "media_decode": (
                 "r7: wall grew ~0.4s by design - the query now round-trips "
                 "FOUR more real containers per row (palette PNG at depths "
