@@ -2252,13 +2252,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_sorted_by_field": q_knn_sorted_by_field,
     "delete_by_ids": q_delete_by_ids,
     "filter_scan": q_filter_scan,
-    "term_filter_arrays": q_term_filter_arrays,
     "get_by_ids": q_get_by_ids,
-    "sort_pagination": q_sort_pagination,
     "upsert_lww": q_upsert_lww,
-    "delete_by_query": q_delete_by_query,
     "partial_update": q_partial_update,
-    "cursor_scan": q_cursor_scan,
     "event_sessions": q_event_sessions,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -2266,6 +2262,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repetition_scores": q_repetition_scores,
     "pii_redaction": q_pii_redaction,
+    "html_extract": q_html_extract,  # crawl HTML->text strip (r7)
+    "domain_cap": q_domain_cap,  # registrable-domain crawl cap (r7)
     "corpus_pipeline": q_corpus_pipeline,
     "sq8_codes": q_sq8_codes,
     "sequence_packing": q_sequence_packing,
@@ -2288,6 +2286,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_batch_knn": q_ivf_batch_knn,
     "realtime_union_knn": q_realtime_union_knn,
     "multimodal_features": q_multimodal_features,
+    "gif_frame_sample": q_gif_frame_sample,  # animated-GIF frame-stride sampling (r7)
+    "video_frame_sample": q_video_frame_sample,  # RIFF AVI DIB+MJPEG frame sampling (r7)
     "cluster_sample": q_cluster_sample,
     "hard_negatives": q_hard_negatives,
     "temperature_mix": q_temperature_mix,
@@ -2302,6 +2302,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # place: semantic_decontaminate (cosine kernel twins cosine_near_dup
     # + decontaminate, both in-50) and hybrid_rrf (fuses the in-50
     # bm25_topk ranking with the in-50 knn kernel))
+    # (r7: gif/video_frame_sample + html_extract + domain_cap promoted
+    # in-50 - the round brings four new first-class pipeline ops that
+    # deserve the driver stamp; demoted in their place, each with an
+    # in-50 twin:)
+    "term_filter_arrays": q_term_filter_arrays,  # filter family: filter_scan in-50
+    "sort_pagination": q_sort_pagination,  # typed sort: knn_sorted_by_field in-50
+    "delete_by_query": q_delete_by_query,  # delete family: delete_by_ids in-50
+    "cursor_scan": q_cursor_scan,  # get/cursor family: get_by_ids in-50
     "semantic_decontaminate": q_semantic_decontaminate,
     "hybrid_rrf": q_hybrid_rrf,
     "knn_batch": q_knn_batch,  # FLAT batch kernel: ivf_batch_knn + flat_knn_l2
@@ -2329,10 +2337,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,  # banded composite: quality_topk_per_source SQL twin
     "corpus_profile": q_corpus_profile,  # data card: aggregates of already-checked kernels
     "media_decode": q_media_decode,  # REAL wav/netpbm codec round-trip, exact-int oracle
-    "gif_frame_sample": q_gif_frame_sample,  # animated-GIF frame-stride sampling, exact-int oracle
-    "domain_cap": q_domain_cap,  # registrable-domain crawl cap, md5-rank oracle
-    "video_frame_sample": q_video_frame_sample,  # RIFF AVI (DIB+MJPEG) frame sampling, exact-int oracle
-    "html_extract": q_html_extract,  # crawl HTML->text boilerplate strip, identical-regex oracle
     "shard_export": q_shard_export,  # deterministic shuffled-shard order, md5 oracle
 }
 
