@@ -55,6 +55,12 @@ FAMILIES = [
     "lm_perplexity",
     "multimodal_features",  # fixed 200-doc slice by design: expect ~1x
     "sequence_packing",
+    # r7: the new corpus-scaling pipeline ops (gif/video_frame_sample
+    # are fixed-slice by design like multimodal_features — their scale
+    # evidence is tools/stress_media.py throughput instead)
+    "html_extract",
+    "domain_cap",
+    "cosine_near_dup_bucketed",
 ]
 
 
