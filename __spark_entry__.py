@@ -1671,6 +1671,38 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus line-level boilerplate removal (the CCNet recipe,
+    operators/dedup.py corpus_line_filter): each doc is wrapped in
+    synthetic boilerplate — a nav line and footer shared by ALL docs,
+    a promo line shared by every 4th — plus its unique headline and
+    body; lines in more than 50 distinct docs drop from every doc,
+    order preserved. Scale shape: one map-side-combined count on the
+    line hash, tiny hot set broadcast into a left-anti join, one
+    reassembly groupBy — no pair join. The oracle recomputes the
+    whole pipeline on raw lines in DuckDB."""
+    from vearch_spark.operators.dedup import corpus_line_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    page = F.concat(
+        F.lit("NAV MENU HOME\ndoc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" headline\n"),
+        F.substring(F.col("text"), 1, 80),
+        F.lit("\nshared footer vearch"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\nPROMO LINE")).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        corpus_line_filter(
+            docs.withColumn("text", page), max_docs=50, min_chars=1
+        )
+        .orderBy("doc_id")
+        .select("doc_id", "text", "n_dropped")
+    )
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction (functions/text.py html_to_text), the
     first stage of every web-crawl pipeline, as pure JVM regex — no
@@ -2264,12 +2296,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "html_extract": q_html_extract,  # crawl HTML->text strip (r7)
     "domain_cap": q_domain_cap,  # registrable-domain crawl cap (r7)
+    "corpus_line_filter": q_corpus_line_filter,  # CCNet cross-doc boilerplate lines (r7)
     "corpus_pipeline": q_corpus_pipeline,
     "sq8_codes": q_sq8_codes,
     "sequence_packing": q_sequence_packing,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
-    "doc_chunks": q_doc_chunks,
     "incremental_dedup": q_incremental_dedup,
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_near_dup_bucketed": q_cosine_near_dup_bucketed,  # the 100 TB plan, plan-pinned
@@ -2294,7 +2326,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scann_knn": q_scann_knn,
     "bm25_topk": q_bm25_topk,
     "diskann_knn": q_diskann_knn,
-    "embedding_outliers": q_embedding_outliers,
     "lm_perplexity": q_lm_perplexity,
     # ---- 51+: kernels oracle-checked by an in-budget twin ----
     # (r6: scann_knn/diskann_knn promoted in-50 per ADVICE — the two
@@ -2306,6 +2337,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-50 - the round brings four new first-class pipeline ops that
     # deserve the driver stamp; demoted in their place, each with an
     # in-50 twin:)
+    "embedding_outliers": q_embedding_outliers,  # IVF-assignment stats: cluster_sample in-50
+    "doc_chunks": q_doc_chunks,  # tokenizer chunking: sequence_packing in-50
     "term_filter_arrays": q_term_filter_arrays,  # filter family: filter_scan in-50
     "sort_pagination": q_sort_pagination,  # typed sort: knn_sorted_by_field in-50
     "delete_by_query": q_delete_by_query,  # delete family: delete_by_ids in-50
@@ -3923,6 +3956,43 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 100
         ORDER BY d.doc_id
+    """
+    # corpus_line_filter: the oracle recomputes the full CCNet line
+    # pipeline on RAW lines (Spark counts by md5 of the line — same
+    # grouping): per-line distinct-doc counts, the >50-doc hot set,
+    # order-preserving reassembly, and the all-boilerplate-doc rule
+    d["corpus_line_filter"] = """
+        WITH page AS (
+          SELECT doc_id,
+                 'NAV MENU HOME' || chr(10) || 'doc ' || doc_id::VARCHAR
+                 || ' headline' || chr(10) || substr(text, 1, 80)
+                 || chr(10) || 'shared footer vearch'
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN chr(10) || 'PROMO LINE' ELSE '' END AS t
+          FROM documents
+        ), split AS (
+          SELECT doc_id, string_split(t, chr(10)) AS parts FROM page
+        ), lines AS (
+          SELECT doc_id, parts[pos] AS line, pos
+          FROM split, unnest(range(1, len(parts) + 1)) AS r(pos)
+        ), hot AS (
+          SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line
+          ) WHERE c > 50
+        ), kept AS (
+          SELECT l.doc_id, l.line, l.pos
+          FROM lines l LEFT JOIN hot h ON l.line = h.line
+          WHERE h.line IS NULL
+        ), agg AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id
+        ), tot AS (
+          SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id
+        )
+        SELECT t.doc_id, COALESCE(a.text, '') AS text,
+               (t.n - COALESCE(a.kept_n, 0))::INT AS n_dropped
+        FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
     """
     # html_extract: the oracle rebuilds the synthetic page and runs
     # the IDENTICAL RE2 regex/replace chain (inline (?is) flags +

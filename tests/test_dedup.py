@@ -493,3 +493,37 @@ def test_release_skew_guard_caches(docs_df):
     assert dedup.release_skew_guard_caches() == 0  # idempotent
     # the unpersisted plan still recomputes correctly
     assert pairs.count() >= 0
+
+
+def test_corpus_line_filter_ccnet_boilerplate(spark):
+    """Cross-corpus line filtering (the CCNet recipe): lines in more
+    than max_docs distinct docs drop from EVERY doc with order
+    preserved; unique lines survive; a fully-boilerplate doc stays in
+    the corpus with empty text; sub-min_chars lines are exempt."""
+    rows = [
+        (i, f"HEADER\nunique line {i}\nbody {i} text\nFOOTER")
+        for i in range(100)
+    ]
+    rows.append((100, "HEADER\nFOOTER"))
+    rows.append((101, "x\nonly short"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.corpus_line_filter(df, max_docs=50, min_chars=2).collect()
+    }
+    assert len(out) == 102
+    assert out[5].text == "unique line 5\nbody 5 text"
+    assert out[5].n_dropped == 2
+    assert out[100].text == "" and out[100].n_dropped == 2
+    # 'x' is below min_chars → exempt from counting AND from dropping
+    assert out[101].text == "x\nonly short" and out[101].n_dropped == 0
+    # within-doc repeats of a NON-hot line survive (cross-doc axis only)
+    df2 = spark.createDataFrame(
+        [(0, "a a a\nrare\na a a"), (1, "other\nrare2")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r.doc_id: r
+        for r in dedup.corpus_line_filter(df2, max_docs=1, min_chars=1).collect()
+    }
+    assert out2[0].text == "a a a\nrare\na a a" and out2[0].n_dropped == 0

@@ -1366,3 +1366,98 @@ def dedup_against_corpus(
             F.col("jaccard").cast("double").alias("jaccard"),
         )
     )
+
+
+def corpus_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 50,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-corpus line-level boilerplate removal — the CCNet recipe:
+    a line appearing in MORE than ``max_docs`` distinct documents is
+    boilerplate (navigation, headers, footers, cookie banners) and is
+    dropped from every document; within-doc line order is preserved.
+    Lines shorter than ``min_chars`` (after trim) are kept as-is (the
+    empty/one-char lines that would otherwise collide corpus-wide
+    carry no boilerplate signal, only reassembly noise).
+
+    Complements :func:`~vearch_spark.functions.text.dedup_lines`
+    (WITHIN-doc repeats) and span accounting (substring-level): this is
+    the cross-document axis, keyed on the exact line.
+
+    Scale shape: lines explode narrow (pos kept for reassembly); the
+    occurrence count is ONE map-side-combined aggregation on the line
+    hash carrying ``(md5, int)`` payloads only; the hot set (lines
+    over the cap) is tiny by construction — boilerplate is by
+    definition few DISTINCT lines — so it broadcasts into a left-anti
+    join; reassembly is one groupBy(id) with an order-restoring
+    sort_array. Two shuffles + one broadcast, no pair join, nothing
+    quadratic at any corpus shape.
+
+    Output: ``id_col``, ``text_col`` (filtered), ``n_dropped``.
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pos", "_line"
+        ),
+    )
+    sig = F.md5(F.encode(F.col("_line"), "UTF-8"))
+    eligible = F.length(F.trim(F.col("_line"))) >= int(min_chars)
+    counted = (
+        lines.where(eligible)
+        .select(sig.alias("_sig"), F.col(id_col))
+        .groupBy("_sig")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .where(F.col("_docs") > int(max_docs))
+        .select("_sig")
+    )
+    signed = lines.withColumn("_sig", sig)
+    kept = signed.join(
+        F.broadcast(counted),
+        on=(signed["_sig"] == counted["_sig"]) & eligible,
+        how="left_anti",
+    )
+    total = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+        .join(total, id_col)
+        .select(
+            id_col,
+            text_col,
+            (F.col("_n_lines") - F.col("_kept")).cast("int").alias("n_dropped"),
+        )
+    )
+    # a document whose every line was boilerplate vanishes from the
+    # grouped side — restore it with empty text (the corpus keeps the
+    # doc row; downstream length filters decide its fate)
+    all_ids = df.select(id_col)
+    return (
+        all_ids.join(out, id_col, "left")
+        .fillna({text_col: "", "n_dropped": 0})
+        .join(total.withColumnRenamed("_n_lines", "_t"), id_col, "left")
+        .withColumn(
+            "n_dropped",
+            F.when(F.col(text_col) == "", F.col("_t").cast("int")).otherwise(
+                F.col("n_dropped")
+            ),
+        )
+        .drop("_t")
+    )
