@@ -527,3 +527,21 @@ def test_corpus_line_filter_ccnet_boilerplate(spark):
         for r in dedup.corpus_line_filter(df2, max_docs=1, min_chars=1).collect()
     }
     assert out2[0].text == "a a a\nrare\na a a" and out2[0].n_dropped == 0
+
+
+def test_corpus_line_filter_shuffle_fallback_same_answer(spark, monkeypatch):
+    """Past the broadcast cap the hot set anti-joins by shuffle — the
+    kept corpus must be identical to the broadcast path's."""
+    rows = [(i, f"HEADER\nunique {i}\nFOOTER") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r.doc_id, r.text, r.n_dropped)
+        for r in dedup.corpus_line_filter(df, max_docs=50).collect()
+    )
+    monkeypatch.setattr(dedup, "_HOT_LINE_BROADCAST_CAP", 0)
+    got = sorted(
+        (r.doc_id, r.text, r.n_dropped)
+        for r in dedup.corpus_line_filter(df, max_docs=50).collect()
+    )
+    assert got == want
+    assert want[0] == (0, "unique 0", 2)

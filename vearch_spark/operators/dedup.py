@@ -1368,6 +1368,12 @@ def dedup_against_corpus(
     )
 
 
+# above this many distinct over-cap lines, corpus_line_filter stops
+# broadcasting the hot set (2M md5 keys ≈ 64 MB — the broadcast
+# comfort ceiling) and anti-joins by shuffle instead
+_HOT_LINE_BROADCAST_CAP = 2_000_000
+
+
 def corpus_line_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -1393,9 +1399,11 @@ def corpus_line_filter(
     hash carrying ``(md5, int)`` payloads only; the hot set (lines
     over the cap) is tiny by construction — boilerplate is by
     definition few DISTINCT lines — so it broadcasts into a left-anti
-    join; reassembly is one groupBy(id) with an order-restoring
-    sort_array. Two shuffles + one broadcast, no pair join, nothing
-    quadratic at any corpus shape.
+    join (limit-probed: past ``_HOT_LINE_BROADCAST_CAP`` distinct hot
+    lines the join falls back to shuffle form, so a massively
+    templated corpus can never overflow a broadcast); reassembly is
+    one groupBy(id) with an order-restoring sort_array. Two-three
+    shuffles, no pair join, nothing quadratic at any corpus shape.
 
     Output: ``id_col``, ``text_col`` (filtered), ``n_dropped``.
     """
@@ -1417,9 +1425,19 @@ def corpus_line_filter(
         .where(F.col("_docs") > int(max_docs))
         .select("_sig")
     )
+    # broadcast guard: boilerplate is by definition FEW distinct lines,
+    # but a massively templated corpus could overflow the broadcast —
+    # limit-probe the hot set and fall back to a shuffle anti-join
+    # (scales at any hot-set size) past the cap, mirroring the LSH
+    # skew guard's driver-safety escape hatch
+    hot_is_small = (
+        counted.limit(_HOT_LINE_BROADCAST_CAP + 1).count()
+        <= _HOT_LINE_BROADCAST_CAP
+    )
+    hot = F.broadcast(counted) if hot_is_small else counted
     signed = lines.withColumn("_sig", sig)
     kept = signed.join(
-        F.broadcast(counted),
+        hot,
         on=(signed["_sig"] == counted["_sig"]) & eligible,
         how="left_anti",
     )
