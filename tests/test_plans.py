@@ -401,3 +401,16 @@ def test_frame_sample_queries_are_narrow_pipelines(spark, sf_dir):
             assert bad not in plan, (q.__name__, bad)
         # one exchange: the range partitioning of the final orderBy
         assert X.count_exchanges(out) <= 1, q.__name__
+
+
+def test_html_extract_is_pure_projection(spark, sf_dir):
+    """html_extract is a narrow JVM regex projection — the only
+    exchange is the presentation sort; no Python, no join, no agg."""
+    import __spark_entry__ as entry
+
+    out = entry.q_html_extract(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    for bad in ("Join", "HashAggregate", "FlatMapGroupsInPandas",
+                "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, bad
+    assert X.count_exchanges(out) <= 1  # orderBy only

@@ -61,6 +61,7 @@ FAMILIES = [
     "html_extract",
     "domain_cap",
     "cosine_near_dup_bucketed",
+    "corpus_line_filter",
 ]
 
 
