@@ -3977,11 +3977,13 @@ def oracle_sql() -> dict[str, str]:
           FROM split, unnest(range(1, len(parts) + 1)) AS r(pos)
         ), hot AS (
           SELECT line FROM (
-            SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line
+            SELECT line, count(DISTINCT doc_id) AS c FROM lines
+            WHERE length(trim(line)) >= 1 GROUP BY line
           ) WHERE c > 50
         ), kept AS (
           SELECT l.doc_id, l.line, l.pos
-          FROM lines l LEFT JOIN hot h ON l.line = h.line
+          FROM lines l LEFT JOIN hot h
+            ON l.line = h.line AND length(trim(l.line)) >= 1
           WHERE h.line IS NULL
         ), agg AS (
           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,

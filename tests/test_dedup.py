@@ -529,6 +529,26 @@ def test_corpus_line_filter_ccnet_boilerplate(spark):
     assert out2[0].text == "a a a\nrare\na a a" and out2[0].n_dropped == 0
 
 
+def test_corpus_line_filter_empty_reassembly_counts_exact(spark):
+    """A doc whose KEPT lines reassemble to empty text (only
+    min_chars-exempt blank lines survive) must report n_dropped =
+    lines actually dropped, NOT its total line count — the
+    empty-text restore rule applies only to docs that vanished from
+    the grouped side entirely (regression: r7 keyed the restore on
+    text == '' and overcounted 'HOT\\n' as n_dropped=2)."""
+    rows = [(i, "HOT\nkeep me " + str(i)) for i in range(60)]
+    rows.append((60, "HOT\n"))  # lines: ['HOT', ''] — '' is exempt
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.corpus_line_filter(df, max_docs=50, min_chars=1).collect()
+    }
+    # HOT appears in 61 docs → dropped everywhere; the trailing empty
+    # line is exempt, so doc 60 keeps exactly one (empty) line
+    assert out[60].text == "" and out[60].n_dropped == 1
+    assert out[0].text == "keep me 0" and out[0].n_dropped == 1
+
+
 def test_corpus_line_filter_shuffle_fallback_same_answer(spark, monkeypatch):
     """Past the broadcast cap the hot set anti-joins by shuffle — the
     kept corpus must be identical to the broadcast path's."""

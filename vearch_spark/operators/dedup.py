@@ -1464,18 +1464,20 @@ def corpus_line_filter(
         )
     )
     # a document whose every line was boilerplate vanishes from the
-    # grouped side — restore it with empty text (the corpus keeps the
-    # doc row; downstream length filters decide its fate)
+    # grouped side — restore it with empty text and n_dropped = its
+    # total line count. Keyed on the grouped-side row being NULL, NOT
+    # on text == '': a doc whose KEPT lines reassemble to empty text
+    # (e.g. only min_chars-exempt blank lines survive) is present in
+    # the grouped side and already carries the correct n_dropped.
     all_ids = df.select(id_col)
     return (
         all_ids.join(out, id_col, "left")
-        .fillna({text_col: "", "n_dropped": 0})
         .join(total.withColumnRenamed("_n_lines", "_t"), id_col, "left")
-        .withColumn(
-            "n_dropped",
-            F.when(F.col(text_col) == "", F.col("_t").cast("int")).otherwise(
-                F.col("n_dropped")
-            ),
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(
+                F.col("n_dropped"), F.col("_t").cast("int"), F.lit(0)
+            ).alias("n_dropped"),
         )
-        .drop("_t")
     )
