@@ -1154,6 +1154,86 @@ def test_gif_disposal_1_subrect_compositing():
     assert (fr[1][..., :3] == exp).all() and (fr[1][..., 3] == 255).all()
 
 
+def test_gif_disposal_3_restore_to_previous():
+    """Disposal 3: after a frame is emitted, its rect reverts to the
+    PRE-frame canvas — frame 3 must composite over frame 1's pixels,
+    not frame 2's (regression: r7 silently treated 3 as keep).
+    Reserved methods 4..7 raise typed."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    pal = np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], dtype=np.uint8
+    )
+
+    def gce(disposal):
+        return b"\x21\xf9\x04" + bytes([disposal << 2]) + struct.pack(
+            "<H", 4
+        ) + bytes([0, 0])
+
+    def frame(left, top, fw, fh, idx):
+        return (
+            b"\x2c"
+            + struct.pack("<HHHH", left, top, fw, fh)
+            + b"\x00"
+            + bytes([2])
+            + M._gif_subblocks(M._lzw_compress(idx.ravel(), 2))
+        )
+
+    hdr = bytearray(b"GIF89a") + struct.pack("<HH", 4, 4) + bytes(
+        [0x80 | 1, 0, 0]
+    ) + pal.tobytes()
+    # f1: full canvas color 1 (keep); f2: 2×2 rect color 2, disposal 3;
+    # f3: 1×1 rect color 3 inside f2's rect
+    out = bytes(hdr) + gce(1) + frame(
+        0, 0, 4, 4, np.full((4, 4), 1, np.uint8)
+    ) + gce(3) + frame(
+        1, 1, 2, 2, np.full((2, 2), 2, np.uint8)
+    ) + gce(0) + frame(
+        1, 1, 1, 1, np.full((1, 1), 3, np.uint8)
+    ) + b"\x3b"
+    fr = M.decode_gif(out)
+    assert fr.shape == (3, 4, 4, 3)
+    assert (fr[1][1:3, 1:3] == pal[2]).all()
+    # frame 3: f2's rect REVERTED to f1's color except the new pixel
+    assert (fr[2][1, 1] == pal[3]).all()
+    assert (fr[2][1, 2] == pal[1]).all() and (fr[2][2, 1] == pal[1]).all()
+    assert (fr[2][2, 2] == pal[1]).all()
+    # reserved disposal 4 raises typed
+    bad = bytes(hdr) + gce(4) + frame(
+        0, 0, 4, 4, np.full((4, 4), 1, np.uint8)
+    ) + b"\x3b"
+    with pytest.raises(ValueError, match="reserved GIF disposal"):
+        M.decode_gif(bad)
+
+
+def test_png_bytes_filters_list_exact_length():
+    """A per-row filters list with the wrong length is a caller bug
+    and raises (regression: r7 accepted too-long lists silently).
+    Non-interlaced expects exactly H entries; Adam7 expects exactly
+    the tallest pass's height."""
+    from vearch_spark.functions.media import decode_png, png_bytes
+
+    px = np.arange(9 * 5, dtype=np.uint8).reshape(9, 5)
+    assert (decode_png(png_bytes(px, filters=[0, 1, 2, 3, 4, 0, 1, 2, 3])) == px).all()
+    for bad in ([0] * 8, [0] * 10):
+        with pytest.raises(ValueError, match="filters: expected exactly 9"):
+            png_bytes(px, filters=bad)
+    # Adam7 on 9 rows: tallest pass (pass 7, rows 1,3,5,7) has 4 rows...
+    # compute from the same formula the encoder documents
+    from vearch_spark.functions.media import _ADAM7
+
+    need = max((9 - y0 + dy - 1) // dy for _, y0, _, dy in _ADAM7 if 9 > y0)
+    good = list(range(need))
+    assert (
+        decode_png(png_bytes(px, filters=[f % 5 for f in good], interlace=True))
+        == px
+    ).all()
+    with pytest.raises(ValueError, match=f"filters: expected exactly {need}"):
+        png_bytes(px, filters=[0] * (need + 1), interlace=True)
+
+
 def test_gif_hostile_inputs_typed_errors():
     """Hostile GIF cases reject typed: LZW payload ballooning past the
     declared frame geometry (decompression bomb), frame rect outside
@@ -1480,6 +1560,84 @@ def test_avi_property_roundtrip_dib():
         assert (decode_avi(avi_bytes(stack, codec="DIB")) == stack).all()
 
     check()
+
+
+def test_jpeg_interleaved_scan_permuted_component_order():
+    """Foreign-stream shape: a single INTERLEAVED sequential scan whose
+    SOS lists the components in a permuted order (Cr, Cb, Y). T.81
+    B.2.3 says the MCU interleave follows the SOS order, so a decoder
+    walking SOF order would cross the planes against the wrong DC
+    predictors and quant tables — distinct code path from the
+    one-scan-per-component case (the MCU block schedule, not the
+    per-component grid)."""
+    from vearch_spark.functions import media as M
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    base_blob = M.jpeg_bytes(rgb, 90)
+    base_px = M.decode_jpeg(base_blob)
+
+    st = M._jpeg_parse_headers(base_blob)
+    geo = M._jpeg_geometry(
+        st["height"], st["width"], [(c["h"], c["v"]) for c in st["comps"]]
+    )
+    coef = [
+        np.zeros((c["bh"], c["bw"], 64), dtype=np.int64) for c in geo["comps"]
+    ]
+    M._jpeg_decode_scan(base_blob, st, geo, coef)
+
+    dc_tabs = [
+        M._huff_encode_table(M._DC_L_BITS, M._DC_L_VALS),
+        M._huff_encode_table(M._DC_C_BITS, M._DC_C_VALS),
+    ]
+    ac_tabs = [
+        M._huff_encode_table(M._AC_L_BITS, M._AC_L_VALS),
+        M._huff_encode_table(M._AC_C_BITS, M._AC_C_VALS),
+    ]
+    order = [2, 1, 0]
+    wtr = M._BitWriter()
+    pred = [0, 0, 0]
+    gc = geo["comps"]
+    for my in range(geo["mcuy"]):
+        for mx in range(geo["mcux"]):
+            for ci in order:
+                c = gc[ci]
+                t = min(ci, 1)
+                for by in range(c["sv"]):
+                    for bx in range(c["sh"]):
+                        zz = coef[ci][my * c["sv"] + by, mx * c["sh"] + bx]
+                        M._jpeg_put_coeff(
+                            wtr, dc_tabs[t], 0, int(zz[0]) - pred[ci]
+                        )
+                        pred[ci] = int(zz[0])
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_tabs[t][0xF0]
+                                wtr.put(code, ln)
+                                run -= 16
+                            M._jpeg_put_coeff(wtr, ac_tabs[t], run, v)
+                            run = 0
+                        if last < 63:
+                            code, ln = ac_tabs[t][0x00]
+                            wtr.put(code, ln)
+    wtr.flush()
+    sos_at = base_blob.find(b"\xff\xda")
+    blob = (
+        base_blob[:sos_at]
+        + M._sos_segment(
+            [(ci + 1, min(ci, 1), min(ci, 1)) for ci in order], 0, 63, 0, 0
+        )
+        + wtr.buf
+        + b"\xff\xd9"
+    )
+    assert np.array_equal(M.decode_jpeg(blob), base_px)
 
 
 def test_jpeg_sequential_multi_scan_reverse_component_order():

@@ -352,13 +352,32 @@ def png_bytes(
     arr3 = arr.reshape(h, w, ch)
     bpp = ch * (depth // 8)
 
+    if filters is not None and not isinstance(filters, int):
+        # exact-length check: a wrong-size list is a caller bug and
+        # must not pass silently. Non-interlaced = one entry per image
+        # row; Adam7 = one entry per PASS row (indexed within each
+        # pass), so the list must be exactly the tallest pass's height
+        need = (
+            max(
+                (h - y0 + dy - 1) // dy
+                for _, y0, _, dy in _ADAM7
+                if h > y0
+            )
+            if interlace
+            else h
+        )
+        if len(filters) != need:
+            raise ValueError(
+                f"filters: expected exactly {need} row entries"
+                f" ({'max Adam7 pass height' if interlace else 'image height'}),"
+                f" got {len(filters)}"
+            )
+
     def ftype_of(r: int, ph: int) -> int:
         if filters is None:
             return r % 5
         if isinstance(filters, int):
             return filters
-        if len(filters) < ph:
-            raise ValueError(f"filters: expected ≥{ph} row entries")
         return filters[r]
 
     raw = bytearray()
@@ -1744,8 +1763,9 @@ def register_media_decoders() -> None:
 # data in 255-byte sub-blocks. Lossless (palette indices round-trip
 # exactly), so the same exact-integer oracle discipline as PNG applies.
 # The decoder composites animation frames (image descriptors may be
-# sub-rectangles; disposal methods none/keep (1) and restore-to-
-# background (2) per the 89a spec), honors the Graphic Control
+# sub-rectangles; disposal methods none/keep (1), restore-to-
+# background (2), and restore-to-previous (3) per the 89a spec;
+# reserved 4..7 raise), honors the Graphic Control
 # Extension's transparency index, and GIF's own 4-pass row interlace.
 # The encoder emits real variable-width LZW (code widths grow 3..12
 # bits with the dictionary, CLEAR resets at 4096) so foreign decoders
@@ -2051,7 +2071,9 @@ def decode_gif(content: bytes) -> "np.ndarray":
     (N, H, W, 4) RGBA when any frame carries a transparency index.
     Frames composite per the 89a disposal model (none/keep draw over
     the previous canvas; restore-to-background clears the frame's
-    rect) with sub-rectangle placement, local color tables, and the
+    rect; restore-to-previous reinstates the pre-frame rect; reserved
+    methods 4..7 raise) with sub-rectangle placement, local color
+    tables, and the
     4-pass row interlace. Lossless: palette indices round-trip
     exactly."""
     st = _gif_parse(content)
@@ -2090,7 +2112,13 @@ def decode_gif(content: bytes) -> "np.ndarray":
             idx = deinter
         rgb = pal[idx.astype(np.int64)]
         trans = f["gce"]["transparent"] if f["gce"] else None
+        disposal = f["gce"]["disposal"] if f["gce"] else 0
+        if disposal > 3:  # 4..7 are reserved (89a spec 23.c.iv)
+            raise ValueError(f"reserved GIF disposal method {disposal}")
         region = canvas[top : top + fh, left : left + fw]
+        # disposal 3 (restore-to-previous): snapshot the rect BEFORE
+        # this frame draws; restored after the frame is emitted
+        prev_rect = region.copy() if disposal == 3 else None
         if trans is None:
             px = rgb if ch == 3 else np.concatenate(
                 [rgb, np.full((fh, fw, 1), 255, np.uint8)], axis=-1
@@ -2101,9 +2129,10 @@ def decode_gif(content: bytes) -> "np.ndarray":
             region[opaque, :3] = rgb[opaque]
             region[opaque, 3] = 255
         out.append(canvas.copy())
-        disposal = f["gce"]["disposal"] if f["gce"] else 0
         if disposal == 2:  # restore to background = clear the rect
             canvas[top : top + fh, left : left + fw] = 0
+        elif disposal == 3:  # restore to previous
+            canvas[top : top + fh, left : left + fw] = prev_rect
     return np.stack(out)
 
 
