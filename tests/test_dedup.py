@@ -495,6 +495,36 @@ def test_release_skew_guard_caches(docs_df):
     assert pairs.count() >= 0
 
 
+def test_skew_guard_scope_releases_only_scoped(docs_df):
+    """skew_guard_scope unpersists exactly the relations cached inside
+    the scope: the JVM persistent-RDD count returns to its pre-entry
+    baseline on exit, relations persisted BEFORE entry stay cached
+    (scopes compose with long-lived callers), and results materialized
+    inside the scope remain correct outside it."""
+    spark = docs_df.sparkSession
+    dedup.release_skew_guard_caches()
+
+    def jvm_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    outer = dedup.minhash_lsh_pairs(docs_df, text_col="text", id_col="doc_id")
+    n_outer = outer.count()
+    assert len(dedup._GUARD_CACHES) == 1
+    baseline = jvm_cached()
+
+    with dedup.skew_guard_scope():
+        inner = dedup.simhash_pairs(docs_df, text_col="text", id_col="doc_id")
+        got = inner.count()
+        assert len(dedup._GUARD_CACHES) >= 2
+        assert jvm_cached() > baseline
+    # scope released ITS relations only
+    assert len(dedup._GUARD_CACHES) == 1
+    assert jvm_cached() == baseline
+    assert got >= 0 and outer.count() == n_outer  # pre-entry cache intact
+    dedup.release_skew_guard_caches()
+    assert dedup._GUARD_CACHES == []
+
+
 def test_corpus_line_filter_ccnet_boilerplate(spark):
     """Cross-corpus line filtering (the CCNet recipe): lines in more
     than max_docs distinct docs drop from EVERY doc with order

@@ -32,6 +32,8 @@ the BLAS cosine kernel) — never row-at-a-time.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -356,6 +358,36 @@ def release_skew_guard_caches() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+@contextlib.contextmanager
+def skew_guard_scope():
+    """Scoped lifetime for the skew guard's persisted relations: every
+    banded relation cached by operators invoked INSIDE the scope is
+    unpersisted on exit, without touching relations persisted before
+    entry (scopes nest). Materialize results before leaving the scope —
+    the returned plans read the cached relation lazily, so an action
+    run after exit recomputes the signature stage (correct, just
+    slower)::
+
+        with skew_guard_scope():
+            pairs = minhash_lsh_pairs(docs, ...)
+            hits = pairs.collect()
+
+    Library callers should prefer this over the session-global
+    :func:`release_skew_guard_caches` (which releases EVERYTHING,
+    including relations another in-flight computation still needs)."""
+    mark = len(_GUARD_CACHES)
+    try:
+        yield
+    finally:
+        scoped = _GUARD_CACHES[mark:]
+        del _GUARD_CACHES[mark:]
+        for df in scoped:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped
+                pass
 
 
 def _split_hot_buckets(
