@@ -141,14 +141,17 @@ def main() -> None:
             ),
         },
     }
-    if os.environ.get("SPARK_GRAFT_BENCH_1M", "1") != "0":
-        payload["scale_1m"] = recall_1m_suite(spark)
-        payload["scale_hnsw"] = hnsw_scale_suite(spark)
-    # stop Spark BEFORE printing: the JVM flushes progress/log frames to
-    # the shared pty asynchronously, and a late stderr write landing
-    # inside the JSON line could corrupt the parse. After stop() the JVM
-    # is gone; the flushed JSON is guaranteed uncorrupted stdout.
+    # stop Spark BEFORE the scale suites AND before printing: (a) the
+    # scale suites measure build wall-clock, and running them in the
+    # same JVM after 84 queries × 3 passes contaminated the r7 driver
+    # artifact (scale_hnsw build read 113.5 s vs 70.6 s isolated —
+    # heap debt + codegen cache from ~250 prior jobs); (b) the JVM
+    # flushes progress/log frames to the shared pty asynchronously, and
+    # a late stderr write landing inside the JSON line could corrupt
+    # the parse.
     spark.stop()
+    if os.environ.get("SPARK_GRAFT_BENCH_1M", "1") != "0":
+        payload.update(_scale_suites_isolated())
     full_line = json.dumps(payload)
     # full payload: persisted to BENCH_LOCAL.json AND printed first so
     # the driver's stdout tail carries as much of it as fits
@@ -249,6 +252,54 @@ def compact_line(payload: dict) -> str:
         fold(slow, fast)
         core["queries_omitted"] = omitted
     return dumps(core)
+
+
+def _scale_suites_isolated() -> dict:
+    """Run the 1M recall + HNSW scale suites in a FRESH interpreter and
+    JVM (subprocess), so their build/search walls measure the suites —
+    not the heap and codegen state left by the headline passes. The
+    caller must have stopped its own SparkSession first (one live JVM
+    at a time keeps the 24g driver heaps from stacking). Falls back to
+    an in-process fresh session if the subprocess fails, so a transient
+    spawn problem can never lose the round's scale rows."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tag = "SCALE_SUITES_JSON:"
+    code = (
+        "import sys, json\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from vearch_spark.session import get_spark\n"
+        "import bench\n"
+        "spark = get_spark(app_name='vearch-spark-bench-scale')\n"
+        "out = {'scale_1m': bench.recall_1m_suite(spark),\n"
+        "       'scale_hnsw': bench.hnsw_scale_suite(spark)}\n"
+        "spark.stop()\n"
+        f"print({tag!r} + json.dumps(out))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=3600, cwd=repo,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(tag):
+                return json.loads(line[len(tag):])
+        raise RuntimeError(
+            f"no scale JSON in subprocess output (rc={proc.returncode}): "
+            + proc.stderr[-400:]
+        )
+    except Exception as e:  # pragma: no cover - spawn-environment only
+        from vearch_spark.session import get_spark
+
+        spark = get_spark(app_name="vearch-spark-bench-scale-fallback")
+        out = {
+            "scale_1m": recall_1m_suite(spark),
+            "scale_hnsw": hnsw_scale_suite(spark),
+            "scale_isolation_fallback": str(e)[:200],
+        }
+        spark.stop()
+        return out
 
 
 def recall_1m_suite(spark) -> dict:

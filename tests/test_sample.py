@@ -266,6 +266,72 @@ def test_url_host_and_registrable_domain(spark):
         assert r.domain == want_d, u
 
 
+def test_registrable_domain_psl_algorithm(spark):
+    """PSL-mode lookup implements the publicsuffix.org algorithm on a
+    rule subset: multi-label private suffixes (a.github.io and
+    b.github.io are distinct registrable domains), wildcard rules
+    ('*.ck' — any single label is a public suffix under ck), exception
+    rules ('!www.ck' — www.ck is registrable despite the wildcard),
+    longest match wins, unknown TLDs fall back to the default rule,
+    and a bare public suffix maps to ''. Comment/blank PSL lines are
+    skipped so raw file lines pass verbatim."""
+    from pyspark.sql import functions as F
+
+    from vearch_spark.functions.text import registrable_domain_psl
+
+    rules = [
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "com", "io", "uk", "co.uk", "*.ck", "!www.ck",
+        "github.io", "k12.ma.us", "us",
+    ]
+    cases = [
+        ("a.github.io", "a.github.io"),       # private multi-label suffix
+        ("x.a.github.io", "a.github.io"),
+        ("github.io", ""),                    # the suffix itself
+        ("www.example.com", "example.com"),
+        ("blog.shop.co.uk", "shop.co.uk"),    # longest match beats 'uk'
+        ("b.test.ck", "b.test.ck"),           # wildcard: test.ck is a PS
+        ("test.ck", ""),
+        ("www.ck", "www.ck"),                 # exception beats wildcard
+        ("a.www.ck", "www.ck"),
+        ("school.k12.ma.us", "school.k12.ma.us"),
+        ("host.unknowntld", "host.unknowntld"),  # default rule '*'
+        ("localhost", ""),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = df.withColumn(
+        "domain", registrable_domain_psl(F.col("host"), rules)
+    ).collect()
+    for (h, want), r in zip(cases, got):
+        assert r.domain == want, h
+
+
+def test_domain_cap_psl_mode_caps_platform_subdomains(spark):
+    """With public_suffixes given, domain_cap groups on the PSL key:
+    a.github.io and b.github.io fill their caps INDEPENDENTLY, where
+    the default regex heuristic lumps all of github.io into one
+    domain and under-caps the platform."""
+    from vearch_spark.operators.sample import domain_cap
+
+    rows = [
+        (i, f"https://{'ab'[i % 2]}.github.io/p/{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept_psl = domain_cap(
+        df, cap=5, seed=1, public_suffixes=["github.io", "io", "com"]
+    ).collect()
+    per = {}
+    for r in kept_psl:
+        per[r.domain] = per.get(r.domain, 0) + 1
+    assert per == {"a.github.io": 5, "b.github.io": 5}
+    # heuristic default: one shared 'github.io' domain, single cap
+    kept_rx = domain_cap(df, cap=5, seed=1).collect()
+    assert {r.domain for r in kept_rx} == {"github.io"}
+    assert len(kept_rx) == 5
+
+
 def test_domain_cap_deterministic_and_bounded(spark):
     """domain_cap keeps ≤ cap docs per registrable domain, the kept
     set is a pure function of (seed, id) — identical across

@@ -346,6 +346,79 @@ def registrable_domain(host: Column | str) -> Column:
     return F.when(three != "", three).otherwise(two)
 
 
+def _parse_psl_rules(suffixes) -> tuple[frozenset, frozenset, frozenset]:
+    """Parse Public Suffix List rules into (plain, wildcard-tails,
+    exception-targets) frozensets. Comment ('//') and blank lines are
+    skipped so a raw PSL file's lines can be passed verbatim."""
+    plain, wild, exc = set(), set(), set()
+    for raw in suffixes:
+        s = str(raw).strip().lower()
+        if not s or s.startswith("//"):
+            continue
+        if s.startswith("!"):
+            exc.add(s[1:])
+        elif s.startswith("*."):
+            wild.add(s[2:])
+        else:
+            plain.add(s)
+    return frozenset(plain), frozenset(wild), frozenset(exc)
+
+
+def _psl_lookup(host: str, plain, wild, exc) -> str:
+    """publicsuffix.org algorithm: among matching rules the exception
+    wins outright (its public suffix is the rule minus its first
+    label), else the most-labels match; wildcard '*.tail' consumes one
+    extra host label; no match falls back to the default rule '*'
+    (public suffix = the final label). Registrable domain = public
+    suffix + one more label; '' when the host IS a public suffix."""
+    if not host:
+        return ""
+    labels = host.split(".")
+    n = len(labels)
+    best = 1  # default rule '*'
+    for k in range(1, n + 1):
+        sfx = ".".join(labels[n - k :])
+        if sfx in exc:
+            best = k - 1
+            break
+        if sfx in plain and k > best:
+            best = k
+        if sfx in wild and n >= k + 1 and k + 1 > best:
+            best = k + 1
+    if n <= best:
+        return ""
+    return ".".join(labels[n - best - 1 :])
+
+
+def registrable_domain_psl(host: Column | str, suffixes) -> Column:
+    """Registrable domain via a real Public Suffix List lookup — the
+    precision mode of :func:`registrable_domain` for multi-label
+    suffixes the regex heuristic cannot know (``a.github.io`` and
+    ``b.github.io`` are distinct sites; ``*.ck`` wildcards;
+    ``!www.ck`` exceptions). ``suffixes`` is any iterable of PSL rule
+    lines (a private-suffix subset or the full published list —
+    comments and blanks are skipped).
+
+    Scale shape: the parsed rule sets ride the UDF closure to each
+    executor ONCE (the whole PSL is ~200 KB — broadcast-sized), and
+    the lookup is an Arrow-batched pandas UDF doing ≤ n_labels set
+    probes per host — no join, no shuffle, narrow. The regex
+    heuristic stays the default because a SQL oracle can reproduce it
+    verbatim; this mode trades that for PSL fidelity."""
+    col = F.col(host) if isinstance(host, str) else host
+    plain, wild, exc = _parse_psl_rules(suffixes)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def look(h: pd.Series) -> pd.Series:
+        return h.map(
+            lambda x: _psl_lookup((x or "").strip("."), plain, wild, exc)
+        )
+
+    return look(F.lower(col))
+
+
 def html_to_text(html: Column | str) -> Column:
     """Boilerplate-stripping HTML → text, the first stage of every
     web-crawl pipeline, as pure JVM expressions (no Python): drop

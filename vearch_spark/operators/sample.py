@@ -341,6 +341,7 @@ def domain_cap(
     cap: int = 100,
     id_col: str = "doc_id",
     seed: int = 0,
+    public_suffixes=None,
 ) -> DataFrame:
     """Per-domain document cap — the crawl-curation rule that stops a
     single site from dominating a training mix (boilerplate farms,
@@ -350,6 +351,13 @@ def domain_cap(
     :func:`shuffle_shards`, so the kept set is a pure function of
     (seed, id) — reproducible on any cluster and recomputable by any
     engine with md5 (the DuckDB oracle does).
+
+    ``public_suffixes`` (optional): an iterable of Public Suffix List
+    rule lines switches the domain key to the PSL lookup
+    (functions/text.py registrable_domain_psl) — platform subdomains
+    like ``a.github.io`` / ``b.github.io`` then cap independently,
+    and wildcard/exception rules apply. Default stays the pure-JVM
+    regex heuristic, which any SQL oracle reproduces verbatim.
 
     Scale shape: one narrow JVM projection (regex host/domain — no
     Python) plus ONE shuffle (the rank window on domain). Domains are
@@ -361,14 +369,23 @@ def domain_cap(
     """
     from pyspark.sql import Window
 
-    from vearch_spark.functions.text import registrable_domain, url_host
+    from vearch_spark.functions.text import (
+        registrable_domain,
+        registrable_domain_psl,
+        url_host,
+    )
 
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    domain_of = (
+        (lambda h: registrable_domain_psl(h, public_suffixes))
+        if public_suffixes is not None
+        else registrable_domain
+    )
     w = Window.partitionBy("domain").orderBy("_rk", id_col)
     return (
         df.withColumn("host", url_host(url_col))
-        .withColumn("domain", registrable_domain(F.col("host")))
+        .withColumn("domain", domain_of(F.col("host")))
         .withColumn(
             "_rk",
             hash_bucket(
