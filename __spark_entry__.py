@@ -1994,7 +1994,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient (max-|err|≤8), and a progressive (SOF2, 10-scan
     successive-approximation) JPEG that must decode bit-identically to
     its baseline twin (same quantized coefficients → exact equality is
-    the correct oracle). The DuckDB oracle recomputes the same
+    the correct oracle). Round 8 adds a lossless WebP (VP8L,
+    functions/media.py decode_webp / webp_bytes — real LZ77 + color
+    cache + canonical prefix codes) whose position-weighted pixel sum
+    any mis-decoded byte breaks. The DuckDB oracle recomputes the same
     integers from the generation formula arithmetically — so a hash
     match proves the lossless decoders recovered every sample/pixel
     bit-exactly and both lossy decodes stayed inside their
@@ -2007,12 +2010,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_pgm,
         decode_png,
         decode_wav_pcm,
+        decode_webp,
         jpeg_bytes,
         pgm_bytes,
         png_bytes,
         png_palette_bytes,
         wav_bytes,
         wav_info,
+        webp_bytes,
     )
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100).select("doc_id")
@@ -2071,6 +2076,15 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [20 + i % 60 + (1 + c) * j4x + (3 - c) * j4y for c in range(3)],
                     -1,
                 ).astype(np.uint8)
+                # lossless WebP (VP8L): 2x2-blocked texture so the
+                # encoder genuinely exercises LZ77 runs + color cache
+                wbw, wbh = 6 + i % 7, 4 + i % 5
+                wx, wy = np.meshgrid(np.arange(wbw), np.arange(wbh))
+                wpx = np.stack(
+                    [(i * 3 + (wx // 2) * 11 + (wy // 2) * 17 + c * 23) % 256
+                     for c in range(3)],
+                    -1,
+                ).astype(np.uint8)
                 rows.append(
                     (
                         str(i),
@@ -2083,6 +2097,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         jpeg_bytes(jpx420, 90, subsampling="4:2:0"),
                         jpx420.astype(np.int64).ravel(),
                         jpeg_bytes(jpx, 90, progressive=True),
+                        webp_bytes(wpx),
                     )
                 )
             yield pd.DataFrame(
@@ -2090,7 +2105,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "media_id", "audio_bytes", "image_bytes", "png_bytes",
                     "jpeg_bytes", "jpeg_src", "pal_bytes", "jpeg420_bytes",
-                    "jpeg420_src", "prog_bytes",
+                    "jpeg420_src", "prog_bytes", "webp_bytes",
                 ],
             )
 
@@ -2100,18 +2115,18 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id string, audio_bytes binary, image_bytes binary, "
             "png_bytes binary, jpeg_bytes binary, jpeg_src array<long>, "
             "pal_bytes binary, jpeg420_bytes binary, "
-            "jpeg420_src array<long>, prog_bytes binary"
+            "jpeg420_src array<long>, prog_bytes binary, webp_bytes binary"
         ),
     )
 
     def decode(batches):
         for pdf in batches:
             out = []
-            for mid, ab, ib, pb, jb, jsrc, plb, j4b, j4src, prb in zip(
+            for mid, ab, ib, pb, jb, jsrc, plb, j4b, j4src, prb, wb in zip(
                 pdf["media_id"], pdf["audio_bytes"], pdf["image_bytes"],
                 pdf["png_bytes"], pdf["jpeg_bytes"], pdf["jpeg_src"],
                 pdf["pal_bytes"], pdf["jpeg420_bytes"], pdf["jpeg420_src"],
-                pdf["prog_bytes"],
+                pdf["prog_bytes"], pdf["webp_bytes"],
             ):
                 info = wav_info(bytes(ab))
                 pcm = decode_wav_pcm(bytes(ab))[:, 0].astype(np.int64)
@@ -2132,6 +2147,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).max()
                 )
                 prog_eq = bool(np.array_equal(decode_jpeg(bytes(prb)), jpg))
+                wimg = decode_webp(bytes(wb)).astype(np.int64).ravel()
                 out.append(
                     (
                         mid,
@@ -2151,6 +2167,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         j420.shape[0],
                         bool(j4err <= 8),
                         prog_eq,
+                        int(wimg.sum()),
+                        int((wimg * (np.arange(len(wimg)) + 1)).sum()),
                     )
                 )
             yield pd.DataFrame(
@@ -2159,7 +2177,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id", "n_frames", "sum_sq", "width", "height",
                     "px_sum", "png_sum", "png_wsum", "jpeg_w", "jpeg_h",
                     "jpeg_ok", "pal_sum", "pal_wsum", "jpeg420_w", "jpeg420_h",
-                    "jpeg420_ok", "prog_eq",
+                    "jpeg420_ok", "prog_eq", "webp_sum", "webp_wsum",
                 ],
             )
 
@@ -2170,7 +2188,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "width int, height int, px_sum long, png_sum long, png_wsum long, "
             "jpeg_w int, jpeg_h int, jpeg_ok boolean, pal_sum long, "
             "pal_wsum long, jpeg420_w int, jpeg420_h int, "
-            "jpeg420_ok boolean, prog_eq boolean"
+            "jpeg420_ok boolean, prog_eq boolean, webp_sum long, "
+            "webp_wsum long"
         ),
     ).orderBy(F.col("media_id").cast("int"))
 
@@ -3952,7 +3971,17 @@ def oracle_sql() -> dict[str, str]:
                (10 + d.doc_id % 11)::INT AS jpeg420_w,
                (8 + d.doc_id % 9)::INT AS jpeg420_h,
                TRUE AS jpeg420_ok,
-               TRUE AS prog_eq
+               TRUE AS prog_eq,
+               list_sum(list_transform(
+                 range((6 + d.doc_id % 7) * (4 + d.doc_id % 5) * 3),
+                 j -> (d.doc_id*3 + (((j // 3) % (6 + d.doc_id % 7)) // 2)*11
+                       + ((j // (3 * (6 + d.doc_id % 7))) // 2)*17
+                       + (j % 3)*23) % 256))::BIGINT AS webp_sum,
+               list_sum(list_transform(
+                 range((6 + d.doc_id % 7) * (4 + d.doc_id % 5) * 3),
+                 j -> (j+1) * ((d.doc_id*3 + (((j // 3) % (6 + d.doc_id % 7)) // 2)*11
+                       + ((j // (3 * (6 + d.doc_id % 7))) // 2)*17
+                       + (j % 3)*23) % 256)))::BIGINT AS webp_wsum
         FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 100
         ORDER BY d.doc_id

@@ -1713,3 +1713,361 @@ def test_jpeg_sequential_multi_scan_reverse_component_order():
         out += wtr.buf
     out += b"\xff\xd9"
     assert np.array_equal(M.decode_jpeg(bytes(out)), base_px)
+
+
+# ------------------------------------------------------------- WebP VP8L
+
+
+def _vp8l_wrap(w, h, body_fn, alpha=0):
+    """Hand-assemble a VP8L stream: header + body_fn(writer) bits."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    wtr = M._LSBBitWriter()
+    wtr.put(0x2F, 8)
+    wtr.put(w - 1, 14)
+    wtr.put(h - 1, 14)
+    wtr.put(alpha, 1)
+    wtr.put(0, 3)
+    body_fn(wtr)
+    body = wtr.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _vp8l_emit_literal_image(wtr, argb_list, main=False):
+    """Entropy-coded image body: no cache, one group, literals only.
+    ``main=True`` writes the spatially-coded image's flag layout
+    (cache bit + meta bit); subimages carry only the cache bit."""
+    from vearch_spark.functions import media as M
+
+    wtr.put(0, 1)  # no color cache
+    if main:
+        wtr.put(0, 1)  # no meta prefix codes
+    gf, rf, bf, af = {}, {}, {}, {}
+    for v in argb_list:
+        for d, k in ((gf, (v >> 8) & 0xFF), (rf, (v >> 16) & 0xFF),
+                     (bf, v & 0xFF), (af, v >> 24)):
+            d[k] = d.get(k, 0) + 1
+    g = M._vp8l_emit_code(wtr, gf, 280)
+    r = M._vp8l_emit_code(wtr, rf, 256)
+    b = M._vp8l_emit_code(wtr, bf, 256)
+    a = M._vp8l_emit_code(wtr, af, 256)
+    M._vp8l_emit_code(wtr, {}, 40)
+    for v in argb_list:
+        wtr.put_code(*g[(v >> 8) & 0xFF])
+        wtr.put_code(*r[(v >> 16) & 0xFF])
+        wtr.put_code(*b[v & 0xFF])
+        wtr.put_code(*a[v >> 24])
+
+
+def test_webp_roundtrip_exact_all_modes():
+    """Encoder↔decoder bit-exact round-trips across shapes, cache
+    sizes, transforms, and LZ77 on/off; dispatch through decode_image
+    on the RIFF/WEBP magic."""
+    from vearch_spark.functions import media as M
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1, 3), (7, 5, 3), (9, 13, 4), (6, 6), (2, 300, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+        for cb in (0, 6):
+            for sg in (True, False):
+                blob = M.webp_bytes(px, cache_bits=cb, subtract_green=sg)
+                assert np.array_equal(M.decode_webp(blob), want), (shape, cb, sg)
+    # structured image: runs + vertical copies + cache hits compress
+    x, y = np.meshgrid(np.arange(64), np.arange(48))
+    img = np.stack(
+        [(x // 8 * 31) % 256, (y // 8 * 53) % 256, ((x + y) // 16 * 17) % 256], -1
+    ).astype(np.uint8)
+    blob = M.webp_bytes(img)
+    assert len(blob) < img.size // 4  # real compression, not store
+    assert np.array_equal(M.decode_webp(blob), img)
+    assert M.webp_info(blob) == {
+        "width": 64, "height": 48, "alpha": 0, "format": "VP8L"
+    }
+    via = M.decode_image(blob)
+    assert via.shape == img.shape and np.allclose(via, img / 255.0)
+
+
+def test_webp_predictor_transform_all_modes():
+    """Foreign-stream path our encoder never emits: the predictor
+    transform, every mode 0..13, one block covering a 4x4 image —
+    checked against an independent per-pixel reference implementation
+    of the spec's prediction rules (edge rules included); reserved
+    mode 14 raises."""
+    from vearch_spark.functions import media as M
+
+    def avg2(a, b):
+        return tuple((x + y) >> 1 for x, y in zip(a, b))
+
+    def ref_predict(mode, L, T, TL, TR):
+        if mode == 0:
+            return (255, 0, 0, 0)
+        if mode == 1:
+            return L
+        if mode == 2:
+            return T
+        if mode == 3:
+            return TR
+        if mode == 4:
+            return TL
+        if mode == 5:
+            return avg2(avg2(L, TR), T)
+        if mode == 6:
+            return avg2(L, TL)
+        if mode == 7:
+            return avg2(L, T)
+        if mode == 8:
+            return avg2(TL, T)
+        if mode == 9:
+            return avg2(T, TR)
+        if mode == 10:
+            return avg2(avg2(L, TL), avg2(T, TR))
+        if mode == 11:
+            s = sum(abs(l - tl) - abs(t - tl) for t, l, tl in zip(T, L, TL))
+            return T if s <= 0 else L
+        if mode == 12:
+            return tuple(
+                min(255, max(0, l + t - tl)) for l, t, tl in zip(L, T, TL)
+            )
+        ave = avg2(L, T)
+        out = []
+        for a_, tl in zip(ave, TL):
+            d = a_ - tl
+            q = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a_ + q)))
+        return tuple(out)
+
+    w = h = 4
+    rng = np.random.default_rng(3)
+    for mode in range(14):
+        resid = rng.integers(0, 256, (h * w, 4), dtype=np.int64)  # ARGB
+        argb = [
+            int((p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]) for p in resid
+        ]
+
+        def body(wtr, mode=mode, argb=argb):
+            wtr.put(1, 1)  # transform present
+            wtr.put(0, 2)  # predictor
+            wtr.put(2, 3)  # size_bits = 4: one 16x16 block
+            _vp8l_emit_literal_image(wtr, [0xFF000000 | (mode << 8)])
+            wtr.put(0, 1)  # end transforms
+            _vp8l_emit_literal_image(wtr, argb, main=True)
+
+        got = M.decode_webp(_vp8l_wrap(w, h, body, alpha=1))
+        # independent forward reference
+        exp = np.zeros((h, w, 4), dtype=np.int64)  # ARGB tuples
+        for pos in range(h * w):
+            yy, xx = divmod(pos, w)
+            if pos == 0:
+                pred = (255, 0, 0, 0)
+            elif yy == 0:
+                pred = tuple(exp[0, xx - 1])
+            elif xx == 0:
+                pred = tuple(exp[yy - 1, 0])
+            else:
+                L = tuple(exp[yy, xx - 1])
+                T = tuple(exp[yy - 1, xx])
+                TL = tuple(exp[yy - 1, xx - 1])
+                TR = tuple(exp[yy, 0]) if xx == w - 1 else tuple(exp[yy - 1, xx + 1])
+                pred = ref_predict(mode, L, T, TL, TR)
+            exp[yy, xx] = [(r + p) & 0xFF for r, p in zip(resid[pos], pred)]
+        # decode_webp returns RGBA; exp is ARGB
+        want = exp[..., [1, 2, 3, 0]].astype(np.uint8)
+        assert np.array_equal(got, want), f"mode {mode}"
+    # reserved mode 14 raises typed
+    def bad(wtr):
+        wtr.put(1, 1)
+        wtr.put(0, 2)
+        wtr.put(2, 3)
+        _vp8l_emit_literal_image(wtr, [0xFF000000 | (14 << 8)])
+        wtr.put(0, 1)
+        _vp8l_emit_literal_image(wtr, [0xFF000000] * 16, main=True)
+
+    with pytest.raises(ValueError, match="predictor mode"):
+        M.decode_webp(_vp8l_wrap(4, 4, bad))
+
+
+def test_webp_cross_color_transform():
+    """Cross-color inverse against an independent reference of the
+    spec's signed-multiplier arithmetic ((int8)m * (int8)c >> 5)."""
+    from vearch_spark.functions import media as M
+
+    w, h = 3, 2
+    rng = np.random.default_rng(5)
+    resid = rng.integers(0, 256, (h * w, 4), dtype=np.int64)
+    argb = [int((p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]) for p in resid]
+    g2r, g2b, r2b = 200, 37, 140  # exercise negative int8 values
+
+    def body(wtr):
+        wtr.put(1, 1)
+        wtr.put(1, 2)  # cross-color
+        wtr.put(2, 3)  # one block
+        _vp8l_emit_literal_image(
+            wtr, [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r]
+        )
+        wtr.put(0, 1)
+        _vp8l_emit_literal_image(wtr, argb, main=True)
+
+    got = M.decode_webp(_vp8l_wrap(w, h, body))
+
+    def s8(v):
+        return v - 256 if v >= 128 else v
+
+    exp = []
+    for a_, r, g, b in resid:
+        green = s8(g)
+        nr = (r + ((s8(g2r) * green) >> 5)) & 0xFF
+        nb = (b + ((s8(g2b) * green) >> 5) + ((s8(r2b) * s8(nr)) >> 5)) & 0xFF
+        exp.append((nr, g, nb))
+    want = np.array(exp, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, want)
+
+
+def test_webp_palette_transform_bundled_and_plain():
+    """Color-indexing decode: delta-coded palette, sub-byte index
+    bundling (2-bit indices at 4 colors), width reduction, and
+    out-of-palette indices resolving to transparent black."""
+    from vearch_spark.functions import media as M
+
+    # 4 colors -> pbits=2 (4 indices per packed green byte); w=5 ->
+    # packed width 2
+    pal = [(255, 10, 20, 30), (255, 200, 0, 0), (255, 0, 200, 0), (255, 0, 0, 200)]
+    idx_rows = [[0, 1, 2, 3, 1], [3, 3, 0, 2, 2]]
+
+    def body(wtr):
+        wtr.put(1, 1)
+        wtr.put(3, 2)  # color indexing
+        wtr.put(len(pal) - 1, 8)
+        deltas = []
+        prev = (0, 0, 0, 0)
+        for p in pal:
+            deltas.append(
+                int.from_bytes(
+                    bytes((p[i] - prev[i]) & 0xFF for i in range(4)), "big"
+                )
+            )
+            prev = p
+        _vp8l_emit_literal_image(wtr, deltas)
+        wtr.put(0, 1)  # end transforms
+        packed = []
+        for row in idx_rows:
+            for start in range(0, 8, 4):
+                v = 0
+                for j, ix in enumerate(row[start : start + 4]):
+                    v |= ix << (2 * j)
+                packed.append(0xFF000000 | (v << 8))
+        _vp8l_emit_literal_image(wtr, packed, main=True)
+
+    got = M.decode_webp(_vp8l_wrap(5, 2, body))
+    want = np.array(
+        [[pal[i][1:] for i in row] for row in idx_rows], dtype=np.uint8
+    )
+    assert np.array_equal(got, want)
+
+
+def test_webp_meta_prefix_groups():
+    """Meta prefix codes: two code groups selected per 4-px block by
+    the entropy image — each group's distinct literal codes must land
+    on the right pixels."""
+    from vearch_spark.functions import media as M
+
+    w, h = 8, 1  # two 4-px meta blocks
+
+    def body(wtr):
+        wtr.put(0, 1)  # no transforms... (first transform bit)
+        wtr.put(0, 1)  # no color cache
+        wtr.put(1, 1)  # meta prefix present
+        wtr.put(0, 3)  # mbits = 2 -> block width 4
+        # meta image 2x1: group indices 0, 1 in (red<<8)|green
+        _vp8l_emit_literal_image(wtr, [0xFF000000, 0xFF000100])
+        # group 0: literal green=11 red=22 blue=33; group 1: 44/55/66
+        for g_, r_, b_ in ((11, 22, 33), (44, 55, 66)):
+            M._vp8l_emit_code(wtr, {g_: 1}, 280)
+            M._vp8l_emit_code(wtr, {r_: 1}, 256)
+            M._vp8l_emit_code(wtr, {b_: 1}, 256)
+            M._vp8l_emit_code(wtr, {255: 1}, 256)
+            M._vp8l_emit_code(wtr, {}, 40)
+        # pixel data: every tree is single-symbol, so the body needs
+        # zero bits per pixel
+
+    got = M.decode_webp(_vp8l_wrap(w, h, body))
+    want = np.zeros((1, 8, 3), dtype=np.uint8)
+    want[0, :4] = (22, 11, 33)
+    want[0, 4:] = (55, 44, 66)
+    assert np.array_equal(got, want)
+
+
+def test_webp_hostile_inputs_typed_errors():
+    """Hostile WebP rejects typed: lossy VP8, missing chunk, bad
+    signature, truncation, duplicate transform, cache ref without a
+    cache, and backref before stream start."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    with pytest.raises(ValueError, match="lossy"):
+        M.decode_webp(
+            b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+        )
+    with pytest.raises(ValueError, match="missing a VP8L"):
+        M.decode_webp(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        M.decode_webp(b"not a webp at all")
+    good = M.webp_bytes(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        M.decode_webp(good[:-6])  # truncated entropy data
+    bad_sig = bytearray(good)
+    bad_sig[20] ^= 0xFF  # VP8L signature byte
+    with pytest.raises(ValueError):
+        M.decode_webp(bytes(bad_sig))
+
+    def dup(wtr):
+        wtr.put(1, 1)
+        wtr.put(2, 2)  # subtract green
+        wtr.put(1, 1)
+        wtr.put(2, 2)  # duplicate
+        wtr.put(0, 1)
+        _vp8l_emit_literal_image(wtr, [0xFF000000], main=True)
+
+    with pytest.raises(ValueError, match="duplicate"):
+        M.decode_webp(_vp8l_wrap(1, 1, dup))
+
+    def backref_past_end(wtr):
+        # literal, then a copy of length 5 in a 3-px image
+        wtr.put(0, 1)  # no transform
+        wtr.put(0, 1)  # no cache
+        wtr.put(0, 1)  # no meta
+        g = M._vp8l_emit_code(wtr, {0: 1, 256 + 4: 1}, 280)  # len code 5
+        M._vp8l_emit_code(wtr, {0: 1}, 256)
+        M._vp8l_emit_code(wtr, {0: 1}, 256)
+        M._vp8l_emit_code(wtr, {255: 1}, 256)
+        d = M._vp8l_emit_code(wtr, {1: 1}, 40)  # dist code -> dist 1
+        wtr.put_code(*g[0])      # one literal pixel
+        wtr.put_code(*g[256 + 4])  # length prefix 4 -> value 5
+        wtr.put(0, 1)            # 1 extra bit for prefix code 4
+        wtr.put_code(*d[1])      # distance value 2 -> dcode (1,0)=1
+
+    with pytest.raises(ValueError, match="past image end"):
+        M.decode_webp(_vp8l_wrap(3, 1, backref_past_end))
+
+    def backref_start(wtr):
+        wtr.put(0, 1)
+        wtr.put(0, 1)
+        wtr.put(0, 1)
+        # first symbol is a copy (length code 0 => len 1, dist code 1)
+        g = M._vp8l_emit_code(wtr, {256: 1}, 280)
+        M._vp8l_emit_code(wtr, {0: 1}, 256)
+        M._vp8l_emit_code(wtr, {0: 1}, 256)
+        M._vp8l_emit_code(wtr, {0: 1}, 256)
+        d = M._vp8l_emit_code(wtr, {0: 1}, 40)
+        wtr.put_code(*g[256])
+        wtr.put_code(*d[0])
+
+    with pytest.raises(ValueError, match="before stream start"):
+        M.decode_webp(_vp8l_wrap(2, 1, backref_start))

@@ -1667,8 +1667,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 def decode_image(content: bytes) -> np.ndarray:
     """Decoder-contract form (bytes → (H, W[, C]) floats in [0, 1]);
-    dispatches PNG vs JPEG vs GIF (first frame) vs BMP vs netpbm on
-    the container magic."""
+    dispatches PNG vs JPEG vs GIF (first frame) vs WebP vs BMP vs
+    netpbm on the container magic."""
     if content[:8] == _PNG_SIG:
         px = decode_png(content)
         return px.astype(np.float64) / (65535.0 if px.dtype == np.uint16 else 255.0)
@@ -1676,6 +1676,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_jpeg(content).astype(np.float64) / 255.0
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)[0].astype(np.float64) / 255.0
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return decode_webp(content).astype(np.float64) / 255.0
     if content[:2] == b"BM":
         return decode_bmp(content).astype(np.float64) / 255.0
     return decode_pgm(content).astype(np.float64) / 255.0
@@ -2388,3 +2390,869 @@ def decode_bmp(content: bytes) -> np.ndarray:
     pix = content[offset : offset + stride * h]
     out = _dib_unpack(pix, w, h)
     return out[::-1].copy() if top_down else out
+
+
+# ------------------------------------------------------------------ WebP
+#
+# WebP lossless (VP8L) — RIFF 'WEBP' container with a 'VP8L' payload
+# (public "WebP Lossless Bitstream Specification" / RFC 9649). From-
+# scratch decoder covering the full lossless format: all four
+# transforms (predictor with its 14 modes, cross-color, subtract-
+# green, color-indexing including sub-byte pixel bundling), the color
+# cache, meta prefix-code groups, and LZ77 backward references with
+# the 120-entry two-dimensional distance map. The encoder emits real
+# VP8L streams (optional subtract-green + color cache + greedy LZ77,
+# canonical length-limited prefix codes via package-merge) so foreign
+# decoders read them; lossless round-trips pin bit-exactness. Lossy
+# 'VP8 ' payloads raise typed ValueError (out of from-scratch scope —
+# the failure is clean, per this module's discipline). Reference
+# parity axis: the vearch reference ingests only float vectors — this
+# codec serves the LLM-pipeline multimodal brief, not vearch parity.
+
+# code-length-code symbol order (spec 6.2.2 "Decoding of code lengths")
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+_VP8L_HASH_MUL = 0x1E35A7BD
+_VP8L_MAX_LEN = 4096  # largest value the 24 length prefix codes reach
+
+
+def _vp8l_distance_map() -> tuple:
+    """The spec's 120 short-distance codes as (dx, dy) pixel offsets:
+    the causal neighborhood {x 1..8, y 0} ∪ {x -7..8, y 1..7} sorted
+    by squared distance, then |dx|, positive dx before negative —
+    reproducing the spec's table (its first 60 entries cross-checked
+    by hand) from the generation rule instead of a transcription."""
+    cands = [(x, 0) for x in range(1, 9)] + [
+        (x, y) for y in range(1, 8) for x in range(-7, 9)
+    ]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+    return tuple(cands)
+
+
+_VP8L_DIST_MAP = _vp8l_distance_map()
+
+
+class _LSBBitReader:
+    """VP8L bit order: bits fill from each byte's LSB upward."""
+
+    __slots__ = ("data", "pos", "bitpos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bitpos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("VP8L bitstream truncated")
+        b = (self.data[self.pos] >> self.bitpos) & 1
+        self.bitpos += 1
+        if self.bitpos == 8:
+            self.bitpos = 0
+            self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.bit() << i
+        return v
+
+
+class _LSBBitWriter:
+    __slots__ = ("buf", "cur", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def put(self, val: int, n: int) -> None:
+        for i in range(n):
+            self.cur |= ((val >> i) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def put_code(self, code: int, length: int) -> None:
+        """Prefix codes stream MSB-first (the decoder accumulates
+        code = (code << 1) | bit), like DEFLATE."""
+        for i in range(length - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _vp8l_canonical_decoder(lengths: list) -> tuple:
+    """Canonical prefix decoder structure from per-symbol code lengths
+    (assignment rule as DEFLATE: codes ordered by (length, symbol)).
+    A single-symbol code decodes with zero bits (trivial code, as
+    emitted by the 1-symbol 'simple' form). Over-/under-subscribed
+    codes raise."""
+    nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if not nz:
+        raise ValueError("VP8L prefix code has no symbols")
+    if len(nz) == 1:
+        return ("single", nz[0][1])
+    if max(ln for ln, _ in nz) > 15:
+        raise ValueError("VP8L code length exceeds 15")
+    if sum(1 << (15 - ln) for ln, _ in nz) != 1 << 15:
+        raise ValueError("VP8L prefix code is not complete")
+    nz.sort()
+    count = [0] * 16
+    for ln, _ in nz:
+        count[ln] += 1
+    first = [0] * 16
+    offset = [0] * 16
+    code = 0
+    idx = 0
+    for ln in range(1, 16):
+        first[ln] = code
+        offset[ln] = idx
+        code = (code + count[ln]) << 1
+        idx += count[ln]
+    return ("multi", count, first, offset, [s for _, s in nz])
+
+
+def _vp8l_read_symbol(rdr: _LSBBitReader, tree: tuple) -> int:
+    if tree[0] == "single":
+        return tree[1]
+    _, count, first, offset, syms = tree
+    code = 0
+    for ln in range(1, 16):
+        code = (code << 1) | rdr.bit()
+        if count[ln] and code - first[ln] < count[ln]:
+            return syms[offset[ln] + code - first[ln]]
+    raise ValueError("invalid VP8L prefix code")
+
+
+def _vp8l_read_code(rdr: _LSBBitReader, alphabet: int) -> tuple:
+    """One prefix code: 'simple' (1-2 literal symbols) or 'normal'
+    (code lengths themselves prefix-coded, with 16/17/18 repeats and
+    the optional max_symbol cutoff)."""
+    if rdr.bit():  # simple
+        nsym = rdr.bit() + 1
+        s0 = rdr.bits(8 if rdr.bit() else 1)
+        lengths = [0] * alphabet
+        if s0 >= alphabet:
+            raise ValueError("VP8L simple-code symbol outside alphabet")
+        lengths[s0] = 1
+        if nsym == 2:
+            s1 = rdr.bits(8)
+            if s1 >= alphabet or s1 == s0:
+                raise ValueError("VP8L simple-code second symbol invalid")
+            lengths[s1] = 1
+        return _vp8l_canonical_decoder(lengths)
+    ncl = 4 + rdr.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(ncl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = rdr.bits(3)
+    cl_tree = _vp8l_canonical_decoder(cl_lengths)
+    lengths = [0] * alphabet
+    if rdr.bit():
+        nbits = 2 + 2 * rdr.bits(3)
+        max_symbol = 2 + rdr.bits(nbits)
+        if max_symbol > alphabet:
+            raise ValueError("VP8L max_symbol exceeds alphabet")
+    else:
+        max_symbol = alphabet
+    symbol = 0
+    prev = 8
+    while symbol < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = _vp8l_read_symbol(rdr, cl_tree)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev = cl
+        else:
+            if cl == 16:
+                rep, fill = 3 + rdr.bits(2), prev
+            elif cl == 17:
+                rep, fill = 3 + rdr.bits(3), 0
+            else:
+                rep, fill = 11 + rdr.bits(7), 0
+            if symbol + rep > alphabet:
+                raise ValueError("VP8L code-length repeat overflows alphabet")
+            for _ in range(rep):
+                lengths[symbol] = fill
+                symbol += 1
+    return _vp8l_canonical_decoder(lengths)
+
+
+def _vp8l_prefix_val(rdr: _LSBBitReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec 5.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + rdr.bits(extra) + 1
+
+
+def _vp8l_prefix_sym(v: int) -> tuple:
+    """(prefix code, n extra bits, extra value) for value v >= 1 —
+    the encoder-side inverse of :func:`_vp8l_prefix_val`."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    hb = x.bit_length() - 1
+    extra = hb - 1
+    return 2 * hb + ((x >> extra) & 1), extra, x & ((1 << extra) - 1)
+
+
+def _vp8l_dist(dcode: int, xsize: int) -> int:
+    if dcode > 120:
+        return dcode - 120
+    dx, dy = _VP8L_DIST_MAP[dcode - 1]
+    d = dy * xsize + dx
+    return d if d >= 1 else 1
+
+
+def _vp8l_cache_hash(px: int, bits: int) -> int:
+    return ((_VP8L_HASH_MUL * px) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _vp8l_read_group(rdr: _LSBBitReader, cache_bits: int) -> tuple:
+    g = _vp8l_read_code(rdr, 256 + 24 + ((1 << cache_bits) if cache_bits else 0))
+    r = _vp8l_read_code(rdr, 256)
+    b = _vp8l_read_code(rdr, 256)
+    a = _vp8l_read_code(rdr, 256)
+    d = _vp8l_read_code(rdr, 40)
+    return g, r, b, a, d
+
+
+def _vp8l_decode_pixels(rdr, w, h, trees_for, cache_bits) -> "np.ndarray":
+    """The LZ77+prefix-coded ARGB stream shared by the main image and
+    every sub-resolution (entropy/transform/palette) image."""
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    pos = 0
+    while pos < n:
+        trees = trees_for(pos % w, pos // w)
+        sym = _vp8l_read_symbol(rdr, trees[0])
+        if sym < 256:
+            red = _vp8l_read_symbol(rdr, trees[1])
+            blue = _vp8l_read_symbol(rdr, trees[2])
+            alpha = _vp8l_read_symbol(rdr, trees[3])
+            px = (alpha << 24) | (red << 16) | (sym << 8) | blue
+            out[pos] = px
+            if cache is not None:
+                cache[_vp8l_cache_hash(px, cache_bits)] = px
+            pos += 1
+        elif sym < 280:
+            length = _vp8l_prefix_val(rdr, sym - 256)
+            dsym = _vp8l_read_symbol(rdr, trees[4])
+            dist = _vp8l_dist(_vp8l_prefix_val(rdr, dsym), w)
+            if dist > pos:
+                raise ValueError("VP8L backward reference before stream start")
+            if pos + length > n:
+                raise ValueError("VP8L backward reference past image end")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache is not None:
+                    cache[_vp8l_cache_hash(px, cache_bits)] = px
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache reference without color cache")
+            out[pos] = cache[sym - 280]
+            pos += 1
+    return out
+
+
+def _vp8l_entropy_image(rdr: _LSBBitReader, w: int, h: int) -> "np.ndarray":
+    """Entropy-coded image (spec 6.2): color-cache info + ONE prefix
+    group + data — no meta groups, no transforms. Used for the meta
+    prefix image, transform block images, and the palette."""
+    cache_bits = rdr.bits(4) if rdr.bit() else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError(f"bad VP8L color-cache size {cache_bits}")
+    group = _vp8l_read_group(rdr, cache_bits)
+    return _vp8l_decode_pixels(rdr, w, h, lambda x, y: group, cache_bits)
+
+
+def _vp8l_sub(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    """Per-channel (a + b) >> 1 on packed ARGB (spec Average2)."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_select(t: int, l: int, tl: int) -> int:
+    s = 0
+    for sh in (24, 16, 8, 0):
+        tc, lc, tlc = (t >> sh) & 0xFF, (l >> sh) & 0xFF, (tl >> sh) & 0xFF
+        s += abs(lc - tlc) - abs(tc - tlc)
+    return t if s <= 0 else l
+
+
+def _vp8l_clamp_add_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _vp8l_clamp_add_half(l: int, t: int, tl: int) -> int:
+    ave = _vp8l_avg2(l, t)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        d = a - ((tl >> sh) & 0xFF)
+        # C truncating division by 2 (toward zero), then clamp
+        v = a + (d // 2 if d >= 0 else -((-d) // 2))
+        out |= (0 if v < 0 else 255 if v > 255 else v) << sh
+    return out
+
+
+def _vp8l_predictor_inverse(
+    data: "np.ndarray", w: int, h: int, bits: int, blocks: "np.ndarray", bw: int
+) -> "np.ndarray":
+    """Inverse predictor transform (spec 4.1): residual + prediction
+    per channel mod 256. Edge rules: (0,0) predicts opaque black, row
+    0 predicts L, column 0 predicts T; TR at the last column wraps to
+    the current row's first pixel (the causal linear neighbor, as in
+    the spec's reference decoder)."""
+    out = data.astype(np.uint32)
+    add = lambda px, pr: (((px & 0x00FF00FF) + (pr & 0x00FF00FF)) & 0x00FF00FF) | (
+        ((px & 0xFF00FF00) + (pr & 0xFF00FF00)) & 0xFF00FF00
+    )
+    for pos in range(w * h):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = int(out[pos - 1])
+        elif x == 0:
+            pred = int(out[pos - w])
+        else:
+            mode = (int(blocks[(y >> bits) * bw + (x >> bits)]) >> 8) & 0xFF
+            l = int(out[pos - 1])
+            t = int(out[pos - w])
+            tl = int(out[pos - w - 1])
+            tr = int(out[pos - w + 1])  # x=w-1 wraps to (y, 0): causal
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = l
+            elif mode == 2:
+                pred = t
+            elif mode == 3:
+                pred = tr
+            elif mode == 4:
+                pred = tl
+            elif mode == 5:
+                pred = _vp8l_avg2(_vp8l_avg2(l, tr), t)
+            elif mode == 6:
+                pred = _vp8l_avg2(l, tl)
+            elif mode == 7:
+                pred = _vp8l_avg2(l, t)
+            elif mode == 8:
+                pred = _vp8l_avg2(tl, t)
+            elif mode == 9:
+                pred = _vp8l_avg2(t, tr)
+            elif mode == 10:
+                pred = _vp8l_avg2(_vp8l_avg2(l, tl), _vp8l_avg2(t, tr))
+            elif mode == 11:
+                pred = _vp8l_select(t, l, tl)
+            elif mode == 12:
+                pred = _vp8l_clamp_add_full(l, t, tl)
+            elif mode == 13:
+                pred = _vp8l_clamp_add_half(l, t, tl)
+            else:
+                raise ValueError(f"invalid VP8L predictor mode {mode}")
+        out[pos] = add(int(data[pos]), pred)
+    return out
+
+
+def _vp8l_color_inverse(
+    data: "np.ndarray", w: int, h: int, bits: int, blocks: "np.ndarray", bw: int
+) -> "np.ndarray":
+    """Inverse cross-color transform (spec 4.2), vectorized: per-block
+    signed multipliers green_to_red / green_to_blue / red_to_blue with
+    the C arithmetic-shift delta ((int8)m * (int8)c) >> 5."""
+    idx = (
+        (np.arange(w * h) // w >> bits) * bw + ((np.arange(w * h) % w) >> bits)
+    )
+    m = blocks[idx].astype(np.int64)
+
+    def s8(v):
+        return np.where(v >= 128, v - 256, v)
+
+    g2r = s8(m & 0xFF)
+    g2b = s8((m >> 8) & 0xFF)
+    r2b = s8((m >> 16) & 0xFF)
+    d = data.astype(np.int64)
+    green = s8((d >> 8) & 0xFF)
+    red = ((d >> 16) & 0xFF) + ((g2r * green) >> 5)
+    red &= 0xFF
+    blue = (d & 0xFF) + ((g2b * green) >> 5) + ((r2b * s8(red)) >> 5)
+    blue &= 0xFF
+    return ((d & 0xFF00FF00) | (red << 16) | blue).astype(np.uint32)
+
+
+def _vp8l_decode_spatial(rdr: _LSBBitReader, w: int, h: int) -> "np.ndarray":
+    """Spatially-coded image (spec 6.2): transforms, color cache, meta
+    prefix groups, data; inverse transforms applied in reverse read
+    order (each captured at the width current when it was read — the
+    color-indexing transform shrinks the coded width for everything
+    after it)."""
+    transforms = []
+    seen = set()
+    cur_w = w
+    while rdr.bit():
+        ttype = rdr.bits(2)
+        if ttype in seen:
+            raise ValueError(f"duplicate VP8L transform {ttype}")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green
+            transforms.append(("subgreen",))
+        elif ttype in (0, 1):  # predictor / cross-color
+            bits = rdr.bits(3) + 2
+            bw, bh = _vp8l_sub(cur_w, bits), _vp8l_sub(h, bits)
+            blocks = _vp8l_entropy_image(rdr, bw, bh)
+            kind = "pred" if ttype == 0 else "color"
+            transforms.append((kind, cur_w, bits, blocks, bw))
+        else:  # color indexing
+            csize = rdr.bits(8) + 1
+            raw = _vp8l_entropy_image(rdr, csize, 1)
+            # palette entries are component-wise deltas of the previous
+            pal = np.zeros(csize, dtype=np.uint32)
+            prev = 0
+            for i in range(csize):
+                px = int(raw[i])
+                cur = 0
+                for sh in (24, 16, 8, 0):
+                    cur |= ((((prev >> sh) & 0xFF) + ((px >> sh) & 0xFF)) & 0xFF) << sh
+                pal[i] = cur
+                prev = cur
+            pbits = 3 if csize <= 2 else 2 if csize <= 4 else 1 if csize <= 16 else 0
+            transforms.append(("palette", cur_w, pal, pbits))
+            cur_w = _vp8l_sub(cur_w, pbits)
+    cache_bits = rdr.bits(4) if rdr.bit() else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError(f"bad VP8L color-cache size {cache_bits}")
+    if rdr.bit():  # meta prefix codes
+        mbits = rdr.bits(3) + 2
+        mw, mh = _vp8l_sub(cur_w, mbits), _vp8l_sub(h, mbits)
+        mimg = _vp8l_entropy_image(rdr, mw, mh)
+        midx = ((mimg >> 8) & 0xFFFF).astype(np.int64)
+        groups = [
+            _vp8l_read_group(rdr, cache_bits) for _ in range(int(midx.max()) + 1)
+        ]
+
+        def trees_for(x, y):
+            return groups[midx[(y >> mbits) * mw + (x >> mbits)]]
+
+    else:
+        group = _vp8l_read_group(rdr, cache_bits)
+
+        def trees_for(x, y):
+            return group
+
+    data = _vp8l_decode_pixels(rdr, cur_w, h, trees_for, cache_bits)
+    for t in reversed(transforms):
+        if t[0] == "subgreen":
+            d = data.astype(np.int64)
+            g = (d >> 8) & 0xFF
+            red = (((d >> 16) & 0xFF) + g) & 0xFF
+            blue = ((d & 0xFF) + g) & 0xFF
+            data = ((d & 0xFF00FF00) | (red << 16) | blue).astype(np.uint32)
+        elif t[0] == "pred":
+            _, tw, bits, blocks, bw = t
+            data = _vp8l_predictor_inverse(data, tw, h, bits, blocks, bw)
+        elif t[0] == "color":
+            _, tw, bits, blocks, bw = t
+            data = _vp8l_color_inverse(data, tw, h, bits, blocks, bw)
+        else:  # palette: unbundle sub-byte indices, then index
+            _, tw, pal, pbits = t
+            packed_w = _vp8l_sub(tw, pbits)
+            grid = data.reshape(h, packed_w)
+            if pbits:
+                ibits = 8 >> pbits
+                xs = np.arange(tw)
+                g = (grid[:, xs >> pbits] >> 8) & 0xFF
+                idx = (g >> ((xs & ((1 << pbits) - 1)) * ibits)) & (
+                    (1 << ibits) - 1
+                )
+            else:
+                idx = (grid >> 8) & 0xFF
+            # out-of-palette indices resolve to transparent black, as
+            # in the spec's expanded color map
+            full = np.zeros(max(int(idx.max()) + 1, len(pal)), dtype=np.uint32)
+            full[: len(pal)] = pal
+            data = full[idx.astype(np.int64)].reshape(-1)
+    return data.reshape(h, w)
+
+
+def _webp_vp8l_payload(content: bytes) -> bytes:
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload (missing RIFF/WEBP magic)")
+    pos = 12
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (ln,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8L":
+            return body
+        if tag == b"VP8 ":
+            raise ValueError(
+                "lossy (VP8) WebP not supported — VP8L lossless only"
+            )
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("WebP missing a VP8L chunk")
+
+
+@_typed_decode_errors
+def decode_webp(content: bytes) -> "np.ndarray":
+    """Decode a lossless WebP (VP8L) to exact uint8 pixels: (H, W, 3)
+    RGB, or (H, W, 4) RGBA when the header's alpha flag is set. Full
+    lossless format: all four transforms, color cache, meta prefix
+    groups, LZ77 with the two-dimensional distance map. Extended
+    (VP8X) containers are walked for their VP8L chunk; lossy VP8
+    raises typed. Deterministic and bit-exact (the format is
+    lossless)."""
+    body = _webp_vp8l_payload(content)
+    rdr = _LSBBitReader(body)
+    if rdr.bits(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = rdr.bits(14) + 1
+    h = rdr.bits(14) + 1
+    alpha_used = rdr.bit()
+    if rdr.bits(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(f"image too large to decode: {w}x{h}")
+    argb = _vp8l_decode_spatial(rdr, w, h).astype(np.int64)
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    chans = [r, g, b]
+    if alpha_used:
+        chans.append((argb >> 24) & 0xFF)
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+def webp_info(content: bytes) -> dict:
+    """Header-only probe: dims + alpha flag from the VP8L header."""
+    body = _webp_vp8l_payload(content)
+    rdr = _LSBBitReader(body)
+    if rdr.bits(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = rdr.bits(14) + 1
+    h = rdr.bits(14) + 1
+    return {"width": w, "height": h, "alpha": rdr.bit(), "format": "VP8L"}
+
+
+def _vp8l_pm_lengths(freqs: dict, limit: int) -> dict:
+    """Optimal length-limited prefix code lengths via package-merge
+    (Larmore-Hirschberg) — Kraft-complete by construction, which the
+    decoder requires. ``freqs`` must have >= 2 symbols."""
+    syms = sorted(freqs)
+    n = len(syms)
+    orig = sorted(((freqs[s], (s,)) for s in syms), key=lambda t: (t[0], t[1]))
+    pm = list(orig)
+    for _ in range(limit - 1):
+        paired = [
+            (pm[i][0] + pm[i + 1][0], pm[i][1] + pm[i + 1][1])
+            for i in range(0, len(pm) - 1, 2)
+        ]
+        pm = sorted(orig + paired, key=lambda t: (t[0], t[1]))
+    lengths = {s: 0 for s in syms}
+    for _, ss in pm[: 2 * n - 2]:
+        for s in ss:
+            lengths[s] += 1
+    return lengths
+
+
+def _vp8l_canonical_codes(lengths: dict) -> dict:
+    """sym -> (code, length), canonical assignment ordered by
+    (length, symbol) — the decoder's mirror."""
+    out = {}
+    code = 0
+    prev = 0
+    for ln, s in sorted((ln, s) for s, ln in lengths.items()):
+        code <<= ln - prev
+        prev = ln
+        out[s] = (code, ln)
+        code += 1
+    return out
+
+
+def _vp8l_emit_code(wtr: _LSBBitWriter, freqs: dict, alphabet: int) -> dict:
+    """Write one prefix-code header (simple form when 1-2 symbols fit
+    in 8 bits, else the normal form with RLE'd code lengths under a
+    code-length code); returns sym -> (code, nbits) for the body."""
+    used = sorted(s for s, f in freqs.items() if f > 0)
+    if not used:
+        used = [0]
+    if len(used) == 1 and used[0] <= 255:
+        s = used[0]
+        wtr.put(1, 1)
+        wtr.put(0, 1)  # one symbol
+        if s <= 1:
+            wtr.put(0, 1)
+            wtr.put(s, 1)
+        else:
+            wtr.put(1, 1)
+            wtr.put(s, 8)
+        return {s: (0, 0)}  # trivial code: zero bits per occurrence
+    if len(used) == 2 and used[1] <= 255:
+        s0, s1 = used
+        wtr.put(1, 1)
+        wtr.put(1, 1)  # two symbols
+        if s0 <= 1:
+            wtr.put(0, 1)
+            wtr.put(s0, 1)
+        else:
+            wtr.put(1, 1)
+            wtr.put(s0, 8)
+        wtr.put(s1, 8)
+        return {s0: (0, 1), s1: (1, 1)}  # canonical: smaller sym = 0
+    wtr.put(0, 1)  # normal form
+    if len(used) == 1:  # symbol > 255: pad so the code is complete
+        lens = {used[0]: 1, (0 if used[0] != 0 else 1): 1}
+    else:
+        lens = _vp8l_pm_lengths({s: freqs[s] for s in used}, 15)
+    codes = _vp8l_canonical_codes(lens)
+    seq = [lens.get(s, 0) for s in range(alphabet)]
+    cl_stream: list = []  # (cl symbol, extra value, extra bits)
+    i = 0
+    while i < alphabet:
+        v = seq[i]
+        run = 1
+        while i + run < alphabet and seq[i + run] == v:
+            run += 1
+        if v == 0:
+            r = run
+            while r >= 11:
+                take = min(r, 138)
+                cl_stream.append((18, take - 11, 7))
+                r -= take
+            while r >= 3:
+                take = min(r, 10)
+                cl_stream.append((17, take - 3, 3))
+                r -= take
+            cl_stream.extend((0, 0, 0) for _ in range(r))
+        else:
+            cl_stream.append((v, 0, 0))  # literal sets prev for 16s
+            r = run - 1
+            while r >= 3:
+                take = min(r, 6)
+                cl_stream.append((16, take - 3, 2))
+                r -= take
+            cl_stream.extend((v, 0, 0) for _ in range(r))
+        i += run
+    cl_freq: dict = {}
+    for s, _, _ in cl_stream:
+        cl_freq[s] = cl_freq.get(s, 0) + 1
+    if len(cl_freq) == 1:
+        only = next(iter(cl_freq))
+        cl_lens = {only: 1}
+        cl_codes = {only: (0, 0)}  # trivial: decoder reads 0 bits
+    else:
+        cl_lens = _vp8l_pm_lengths(cl_freq, 7)
+        cl_codes = _vp8l_canonical_codes(cl_lens)
+    ncl = max(
+        i + 1 for i, s in enumerate(_VP8L_CL_ORDER) if cl_lens.get(s, 0) > 0
+    )
+    ncl = max(ncl, 4)
+    wtr.put(ncl - 4, 4)
+    for i in range(ncl):
+        wtr.put(cl_lens.get(_VP8L_CL_ORDER[i], 0), 3)
+    wtr.put(0, 1)  # no max_symbol cutoff: the stream covers the alphabet
+    for s, ev, eb in cl_stream:
+        c, ln = cl_codes[s]
+        wtr.put_code(c, ln)
+        if eb:
+            wtr.put(ev, eb)
+    return codes
+
+
+def _vp8l_tokenize(seq: list, w: int, cache_bits: int, use_lz77: bool) -> list:
+    """Greedy LZ77 + color-cache tokenizer over the ARGB sequence:
+    run (dist 1), vertical (dist w), and recent-position hash
+    candidates; matches >= 3 emit copies, else cache hit or literal.
+    Mirrors the decoder's cache-insertion rule exactly (every emitted
+    pixel inserts, including copied ones)."""
+    n = len(seq)
+    tokens = []
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    dmap: dict = {}
+    for i, (dx, dy) in enumerate(_VP8L_DIST_MAP):
+        d = dy * w + dx
+        if d >= 1 and d not in dmap:
+            dmap[d] = i + 1
+    recent: dict = {}
+
+    def note(px: int, at: int) -> None:
+        r = recent.setdefault(px, [])
+        r.append(at)
+        if len(r) > 4:
+            r.pop(0)
+
+    pos = 0
+    while pos < n:
+        best_len, best_dist = 0, 1
+        if use_lz77:
+            cands = []
+            if pos >= 1:
+                cands.append(1)
+            if pos >= w:
+                cands.append(w)
+            cands.extend(pos - p for p in recent.get(seq[pos], ()))
+            for dist in cands:
+                if dist < 1 or dist > pos or dist + 120 > 1 << 20:
+                    continue
+                ln = 0
+                while (
+                    pos + ln < n
+                    and ln < _VP8L_MAX_LEN
+                    and seq[pos + ln - dist] == seq[pos + ln]
+                ):
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, dist
+        if best_len >= 3:
+            tokens.append(("copy", best_len, dmap.get(best_dist, best_dist + 120)))
+            for i in range(pos, pos + best_len):
+                px = seq[i]
+                if cache is not None:
+                    cache[_vp8l_cache_hash(px, cache_bits)] = px
+                note(px, i)
+            pos += best_len
+        else:
+            px = seq[pos]
+            if cache is not None:
+                ci = _vp8l_cache_hash(px, cache_bits)
+                if cache[ci] == px:
+                    tokens.append(("cache", ci))
+                else:
+                    tokens.append(("lit", px))
+                cache[ci] = px
+            else:
+                tokens.append(("lit", px))
+            note(px, pos)
+            pos += 1
+    return tokens
+
+
+def webp_bytes(
+    pixels: "np.ndarray | list",
+    cache_bits: int = 6,
+    subtract_green: bool = True,
+    use_lz77: bool = True,
+) -> bytes:
+    """Encode uint8 pixels as a real lossless WebP (RIFF + VP8L):
+    (H, W) grayscale (stored as RGB), (H, W, 3) RGB, (H, W, 4) RGBA.
+    Optional subtract-green transform, color cache (0 disables,
+    1..11 bits), and greedy LZ77 (runs, vertical copies, recent-pixel
+    matches through the two-dimensional distance map). Prefix codes
+    are canonical package-merge lengths, so foreign decoders read the
+    output. Deterministic; lossless round-trip with
+    :func:`decode_webp` is bit-exact."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError(f"expected (H,W), (H,W,3) or (H,W,4) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError(f"VP8L dims must be 1..16384, got {w}x{h}")
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError(f"cache_bits must be 0..11, got {cache_bits}")
+    alpha_used = arr.shape[2] == 4
+    px = arr.astype(np.uint32)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    a = px[..., 3] if alpha_used else np.full((h, w), 255, dtype=np.uint32)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    argb = ((a << 24) | (r << 16) | (g << 8) | b).ravel()
+
+    wtr = _LSBBitWriter()
+    wtr.put(0x2F, 8)
+    wtr.put(w - 1, 14)
+    wtr.put(h - 1, 14)
+    wtr.put(1 if alpha_used else 0, 1)
+    wtr.put(0, 3)  # version
+    if subtract_green:
+        wtr.put(1, 1)
+        wtr.put(2, 2)
+    wtr.put(0, 1)  # end of transforms
+    if cache_bits:
+        wtr.put(1, 1)
+        wtr.put(cache_bits, 4)
+    else:
+        wtr.put(0, 1)
+    wtr.put(0, 1)  # no meta prefix codes
+
+    seq = [int(v) for v in argb]
+    tokens = _vp8l_tokenize(seq, w, cache_bits, use_lz77)
+    gf: dict = {}
+    rf: dict = {}
+    bf: dict = {}
+    af: dict = {}
+    df: dict = {}
+
+    def bump(d, k):
+        d[k] = d.get(k, 0) + 1
+
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            bump(gf, (v >> 8) & 0xFF)
+            bump(rf, (v >> 16) & 0xFF)
+            bump(bf, v & 0xFF)
+            bump(af, v >> 24)
+        elif t[0] == "cache":
+            bump(gf, 280 + t[1])
+        else:
+            bump(gf, 256 + _vp8l_prefix_sym(t[1])[0])
+            bump(df, _vp8l_prefix_sym(t[2])[0])
+    gcodes = _vp8l_emit_code(
+        wtr, gf, 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    )
+    rcodes = _vp8l_emit_code(wtr, rf, 256)
+    bcodes = _vp8l_emit_code(wtr, bf, 256)
+    acodes = _vp8l_emit_code(wtr, af, 256)
+    dcodes = _vp8l_emit_code(wtr, df, 40)
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            wtr.put_code(*gcodes[(v >> 8) & 0xFF])
+            wtr.put_code(*rcodes[(v >> 16) & 0xFF])
+            wtr.put_code(*bcodes[v & 0xFF])
+            wtr.put_code(*acodes[v >> 24])
+        elif t[0] == "cache":
+            wtr.put_code(*gcodes[280 + t[1]])
+        else:
+            code, eb, ev = _vp8l_prefix_sym(t[1])
+            wtr.put_code(*gcodes[256 + code])
+            if eb:
+                wtr.put(ev, eb)
+            code, eb, ev = _vp8l_prefix_sym(t[2])
+            wtr.put_code(*dcodes[code])
+            if eb:
+                wtr.put(ev, eb)
+    body = wtr.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
