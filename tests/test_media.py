@@ -2017,6 +2017,20 @@ def test_webp_hostile_inputs_typed_errors():
         )
     with pytest.raises(ValueError, match="missing a VP8L"):
         M.decode_webp(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+    # extended (VP8X) container wrapping a VP8L chunk decodes fine
+    plain = M.webp_bytes(np.full((3, 3, 3), 9, dtype=np.uint8))
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    ext = b"RIFF" + struct.pack(
+        "<I", 4 + len(vp8x) + len(plain) - 12
+    ) + b"WEBP" + vp8x + plain[12:]
+    assert np.array_equal(
+        M.decode_webp(ext), np.full((3, 3, 3), 9, dtype=np.uint8)
+    )
+    with pytest.raises(ValueError, match="animated"):
+        M.decode_webp(
+            b"RIFF" + struct.pack("<I", 18) + b"WEBP"
+            + b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+        )
     with pytest.raises(ValueError, match="RIFF/WEBP"):
         M.decode_webp(b"not a webp at all")
     good = M.webp_bytes(np.zeros((4, 4, 3), dtype=np.uint8))

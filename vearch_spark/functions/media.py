@@ -2915,6 +2915,8 @@ def _webp_vp8l_payload(content: bytes) -> bytes:
             raise ValueError(
                 "lossy (VP8) WebP not supported — VP8L lossless only"
             )
+        if tag in (b"ANIM", b"ANMF"):
+            raise ValueError("animated WebP not supported")
         pos += 8 + ln + (ln & 1)
     raise ValueError("WebP missing a VP8L chunk")
 
