@@ -1747,12 +1747,22 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIB frames' exact position-weighted pixel sums (any mis-unpacked
     row padding or BGR swap breaks the hash) plus the MJPEG frames'
     dims + error-envelope booleans (JPEG is lossy; its exactness is
-    pytest-pinned). Binaries never leave the executors; the DuckDB
-    oracle recomputes the DIB sums from the generation formula."""
+    pytest-pinned). Round 8 adds an ISO BMFF MP4 arm (functions/
+    media.py mp4_bytes/decode_mp4 — real box walk + stsc/stco chunk
+    map, multi-chunk layout, motion-JPEG samples through the same
+    T.81 encoder), whose decode must equal the AVI-MJPEG decode
+    EXACTLY (identical per-frame JPEG bytes → mp4_eq). Binaries never
+    leave the executors; the DuckDB oracle recomputes the DIB sums
+    from the generation formula."""
     import numpy as np
     import pandas as pd
 
-    from vearch_spark.functions.media import avi_bytes, decode_avi
+    from vearch_spark.functions.media import (
+        avi_bytes,
+        decode_avi,
+        decode_mp4,
+        mp4_bytes,
+    )
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50).select("doc_id")
 
@@ -1793,31 +1803,40 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         avi_bytes(dib, codec="DIB", fps=8),
                         avi_bytes(mjpg, codec="MJPG", quality=90),
                         mjpg.astype(np.int64).reshape(nf, -1),
+                        # same frames through the MP4 container (multi-
+                        # chunk layout, so the stsc/stco map is real):
+                        # identical per-frame JPEG encoder => the MP4
+                        # decode must equal the AVI-MJPEG decode EXACTLY
+                        mp4_bytes(mjpg, quality=90, frames_per_chunk=2),
                     )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "dib_bytes", "mjpg_bytes", "mjpg_src"],
+                columns=[
+                    "media_id", "dib_bytes", "mjpg_bytes", "mjpg_src",
+                    "mp4_bytes",
+                ],
             )
 
     media = docs.mapInPandas(
         synth,
         schema=(
             "media_id string, dib_bytes binary, mjpg_bytes binary, "
-            "mjpg_src array<array<long>>"
+            "mjpg_src array<array<long>>, mp4_bytes binary"
         ),
     )
 
     def sample(batches):
         for pdf in batches:
             out = []
-            for mid, db, mb, msrc in zip(
+            for mid, db, mb, msrc, m4 in zip(
                 pdf["media_id"], pdf["dib_bytes"], pdf["mjpg_bytes"],
-                pdf["mjpg_src"],
+                pdf["mjpg_src"], pdf["mp4_bytes"],
             ):
                 dib = decode_avi(bytes(db))
                 mjpg = decode_avi(bytes(mb))
-                if dib.shape != mjpg.shape:
+                mp4 = decode_mp4(bytes(m4))
+                if dib.shape != mjpg.shape or mp4.shape != mjpg.shape:
                     raise ValueError("container geometry mismatch")
                 for f in range(0, dib.shape[0], 2):
                     flat = dib[f].astype(np.int64).ravel()
@@ -1836,13 +1855,14 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                             int(flat.sum()),
                             int(((np.arange(len(flat)) + 1) * flat).sum()),
                             bool(merr <= 6),
+                            bool(np.array_equal(mp4[f], mjpg[f])),
                         )
                     )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "media_id", "frame_no", "width", "height",
-                    "dsum", "dwsum", "mjpg_ok",
+                    "dsum", "dwsum", "mjpg_ok", "mp4_eq",
                 ],
             )
 
@@ -1850,7 +1870,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         schema=(
             "media_id string, frame_no int, width int, height int, "
-            "dsum long, dwsum long, mjpg_ok boolean"
+            "dsum long, dwsum long, mjpg_ok boolean, mp4_eq boolean"
         ),
     ).orderBy(F.col("media_id").cast("int"), "frame_no")
 
@@ -4079,7 +4099,8 @@ def oracle_sql() -> dict[str, str]:
                  list_sum(list_transform(range(3), k ->
                    (j*3 + k + 1) *
                    ((d.doc_id*13 + fr.f*7 + j*3 + k*5) % 256)))))::BIGINT AS dwsum,
-               TRUE AS mjpg_ok
+               TRUE AS mjpg_ok,
+               TRUE AS mp4_eq
         FROM documents d, range(5) fr(f)
         WHERE d.doc_id < 50 AND fr.f % 2 = 0 AND fr.f < 2 + d.doc_id % 4
         ORDER BY d.doc_id, fr.f

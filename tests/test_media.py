@@ -2085,3 +2085,71 @@ def test_webp_hostile_inputs_typed_errors():
 
     with pytest.raises(ValueError, match="before stream start"):
         M.decode_webp(_vp8l_wrap(2, 1, backref_start))
+
+
+# ---------------------------------------------------------------- MP4
+
+
+def test_mp4_mjpeg_roundtrip_and_chunk_map():
+    """ISO BMFF demux + motion-JPEG decode: every frames_per_chunk
+    layout (single chunk, per-frame chunks, uneven tail chunk) must
+    walk the stsc/stco chunk map to identical frames; mp4_info reports
+    codec/dims/samples/duration from the sample tables."""
+    from vearch_spark.functions import media as M
+
+    x, y = np.meshgrid(np.arange(24), np.arange(16))
+    frames = np.stack(
+        [
+            np.stack([(10 * f + 2 * x + 3 * y + 5 * c) % 200 for c in range(3)], -1)
+            for f in range(7)
+        ]
+    ).astype(np.uint8)
+    ref = None
+    for k in (None, 1, 2, 3, 7):
+        blob = M.mp4_bytes(frames, fps=5, quality=90, frames_per_chunk=k)
+        out = M.decode_mp4(blob)
+        assert out.shape == frames.shape
+        assert int(np.abs(out.astype(int) - frames.astype(int)).max()) <= 2
+        if ref is None:
+            ref = out
+            info = M.mp4_info(blob)
+            assert info == {
+                "codec": "jpeg", "width": 24, "height": 16,
+                "n_samples": 7, "duration_s": 1.4,
+            }
+        else:
+            assert np.array_equal(out, ref), k  # layout-independent
+
+
+def test_mp4_hostile_inputs_typed_errors():
+    """Hostile MP4 rejects typed: H.264-class codec, missing
+    ftyp/moov, truncated boxes, sample data past file end, and a
+    chunk map covering fewer samples than stsz declares."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    frames = np.zeros((2, 8, 8, 3), dtype=np.uint8)
+    good = M.mp4_bytes(frames)
+
+    with pytest.raises(ValueError, match="ftyp"):
+        M.decode_mp4(b"\x00" * 32)
+    with pytest.raises(ValueError, match="moov"):
+        M.decode_mp4(good[: good.find(b"moov") - 4])
+    # codec swap: 'jpeg' sample entry relabeled avc1
+    avc = good.replace(b"jpeg", b"avc1")
+    with pytest.raises(ValueError, match="avc1.*external decoder|not supported"):
+        M.decode_mp4(avc)
+    # truncate mdat payload: sample extends past end — cut moov too,
+    # so rebuild: point stco past EOF instead by inflating the offset
+    i = good.find(b"stco")
+    bad = bytearray(good)
+    bad[i + 12 : i + 16] = struct.pack(">I", len(good) - 3)
+    with pytest.raises(ValueError, match="past file end"):
+        M.decode_mp4(bytes(bad))
+    # stsz count inflated past what the chunk map covers
+    i = good.find(b"stsz")
+    bad = bytearray(good)
+    bad[i + 12 : i + 16] = struct.pack(">I", 50)
+    with pytest.raises(ValueError):
+        M.decode_mp4(bytes(bad))

@@ -1746,16 +1746,28 @@ def dhash64(pixels: np.ndarray | list) -> int:
     return _pack_bits64((grid[:, 1:] > grid[:, :-1]).ravel())  # row-major (8, 8)
 
 
+def decode_video(content: bytes) -> "np.ndarray":
+    """Decoder-contract form for video: (N, H, W, 3) floats in [0, 1];
+    dispatches RIFF AVI vs ISO BMFF MP4/MOV on the container magic."""
+    if content[:4] == b"RIFF":
+        return decode_avi(content).astype(np.float64) / 255.0
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        return decode_mp4(content).astype(np.float64) / 255.0
+    raise ValueError("unrecognized video container (AVI or MP4 expected)")
+
+
 def register_media_decoders() -> None:
     """Plug the real codecs into the multimodal operator: 'audio' →
-    RIFF PCM WAV, 'image' → PNG or netpbm (by magic). Other formats
-    still require an external decoder via register_decoder (documented
-    extension point, operators/multimodal.py)."""
+    RIFF PCM WAV; 'image' → PNG/JPEG/GIF/WebP/BMP/netpbm by magic;
+    'video' → RIFF AVI or ISO BMFF MP4 (motion-JPEG tracks) by magic.
+    Entropy-coded video codecs (H.264/HEVC) still require an external
+    decoder via register_decoder (documented extension point,
+    operators/multimodal.py)."""
     from vearch_spark.operators.multimodal import register_decoder
 
     register_decoder("audio", decode_wav)
     register_decoder("image", decode_image)
-    register_decoder("video", lambda b: decode_avi(b).astype(np.float64) / 255.0)
+    register_decoder("video", decode_video)
 
 
 # ------------------------------------------------------------------- GIF
@@ -3258,3 +3270,323 @@ def webp_bytes(
     if len(body) % 2:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ------------------------------------------------------------------- MP4
+#
+# ISO BMFF / MP4 / QuickTime MOV demuxer (public ISO/IEC 14496-12
+# structure): box walk, moov/trak/mdia/minf/stbl sample tables
+# (stsd/stts/stsc/stsz/stco|co64), and per-sample extraction via the
+# chunk map. Motion-JPEG sample entries ('jpeg', 'mjpa', 'mjpb'
+# without field headers) decode through this module's own T.81
+# decoder — the from-scratch-feasible video-in-MP4 path, mirroring
+# the AVI/MJPEG choice. Entropy-coded DCT codecs (avc1/hev1/vp09/
+# av01) raise typed ValueError: real H.264 is out of from-scratch
+# scope and the failure must be clean, not approximate.
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in
+    [pos, end) — 64-bit largesize and to-end (size 0) handled."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} at {pos}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_child(data: bytes, pos: int, end: int, typ: bytes):
+    for t, s, e in _mp4_boxes(data, pos, end):
+        if t == typ:
+            return s, e
+    return None
+
+
+def _mp4_parse_track(data: bytes, s: int, e: int) -> dict | None:
+    """Parse one trak box; returns the sample-table dict for video
+    tracks, None for non-video."""
+    mdia = _mp4_child(data, s, e, b"mdia")
+    if mdia is None:
+        return None
+    hdlr = _mp4_child(data, *mdia, b"hdlr")
+    if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        return None
+    mdhd = _mp4_child(data, *mdia, b"mdhd")
+    timescale = duration = 0
+    if mdhd is not None:
+        ver = data[mdhd[0]]
+        if ver == 1:
+            timescale, duration = struct.unpack(
+                ">IQ", data[mdhd[0] + 20 : mdhd[0] + 32]
+            )
+        else:
+            timescale, duration = struct.unpack(
+                ">II", data[mdhd[0] + 12 : mdhd[0] + 20]
+            )
+    minf = _mp4_child(data, *mdia, b"minf")
+    stbl = _mp4_child(data, *minf, b"stbl") if minf else None
+    if stbl is None:
+        raise ValueError("MP4 video track missing stbl")
+    out: dict = {"timescale": timescale, "duration": duration}
+    stsd = _mp4_child(data, *stbl, b"stsd")
+    if stsd is None:
+        raise ValueError("MP4 video track missing stsd")
+    (n_desc,) = struct.unpack(">I", data[stsd[0] + 4 : stsd[0] + 8])
+    if n_desc < 1:
+        raise ValueError("MP4 stsd has no sample descriptions")
+    # first VisualSampleEntry: 4CC + dims at fixed offsets
+    entry = stsd[0] + 8
+    codec = data[entry + 4 : entry + 8].decode("latin-1")
+    out["codec"] = codec
+    out["width"], out["height"] = struct.unpack(
+        ">HH", data[entry + 8 + 24 : entry + 8 + 28]
+    )
+    stsz = _mp4_child(data, *stbl, b"stsz")
+    if stsz is None:
+        raise ValueError("MP4 video track missing stsz")
+    fixed, cnt = struct.unpack(">II", data[stsz[0] + 4 : stsz[0] + 12])
+    if fixed:
+        sizes = [fixed] * cnt
+    else:
+        sizes = list(
+            struct.unpack(f">{cnt}I", data[stsz[0] + 12 : stsz[0] + 12 + 4 * cnt])
+        )
+    out["sizes"] = sizes
+    stco = _mp4_child(data, *stbl, b"stco")
+    if stco is not None:
+        (nc,) = struct.unpack(">I", data[stco[0] + 4 : stco[0] + 8])
+        offs = list(
+            struct.unpack(f">{nc}I", data[stco[0] + 8 : stco[0] + 8 + 4 * nc])
+        )
+    else:
+        co64 = _mp4_child(data, *stbl, b"co64")
+        if co64 is None:
+            raise ValueError("MP4 video track missing stco/co64")
+        (nc,) = struct.unpack(">I", data[co64[0] + 4 : co64[0] + 8])
+        offs = list(
+            struct.unpack(f">{nc}Q", data[co64[0] + 8 : co64[0] + 8 + 8 * nc])
+        )
+    stsc = _mp4_child(data, *stbl, b"stsc")
+    if stsc is None:
+        raise ValueError("MP4 video track missing stsc")
+    (nr,) = struct.unpack(">I", data[stsc[0] + 4 : stsc[0] + 8])
+    runs = [
+        struct.unpack(">III", data[stsc[0] + 8 + 12 * i : stsc[0] + 20 + 12 * i])
+        for i in range(nr)
+    ]
+    # expand the chunk map into absolute per-sample offsets
+    sample_offsets = []
+    si = 0
+    for ri, (first, per, _desc) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < nr else len(offs)
+        for chunk in range(first, last + 1):
+            if chunk - 1 >= len(offs) or si >= cnt:
+                break
+            off = offs[chunk - 1]
+            for _ in range(per):
+                if si >= cnt:
+                    break
+                sample_offsets.append(off)
+                off += sizes[si]
+                si += 1
+    if si < cnt:
+        raise ValueError("MP4 chunk map covers fewer samples than stsz")
+    out["offsets"] = sample_offsets
+    return out
+
+
+def mp4_info(content: bytes) -> dict:
+    """Demux-only probe of an ISO BMFF (MP4/MOV) file: first video
+    track's codec 4CC, dims, sample count, duration seconds."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp)")
+    moov = _mp4_child(content, 0, len(content), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for t, s, e in _mp4_boxes(content, *moov):
+        if t == b"trak":
+            trk = _mp4_parse_track(content, s, e)
+            if trk is not None:
+                return {
+                    "codec": trk["codec"],
+                    "width": trk["width"],
+                    "height": trk["height"],
+                    "n_samples": len(trk["sizes"]),
+                    "duration_s": (
+                        trk["duration"] / trk["timescale"]
+                        if trk["timescale"]
+                        else 0.0
+                    ),
+                }
+    raise ValueError("MP4 has no video track")
+
+
+@_typed_decode_errors
+def decode_mp4(content: bytes) -> "np.ndarray":
+    """Decode the first video track of an MP4/MOV to (N, H, W, 3)
+    uint8 frames. Motion-JPEG sample entries ('jpeg'/'mjpa'/'mjpb')
+    decode through the in-repo T.81 decoder; entropy-coded codecs
+    (avc1/hvc1/hev1/vp09/av01...) raise typed — H.264-class decoding
+    is out of from-scratch scope and must fail clean. Frames whose
+    decoded dims disagree with the sample entry raise (geometry lies
+    are how corrupt files smuggle decompression bombs)."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp)")
+    moov = _mp4_child(content, 0, len(content), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    trk = None
+    for t, s, e in _mp4_boxes(content, *moov):
+        if t == b"trak":
+            trk = _mp4_parse_track(content, s, e)
+            if trk is not None:
+                break
+    if trk is None:
+        raise ValueError("MP4 has no video track")
+    if trk["codec"] not in ("jpeg", "mjpa", "mjpb"):
+        raise ValueError(
+            f"MP4 codec '{trk['codec']}' not supported — motion-JPEG "
+            "('jpeg'/'mjpa') only; H.264-class streams need an external "
+            "decoder"
+        )
+    w, h = trk["width"], trk["height"]
+    n = len(trk["sizes"])
+    if n == 0:
+        raise ValueError("MP4 video track has no samples")
+    if n * w * h > _MAX_DECODE_PIXELS * 4:
+        raise ValueError("MP4 too large to decode")
+    frames = []
+    for off, size in zip(trk["offsets"], trk["sizes"]):
+        if off + size > len(content):
+            raise ValueError("MP4 sample extends past file end")
+        px = decode_jpeg(content[off : off + size])
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        if px.shape[:2] != (h, w):
+            raise ValueError(
+                f"MP4 sample dims {px.shape[1]}x{px.shape[0]} disagree "
+                f"with sample entry {w}x{h}"
+            )
+        frames.append(px)
+    return np.stack(frames)
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def mp4_bytes(
+    frames: "np.ndarray | list",
+    fps: int = 10,
+    quality: int = 85,
+    frames_per_chunk: int | None = None,
+) -> bytes:
+    """Encode uint8 frames (N, H, W, 3) as a minimal valid ISO BMFF
+    MP4 with one motion-JPEG video track ('jpeg' sample entries, each
+    sample a complete baseline JPEG from this module's encoder):
+    ftyp + mdat + moov{mvhd, trak{tkhd, mdia{mdhd, hdlr, minf{vmhd,
+    dinf, stbl{stsd stts stsc stsz stco}}}}}. Deterministic."""
+    stack = np.asarray(frames, dtype=np.uint8)
+    if stack.ndim == 3:
+        stack = stack[None]
+    if stack.ndim != 4 or stack.shape[3] != 3:
+        raise ValueError(f"expected (N,H,W,3) uint8 frames, got {stack.shape}")
+    n, h, w = stack.shape[:3]
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError("empty frame stack")
+    samples = [jpeg_bytes(stack[i], quality) for i in range(n)]
+    sizes = [len(s) for s in samples]
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mdat_payload = b"".join(samples)
+    # absolute sample offsets: mdat payload starts after ftyp + header
+    first_off = len(ftyp) + 8
+    timescale = 1000
+    delta = timescale // int(fps)
+    duration = delta * n
+
+    def full(typ, payload, version=0, flags=0):
+        return _mp4_box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x10000, 0x0100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", w << 16, h << 16),
+        flags=7,
+    )
+    mdhd = full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1))
+    dinf = _mp4_box(b"dinf", dref)
+    entry = _mp4_box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x05mjpeg" + b"\x00" * 26  # compressorname (32 bytes)
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    per = int(frames_per_chunk) if frames_per_chunk else n
+    if per < 1:
+        raise ValueError(f"frames_per_chunk must be >= 1, got {frames_per_chunk}")
+    chunk_offsets = []
+    runs = []  # (first_chunk, samples_per_chunk)
+    off = first_off
+    i = 0
+    while i < n:
+        take = min(per, n - i)
+        chunk_offsets.append(off)
+        if not runs or runs[-1][1] != take:
+            runs.append((len(chunk_offsets), take))
+        off += sum(sizes[i : i + take])
+        i += take
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stsz = full(
+        b"stsz", struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes)
+    )
+    stco = full(
+        b"stco",
+        struct.pack(">I", len(chunk_offsets))
+        + struct.pack(f">{len(chunk_offsets)}I", *chunk_offsets),
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + _mp4_box(b"mdat", mdat_payload) + moov
