@@ -2153,3 +2153,38 @@ def test_mp4_hostile_inputs_typed_errors():
     bad[i + 12 : i + 16] = struct.pack(">I", 50)
     with pytest.raises(ValueError):
         M.decode_mp4(bytes(bad))
+
+
+def test_media_info_unified_dispatch():
+    """media_info dispatches every supported container by magic and
+    annotates kind + container; unknown magic raises typed."""
+    from vearch_spark.functions import media as M
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    frames = np.stack([img, img])
+    cases = [
+        (M.png_bytes(img), "png", "image"),
+        (M.jpeg_bytes(img), "jpeg", "image"),
+        (
+            M.gif_bytes(
+                np.zeros((4, 5), dtype=np.uint8),
+                np.array([[0, 0, 0], [1, 1, 1]], dtype=np.uint8),
+            ),
+            "gif",
+            "image",
+        ),
+        (M.bmp_bytes(img), "bmp", "image"),
+        (M.pgm_bytes(img), "netpbm", "image"),
+        (M.webp_bytes(img), "webp", "image"),
+        (M.avi_bytes(frames), "avi", "video"),
+        (M.mp4_bytes(frames), "mp4", "video"),
+    ]
+    for blob, tag, kind in cases:
+        info = M.media_info(blob)
+        assert info["container"] == tag and info["kind"] == kind
+        assert (info["width"], info["height"]) == (5, 4), tag
+    winfo = M.media_info(M.wav_bytes([0, 1, -1] * 50, 8000))
+    assert winfo["container"] == "wav" and winfo["kind"] == "audio"
+    assert winfo["n_frames"] == 150
+    with pytest.raises(ValueError, match="unrecognized media"):
+        M.media_info(b"garbage bytes here")

@@ -3590,3 +3590,41 @@ def mp4_bytes(
     trak = _mp4_box(b"trak", tkhd + mdia)
     moov = _mp4_box(b"moov", mvhd + trak)
     return ftyp + _mp4_box(b"mdat", mdat_payload) + moov
+
+
+@_typed_decode_errors
+def media_info(content: bytes) -> dict:
+    """Unified header-only probe — the cheap first pass a curation
+    pipeline runs before committing to a full decode: dispatches on
+    the container magic and returns the format's info dict plus a
+    ``kind`` ('image' | 'audio' | 'video') and ``container`` tag.
+    Unknown magic raises typed ValueError."""
+    if content[:8] == _PNG_SIG:
+        out, kind, tag = png_info(content), "image", "png"
+    elif content[:2] == b"\xff\xd8":
+        out, kind, tag = jpeg_info(content), "image", "jpeg"
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        out, kind, tag = gif_info(content), "image", "gif"
+    elif content[:2] == b"BM":
+        if len(content) < 30:
+            raise ValueError("truncated BMP header")
+        w, h = struct.unpack("<ii", content[18:26])
+        out, kind, tag = {"width": w, "height": abs(h)}, "image", "bmp"
+    elif content[:2] in (b"P5", b"P6"):
+        px = decode_pgm(content)
+        out = {"width": px.shape[1], "height": px.shape[0]}
+        kind, tag = "image", "netpbm"
+    elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        out, kind, tag = webp_info(content), "image", "webp"
+    elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        out, kind, tag = wav_info(content), "audio", "wav"
+    elif content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        out, kind, tag = avi_info(content), "video", "avi"
+    elif len(content) >= 12 and content[4:8] == b"ftyp":
+        out, kind, tag = mp4_info(content), "video", "mp4"
+    else:
+        raise ValueError("unrecognized media container magic")
+    out = dict(out)
+    out["kind"] = kind
+    out["container"] = tag
+    return out
