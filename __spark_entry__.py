@@ -1913,6 +1913,55 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (functions/text.py canonical_url) — the
+    crawl rule that collapses the same page arriving via tracking
+    links, fragments, shuffled query params, default ports, userinfo,
+    and case noise. Six deterministic variants of each page (doc_id %
+    6 picks the noise: utm/gclid/fbclid params, #fragment, HOST case
+    + :443, user@ prefix, trailing slash, param order) must reduce to
+    ONE canonical string; the dedup keeps the smallest doc_id per
+    canonical key. Pure JVM expressions (regex + array_sort), ONE
+    shuffle (the groupBy on the canonical key). The DuckDB oracle
+    recomputes the CANONICAL FORM directly from the generation
+    formula — stronger than re-running the same regexes: any
+    canonicalization bug anywhere in the chain breaks equality."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    page = (F.col("doc_id") / 6).cast("long")
+    site = (page % 37).cast("string")
+    host = F.concat(F.lit("www.site"), site, F.lit(".com"))
+    path = F.concat(F.lit("/articles/"), page.cast("string"))
+    v = (F.col("doc_id") % 6).cast("int")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://"), host, path, F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://"), F.upper(host), F.lit(":443"), path,
+            F.lit("/?b=2&a=1#frag")))
+        .when(v == 2, F.concat(
+            F.lit("https://"), host, path, F.lit("?utm_source=feed&a=1&b=2")))
+        .when(v == 3, F.concat(
+            F.lit("https://crawler@"), host, path,
+            F.lit("?b=2&utm_campaign=x&a=1")))
+        .when(v == 4, F.concat(
+            F.lit("https://"), host, path, F.lit("/?a=1&b=2#sec")))
+        .otherwise(F.concat(
+            F.lit("https://"), host, path, F.lit("?fbclid=XYZ9&b=2&a=1")))
+    )
+    from vearch_spark.functions.text import canonical_url
+
+    return (
+        docs.withColumn("url", url)
+        .withColumn("canon", canonical_url(F.col("url")))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_variants"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .orderBy("canon")
+    )
+
+
 def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over REAL animated containers (the
     multimodal brief's frame-sample op with a genuine decoder, not a
@@ -2335,6 +2384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "html_extract": q_html_extract,  # crawl HTML->text strip (r7)
     "domain_cap": q_domain_cap,  # registrable-domain crawl cap (r7)
+    "url_dedup": q_url_dedup,  # canonical-URL dedup (r8): tracking/fragment/port/case noise -> one key
     "corpus_line_filter": q_corpus_line_filter,  # CCNet cross-doc boilerplate lines (r7)
     "corpus_pipeline": q_corpus_pipeline,
     "sq8_codes": q_sq8_codes,
@@ -4109,6 +4159,21 @@ def oracle_sql() -> dict[str, str]:
     # host/registrable-domain with the SAME RE2 regexes the Spark plan
     # uses, and re-derives the md5 rank (shard_export's bucket trick);
     # ties on the 32-bit bucket break by doc_id on both sides
+    # url_dedup: the oracle recomputes the CANONICAL form directly
+    # from the generation formula — any canonicalization bug in the
+    # Spark regex/sort chain (case fold, port/userinfo/fragment strip,
+    # tracking-param removal, param ordering, trailing slash) breaks
+    # string equality against it
+    d["url_dedup"] = """
+        SELECT 'https://www.site' || ((doc_id // 6) % 37)::VARCHAR
+               || '.com/articles/' || (doc_id // 6)::VARCHAR
+               || '?a=1&b=2' AS canon,
+               count(*)::INT AS n_variants,
+               min(doc_id) AS keeper
+        FROM documents
+        GROUP BY doc_id // 6
+        ORDER BY canon
+    """
     d["domain_cap"] = """
         WITH u AS (
           SELECT doc_id,

@@ -414,3 +414,20 @@ def test_html_extract_is_pure_projection(spark, sf_dir):
                 "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, bad
     assert X.count_exchanges(out) <= 1  # orderBy only
+
+
+def test_url_dedup_single_aggregation_exchange(spark, sf_dir):
+    """canonical_url is a pure JVM expression chain (regex +
+    array_sort — no Python anywhere), so the url_dedup query's only
+    shuffles are the canonical-key aggregation and the presentation
+    sort, with map-side partial aggregation collapsing variant groups
+    before the exchange."""
+    import __spark_entry__ as entry
+
+    out = entry.q_url_dedup(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    for bad in ("Join", "ArrowEvalPython", "BatchEvalPython",
+                "FlatMapGroupsInPandas", "Window"):
+        assert bad not in plan, bad
+    assert X.count_exchanges(out) <= 2  # groupBy + orderBy
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -365,3 +365,39 @@ def test_domain_cap_deterministic_and_bounded(spark):
     assert {r.doc_id for r in kept3} != {r.doc_id for r in kept}
     with pytest.raises(ValueError, match="cap"):
         domain_cap(df, cap=0)
+
+
+def test_canonical_url(spark):
+    """URL canonicalization: fragment dropped, scheme+host lowercased,
+    userinfo and default ports stripped (non-default kept), tracking
+    params removed, surviving params sorted, trailing slash stripped
+    from non-root paths; non-URLs map to ''."""
+    from pyspark.sql import functions as F
+
+    from vearch_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://User:pw@Example.COM:443/a/b/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("http://site.org:80/", "http://site.org/"),
+        ("http://site.org:8080/p?gclid=abc&z=9&fbclid=t",
+         "http://site.org:8080/p?z=9"),
+        ("https://a.io", "https://a.io/"),
+        ("https://a.io/x?utm_campaign=only", "https://a.io/x"),
+        ("https://a.io/x?", "https://a.io/x"),
+        ("ftp://Host.Net/Dir/", "ftp://host.net/Dir"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = df.withColumn("canon", canonical_url("url")).collect()
+    for (u, want), r in zip(cases, got):
+        assert r.canon == want, u
+    # same page through different tracking links → one canonical key
+    variants = [
+        "https://example.com/page?a=1&b=2",
+        "https://EXAMPLE.com:443/page/?b=2&a=1#top",
+        "https://u@example.com/page?utm_medium=social&a=1&b=2",
+    ]
+    df2 = spark.createDataFrame([(u,) for u in variants], "url string")
+    canon = {r.canon for r in df2.withColumn("canon", canonical_url("url")).collect()}
+    assert canon == {"https://example.com/page?a=1&b=2"}

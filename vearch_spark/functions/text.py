@@ -330,6 +330,54 @@ def url_host(url: Column | str) -> Column:
     )
 
 
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL — the key crawl pipelines dedup on
+    (the same page arrives via tracking links, fragments, default
+    ports, and shuffled query params): drop the fragment, lowercase
+    scheme + host, strip userinfo and the scheme's default port
+    (:80 http / :443 https), drop tracking params (utm_*, gclid,
+    fbclid, msclkid, fbid), sort the surviving query params, and
+    strip a trailing slash from non-root paths. Pure JVM expressions
+    (regex + split/array_sort/array_join — no Python), every pattern
+    RE2-safe so a SQL oracle reproduces the chain. Non-URLs map to ''
+    (url_host convention)."""
+    col = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(col, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(c)
+    port = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]+@)?[^/:?#]+:(\d+)", 1)
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    tail = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    # trailing slash off non-root paths; empty path becomes '/'
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid|fbid)="),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        (scheme == "") | (host == ""), F.lit("")
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            port,
+            path,
+            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+        )
+    )
+
+
 def registrable_domain(host: Column | str) -> Column:
     """Registrable (pay-level) domain of a host — the per-SITE key the
     crawl-curation caps group on (a public-suffix-list lookup reduced
