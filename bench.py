@@ -100,6 +100,18 @@ def main() -> None:
         "sf": sf,
         # full-payload only (the compact driver line drops this)
         "notes": {
+            "r8_total": (
+                "r8 adds one query (url_dedup, canonical-URL dedup) and "
+                "grows two by design: media_decode now also round-trips a "
+                "lossless WebP (VP8L decode is a per-pixel Python loop - "
+                "correct-first; images are small), and video_frame_sample "
+                "adds an MP4 arm whose decode must equal the AVI-MJPEG "
+                "decode exactly. The scale suites (scale_1m/scale_hnsw) "
+                "now run in a FRESH interpreter+JVM subprocess so their "
+                "build walls stop absorbing the headline passes' heap "
+                "state (r7 driver artifact read scale_hnsw build 113.5s "
+                "vs 70.6s isolated)"
+            ),
             "r7_total": (
                 "the headline total now covers 83 queries (r6: 78) - the "
                 "five new rows (cosine_near_dup_bucketed, gif_frame_sample, "
