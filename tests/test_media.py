@@ -2188,3 +2188,36 @@ def test_media_info_unified_dispatch():
     assert winfo["n_frames"] == 150
     with pytest.raises(ValueError, match="unrecognized media"):
         M.media_info(b"garbage bytes here")
+
+
+def test_webp_property_roundtrip():
+    """Hypothesis sweep: any (shape, channels, cache size, transforms,
+    LZ77) combination in the supported envelope round-trips
+    bit-exactly — the format is lossless, so exact equality is the
+    invariant."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vearch_spark.functions.media import decode_webp, webp_bytes
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 14),
+        w=st.integers(1, 14),
+        ch=st.sampled_from([2, 3, 4]),  # 2 = grayscale (H, W)
+        cache=st.sampled_from([0, 1, 5, 11]),
+        sg=st.booleans(),
+        lz=st.booleans(),
+        # low-cardinality palettes maximize LZ77/cache interplay
+        vals=st.integers(2, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ch, cache, sg, lz, vals, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 2 else (h, w, ch)
+        px = rng.integers(0, vals, shape, dtype=np.uint8)
+        blob = webp_bytes(px, cache_bits=cache, subtract_green=sg, use_lz77=lz)
+        want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+        assert np.array_equal(decode_webp(blob), want)
+
+    check()
