@@ -2266,8 +2266,11 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection over REAL containers: per doc,
     synthesize a 16×18 RGB texture (group = doc_id//4; the 4 variants
-    per group perturb one corner block), round-trip it through the PNG
-    codec (lossless, so decode is bit-exact), take the 64-bit
+    per group perturb one corner block), round-trip it through a
+    ROTATING lossless container — PNG, WebP (VP8L), or BMP by doc id
+    (r8) — so a mixed-format crawl flows through the single
+    decode_image dispatch (lossless, so decode is bit-exact and the
+    oracle is container-independent), take the 64-bit
     perceptual dHash (functions/media.py dhash64 — integer grayscale,
     8×9 floor-mean grid, row-wise brightness-gradient bits), and emit
     all pairs with Hamming ≤ 3 via the banded hamming_pairs operator
@@ -2279,7 +2282,13 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from vearch_spark.functions.media import decode_png, dhash64, png_bytes
+    from vearch_spark.functions.media import (
+        bmp_bytes,
+        decode_image,
+        dhash64,
+        png_bytes,
+        webp_bytes,
+    )
     from vearch_spark.operators.dedup import hamming_pairs
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400).select("doc_id")
@@ -2297,10 +2306,14 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for c in range(3)
                     ],
                     -1,
-                )
+                ).astype(np.uint8)
                 img[:2, :2, :] = (img[:2, :2, :] + v * 3) % 256
-                # through the REAL container: encode → decode → hash
-                decoded = decode_png(png_bytes(img.astype(np.uint8)))
+                # through a REAL container — rotating PNG/WebP/BMP by
+                # doc id (r8): all three are lossless, so the decoded
+                # pixels, the dHash, and the oracle are container-
+                # independent — a mixed-format crawl hashed by ONE path
+                enc = (png_bytes, webp_bytes, bmp_bytes)[i % 3]
+                decoded = (decode_image(enc(img)) * 255.0).round().astype(np.uint8)
                 out.append((i, dhash64(decoded)))
             yield pd.DataFrame(out, columns=["doc_id", "_h"])
 
