@@ -2329,7 +2329,9 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate detection over REAL containers — the audio
     analog of image_near_dup: per doc, synthesize a waveform (group =
     doc_id//4; the 4 variants per group perturb one window), round-trip
-    it through a genuine RIFF/WAVE 16-bit PCM container (lossless), take
+    it through a genuine lossless container — RIFF/WAVE 16-bit PCM or
+    FLAC, rotating by doc id (r8), so both codecs feed the SAME
+    fingerprint path and the oracle stays container-independent — take
     the 64-bit energy-envelope fingerprint (functions/media.py
     audio_fingerprint64 — 65 integer window energies, sign-of-difference
     bits), and emit pairs with Hamming ≤ 3 via the shared banded
@@ -2341,7 +2343,9 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vearch_spark.functions.media import (
         audio_fingerprint64,
+        decode_flac,
         decode_wav_pcm,
+        flac_bytes,
         wav_bytes,
     )
     from vearch_spark.operators.dedup import hamming_pairs
@@ -2357,8 +2361,12 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = 4 + g % 3
                 j = np.arange(65 * w)
                 s = ((g * 31 + j * 17 + np.where(j // w == 2, v * 7, 0)) % 4096) - 2048
-                # through the REAL container: encode → decode → hash
-                pcm = decode_wav_pcm(wav_bytes(s.astype(np.int16), 8000))
+                # through a REAL container — WAV or FLAC by doc id;
+                # both lossless, so the fingerprint is identical
+                if i % 2:
+                    pcm = decode_flac(flac_bytes(s[:, None], 8000, 16))
+                else:
+                    pcm = decode_wav_pcm(wav_bytes(s.astype(np.int16), 8000))
                 out.append((i, audio_fingerprint64(pcm)))
             yield pd.DataFrame(out, columns=["doc_id", "_h"])
 

@@ -2221,3 +2221,197 @@ def test_webp_property_roundtrip():
         assert np.array_equal(decode_webp(blob), want)
 
     check()
+
+
+# --------------------------------------------------------------- FLAC
+
+
+def _flac_stream(nch, bps, total, subframes_fn, bsize=None):
+    """Hand-assemble a one-frame FLAC stream: STREAMINFO (zero MD5 =
+    no MD5 gate) + one frame whose subframe bits subframes_fn writes."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    bsize = bsize or total
+    si = M._MSBBitWriter()
+    si.put(bsize, 16)
+    si.put(bsize, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(8000, 20)
+    si.put(nch - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(total, 36)
+    body = si.flush() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    w = M._MSBBitWriter()
+    w.put(0x3FFE, 14)
+    w.put(0, 2)
+    w.put(7, 4)  # 16-bit block size at header end
+    w.put(0, 4)
+    w.put(subframes_fn.ch_code if hasattr(subframes_fn, "ch_code") else nch - 1, 4)
+    w.put({8: 1, 16: 4, 24: 6}[bps], 3)
+    w.put(0, 1)
+    w.put(0, 8)  # frame number 0 (utf8 single byte)
+    w.put(bsize - 1, 16)
+    hdr = w.flush()
+    frame = bytearray(hdr)
+    frame.append(M._crc8_flac(hdr))
+    w = M._MSBBitWriter()
+    subframes_fn(w)
+    frame += w.flush()
+    frame += struct.pack(">H", M._crc16_flac(bytes(frame)))
+    return bytes(out + frame)
+
+
+def test_flac_roundtrip_exact():
+    """Encoder↔decoder exact integer round-trips across channel
+    counts, depths, block splits; STREAMINFO MD5 verifies end-to-end;
+    real compression on smooth signals; dispatch via decode_audio and
+    media_info."""
+    from vearch_spark.functions import media as M
+
+    rng = np.random.default_rng(5)
+    for shape, bps in [((1000, 2), 16), ((333, 1), 16), ((100, 3), 8),
+                       ((777, 1), 24), ((4097, 2), 16)]:
+        hi = 1 << (bps - 1)
+        x = rng.integers(-hi, hi, shape, dtype=np.int64)
+        x = np.cumsum(x // (1000 if bps > 8 else 8), axis=0).clip(-hi, hi - 1)
+        blob = M.flac_bytes(x, 8000, bps, block_size=512)
+        assert np.array_equal(M.decode_flac(blob), x), (shape, bps)
+    smooth = np.cumsum(
+        rng.integers(-50, 50, (8000, 2), dtype=np.int64), axis=0
+    ).clip(-32768, 32767)
+    blob = M.flac_bytes(smooth)
+    assert len(blob) < smooth.size * 2 * 0.7  # genuinely compresses
+    info = M.media_info(blob)
+    assert info["container"] == "flac" and info["kind"] == "audio"
+    assert info["channels"] == 2 and info["total_samples"] == 8000
+    mono = M.decode_audio(blob)
+    assert mono.shape == (8000,) and abs(mono).max() < 1.0
+
+
+def test_flac_lpc_and_residual_paths():
+    """Decoder-only paths our encoder never emits, hand-crafted and
+    checked against an independent in-test reference: LPC subframes
+    (quantized coefficients + shift), Rice escape partitions, 5-bit
+    rice method, partition order > 0, and wasted bits."""
+    from vearch_spark.functions import media as M
+
+    n, bps = 16, 16
+    rng = np.random.default_rng(9)
+    resid = [int(v) for v in rng.integers(-20, 20, n - 2)]
+    warm = [100, 120]
+    coefs = [3, -1]
+    shift = 1
+
+    def subframes(w):
+        w.put(0, 1)
+        w.put(32 + 1, 6)  # LPC order 2 (type 0b100000 | order-1)
+        w.put(0, 1)  # no wasted bits
+        for v in warm:
+            w.put(v & 0xFFFF, 16)
+        w.put(3, 4)  # precision-1 = 3 -> 4-bit coefs
+        w.put(shift, 5)
+        for c in coefs:
+            w.put(c & 0xF, 4)
+        # residual: method 1 (5-bit params), partition order 1 —
+        # first partition escapes to 7-bit raw, second rice param 3
+        w.put(1, 2)
+        w.put(1, 4)
+        half = n // 2
+        w.put(31, 5)  # escape
+        w.put(7, 5)  # raw width
+        for r in resid[: half - 2]:
+            w.put(r & 0x7F, 7)
+        w.put(3, 5)  # rice param 3
+        for r in resid[half - 2 :]:
+            z = (abs(r) << 1) - (1 if r < 0 else 0)
+            for _ in range(z >> 3):
+                w.put(0, 1)
+            w.put(1, 1)
+            w.put(z & 7, 3)
+
+    blob = _flac_stream(1, bps, n, subframes)
+    got = M.decode_flac(blob)[:, 0]
+    exp = list(warm)
+    for r in resid:
+        acc = coefs[0] * exp[-1] + coefs[1] * exp[-2]
+        exp.append(r + (acc >> shift))
+    assert got.tolist() == exp
+
+    # wasted bits: CONSTANT with 2 wasted -> every sample << 2
+    def wasted(w):
+        w.put(0, 1)
+        w.put(0, 6)  # CONSTANT
+        w.put(1, 1)  # wasted-bits flag
+        w.put(1, 2)  # unary 1 -> k=2 wasted (0 then 1... unary count 1)
+        w.put(3, 14)  # eff bps = 16-2 = 14, value 3
+
+    blob = _flac_stream(1, bps, 4, wasted)
+    assert M.decode_flac(blob)[:, 0].tolist() == [12, 12, 12, 12]
+
+
+def test_flac_stereo_decorrelation_modes():
+    """left/side, right/side, and mid/side frames reconstruct the
+    (left, right) pair per the spec arithmetic — side channels carry
+    bps+1 bits."""
+    from vearch_spark.functions import media as M
+
+    n, bps = 4, 16
+    left_v, right_v = 1205, -307
+    side_v = left_v - right_v
+    mid_v = (left_v + right_v) >> 1
+
+    def constant(w, v, bits):
+        w.put(0, 1)
+        w.put(0, 6)
+        w.put(0, 1)
+        w.put(v & ((1 << bits) - 1), bits)
+
+    for ch_code, first, fbits, second, sbits in [
+        (8, left_v, 16, side_v, 17),   # left/side
+        (9, side_v, 17, right_v, 16),  # right/side
+        (10, mid_v, 16, side_v, 17),   # mid/side
+    ]:
+        def subframes(w, a=first, ab=fbits, b=second, bb=sbits):
+            constant(w, a, ab)
+            constant(w, b, bb)
+
+        subframes.ch_code = ch_code
+        blob = _flac_stream(2, bps, n, subframes)
+        got = M.decode_flac(blob)
+        assert got[:, 0].tolist() == [left_v] * n, ch_code
+        assert got[:, 1].tolist() == [right_v] * n, ch_code
+
+
+def test_flac_hostile_inputs_typed_errors():
+    """Hostile FLAC rejects typed: bad magic, header CRC-8 corruption,
+    frame CRC-16 corruption, MD5 mismatch, truncation, and short
+    streams."""
+    from vearch_spark.functions import media as M
+
+    x = np.arange(-400, 400, dtype=np.int64).reshape(-1, 2)
+    good = M.flac_bytes(x)
+    with pytest.raises(ValueError, match="fLaC magic"):
+        M.decode_flac(b"not flac")
+    with pytest.raises(ValueError):
+        M.decode_flac(good[:-10])  # truncated final frame
+    # corrupt one byte inside the frame payload: CRC-16 must trip
+    bad = bytearray(good)
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-16|truncated|corrupt|FLAC"):
+        M.decode_flac(bytes(bad))
+    # corrupt the STREAMINFO md5: decoded-PCM integrity gate must trip
+    bad = bytearray(good)
+    bad[26] ^= 0xFF  # inside the 16-byte md5 field (offset 8+18)
+    with pytest.raises(ValueError, match="MD5 mismatch"):
+        M.decode_flac(bytes(bad))
+    # corrupt the frame header: CRC-8 must trip (header starts after
+    # the 4 + 4 + 34 byte STREAMINFO block)
+    bad = bytearray(good)
+    bad[44] ^= 0x04  # a header bit past sync
+    with pytest.raises(ValueError, match="CRC-8|sync|FLAC"):
+        M.decode_flac(bytes(bad))

@@ -1746,6 +1746,17 @@ def dhash64(pixels: np.ndarray | list) -> int:
     return _pack_bits64((grid[:, 1:] > grid[:, :-1]).ravel())  # row-major (8, 8)
 
 
+def decode_audio(content: bytes) -> "np.ndarray":
+    """Decoder-contract form for audio: mono-mixed float64 in [-1, 1);
+    dispatches RIFF/WAVE vs FLAC on the container magic."""
+    if content[:4] == b"fLaC":
+        info = flac_info(content)
+        pcm = decode_flac(content)
+        scale = float(1 << (info["bits_per_sample"] - 1))
+        return pcm.mean(axis=1) / scale
+    return decode_wav(content)
+
+
 def decode_video(content: bytes) -> "np.ndarray":
     """Decoder-contract form for video: (N, H, W, 3) floats in [0, 1];
     dispatches RIFF AVI vs ISO BMFF MP4/MOV on the container magic."""
@@ -1757,15 +1768,14 @@ def decode_video(content: bytes) -> "np.ndarray":
 
 
 def register_media_decoders() -> None:
-    """Plug the real codecs into the multimodal operator: 'audio' →
-    RIFF PCM WAV; 'image' → PNG/JPEG/GIF/WebP/BMP/netpbm by magic;
+    """Plug the real codecs into the multimodal operator: 'audio' → 'image' → PNG/JPEG/GIF/WebP/BMP/netpbm by magic;
     'video' → RIFF AVI or ISO BMFF MP4 (motion-JPEG tracks) by magic.
     Entropy-coded video codecs (H.264/HEVC) still require an external
     decoder via register_decoder (documented extension point,
     operators/multimodal.py)."""
     from vearch_spark.operators.multimodal import register_decoder
 
-    register_decoder("audio", decode_wav)
+    register_decoder("audio", decode_audio)
     register_decoder("image", decode_image)
     register_decoder("video", decode_video)
 
@@ -3618,6 +3628,9 @@ def media_info(content: bytes) -> dict:
         out, kind, tag = webp_info(content), "image", "webp"
     elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         out, kind, tag = wav_info(content), "audio", "wav"
+    elif content[:4] == b"fLaC":
+        out, kind, tag = flac_info(content), "audio", "flac"
+        out.pop("data_pos", None)
     elif content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         out, kind, tag = avi_info(content), "video", "avi"
     elif len(content) >= 12 and content[4:8] == b"ftyp":
@@ -3628,3 +3641,516 @@ def media_info(content: bytes) -> dict:
     out["kind"] = kind
     out["container"] = tag
     return out
+
+
+# ------------------------------------------------------------------ FLAC
+#
+# FLAC (public xiph.org spec / RFC 9639) — the lossless audio
+# container real crawls carry beside WAV. From-scratch decoder:
+# STREAMINFO + metadata walk, frame headers (UTF-8-coded frame
+# numbers, CRC-8), subframe types CONSTANT / VERBATIM / FIXED(0-4) /
+# LPC(1-32) with wasted-bits, Rice-coded residual partitions (both
+# 4- and 5-bit parameter widths, escape-to-raw), stereo
+# decorrelation (left/side, right/side, mid/side), frame CRC-16, and
+# the STREAMINFO MD5 of the decoded PCM as an end-to-end integrity
+# gate. The encoder emits real FLAC (fixed predictors 0-2 chosen per
+# block by residual magnitude, single-partition Rice residuals,
+# independent channels) so foreign decoders read it; being lossless,
+# round-trips pin exact integer equality like WAV/PNG.
+
+
+def _crc8_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _MSBBitReader:
+    """MSB-first bit reader (FLAC/JPEG bit order, no byte stuffing)."""
+
+    __slots__ = ("data", "pos", "bitpos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bitpos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("FLAC bitstream truncated")
+        b = (self.data[self.pos] >> (7 - self.bitpos)) & 1
+        self.bitpos += 1
+        if self.bitpos == 8:
+            self.bitpos = 0
+            self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def unary(self) -> int:
+        n = 0
+        while self.bit() == 0:
+            n += 1
+            if n > 1 << 24:
+                raise ValueError("FLAC unary run too long")
+        return n
+
+    def align(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.pos += 1
+
+
+class _MSBBitWriter:
+    __slots__ = ("buf", "cur", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def put(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((val >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        while self.nbits:
+            self.put(0, 1)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame/sample index)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbits = n.bit_length()
+    nbytes = 2
+    while nbits > 6 * (nbytes - 1) + (7 - nbytes):
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    out.append(lead | (n >> (6 * (nbytes - 1))))
+    for i in range(nbytes - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _flac_utf8_decode(rdr: _MSBBitReader) -> int:
+    b0 = rdr.bits(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad FLAC UTF-8 coded number")
+    v = b0 & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        b = rdr.bits(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad FLAC UTF-8 continuation byte")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_FLAC_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+_FLAC_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_read_residual(rdr: _MSBBitReader, n: int, order: int) -> list:
+    """Rice-coded residual (spec: coding methods 0/1, partition
+    orders, per-partition parameter with escape-to-raw)."""
+    method = rdr.bits(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual coding method {method}")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = rdr.bits(4)
+    nparts = 1 << porder
+    if n % nparts:
+        raise ValueError("FLAC block size not divisible by partitions")
+    out = []
+    for p in range(nparts):
+        cnt = (n >> porder) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        param = rdr.bits(pbits)
+        if param == escape:
+            width = rdr.bits(5)
+            for _ in range(cnt):
+                out.append(rdr.sbits(width) if width else 0)
+        else:
+            for _ in range(cnt):
+                q = rdr.unary()
+                v = (q << param) | rdr.bits(param)
+                out.append((v >> 1) ^ -(v & 1))  # unzigzag
+    return out
+
+
+def _flac_read_subframe(rdr: _MSBBitReader, n: int, bps: int) -> list:
+    if rdr.bit() != 0:
+        raise ValueError("bad FLAC subframe padding bit")
+    stype = rdr.bits(6)
+    wasted = 0
+    if rdr.bit():
+        wasted = 1 + rdr.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        v = rdr.sbits(eff)
+        samples = [v] * n
+    elif stype == 1:  # VERBATIM
+        samples = [rdr.sbits(eff) for _ in range(n)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [rdr.sbits(eff) for _ in range(order)]
+        resid = _flac_read_residual(rdr, n, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        samples = list(warm)
+        for i, r in enumerate(resid):
+            pred = sum(c * samples[order + i - j - 1] for j, c in enumerate(coefs))
+            samples.append(r + pred)
+    elif stype >= 32:  # LPC order 1-32
+        order = (stype & 31) + 1
+        warm = [rdr.sbits(eff) for _ in range(order)]
+        prec = rdr.bits(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC precision")
+        prec += 1
+        shift = rdr.sbits(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [rdr.sbits(prec) for _ in range(order)]
+        resid = _flac_read_residual(rdr, n, order)
+        samples = list(warm)
+        for i, r in enumerate(resid):
+            acc = sum(c * samples[order + i - j - 1] for j, c in enumerate(coefs))
+            samples.append(r + (acc >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def flac_info(content: bytes) -> dict:
+    """STREAMINFO probe: rate, channels, bits per sample, total
+    samples, PCM md5 (hex)."""
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    pos = 4
+    while pos + 4 <= len(content):
+        hdr = content[pos]
+        btype = hdr & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + content[pos + 1 : pos + 4])
+        body = content[pos + 4 : pos + 4 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if ln < 34:
+                raise ValueError("short FLAC STREAMINFO")
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            ch = ((body[12] >> 1) & 0x07) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0x0F) << 32) | struct.unpack(">I", body[14:18])[0]
+            return {
+                "sample_rate": sr,
+                "channels": ch,
+                "bits_per_sample": bps,
+                "total_samples": total,
+                "md5": body[18:34].hex(),
+                "data_pos": pos + 4 + ln if hdr & 0x80 else None,
+            }
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    raise ValueError("FLAC missing STREAMINFO")
+
+
+@_typed_decode_errors
+def decode_flac(content: bytes) -> "np.ndarray":
+    """Decode FLAC to the exact integer sample matrix (n_frames,
+    channels) — same contract as :func:`decode_wav_pcm`. Verifies
+    each frame's CRC-16 and, when STREAMINFO carries a non-zero MD5,
+    the decoded PCM's MD5 against it — end-to-end integrity, not just
+    parse success."""
+    import hashlib
+
+    info = flac_info(content)
+    # find first frame: walk ALL metadata blocks
+    pos = 4
+    while True:
+        hdr = content[pos]
+        (ln,) = struct.unpack(">I", b"\x00" + content[pos + 1 : pos + 4])
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    bps = info["bits_per_sample"]
+    nch = info["channels"]
+    total = info["total_samples"]
+    chans: list = [[] for _ in range(nch)]
+    got = 0
+    while got < total and pos + 2 <= len(content):
+        frame_start = pos
+        rdr = _MSBBitReader(content, pos)
+        sync = rdr.bits(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"bad FLAC frame sync at {pos}")
+        rdr.bit()  # reserved
+        rdr.bit()  # blocking strategy
+        bs_code = rdr.bits(4)
+        sr_code = rdr.bits(4)
+        ch_code = rdr.bits(4)
+        ss_code = rdr.bits(3)
+        rdr.bit()  # reserved
+        _flac_utf8_decode(rdr)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 6:
+            bsize = rdr.bits(8) + 1
+        elif bs_code == 7:
+            bsize = rdr.bits(16) + 1
+        else:
+            bsize = _FLAC_BLOCK_SIZES[bs_code]
+        if sr_code == 12:
+            rdr.bits(8)
+        elif sr_code in (13, 14):
+            rdr.bits(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        fbps = bps if ss_code == 0 else _FLAC_SAMPLE_SIZES.get(ss_code)
+        if fbps is None:
+            raise ValueError(f"reserved FLAC sample size code {ss_code}")
+        # CRC-8 covers the header up to (not incl.) the CRC byte
+        hdr_end = rdr.pos + (1 if rdr.bitpos else 0)
+        if _crc8_flac(content[frame_start:hdr_end]) != content[hdr_end]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        rdr = _MSBBitReader(content, hdr_end + 1)
+        if ch_code < 8:
+            if ch_code + 1 != nch:
+                raise ValueError("FLAC frame channel count differs from STREAMINFO")
+            subs = [_flac_read_subframe(rdr, bsize, fbps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if nch != 2:
+                raise ValueError("FLAC stereo decorrelation in non-stereo stream")
+            if ch_code == 8:  # left/side
+                left = _flac_read_subframe(rdr, bsize, fbps)
+                side = _flac_read_subframe(rdr, bsize, fbps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_read_subframe(rdr, bsize, fbps + 1)
+                right = _flac_read_subframe(rdr, bsize, fbps)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side: mid = (l+r)>>1 (floor), side = l-r
+                mid = _flac_read_subframe(rdr, bsize, fbps)
+                side = _flac_read_subframe(rdr, bsize, fbps + 1)
+                left = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
+                subs = [left, [l - s for l, s in zip(left, side)]]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        rdr.align()
+        if _crc16_flac(content[frame_start : rdr.pos]) != struct.unpack(
+            ">H", content[rdr.pos : rdr.pos + 2]
+        )[0]:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = rdr.pos + 2
+        for c in range(nch):
+            chans[c].extend(subs[c])
+        got += bsize
+    if got < total:
+        raise ValueError("FLAC stream ended before total_samples")
+    out = np.array(chans, dtype=np.int64).T[:total]
+    md5 = info["md5"]
+    if md5 != "00" * 16:
+        width = (bps + 7) // 8
+        h = hashlib.md5()
+        ints = out.astype("<i8")
+        raw = bytearray()
+        for row in ints:
+            for v in row:
+                raw += int(v).to_bytes(width, "little", signed=True)
+        h.update(bytes(raw))
+        if h.hexdigest() != md5:
+            raise ValueError("FLAC decoded PCM MD5 mismatch vs STREAMINFO")
+    return out
+
+
+def _flac_rice_param(resid: list) -> int:
+    """Parameter estimate: smallest k with mean(|zigzag|) < 2^k."""
+    if not resid:
+        return 0
+    mean = sum((abs(r) << 1) for r in resid) / len(resid)
+    k = 0
+    while (1 << k) < mean and k < 14:
+        k += 1
+    return k
+
+
+def flac_bytes(
+    samples: "np.ndarray | list",
+    sample_rate: int = 8000,
+    bits_per_sample: int = 16,
+    block_size: int = 4096,
+) -> bytes:
+    """Encode an integer sample matrix (n, channels) — or (n,) mono —
+    as a real FLAC stream: STREAMINFO (with the PCM MD5), fixed-
+    predictor subframes (order 0-2 chosen per channel-block by
+    residual magnitude; falls back to VERBATIM when prediction loses),
+    single-partition Rice residuals, independent channels, CRC-8 +
+    CRC-16 per frame. Lossless: :func:`decode_flac` round-trips the
+    exact integers, and foreign decoders verify the same CRCs/MD5."""
+    import hashlib
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2 or arr.shape[0] == 0 or not 1 <= arr.shape[1] <= 8:
+        raise ValueError(f"expected (n, 1..8 channels) samples, got {arr.shape}")
+    bps = int(bits_per_sample)
+    if bps not in (8, 12, 16, 20, 24, 32):
+        raise ValueError(f"unsupported bits_per_sample {bps}")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if arr.min() < lo or arr.max() > hi:
+        raise ValueError(f"samples exceed {bps}-bit range")
+    n, nch = arr.shape
+    width = (bps + 7) // 8
+    h = hashlib.md5()
+    raw = bytearray()
+    for row in arr:
+        for v in row:
+            raw += int(v).to_bytes(width, "little", signed=True)
+    h.update(bytes(raw))
+
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+    out = bytearray(b"fLaC")
+    si = _MSBBitWriter()
+    si.put(block_size, 16)
+    si.put(block_size, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(int(sample_rate), 20)
+    si.put(nch - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(n, 36)
+    body = si.flush() + h.digest()
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
+
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = arr[start : start + block_size]
+        bsize = blk.shape[0]
+        w = _MSBBitWriter()
+        w.put(0x3FFE, 14)
+        w.put(0, 1)  # reserved
+        w.put(0, 1)  # fixed blocksize strategy (frame number coded)
+        w.put(7, 4)  # block size: 16-bit at end of header
+        w.put(0, 4)  # sample rate: from STREAMINFO
+        w.put(nch - 1, 4)  # independent channels
+        w.put(ss_code, 3)
+        w.put(0, 1)
+        for b in _flac_utf8_encode(fi):
+            w.put(b, 8)
+        w.put(bsize - 1, 16)
+        hdr = w.flush()
+        w = _MSBBitWriter()
+        frame = bytearray(hdr)
+        frame.append(_crc8_flac(hdr))
+        for c in range(nch):
+            ch = [int(v) for v in blk[:, c]]
+            # candidate fixed orders 0..2 (0 needs no warmup benefit)
+            best_order, best_resid, best_cost = None, None, None
+            for order in range(0, 3):
+                if bsize <= order:
+                    continue
+                coefs = _FLAC_FIXED_COEFS[order]
+                resid = [
+                    ch[i] - sum(cc * ch[i - j - 1] for j, cc in enumerate(coefs))
+                    for i in range(order, bsize)
+                ]
+                cost = sum(abs(r) for r in resid)
+                if best_cost is None or cost < best_cost:
+                    best_order, best_resid, best_cost = order, resid, cost
+            param = _flac_rice_param(best_resid)
+            # constant block: CONSTANT subframe
+            if all(v == ch[0] for v in ch):
+                w.put(0, 1)
+                w.put(0, 6)
+                w.put(0, 1)
+                w.put(ch[0] & ((1 << bps) - 1), bps)
+                continue
+            # if rice would explode (pathological), verbatim wins
+            est = len(best_resid) * (param + 2) + best_order * bps
+            if est > bsize * bps:
+                w.put(0, 1)
+                w.put(1, 6)
+                w.put(0, 1)
+                for v in ch:
+                    w.put(v & ((1 << bps) - 1), bps)
+                continue
+            w.put(0, 1)
+            w.put(8 + best_order, 6)  # FIXED
+            w.put(0, 1)  # no wasted bits
+            for i in range(best_order):
+                w.put(ch[i] & ((1 << bps) - 1), bps)
+            w.put(0, 2)  # rice method 0 (4-bit params)
+            w.put(0, 4)  # partition order 0
+            w.put(param, 4)
+            for r in best_resid:
+                z = (abs(r) << 1) - (1 if r < 0 else 0)  # zigzag
+                q, low = z >> param, z & ((1 << param) - 1)
+                for _ in range(q):
+                    w.put(0, 1)
+                w.put(1, 1)
+                w.put(low, param)
+        frame += w.flush()
+        frame += struct.pack(">H", _crc16_flac(bytes(frame)))
+        out += frame
+    return bytes(out)
