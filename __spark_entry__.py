@@ -2066,7 +2066,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correct oracle). Round 8 adds a lossless WebP (VP8L,
     functions/media.py decode_webp / webp_bytes — real LZ77 + color
     cache + canonical prefix codes) whose position-weighted pixel sum
-    any mis-decoded byte breaks. The DuckDB oracle recomputes the same
+    any mis-decoded byte breaks, and a FLAC round-trip of the WAV's
+    samples that must decode to the identical integer PCM (flac_eq —
+    two independent lossless codecs agreeing bit-for-bit). The DuckDB
+    oracle recomputes the same
     integers from the generation formula arithmetically — so a hash
     match proves the lossless decoders recovered every sample/pixel
     bit-exactly and both lossy decodes stayed inside their
@@ -2076,10 +2079,12 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vearch_spark.functions.media import (
         decode_jpeg,
+        decode_flac,
         decode_pgm,
         decode_png,
         decode_wav_pcm,
         decode_webp,
+        flac_bytes,
         jpeg_bytes,
         pgm_bytes,
         png_bytes,
@@ -2158,6 +2163,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         str(i),
                         wav_bytes(samples, 8000),
+                        flac_bytes(
+                            np.asarray(samples, dtype=np.int64)[:, None], 8000
+                        ),
                         pgm_bytes(px),
                         png_bytes(rgb),
                         jpeg_bytes(jpx, 90),
@@ -2172,16 +2180,18 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "audio_bytes", "image_bytes", "png_bytes",
-                    "jpeg_bytes", "jpeg_src", "pal_bytes", "jpeg420_bytes",
-                    "jpeg420_src", "prog_bytes", "webp_bytes",
+                    "media_id", "audio_bytes", "flac_bytes", "image_bytes",
+                    "png_bytes", "jpeg_bytes", "jpeg_src", "pal_bytes",
+                    "jpeg420_bytes", "jpeg420_src", "prog_bytes",
+                    "webp_bytes",
                 ],
             )
 
     media = docs.mapInPandas(
         synth,
         schema=(
-            "media_id string, audio_bytes binary, image_bytes binary, "
+            "media_id string, audio_bytes binary, flac_bytes binary, "
+            "image_bytes binary, "
             "png_bytes binary, jpeg_bytes binary, jpeg_src array<long>, "
             "pal_bytes binary, jpeg420_bytes binary, "
             "jpeg420_src array<long>, prog_bytes binary, webp_bytes binary"
@@ -2191,14 +2201,17 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode(batches):
         for pdf in batches:
             out = []
-            for mid, ab, ib, pb, jb, jsrc, plb, j4b, j4src, prb, wb in zip(
-                pdf["media_id"], pdf["audio_bytes"], pdf["image_bytes"],
+            for mid, ab, flb, ib, pb, jb, jsrc, plb, j4b, j4src, prb, wb in zip(
+                pdf["media_id"], pdf["audio_bytes"], pdf["flac_bytes"],
+                pdf["image_bytes"],
                 pdf["png_bytes"], pdf["jpeg_bytes"], pdf["jpeg_src"],
                 pdf["pal_bytes"], pdf["jpeg420_bytes"], pdf["jpeg420_src"],
                 pdf["prog_bytes"], pdf["webp_bytes"],
             ):
                 info = wav_info(bytes(ab))
                 pcm = decode_wav_pcm(bytes(ab))[:, 0].astype(np.int64)
+                flac_pcm = decode_flac(bytes(flb))[:, 0]
+                flac_eq = bool(np.array_equal(flac_pcm, pcm))
                 img = decode_pgm(bytes(ib))
                 png = decode_png(bytes(pb)).astype(np.int64).ravel()
                 jpg = decode_jpeg(bytes(jb))
@@ -2238,6 +2251,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         prog_eq,
                         int(wimg.sum()),
                         int((wimg * (np.arange(len(wimg)) + 1)).sum()),
+                        flac_eq,
                     )
                 )
             yield pd.DataFrame(
@@ -2247,6 +2261,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "px_sum", "png_sum", "png_wsum", "jpeg_w", "jpeg_h",
                     "jpeg_ok", "pal_sum", "pal_wsum", "jpeg420_w", "jpeg420_h",
                     "jpeg420_ok", "prog_eq", "webp_sum", "webp_wsum",
+                    "flac_eq",
                 ],
             )
 
@@ -2258,7 +2273,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jpeg_w int, jpeg_h int, jpeg_ok boolean, pal_sum long, "
             "pal_wsum long, jpeg420_w int, jpeg420_h int, "
             "jpeg420_ok boolean, prog_eq boolean, webp_sum long, "
-            "webp_wsum long"
+            "webp_wsum long, flac_eq boolean"
         ),
     ).orderBy(F.col("media_id").cast("int"))
 
@@ -4072,7 +4087,8 @@ def oracle_sql() -> dict[str, str]:
                  range((6 + d.doc_id % 7) * (4 + d.doc_id % 5) * 3),
                  j -> (j+1) * ((d.doc_id*3 + (((j // 3) % (6 + d.doc_id % 7)) // 2)*11
                        + ((j // (3 * (6 + d.doc_id % 7))) // 2)*17
-                       + (j % 3)*23) % 256)))::BIGINT AS webp_wsum
+                       + (j % 3)*23) % 256)))::BIGINT AS webp_wsum,
+               TRUE AS flac_eq
         FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 100
         ORDER BY d.doc_id
