@@ -3,14 +3,16 @@
 The gif/video_frame_sample driver queries run on fixed small slices
 (oracle-checkable); the 100 TB question is decoder THROUGHPUT: how many
 real containers per second does the Arrow-batched mapInPandas path
-decode when the corpus is large? This harness synthesizes N animated
-GIFs and N DIB AVIs inside executors (4 frames each), decodes them
-with the real codecs, takes the per-frame perceptual dHash (the image
-near-dup fingerprint), and reduces to one count — binaries and frames
-never leave the executors.
+decode when the corpus is large? This harness synthesizes N containers
+per format inside executors — animated GIFs, DIB AVIs, MJPEG MP4s (4
+frames each), lossless WebPs, and FLAC clips — decodes them with the
+real codecs, takes the per-container fingerprint (frame dHash / audio
+energy envelope), and reduces to one count: binaries and frames never
+leave the executors.
 
-Usage: python tools/stress_media.py [N]   (default 100_000)
-Prints one JSON line with containers/s and frames/s per format.
+Usage: python tools/stress_media.py [N] [formats]  (default 100_000,
+formats a comma list from gif,avi,mp4,webp,flac; default all)
+Prints one JSON line with containers/s (and frames/s where framed).
 """
 
 from __future__ import annotations
@@ -33,15 +35,26 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from vearch_spark.functions.media import (
+        audio_fingerprint64,
         avi_bytes,
         decode_avi,
+        decode_flac,
         decode_gif,
+        decode_mp4,
+        decode_webp,
         dhash64,
+        flac_bytes,
         gif_bytes,
+        mp4_bytes,
+        webp_bytes,
     )
     from vearch_spark.session import get_spark
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    formats = (
+        sys.argv[2].split(",") if len(sys.argv) > 2
+        else ["gif", "avi", "mp4", "webp", "flac"]
+    )
     spark = get_spark(app_name="media-stress")
     ids = spark.range(n).select(F.col("id").alias("doc_id")).repartition(32)
 
@@ -54,14 +67,29 @@ def main() -> None:
                 pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
                 stack = rng.integers(0, 16, (FRAMES, H, W), dtype=np.uint8)
                 rgb = pal[stack.astype(np.int64)]
-                rows.append(
-                    (i, gif_bytes(stack, pal), avi_bytes(rgb, codec="DIB"))
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "gif", "avi"])
+                row = [i]
+                if "gif" in formats:
+                    row.append(gif_bytes(stack, pal))
+                if "avi" in formats:
+                    row.append(avi_bytes(rgb, codec="DIB"))
+                if "mp4" in formats:
+                    row.append(mp4_bytes(rgb, quality=85))
+                if "webp" in formats:
+                    row.append(webp_bytes(rgb[0]))
+                if "flac" in formats:
+                    pcm = np.cumsum(
+                        rng.integers(-80, 80, 65 * 8), dtype=np.int64
+                    ).clip(-32768, 32767)
+                    row.append(flac_bytes(pcm[:, None], 8000))
+                rows.append(tuple(row))
+            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "flac") if f in formats]
+            yield pd.DataFrame(rows, columns=cols)
 
-    media = ids.mapInPandas(
-        synth, schema="doc_id long, gif binary, avi binary"
-    ).persist()
+    schema = "doc_id long" + "".join(
+        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "flac")
+        if f in formats
+    )
+    media = ids.mapInPandas(synth, schema=schema).persist()
     media.count()  # materialize synthesis OUTSIDE the timed decode
 
     def run(col, decoder):
@@ -82,21 +110,47 @@ def main() -> None:
         assert got[0] == n and got[1] == n * FRAMES
         return round(n / dt, 1), round(n * FRAMES / dt, 1)
 
-    gif_cps, gif_fps = run("gif", decode_gif)
-    avi_cps, avi_fps = run("avi", decode_avi)
-    media.unpersist()
-    print(
-        json.dumps(
-            {
-                "n": n,
-                "frames_per_container": FRAMES,
-                "gif_containers_per_s": gif_cps,
-                "gif_frames_per_s": gif_fps,
-                "avi_containers_per_s": avi_cps,
-                "avi_frames_per_s": avi_fps,
-            }
+    def run_single(col, decoder, hasher):
+        """One fingerprint per container (webp image / flac clip)."""
+
+        def sample(batches):
+            for pdf in batches:
+                out = []
+                for i, blob in zip(pdf["doc_id"], pdf[col]):
+                    out.append((int(i), int(hasher(decoder(bytes(blob))))))
+                yield pd.DataFrame(out, columns=["doc_id", "h0"])
+
+        t0 = time.time()
+        got = media.mapInPandas(
+            sample, schema="doc_id long, h0 long"
+        ).agg(F.count("*")).collect()[0]
+        dt = time.time() - t0
+        assert got[0] == n
+        return round(n / dt, 1)
+
+    out = {"n": n, "frames_per_container": FRAMES}
+    if "gif" in formats:
+        out["gif_containers_per_s"], out["gif_frames_per_s"] = run(
+            "gif", decode_gif
         )
-    )
+    if "avi" in formats:
+        out["avi_containers_per_s"], out["avi_frames_per_s"] = run(
+            "avi", decode_avi
+        )
+    if "mp4" in formats:
+        out["mp4_containers_per_s"], out["mp4_frames_per_s"] = run(
+            "mp4", decode_mp4
+        )
+    if "webp" in formats:
+        out["webp_containers_per_s"] = run_single(
+            "webp", decode_webp, lambda px: dhash64(px[..., :3])
+        )
+    if "flac" in formats:
+        out["flac_containers_per_s"] = run_single(
+            "flac", decode_flac, audio_fingerprint64
+        )
+    media.unpersist()
+    print(json.dumps(out))
     spark.stop()
 
 
