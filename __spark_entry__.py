@@ -474,6 +474,38 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING end-to-end (operators/bpe.py): fit BPE
+    merges (30 here — see below) on the documents corpus —
+    distributed word count (ONE
+    map-side-combined shuffle, the only corpus-sized job), bounded
+    top-words summary, deterministic driver-side merge learning with
+    lexicographic tie-breaks — then encode every doc with the learned
+    tokenizer (Arrow-batched greedy lowest-rank merging, ranks riding
+    the closure) and emit exact per-doc subword-token counts beside
+    the pre-token (word) counts they subdivide. Rows-only by design: no SQL
+    engine can train BPE, so there is no oracle_sql twin; correctness
+    is pinned in tests/test_bpe.py (textbook segmentation fixture,
+    naive-replay reference implementation, layout-independence,
+    distributed-encoder parity with the driver-side encoder)."""
+    from vearch_spark.functions.text import bpe_token_count
+    from vearch_spark.operators.bpe import train_bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # the synthetic corpus has a ~31-word vocabulary: 30 merges gives
+    # PARTIAL fusion (the interesting regime — full fusion would make
+    # bpe_tokens trivially equal one per word)
+    model = train_bpe(docs, num_merges=30, max_words=100_000, min_freq=2)
+    return (
+        docs.select(
+            "doc_id",
+            model.token_count_udf()(F.col("text")).alias("bpe_tokens"),
+            bpe_token_count("text").cast("int").alias("pre_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-token-count proxy: whitespace vs BPE-ish pre-tokenizer
     counts, aggregated per language."""
@@ -2478,6 +2510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multivector_fusion_sorted": q_multivector_fusion_sorted,  # fusion + search-sort twins
     "text_stats": q_text_stats,  # text signals: quality_score/repetition_scores
     "bpe_token_counts": q_bpe_token_counts,  # tokenizer: doc_chunks/sequence_packing
+    "bpe_tokenize": q_bpe_tokenize,  # BPE tokenizer TRAINING + encode (r8, rows-only: SQL can't train BPE)
     "events_hourly": q_events_hourly,  # date agg: date_range_agg
     "length_percentiles": q_length_percentiles,  # corpus stats: vocab_top_terms
     "doc_fingerprint": q_doc_fingerprint,  # fingerprint: simhash/minhash oracles
