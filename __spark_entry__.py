@@ -2314,8 +2314,8 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection over REAL containers: per doc,
     synthesize a 16×18 RGB texture (group = doc_id//4; the 4 variants
     per group perturb one corner block), round-trip it through a
-    ROTATING lossless container — PNG, WebP (VP8L), or BMP by doc id
-    (r8) — so a mixed-format crawl flows through the single
+    ROTATING lossless container — PNG, WebP (VP8L), BMP, or TIFF-LZW
+    by doc id (r8) — so a mixed-format crawl flows through the single
     decode_image dispatch (lossless, so decode is bit-exact and the
     oracle is container-independent), take the 64-bit
     perceptual dHash (functions/media.py dhash64 — integer grayscale,
@@ -2334,6 +2334,7 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image,
         dhash64,
         png_bytes,
+        tiff_bytes,
         webp_bytes,
     )
     from vearch_spark.operators.dedup import hamming_pairs
@@ -2355,11 +2356,12 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     -1,
                 ).astype(np.uint8)
                 img[:2, :2, :] = (img[:2, :2, :] + v * 3) % 256
-                # through a REAL container — rotating PNG/WebP/BMP by
-                # doc id (r8): all three are lossless, so the decoded
-                # pixels, the dHash, and the oracle are container-
-                # independent — a mixed-format crawl hashed by ONE path
-                enc = (png_bytes, webp_bytes, bmp_bytes)[i % 3]
+                # through a REAL container — rotating PNG/WebP/BMP/
+                # TIFF by doc id (r8): all four are lossless, so the
+                # decoded pixels, the dHash, and the oracle are
+                # container-independent — a mixed-format crawl hashed
+                # by ONE path
+                enc = (png_bytes, webp_bytes, bmp_bytes, tiff_bytes)[i % 4]
                 decoded = (decode_image(enc(img)) * 255.0).round().astype(np.uint8)
                 out.append((i, dhash64(decoded)))
             yield pd.DataFrame(out, columns=["doc_id", "_h"])

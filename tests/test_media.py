@@ -2415,3 +2415,80 @@ def test_flac_hostile_inputs_typed_errors():
     bad[44] ^= 0x04  # a header bit past sync
     with pytest.raises(ValueError, match="CRC-8|sync|FLAC"):
         M.decode_flac(bytes(bad))
+
+
+# --------------------------------------------------------------- TIFF
+
+
+def test_tiff_roundtrip_all_compressions():
+    """Baseline strip TIFF: gray/RGB/RGBA, both byte orders, all
+    three compressions, multi-strip, exact round-trips; the TIFF-LZW
+    early-change width pairing is crossed by an image large enough to
+    reach every code width and the 12-bit table clear; the horizontal
+    predictor genuinely compresses smooth gradients and inverts
+    exactly."""
+    from vearch_spark.functions import media as M
+
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7), (16, 24, 3), (9, 13, 4), (1, 1, 3), (100, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for comp in ("none", "lzw", "packbits"):
+            for be in (False, True):
+                blob = M.tiff_bytes(
+                    px, compression=comp, rows_per_strip=5, big_endian=be
+                )
+                assert np.array_equal(M.decode_tiff(blob), px), (shape, comp, be)
+    x, y = np.meshgrid(np.arange(64), np.arange(48))
+    img = np.stack(
+        [(x + 2 * y) % 256, (2 * x + y) % 256, (x * y // 16) % 256], -1
+    ).astype(np.uint8)
+    plain = M.tiff_bytes(img, compression="lzw")
+    pred = M.tiff_bytes(img, compression="lzw", predictor=True)
+    assert len(pred) < len(plain) // 4  # differencing pays on gradients
+    assert np.array_equal(M.decode_tiff(pred), img)
+    big = np.tile(img, (8, 8, 1))  # crosses 10/11/12-bit LZW + CLEAR
+    assert np.array_equal(
+        M.decode_tiff(M.tiff_bytes(big, compression="lzw", rows_per_strip=400)),
+        big,
+    )
+    info = M.media_info(M.tiff_bytes(img, big_endian=True))
+    assert info == {
+        "width": 64, "height": 48, "channels": 3, "compression": 5,
+        "byte_order": "big", "kind": "image", "container": "tiff",
+    }
+    via = M.decode_image(M.tiff_bytes(img))
+    assert via.shape == img.shape and np.allclose(via, img / 255.0)
+
+
+def test_tiff_hostile_inputs_typed_errors():
+    """Hostile TIFF rejects typed: bad magic, truncated IFD, missing
+    required tags, unsupported compression/planar/tiled/palette,
+    LZW payload disagreeing with the strip size, strip past EOF."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    good = M.tiff_bytes(img, compression="lzw")
+
+    with pytest.raises(ValueError, match="byte-order"):
+        M.decode_tiff(b"XX\x2a\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_tiff(b"II\x2b\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        M.decode_tiff(good[:20])  # truncated IFD
+    # compression swapped to an unsupported code (JPEG-in-TIFF = 7)
+    bad = bytearray(good)
+    i = good.find(struct.pack("<HHI", 259, 3, 1))
+    bad[i + 8] = 7
+    with pytest.raises(ValueError, match="unsupported TIFF compression"):
+        M.decode_tiff(bytes(bad))
+    # strip offset pointed past EOF
+    bad = bytearray(good)
+    i = good.find(struct.pack("<HHI", 273, 4, 1))
+    bad[i + 8 : i + 12] = struct.pack("<I", len(good) + 100)
+    with pytest.raises(ValueError):
+        M.decode_tiff(bytes(bad))
+    # LZW strip truncated: decoded bytes disagree with geometry
+    with pytest.raises(ValueError):
+        M.decode_tiff(good[:-4])

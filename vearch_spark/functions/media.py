@@ -1668,7 +1668,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decoder-contract form (bytes → (H, W[, C]) floats in [0, 1]);
     dispatches PNG vs JPEG vs GIF (first frame) vs WebP vs BMP vs
-    netpbm on the container magic."""
+    TIFF vs netpbm on the container magic."""
     if content[:8] == _PNG_SIG:
         px = decode_png(content)
         return px.astype(np.float64) / (65535.0 if px.dtype == np.uint16 else 255.0)
@@ -1680,6 +1680,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_webp(content).astype(np.float64) / 255.0
     if content[:2] == b"BM":
         return decode_bmp(content).astype(np.float64) / 255.0
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(content).astype(np.float64) / 255.0
     return decode_pgm(content).astype(np.float64) / 255.0
 
 
@@ -3626,6 +3628,8 @@ def media_info(content: bytes) -> dict:
         kind, tag = "image", "netpbm"
     elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         out, kind, tag = webp_info(content), "image", "webp"
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        out, kind, tag = tiff_info(content), "image", "tiff"
     elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         out, kind, tag = wav_info(content), "audio", "wav"
     elif content[:4] == b"fLaC":
@@ -4153,4 +4157,399 @@ def flac_bytes(
         frame += w.flush()
         frame += struct.pack(">H", _crc16_flac(bytes(frame)))
         out += frame
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ TIFF
+#
+# Baseline TIFF (public Adobe TIFF 6.0 spec): header (II/MM byte
+# order + magic 42), IFD entry walk, strip-organized 8-bit grayscale
+# and RGB(A) images, compressions None (1), LZW (5 — the TIFF
+# variant: MSB-first code packing and the early-change +1, which is
+# NOT the GIF LZW this module already has), and PackBits (32773).
+# Tiled, planar-separated, palette, and JPEG-in-TIFF variants raise
+# typed ValueError. The encoder writes single-IFD strip TIFFs in any
+# of the three compressions so foreign decoders read them; lossless,
+# so round-trips pin exact bytes.
+
+_TIFF_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def _tiff_lzw_decompress(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW: codes pack MSB-first; code width grows at
+    2^n - 1 (early change); CLEAR = 256, EOI = 257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == EOI:
+                if len(out) != expect:
+                    raise ValueError(
+                        f"TIFF LZW: {len(out)} bytes decoded, {expect} expected"
+                    )
+                return bytes(out)
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("TIFF LZW: first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"TIFF LZW: code {code} beyond table")
+            out += entry
+            if len(out) > expect:
+                raise ValueError("TIFF LZW output exceeds strip size")
+            prev = entry
+            # early change: width grows one code EARLY (at 2^n - 1)
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    raise ValueError("TIFF LZW stream ended without EOI")
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (MSB-first, early change)."""
+    CLEAR, EOI = 256, 257
+    wtr = _MSBBitWriter()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    wtr.put(CLEAR, width)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        wtr.put(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        # early-change pairing: the decoder's table runs one entry
+        # behind the encoder's, so the encoder widens at next-code ==
+        # 2^w where the decoder widens at table-size == 2^w - 1 (the
+        # libtiff rule pair)
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        elif nxt == (1 << 12) - 1:
+            wtr.put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        wtr.put(table[cur], width)
+    wtr.put(EOI, width)
+    return wtr.flush()
+
+
+def _packbits_decompress(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) != expect:
+        raise ValueError(f"PackBits: {len(out)} bytes decoded, {expect} expected")
+    return bytes(out)
+
+
+def _packbits_compress(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find a repeat run of >= 3
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j - i >= 2:  # repeat run [i..j]
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+            continue
+        # literal run until the next >=3 repeat (max 128)
+        j = i
+        while (
+            j + 1 <= n - 1
+            and j - i < 127
+            and not (
+                j + 2 < n and data[j + 1] == data[j + 2] == data[j]
+            )
+        ):
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i]) + data[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def _tiff_ifd(content: bytes) -> dict:
+    if content[:2] == b"II":
+        bo = "<"
+    elif content[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload (bad byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", content[2:4])
+    if magic != 42:
+        raise ValueError(f"not a TIFF payload (magic {magic})")
+    (ifd_off,) = struct.unpack(bo + "I", content[4:8])
+    if ifd_off + 2 > len(content):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack(bo + "H", content[ifd_off : ifd_off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(content):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack(bo + "HHI", content[e : e + 8])
+        size = _TIFF_TYPES.get(typ)
+        if size is None:
+            continue  # unknown type: spec says skip
+        total = size * cnt
+        if total <= 4:
+            raw = content[e + 8 : e + 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", content[e + 8 : e + 12])
+            raw = content[off : off + total]
+            if len(raw) != total:
+                raise ValueError(f"truncated TIFF tag {tag} data")
+        if typ == 3:
+            vals = list(struct.unpack(bo + f"{cnt}H", raw))
+        elif typ == 4:
+            vals = list(struct.unpack(bo + f"{cnt}I", raw))
+        elif typ in (1, 2):
+            vals = list(raw)
+        else:  # RATIONAL
+            vals = [
+                struct.unpack(bo + "II", raw[k * 8 : k * 8 + 8]) for k in range(cnt)
+            ]
+        tags[tag] = vals
+    return {"bo": bo, "tags": tags}
+
+
+def tiff_info(content: bytes) -> dict:
+    ifd = _tiff_ifd(content)
+    t = ifd["tags"]
+    if 256 not in t or 257 not in t:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    return {
+        "width": int(t[256][0]),
+        "height": int(t[257][0]),
+        "channels": int(t.get(277, [1])[0]),
+        "compression": int(t.get(259, [1])[0]),
+        "byte_order": "little" if ifd["bo"] == "<" else "big",
+    }
+
+
+@_typed_decode_errors
+def decode_tiff(content: bytes) -> "np.ndarray":
+    """Decode a baseline strip TIFF to exact uint8 pixels: (H, W)
+    grayscale or (H, W, 3|4) RGB(A). Both byte orders; compressions
+    None / LZW (TIFF variant, early change) / PackBits; horizontal
+    differencing predictor (tag 317 = 2); multi-strip. Tiled, planar,
+    palette, sub-8-bit, and JPEG-in-TIFF raise typed ValueError."""
+    ifd = _tiff_ifd(content)
+    t = ifd["tags"]
+    for need in (256, 257, 273, 279):
+        if need not in t:
+            raise ValueError(f"TIFF missing required tag {need}")
+    w, h = int(t[256][0]), int(t[257][0])
+    if w <= 0 or h <= 0 or w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(f"bad TIFF geometry {w}x{h}")
+    spp = int(t.get(277, [1])[0])
+    if spp not in (1, 3, 4):
+        raise ValueError(f"unsupported TIFF SamplesPerPixel {spp}")
+    bits = t.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise ValueError(f"only 8-bit TIFF samples supported (got {bits})")
+    comp = int(t.get(259, [1])[0])
+    if comp not in (1, 5, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (None/LZW/PackBits only)"
+        )
+    if int(t.get(284, [1])[0]) != 1:
+        raise ValueError("planar-separated TIFF not supported")
+    if 322 in t or 323 in t:
+        raise ValueError("tiled TIFF not supported")
+    if int(t.get(262, [1])[0]) == 3:
+        raise ValueError("palette TIFF not supported")
+    predictor = int(t.get(317, [1])[0])
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    rows_per_strip = int(t.get(278, [h])[0])
+    offsets, counts = t[273], t[279]
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF StripOffsets/StripByteCounts length mismatch")
+    row_bytes = w * spp
+    raw = bytearray()
+    done_rows = 0
+    for off, cnt in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, h - done_rows)
+        expect = strip_rows * row_bytes
+        chunk = content[int(off) : int(off) + int(cnt)]
+        if len(chunk) != int(cnt):
+            raise ValueError("TIFF strip extends past file end")
+        if comp == 1:
+            if len(chunk) < expect:
+                raise ValueError("TIFF uncompressed strip short")
+            raw += chunk[:expect]
+        elif comp == 5:
+            raw += _tiff_lzw_decompress(chunk, expect)
+        else:
+            raw += _packbits_decompress(chunk, expect)
+        done_rows += strip_rows
+    if done_rows < h:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo per row
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    return px[:, :, 0] if spp == 1 else px
+
+
+def tiff_bytes(
+    pixels: "np.ndarray | list",
+    compression: str = "lzw",
+    rows_per_strip: int = 64,
+    big_endian: bool = False,
+    predictor: bool = False,
+) -> bytes:
+    """Encode uint8 pixels ((H, W) gray, (H, W, 3|4) RGB(A)) as a
+    single-IFD strip TIFF with compression 'none' | 'lzw' |
+    'packbits', optional horizontal-differencing predictor (LZW),
+    either byte order. Lossless round-trip with :func:`decode_tiff`."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        spp = 1
+        arr3 = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        spp = arr.shape[2]
+        arr3 = arr
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3|4) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}.get(compression)
+    if comp_code is None:
+        raise ValueError(f"compression must be none/lzw/packbits, got {compression}")
+    if predictor and comp_code != 5:
+        raise ValueError("the horizontal predictor is supported with lzw only")
+    bo = ">" if big_endian else "<"
+
+    src = arr3
+    if predictor:
+        d = src.astype(np.int64)
+        src = ((d - np.concatenate(
+            [np.zeros((h, 1, spp), dtype=np.int64), d[:, :-1]], axis=1
+        )) & 0xFF).astype(np.uint8)
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        chunk = np.ascontiguousarray(src[r0 : r0 + rows_per_strip]).tobytes()
+        if comp_code == 1:
+            strips.append(chunk)
+        elif comp_code == 5:
+            strips.append(_tiff_lzw_compress(chunk))
+        else:
+            strips.append(_packbits_compress(chunk))
+
+    n_strips = len(strips)
+    entries = []  # (tag, type, count, value-or-bytes)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [comp_code])
+    entry(262, 3, [1 if spp == 1 else 2])  # BlackIsZero / RGB
+    entry(273, 4, None)  # strip offsets, patched below
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    if predictor:
+        entry(317, 3, [2])
+    if spp == 4:
+        entry(338, 3, [2])  # ExtraSamples: unassociated alpha
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header(8) + IFD + overflow data + strips
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    over_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def pack_vals(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.pack(bo + f"{len(vals)}{fmt}", *vals)
+
+    # first pass to size overflow (strip offsets counted too)
+    sized = []
+    for tag, typ, vals in entries:
+        n = n_strips if vals is None else len(vals)
+        total = _TIFF_TYPES[typ] * n
+        sized.append(total)
+    over_cursor = over_off + sum(t for t in sized if t > 4)
+    strip_start = over_cursor
+    offsets = []
+    cur = strip_start
+    for s in strips:
+        offsets.append(cur)
+        cur += len(s)
+
+    ifd = bytearray(struct.pack(bo + "H", len(entries)))
+    data_cursor = over_off
+    for (tag, typ, vals), total in zip(entries, sized):
+        if vals is None:
+            vals = offsets
+        packed = pack_vals(typ, vals)
+        ifd += struct.pack(bo + "HHI", tag, typ, len(vals))
+        if total <= 4:
+            ifd += packed + b"\x00" * (4 - total)
+        else:
+            ifd += struct.pack(bo + "I", data_cursor)
+            overflow += packed
+            data_cursor += total
+    ifd += struct.pack(bo + "I", 0)  # next IFD
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(bo + "HI", 42, ifd_off)
+    out += ifd
+    out += overflow
+    for s in strips:
+        out += s
     return bytes(out)
