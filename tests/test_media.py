@@ -2492,3 +2492,67 @@ def test_tiff_hostile_inputs_typed_errors():
     # LZW strip truncated: decoded bytes disagree with geometry
     with pytest.raises(ValueError):
         M.decode_tiff(good[:-4])
+
+
+def test_tiff_property_roundtrip():
+    """Hypothesis sweep: any (shape, channels, compression, strip
+    size, byte order, predictor) combination in the supported
+    envelope round-trips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vearch_spark.functions.media import decode_tiff, tiff_bytes
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        ch=st.sampled_from([1, 3, 4]),
+        comp=st.sampled_from(["none", "lzw", "packbits"]),
+        rps=st.integers(1, 24),
+        be=st.booleans(),
+        pred=st.booleans(),
+        vals=st.integers(2, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ch, comp, rps, be, pred, vals, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.integers(0, vals, shape, dtype=np.uint8)
+        use_pred = pred and comp == "lzw"
+        blob = tiff_bytes(
+            px, compression=comp, rows_per_strip=rps,
+            big_endian=be, predictor=use_pred,
+        )
+        assert np.array_equal(decode_tiff(blob), px)
+
+    check()
+
+
+def test_flac_property_roundtrip():
+    """Hypothesis sweep: any (length, channels, depth, block size)
+    combination round-trips the exact integers, MD5 gate included."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vearch_spark.functions.media import decode_flac, flac_bytes
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(1, 700),
+        ch=st.integers(1, 3),
+        bps=st.sampled_from([8, 16, 24]),
+        bsz=st.sampled_from([64, 192, 4096]),
+        smooth=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, ch, bps, bsz, smooth, seed):
+        rng = np.random.default_rng(seed)
+        hi = 1 << (bps - 1)
+        x = rng.integers(-hi, hi, (n, ch), dtype=np.int64)
+        if smooth:
+            x = np.cumsum(x // 64, axis=0).clip(-hi, hi - 1)
+        blob = flac_bytes(x, 8000, bps, block_size=bsz)
+        assert np.array_equal(decode_flac(blob), x)
+
+    check()

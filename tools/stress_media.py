@@ -41,11 +41,13 @@ def main() -> None:
         decode_flac,
         decode_gif,
         decode_mp4,
+        decode_tiff,
         decode_webp,
         dhash64,
         flac_bytes,
         gif_bytes,
         mp4_bytes,
+        tiff_bytes,
         webp_bytes,
     )
     from vearch_spark.session import get_spark
@@ -53,7 +55,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     formats = (
         sys.argv[2].split(",") if len(sys.argv) > 2
-        else ["gif", "avi", "mp4", "webp", "flac"]
+        else ["gif", "avi", "mp4", "webp", "flac", "tiff"]
     )
     spark = get_spark(app_name="media-stress")
     ids = spark.range(n).select(F.col("id").alias("doc_id")).repartition(32)
@@ -81,12 +83,14 @@ def main() -> None:
                         rng.integers(-80, 80, 65 * 8), dtype=np.int64
                     ).clip(-32768, 32767)
                     row.append(flac_bytes(pcm[:, None], 8000))
+                if "tiff" in formats:
+                    row.append(tiff_bytes(rgb[0], compression="lzw"))
                 rows.append(tuple(row))
-            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "flac") if f in formats]
+            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "flac", "tiff") if f in formats]
             yield pd.DataFrame(rows, columns=cols)
 
     schema = "doc_id long" + "".join(
-        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "flac")
+        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "flac", "tiff")
         if f in formats
     )
     media = ids.mapInPandas(synth, schema=schema).persist()
@@ -148,6 +152,10 @@ def main() -> None:
     if "flac" in formats:
         out["flac_containers_per_s"] = run_single(
             "flac", decode_flac, audio_fingerprint64
+        )
+    if "tiff" in formats:
+        out["tiff_containers_per_s"] = run_single(
+            "tiff", decode_tiff, lambda px: dhash64(px[..., :3])
         )
     media.unpersist()
     print(json.dumps(out))
