@@ -2176,6 +2176,7 @@ def test_media_info_unified_dispatch():
         (M.bmp_bytes(img), "bmp", "image"),
         (M.pgm_bytes(img), "netpbm", "image"),
         (M.webp_bytes(img), "webp", "image"),
+        (M.tiff_bytes(img), "tiff", "image"),
         (M.avi_bytes(frames), "avi", "video"),
         (M.mp4_bytes(frames), "mp4", "video"),
     ]
@@ -2186,6 +2187,9 @@ def test_media_info_unified_dispatch():
     winfo = M.media_info(M.wav_bytes([0, 1, -1] * 50, 8000))
     assert winfo["container"] == "wav" and winfo["kind"] == "audio"
     assert winfo["n_frames"] == 150
+    finfo = M.media_info(M.flac_bytes(np.zeros((150, 1), dtype=np.int64)))
+    assert finfo["container"] == "flac" and finfo["kind"] == "audio"
+    assert finfo["total_samples"] == 150
     with pytest.raises(ValueError, match="unrecognized media"):
         M.media_info(b"garbage bytes here")
 
