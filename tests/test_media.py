@@ -2194,6 +2194,48 @@ def test_media_info_unified_dispatch():
         M.media_info(b"garbage bytes here")
 
 
+def test_media_encoder_param_validation():
+    """r8 advice regressions: mp4_bytes validates fps (no raw
+    ZeroDivisionError, no zero-duration stts); flac_bytes validates
+    block_size against the spec's [16, 65535] envelope; decode_flac
+    rejects the spec's 'unknown length' total_samples=0 typed;
+    media_info's BMP arm agrees with decode_bmp on core-header BMPs."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    frames = np.zeros((2, 8, 8, 3), dtype=np.uint8)
+    for fps in (0, -1, 1001):
+        with pytest.raises(ValueError, match="fps"):
+            M.mp4_bytes(frames, fps=fps)
+    assert M.mp4_info(M.mp4_bytes(frames, fps=1000))["duration_s"] > 0
+
+    x = np.zeros((64, 1), dtype=np.int64)
+    for bsz in (0, 15, 65536):
+        with pytest.raises(ValueError, match="block_size"):
+            M.flac_bytes(x, block_size=bsz)
+
+    # STREAMINFO total_samples=0 = "unknown length" (RFC 9639) — typed
+    blob = bytearray(M.flac_bytes(x))
+    w = M._MSBBitWriter()
+    w.put(16, 16); w.put(16, 16); w.put(0, 24); w.put(0, 24)
+    w.put(8000, 20); w.put(0, 3); w.put(15, 5); w.put(0, 36)
+    blob[8 : 8 + 18] = w.flush()
+    with pytest.raises(ValueError, match="unknown total_samples"):
+        M.decode_flac(bytes(blob))
+
+    # BITMAPCOREHEADER BMP: 12-byte DIB header, 16-bit dims — both the
+    # probe and the decoder must reject typed (probe used to emit garbage)
+    core = (
+        b"BM" + struct.pack("<IHHI", 26 + 6, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 5, 4, 1, 24) + b"\x00" * 8
+    )
+    with pytest.raises(ValueError, match="header size"):
+        M.media_info(core)
+    with pytest.raises(ValueError, match="header size"):
+        M.decode_bmp(core + b"\x00" * 40)
+
+
 def test_webp_property_roundtrip():
     """Hypothesis sweep: any (shape, channels, cache size, transforms,
     LZ77) combination in the supported envelope round-trips

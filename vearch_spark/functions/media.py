@@ -3523,7 +3523,10 @@ def mp4_bytes(
     # absolute sample offsets: mdat payload starts after ftyp + header
     first_off = len(ftyp) + 8
     timescale = 1000
-    delta = timescale // int(fps)
+    fps = int(fps)
+    if not 1 <= fps <= timescale:
+        raise ValueError(f"fps must be in [1, {timescale}], got {fps}")
+    delta = timescale // fps
     duration = delta * n
 
     def full(typ, payload, version=0, flags=0):
@@ -3620,6 +3623,9 @@ def media_info(content: bytes) -> dict:
     elif content[:2] == b"BM":
         if len(content) < 30:
             raise ValueError("truncated BMP header")
+        (hdr_size,) = struct.unpack("<I", content[14:18])
+        if hdr_size < 40:  # BITMAPCOREHEADER carries 16-bit dims at 18
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
         w, h = struct.unpack("<ii", content[18:26])
         out, kind, tag = {"width": w, "height": abs(h)}, "image", "bmp"
     elif content[:2] in (b"P5", b"P6"):
@@ -3941,6 +3947,10 @@ def decode_flac(content: bytes) -> "np.ndarray":
     bps = info["bits_per_sample"]
     nch = info["channels"]
     total = info["total_samples"]
+    if total == 0:
+        # RFC 9639: 0 means "unknown length" — a legal wild-crawl
+        # stream; reject typed instead of silently decoding nothing.
+        raise ValueError("FLAC with unknown total_samples (0) unsupported")
     chans: list = [[] for _ in range(nch)]
     got = 0
     while got < total and pos + 2 <= len(content):
@@ -4062,6 +4072,9 @@ def flac_bytes(
     bps = int(bits_per_sample)
     if bps not in (8, 12, 16, 20, 24, 32):
         raise ValueError(f"unsupported bits_per_sample {bps}")
+    block_size = int(block_size)
+    if not 16 <= block_size <= 65535:  # spec minimum / 16-bit fields
+        raise ValueError(f"block_size must be in [16, 65535], got {block_size}")
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if arr.min() < lo or arr.max() > hi:
         raise ValueError(f"samples exceed {bps}-bit range")
