@@ -2100,7 +2100,12 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache + canonical prefix codes) whose position-weighted pixel sum
     any mis-decoded byte breaks, and a FLAC round-trip of the WAV's
     samples that must decode to the identical integer PCM (flac_eq —
-    two independent lossless codecs agreeing bit-for-bit). The DuckDB
+    two independent lossless codecs agreeing bit-for-bit). Round 9
+    adds a TIFF round-trip (tiff_sum/tiff_wsum) whose compression
+    rotates none/LZW/PackBits by doc id with the differencing
+    predictor and both byte orders in the sweep — multi-strip
+    (rows_per_strip=2), lossless, so the position-weighted sum is
+    exact. The DuckDB
     oracle recomputes the same
     integers from the generation formula arithmetically — so a hash
     match proves the lossless decoders recovered every sample/pixel
@@ -2114,6 +2119,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_flac,
         decode_pgm,
         decode_png,
+        decode_tiff,
         decode_wav_pcm,
         decode_webp,
         flac_bytes,
@@ -2121,6 +2127,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         pgm_bytes,
         png_bytes,
         png_palette_bytes,
+        tiff_bytes,
         wav_bytes,
         wav_info,
         webp_bytes,
@@ -2191,6 +2198,17 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for c in range(3)],
                     -1,
                 ).astype(np.uint8)
+                # TIFF (r9): compression rotates none/LZW/PackBits by
+                # doc id, LZW gets the differencing predictor on odd
+                # ids, byte order alternates, rows_per_strip=2 forces
+                # the multi-strip path; lossless, so the position-
+                # weighted sum is exact
+                tw, th = 5 + i % 6, 4 + i % 4
+                tpx = np.array(
+                    [(i * 13 + j * 29) % 256 for j in range(tw * th * 3)],
+                    dtype=np.uint8,
+                ).reshape(th, tw, 3)
+                tcomp = ("none", "lzw", "packbits")[i % 3]
                 rows.append(
                     (
                         str(i),
@@ -2207,6 +2225,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         jpx420.astype(np.int64).ravel(),
                         jpeg_bytes(jpx, 90, progressive=True),
                         webp_bytes(wpx),
+                        tiff_bytes(
+                            tpx,
+                            compression=tcomp,
+                            predictor=(tcomp == "lzw" and i % 2 == 1),
+                            big_endian=bool(i % 2),
+                            rows_per_strip=2,
+                        ),
                     )
                 )
             yield pd.DataFrame(
@@ -2215,7 +2240,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id", "audio_bytes", "flac_bytes", "image_bytes",
                     "png_bytes", "jpeg_bytes", "jpeg_src", "pal_bytes",
                     "jpeg420_bytes", "jpeg420_src", "prog_bytes",
-                    "webp_bytes",
+                    "webp_bytes", "tiff_bytes",
                 ],
             )
 
@@ -2226,19 +2251,20 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "image_bytes binary, "
             "png_bytes binary, jpeg_bytes binary, jpeg_src array<long>, "
             "pal_bytes binary, jpeg420_bytes binary, "
-            "jpeg420_src array<long>, prog_bytes binary, webp_bytes binary"
+            "jpeg420_src array<long>, prog_bytes binary, webp_bytes binary, "
+            "tiff_bytes binary"
         ),
     )
 
     def decode(batches):
         for pdf in batches:
             out = []
-            for mid, ab, flb, ib, pb, jb, jsrc, plb, j4b, j4src, prb, wb in zip(
+            for mid, ab, flb, ib, pb, jb, jsrc, plb, j4b, j4src, prb, wb, tb in zip(
                 pdf["media_id"], pdf["audio_bytes"], pdf["flac_bytes"],
                 pdf["image_bytes"],
                 pdf["png_bytes"], pdf["jpeg_bytes"], pdf["jpeg_src"],
                 pdf["pal_bytes"], pdf["jpeg420_bytes"], pdf["jpeg420_src"],
-                pdf["prog_bytes"], pdf["webp_bytes"],
+                pdf["prog_bytes"], pdf["webp_bytes"], pdf["tiff_bytes"],
             ):
                 info = wav_info(bytes(ab))
                 pcm = decode_wav_pcm(bytes(ab))[:, 0].astype(np.int64)
@@ -2262,6 +2288,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 prog_eq = bool(np.array_equal(decode_jpeg(bytes(prb)), jpg))
                 wimg = decode_webp(bytes(wb)).astype(np.int64).ravel()
+                timg = decode_tiff(bytes(tb)).astype(np.int64).ravel()
                 out.append(
                     (
                         mid,
@@ -2284,6 +2311,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(wimg.sum()),
                         int((wimg * (np.arange(len(wimg)) + 1)).sum()),
                         flac_eq,
+                        int(timg.sum()),
+                        int((timg * (np.arange(len(timg)) + 1)).sum()),
                     )
                 )
             yield pd.DataFrame(
@@ -2293,7 +2322,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "px_sum", "png_sum", "png_wsum", "jpeg_w", "jpeg_h",
                     "jpeg_ok", "pal_sum", "pal_wsum", "jpeg420_w", "jpeg420_h",
                     "jpeg420_ok", "prog_eq", "webp_sum", "webp_wsum",
-                    "flac_eq",
+                    "flac_eq", "tiff_sum", "tiff_wsum",
                 ],
             )
 
@@ -2305,9 +2334,143 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jpeg_w int, jpeg_h int, jpeg_ok boolean, pal_sum long, "
             "pal_wsum long, jpeg420_w int, jpeg420_h int, "
             "jpeg420_ok boolean, prog_eq boolean, webp_sum long, "
-            "webp_wsum long, flac_eq boolean"
+            "webp_wsum long, flac_eq boolean, tiff_sum long, tiff_wsum long"
         ),
     ).orderBy(F.col("media_id").cast("int"))
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified header probe across ALL ELEVEN container formats — the
+    cheap first pass a curation pipeline runs on a mixed-format crawl
+    before committing to full decodes: per doc, synthesize one REAL
+    container of every supported family (PNG, JPEG, GIF — animated,
+    1-3 frames — BMP, netpbm P5, lossless WebP — RGBA on odd ids, so
+    the alpha bit is exercised both ways — TIFF with compression
+    rotating none/LZW/PackBits, RIFF/WAVE PCM, FLAC, AVI-DIB, and
+    ISO BMFF MP4/MJPEG), run functions/media.py:media_info (single
+    magic-dispatch entry point), and emit one row per (doc, container)
+    with the probe's kind tag, dimensions, frame/sample count, and a
+    per-family detail field (PNG bit depth, JPEG component count, GIF
+    global-color-table size, WebP alpha flag, TIFF compression code,
+    WAV sample rate, FLAC bits/sample, AVI fps; -1 where the family
+    has no such field). The DuckDB oracle recomputes every integer
+    FROM THE GENERATION FORMULA — a hash match proves all eleven
+    header parsers extract the right fields from real containers their
+    own encoders produced. 100 TB posture: narrow mapInPandas — the
+    binaries are synthesized and probed inside one Arrow batch and
+    never shuffle; header probes are O(bytes-scanned) tiny."""
+    import numpy as np
+    import pandas as pd
+
+    from vearch_spark.functions.media import (
+        avi_bytes,
+        bmp_bytes,
+        flac_bytes,
+        gif_bytes,
+        jpeg_bytes,
+        media_info,
+        mp4_bytes,
+        pgm_bytes,
+        png_bytes,
+        tiff_bytes,
+        wav_bytes,
+        webp_bytes,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 40).select("doc_id")
+
+    def probe(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                rgb = np.array(
+                    [(i * 7 + j * 3) % 256 for j in range(w * h * 3)],
+                    dtype=np.uint8,
+                ).reshape(h, w, 3)
+                gray = rgb[:, :, 0]
+                gw, gh, ng = 5 + i % 4, 4 + i % 3, 1 + i % 3
+                npal = 2 << (i % 3)  # 2/4/8 → gct_size exact
+                gif_frames = np.stack(
+                    [((np.arange(gw * gh).reshape(gh, gw) + f) % npal)
+                     for f in range(ng)]
+                ).astype(np.uint8)
+                pal = np.array(
+                    [[(p * 37 + k * 11) % 256 for k in range(3)]
+                     for p in range(npal)],
+                    dtype=np.uint8,
+                )
+                wpx = rgb if i % 2 == 0 else np.concatenate(
+                    [rgb, np.full((h, w, 1), 200, dtype=np.uint8)], axis=2
+                )
+                tcomp = ("none", "lzw", "packbits")[i % 3]
+                n = 30 + i % 17
+                samples = np.array(
+                    [((i * 19 + j * 7) % 512) - 256 for j in range(n)],
+                    dtype=np.int64,
+                )[:, None]
+                vw, vh, nf = 6 + i % 5, 4 + i % 3, 2 + i % 3
+                vid = np.zeros((nf, vh, vw, 3), dtype=np.uint8)
+                blobs = {
+                    "png": png_bytes(rgb),
+                    "jpeg": jpeg_bytes(rgb, 90),
+                    "gif": gif_bytes(gif_frames, pal),
+                    "bmp": bmp_bytes(rgb),
+                    "netpbm": pgm_bytes(gray),
+                    "webp": webp_bytes(wpx),
+                    "tiff": tiff_bytes(rgb, compression=tcomp),
+                    "wav": wav_bytes(samples[:, 0].tolist(), 8000),
+                    "flac": flac_bytes(samples, 8000),
+                    "avi": avi_bytes(vid, fps=10, codec="DIB"),
+                    "mp4": mp4_bytes(vid, fps=10),
+                }
+                for tag, blob in blobs.items():
+                    info = media_info(blob)
+                    assert info["container"] == tag
+                    frames = {
+                        "gif": info.get("n_frames"),
+                        "wav": info.get("n_frames"),
+                        "flac": info.get("total_samples"),
+                        "avi": info.get("n_frames"),
+                        "mp4": info.get("n_samples"),
+                    }.get(tag, 1)
+                    extra = {
+                        "png": info.get("bit_depth"),
+                        "jpeg": info.get("components"),
+                        "gif": info.get("gct_size"),
+                        "webp": info.get("alpha"),
+                        "tiff": info.get("compression"),
+                        "wav": info.get("sample_rate"),
+                        "flac": info.get("bits_per_sample"),
+                        "avi": info.get("fps"),
+                    }.get(tag)
+                    out.append(
+                        (
+                            str(i),
+                            tag,
+                            info["kind"],
+                            int(info.get("width", -1)),
+                            int(info.get("height", -1)),
+                            int(frames),
+                            int(extra) if extra is not None else -1,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "container", "kind", "width", "height",
+                    "frames", "extra",
+                ],
+            )
+
+    return docs.mapInPandas(
+        probe,
+        schema=(
+            "media_id string, container string, kind string, width int, "
+            "height int, frames int, extra int"
+        ),
+    ).orderBy(F.col("media_id").cast("int"), "container")
 
 
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,7 +2643,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_frame_sample": q_gif_frame_sample,  # animated-GIF frame-stride sampling (r7)
     "video_frame_sample": q_video_frame_sample,  # RIFF AVI DIB+MJPEG frame sampling (r7)
     "cluster_sample": q_cluster_sample,
-    "hard_negatives": q_hard_negatives,
+    # (r9: media_probe promoted in-50 — the unified 11-container header
+    # probe is the round's driver-gated evidence for the TIFF family
+    # and media_info; demoted in its place: hard_negatives, whose FLAT/
+    # BLAS mining kernel twins the in-50 knn_self_join + cluster_sample)
+    "media_probe": q_media_probe,  # media_info across all 11 containers, formula oracle (r9)
     "temperature_mix": q_temperature_mix,
     "scann_knn": q_scann_knn,
     "bm25_topk": q_bm25_topk,
@@ -2496,6 +2663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-50 - the round brings four new first-class pipeline ops that
     # deserve the driver stamp; demoted in their place, each with an
     # in-50 twin:)
+    "hard_negatives": q_hard_negatives,  # FLAT/BLAS mining: knn_self_join + cluster_sample in-50 (demoted r9)
     "embedding_outliers": q_embedding_outliers,  # IVF-assignment stats: cluster_sample in-50
     "doc_chunks": q_doc_chunks,  # tokenizer chunking: sequence_packing in-50
     "term_filter_arrays": q_term_filter_arrays,  # filter family: filter_scan in-50
@@ -4123,10 +4291,72 @@ def oracle_sql() -> dict[str, str]:
                  j -> (j+1) * ((d.doc_id*3 + (((j // 3) % (6 + d.doc_id % 7)) // 2)*11
                        + ((j // (3 * (6 + d.doc_id % 7))) // 2)*17
                        + (j % 3)*23) % 256)))::BIGINT AS webp_wsum,
-               TRUE AS flac_eq
+               TRUE AS flac_eq,
+               list_sum(list_transform(
+                 range((5 + d.doc_id % 6) * (4 + d.doc_id % 4) * 3),
+                 j -> (d.doc_id*13 + j*29) % 256))::BIGINT AS tiff_sum,
+               list_sum(list_transform(
+                 range((5 + d.doc_id % 6) * (4 + d.doc_id % 4) * 3),
+                 j -> (j+1) * ((d.doc_id*13 + j*29) % 256)))::BIGINT AS tiff_wsum
         FROM documents d JOIN palcfg p ON d.doc_id = p.doc_id
         WHERE d.doc_id < 100
         ORDER BY d.doc_id
+    """
+    # media_probe: the Spark side synthesizes one REAL container per
+    # family per doc and probes it with media_info; the oracle
+    # recomputes every header field from the generation formula — a
+    # hash match proves all eleven parsers read real containers right
+    d["media_probe"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40)
+        SELECT * FROM (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id, 'png' AS container,
+                 'image' AS kind, (4 + doc_id % 5)::INT AS width,
+                 (3 + doc_id % 4)::INT AS height, 1::INT AS frames,
+                 8::INT AS extra FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'jpeg', 'image',
+                 (4 + doc_id % 5)::INT, (3 + doc_id % 4)::INT, 1::INT,
+                 3::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'gif', 'image',
+                 (5 + doc_id % 4)::INT, (4 + doc_id % 3)::INT,
+                 (1 + doc_id % 3)::INT,
+                 (CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END)::INT
+          FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'bmp', 'image',
+                 (4 + doc_id % 5)::INT, (3 + doc_id % 4)::INT, 1::INT,
+                 (-1)::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'netpbm', 'image',
+                 (4 + doc_id % 5)::INT, (3 + doc_id % 4)::INT, 1::INT,
+                 (-1)::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'webp', 'image',
+                 (4 + doc_id % 5)::INT, (3 + doc_id % 4)::INT, 1::INT,
+                 (doc_id % 2)::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'tiff', 'image',
+                 (4 + doc_id % 5)::INT, (3 + doc_id % 4)::INT, 1::INT,
+                 (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5
+                  ELSE 32773 END)::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'wav', 'audio',
+                 (-1)::INT, (-1)::INT, (30 + doc_id % 17)::INT,
+                 8000::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'flac', 'audio',
+                 (-1)::INT, (-1)::INT, (30 + doc_id % 17)::INT,
+                 16::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'avi', 'video',
+                 (6 + doc_id % 5)::INT, (4 + doc_id % 3)::INT,
+                 (2 + doc_id % 3)::INT, 10::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'mp4', 'video',
+                 (6 + doc_id % 5)::INT, (4 + doc_id % 3)::INT,
+                 (2 + doc_id % 3)::INT, (-1)::INT FROM d
+        ) ORDER BY media_id::INT, container
     """
     # corpus_line_filter: the oracle recomputes the full CCNet line
     # pipeline on RAW lines (Spark counts by md5 of the line — same

@@ -403,6 +403,19 @@ def test_frame_sample_queries_are_narrow_pipelines(spark, sf_dir):
         assert X.count_exchanges(out) <= 1, q.__name__
 
 
+def test_media_probe_is_narrow_pipeline(spark, sf_dir):
+    """media_probe synthesizes + header-probes all 11 containers inside
+    one Arrow batch — binaries never shuffle; the only exchange is the
+    final presentation sort. No join, no aggregation, no window."""
+    import __spark_entry__ as entry
+
+    out = entry.q_media_probe(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    for bad in ("Join", "HashAggregate", "Window"):
+        assert bad not in plan, bad
+    assert X.count_exchanges(out) <= 1  # orderBy only
+
+
 def test_html_extract_is_pure_projection(spark, sf_dir):
     """html_extract is a narrow JVM regex projection — the only
     exchange is the presentation sort; no Python, no join, no agg."""
