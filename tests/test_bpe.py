@@ -68,6 +68,72 @@ def test_incremental_counts_match_recount():
         assert model.encode_word(w) == list(seqs[w]), w
 
 
+def test_heap_selection_matches_max_scan():
+    """r9: best-pair selection moved from an O(|pairs|) max scan per
+    merge to a lazy-deletion heap. The learned merges must be
+    IDENTICAL to the scan form — same (freq, pair) max with the
+    lexicographic tie-break — on random corpora."""
+    import numpy as np
+
+    def learn_scan(words, num_merges, min_freq):
+        seqs = [tuple(w) + (END,) for w, _ in words]
+        freqs = [f for _, f in words]
+        pc, where = {}, {}
+        for i, seq in enumerate(seqs):
+            f = freqs[i]
+            for p in zip(seq, seq[1:]):
+                pc[p] = pc.get(p, 0) + f
+                where.setdefault(p, set()).add(i)
+        merges = []
+        for _ in range(num_merges):
+            if not pc:
+                break
+            best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            if pc[best] < min_freq:
+                break
+            merges.append(best)
+            joined = best[0] + best[1]
+            for i in list(where.get(best, ())):
+                seq, f = seqs[i], freqs[i]
+                out, j = [], 0
+                while j < len(seq):
+                    if (
+                        j + 1 < len(seq)
+                        and seq[j] == best[0]
+                        and seq[j + 1] == best[1]
+                    ):
+                        out.append(joined)
+                        j += 2
+                    else:
+                        out.append(seq[j])
+                        j += 1
+                new = tuple(out)
+                for p in zip(seq, seq[1:]):
+                    pc[p] -= f
+                    if pc[p] <= 0:
+                        pc.pop(p, None)
+                    s = where.get(p)
+                    if s is not None:
+                        s.discard(i)
+                for p in zip(new, new[1:]):
+                    pc[p] = pc.get(p, 0) + f
+                    where.setdefault(p, set()).add(i)
+                seqs[i] = new
+        return merges
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        words = {}
+        for _ in range(800):
+            w = "".join(rng.choice(list("abcdefgh"), size=rng.integers(1, 9)))
+            words[w] = words.get(w, 0) + int(rng.integers(1, 40))
+        wl = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))
+        for nm, mf in ((40, 1), (300, 2)):
+            assert _learn_merges(list(wl), nm, mf) == learn_scan(
+                list(wl), nm, mf
+            ), (trial, nm, mf)
+
+
 def test_greedy_encoder_rank_order():
     """Encoding applies merges lowest-rank-first (GPT-2 bpe), not
     left-to-right: with ranks {(b,c):0, (a,b):1} the word 'abc'

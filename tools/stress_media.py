@@ -55,7 +55,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     formats = (
         sys.argv[2].split(",") if len(sys.argv) > 2
-        else ["gif", "avi", "mp4", "webp", "flac", "tiff"]
+        else ["gif", "avi", "mp4", "webp", "flac", "tiff"]  # webpbig opt-in
     )
     spark = get_spark(app_name="media-stress")
     ids = spark.range(n).select(F.col("id").alias("doc_id")).repartition(32)
@@ -78,6 +78,19 @@ def main() -> None:
                     row.append(mp4_bytes(rgb, quality=85))
                 if "webp" in formats:
                     row.append(webp_bytes(rgb[0]))
+                if "webpbig" in formats:
+                    # crawl-sized: 128x128 blocked texture + noise
+                    # quadrant — LZ77 runs AND literal-dense regions,
+                    # the shape a real crawl's WebP actually has
+                    bx, by = np.meshgrid(np.arange(144), np.arange(128))
+                    big = np.stack(
+                        [((i + bx // 4) * 11 + (by // 4) * 17 + c * 23) % 256
+                         for c in range(3)], -1,
+                    ).astype(np.uint8)
+                    big[:32, :32] = rng.integers(
+                        0, 256, (32, 32, 3), dtype=np.uint8
+                    )
+                    row.append(webp_bytes(big))
                 if "flac" in formats:
                     pcm = np.cumsum(
                         rng.integers(-80, 80, 65 * 8), dtype=np.int64
@@ -86,11 +99,11 @@ def main() -> None:
                 if "tiff" in formats:
                     row.append(tiff_bytes(rgb[0], compression="lzw"))
                 rows.append(tuple(row))
-            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "flac", "tiff") if f in formats]
+            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff") if f in formats]
             yield pd.DataFrame(rows, columns=cols)
 
     schema = "doc_id long" + "".join(
-        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "flac", "tiff")
+        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff")
         if f in formats
     )
     media = ids.mapInPandas(synth, schema=schema).persist()
@@ -148,6 +161,10 @@ def main() -> None:
     if "webp" in formats:
         out["webp_containers_per_s"] = run_single(
             "webp", decode_webp, lambda px: dhash64(px[..., :3])
+        )
+    if "webpbig" in formats:
+        out["webpbig_containers_per_s"] = run_single(
+            "webpbig", decode_webp, lambda px: dhash64(px[..., :3])
         )
     if "flac" in formats:
         out["flac_containers_per_s"] = run_single(

@@ -2456,30 +2456,63 @@ _VP8L_DIST_MAP = _vp8l_distance_map()
 
 
 class _LSBBitReader:
-    """VP8L bit order: bits fill from each byte's LSB upward."""
+    """VP8L bit order: bits fill from each byte's LSB upward.
 
-    __slots__ = ("data", "pos", "bitpos")
+    Buffered (r9 vectorization pass): ``_val`` holds the next ``_n``
+    unconsumed real bits LSB-first; ``peek``/``consume`` are the
+    table-lookup fast path for prefix decode. ``peek`` zero-pads past
+    the end of data (a complete prefix code always resolves), and
+    ``consume`` raises typed once padding bits are actually consumed,
+    preserving the truncated-stream error surface."""
+
+    __slots__ = ("data", "_len", "_byte", "_val", "_n")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
-        self.pos = pos
-        self.bitpos = 0
+        self._len = len(data)
+        self._byte = pos
+        self._val = 0
+        self._n = 0
+
+    def _fill(self, n: int) -> None:
+        val, nb, bp = self._val, self._n, self._byte
+        data, ln = self.data, self._len
+        while nb < n and bp < ln:
+            val |= data[bp] << nb
+            nb += 8
+            bp += 1
+        self._val, self._n, self._byte = val, nb, bp
 
     def bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("VP8L bitstream truncated")
-        b = (self.data[self.pos] >> self.bitpos) & 1
-        self.bitpos += 1
-        if self.bitpos == 8:
-            self.bitpos = 0
-            self.pos += 1
+        if self._n == 0:
+            self._fill(1)
+            if self._n == 0:
+                raise ValueError("VP8L bitstream truncated")
+        b = self._val & 1
+        self._val >>= 1
+        self._n -= 1
         return b
 
     def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            v |= self.bit() << i
+        if self._n < n:
+            self._fill(n)
+            if self._n < n:
+                raise ValueError("VP8L bitstream truncated")
+        v = self._val & ((1 << n) - 1)
+        self._val >>= n
+        self._n -= n
         return v
+
+    def peek(self, n: int) -> int:
+        if self._n < n:
+            self._fill(n)
+        return self._val & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if self._n < n:
+            raise ValueError("VP8L bitstream truncated")
+        self._val >>= n
+        self._n -= n
 
 
 class _LSBBitWriter:
@@ -2491,19 +2524,23 @@ class _LSBBitWriter:
         self.nbits = 0
 
     def put(self, val: int, n: int) -> None:
-        for i in range(n):
-            self.cur |= ((val >> i) & 1) << self.nbits
-            self.nbits += 1
-            if self.nbits == 8:
-                self.buf.append(self.cur)
-                self.cur = 0
-                self.nbits = 0
+        cur = self.cur | ((val & ((1 << n) - 1)) << self.nbits)
+        nb = self.nbits + n
+        buf = self.buf
+        while nb >= 8:
+            buf.append(cur & 0xFF)
+            cur >>= 8
+            nb -= 8
+        self.cur, self.nbits = cur, nb
 
     def put_code(self, code: int, length: int) -> None:
         """Prefix codes stream MSB-first (the decoder accumulates
         code = (code << 1) | bit), like DEFLATE."""
-        for i in range(length - 1, -1, -1):
-            self.put((code >> i) & 1, 1)
+        r = 0
+        for _ in range(length):
+            r = (r << 1) | (code & 1)
+            code >>= 1
+        self.put(r, length)
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -2518,17 +2555,24 @@ def _vp8l_canonical_decoder(lengths: list) -> tuple:
     (assignment rule as DEFLATE: codes ordered by (length, symbol)).
     A single-symbol code decodes with zero bits (trivial code, as
     emitted by the 1-symbol 'simple' form). Over-/under-subscribed
-    codes raise."""
-    nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    codes raise.
+
+    r9: builds a flat lookup table over the first ``R = min(maxlen,
+    11)`` stream bits — ``tab[peek(R)]`` is ``(symbol << 4) | length``
+    for codes of length <= R, or -1 for the (rare, probability <
+    2^-11) longer codes, which fall back to the bitwise walk. One
+    list index replaces up to 15 per-bit method calls per symbol."""
+    nz = [(ln, s) for s, ln in enumerate(lengths) if ln]
     if not nz:
         raise ValueError("VP8L prefix code has no symbols")
     if len(nz) == 1:
         return ("single", nz[0][1])
-    if max(ln for ln, _ in nz) > 15:
+    nz.sort()
+    maxlen = nz[-1][0]
+    if maxlen > 15:
         raise ValueError("VP8L code length exceeds 15")
     if sum(1 << (15 - ln) for ln, _ in nz) != 1 << 15:
         raise ValueError("VP8L prefix code is not complete")
-    nz.sort()
     count = [0] * 16
     for ln, _ in nz:
         count[ln] += 1
@@ -2541,15 +2585,46 @@ def _vp8l_canonical_decoder(lengths: list) -> tuple:
         offset[ln] = idx
         code = (code + count[ln]) << 1
         idx += count[ln]
-    return ("multi", count, first, offset, [s for _, s in nz])
+    R = maxlen if maxlen < 11 else 11
+    size = 1 << R
+    tab = [-1] * size
+    for k, (ln, sym) in enumerate(nz):
+        if ln > R:
+            break
+        c = first[ln] + (k - offset[ln])
+        p = 0
+        for _ in range(ln):  # stream order = code bits reversed
+            p = (p << 1) | (c & 1)
+            c >>= 1
+        e = (sym << 4) | ln
+        step = 1 << ln
+        tab[p::step] = [e] * (size >> ln)  # C-level strided fill
+    return ("lut", tab, R, size - 1, count, first, offset, [s for _, s in nz])
 
 
 def _vp8l_read_symbol(rdr: _LSBBitReader, tree: tuple) -> int:
     if tree[0] == "single":
         return tree[1]
-    _, count, first, offset, syms = tree
+    _, tab, R, mask, count, first, offset, syms = tree
+    # inlined peek/consume — this is the per-symbol hot path
+    if rdr._n < R:
+        rdr._fill(R)
+    e = tab[rdr._val & mask]
+    if e >= 0:
+        L = e & 15
+        if rdr._n < L:
+            raise ValueError("VP8L bitstream truncated")
+        rdr._val >>= L
+        rdr._n -= L
+        return e >> 4
+    # code longer than R: seed the bitwise walk with the peeked prefix
+    v = rdr._val & mask
+    rdr.consume(R)
     code = 0
-    for ln in range(1, 16):
+    for _ in range(R):
+        code = (code << 1) | (v & 1)
+        v >>= 1
+    for ln in range(R + 1, 16):
         code = (code << 1) | rdr.bit()
         if count[ln] and code - first[ln] < count[ln]:
             return syms[offset[ln] + code - first[ln]]
@@ -2656,43 +2731,60 @@ def _vp8l_read_group(rdr: _LSBBitReader, cache_bits: int) -> tuple:
 
 def _vp8l_decode_pixels(rdr, w, h, trees_for, cache_bits) -> "np.ndarray":
     """The LZ77+prefix-coded ARGB stream shared by the main image and
-    every sub-resolution (entropy/transform/palette) image."""
+    every sub-resolution (entropy/transform/palette) image.
+
+    r9 vectorization pass: pixels accumulate in a Python list (scalar
+    stores and C-level slice copies both beat numpy element access
+    here), LZ77 runs are slice assignments — non-overlapping copies in
+    one shot, overlapping ones in dist-sized chunks — and the color
+    cache is updated for a whole run in one zip pass. Symbol reads hit
+    the LUT fast path in :func:`_vp8l_read_symbol`."""
     n = w * h
-    out = np.zeros(n, dtype=np.uint32)
+    out = [0] * n
     cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    read_sym = _vp8l_read_symbol
     pos = 0
     while pos < n:
         trees = trees_for(pos % w, pos // w)
-        sym = _vp8l_read_symbol(rdr, trees[0])
+        sym = read_sym(rdr, trees[0])
         if sym < 256:
-            red = _vp8l_read_symbol(rdr, trees[1])
-            blue = _vp8l_read_symbol(rdr, trees[2])
-            alpha = _vp8l_read_symbol(rdr, trees[3])
+            red = read_sym(rdr, trees[1])
+            blue = read_sym(rdr, trees[2])
+            alpha = read_sym(rdr, trees[3])
             px = (alpha << 24) | (red << 16) | (sym << 8) | blue
             out[pos] = px
             if cache is not None:
-                cache[_vp8l_cache_hash(px, cache_bits)] = px
+                cache[(_VP8L_HASH_MUL * px & 0xFFFFFFFF) >> shift] = px
             pos += 1
         elif sym < 280:
             length = _vp8l_prefix_val(rdr, sym - 256)
-            dsym = _vp8l_read_symbol(rdr, trees[4])
+            dsym = read_sym(rdr, trees[4])
             dist = _vp8l_dist(_vp8l_prefix_val(rdr, dsym), w)
             if dist > pos:
                 raise ValueError("VP8L backward reference before stream start")
-            if pos + length > n:
+            end = pos + length
+            if end > n:
                 raise ValueError("VP8L backward reference past image end")
-            for _ in range(length):
-                px = int(out[pos - dist])
-                out[pos] = px
-                if cache is not None:
-                    cache[_vp8l_cache_hash(px, cache_bits)] = px
-                pos += 1
+            if dist >= length:
+                out[pos:end] = out[pos - dist:end - dist]
+            else:  # overlapping run: copy in dist-sized chunks
+                p = pos
+                while p < end:
+                    m = dist if dist <= end - p else end - p
+                    out[p:p + m] = out[p - dist:p - dist + m]
+                    p += m
+            if cache is not None:
+                mul = _VP8L_HASH_MUL
+                for px in out[pos:end]:
+                    cache[(mul * px & 0xFFFFFFFF) >> shift] = px
+            pos = end
         else:
             if cache is None:
                 raise ValueError("VP8L cache reference without color cache")
             out[pos] = cache[sym - 280]
             pos += 1
-    return out
+    return np.array(out, dtype=np.uint32)
 
 
 def _vp8l_entropy_image(rdr: _LSBBitReader, w: int, h: int) -> "np.ndarray":

@@ -56,13 +56,32 @@ def word_counts(
     )
 
 
+class _RevStr(str):
+    """str with inverted ordering. heapq is a min-heap; the merge rule
+    wants the lexicographically LARGEST pair among equal-frequency
+    ties, so pair components enter the heap wrapped in this."""
+
+    __slots__ = ()
+
+    def __lt__(self, other):  # type: ignore[override]
+        return str.__gt__(self, other)
+
+
 def _learn_merges(
     words: list[tuple[str, int]], num_merges: int, min_freq: int
 ) -> list[tuple[str, str]]:
     """Classic BPE merge learning with incremental pair-count updates.
     Deterministic: the best pair is max by (freq, pair) — lexicographic
     tie-break, so the learned merges are a pure function of the
-    word-frequency table."""
+    word-frequency table.
+
+    Best-pair selection is a lazy-deletion heap (r9): every count
+    change pushes a (freq, pair) entry; stale entries (count no longer
+    current) are discarded on pop. Per merge that's O(touched-pairs ·
+    log heap) instead of a full O(|pairs|) max scan — the term that
+    went superlinear at a production 32k-merge vocabulary."""
+    import heapq
+
     seqs = [tuple(w) + (END,) for w, _ in words]
     freqs = [f for _, f in words]
     pair_counts: dict[tuple[str, str], int] = {}
@@ -72,15 +91,26 @@ def _learn_merges(
         for a, b in zip(seq, seq[1:]):
             pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
             where.setdefault((a, b), set()).add(i)
+    heap = [
+        (-c, _RevStr(a), _RevStr(b)) for (a, b), c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        if not pair_counts:
+        best = None
+        while heap:
+            negc, ra, rb = heap[0]
+            pair = (str(ra), str(rb))
+            if pair_counts.get(pair, 0) == -negc:
+                best = pair
+                break
+            heapq.heappop(heap)  # stale: count changed since push
+        if best is None or pair_counts[best] < min_freq:
             break
-        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
-        if pair_counts[best] < min_freq:
-            break
+        heapq.heappop(heap)
         merges.append(best)
         joined = best[0] + best[1]
+        touched: dict[tuple[str, str], int] = {}
         for i in list(where.get(best, ())):
             seq, f = seqs[i], freqs[i]
             out = []
@@ -101,6 +131,7 @@ def _learn_merges(
             # touched word, so each merge costs O(words containing it)
             for a, b in zip(seq, seq[1:]):
                 pair_counts[(a, b)] -= f
+                touched[(a, b)] = pair_counts[(a, b)]
                 if pair_counts[(a, b)] <= 0:
                     pair_counts.pop((a, b), None)
                 s = where.get((a, b))
@@ -108,8 +139,12 @@ def _learn_merges(
                     s.discard(i)
             for a, b in zip(new, new[1:]):
                 pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+                touched[(a, b)] = pair_counts[(a, b)]
                 where.setdefault((a, b), set()).add(i)
             seqs[i] = new
+        for (a, b), c in touched.items():
+            if c > 0:
+                heapq.heappush(heap, (-c, _RevStr(a), _RevStr(b)))
     return merges
 
 
