@@ -16,6 +16,7 @@ selection is deterministic on both sides.
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -482,25 +483,53 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-words summary, deterministic driver-side merge learning with
     lexicographic tie-breaks — then encode every doc with the learned
     tokenizer (Arrow-batched greedy lowest-rank merging, ranks riding
-    the closure) and emit exact per-doc subword-token counts beside
-    the pre-token (word) counts they subdivide. Rows-only by design: no SQL
-    engine can train BPE, so there is no oracle_sql twin; correctness
-    is pinned in tests/test_bpe.py (textbook segmentation fixture,
-    naive-replay reference implementation, layout-independence,
-    distributed-encoder parity with the driver-side encoder)."""
+    the closure). No SQL engine can train BPE, but the ENCODING's
+    correctness surface IS SQL-expressible (r9, promoted from
+    rows-only to hash-checked invariants): ``reassembled`` — the
+    END-marker-stripped concatenation of the emitted token stream —
+    must equal the concatenation of the pre-tokenizer's regex matches
+    (proves the tokenization is lossless: every character of every
+    word survives, none duplicated); ``count_consistent`` — the
+    independent token_count UDF must agree with size(encode UDF); and
+    ``bounds_ok`` — subword count within [pre_tokens, chars +
+    pre_tokens] (>=1 and <= len(word)+1 tokens per word). The DuckDB
+    oracle recomputes reassembled/pre_tokens from the shared regex and
+    pins the invariant booleans TRUE. WHICH merges are learned stays
+    pytest-pinned (tests/test_bpe.py: textbook fixture, naive-replay
+    reference, heap-vs-scan equivalence, layout independence)."""
     from vearch_spark.functions.text import bpe_token_count
-    from vearch_spark.operators.bpe import train_bpe
+    from vearch_spark.operators.bpe import END, train_bpe
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # the synthetic corpus has a ~31-word vocabulary: 30 merges gives
     # PARTIAL fusion (the interesting regime — full fusion would make
     # bpe_tokens trivially equal one per word)
     model = train_bpe(docs, num_merges=30, max_words=100_000, min_freq=2)
+    staged = docs.select(
+        "doc_id",
+        model.encode_udf()(F.col("text")).alias("_toks"),
+        model.token_count_udf()(F.col("text")).alias("_cnt"),
+        bpe_token_count("text").cast("int").alias("pre_tokens"),
+    )
+    reassembled = F.array_join(
+        F.transform(
+            "_toks", lambda t: F.regexp_replace(t, re.escape(END) + "$", "")
+        ),
+        "",
+    )
     return (
-        docs.select(
+        staged.select(
             "doc_id",
-            model.token_count_udf()(F.col("text")).alias("bpe_tokens"),
-            bpe_token_count("text").cast("int").alias("pre_tokens"),
+            "pre_tokens",
+            reassembled.alias("reassembled"),
+            (F.size("_toks") == F.col("_cnt")).alias("count_consistent"),
+            (
+                (F.col("_cnt") >= F.col("pre_tokens"))
+                & (
+                    F.col("_cnt")
+                    <= F.length(reassembled) + F.col("pre_tokens")
+                )
+            ).alias("bounds_ok"),
         )
         .orderBy("doc_id")
     )
@@ -1949,36 +1978,49 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup (functions/text.py canonical_url) — the
     crawl rule that collapses the same page arriving via tracking
     links, fragments, shuffled query params, default ports, userinfo,
-    and case noise. Six deterministic variants of each page (doc_id %
-    6 picks the noise: utm/gclid/fbclid params, #fragment, HOST case
-    + :443, user@ prefix, trailing slash, param order) must reduce to
-    ONE canonical string; the dedup keeps the smallest doc_id per
-    canonical key. Pure JVM expressions (regex + array_sort), ONE
-    shuffle (the groupBy on the canonical key). The DuckDB oracle
-    recomputes the CANONICAL FORM directly from the generation
-    formula — stronger than re-running the same regexes: any
-    canonicalization bug anywhere in the chain breaks equality."""
+    case noise, and (r9) percent-encoding noise. EIGHT deterministic
+    variants of each page (doc_id % 8 picks the noise: utm/gclid/
+    fbclid params, #fragment, HOST case + :443, user@ prefix,
+    trailing slash, param order, '+'-vs-'%20' space spelling,
+    lowercase-vs-uppercase escape hex, and unreserved characters
+    spelled as escapes — '%61rticles' in the path, 'a=%31' in the
+    query) must reduce to ONE canonical string; the dedup keeps the
+    smallest doc_id per canonical key. Pure JVM expressions (regex +
+    array_sort + the split/transform pct_normalize), ONE shuffle (the
+    groupBy on the canonical key). The DuckDB oracle recomputes the
+    CANONICAL FORM directly from the generation formula — stronger
+    than re-running the same regexes: any canonicalization bug
+    anywhere in the chain breaks equality."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    page = (F.col("doc_id") / 6).cast("long")
+    page = (F.col("doc_id") / 8).cast("long")
     site = (page % 37).cast("string")
     host = F.concat(F.lit("www.site"), site, F.lit(".com"))
     path = F.concat(F.lit("/articles/"), page.cast("string"))
-    v = (F.col("doc_id") % 6).cast("int")
+    epath = F.concat(F.lit("/%61rticles/"), page.cast("string"))
+    v = (F.col("doc_id") % 8).cast("int")
     url = (
         F.when(v == 0, F.concat(
-            F.lit("https://"), host, path, F.lit("?a=1&b=2")))
+            F.lit("https://"), host, path, F.lit("?a=1&b=2&q=x%2Cy%20z")))
         .when(v == 1, F.concat(
             F.lit("HTTPS://"), F.upper(host), F.lit(":443"), path,
-            F.lit("/?b=2&a=1#frag")))
+            F.lit("/?q=x%2Cy%20z&b=2&a=1#frag")))
         .when(v == 2, F.concat(
-            F.lit("https://"), host, path, F.lit("?utm_source=feed&a=1&b=2")))
+            F.lit("https://"), host, path,
+            F.lit("?utm_source=feed&a=1&b=2&q=x%2cy%20z")))
         .when(v == 3, F.concat(
             F.lit("https://crawler@"), host, path,
-            F.lit("?b=2&utm_campaign=x&a=1")))
+            F.lit("?b=2&utm_campaign=x&a=1&q=x%2cy+z")))
         .when(v == 4, F.concat(
-            F.lit("https://"), host, path, F.lit("/?a=1&b=2#sec")))
+            F.lit("https://"), host, path, F.lit("/?a=1&b=2&q=x%2Cy+z#sec")))
+        .when(v == 5, F.concat(
+            F.lit("https://"), host, path,
+            F.lit("?fbclid=XYZ9&b=2&a=1&q=x%2cy%20z")))
+        .when(v == 6, F.concat(
+            F.lit("https://"), host, epath,
+            F.lit("?a=%31&b=2&q=x%2Cy%20z")))
         .otherwise(F.concat(
-            F.lit("https://"), host, path, F.lit("?fbclid=XYZ9&b=2&a=1")))
+            F.lit("HTTPS://"), F.upper(host), F.lit(":443"), epath,
+            F.lit("/?q=x%2cy+z&b=%32&a=1#x")))
     )
     from vearch_spark.functions.text import canonical_url
 
@@ -2680,7 +2722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multivector_fusion_sorted": q_multivector_fusion_sorted,  # fusion + search-sort twins
     "text_stats": q_text_stats,  # text signals: quality_score/repetition_scores
     "bpe_token_counts": q_bpe_token_counts,  # tokenizer: doc_chunks/sequence_packing
-    "bpe_tokenize": q_bpe_tokenize,  # BPE tokenizer TRAINING + encode (r8, rows-only: SQL can't train BPE)
+    "bpe_tokenize": q_bpe_tokenize,  # BPE training + encode (r9: hash-checked lossless/consistency invariants)
     "events_hourly": q_events_hourly,  # date agg: date_range_agg
     "length_percentiles": q_length_percentiles,  # corpus stats: vocab_top_terms
     "doc_fingerprint": q_doc_fingerprint,  # fingerprint: simhash/minhash oracles
@@ -4358,6 +4400,24 @@ def oracle_sql() -> dict[str, str]:
                  (2 + doc_id % 3)::INT, (-1)::INT FROM d
         ) ORDER BY media_id::INT, container
     """
+    # bpe_tokenize (r9): training isn't SQL-expressible, but the
+    # encoding's losslessness IS — the END-stripped token concat must
+    # equal the regex pre-token concat, the two independent counting
+    # UDFs must agree, and the subword count must sit in its provable
+    # band; the oracle recomputes the strings from the shared regex
+    # and pins the invariants TRUE
+    d["bpe_tokenize"] = """
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'
+               ))::INT AS pre_tokens,
+               array_to_string(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'
+               ), '') AS reassembled,
+               TRUE AS count_consistent,
+               TRUE AS bounds_ok
+        FROM documents ORDER BY doc_id
+    """
     # corpus_line_filter: the oracle recomputes the full CCNet line
     # pipeline on RAW lines (Spark counts by md5 of the line — same
     # grouping): per-line distinct-doc counts, the >50-doc hot set,
@@ -4467,13 +4527,13 @@ def oracle_sql() -> dict[str, str]:
     # tracking-param removal, param ordering, trailing slash) breaks
     # string equality against it
     d["url_dedup"] = """
-        SELECT 'https://www.site' || ((doc_id // 6) % 37)::VARCHAR
-               || '.com/articles/' || (doc_id // 6)::VARCHAR
-               || '?a=1&b=2' AS canon,
+        SELECT 'https://www.site' || ((doc_id // 8) % 37)::VARCHAR
+               || '.com/articles/' || (doc_id // 8)::VARCHAR
+               || '?a=1&b=2&q=x%2Cy%20z' AS canon,
                count(*)::INT AS n_variants,
                min(doc_id) AS keeper
         FROM documents
-        GROUP BY doc_id // 6
+        GROUP BY doc_id // 8
         ORDER BY canon
     """
     d["domain_cap"] = """

@@ -401,3 +401,36 @@ def test_canonical_url(spark):
     df2 = spark.createDataFrame([(u,) for u in variants], "url string")
     canon = {r.canon for r in df2.withColumn("canon", canonical_url("url")).collect()}
     assert canon == {"https://example.com/page?a=1&b=2"}
+
+
+def test_canonical_url_percent_normalization(spark):
+    """r9 percent-encoding normalization: unreserved escapes decode
+    ('%61' → 'a', '%7E'/'%7e' → '~'), other escapes' hex uppercases
+    ('%2f' → '%2F'), query '+' folds into '%20', malformed escapes
+    pass through, and a percent-spelled tracking param ('%75tm_…')
+    still gets dropped."""
+    from vearch_spark.functions.text import canonical_url, pct_normalize
+
+    cases = [
+        # unreserved decode in path and query
+        ("https://a.io/%61rticles/5?a=%31", "https://a.io/articles/5?a=1"),
+        # tilde both hex cases; reserved %2f uppercased, NOT decoded
+        ("https://a.io/p%7Eq%7e?x=%2fv", "https://a.io/p~q~?x=%2Fv"),
+        # '+' in query = %20; '+' in path is literal and untouched
+        ("https://a.io/a+b?q=new+york", "https://a.io/a+b?q=new%20york"),
+        ("https://a.io/a+b?q=new%20york", "https://a.io/a+b?q=new%20york"),
+        # malformed escapes survive verbatim
+        ("https://a.io/p?bad=%zz&t=%2", "https://a.io/p?bad=%zz&t=%2"),
+        # escape-spelled tracking param is dropped after normalization
+        ("https://a.io/p?%75tm_source=x&a=1", "https://a.io/p?a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = df.withColumn("canon", canonical_url("url")).collect()
+    for (u, want), r in zip(cases, got):
+        assert r.canon == want, u
+    # the normalizer alone: idempotent, '%' edge cases
+    df2 = spark.createDataFrame(
+        [("%41%2c%", ), ("no escapes",), ("",)], "s string"
+    )
+    got2 = [r.n for r in df2.select(pct_normalize("s").alias("n")).collect()]
+    assert got2 == ["A%2C%", "no escapes", ""]

@@ -330,17 +330,63 @@ def url_host(url: Column | str) -> Column:
     )
 
 
+def pct_normalize(s: Column | str) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure JVM
+    expressions: decode escapes of UNRESERVED characters (ALPHA /
+    DIGIT / '-' / '.' / '_' / '~' — '%41' → 'A', '%7E' → '~') and
+    uppercase the hex digits of every other escape ('%2f' → '%2F'),
+    so equivalent spellings of the same URL component collapse to one
+    string. Malformed escapes ('%' not followed by two hex digits)
+    pass through untouched. Implemented as split-on-'%' + transform —
+    no Python, no lookaround, RE2-safe."""
+    col = F.col(s) if isinstance(s, str) else s
+    parts = F.split(col, "%", -1)
+
+    def fix(p: Column) -> Column:
+        hh = F.upper(F.substring(p, 1, 2))
+        rest = F.substring(p, 3, 2147483647)
+        code = F.conv(hh, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 65) & (code <= 90))      # A-Z
+            | ((code >= 97) & (code <= 122))   # a-z
+            | ((code >= 48) & (code <= 57))    # 0-9
+            | code.isin(45, 46, 95, 126)       # - . _ ~
+        )
+        return (
+            F.when(~p.rlike(r"^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), p))
+            .when(unreserved, F.concat(F.char(code), rest))
+            .otherwise(F.concat(F.lit("%"), hh, rest))
+        )
+
+    return F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.transform(
+                F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+                fix,
+            ),
+            "",
+        ),
+    )
+
+
 def canonical_url(url: Column | str) -> Column:
     """Canonical form of a URL — the key crawl pipelines dedup on
     (the same page arrives via tracking links, fragments, default
     ports, and shuffled query params): drop the fragment, lowercase
     scheme + host, strip userinfo and the scheme's default port
-    (:80 http / :443 https), drop tracking params (utm_*, gclid,
-    fbclid, msclkid, fbid), sort the surviving query params, and
-    strip a trailing slash from non-root paths. Pure JVM expressions
-    (regex + split/array_sort/array_join — no Python), every pattern
-    RE2-safe so a SQL oracle reproduces the chain. Non-URLs map to ''
-    (url_host convention)."""
+    (:80 http / :443 https), percent-normalize the path and query
+    (r9, :func:`pct_normalize` — unreserved escapes decode, other
+    escapes' hex uppercases, query '+' becomes '%20' first, so
+    'q=new+york', 'q=new%20york' and stray '%7E'/'%7e' spellings
+    collapse), drop tracking params (utm_*, gclid, fbclid, msclkid,
+    fbid — matched AFTER normalization, so '%75tm_source' can't
+    sneak through), sort the surviving query params, and strip a
+    trailing slash from non-root paths. Pure JVM expressions (regex +
+    split/array_sort/array_join — no Python), every pattern RE2-safe
+    so a SQL oracle reproduces the chain. Host escapes are not
+    normalized (percent-encoded hosts are punycode territory, out of
+    scope). Non-URLs map to '' (url_host convention)."""
     col = F.col(url) if isinstance(url, str) else url
     c = F.regexp_replace(col, r"#.*$", "")  # fragment
     scheme = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
@@ -357,7 +403,11 @@ def canonical_url(url: Column | str) -> Column:
     # trailing slash off non-root paths; empty path becomes '/'
     path = F.regexp_replace(path, r"(.)/$", "$1")
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = pct_normalize(path)
     query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    # '+' is the form-encoded space — fold into '%20' BEFORE escape
+    # normalization so both spellings share one canonical form
+    query = pct_normalize(F.regexp_replace(query, r"\+", "%20"))
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")
