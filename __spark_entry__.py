@@ -2572,11 +2572,26 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "_h"])
 
     hashed = docs.mapInPandas(hash_images, schema="doc_id long, _h long")
-    out = hamming_pairs(
-        hashed, hash_col="_h", id_col="doc_id", max_hamming=3, bands=4,
-        max_bucket=None,
-    )
-    return out.orderBy("id_a", "id_b")
+    # r9: the PRODUCTION form of the guard lifecycle — run the banded
+    # pair search with the hot-bucket guard armed (max_bucket=1000 is
+    # a no-op on this corpus: no band bucket approaches the cap, so
+    # the oracle comparison is unchanged) inside skew_guard_scope, and
+    # materialize the bounded pair RESULT before the scope closes: the
+    # scope then releases the guard's persisted banded relation while
+    # the persisted result keeps serving the driver's collect without
+    # recompute (the session-cache contract of _ngram_pairs).
+    from vearch_spark.operators.dedup import skew_guard_scope
+
+    key = (id(spark), sf_dir, "image_near_dup")
+    if key not in _INDEX_CACHE:
+        with skew_guard_scope():
+            pairs = hamming_pairs(
+                hashed, hash_col="_h", id_col="doc_id", max_hamming=3,
+                bands=4, max_bucket=1000,
+            ).orderBy("id_a", "id_b").persist()
+            pairs.count()
+        _INDEX_CACHE[key] = pairs
+    return _INDEX_CACHE[key]
 
 
 def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -525,6 +525,26 @@ def test_skew_guard_scope_releases_only_scoped(docs_df):
     assert dedup._GUARD_CACHES == []
 
 
+def test_entry_image_near_dup_uses_scoped_guard(spark, sf_dir):
+    """r9: the production call-site of skew_guard_scope — the entry's
+    image_near_dup runs its guarded hamming_pairs inside the scope and
+    materializes the bounded pair result before exit. After the query
+    returns, the guard cache list is EMPTY (the scope released the
+    banded relation) and the persisted result still collects without
+    recompute errors."""
+    import __spark_entry__ as entry
+
+    dedup.release_skew_guard_caches()
+    entry._INDEX_CACHE.pop((id(spark), sf_dir, "image_near_dup"), None)
+    out = entry.q_image_near_dup(spark, sf_dir)
+    assert dedup._GUARD_CACHES == []  # scope released the banded rel
+    rows = out.collect()
+    assert len(rows) > 0
+    assert dedup._GUARD_CACHES == []  # collect didn't re-cache
+    entry._INDEX_CACHE.pop((id(spark), sf_dir, "image_near_dup"), None)
+    out.unpersist()
+
+
 def test_corpus_line_filter_ccnet_boilerplate(spark):
     """Cross-corpus line filtering (the CCNet recipe): lines in more
     than max_docs distinct docs drop from EVERY doc with order

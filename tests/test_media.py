@@ -2155,6 +2155,93 @@ def test_mp4_hostile_inputs_typed_errors():
         M.decode_mp4(bytes(bad))
 
 
+def test_external_codec_registry_contract():
+    """r9: the formal plug-in contract for out-of-from-scratch-scope
+    codecs (register_external_codec). A mock 'avc1' decoder receives
+    the parsed sample list + sample-entry dims from decode_mp4 (and
+    decode_video above it); a mock 'vp8' receives the lossy chunk from
+    decode_webp; a mock 'mp3' feeds decode_audio. media_info stays
+    header-only (reports the foreign codec tag with no decoder
+    registered), unregistered codecs keep raising typed, and an
+    external decoder lying about output shape raises typed — the same
+    geometry gate as the in-repo paths."""
+    import struct
+
+    from vearch_spark.functions import media as M
+
+    frames = np.zeros((2, 8, 8, 3), dtype=np.uint8)
+    avc = M.mp4_bytes(frames).replace(b"jpeg", b"avc1")
+    payload = b"\x01\x02\x03\x04"
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 4 + 12) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", len(payload)) + payload
+    )
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 8
+
+    # header-only probe works with NO decoder registered
+    assert M.media_info(avc)["codec"] == "avc1"
+    # unregistered → typed rejects
+    with pytest.raises(ValueError, match="avc1.*external decoder"):
+        M.decode_mp4(avc)
+    with pytest.raises(ValueError, match="lossy \\(VP8\\)"):
+        M.decode_webp(vp8)
+    with pytest.raises(ValueError, match="MP3 requires an external"):
+        M.decode_audio(mp3)
+
+    seen = {}
+
+    def mock_avc1(samples, w, h):
+        seen["avc1"] = (len(samples), w, h, [len(s) for s in samples])
+        return np.full((len(samples), h, w, 3), 7, dtype=np.uint8)
+
+    def mock_vp8(chunk):
+        seen["vp8"] = bytes(chunk)
+        return np.full((6, 5, 3), 9, dtype=np.uint8)
+
+    def mock_mp3(stream):
+        seen["mp3"] = len(stream)
+        return np.array([[0.5, 0.5], [-0.5, 0.25]])
+
+    try:
+        M.register_external_codec("avc1", mock_avc1)
+        M.register_external_codec("vp8", mock_vp8)
+        M.register_external_codec("mp3", mock_mp3)
+
+        out = M.decode_mp4(avc)
+        assert out.shape == (2, 8, 8, 3) and out[0, 0, 0, 0] == 7
+        assert seen["avc1"][0] == 2 and seen["avc1"][1:3] == (8, 8)
+        # the samples handed over are the real mdat payloads
+        assert all(n > 0 for n in seen["avc1"][3])
+        # the kind-level dispatcher above it routes through too
+        vid = M.decode_video(avc)
+        assert vid.shape == (2, 8, 8, 3) and abs(vid[0, 0, 0, 0] - 7 / 255) < 1e-9
+
+        px = M.decode_webp(vp8)
+        assert px.shape == (6, 5, 3) and seen["vp8"] == payload
+
+        pcm = M.decode_audio(mp3)
+        assert pcm.tolist() == [0.5, -0.125] and seen["mp3"] == len(mp3)
+
+        # geometry lies from an external decoder raise typed
+        M.register_external_codec(
+            "avc1", lambda s, w, h: np.zeros((1, 2, 2, 3), dtype=np.uint8)
+        )
+        with pytest.raises(ValueError, match="external 'avc1'"):
+            M.decode_mp4(avc)
+        M.register_external_codec(
+            "vp8", lambda c: np.zeros((4, 4), dtype=np.uint8)
+        )
+        with pytest.raises(ValueError, match="external 'vp8'"):
+            M.decode_webp(vp8)
+    finally:
+        M.unregister_external_codec("avc1")
+        M.unregister_external_codec("vp8")
+        M.unregister_external_codec("mp3")
+    # back to typed rejects after unregistration
+    with pytest.raises(ValueError, match="external decoder"):
+        M.decode_mp4(avc)
+
+
 def test_media_info_unified_dispatch():
     """media_info dispatches every supported container by magic and
     annotates kind + container; unknown magic raises typed."""

@@ -1748,14 +1748,79 @@ def dhash64(pixels: np.ndarray | list) -> int:
     return _pack_bits64((grid[:, 1:] > grid[:, :-1]).ravel())  # row-major (8, 8)
 
 
+# ------------------------------------------------- external codec registry
+#
+# The engine implements every LOSSLESS codec from scratch (PNG, GIF,
+# BMP, netpbm, TIFF, VP8L WebP, WAV, FLAC, AVI-DIB) plus baseline/
+# progressive JPEG and motion-JPEG tracks. Entropy-coded DCT video and
+# audio (H.264-class MP4 tracks, lossy VP8 WebP, MP3) are deliberately
+# out of from-scratch scope — this registry is the FORMAL extension
+# point a real deployment plugs ffmpeg/PIL-class decoders into without
+# touching engine code. Unregistered codecs keep raising typed
+# ValueError so curation pipelines filter failures by type.
+
+_EXTERNAL_CODECS: dict = {}
+
+
+def register_external_codec(codec: str, fn) -> None:
+    """Plug an out-of-engine decoder for a codec this engine does not
+    implement. Contract, per codec key:
+
+    - MP4 sample-entry codecs ``'avc1'/'hvc1'/'hev1'/'vp09'/'av01'``:
+      ``fn(samples: list[bytes], width: int, height: int)`` →
+      ``(N, H, W, 3)`` uint8 frames, one per sample, dims matching the
+      sample entry (mismatches raise, same as the in-repo MJPEG path).
+    - lossy WebP ``'vp8'``: ``fn(vp8_chunk: bytes)`` → ``(H, W, 3)``
+      or ``(H, W, 4)`` uint8 pixels.
+    - ``'mp3'``: ``fn(stream: bytes)`` → ``(n, channels)`` float64 in
+      [-1, 1) (the decoder normalizes its own bit depth).
+
+    ``decode_mp4`` / ``decode_webp`` / ``decode_audio`` consult the
+    registry BEFORE raising their typed rejects; ``media_info`` stays
+    header-only (it already reports foreign codec tags without
+    decoding). Registered callables run inside the same mapInPandas
+    Arrow batches as the in-repo codecs — no plan shape changes."""
+    if not callable(fn):
+        raise ValueError("external codec decoder must be callable")
+    _EXTERNAL_CODECS[str(codec)] = fn
+
+
+def unregister_external_codec(codec: str) -> None:
+    """Remove a registered external decoder (tests / reconfiguration);
+    unknown keys are a no-op."""
+    _EXTERNAL_CODECS.pop(str(codec), None)
+
+
 def decode_audio(content: bytes) -> "np.ndarray":
     """Decoder-contract form for audio: mono-mixed float64 in [-1, 1);
-    dispatches RIFF/WAVE vs FLAC on the container magic."""
+    dispatches RIFF/WAVE vs FLAC on the container magic. MP3 streams
+    (ID3 tag or frame sync) dispatch to a registered external decoder
+    (:func:`register_external_codec`) and raise typed without one."""
     if content[:4] == b"fLaC":
         info = flac_info(content)
         pcm = decode_flac(content)
         scale = float(1 << (info["bits_per_sample"] - 1))
         return pcm.mean(axis=1) / scale
+    if content[:3] == b"ID3" or (
+        len(content) >= 2
+        and content[0] == 0xFF
+        and content[1] & 0xE0 == 0xE0
+        and content[:4] != b"RIFF"
+    ):
+        ext = _EXTERNAL_CODECS.get("mp3")
+        if ext is None:
+            raise ValueError(
+                "MP3 requires an external decoder — "
+                "register_external_codec('mp3', fn)"
+            )
+        pcm = np.asarray(ext(bytes(content)), dtype=np.float64)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        if pcm.ndim != 2 or pcm.shape[0] == 0:
+            raise ValueError(
+                f"external mp3 decoder returned bad shape {pcm.shape}"
+            )
+        return pcm.mean(axis=1)
     return decode_wav(content)
 
 
@@ -1780,6 +1845,9 @@ def register_media_decoders() -> None:
     register_decoder("audio", decode_audio)
     register_decoder("image", decode_image)
     register_decoder("video", decode_video)
+    # codec-level gaps (H.264-class MP4 tracks, lossy VP8, MP3) plug in
+    # BENEATH these dispatchers via register_external_codec — the
+    # kind-level registration above never needs to change.
 
 
 # ------------------------------------------------------------------- GIF
@@ -3015,7 +3083,10 @@ def _vp8l_decode_spatial(rdr: _LSBBitReader, w: int, h: int) -> "np.ndarray":
     return data.reshape(h, w)
 
 
-def _webp_vp8l_payload(content: bytes) -> bytes:
+def _webp_vp8l_payload(content: bytes, allow_vp8: bool = False):
+    """First VP8L chunk body; with ``allow_vp8`` returns (tag, body)
+    so the caller can dispatch a lossy 'VP8 ' chunk to an external
+    decoder instead of rejecting."""
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ValueError("not a WebP payload (missing RIFF/WEBP magic)")
     pos = 12
@@ -3026,10 +3097,13 @@ def _webp_vp8l_payload(content: bytes) -> bytes:
         if len(body) != ln:
             raise ValueError("truncated WebP chunk")
         if tag == b"VP8L":
-            return body
+            return (tag, body) if allow_vp8 else body
         if tag == b"VP8 ":
+            if allow_vp8 and "vp8" in _EXTERNAL_CODECS:
+                return (tag, body)
             raise ValueError(
-                "lossy (VP8) WebP not supported — VP8L lossless only"
+                "lossy (VP8) WebP not supported — VP8L lossless only; "
+                "plug a VP8 decoder via register_external_codec('vp8')"
             )
         if tag in (b"ANIM", b"ANMF"):
             raise ValueError("animated WebP not supported")
@@ -3044,9 +3118,23 @@ def decode_webp(content: bytes) -> "np.ndarray":
     lossless format: all four transforms, color cache, meta prefix
     groups, LZ77 with the two-dimensional distance map. Extended
     (VP8X) containers are walked for their VP8L chunk; lossy VP8
-    raises typed. Deterministic and bit-exact (the format is
+    dispatches to a registered external decoder
+    (:func:`register_external_codec`, key 'vp8') and raises typed
+    without one. Deterministic and bit-exact (the format is
     lossless)."""
-    body = _webp_vp8l_payload(content)
+    tag, body = _webp_vp8l_payload(content, allow_vp8=True)
+    if tag == b"VP8 ":
+        out = np.asarray(_EXTERNAL_CODECS["vp8"](body))
+        if (
+            out.ndim != 3
+            or out.shape[2] not in (3, 4)
+            or out.dtype != np.uint8
+        ):
+            raise ValueError(
+                f"external 'vp8' decoder returned {out.dtype} "
+                f"{out.shape}, expected uint8 (H,W,3|4)"
+            )
+        return out
     rdr = _LSBBitReader(body)
     if rdr.bits(8) != 0x2F:
         raise ValueError("bad VP8L signature byte")
@@ -3540,10 +3628,13 @@ def decode_mp4(content: bytes) -> "np.ndarray":
     """Decode the first video track of an MP4/MOV to (N, H, W, 3)
     uint8 frames. Motion-JPEG sample entries ('jpeg'/'mjpa'/'mjpb')
     decode through the in-repo T.81 decoder; entropy-coded codecs
-    (avc1/hvc1/hev1/vp09/av01...) raise typed — H.264-class decoding
-    is out of from-scratch scope and must fail clean. Frames whose
-    decoded dims disagree with the sample entry raise (geometry lies
-    are how corrupt files smuggle decompression bombs)."""
+    (avc1/hvc1/hev1/vp09/av01...) dispatch to a registered external
+    decoder (:func:`register_external_codec`) and raise typed without
+    one — H.264-class decoding is out of from-scratch scope and must
+    fail clean. Frames whose decoded dims disagree with the sample
+    entry raise (geometry lies are how corrupt files smuggle
+    decompression bombs) — the same gate applies to external-decoder
+    output."""
     if len(content) < 12 or content[4:8] != b"ftyp":
         raise ValueError("not an MP4 payload (missing ftyp)")
     moov = _mp4_child(content, 0, len(content), b"moov")
@@ -3557,11 +3648,12 @@ def decode_mp4(content: bytes) -> "np.ndarray":
                 break
     if trk is None:
         raise ValueError("MP4 has no video track")
-    if trk["codec"] not in ("jpeg", "mjpa", "mjpb"):
+    ext = _EXTERNAL_CODECS.get(trk["codec"])
+    if trk["codec"] not in ("jpeg", "mjpa", "mjpb") and ext is None:
         raise ValueError(
             f"MP4 codec '{trk['codec']}' not supported — motion-JPEG "
             "('jpeg'/'mjpa') only; H.264-class streams need an external "
-            "decoder"
+            "decoder (register_external_codec)"
         )
     w, h = trk["width"], trk["height"]
     n = len(trk["sizes"])
@@ -3569,11 +3661,28 @@ def decode_mp4(content: bytes) -> "np.ndarray":
         raise ValueError("MP4 video track has no samples")
     if n * w * h > _MAX_DECODE_PIXELS * 4:
         raise ValueError("MP4 too large to decode")
-    frames = []
+    samples = []
     for off, size in zip(trk["offsets"], trk["sizes"]):
         if off + size > len(content):
             raise ValueError("MP4 sample extends past file end")
-        px = decode_jpeg(content[off : off + size])
+        samples.append(content[off : off + size])
+    if trk["codec"] not in ("jpeg", "mjpa", "mjpb"):
+        out = np.asarray(ext(samples, w, h))
+        if (
+            out.ndim != 4
+            or out.shape[0] != n
+            or out.shape[1:3] != (h, w)
+            or out.shape[3] != 3
+            or out.dtype != np.uint8
+        ):
+            raise ValueError(
+                f"external '{trk['codec']}' decoder returned "
+                f"{out.dtype} {out.shape}, expected uint8 ({n},{h},{w},3)"
+            )
+        return out
+    frames = []
+    for sample in samples:
+        px = decode_jpeg(sample)
         if px.ndim == 2:
             px = np.repeat(px[:, :, None], 3, axis=2)
         if px.shape[:2] != (h, w):
