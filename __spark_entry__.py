@@ -610,6 +610,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id").select("doc_id", "cluster_id", "is_canonical")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (dedup.containment_pairs):
+    |A∩B| / |A| ≥ 0.8 — the quotation / boilerplate-wrapper detector
+    symmetric Jaccard structurally misses (a short doc fully quoted in
+    a long one has low Jaccard but containment 1.0). Same inverted-
+    index shape as ngram_jaccard_dedup (postings join + df cap); the
+    DuckDB oracle recomputes shingles, cap, intersections, and BOTH
+    directions independently. Integer-ratio score cast float on both
+    sides — IEEE division of two ints is engine-independent."""
+    from vearch_spark.operators.dedup import containment_pairs
+
+    out = containment_pairs(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        shingle_n=3, containment_threshold=0.8,
+    )
+    return out.orderBy("contained_id", "container_id").select(
+        "contained_id", "container_id",
+        F.col("containment").cast("float").alias("containment"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     8-gram with an eval set (doc_id % 97 == 0 stands in for the
@@ -2036,6 +2057,79 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated audio segmentation (VAD-style) — the curation op
+    that splits a recording into voiced segments before transcription
+    or training-clip extraction. Stage 1 (Arrow, executor-side):
+    synthesize a REAL RIFF/WAVE file per doc whose loud/quiet window
+    structure follows the generation formula, decode it with the real
+    WAV codec, window the PCM into 50-sample frames, and explode to
+    (media_id, win, energy) integer rows — binaries never leave the
+    executors, only the tiny energy relation shuffles. Stage 2 (pure
+    JVM): classic gap-and-islands — windows above the energy gate are
+    grouped into runs via ``win − row_number()`` over each recording,
+    then aggregated to (seg_idx, start_win, n_wins, seg_energy)
+    segments. ONE exchange does all three keyed steps: the row_number
+    window partitions by media_id, the (media_id, grp) aggregation is
+    satisfied by that same hash partitioning (subset rule), and the
+    seg_idx window reuses it again — plus the presentation sort. The
+    DuckDB oracle recomputes the window energies FROM THE GENERATION
+    FORMULA and runs the same island detection independently."""
+    import numpy as np
+    import pandas as pd
+
+    from vearch_spark.functions.media import decode_wav_pcm, wav_bytes
+
+    W = 50  # samples per energy window
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 80).select("doc_id")
+
+    def synth_energies(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nw = 40 + i % 9
+                samples = []
+                for j in range(W * nw):
+                    w = j // W
+                    loud = (w + i) % 4 < (2 + i % 2)
+                    mag = (
+                        500 + (i * 31 + j * 17) % 400
+                        if loud
+                        else (i + j) % 5
+                    )
+                    samples.append(mag if j % 2 == 0 else -mag)
+                pcm = decode_wav_pcm(wav_bytes(samples, 8000))[:, 0]
+                e = np.abs(pcm.astype(np.int64)).reshape(nw, W).sum(axis=1)
+                out.extend(
+                    (str(i), int(w), int(e[w])) for w in range(nw)
+                )
+            yield pd.DataFrame(out, columns=["media_id", "win", "energy"])
+
+    energies = docs.mapInPandas(
+        synth_energies, schema="media_id string, win int, energy long"
+    )
+    gate = W * 100  # loud windows are >> W*500, quiet << W*5
+    above = energies.where(F.col("energy") >= gate)
+    by_media = Window.partitionBy("media_id").orderBy("win")
+    runs = above.withColumn(
+        "_grp", F.col("win") - F.row_number().over(by_media)
+    )
+    segs = runs.groupBy("media_id", "_grp").agg(
+        F.min("win").alias("start_win"),
+        F.count(F.lit(1)).cast("int").alias("n_wins"),
+        F.sum("energy").alias("seg_energy"),
+    )
+    seg_order = Window.partitionBy("media_id").orderBy("start_win")
+    return (
+        segs.withColumn(
+            "seg_idx", F.row_number().over(seg_order).cast("int")
+        )
+        .select("media_id", "seg_idx", "start_win", "n_wins", "seg_energy")
+        .orderBy(F.col("media_id").cast("int"), "seg_idx")
+    )
+
+
 def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over REAL animated containers (the
     multimodal brief's frame-sample op with a genuine decoder, not a
@@ -2744,6 +2838,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_hamming_knn": q_binary_hamming_knn,  # hamming kernel: binaryivf_knn
     "image_near_dup": q_image_near_dup,  # PNG round-trip + dHash + banded hamming (full oracle)
     "audio_near_dup": q_audio_near_dup,  # WAV round-trip + energy fingerprint + banded hamming (full oracle)
+    "audio_segments": q_audio_segments,  # VAD gap-and-islands (r9): event_sessions sessionization twin in-50
+    "containment_pairs": q_containment_pairs,  # directed n-gram containment (r9): ngram_jaccard_dedup twin in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4414,6 +4510,78 @@ def oracle_sql() -> dict[str, str]:
                  (6 + doc_id % 5)::INT, (4 + doc_id % 3)::INT,
                  (2 + doc_id % 3)::INT, (-1)::INT FROM d
         ) ORDER BY media_id::INT, container
+    """
+    # audio_segments (r9): the oracle recomputes every window energy
+    # FROM THE GENERATION FORMULA (|±mag| = mag, so the energy is the
+    # plain mag sum) and runs its own gap-and-islands — the island
+    # grouping, the gate, and the decoded PCM all cross-checked
+    d["audio_segments"] = """
+        WITH w AS (
+          SELECT d.doc_id, r.w AS win,
+                 list_sum(list_transform(range(50), k ->
+                   CASE WHEN (r.w + d.doc_id) % 4 < (2 + d.doc_id % 2)
+                        THEN 500 + (d.doc_id*31 + (r.w*50 + k)*17) % 400
+                        ELSE (d.doc_id + r.w*50 + k) % 5
+                   END))::BIGINT AS energy
+          FROM documents d, unnest(range(40 + d.doc_id % 9)) AS r(w)
+          WHERE d.doc_id < 80
+        ), above AS (
+          SELECT doc_id, win, energy,
+                 win - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY win) AS grp
+          FROM w WHERE energy >= 5000
+        ), seg AS (
+          SELECT doc_id, grp, min(win)::INT AS start_win,
+                 count(*)::INT AS n_wins, sum(energy)::BIGINT AS seg_energy
+          FROM above GROUP BY doc_id, grp
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY start_win)::INT AS seg_idx,
+               start_win, n_wins, seg_energy
+        FROM seg ORDER BY doc_id, seg_idx
+    """
+    # containment_pairs (r9): same CTE skeleton as ngram_jaccard_dedup
+    # (shingles, df cap, intersection counts), then BOTH directed
+    # containment scores — inter/|A| with the FULL set size in the
+    # denominator, exactly like the Spark operator
+    d["containment_pairs"] = """
+        WITH s AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(0, greatest(len(string_split(text,' ')) - 3, 0)),
+                   i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS sh
+          FROM documents
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n FROM s
+        ), posts AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM s
+        ), caps AS (
+          SELECT greatest(100, (count(*) * 0.01)::INT) AS cap FROM s
+        ), hot AS (
+          SELECT shingle FROM posts GROUP BY shingle
+          HAVING count(*) > (SELECT cap FROM caps)
+        ), cold AS (
+          SELECT * FROM posts WHERE shingle NOT IN (SELECT shingle FROM hot)
+        ), cnt AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), b AS (
+          SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb
+          FROM cnt
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        ), d AS (
+          SELECT id_a AS contained_id, id_b AS container_id,
+                 inter / na AS containment FROM b
+          UNION ALL
+          SELECT id_b, id_a, inter / nb FROM b
+        )
+        SELECT contained_id, container_id,
+               CAST(containment AS REAL) AS containment
+        FROM d WHERE containment >= 0.8
+        ORDER BY contained_id, container_id
     """
     # bpe_tokenize (r9): training isn't SQL-expressible, but the
     # encoding's losslessness IS — the END-stripped token concat must

@@ -525,6 +525,31 @@ def test_skew_guard_scope_releases_only_scoped(docs_df):
     assert dedup._GUARD_CACHES == []
 
 
+def test_containment_pairs_quotation_case(spark):
+    """Directed containment catches what symmetric Jaccard misses: a
+    short doc fully quoted inside a much longer one scores containment
+    1.0 (short → long) while its Jaccard stays below any usable
+    threshold; the reverse direction scores low; unrelated docs emit
+    nothing."""
+    words_q = " ".join(f"q{i}" for i in range(12))
+    words_long = words_q + " " + " ".join(f"x{i}" for i in range(120))
+    words_other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, words_q), (2, words_long), (3, words_other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in dedup.containment_pairs(
+            df, containment_threshold=0.8
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}  # quote ⊂ article; nothing else
+    jac = dedup.ngram_jaccard_pairs(df, jaccard_threshold=0.0).collect()
+    jrow = [r for r in jac if r.id_a == 1 and r.id_b == 2]
+    assert jrow and jrow[0].jaccard < 0.1  # Jaccard can't see it
+
+
 def test_entry_image_near_dup_uses_scoped_guard(spark, sf_dir):
     """r9: the production call-site of skew_guard_scope — the entry's
     image_near_dup runs its guarded hamming_pairs inside the scope and

@@ -416,6 +416,34 @@ def test_media_probe_is_narrow_pipeline(spark, sf_dir):
     assert X.count_exchanges(out) <= 1  # orderBy only
 
 
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    """containment_pairs keeps the inverted-index join shape: the hot-
+    shingle cap is a broadcast anti-join, the pair join is shingle-
+    keyed (never a cartesian), and the two directed projections reuse
+    one pair relation."""
+    import __spark_entry__ as entry
+
+    out = entry.q_containment_pairs(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # df-cap anti-join stays broadcast
+
+
+def test_audio_segments_single_keyed_exchange(spark, sf_dir):
+    """audio_segments does its three keyed steps — the row_number
+    window, the (media_id, grp) island aggregation, and the seg_idx
+    window — on ONE media_id hash exchange (HashPartitioning on a
+    subset of the grouping keys satisfies the aggregation's required
+    distribution), plus the presentation sort. No join; binaries never
+    shuffle (the WAV decode happens inside the Arrow stage)."""
+    import __spark_entry__ as entry
+
+    out = entry.q_audio_segments(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    assert "Join" not in plan
+    assert X.count_exchanges(out) <= 2  # media_id hash + final sort
+
+
 def test_html_extract_is_pure_projection(spark, sf_dir):
     """html_extract is a narrow JVM regex projection — the only
     exchange is the presentation sort; no Python, no join, no agg."""

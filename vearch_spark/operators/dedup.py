@@ -633,6 +633,74 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    containment_threshold: float = 0.8,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT join (Broder): emit
+    ``(contained_id, container_id, containment)`` where containment =
+    |A∩B| / |A| ≥ threshold — the asymmetric complement of
+    :func:`ngram_jaccard_pairs`. Jaccard misses the quotation /
+    boilerplate-wrapper case a curation pipeline cares about: a short
+    doc wholly quoted inside a much longer one scores low symmetric
+    Jaccard (the union is large) but containment 1.0. Both directions
+    are evaluated per co-occurring pair; self-pairs never emit.
+
+    Same scale shape as the Jaccard form: one persisted narrow
+    postings relation (id, 64-bit shingle hash), document-frequency
+    cap on ubiquitous shingles (score becomes a LOWER BOUND — shared
+    boilerplate carries no containment signal either), shingle-keyed
+    equi-join, pair-keyed count. The denominator |A| stays the FULL
+    set size, so the cap can only suppress, never inflate."""
+    posts = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("_shingle"),
+    ).persist()
+    sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
+    n_docs = df.count()
+    df_cap = max(100, int(n_docs * 0.01))
+    hot = (
+        posts.groupBy("_shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > df_cap)
+        .select("_shingle")
+    )
+    cold = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
+    pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"), on="_shingle")
+        .where(F.col("a._did") < F.col("b._did"))
+        .groupBy(F.col("a._did").alias("id_a"), F.col("b._did").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    both = pairs.join(
+        sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_n", "_na"),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_n", "_nb"),
+        "id_b",
+    )
+    directed = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("_inter") / F.col("_na")).alias("containment"),
+    ).unionByName(
+        both.select(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            (F.col("_inter") / F.col("_nb")).alias("containment"),
+        )
+    )
+    return directed.where(
+        F.col("containment") >= containment_threshold
+    )
+
+
 def _pack_votes(bits: np.ndarray, n_tokens: int) -> np.int64:
     """(n_tokens, 64) hash bits → signed-long SimHash signature:
     signature bit i = sign of Σ_tokens (±1 by hash bit i)."""
