@@ -62,6 +62,10 @@ FAMILIES = [
     "domain_cap",
     "cosine_near_dup_bucketed",
     "corpus_line_filter",
+    # r9: corpus-scaling additions (audio_segments / media_probe are
+    # fixed-slice by design — stress_media.py covers their codecs)
+    "containment_pairs",
+    "url_dedup",
 ]
 
 

@@ -342,20 +342,29 @@ def pct_normalize(s: Column | str) -> Column:
     col = F.col(s) if isinstance(s, str) else s
     parts = F.split(col, "%", -1)
 
+    # literal uppercase-hex → char map for the 66 unreserved characters:
+    # one flat MAP literal + one element_at keeps both the node count
+    # and the eval cost low (measured against a conv/char + range-
+    # predicate form and a nested-lambda let form — the map wins both)
+    import string
+
+    kv: list[Column] = []
+    for ch in string.ascii_letters + string.digits + "-._~":
+        kv.append(F.lit(format(ord(ch), "02X")))
+        kv.append(F.lit(ch))
+    hexmap = F.create_map(*kv)
+
     def fix(p: Column) -> Column:
         hh = F.upper(F.substring(p, 1, 2))
-        rest = F.substring(p, 3, 2147483647)
-        code = F.conv(hh, 16, 10).cast("int")
-        unreserved = (
-            ((code >= 65) & (code <= 90))      # A-Z
-            | ((code >= 97) & (code <= 122))   # a-z
-            | ((code >= 48) & (code <= 57))    # 0-9
-            | code.isin(45, 46, 95, 126)       # - . _ ~
-        )
-        return (
-            F.when(~p.rlike(r"^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), p))
-            .when(unreserved, F.concat(F.char(code), rest))
-            .otherwise(F.concat(F.lit("%"), hh, rest))
+        return F.when(
+            ~p.rlike(r"^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), p)
+        ).otherwise(
+            F.concat(
+                F.coalesce(
+                    F.element_at(hexmap, hh), F.concat(F.lit("%"), hh)
+                ),
+                F.substring(p, 3, 2147483647),
+            )
         )
 
     return F.concat(
@@ -368,6 +377,17 @@ def pct_normalize(s: Column | str) -> Column:
             "",
         ),
     )
+
+
+def _let(col: Column, fn) -> Column:
+    """Let-binding for Column expressions: bind ``col`` to a lambda
+    variable so ``fn`` can reference it many times WITHOUT duplicating
+    its whole subtree per reference (the Column API has no native let;
+    every reuse of a Column object inlines a copy, and for deep chains
+    like canonical_url that multiplied Catalyst analysis cost ~5×).
+    ``transform`` over a one-element array is the standard trick: the
+    lambda variable is a leaf, so the bound subtree appears once."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def canonical_url(url: Column | str) -> Column:
@@ -388,44 +408,69 @@ def canonical_url(url: Column | str) -> Column:
     normalized (percent-encoded hosts are punycode territory, out of
     scope). Non-URLs map to '' (url_host convention)."""
     col = F.col(url) if isinstance(url, str) else url
-    c = F.regexp_replace(col, r"#.*$", "")  # fragment
-    scheme = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    host = url_host(c)
-    port = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]+@)?[^/:?#]+:(\d+)", 1)
-    port = F.when(
-        ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443"))
-        | (port == ""),
-        F.lit(""),
-    ).otherwise(F.concat(F.lit(":"), port))
-    tail = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
-    path = F.regexp_extract(tail, r"^([^?]*)", 1)
-    # trailing slash off non-root paths; empty path becomes '/'
-    path = F.regexp_replace(path, r"(.)/$", "$1")
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    path = pct_normalize(path)
-    query = F.regexp_extract(tail, r"\?(.*)$", 1)
-    # '+' is the form-encoded space — fold into '%20' BEFORE escape
-    # normalization so both spellings share one canonical form
-    query = pct_normalize(F.regexp_replace(query, r"\+", "%20"))
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.rlike(r"^(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid|fbid)="),
-    )
-    query = F.array_join(F.array_sort(params), "&")
-    return F.when(
-        (scheme == "") | (host == ""), F.lit("")
-    ).otherwise(
-        F.concat(
-            scheme,
-            F.lit("://"),
-            host,
-            port,
-            path,
-            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+
+    def build(c: Column) -> Column:
+        scheme = F.lower(
+            F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
         )
-    )
+        host = url_host(c)
+        tail = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+        raw_port = F.regexp_extract(
+            c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]+@)?[^/:?#]+:(\d+)", 1
+        )
+        # trailing slash off non-root paths; empty path becomes '/'
+        path = pct_normalize(
+            _let(
+                F.regexp_replace(
+                    F.regexp_extract(tail, r"^([^?]*)", 1), r"(.)/$", "$1"
+                ),
+                lambda p: F.when(p == "", F.lit("/")).otherwise(p),
+            )
+        )
+        # '+' is the form-encoded space — fold into '%20' BEFORE escape
+        # normalization so both spellings share one canonical form
+        qnorm = pct_normalize(
+            F.regexp_replace(
+                F.regexp_extract(tail, r"\?(.*)$", 1), r"\+", "%20"
+            )
+        )
+        query = _let(
+            F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(qnorm, "&"),
+                        lambda p: (p != "")
+                        & ~p.rlike(
+                            r"^(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid|fbid)="
+                        ),
+                    )
+                ),
+                "&",
+            ),
+            lambda q: F.when(q == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), q)
+            ),
+        )
+        return _let(scheme, lambda sch: _let(host, lambda h: _let(
+            raw_port,
+            lambda rp: F.when((sch == "") | (h == ""), F.lit("")).otherwise(
+                F.concat(
+                    sch,
+                    F.lit("://"),
+                    h,
+                    F.when(
+                        ((sch == "http") & (rp == "80"))
+                        | ((sch == "https") & (rp == "443"))
+                        | (rp == ""),
+                        F.lit(""),
+                    ).otherwise(F.concat(F.lit(":"), rp)),
+                    path,
+                    query,
+                )
+            ),
+        )))
+
+    return _let(F.regexp_replace(col, r"#.*$", ""), build)  # fragment off
 
 
 def registrable_domain(host: Column | str) -> Column:
