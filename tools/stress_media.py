@@ -11,7 +11,9 @@ energy envelope), and reduces to one count: binaries and frames never
 leave the executors.
 
 Usage: python tools/stress_media.py [N] [formats]  (default 100_000,
-formats a comma list from gif,avi,mp4,webp,flac; default all)
+formats a comma list from gif,avi,mp4,webp,webpbig,flac,tiff; default
+all but webpbig — the crawl-sized 128x144 WebP arm is opt-in since it
+decodes ~60x the pixels per container).
 Prints one JSON line with containers/s (and frames/s where framed).
 """
 
