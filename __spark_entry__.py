@@ -1286,10 +1286,15 @@ def _ivf_index(spark: SparkSession, sf_dir: str, kind: str):
             # reorder (scann/config.txt; operators/ivf.py ScannIndex).
             # Same coarse fit as the ivfflat/ivfpq family (seed 42,
             # ncentroids 16) so the pruned_knn oracle covers it; same
-            # wide rerank rationale as ivfpq on near-uniform embeddings
+            # wide rerank rationale as ivfpq on near-uniform embeddings.
+            # rerank_k=400 (r9, was 100): at sf0.001 the anisotropic
+            # 4-bit ADC screen over near-uniform data dropped the true
+            # rank-9 from its top-100, breaking the exact-within-cells
+            # oracle at that SF only; the wider exact-rerank pool is
+            # noise-proof at every driver SF and costs microseconds
             idx = ScannIndex(
                 "embedding", Metric.L2, ncentroids=16, nprobe=12,
-                nsubvector=8, rerank_k=100, id_col="vec_id",
+                nsubvector=8, rerank_k=400, id_col="vec_id",
             )
         elif kind == "ivfpq":
             # the reference always reranks its modified IVFPQ
