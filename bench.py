@@ -100,6 +100,23 @@ def main() -> None:
         "sf": sf,
         # full-payload only (the compact driver line drops this)
         "notes": {
+            "r9_total": (
+                "r9 adds three queries (media_probe 0.4s, audio_segments "
+                "0.5s, containment_pairs 1.9s - the latter is a full "
+                "postings self-join like ngram_jaccard, plus its first-call "
+                "codegen) and grows two by design: media_decode adds a "
+                "TIFF round-trip arm yet got FASTER (1.3 -> 1.1s) because "
+                "the VP8L decoder was vectorized (LUT prefix decode + "
+                "slice-copy LZ77, 3.3-3.9x on crawl-sized images); "
+                "url_dedup grows 0.2 -> 0.7s by design (percent-encoding "
+                "normalization: two pct_normalize transforms per URL; the "
+                "let-binding rework already cut the plan-analysis cost "
+                "~40%). Scale suites now report min + median over "
+                "SPARK_GRAFT_SCALE_RUNS=3 fresh-subprocess runs - compare "
+                "min-to-min across rounds (r8's single-sample scale_1m "
+                "build of 48.95s reads as host steal: r9 min 10.3s, "
+                "median 15.4s, identical recall)"
+            ),
             "r8_host_variance": (
                 "three full back-to-back runs of this round's FINAL code "
                 "on an idle guest measured totals 36.1 / 40.4 / 31.6s and "
