@@ -423,10 +423,16 @@ def test_containment_pairs_no_cartesian(spark, sf_dir):
     one pair relation."""
     import __spark_entry__ as entry
 
+    # the entry caches the materialized result per (session, sf); pin
+    # the UNCACHED plan shape
+    key = (id(spark), sf_dir, "containment_pairs")
+    entry._INDEX_CACHE.pop(key, None)
     out = entry.q_containment_pairs(spark, sf_dir)
     plan = X.formatted_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # df-cap anti-join stays broadcast
+    entry._INDEX_CACHE.pop(key, None)
+    out.unpersist()
 
 
 def test_audio_segments_single_keyed_exchange(spark, sf_dir):
