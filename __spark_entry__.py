@@ -910,6 +910,41 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hamming_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-relation exact-Hamming pairs (dedup.hamming_pairs_cross)
+    — the incremental / sharded form of the perceptual-hash near-dup
+    join: today's fingerprints (doc_id ≥ 400) matched against the
+    existing corpus (doc_id < 400), pairs generated ACROSS the sides
+    only. This is the operator SCALE.md prescribes past the exact
+    all-pairs envelope (~2M hashes/shard): shard, then run bounded
+    within-shard + cross-shard passes. Hashes follow a 56-bit
+    generation formula both engines compute exactly; every even new
+    doc plants a ≤2-bit flip of its corpus twin. The DuckDB oracle is
+    the BRUTE-FORCE cross join with bit_count(xor()) — banding +
+    bucket join + verify must reproduce it pair-for-pair."""
+    from vearch_spark.operators.dedup import hamming_pairs_cross
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    base = "(doc_id * 1103515245 + 12345) % 281474976710656 * 256 + doc_id % 251"
+    tw = base.replace("doc_id", "(doc_id - 400)")
+    corpus = docs.where(F.col("doc_id") < 400).select(
+        "doc_id", F.expr(base).alias("_h")
+    )
+    new = docs.where(F.col("doc_id") >= 400).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN doc_id % 2 = 0 THEN ({tw}) ^ "
+            "(shiftleft(1L, int(doc_id % 63)) | "
+            "shiftleft(1L, int(doc_id * 7 % 63))) "
+            f"ELSE {base} END"
+        ).alias("_h"),
+    )
+    out = hamming_pairs_cross(
+        new, corpus, hash_col="_h", id_col="doc_id", max_hamming=3, bands=4,
+    )
+    return out.orderBy("new_id", "corpus_id")
+
+
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length percentiles per source — the stats that set quality
     -filter thresholds in a training-data pipeline. Exact interpolated
@@ -2853,6 +2888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_near_dup": q_audio_near_dup,  # WAV round-trip + energy fingerprint + banded hamming (full oracle)
     "audio_segments": q_audio_segments,  # VAD gap-and-islands (r9): event_sessions sessionization twin in-50
     "containment_pairs": q_containment_pairs,  # directed n-gram containment (r9): ngram_jaccard_dedup twin in-50
+    "hamming_cross": q_hamming_cross,  # cross-relation exact-Hamming (r9): simhash/incremental twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4523,6 +4559,32 @@ def oracle_sql() -> dict[str, str]:
                  (6 + doc_id % 5)::INT, (4 + doc_id % 3)::INT,
                  (2 + doc_id % 3)::INT, (-1)::INT FROM d
         ) ORDER BY media_id::INT, container
+    """
+    # hamming_cross (r9): the oracle is the BRUTE-FORCE cross join
+    # over the formula hashes — banding must reproduce it exactly
+    # (pigeonhole: max_hamming 3 < bands 4)
+    d["hamming_cross"] = """
+        WITH corpus AS (
+          SELECT doc_id AS corpus_id,
+                 (doc_id * 1103515245 + 12345) % 281474976710656 * 256
+                 + doc_id % 251 AS h
+          FROM documents WHERE doc_id < 400
+        ), nw AS (
+          SELECT doc_id AS new_id,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   xor(((doc_id - 400) * 1103515245 + 12345)
+                       % 281474976710656 * 256 + (doc_id - 400) % 251,
+                       (1::BIGINT << (doc_id % 63)::INT)
+                       | (1::BIGINT << ((doc_id * 7) % 63)::INT))
+                 ELSE (doc_id * 1103515245 + 12345) % 281474976710656
+                      * 256 + doc_id % 251 END AS h
+          FROM documents WHERE doc_id >= 400
+        )
+        SELECT n.new_id, c.corpus_id,
+               bit_count(xor(n.h, c.h))::INT AS hamming
+        FROM nw n, corpus c
+        WHERE bit_count(xor(n.h, c.h)) <= 3 AND n.new_id != c.corpus_id
+        ORDER BY new_id, corpus_id
     """
     # audio_segments (r9): the oracle recomputes every window energy
     # FROM THE GENERATION FORMULA (|±mag| = mag, so the energy is the

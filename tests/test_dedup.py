@@ -550,6 +550,44 @@ def test_containment_pairs_quotation_case(spark):
     assert jrow and jrow[0].jaccard < 0.1  # Jaccard can't see it
 
 
+def test_hamming_pairs_cross_semantics(spark):
+    """hamming_pairs_cross emits pairs ACROSS the two relations only:
+    within-side near-dups never pair, id-equal cross rows (re-crawl
+    replays) are excluded, exactness holds at max_hamming < bands, and
+    the corpus-side max_bucket cap keeps the lowest-id members."""
+    new = spark.createDataFrame(
+        [(1, 0b1111), (2, 0b1110), (10, 0b1111_0000_1111)],
+        "doc_id long, h long",
+    )
+    corpus = spark.createDataFrame(
+        [(10, 0b1111_0000_1111), (11, 0b1101), (12, 0b1100),
+         (90, -1 << 30)],
+        "doc_id long, h long",
+    )
+    got = {
+        (r.new_id, r.corpus_id): r.hamming
+        for r in dedup.hamming_pairs_cross(
+            new, corpus, hash_col="h", max_hamming=3, bands=4
+        ).collect()
+    }
+    # 1↔2 (both new) and 11↔12 (both corpus) must NOT pair; 10↔10 is
+    # an id-equal replay and is excluded despite hamming 0
+    assert got == {
+        (1, 11): 1, (1, 12): 2, (2, 11): 2, (2, 12): 1,
+    }
+    # corpus-side cap: ids 10/11/12 share the three zero-value band
+    # buckets, so max_bucket=2 keeps the lowest two (10, 11) there —
+    # (x, 11) pairs survive, (x, 12) are truncated away
+    capped = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.hamming_pairs_cross(
+            new, corpus, hash_col="h", max_hamming=3, bands=4,
+            max_bucket=2,
+        ).collect()
+    }
+    assert (1, 11) in capped and (1, 12) not in capped
+
+
 def test_entry_image_near_dup_uses_scoped_guard(spark, sf_dir):
     """r9: the production call-site of skew_guard_scope — the entry's
     image_near_dup runs its guarded hamming_pairs inside the scope and

@@ -8,7 +8,11 @@ exact all-pairs banding carries an intrinsic ~n^2/2^17 candidate term
 (4 bands x 16-bit band space), fine to ~2M hashes per shard; pass a
 max_bucket to measure the guard's linear chain mode instead.
 
-Usage: python tools/stress_hamming.py [N] [max_bucket]
+Usage: python tools/stress_hamming.py [N] [max_bucket] [cross]
+With "cross", measures one N x N hamming_pairs_cross pass instead (the
+sharding path: per-pass candidates are |bucket_a| x |bucket_b| — the
+decomposition bounds each pass's spill, total exact work is unchanged);
+plants one <=2-bit cross pair per 20 corpus ids.
 Prints one JSON line {"n", "max_bucket", "wall_s", "pairs"}.
 """
 
@@ -32,9 +36,41 @@ def main() -> None:
     from vearch_spark.session import get_spark
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    mb = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    mb = (
+        int(sys.argv[2])
+        if len(sys.argv) > 2 and sys.argv[2] != "none"
+        else None
+    )
+    cross = len(sys.argv) > 3 and sys.argv[3] == "cross"
     spark = get_spark(app_name="hamming-scale")
     ids = spark.range(n).repartition(32)
+    if cross:
+        from vearch_spark.operators.dedup import hamming_pairs_cross
+
+        corpus = ids.select(
+            F.col("id").alias("doc_id"), F.xxhash64("id").alias("_h")
+        )
+        new = ids.select(
+            (F.col("id") + n).alias("doc_id"),
+            F.expr(
+                "CASE WHEN id % 20 != 0 THEN xxhash64(id + 7777777777L) "
+                "ELSE xxhash64(id) ^ (shiftleft(1L, int(id * 7 % 64)) | "
+                "shiftleft(1L, int(id * 13 % 64))) END"
+            ).alias("_h"),
+        )
+        t0 = time.time()
+        found = hamming_pairs_cross(
+            new, corpus, hash_col="_h", max_hamming=3, bands=4,
+            max_bucket=mb,
+        ).count()
+        dt = time.time() - t0
+        release_skew_guard_caches()
+        print(json.dumps(
+            {"n": n, "mode": "cross", "max_bucket": mb,
+             "wall_s": round(dt, 1), "pairs": found}
+        ))
+        spark.stop()
+        return
     base = F.xxhash64(F.expr("id - CASE WHEN id % 20 = 19 THEN 1 ELSE 0 END"))
     flips = F.expr(
         "CASE WHEN id % 20 != 19 THEN 0L ELSE "

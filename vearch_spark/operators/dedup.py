@@ -867,6 +867,89 @@ def hamming_pairs(
     )
 
 
+def hamming_pairs_cross(
+    new: DataFrame,
+    corpus: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Cross-relation form of :func:`hamming_pairs` — the sharding
+    scale path SCALE.md prescribes for ≥4M hashes, where exact
+    all-pairs banding's intrinsic ~n²/2¹⁷ candidate term bites: pairs
+    are generated ACROSS the two relations only, never within either
+    side, so an N-shard corpus runs N bounded within-shard passes plus
+    cross passes whose per-bucket candidate volume is
+    |bucket_new| × |bucket_corpus| instead of quadratic in the union.
+    Also the incremental form ("which of today's hashes already
+    exist?") — the perceptual-hash analog of
+    :func:`dedup_against_corpus`'s near arm.
+
+    Output: ``(new_id, corpus_id, hamming)`` with hamming ≤
+    ``max_hamming``; exact whenever ``max_hamming ≤ bands − 1`` (the
+    pigeonhole argument is unchanged — only the pairing side changed).
+    Id-equal cross matches are excluded (overlapping id spaces = a
+    re-crawl resending the same row, matching dedup_against_corpus).
+    ``max_bucket`` caps the CORPUS side of a band bucket at its
+    lowest-id members — recall bounded only in buckets it truncates;
+    pass ``None`` for the exact unguarded join."""
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64: {bands}")
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+
+    def banded(df: DataFrame, out_id: str, out_sim: str) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias(out_id), F.col(hash_col).alias(out_sim)
+        )
+        return sh.select(
+            out_id,
+            out_sim,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col(out_sim), b * width)
+                            .bitwiseAND(mask)
+                            .alias("blk"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_blk"),
+        ).select(
+            out_id,
+            out_sim,
+            F.col("_blk.band").alias("_b"),
+            F.col("_blk.blk").alias("_v"),
+        )
+
+    a = banded(new, "new_id", "_sim_a")
+    b = banded(corpus, "corpus_id", "_sim_b")
+    if max_bucket is not None:
+        w = Window.partitionBy("_b", "_v").orderBy("corpus_id")
+        b = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(max_bucket))
+            .drop("_rn")
+        )
+    cands = (
+        a.join(b, on=["_b", "_v"])
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id", "_sim_a", "_sim_b")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+    return (
+        cands.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+    )
+
+
 def embedding_cosine_pairs_blas(
     df: DataFrame,
     vec_col: str = "embedding",
