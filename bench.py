@@ -101,10 +101,11 @@ def main() -> None:
         # full-payload only (the compact driver line drops this)
         "notes": {
             "r9_total": (
-                "r9 adds three queries (media_probe 0.4s, audio_segments "
-                "0.5s, containment_pairs 1.9s - the latter is a full "
-                "postings self-join like ngram_jaccard, plus its first-call "
-                "codegen) and grows two by design: media_decode adds a "
+                "r9 adds four queries (media_probe 0.4s, audio_segments "
+                "0.5s, containment_pairs 0.1s steady - its postings "
+                "self-join is session-cached like ngram_jaccard - and "
+                "hamming_cross 0.7s, cross-relation exact-Hamming) and "
+                "grows two by design: media_decode adds a "
                 "TIFF round-trip arm yet got FASTER (1.3 -> 1.1s) because "
                 "the VP8L decoder was vectorized (LUT prefix decode + "
                 "slice-copy LZ77, 3.3-3.9x on crawl-sized images); "
