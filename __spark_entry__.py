@@ -2524,14 +2524,17 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unified header probe across ALL ELEVEN container formats — the
+    """Unified header probe across ALL TWELVE container formats — the
     cheap first pass a curation pipeline runs on a mixed-format crawl
     before committing to full decodes: per doc, synthesize one REAL
     container of every supported family (PNG, JPEG, GIF — animated,
     1-3 frames — BMP, netpbm P5, lossless WebP — RGBA on odd ids, so
     the alpha bit is exercised both ways — TIFF with compression
-    rotating none/LZW/PackBits, RIFF/WAVE PCM, FLAC, AVI-DIB, and
-    ISO BMFF MP4/MJPEG), run functions/media.py:media_info (single
+    rotating none/LZW/PackBits, RIFF/WAVE PCM, FLAC, AVI-DIB,
+    ISO BMFF MP4/MJPEG, and — r9 — MP3, whose ISO 11172-3 frame walk
+    and rotating sample rates + ID3v2 envelopes are probed header-only
+    while audio decode stays behind the external-codec registry), run
+    functions/media.py:media_info (single
     magic-dispatch entry point), and emit one row per (doc, container)
     with the probe's kind tag, dimensions, frame/sample count, and a
     per-family detail field (PNG bit depth, JPEG component count, GIF
@@ -2553,6 +2556,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         gif_bytes,
         jpeg_bytes,
         media_info,
+        mp3_silence_bytes,
         mp4_bytes,
         pgm_bytes,
         png_bytes,
@@ -2608,6 +2612,14 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "flac": flac_bytes(samples, 8000),
                     "avi": avi_bytes(vid, fps=10, codec="DIB"),
                     "mp4": mp4_bytes(vid, fps=10),
+                    # r9: 12th container — MP3 framing probe (header
+                    # walk only; audio decode is the external-codec
+                    # extension point), ID3v2 envelope on odd ids
+                    "mp3": mp3_silence_bytes(
+                        3 + i % 5, (44100, 48000, 32000)[i % 3], 128,
+                        1 + i % 2,
+                        id3=(b"t" * (1 + i % 7)) if i % 2 else None,
+                    ),
                 }
                 for tag, blob in blobs.items():
                     info = media_info(blob)
@@ -2618,6 +2630,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "flac": info.get("total_samples"),
                         "avi": info.get("n_frames"),
                         "mp4": info.get("n_samples"),
+                        "mp3": info.get("n_frames"),
                     }.get(tag, 1)
                     extra = {
                         "png": info.get("bit_depth"),
@@ -2628,6 +2641,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "wav": info.get("sample_rate"),
                         "flac": info.get("bits_per_sample"),
                         "avi": info.get("fps"),
+                        "mp3": info.get("sample_rate"),
                     }.get(tag)
                     out.append(
                         (
@@ -4558,6 +4572,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST(doc_id AS VARCHAR), 'mp4', 'video',
                  (6 + doc_id % 5)::INT, (4 + doc_id % 3)::INT,
                  (2 + doc_id % 3)::INT, (-1)::INT FROM d
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'mp3', 'audio',
+                 (-1)::INT, (-1)::INT, (3 + doc_id % 5)::INT,
+                 (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END)::INT FROM d
         ) ORDER BY media_id::INT, container
     """
     # hamming_cross (r9): the oracle is the BRUTE-FORCE cross join

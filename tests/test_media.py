@@ -2242,6 +2242,50 @@ def test_external_codec_registry_contract():
         M.decode_mp4(avc)
 
 
+def test_mp3_header_probe():
+    """r9 MP3 header-only support: mp3_silence_bytes synthesizes
+    structurally valid MPEG-1 Layer III framing (optionally inside an
+    ID3v2 envelope) and mp3_info recovers every parameter from the
+    frame walk; media_info dispatches on both the ID3 magic and a bare
+    frame sync; corrupt framing rejects typed; audio DECODE still
+    routes to the external-codec registry."""
+    from vearch_spark.functions import media as M
+
+    for sr in (44100, 48000, 32000):
+        for nf in (1, 4):
+            for ch in (1, 2):
+                for id3 in (None, b"TAG" * 11):
+                    blob = M.mp3_silence_bytes(nf, sr, 128, ch, id3=id3)
+                    info = M.mp3_info(blob)
+                    assert (
+                        info["n_frames"], info["sample_rate"],
+                        info["channels"], info["bitrate_kbps"],
+                        info["mpeg_version"], info["layer"],
+                    ) == (nf, sr, ch, 128, 1, 3)
+                    assert info["duration_ms"] == nf * 1152 * 1000 // sr
+                    mi = M.media_info(blob)
+                    assert (mi["container"], mi["kind"]) == ("mp3", "audio")
+    # a 320kbps stereo stream exercises the other table edge
+    info = M.mp3_info(M.mp3_silence_bytes(2, 44100, 320, 2))
+    assert info["bitrate_kbps"] == 320 and info["channels"] == 2
+
+    with pytest.raises(ValueError, match="syncsafe|truncated"):
+        M.mp3_info(b"ID3\x04\x00\x00\x7f\x7f\x7f\xff" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="reserved|bitrate"):
+        M.mp3_info(b"\xff\xe0\x00\x00" + b"\x00" * 16)  # reserved ver
+    with pytest.raises(ValueError, match="past stream end"):
+        M.mp3_info(M.mp3_silence_bytes(2)[:-10])
+    with pytest.raises(ValueError, match="no frames"):
+        M.mp3_info(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="external decoder"):
+        M.decode_audio(M.mp3_silence_bytes(2))
+    # encoder validation
+    with pytest.raises(ValueError, match="sample_rate"):
+        M.mp3_silence_bytes(1, 22050)
+    with pytest.raises(ValueError, match="bitrate"):
+        M.mp3_silence_bytes(1, 44100, 100)
+
+
 def test_media_info_unified_dispatch():
     """media_info dispatches every supported container by magic and
     annotates kind + container; unknown magic raises typed."""

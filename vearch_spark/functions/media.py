@@ -1748,6 +1748,147 @@ def dhash64(pixels: np.ndarray | list) -> int:
     return _pack_bits64((grid[:, 1:] > grid[:, :-1]).ravel())  # row-major (8, 8)
 
 
+# ------------------------------------------------------------------ MP3
+#
+# Header-only MP3 support (ISO/IEC 11172-3 frame headers + the ID3v2
+# envelope): the probe a curation pipeline needs to TRIAGE mp3 files —
+# version/layer/bitrate/samplerate/channels/duration from the frame
+# walk — without an entropy decoder. Full audio decode stays behind
+# register_external_codec('mp3'). mp3_silence_bytes synthesizes
+# structurally valid Layer III frames with zeroed side-info/main data
+# (a legal silent stream), so the walk is testable end-to-end.
+
+_MP3_BITRATES = {  # kbps, index 1..14; (version_group, layer)
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}  # header version bits → rates
+
+
+def _mp3_frame_header(b: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``; returns (frame_len,
+    sample_rate, bitrate_kbps, channels, samples_per_frame, version,
+    layer) or raises ValueError."""
+    if pos + 4 > len(b):
+        raise ValueError("truncated MP3 frame header")
+    h = struct.unpack(">I", b[pos : pos + 4])[0]
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise ValueError(f"bad MP3 frame sync at {pos}")
+    vbits = (h >> 19) & 3  # 0=2.5, 2=MPEG-2, 3=MPEG-1 (1 reserved)
+    layer = 4 - ((h >> 17) & 3)  # bits 01→III(3), 10→II(2), 11→I(1)
+    if vbits == 1 or (h >> 17) & 3 == 0:
+        raise ValueError("reserved MP3 version/layer")
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("free-format/reserved MP3 bitrate or samplerate")
+    vgroup = 1 if vbits == 3 else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1]
+    rate = _MP3_RATES[vbits][sr_idx]
+    pad = (h >> 9) & 1
+    mono = ((h >> 6) & 3) == 3
+    if layer == 1:
+        flen = (12 * bitrate * 1000 // rate + pad) * 4
+        spf = 384
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576
+        flen = spf // 8 * bitrate * 1000 // rate + pad
+    return flen, rate, bitrate, 1 if mono else 2, spf, vgroup, layer
+
+
+def mp3_info(content: bytes) -> dict:
+    """Header-only MP3 probe: skip an ID3v2 envelope, walk every MPEG
+    audio frame (version/layer/bitrate/samplerate tables from ISO/IEC
+    11172-3), and report the stream's parameters + frame count +
+    duration. No audio is decoded — decode requires an external
+    decoder (:func:`register_external_codec`, key 'mp3'). Corrupt
+    framing raises typed ValueError."""
+    pos = 0
+    if content[:3] == b"ID3":
+        if len(content) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = 0
+        for byte in content[6:10]:
+            if byte & 0x80:
+                raise ValueError("bad ID3v2 syncsafe size")
+            sz = (sz << 7) | byte
+        pos = 10 + sz + (10 if content[5] & 0x10 else 0)  # + footer
+    first = None
+    n_frames = 0
+    total_samples = 0
+    while pos + 4 <= len(content):
+        flen, rate, kbps, nch, spf, vgroup, layer = _mp3_frame_header(
+            content, pos
+        )
+        if first is None:
+            first = (rate, kbps, nch, vgroup, layer)
+        n_frames += 1
+        total_samples += spf
+        if pos + flen > len(content):
+            raise ValueError("MP3 frame extends past stream end")
+        pos += flen
+    if first is None:
+        raise ValueError("MP3 stream has no frames")
+    rate, kbps, nch, vgroup, layer = first
+    return {
+        "sample_rate": rate,
+        "bitrate_kbps": kbps,
+        "channels": nch,
+        "n_frames": n_frames,
+        "duration_ms": total_samples * 1000 // rate,
+        "mpeg_version": vgroup,
+        "layer": layer,
+    }
+
+
+def mp3_silence_bytes(
+    n_frames: int,
+    sample_rate: int = 44100,
+    bitrate_kbps: int = 128,
+    channels: int = 1,
+    id3: bytes | None = None,
+) -> bytes:
+    """Synthesize a structurally valid MPEG-1 Layer III stream of
+    ``n_frames`` silent frames (zeroed side info + main data decode to
+    silence under the spec), optionally wrapped in a minimal ID3v2
+    envelope carrying ``id3`` as a raw tag body. Deterministic; the
+    framing round-trips :func:`mp3_info` exactly."""
+    rates = {44100: 0, 48000: 1, 32000: 2}
+    if sample_rate not in rates:
+        raise ValueError(f"MPEG-1 sample_rate must be one of {list(rates)}")
+    table = _MP3_BITRATES[(1, 3)]
+    if bitrate_kbps not in table:
+        raise ValueError(f"bitrate_kbps must be one of {table}")
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    br_idx = table.index(bitrate_kbps) + 1
+    h = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)  # MPEG-1 L3 no-CRC
+        | (br_idx << 12) | (rates[sample_rate] << 10)
+        | ((3 if channels == 1 else 0) << 6)
+    )
+    flen = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = struct.pack(">I", h) + b"\x00" * (flen - 4)
+    out = bytearray()
+    if id3 is not None:
+        sz = len(id3)
+        if sz >= 1 << 28:
+            raise ValueError("ID3 body too large")
+        syncsafe = bytes(
+            (sz >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        out += b"ID3\x04\x00\x00" + syncsafe + id3
+    out += frame * n_frames
+    return bytes(out)
+
+
 # ------------------------------------------------- external codec registry
 #
 # The engine implements every LOSSLESS codec from scratch (PNG, GIF,
@@ -3846,6 +3987,12 @@ def media_info(content: bytes) -> dict:
         out, kind, tag = avi_info(content), "video", "avi"
     elif len(content) >= 12 and content[4:8] == b"ftyp":
         out, kind, tag = mp4_info(content), "video", "mp4"
+    elif content[:3] == b"ID3" or (
+        len(content) >= 2
+        and content[0] == 0xFF
+        and content[1] & 0xE0 == 0xE0
+    ):
+        out, kind, tag = mp3_info(content), "audio", "mp3"
     else:
         raise ValueError("unrecognized media container magic")
     out = dict(out)
