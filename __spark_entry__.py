@@ -610,6 +610,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id").select("doc_id", "cluster_id", "is_canonical")
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene pass (text.clean_unicode) — the pre-tokenization
+    cleanup a crawl corpus needs: per doc, inject the noise classes by
+    formula (zero-width chars on even ids, C0 controls on ids % 3 == 0
+    else an NBSP, typographic quotes/dashes and an ellipsis on every
+    doc), clean, and emit the cleaned text + the signed length delta.
+    Pure JVM projection (translate + two RE2-safe regexp_replace), no
+    shuffle but the presentation sort. The DuckDB oracle rebuilds the
+    SAME noisy string from chr() codepoints and applies the equivalent
+    strip/translate/replace chain — a hash match proves every noise
+    class is handled identically."""
+    from vearch_spark.functions.text import clean_unicode
+
+    docs = _docs(spark, sf_dir)
+    noisy = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("\u200bZW\u200d")
+        ).otherwise(F.lit("")),
+        F.lit("\u201chead\u201d\u2026 "),
+        F.substring("text", 1, 100),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\x07mid\x01")
+        ).otherwise(F.lit("\u00a0")),
+        F.lit("\u2018tail\u2019\u2013end\ufeff"),
+    )
+    cleaned = clean_unicode(noisy)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length(noisy) - F.length(cleaned)).cast("int").alias("len_delta"),
+    ).orderBy("doc_id")
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed n-gram containment pairs (dedup.containment_pairs):
     |A∩B| / |A| ≥ 0.8 — the quotation / boilerplate-wrapper detector
@@ -2903,6 +2936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_segments": q_audio_segments,  # VAD gap-and-islands (r9): event_sessions sessionization twin in-50
     "containment_pairs": q_containment_pairs,  # directed n-gram containment (r9): ngram_jaccard_dedup twin in-50
     "hamming_cross": q_hamming_cross,  # cross-relation exact-Hamming (r9): simhash/incremental twins in-50
+    "unicode_clean": q_unicode_clean,  # unicode hygiene projection (r9): html_extract/pii_redaction twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4578,6 +4612,38 @@ def oracle_sql() -> dict[str, str]:
                  (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                   ELSE 32000 END)::INT FROM d
         ) ORDER BY media_id::INT, container
+    """
+    # unicode_clean (r9): the oracle rebuilds the SAME noisy string
+    # from chr() codepoints and applies the equivalent strip (RE2
+    # \\x{...} class) / translate / replace chain
+    d["unicode_clean"] = """
+        WITH nz AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0
+                  THEN chr(8203) || 'ZW' || chr(8205) ELSE '' END)
+            || chr(8220) || 'head' || chr(8221) || chr(8230) || ' '
+            || substr(text, 1, 100)
+            || (CASE WHEN doc_id % 3 = 0
+                     THEN chr(7) || 'mid' || chr(1) ELSE chr(160) END)
+            || chr(8216) || 'tail' || chr(8217) || chr(8211) || 'end'
+            || chr(65279) AS t
+          FROM documents
+        ), c AS (
+          SELECT doc_id, t,
+            replace(
+              translate(
+                regexp_replace(t,
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]',
+                  '', 'g'),
+                chr(160) || chr(8216) || chr(8217) || chr(8220)
+                || chr(8221) || chr(8211) || chr(8212),
+                ' ''''""--'),
+              chr(8230), '...') AS cleaned
+          FROM nz
+        )
+        SELECT doc_id, cleaned,
+               (length(t) - length(cleaned))::INT AS len_delta
+        FROM c ORDER BY doc_id
     """
     # hamming_cross (r9): the oracle is the BRUTE-FORCE cross join
     # over the formula hashes — banding must reproduce it exactly

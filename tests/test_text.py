@@ -191,3 +191,25 @@ def test_html_to_text_strips_elements_entities_whitespace(spark):
     got = df.select(html_to_text("html").alias("t")).collect()
     for (h, want), r in zip(cases, got):
         assert r.t == want, h
+
+
+def test_clean_unicode(spark):
+    """r9 unicode hygiene: C0/C1 controls strip (tab/newline kept),
+    zero-width chars strip, NBSP + typographic quotes/dashes fold to
+    ASCII, ellipsis expands; plain ASCII passes through untouched."""
+    from vearch_spark.functions.text import clean_unicode
+
+    cases = [
+        ("a\x07b​c", "abc"),
+        ("‍﻿x", "x"),
+        ("‘q’ “w”", "'q' \"w\""),
+        ("a b–c—d", "a b-c-d"),
+        ("wait… done", "wait... done"),
+        ("tab\there\nnewline", "tab\there\nnewline"),
+        ("plain ascii!", "plain ascii!"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = df.select(clean_unicode("t").alias("c")).collect()
+    for (t, want), r in zip(cases, got):
+        assert r.c == want, repr(t)

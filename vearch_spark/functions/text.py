@@ -233,6 +233,30 @@ def normalize_whitespace(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
+def clean_unicode(text: Column | str) -> Column:
+    """Unicode hygiene for crawled text — the cleanup pass that runs
+    before tokenization so control garbage and typographic variants
+    don't fragment the vocabulary: strips C0/C1 control characters
+    (keeping tab/newline), strips zero-width characters (ZWSP/ZWNJ/
+    ZWJ/BOM U+200B-200D, U+FEFF), folds NBSP (U+00A0) and the
+    typographic quotes/dashes (U+2018/2019 → ', U+201C/201D → ",
+    U+2013/2014 → -) to their ASCII forms via one translate, and
+    expands the ellipsis (U+2026 → '...'). Pure JVM (translate + two
+    RE2-safe regexp_replace), reproducible verbatim by a SQL oracle."""
+    col = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(
+        col,
+        "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\u200b-\u200d\ufeff]",
+        "",
+    )
+    c = F.translate(
+        c,
+        "\u00a0\u2018\u2019\u201c\u201d\u2013\u2014",
+        " ''\"\"--",
+    )
+    return F.regexp_replace(c, "\u2026", "...")
+
+
 def redact_pii(text: Column | str) -> Column:
     """Sequentially redact emails → IPv4s → phone-like digit runs,
     returning a struct of the redacted text and per-category counts.
