@@ -2893,7 +2893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # probe is the round's driver-gated evidence for the TIFF family
     # and media_info; demoted in its place: hard_negatives, whose FLAT/
     # BLAS mining kernel twins the in-50 knn_self_join + cluster_sample)
-    "media_probe": q_media_probe,  # media_info across all 11 containers, formula oracle (r9)
+    "media_probe": q_media_probe,  # media_info across all 12 containers, formula oracle (r9)
     "temperature_mix": q_temperature_mix,
     "scann_knn": q_scann_knn,
     "bm25_topk": q_bm25_topk,

@@ -404,7 +404,7 @@ def test_frame_sample_queries_are_narrow_pipelines(spark, sf_dir):
 
 
 def test_media_probe_is_narrow_pipeline(spark, sf_dir):
-    """media_probe synthesizes + header-probes all 11 containers inside
+    """media_probe synthesizes + header-probes all 12 containers inside
     one Arrow batch — binaries never shuffle; the only exchange is the
     final presentation sort. No join, no aggregation, no window."""
     import __spark_entry__ as entry
