@@ -1772,6 +1772,30 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_spans", "n_dup_spans").orderBy("doc_id")
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact substring REMOVAL (operators/dedup.py
+    remove_duplicate_spans) — the acting half of the Lee et al. 2022
+    recipe whose accounting half is span_dedup: every duplicated
+    rolling 12-token span keeps only its corpus-first occurrence
+    (min (doc_id, pos)); every other occurrence's token range is
+    excised after merging overlaps into maximal runs. The oracle
+    replays the whole pipeline in SQL — keeper election via window
+    first_value, gaps-and-islands interval merge, and the cleaned
+    text reassembled token-by-token — and the md5 of the cleaned
+    text must match bit-for-bit. sha256 span hashes so DuckDB
+    reproduces the grouping keys."""
+    from vearch_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    out = remove_duplicate_spans(docs, window=12, hasher="sha256")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-based decontamination: training rows whose max cosine
     against a broadcast eval set (every 25th vector) reaches 0.95 — the
@@ -2937,6 +2961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,  # directed n-gram containment (r9): ngram_jaccard_dedup twin in-50
     "hamming_cross": q_hamming_cross,  # cross-relation exact-Hamming (r9): simhash/incremental twins in-50
     "unicode_clean": q_unicode_clean,  # unicode hygiene projection (r9): html_extract/pii_redaction twins in-50
+    "substring_dedup": q_substring_dedup,  # exact substring REMOVAL (r9): span_dedup accounting twin in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4409,6 +4434,76 @@ def _span_dedup_sql() -> str:
     """
 
 
+def _substring_dedup_sql() -> str:
+    """DuckDB replays the full substring-removal pipeline: the same
+    rolling 12-token sha256 span hashes as _span_dedup_sql, keeper
+    election as the first (doc_id, pos) per hash via window
+    first_value, removal-window interval merge via gaps-and-islands
+    (adjacent windows merge: s0 <= prev_end + 1), and reassembly of
+    the cleaned text from the kept token positions. A doc whose
+    every token is removed hashes as md5('') — same as Spark's
+    array_join over an empty kept array."""
+    return """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), sp AS (
+          SELECT doc_id, u.i AS pos,
+                 sha256(array_to_string(tk[u.i:u.i+11], ' ')) AS h
+          FROM s, UNNEST(generate_series(1, len(tk) - 11)) AS u(i)
+        ), k AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY h) AS occ,
+                 first_value(doc_id) OVER (
+                   PARTITION BY h ORDER BY doc_id, pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 ) AS kd,
+                 first_value(pos) OVER (
+                   PARTITION BY h ORDER BY doc_id, pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 ) AS kp
+          FROM sp
+        ), rem AS (
+          SELECT doc_id, pos AS s0, pos + 11 AS e0 FROM k
+          WHERE occ > 1 AND NOT (doc_id = kd AND pos = kp)
+        ), m AS (
+          SELECT doc_id, s0, e0,
+                 max(e0) OVER (
+                   PARTITION BY doc_id ORDER BY s0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS pe
+          FROM rem
+        ), isl AS (
+          SELECT doc_id, s0, e0,
+                 sum(CASE WHEN pe IS NULL OR s0 > pe + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s0) AS g
+          FROM m
+        ), iv AS (
+          SELECT doc_id, min(s0) AS a, max(e0) AS b
+          FROM isl GROUP BY doc_id, g
+        ), tokidx AS (
+          SELECT doc_id, unnest(tk) AS tok,
+                 generate_subscripts(tk, 1) AS p
+          FROM s
+        ), kept AS (
+          SELECT t.doc_id, t.tok, t.p FROM tokidx t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM iv
+            WHERE iv.doc_id = t.doc_id AND t.p BETWEEN iv.a AND iv.b
+          )
+        ), agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_kept,
+                 md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+          FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               len(s.tk)::INT AS n_tokens,
+               (len(s.tk) - coalesce(agg.n_kept, 0))::INT AS n_removed,
+               coalesce(agg.clean_md5, md5('')) AS clean_md5
+        FROM s LEFT JOIN agg USING (doc_id)
+        ORDER BY s.doc_id
+    """
+
+
 def _tfidf_keywords_sql() -> str:
     """DuckDB recomputes postings (empty tokens dropped like
     build_postings), corpus-wide df, tf·ln(N/df) and the per-doc
@@ -4443,6 +4538,7 @@ def _tfidf_keywords_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["span_dedup"] = _span_dedup_sql()
+    d["substring_dedup"] = _substring_dedup_sql()
     d["tfidf_keywords"] = _tfidf_keywords_sql()
     d["bm25_topk"] = _bm25_core_sql(20)
     d["hybrid_rrf"] = _hybrid_rrf_sql()

@@ -284,6 +284,76 @@ def test_duplicated_span_stride(spark):
     assert strided.n_spans == 4  # positions 1,5,9,13
 
 
+def test_remove_duplicate_spans_semantics(spark):
+    """Substring REMOVAL: the corpus-first occurrence keeps the text,
+    every other occurrence is excised; adjacent removal windows merge
+    so a doc made of two duplicated runs is removed wholesale; short
+    and unique docs pass through byte-identical."""
+    from vearch_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+    rows = [
+        (0, boiler + " alpha beta gamma"),  # corpus-first -> keeper
+        (1, "unique opening words here then " + boiler),
+        (2, "totally different text with no repeated window at all ok"),
+        (3, "tiny doc"),  # < window -> untouched
+        (4, boiler + " " + boiler),  # both copies duplicated -> all cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, window=10).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    # keeper doc: untouched
+    assert out[0].n_removed == 0 and out[0].clean_text == rows[0][1]
+    # doc 1: the trailing boiler window [6,15] is cut, prefix kept
+    assert out[1].n_removed == 10
+    assert out[1].clean_text == "unique opening words here then"
+    # unique / short docs: byte-identical
+    assert out[2].n_removed == 0 and out[2].clean_text == rows[2][1]
+    assert out[3].n_removed == 0 and out[3].clean_text == "tiny doc"
+    assert out[3].n_tokens == 2
+    # doc 4: removal windows [1,10] and [11,20] are ADJACENT -> merge
+    # into [1,20]; the whole doc is excised (both copies duplicate the
+    # keeper in doc 0), leaving the empty string
+    assert out[4].n_removed == 20 and out[4].clean_text == ""
+    # sha256 hashing (the oracle variant) groups identically
+    sha = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in remove_duplicate_spans(
+            docs, window=10, hasher="sha256"
+        ).collect()
+    }
+    assert sha == {d: (r.n_removed, r.clean_text) for d, r in out.items()}
+
+
+def test_remove_duplicate_spans_overlap_merge(spark):
+    """Overlapping (not just adjacent) removal windows merge into one
+    maximal island: a 12-token duplicated run with window=10 marks
+    positions whose windows overlap; the cut is the full run, never a
+    fragmented middle."""
+    from vearch_spark.operators.dedup import remove_duplicate_spans
+
+    run = " ".join(f"r{i}" for i in range(12))  # 12-token run
+    docs = spark.createDataFrame(
+        [(0, run + " tail0 tail1"), (1, "head0 head1 " + run)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, window=10).collect()
+    }
+    # doc 0 holds the corpus-first spans (pos 1..3 of the run) — but
+    # within-run windows at pos 2,3 also occur in doc 1 (pos 4,5);
+    # keeper for each hash is doc 0, so doc 0 stays whole
+    assert out[0].n_removed == 0
+    # doc 1: duplicated windows at pos 3,4,5 (the run) overlap ->
+    # merged island [3,14] cuts the entire run, keeping the head
+    assert out[1].clean_text == "head0 head1"
+    assert out[1].n_removed == 12
+
+
 def test_blank_docs_are_not_pseudo_duplicates(spark):
     """Empty/whitespace/NULL docs yield EMPTY shingle sets (no ''
     pseudo-shingle), so they never become jaccard-1.0 near-dups of

@@ -252,6 +252,25 @@ def test_span_dedup_two_shuffles_pruned_scan(spark, sf_dir):
     assert all(s.count(":") <= 2 for s in schemas)  # doc_id[,text] only
 
 
+def test_substring_removal_two_shuffles_no_pair_join(spark, sf_dir):
+    """Substring REMOVAL keeps the accounting op's shape: keeper
+    election windows over the span hash (exchange 1), the interval
+    merge windows over doc_id (exchange 2, reused by the groupBys),
+    and the islands relation joins back to the scan without a pair
+    join — excision is a pure JVM array pipeline. Scan reads only
+    (doc_id, text)."""
+    from vearch_spark.operators.dedup import remove_duplicate_spans
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = remove_duplicate_spans(docs, window=12)
+    assert X.count_exchanges(df) == 2
+    plan = X.simple_plan(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    schemas = X.read_schemas(df)
+    assert all(s.count(":") <= 2 for s in schemas)
+
+
 def test_count_exchanges_sees_roundrobin(spark):
     """repartition() is a real shuffle (RoundRobinPartitioning) — the
     zero-shuffle posture assertions must count it."""

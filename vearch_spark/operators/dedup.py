@@ -249,6 +249,104 @@ def duplicated_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-wide exact substring REMOVAL — the acting half of the
+    "deduplicating training data" recipe (Lee et al. 2022) whose
+    accounting half is :func:`duplicated_span_stats`: every rolling
+    ``window``-token span occurring more than once in the corpus keeps
+    only its corpus-first occurrence (lexicographic min ``(id, pos)``);
+    every other occurrence's token range is excised from its document.
+    Overlapping and adjacent removal windows merge into maximal ranges
+    first, so a long repeated run is cut once, wholesale — the cleaned
+    text never contains a surviving fragment of a removed run.
+
+    Returns one row per input doc: ``(id, n_tokens, n_removed,
+    clean_text)``; docs shorter than the window pass through unchanged.
+
+    Scale shape: spans shuffle once on the span hash (keeper election
+    is a window over ``h`` carrying only ``(id, pos, h)``), removal
+    intervals shuffle once on ``id`` (the gaps-and-islands merge), and
+    the excision itself is a pure JVM array pipeline (indexed
+    ``transform`` + ``exists`` over the per-doc island array — islands
+    per doc are few by construction since they're maximal). No pair
+    join exists anywhere, so a corpus of identical documents stays
+    linear; like the stats op, substring dedup has no quadratic
+    failure mode to guard."""
+    from vearch_spark.functions.text import tokens
+
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    spans = base.select(
+        id_col,
+        F.explode(span_hashes(F.col("_tk"), window, 1, hasher)).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+
+    wh = Window.partitionBy("h")
+    keeper = F.min(F.struct(id_col, "pos")).over(wh)
+    marked = spans.select(
+        id_col,
+        "pos",
+        F.count("*").over(wh).alias("_occ"),
+        keeper.alias("_keep"),
+    )
+    removals = marked.where(
+        (F.col("_occ") > 1)
+        & ~(
+            (F.col(id_col) == F.col("_keep." + id_col))
+            & (F.col("pos") == F.col("_keep.pos"))
+        )
+    ).select(id_col, "pos", (F.col("pos") + window - 1).alias("end"))
+
+    # gaps-and-islands: merge overlapping/adjacent removal windows into
+    # maximal [s, e] token ranges (adjacent ranges are one contiguous
+    # cut, so merging them is semantically free and keeps islands few)
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        removals.withColumn(
+            "_new",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("_g", F.sum("_new").over(wd))
+        .groupBy(id_col, "_g")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_isl"))
+    )
+
+    joined = base.join(islands, on=id_col, how="left")
+    isl = F.coalesce(
+        F.col("_isl"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    indexed = F.transform(
+        F.col("_tk"),
+        lambda t, i: F.struct(t.alias("t"), (i + 1).cast("int").alias("p")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            isl, lambda iv: (s["p"] >= iv["s"]) & (s["p"] <= iv["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("_tk").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "clean_text"
+        ),
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     """128-way minhash signature as one nested JVM expression.
 
