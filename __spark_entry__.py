@@ -2581,28 +2581,31 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unified header probe across ALL TWELVE container formats — the
-    cheap first pass a curation pipeline runs on a mixed-format crawl
-    before committing to full decodes: per doc, synthesize one REAL
-    container of every supported family (PNG, JPEG, GIF — animated,
-    1-3 frames — BMP, netpbm P5, lossless WebP — RGBA on odd ids, so
-    the alpha bit is exercised both ways — TIFF with compression
-    rotating none/LZW/PackBits, RIFF/WAVE PCM, FLAC, AVI-DIB,
-    ISO BMFF MP4/MJPEG, and — r9 — MP3, whose ISO 11172-3 frame walk
+    """Unified header probe across ALL THIRTEEN container formats —
+    the cheap first pass a curation pipeline runs on a mixed-format
+    crawl before committing to full decodes: per doc, synthesize one
+    REAL container of every supported family (PNG, JPEG, GIF —
+    animated, 1-3 frames — BMP, netpbm P5, lossless WebP — RGBA on odd
+    ids, so the alpha bit is exercised both ways — TIFF with
+    compression rotating none/LZW/PackBits, RIFF/WAVE PCM, FLAC,
+    AVI-DIB, ISO BMFF MP4/MJPEG, MP3, whose ISO 11172-3 frame walk
     and rotating sample rates + ID3v2 envelopes are probed header-only
-    while audio decode stays behind the external-codec registry), run
+    while audio decode stays behind the external-codec registry, and —
+    r9 — PDF, 1-3 pages with rotating FlateDecode whose page and
+    object counts come from the real xref/page-tree walk), run
     functions/media.py:media_info (single
     magic-dispatch entry point), and emit one row per (doc, container)
-    with the probe's kind tag, dimensions, frame/sample count, and a
-    per-family detail field (PNG bit depth, JPEG component count, GIF
-    global-color-table size, WebP alpha flag, TIFF compression code,
-    WAV sample rate, FLAC bits/sample, AVI fps; -1 where the family
-    has no such field). The DuckDB oracle recomputes every integer
-    FROM THE GENERATION FORMULA — a hash match proves all eleven
-    header parsers extract the right fields from real containers their
-    own encoders produced. 100 TB posture: narrow mapInPandas — the
-    binaries are synthesized and probed inside one Arrow batch and
-    never shuffle; header probes are O(bytes-scanned) tiny."""
+    with the probe's kind tag, dimensions, frame/sample/page count,
+    and a per-family detail field (PNG bit depth, JPEG component
+    count, GIF global-color-table size, WebP alpha flag, TIFF
+    compression code, WAV sample rate, FLAC bits/sample, AVI fps,
+    PDF object count; -1 where the family has no such field). The
+    DuckDB oracle recomputes every integer FROM THE GENERATION
+    FORMULA — a hash match proves all the header parsers extract the
+    right fields from real containers their own encoders produced.
+    100 TB posture: narrow mapInPandas — the binaries are synthesized
+    and probed inside one Arrow batch and never shuffle; header
+    probes are O(bytes-scanned) tiny."""
     import numpy as np
     import pandas as pd
 
@@ -2621,6 +2624,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_bytes,
         webp_bytes,
     )
+    from vearch_spark.functions.pdf import pdf_bytes
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 40).select("doc_id")
 
@@ -2677,6 +2681,14 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1 + i % 2,
                         id3=(b"t" * (1 + i % 7)) if i % 2 else None,
                     ),
+                    # r9: 13th container — PDF structural probe (page
+                    # count from the real page-tree walk, object count
+                    # from the xref table; 1-3 pages, FlateDecode on
+                    # even ids, odd pages use indirect /Length)
+                    "pdf": pdf_bytes(
+                        [f"page {p} of doc {i}" for p in range(1 + i % 3)],
+                        compress=i % 2 == 0,
+                    ),
                 }
                 for tag, blob in blobs.items():
                     info = media_info(blob)
@@ -2688,6 +2700,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "avi": info.get("n_frames"),
                         "mp4": info.get("n_samples"),
                         "mp3": info.get("n_frames"),
+                        "pdf": info.get("n_pages"),
                     }.get(tag, 1)
                     extra = {
                         "png": info.get("bit_depth"),
@@ -2699,6 +2712,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "flac": info.get("bits_per_sample"),
                         "avi": info.get("fps"),
                         "mp3": info.get("sample_rate"),
+                        "pdf": info.get("n_objects"),
                     }.get(tag)
                     out.append(
                         (
@@ -2726,6 +2740,61 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height int, frames int, extra int"
         ),
     ).orderBy(F.col("media_id").cast("int"), "container")
+
+
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (functions/pdf.py) — the document-format
+    arm of the media family: per doc, typeset the text into a REAL
+    spec-valid PDF 1.4 (8-token lines, 4-line pages, rotating
+    FlateDecode on/off by id, alternating direct/indirect /Length and
+    Tj vs kerned-TJ-array text drawing), then run the from-scratch
+    extractor (xref table, page-tree walk, zlib inflate, content-
+    stream interpreter with literal-string escapes) and emit the
+    extracted text's length + md5. The DuckDB oracle recomputes the
+    EXPECTED text from the generation formula (tokens regrouped 8 per
+    line, lines joined by newline — pagination is invisible to the
+    joined string) — a hash match proves synthesizer + parser +
+    extractor reproduce the source text bit-for-bit through a real
+    container. 100 TB posture: narrow mapInPandas, binaries never
+    shuffle, one Arrow batch per partition."""
+    import hashlib
+
+    import pandas as pd
+
+    from vearch_spark.functions.pdf import extract_pdf_text, pdf_bytes
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for i, txt in zip(b["doc_id"], b["text"]):
+                toks = txt.split(" ")
+                lines = [
+                    " ".join(toks[k : k + 8]) for k in range(0, len(toks), 8)
+                ]
+                pages = [
+                    "\n".join(lines[k : k + 4])
+                    for k in range(0, len(lines), 4)
+                ]
+                blob = pdf_bytes(pages, compress=int(i) % 2 == 0)
+                ext = extract_pdf_text(blob)
+                rows.append(
+                    (
+                        int(i),
+                        len(pages),
+                        len(ext),
+                        hashlib.md5(ext.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "n_chars", "text_md5"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_pages int, n_chars int, text_md5 string",
+    ).orderBy("doc_id")
 
 
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2917,7 +2986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # probe is the round's driver-gated evidence for the TIFF family
     # and media_info; demoted in its place: hard_negatives, whose FLAT/
     # BLAS mining kernel twins the in-50 knn_self_join + cluster_sample)
-    "media_probe": q_media_probe,  # media_info across all 12 containers, formula oracle (r9)
+    "media_probe": q_media_probe,  # media_info across all 13 containers, formula oracle (r9)
     "temperature_mix": q_temperature_mix,
     "scann_knn": q_scann_knn,
     "bm25_topk": q_bm25_topk,
@@ -2962,6 +3031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hamming_cross": q_hamming_cross,  # cross-relation exact-Hamming (r9): simhash/incremental twins in-50
     "unicode_clean": q_unicode_clean,  # unicode hygiene projection (r9): html_extract/pii_redaction twins in-50
     "substring_dedup": q_substring_dedup,  # exact substring REMOVAL (r9): span_dedup accounting twin in-50
+    "pdf_extract": q_pdf_extract,  # PDF text extraction (r9): media_probe/media_decode codec twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4539,6 +4609,30 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["span_dedup"] = _span_dedup_sql()
     d["substring_dedup"] = _substring_dedup_sql()
+    # pdf_extract: the Spark side typesets each doc's text into a real
+    # PDF and extracts it back; the oracle recomputes the EXPECTED text
+    # from the generation formula (8-token lines joined by \n —
+    # 4-line pagination is invisible to the joined string) so the md5
+    # only matches if the full synthesize->parse->inflate->interpret
+    # chain is lossless
+    d["pdf_extract"] = """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), e AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_transform(
+                     range(CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                     i -> array_to_string(tk[i*8+1:i*8+8], ' ')
+                   ), chr(10)) AS expected,
+                 CAST(ceil(ceil(len(tk) / 8.0) / 4.0) AS INT) AS n_pages
+          FROM s
+        )
+        SELECT doc_id, n_pages,
+               length(expected)::INT AS n_chars,
+               md5(expected) AS text_md5
+        FROM e ORDER BY doc_id
+    """
     d["tfidf_keywords"] = _tfidf_keywords_sql()
     d["bm25_topk"] = _bm25_core_sql(20)
     d["hybrid_rrf"] = _hybrid_rrf_sql()
@@ -4707,6 +4801,15 @@ def oracle_sql() -> dict[str, str]:
                  (-1)::INT, (-1)::INT, (3 + doc_id % 5)::INT,
                  (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                   ELSE 32000 END)::INT FROM d
+          UNION ALL
+          -- pdf (r9): frames = page count (1-3 by formula); extra =
+          -- xref object count = 3 fixed (catalog/pages/font) + 2 per
+          -- page (stream+page) + 1 per odd-index page (indirect
+          -- /Length object): p=1 -> 5, p=2 -> 8, p=3 -> 10
+          SELECT CAST(doc_id AS VARCHAR), 'pdf', 'document',
+                 (-1)::INT, (-1)::INT, (1 + doc_id % 3)::INT,
+                 (CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 8
+                  ELSE 10 END)::INT FROM d
         ) ORDER BY media_id::INT, container
     """
     # unicode_clean (r9): the oracle rebuilds the SAME noisy string

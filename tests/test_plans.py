@@ -423,7 +423,7 @@ def test_frame_sample_queries_are_narrow_pipelines(spark, sf_dir):
 
 
 def test_media_probe_is_narrow_pipeline(spark, sf_dir):
-    """media_probe synthesizes + header-probes all 12 containers inside
+    """media_probe synthesizes + header-probes all 13 containers inside
     one Arrow batch — binaries never shuffle; the only exchange is the
     final presentation sort. No join, no aggregation, no window."""
     import __spark_entry__ as entry
@@ -433,6 +433,22 @@ def test_media_probe_is_narrow_pipeline(spark, sf_dir):
     for bad in ("Join", "HashAggregate", "Window"):
         assert bad not in plan, bad
     assert X.count_exchanges(out) <= 1  # orderBy only
+
+
+def test_pdf_extract_is_narrow_pipeline(spark, sf_dir):
+    """pdf_extract typesets + re-extracts each doc inside one Arrow
+    batch — PDFs never shuffle; the only exchange is the presentation
+    sort, and the scan reads only (doc_id, text)."""
+    import __spark_entry__ as entry
+
+    spark.catalog.clearCache()
+    out = entry.q_pdf_extract(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    for bad in ("Join", "HashAggregate", "Window"):
+        assert bad not in plan, bad
+    assert X.count_exchanges(out) <= 1  # orderBy only
+    schemas = X.read_schemas(out)
+    assert all(s.count(":") <= 2 for s in schemas)
 
 
 def test_containment_pairs_no_cartesian(spark, sf_dir):

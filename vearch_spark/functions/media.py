@@ -3993,6 +3993,16 @@ def media_info(content: bytes) -> dict:
         and content[1] & 0xE0 == 0xE0
     ):
         out, kind, tag = mp3_info(content), "audio", "mp3"
+    elif content[:5] == b"%PDF-":
+        from vearch_spark.functions.pdf import pdf_info
+
+        info = pdf_info(content)
+        out = {
+            "n_pages": info["n_pages"],
+            "n_objects": info["n_objects"],
+            "pdf_version": info["version"],
+        }
+        kind, tag = "document", "pdf"
     else:
         raise ValueError("unrecognized media container magic")
     out = dict(out)
