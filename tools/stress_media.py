@@ -11,9 +11,11 @@ energy envelope), and reduces to one count: binaries and frames never
 leave the executors.
 
 Usage: python tools/stress_media.py [N] [formats]  (default 100_000,
-formats a comma list from gif,avi,mp4,webp,webpbig,flac,tiff; default
-all but webpbig — the crawl-sized 128x144 WebP arm is opt-in since it
-decodes ~60x the pixels per container).
+formats a comma list from gif,avi,mp4,webp,webpbig,flac,tiff,pdf;
+default all but webpbig — the crawl-sized 128x144 WebP arm is opt-in
+since it decodes ~60x the pixels per container. The pdf arm typesets
+~450 words over 3 FlateDecode pages per container and re-extracts
+them — document-class text extraction throughput).
 Prints one JSON line with containers/s (and frames/s where framed).
 """
 
@@ -57,8 +59,9 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     formats = (
         sys.argv[2].split(",") if len(sys.argv) > 2
-        else ["gif", "avi", "mp4", "webp", "flac", "tiff"]  # webpbig opt-in
+        else ["gif", "avi", "mp4", "webp", "flac", "tiff", "pdf"]  # webpbig opt-in
     )
+    from vearch_spark.functions.pdf import extract_pdf_text, pdf_bytes
     spark = get_spark(app_name="media-stress")
     ids = spark.range(n).select(F.col("id").alias("doc_id")).repartition(32)
 
@@ -100,12 +103,26 @@ def main() -> None:
                     row.append(flac_bytes(pcm[:, None], 8000))
                 if "tiff" in formats:
                     row.append(tiff_bytes(rgb[0], compression="lzw"))
+                if "pdf" in formats:
+                    # ~450 words over 3 pages, 10-word lines — the
+                    # shape of a short real document
+                    pages = [
+                        "\n".join(
+                            " ".join(
+                                f"w{(i * 7 + p * 31 + ln * 13 + k) % 997}"
+                                for k in range(10)
+                            )
+                            for ln in range(15)
+                        )
+                        for p in range(3)
+                    ]
+                    row.append(pdf_bytes(pages, compress=True))
                 rows.append(tuple(row))
-            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff") if f in formats]
+            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff", "pdf") if f in formats]
             yield pd.DataFrame(rows, columns=cols)
 
     schema = "doc_id long" + "".join(
-        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff")
+        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff", "pdf")
         if f in formats
     )
     media = ids.mapInPandas(synth, schema=schema).persist()
@@ -175,6 +192,18 @@ def main() -> None:
     if "tiff" in formats:
         out["tiff_containers_per_s"] = run_single(
             "tiff", decode_tiff, lambda px: dhash64(px[..., :3])
+        )
+    if "pdf" in formats:
+        import hashlib
+
+        out["pdf_containers_per_s"] = run_single(
+            "pdf",
+            extract_pdf_text,
+            lambda t: int.from_bytes(
+                hashlib.md5(t.encode("latin-1")).digest()[:8],
+                "big",
+                signed=True,
+            ),
         )
     media.unpersist()
     print(json.dumps(out))
