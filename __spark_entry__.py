@@ -2742,6 +2742,48 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("media_id").cast("int"), "container")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher / MassiveWeb rule-based quality filter
+    (functions/text.py gopher_quality_flags — Rae et al. 2021 App.
+    A1.1): word-count band, mean-word-length band, symbol ratio,
+    bullet-line and ellipsis-line fractions, alpha-word fraction, and
+    the required-stop-word rule, each as a 0/1 flag plus the
+    conjunction. Docs are embedded in a deterministic noisy 6-line
+    envelope (bullets on id%3, teaser ellipses on id%5, a hash-spam
+    line on id%7) so every rule fires both ways across the corpus;
+    the oracle rebuilds the same envelope and recomputes all seven
+    rules in SQL. Pure JVM projection — zero shuffles beyond the
+    presentation sort."""
+    from vearch_spark.functions.text import gopher_quality_flags
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    mtext = F.concat_ws(
+        "\n",
+        F.when(did % 3 == 0, F.lit("• bullet one")).otherwise(
+            F.lit("intro words here")
+        ),
+        F.when(did % 3 == 0, F.lit("- bullet two")).otherwise(
+            F.lit("second plain line")
+        ),
+        F.col("text"),
+        F.when(did % 5 == 0, F.lit("cliffhanger...")).otherwise(
+            F.lit("fourth line words")
+        ),
+        F.when(did % 5 == 0, F.lit("another teaser...")).otherwise(
+            F.lit("final line content that we have with the end")
+        ),
+        F.when(did % 7 == 0, F.lit("# # # # # # # # # # # #")).otherwise(
+            F.lit("regular sixth line")
+        ),
+    )
+    return (
+        docs.select("doc_id", gopher_quality_flags(mtext).alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (functions/pdf.py) — the document-format
     arm of the media family: per doc, typeset the text into a REAL
@@ -3032,6 +3074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_clean": q_unicode_clean,  # unicode hygiene projection (r9): html_extract/pii_redaction twins in-50
     "substring_dedup": q_substring_dedup,  # exact substring REMOVAL (r9): span_dedup accounting twin in-50
     "pdf_extract": q_pdf_extract,  # PDF text extraction (r9): media_probe/media_decode codec twins in-50
+    "gopher_quality": q_gopher_quality,  # published Gopher ruleset (r9): quality_classifier/quality_score twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4615,6 +4658,70 @@ def oracle_sql() -> dict[str, str]:
     # 4-line pagination is invisible to the joined string) so the md5
     # only matches if the full synthesize->parse->inflate->interpret
     # chain is lossless
+    # gopher_quality: the oracle rebuilds the same 6-line noisy
+    # envelope and recomputes all seven published rules; every ratio
+    # is int-over-int double division so the flags match bit-for-bit
+    d["gopher_quality"] = """
+        WITH m AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN '• bullet one'
+                  ELSE 'intro words here' END) || chr(10) ||
+            (CASE WHEN doc_id % 3 = 0 THEN '- bullet two'
+                  ELSE 'second plain line' END) || chr(10) ||
+            text || chr(10) ||
+            (CASE WHEN doc_id % 5 = 0 THEN 'cliffhanger...'
+                  ELSE 'fourth line words' END) || chr(10) ||
+            (CASE WHEN doc_id % 5 = 0 THEN 'another teaser...'
+                  ELSE 'final line content that we have with the end'
+             END) || chr(10) ||
+            (CASE WHEN doc_id % 7 = 0 THEN '# # # # # # # # # # # #'
+                  ELSE 'regular sixth line' END) AS t
+          FROM documents
+        ), x AS (
+          SELECT doc_id, t,
+                 string_split_regex(t, '\\s+') AS tk,
+                 string_split(t, chr(10)) AS ln,
+                 (length(t) - length(replace(t, '#', ''))) AS n_hash,
+                 (length(t) - length(replace(t, '...', ''))) / 3 AS n_ell
+          FROM m
+        ), r AS (
+          SELECT doc_id,
+            len(tk)::INT AS word_count,
+            (CASE WHEN len(tk) >= 50 AND len(tk) <= 100000
+                  THEN 1 ELSE 0 END) AS f_word_count,
+            (CASE WHEN
+               list_sum(list_transform(tk, w -> length(w)))::DOUBLE
+                 / len(tk)::DOUBLE BETWEEN 3.0 AND 10.0
+               THEN 1 ELSE 0 END) AS f_mean_len,
+            (CASE WHEN (n_hash + n_ell) / len(tk)::DOUBLE <= 0.1
+                  THEN 1 ELSE 0 END) AS f_symbol,
+            (CASE WHEN
+               (len(ln) - len(list_filter(ln, l ->
+                  starts_with(l, '•') OR starts_with(l, '- ')
+                  OR starts_with(l, '* '))))::DOUBLE
+                 / len(ln) >= 0.9
+               THEN 1 ELSE 0 END) AS f_bullet,
+            (CASE WHEN
+               len(list_filter(ln, l ->
+                  ends_with(l, '...') OR ends_with(l, '…')))::DOUBLE
+                 / len(ln) <= 0.3
+               THEN 1 ELSE 0 END) AS f_ellipsis,
+            (CASE WHEN
+               len(list_filter(tk, w ->
+                  regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                 / len(tk) >= 0.8
+               THEN 1 ELSE 0 END) AS f_alpha,
+            (CASE WHEN len(list_intersect(tk,
+                ['the','be','to','of','and','that','have','with'])) >= 2
+               THEN 1 ELSE 0 END) AS f_stop
+          FROM x
+        )
+        SELECT doc_id, word_count, f_word_count, f_mean_len, f_symbol,
+               f_bullet, f_ellipsis, f_alpha, f_stop,
+               (f_word_count * f_mean_len * f_symbol * f_bullet
+                * f_ellipsis * f_alpha * f_stop)::INT AS passes
+        FROM r ORDER BY doc_id
+    """
     d["pdf_extract"] = """
         WITH s AS (
           SELECT doc_id, string_split(text, ' ') AS tk FROM documents

@@ -498,6 +498,20 @@ def test_html_extract_is_pure_projection(spark, sf_dir):
     assert X.count_exchanges(out) <= 1  # orderBy only
 
 
+def test_gopher_quality_is_pure_projection(spark, sf_dir):
+    """The Gopher ruleset is pure JVM expressions (splits let-bound
+    via a single-element transform) — no Python, no join, no agg;
+    only the presentation sort exchanges."""
+    import __spark_entry__ as entry
+
+    out = entry.q_gopher_quality(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    for bad in ("Join", "HashAggregate", "FlatMapGroupsInPandas",
+                "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, bad
+    assert X.count_exchanges(out) <= 1  # orderBy only
+
+
 def test_url_dedup_single_aggregation_exchange(spark, sf_dir):
     """canonical_url is a pure JVM expression chain (regex +
     array_sort — no Python anywhere), so the url_dedup query's only

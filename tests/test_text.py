@@ -213,3 +213,50 @@ def test_clean_unicode(spark):
     got = df.select(clean_unicode("t").alias("c")).collect()
     for (t, want), r in zip(cases, got):
         assert r.c == want, repr(t)
+
+
+def test_gopher_quality_flags(spark):
+    """Each published Gopher rule fails on a doc crafted to violate
+    exactly it, and a clean 60-word English doc passes all seven."""
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog have with"] * 6
+    )  # 60 words, all alpha, 2+ stop words, mean len ~4
+    cases = {
+        0: (good, 1),
+        # word count < 50
+        1: ("the short doc that we have with us", 0),
+        # mean word length < 3 (single-char words), still 50+ words
+        2: (" ".join(["a b c d the of"] * 10), 0),
+        # symbol spam: hash ratio > 0.1
+        3: (good + " " + " ".join(["#"] * 10), 0),
+        # bullet lines: 2 of 3 lines bulleted -> non-bullet 1/3 < 0.9
+        4: ("• one\n- two\n" + good, 0),
+        # ellipsis line endings: 1 of 2 lines = 0.5 > 0.3
+        5: (good + "...\nshort tail", 0),
+        # alpha fraction < 0.8: 60 good words + 20 numeric
+        6: (good + " " + " ".join(["123"] * 20), 0),
+        # stop words: only one distinct required stop word
+        7: (" ".join(["quick brown fox jump lazy dog run far the"] * 7), 0),
+    }
+    df = spark.createDataFrame(
+        [(k, t) for k, (t, _) in cases.items()], "id int, t string"
+    )
+    got = {
+        r.id: r
+        for r in df.select(
+            "id", T.gopher_quality_flags("t").alias("g")
+        ).select("id", "g.*").collect()
+    }
+    assert got[0].passes == 1 and all(
+        v == 1 for k, v in got[0].asDict().items() if k.startswith("f_")
+    )
+    for cid, (_, want) in cases.items():
+        assert got[cid].passes == want, (cid, got[cid])
+    # each violator fails the INTENDED rule
+    assert got[1].f_word_count == 0
+    assert got[2].f_mean_len == 0
+    assert got[3].f_symbol == 0
+    assert got[4].f_bullet == 0
+    assert got[5].f_ellipsis == 0
+    assert got[6].f_alpha == 0
+    assert got[7].f_stop == 0

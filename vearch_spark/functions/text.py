@@ -167,6 +167,92 @@ def quality_score(text: Column | str) -> Column:
     return F.round((len_ok * 0.4 + punct_ok * 0.4 + mtl_ok * 0.2), 6)
 
 
+# The Gopher / MassiveWeb rule-based quality filter (Rae et al. 2021,
+# "Scaling Language Models: ...", App. A1.1) — the published ruleset a
+# crawl-curation pipeline applies before any model-based scoring. The
+# 8 required stop words are the paper's list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(text: Column | str) -> Column:
+    """The seven Gopher quality rules as one struct of 0/1 flags plus
+    the word count and the conjunction (``passes``):
+
+    1. ``f_word_count``   — 50 <= words <= 100,000
+    2. ``f_mean_len``     — mean word length in [3, 10]
+    3. ``f_symbol``       — (# + ellipsis) to word ratio <= 0.1
+    4. ``f_bullet``       — >= 90% of lines don't start with a bullet
+    5. ``f_ellipsis``     — <= 30% of lines end with an ellipsis
+    6. ``f_alpha``        — >= 80% of words contain a letter
+    7. ``f_stop``         — >= 2 distinct required stop words present
+
+    Pure JVM expressions — words split on ``\\s+`` (multi-line aware),
+    lines on newline; the token/line arrays are let-bound via a
+    single-element transform so each split runs once per row. Every
+    comparison is int-over-int double division, so an independent SQL
+    engine reproduces the flags bit-for-bit."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+
+    def flags(b: Column) -> Column:
+        tk, ln = b["tk"], b["ln"]
+        wc = F.size(tk)
+        mean_len = F.aggregate(
+            tk, F.lit(0), lambda a, w: a + F.length(w)
+        ) / wc.cast("double")
+        sym_ratio = (n_hash + n_ell) / wc.cast("double")
+        n_lines = F.size(ln)
+        n_bullet = F.size(
+            F.filter(
+                ln,
+                lambda l: l.startswith("•")
+                | l.startswith("- ")
+                | l.startswith("* "),
+            )
+        )
+        n_ell_end = F.size(
+            F.filter(
+                ln, lambda l: l.endswith("...") | l.endswith("…")
+            )
+        )
+        n_alpha = F.size(F.filter(tk, lambda w: w.rlike("[A-Za-z]")))
+        n_stop = F.size(
+            F.array_intersect(tk, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+        )
+        f = [
+            ((wc >= 50) & (wc <= 100000)).cast("int").alias("f_word_count"),
+            ((mean_len >= 3.0) & (mean_len <= 10.0)).cast("int").alias(
+                "f_mean_len"
+            ),
+            (sym_ratio <= 0.1).cast("int").alias("f_symbol"),
+            (
+                (n_lines - n_bullet).cast("double") / n_lines >= 0.9
+            ).cast("int").alias("f_bullet"),
+            (n_ell_end.cast("double") / n_lines <= 0.3).cast("int").alias(
+                "f_ellipsis"
+            ),
+            (n_alpha.cast("double") / wc >= 0.8).cast("int").alias("f_alpha"),
+            (n_stop >= 2).cast("int").alias("f_stop"),
+        ]
+        passes = f[0]
+        for x in f[1:]:
+            passes = passes * x
+        return F.struct(
+            wc.alias("word_count"), *f, passes.alias("passes")
+        )
+
+    bound = F.array(
+        F.struct(
+            F.split(col, r"\s+").alias("tk"),
+            F.split(col, "\n").alias("ln"),
+        )
+    )
+    return F.transform(bound, flags)[0]
+
+
 def doc_fingerprint(text: Column | str, shingle_n: int = 5) -> Column:
     """Deterministic content fingerprint: the minimum md5 over word
     n-gram shingles (a 1-permutation minhash — stable under reordering
