@@ -2819,7 +2819,13 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "\n".join(lines[k : k + 4])
                     for k in range(0, len(lines), 4)
                 ]
-                blob = pdf_bytes(pages, compress=int(i) % 2 == 0)
+                blob = pdf_bytes(
+                    pages,
+                    compress=int(i) % 2 == 0,
+                    # every third doc ships as PDF 1.5: /ObjStm-packed
+                    # dicts + a predictor-coded /Type /XRef stream
+                    xref_stream=int(i) % 3 == 0,
+                )
                 ext = extract_pdf_text(blob)
                 rows.append(
                     (

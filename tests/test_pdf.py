@@ -64,6 +64,98 @@ def test_hypothesis_round_trip():
     check()
 
 
+def test_pdf15_xref_stream_round_trip():
+    """PDF 1.5 layout: /ObjStm-packed dicts + predictor-coded /XRef
+    stream — same text out, both compress modes."""
+    pages = ["hello world\nsecond line", "page (two)\nwith \\ stuff"]
+    for compress in (True, False):
+        blob = pdf_bytes(pages, compress=compress, xref_stream=True)
+        assert blob.startswith(b"%PDF-1.5")
+        assert b"/ObjStm" in blob and b"/XRef" in blob
+        assert b"/Predictor 12" in blob
+        assert extract_pdf_text(blob) == "\n".join(pages)
+        info = pdf_info(blob)
+        assert info["version"] == "1.5" and info["n_pages"] == 2
+        doc = PdfDocument(blob)
+        assert doc.compressed  # members resolved via type-2 entries
+        # top-level (2 content + objstm + xref) + 5 packed members
+        assert info["n_objects"] == 4 + 5
+
+
+def test_pdf15_scan_fallback():
+    """Corrupt startxref on a 1.5 file: the sequential scan must
+    recover the ObjStm members and use the XRef dict as trailer."""
+    pages = ["alpha\nbeta", "gamma"]
+    blob = pdf_bytes(pages, xref_stream=True)
+    bad = blob.replace(b"startxref", b"startxrEF")
+    assert extract_pdf_text(bad) == "alpha\nbeta\ngamma"
+
+
+def test_predictor_roundtrips():
+    """_apply_predictor inverts every PNG filter tag and TIFF
+    predictor 2 on synthetic rows."""
+    import numpy as np
+
+    from vearch_spark.functions.pdf import _apply_predictor
+
+    rng = np.random.default_rng(7)
+    cols = 7
+    rows = [bytes(rng.integers(0, 256, cols, dtype=np.uint8)) for _ in range(6)]
+    raw = b"".join(rows)
+    # TIFF predictor 2: encode = horizontal difference
+    enc2 = bytearray()
+    for r in rows:
+        enc2 += bytes([r[0]]) + bytes(
+            (r[i] - r[i - 1]) & 0xFF for i in range(1, cols)
+        )
+    assert _apply_predictor(bytes(enc2), 2, cols) == raw
+    # PNG tags 0..4: encode each row with its tag
+    prev = bytes(cols)
+    encp = bytearray()
+    for tag, r in zip([0, 1, 2, 3, 4, 2], rows):
+        encp.append(tag)
+        for i in range(cols):
+            a = r[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if tag == 0:
+                pr = 0
+            elif tag == 1:
+                pr = a
+            elif tag == 2:
+                pr = b
+            elif tag == 3:
+                pr = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            encp.append((r[i] - pr) & 0xFF)
+        prev = r
+    assert _apply_predictor(bytes(encp), 12, cols) == raw
+
+
+def test_hypothesis_round_trip_pdf15():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(
+        alphabet=st.characters(codec="latin-1", exclude_characters="\n\r"),
+        max_size=40,
+    )
+    page = st.lists(line, min_size=1, max_size=4).map("\n".join)
+
+    @settings(max_examples=30, deadline=None)
+    @given(pages=st.lists(page, min_size=1, max_size=3),
+           compress=st.booleans())
+    def check(pages, compress):
+        blob = pdf_bytes(pages, compress=compress, xref_stream=True)
+        assert extract_pdf_text(blob) == "\n".join(pages)
+        assert pdf_info(blob)["n_pages"] == len(pages)
+
+    check()
+
+
 def test_scan_fallback_when_xref_corrupt():
     """A broken startxref offset must not lose the document — the
     sequential object scan reads the same pages."""
@@ -100,15 +192,11 @@ def test_unsupported_filter_and_predictor_reject_typed():
     blob = pdf_bytes(["text"], compress=True)
     with pytest.raises(ValueError, match="unsupported PDF filter"):
         extract_pdf_text(blob.replace(b"/FlateDecode", b"/LZWDecodee"[:11]))
-    # predictor-coded stream
-    doc = PdfDocument(blob)
-    doc.trailer  # parse fine
-    pred = blob.replace(
-        b"/Filter /FlateDecode",
-        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
-    )
+    # predictor values outside TIFF-2 / PNG-10..15 reject typed
+    from vearch_spark.functions.pdf import _apply_predictor
+
     with pytest.raises(ValueError, match="predictor"):
-        extract_pdf_text(pred)
+        _apply_predictor(b"\x00" * 8, 5, 8)
 
 
 def test_encrypted_rejects_typed():

@@ -12,13 +12,15 @@ zlib, and a content-stream interpreter covering the full text-showing
 operator set (Tj, ', ", TJ) with literal-string escapes, nested
 parentheses, and hex strings.
 
-Out of scope, rejected TYPED so pipelines can route them: encrypted
-documents, xref streams / object streams (PDF 1.5 compression — the
-sequential fallback still reads many such files' classic parts),
-non-Flate filters, and predictor-coded streams. Embedded-font custom
-encodings (Type0/CID) decode as raw bytes — the extractor is exact
-for the WinAnsi/ASCII class its own synthesizer emits, which the
-``pdf_extract`` oracle pins end-to-end.
+PDF 1.5 cross-reference STREAMS and object streams (/ObjStm) are
+fully supported — including the PNG row predictors (Sub/Up/Average/
+Paeth, and TIFF predictor 2) their FlateDecode payloads ordinarily
+carry — so post-2005 crawl PDFs parse through the same path as
+classic-xref files. Out of scope, rejected TYPED so pipelines can
+route them: encrypted documents and non-Flate filters. Embedded-font
+custom encodings (Type0/CID) decode as raw bytes — the extractor is
+exact for the WinAnsi/ASCII class its own synthesizer emits, which
+the ``pdf_extract`` oracle pins end-to-end.
 
 The synthesizer ``pdf_bytes`` emits spec-valid PDF 1.4 (real xref
 table with byte offsets, page tree, Helvetica Type1 font, optional
@@ -227,6 +229,59 @@ def _parse_value(data: bytes, i: int):
 _OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+def _apply_predictor(
+    data: bytes, predictor: int, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """Undo stream prediction (ISO 32000-1 §7.4.4.4): TIFF predictor 2
+    (horizontal differencing) and the PNG row filters (predictor >= 10,
+    one filter-tag byte per row: None/Sub/Up/Average/Paeth)."""
+    if predictor == 1:
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    row = columns * bpp
+    if predictor == 2:
+        out = bytearray(data)
+        for r in range(0, len(out) - row + 1, row):
+            for i in range(bpp, row):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        raise ValueError(f"unsupported PDF predictor {predictor}")
+    out = bytearray()
+    prev = bytearray(row)
+    pos = 0
+    while pos + 1 <= len(data):
+        tag = data[pos]
+        cur = bytearray(data[pos + 1 : pos + 1 + row])
+        if len(cur) < row:
+            break
+        pos += 1 + row
+        if tag == 1:  # Sub
+            for i in range(bpp, row):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(row):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(row):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(row):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        elif tag != 0:
+            raise ValueError(f"bad PNG filter tag {tag} in PDF stream")
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
 class PdfDocument:
     """Parsed PDF: xref-driven when the classic table is intact,
     sequential-scan fallback otherwise. Typed ValueError on non-PDF
@@ -243,6 +298,9 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         self.trailer: dict = {}
         self.xref: dict[int, int] = {}
+        # objects living inside /ObjStm streams: num -> (stm_num, idx)
+        self.compressed: dict[int, tuple[int, int]] = {}
+        self._objstm_cache: dict[int, tuple[bytes, int, list]] = {}
         try:
             self._load_xref()
         except ValueError:
@@ -268,11 +326,48 @@ class PdfDocument:
         if num in self._cache:
             return self._cache[num]
         off = self.xref.get(num)
-        if off is None:
+        if off is not None:
+            val = self._parse_object_at(off, num)
+        elif num in self.compressed:
+            val = self._objstm_object(*self.compressed[num])
+        else:
             raise ValueError(f"PDF object {num} not found")
-        val = self._parse_object_at(off, num)
         self._cache[num] = val
         return val
+
+    def _objstm_object(self, stm_num: int, idx: int):
+        """Fetch object #idx from the /ObjStm stream ``stm_num``
+        (ISO 32000-1 §7.5.7): the decoded payload starts with N
+        (objnum, offset) integer pairs; offsets are relative to
+        /First."""
+        if stm_num not in self._objstm_cache:
+            stm = self.get(stm_num)
+            if not isinstance(stm, _Stream):
+                raise ValueError("PDF ObjStm reference is not a stream")
+            payload = self.stream_bytes(stm)
+            n = self.resolve(stm.dict.get("N"))
+            first = self.resolve(stm.dict.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise ValueError("PDF ObjStm missing N/First")
+            pairs = []
+            i = 0
+            for _ in range(2 * n):
+                i = _skip_ws(payload, i)
+                m = _NUM_RE.match(payload, i)
+                if not m:
+                    raise ValueError("malformed PDF ObjStm header")
+                pairs.append(int(m.group()))
+                i = m.end()
+            self._objstm_cache[stm_num] = (
+                payload,
+                first,
+                list(zip(pairs[0::2], pairs[1::2])),
+            )
+        payload, first, pairs = self._objstm_cache[stm_num]
+        if not (0 <= idx < len(pairs)):
+            raise ValueError("PDF ObjStm index out of range")
+        off = first + pairs[idx][1]
+        return _parse_value(payload, _skip_ws(payload, off))[0]
 
     def _parse_object_at(self, off: int, expect: int):
         data = self.data
@@ -290,7 +385,10 @@ class PdfDocument:
                 i += 1
             if not isinstance(val, dict):
                 raise ValueError("PDF stream without a dict")
-            ln = self.resolve(val.get("Length"))
+            try:
+                ln = self.resolve(val.get("Length"))
+            except ValueError:  # e.g. indirect Length mid-xref-load
+                ln = None
             if isinstance(ln, int) and 0 <= ln <= len(data) - i:
                 raw = data[i : i + ln]
             else:  # missing/bogus Length: scan for endstream
@@ -318,8 +416,24 @@ class PdfDocument:
             seen.add(off)
             i = _skip_ws(data, off)
             if data[i : i + 4] != b"xref":
-                # xref stream (PDF 1.5+) — caller falls back to scan
-                raise ValueError("xref stream unsupported")
+                # PDF 1.5+ cross-reference STREAM at this offset
+                m = _OBJ_HDR_RE.match(data, i)
+                if not m:
+                    raise ValueError("startxref points at neither form")
+                stm = self._parse_object_at(m.start(), int(m.group(1)))
+                if (
+                    not isinstance(stm, _Stream)
+                    or stm.dict.get("Type") != "XRef"
+                ):
+                    raise ValueError("expected /Type /XRef stream")
+                self._ingest_xref_stream(stm)
+                if not self.trailer:
+                    self.trailer = stm.dict
+                prev = stm.dict.get("Prev")
+                if not isinstance(prev, int):
+                    break
+                off = prev
+                continue
             i += 4
             while True:
                 i = _skip_ws(data, i)
@@ -347,13 +461,51 @@ class PdfDocument:
                 break
             off = prev
 
+    def _ingest_xref_stream(self, stm: _Stream) -> None:
+        """Decode a /Type /XRef stream's typed entry table (§7.5.8):
+        /W field widths, /Index subsection ranges (default [0 Size]);
+        type-1 entries carry byte offsets, type-2 entries point into
+        an /ObjStm. Earlier-loaded (newer) entries win, matching the
+        classic-table update rule."""
+        raw = self.stream_bytes(stm)
+        w = [int(x) for x in self.resolve(stm.dict.get("W")) or []]
+        if len(w) != 3:
+            raise ValueError("PDF XRef stream missing /W")
+        size = self.resolve(stm.dict.get("Size"))
+        index = self.resolve(stm.dict.get("Index")) or [0, size]
+        ew = sum(w)
+        pos = 0
+        for s in range(0, len(index) - 1, 2):
+            start, count = int(index[s]), int(index[s + 1])
+            for k in range(count):
+                if pos + ew > len(raw):
+                    raise ValueError("truncated PDF XRef stream")
+                f = []
+                for wi in w:
+                    f.append(
+                        int.from_bytes(raw[pos : pos + wi], "big") if wi else None
+                    )
+                    pos += wi
+                typ = f[0] if w[0] else 1
+                num = start + k
+                if num in self.xref or num in self.compressed:
+                    continue
+                if typ == 1:
+                    self.xref[num] = f[1]
+                elif typ == 2:
+                    self.compressed[num] = (f[1], f[2] or 0)
+
     def _scan_objects(self) -> None:
         """Sequential fallback: walk object headers from the top,
         skipping stream payloads by their (direct) Length so payload
-        bytes can't fake object headers."""
+        bytes can't fake object headers. PDF 1.5 files recovered this
+        way have no classic trailer — an encountered /Type /XRef
+        stream dict stands in for it, and /ObjStm members register as
+        compressed objects so the page tree stays reachable."""
         data = self.data
         i = 0
         n = len(data)
+        objstms: list[int] = []
         while i < n:
             m = _OBJ_HDR_RE.search(data, i)
             if not m:
@@ -367,10 +519,34 @@ class PdfDocument:
                 i = m.end()
                 continue
             if isinstance(obj, _Stream):
+                t = obj.dict.get("Type")
+                if t == "XRef" and not self.trailer:
+                    self.trailer = obj.dict
+                elif t == "ObjStm":
+                    objstms.append(num)
                 j = data.find(b"endstream", m.end())
                 i = max(m.end(), j + 9 if j >= 0 else m.end())
             else:
                 i = m.end()
+        for snum in objstms:
+            try:
+                stm = self.get(snum)
+                payload = self.stream_bytes(stm)
+                cnt = self.resolve(stm.dict.get("N"))
+                pos = 0
+                nums = []
+                for _ in range(2 * int(cnt)):
+                    pos = _skip_ws(payload, pos)
+                    mm = _NUM_RE.match(payload, pos)
+                    if not mm:
+                        break
+                    nums.append(int(mm.group()))
+                    pos = mm.end()
+                for idx, onum in enumerate(nums[0::2]):
+                    if onum not in self.xref and onum not in self.compressed:
+                        self.compressed[onum] = (snum, idx)
+            except ValueError:
+                continue
 
     # ------------------------------------------------------- pages
     def pages(self) -> list[dict]:
@@ -412,22 +588,25 @@ class PdfDocument:
             filters = []
         elif not isinstance(filters, list):
             filters = [filters]
-        parms = obj.dict.get("DecodeParms")
-        if parms is not None:
-            p = self.resolve(parms)
-            plist = p if isinstance(p, list) else [p]
-            for pd in plist:
-                pd = self.resolve(pd)
-                if isinstance(pd, dict) and pd.get("Predictor", 1) != 1:
-                    raise ValueError("PDF predictor-coded stream unsupported")
+        p = self.resolve(obj.dict.get("DecodeParms"))
+        plist = p if isinstance(p, list) else [p] * len(filters)
         raw = obj.raw
-        for f in filters:
+        for fi, f in enumerate(filters):
             f = self.resolve(f)
             if f == "FlateDecode":
                 try:
                     raw = zlib.decompress(raw)
                 except zlib.error as e:
                     raise ValueError(f"corrupt FlateDecode stream: {e}") from None
+                pd = self.resolve(plist[fi]) if fi < len(plist) else None
+                if isinstance(pd, dict):
+                    raw = _apply_predictor(
+                        raw,
+                        int(self.resolve(pd.get("Predictor")) or 1),
+                        int(self.resolve(pd.get("Columns")) or 1),
+                        int(self.resolve(pd.get("Colors")) or 1),
+                        int(self.resolve(pd.get("BitsPerComponent")) or 8),
+                    )
             else:
                 raise ValueError(f"unsupported PDF filter {f!r}")
         return raw
@@ -522,14 +701,15 @@ def extract_pdf_text(data: bytes) -> str:
 
 
 def pdf_info(data: bytes) -> dict:
-    """Header/structure probe: version, page count, object count.
+    """Header/structure probe: version, page count, object count
+    (top-level xref entries plus /ObjStm-compressed members).
     Encrypted documents reject typed (the probe itself must not leak
     garbage fields for them)."""
     doc = PdfDocument(data)
     return {
         "version": doc.version,
         "n_pages": len(doc.pages()),
-        "n_objects": len(doc.xref),
+        "n_objects": len(doc.xref) + len(doc.compressed),
     }
 
 
@@ -548,14 +728,27 @@ def _escape_literal(s: bytes) -> bytes:
     return bytes(out)
 
 
-def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
-    """Synthesize a spec-valid PDF 1.4: real xref table, page tree,
-    Helvetica Type1 font, one content stream per page. Alternating
-    structure exercises the extractor's full surface: odd pages use an
-    indirect /Length object, odd LINES within a page draw via a
-    TJ array split in two chunks with a kern number between (which
-    must reassemble exactly); ``compress`` toggles FlateDecode.
-    Page strings must be latin-1 encodable (typed ValueError)."""
+def _page_content(lines: list[bytes]) -> bytes:
+    parts = [b"BT /F1 12 Tf 14 TL 72 720 Td"]
+    for li, ln in enumerate(lines):
+        if li:
+            parts.append(b"T*")
+        if li % 2 == 1 and len(ln) > 1:
+            mid = len(ln) // 2
+            parts.append(
+                b"[("
+                + _escape_literal(ln[:mid])
+                + b") -20 ("
+                + _escape_literal(ln[mid:])
+                + b")] TJ"
+            )
+        else:
+            parts.append(b"(" + _escape_literal(ln) + b") Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def _encode_pages(pages: list[str]) -> list[list[bytes]]:
     if not isinstance(pages, list) or not pages or not all(
         isinstance(p, str) for p in pages
     ):
@@ -566,27 +759,31 @@ def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
             enc_pages.append([ln.encode("latin-1") for ln in p.split("\n")])
         except UnicodeEncodeError:
             raise ValueError("PDF page text must be latin-1 encodable") from None
+    return enc_pages
+
+
+def pdf_bytes(
+    pages: list[str], compress: bool = True, xref_stream: bool = False
+) -> bytes:
+    """Synthesize a spec-valid PDF: real cross-reference, page tree,
+    Helvetica Type1 font, one content stream per page. Alternating
+    structure exercises the extractor's full surface: odd pages use an
+    indirect /Length object, odd LINES within a page draw via a
+    TJ array split in two chunks with a kern number between (which
+    must reassemble exactly); ``compress`` toggles FlateDecode.
+    ``xref_stream=True`` writes PDF 1.5 structure instead: the
+    catalog/pages/font/page objects pack into one /ObjStm and the
+    cross-reference is a /Type /XRef stream with PNG-Up-predicted
+    (Predictor 12) typed entries — the modern layout most crawl PDFs
+    use. Page strings must be latin-1 encodable (typed ValueError)."""
+    enc_pages = _encode_pages(pages)
+    if xref_stream:
+        return _pdf_bytes_xref_stream(enc_pages, compress)
 
     bodies: list[bytes | None] = [None, None, None]  # catalog, pages, font
     kids: list[int] = []
     for pi, lines in enumerate(enc_pages):
-        parts = [b"BT /F1 12 Tf 14 TL 72 720 Td"]
-        for li, ln in enumerate(lines):
-            if li:
-                parts.append(b"T*")
-            if li % 2 == 1 and len(ln) > 1:
-                mid = len(ln) // 2
-                parts.append(
-                    b"[("
-                    + _escape_literal(ln[:mid])
-                    + b") -20 ("
-                    + _escape_literal(ln[mid:])
-                    + b")] TJ"
-                )
-            else:
-                parts.append(b"(" + _escape_literal(ln) + b") Tj")
-        parts.append(b"ET")
-        content = b"\n".join(parts)
+        content = _page_content(lines)
         if compress:
             content = zlib.compress(content)
         filt = b" /Filter /FlateDecode" if compress else b""
@@ -641,4 +838,119 @@ def pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(bodies) + 1, xref_off)
     )
+    return bytes(out)
+
+
+def _png_up_predict(rows: list[bytes]) -> bytes:
+    """Encode fixed-width rows with PNG filter 2 (Up) — what real
+    writers use for XRef streams."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for r in rows:
+        out.append(2)
+        out += bytes((r[i] - prev[i]) & 0xFF for i in range(len(r)))
+        prev = r
+    return bytes(out)
+
+
+def _pdf_bytes_xref_stream(
+    enc_pages: list[list[bytes]], compress: bool
+) -> bytes:
+    """PDF 1.5 layout: catalog/pages/font/page dicts in one /ObjStm,
+    content streams top-level, /Type /XRef cross-reference stream with
+    W=[1,4,2] entries under PNG Up prediction."""
+    p = len(enc_pages)
+    content_nums = list(range(4, 4 + p))
+    page_nums = list(range(4 + p, 4 + 2 * p))
+    objstm_num = 4 + 2 * p
+    xref_num = objstm_num + 1
+
+    members: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            b"<< /Type /Pages /Kids ["
+            + b" ".join(b"%d 0 R" % k for k in page_nums)
+            + b"] /Count %d >>" % p,
+        ),
+        (
+            3,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+        ),
+    ]
+    for i in range(p):
+        members.append(
+            (
+                page_nums[i],
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % content_nums[i],
+            )
+        )
+    # /ObjStm payload: header of (num, offset) pairs, then the bodies
+    body_parts: list[bytes] = []
+    hdr_parts: list[bytes] = []
+    off = 0
+    for num, body in members:
+        hdr_parts.append(b"%d %d" % (num, off))
+        body_parts.append(body)
+        off += len(body) + 1
+    header = b" ".join(hdr_parts) + b"\n"
+    # offsets assume exactly 1 separator byte between bodies
+    payload = header + b"\n".join(body_parts)
+    first = len(header)
+    objstm_payload = zlib.compress(payload)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(members), first, len(objstm_payload))
+        + objstm_payload
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for i in range(p):
+        content = _page_content(enc_pages[i])
+        if compress:
+            content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode" if compress else b""
+        offsets[content_nums[i]] = len(out)
+        out += b"%d 0 obj\n<< /Length %d%s >>\nstream\n" % (
+            content_nums[i],
+            len(content),
+            filt,
+        )
+        out += content
+        out += b"\nendstream\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num
+    out += objstm_body
+    out += b"\nendobj\n"
+
+    # typed xref entries, W = [1, 4, 2], contiguous 0..size-1
+    xref_off = len(out)
+    size = xref_num + 1
+    rows = []
+    for num in range(size):
+        if num == 0:
+            rows.append(bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))
+        elif num in offsets or num == xref_num:
+            o = xref_off if num == xref_num else offsets[num]
+            rows.append(bytes([1]) + o.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+        else:  # compressed member
+            idx = [m[0] for m in members].index(num)
+            rows.append(
+                bytes([2]) + objstm_num.to_bytes(4, "big") + idx.to_bytes(2, "big")
+            )
+    xref_payload = zlib.compress(_png_up_predict(rows))
+    out += b"%d 0 obj\n" % xref_num
+    out += (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Length %d "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> >>"
+        b"\nstream\n" % (size, len(xref_payload))
+    )
+    out += xref_payload
+    out += b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
