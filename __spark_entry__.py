@@ -2742,6 +2742,81 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("media_id").cast("int"), "container")
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion (sources/warc.py) — the Common Crawl front door:
+    per doc, write a REAL multi-member .warc.gz (a response record
+    whose payload is a full HTTP message carrying the doc text, plus a
+    metadata record), run the from-scratch parser (gzip member
+    chaining, header block, Content-Length framing, HTTP split), and
+    keep only 200-status bodies — the standard first filter of a crawl
+    pipeline (odd ids are synthesized as 404s and must surface with an
+    empty-body md5). The oracle recomputes url/status/md5 from the
+    generation formula, so a hash match proves writer + gzip chain +
+    record framing + HTTP parse end-to-end. 100 TB posture: parallel
+    unit = WARC file, records explode inside one mapInPandas, payloads
+    never shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    from vearch_spark.sources.warc import (
+        http_response_bytes,
+        parse_http_response,
+        parse_warc,
+        warc_gz_bytes,
+        warc_record_bytes,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for i, txt in zip(b["doc_id"], b["text"]):
+                i = int(i)
+                url = f"https://example.com/doc/{i}"
+                status = 200 if i % 2 == 0 else 404
+                http = http_response_bytes(
+                    txt.encode("utf-8"), status=status
+                )
+                gz = warc_gz_bytes(
+                    [
+                        warc_record_bytes(
+                            "response", http, target_uri=url,
+                            content_type="application/http; msgtype=response",
+                        ),
+                        warc_record_bytes(
+                            "metadata", b"fetch: ok", target_uri=url
+                        ),
+                    ]
+                )
+                recs = parse_warc(gz)
+                resp = [r for r in recs if r["warc_type"] == "response"]
+                st, _hdr, body = parse_http_response(resp[0]["payload"])
+                kept = body if st == 200 else b""
+                rows.append(
+                    (
+                        i,
+                        resp[0]["target_uri"],
+                        st,
+                        len(recs),
+                        hashlib.md5(kept).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "status", "n_records", "text_md5"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, url string, status int, n_records int, "
+            "text_md5 string"
+        ),
+    ).orderBy("doc_id")
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher / MassiveWeb rule-based quality filter
     (functions/text.py gopher_quality_flags — Rae et al. 2021 App.
@@ -3081,6 +3156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,  # exact substring REMOVAL (r9): span_dedup accounting twin in-50
     "pdf_extract": q_pdf_extract,  # PDF text extraction (r9): media_probe/media_decode codec twins in-50
     "gopher_quality": q_gopher_quality,  # published Gopher ruleset (r9): quality_classifier/quality_score twins in-50
+    "warc_extract": q_warc_extract,  # WARC/HTTP crawl ingestion (r9): html_extract/media_probe container twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4664,6 +4740,20 @@ def oracle_sql() -> dict[str, str]:
     # 4-line pagination is invisible to the joined string) so the md5
     # only matches if the full synthesize->parse->inflate->interpret
     # chain is lossless
+    # warc_extract: the Spark side writes and re-parses real
+    # multi-member .warc.gz containers; the oracle recomputes
+    # url/status/record-count/body-md5 from the generation formula
+    # (404 bodies are dropped -> empty-string md5)
+    d["warc_extract"] = """
+        SELECT doc_id,
+               'https://example.com/doc/' || doc_id AS url,
+               (CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END)::INT
+                 AS status,
+               2::INT AS n_records,
+               (CASE WHEN doc_id % 2 = 0 THEN md5(text)
+                     ELSE md5('') END) AS text_md5
+        FROM documents ORDER BY doc_id
+    """
     # gopher_quality: the oracle rebuilds the same 6-line noisy
     # envelope and recomputes all seven published rules; every ratio
     # is int-over-int double division so the flags match bit-for-bit

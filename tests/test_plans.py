@@ -498,6 +498,22 @@ def test_html_extract_is_pure_projection(spark, sf_dir):
     assert X.count_exchanges(out) <= 1  # orderBy only
 
 
+def test_warc_extract_is_narrow_pipeline(spark, sf_dir):
+    """warc_extract writes and re-parses real .warc.gz containers
+    inside one Arrow batch — payloads never shuffle; only the
+    presentation sort exchanges, and the scan reads (doc_id, text)."""
+    import __spark_entry__ as entry
+
+    spark.catalog.clearCache()
+    out = entry.q_warc_extract(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    for bad in ("Join", "HashAggregate", "Window"):
+        assert bad not in plan, bad
+    assert X.count_exchanges(out) <= 1  # orderBy only
+    schemas = X.read_schemas(out)
+    assert all(s.count(":") <= 2 for s in schemas)
+
+
 def test_gopher_quality_is_pure_projection(spark, sf_dir):
     """The Gopher ruleset is pure JVM expressions (splits let-bound
     via a single-element transform) — no Python, no join, no agg;
