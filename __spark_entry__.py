@@ -2742,6 +2742,23 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("media_id").cast("int"), "container")
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher repetition filter (operators/dedup.py
+    gopher_repetition_stats — Rae et al. 2021 App. A1.1): per doc,
+    the char fraction of the most frequent word n-gram (n=2..4,
+    every occurrence counted — the literal definition) and the char
+    fraction covered by duplicated n-grams (n=5..10, overlapping
+    occurrences counted once via overlap-merged token islands and
+    cumulative char offsets), plus the pass conjunction against the
+    paper's thresholds. The oracle replays all nine fractions in SQL
+    — gram counting, deterministic tie-breaks, island merge, char
+    offsets — and the rounded fractions match bit-for-bit."""
+    from vearch_spark.operators.dedup import gopher_repetition_stats
+
+    docs = _docs(spark, sf_dir)
+    return gopher_repetition_stats(docs).orderBy("doc_id")
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion (sources/warc.py) — the Common Crawl front door:
     per doc, write a REAL multi-member .warc.gz (a response record
@@ -3157,6 +3174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_extract": q_pdf_extract,  # PDF text extraction (r9): media_probe/media_decode codec twins in-50
     "gopher_quality": q_gopher_quality,  # published Gopher ruleset (r9): quality_classifier/quality_score twins in-50
     "warc_extract": q_warc_extract,  # WARC/HTTP crawl ingestion (r9): html_extract/media_probe container twins in-50
+    "gopher_repetition": q_gopher_repetition,  # published repetition rules (r9): repetition_scores/span_dedup twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4740,6 +4758,120 @@ def oracle_sql() -> dict[str, str]:
     # 4-line pagination is invisible to the joined string) so the md5
     # only matches if the full synthesize->parse->inflate->interpret
     # chain is lossless
+    # gopher_repetition: full SQL replay of the nine published
+    # repetition fractions — gram counts with the deterministic
+    # (count desc, length desc, gram asc) tie-break, overlap-merged
+    # islands, cumulative char offsets; every ratio is exact-int
+    # double division on both sides
+    d["gopher_repetition"] = """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS tk,
+                 length(text) AS total
+          FROM documents
+        ), ns(nn) AS (VALUES (2), (3), (4)),
+        g AS (
+          SELECT s.doc_id, s.total, ns.nn,
+                 array_to_string(tk[u.i:u.i+ns.nn-1], ' ') AS gram
+          FROM s CROSS JOIN ns,
+               UNNEST(generate_series(1, len(tk) - ns.nn + 1)) AS u(i)
+        ), c AS (
+          SELECT doc_id, nn, gram, first(total) AS total,
+                 count(*) AS cnt
+          FROM g GROUP BY doc_id, nn, gram
+        ), r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id, nn
+            ORDER BY cnt DESC, length(gram) DESC, gram ASC
+          ) AS rn FROM c
+        ), topf AS (
+          SELECT doc_id, nn,
+                 (cnt * length(gram))::DOUBLE / total AS frac
+          FROM r WHERE rn = 1
+        ), ta AS (
+          SELECT doc_id,
+                 max(CASE WHEN nn = 2 THEN frac END) AS t2,
+                 max(CASE WHEN nn = 3 THEN frac END) AS t3,
+                 max(CASE WHEN nn = 4 THEN frac END) AS t4
+          FROM topf GROUP BY doc_id
+        ), md(nn) AS (VALUES (5), (6), (7), (8), (9), (10)),
+        sp AS (
+          SELECT s.doc_id, s.total, md.nn, u.i AS pos,
+                 array_to_string(tk[u.i:u.i+md.nn-1], ' ') AS gram
+          FROM s CROSS JOIN md,
+               UNNEST(generate_series(1, len(tk) - md.nn + 1)) AS u(i)
+        ), oc AS (
+          SELECT *, count(*) OVER (
+            PARTITION BY doc_id, nn, gram) AS occ
+          FROM sp
+        ), rm AS (
+          SELECT doc_id, nn, total, pos AS s0, pos + nn - 1 AS e0
+          FROM oc WHERE occ > 1
+        ), mg AS (
+          SELECT *, max(e0) OVER (
+            PARTITION BY doc_id, nn ORDER BY s0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM rm
+        ), il AS (
+          SELECT *, sum(CASE WHEN pe IS NULL OR s0 > pe
+                             THEN 1 ELSE 0 END) OVER (
+            PARTITION BY doc_id, nn ORDER BY s0) AS grp
+          FROM mg
+        ), iv AS (
+          SELECT doc_id, nn, min(s0) AS a, max(e0) AS b,
+                 first(total) AS total
+          FROM il GROUP BY doc_id, nn, grp
+        ), tx AS (
+          SELECT doc_id, unnest(tk) AS tok,
+                 generate_subscripts(tk, 1) AS p
+          FROM s
+        ), tx2 AS (
+          SELECT doc_id, p, length(tok) AS lentok,
+                 coalesce(sum(length(tok) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS st
+          FROM tx
+        ), cv AS (
+          SELECT iv.doc_id, iv.nn,
+                 sum((e.st + e.lentok) - b2.st)::DOUBLE
+                   / first(iv.total) AS frac
+          FROM iv
+          JOIN tx2 b2 ON b2.doc_id = iv.doc_id AND b2.p = iv.a
+          JOIN tx2 e ON e.doc_id = iv.doc_id AND e.p = iv.b
+          GROUP BY iv.doc_id, iv.nn
+        ), ca AS (
+          SELECT doc_id,
+                 max(CASE WHEN nn = 5 THEN frac END) AS d5,
+                 max(CASE WHEN nn = 6 THEN frac END) AS d6,
+                 max(CASE WHEN nn = 7 THEN frac END) AS d7,
+                 max(CASE WHEN nn = 8 THEN frac END) AS d8,
+                 max(CASE WHEN nn = 9 THEN frac END) AS d9,
+                 max(CASE WHEN nn = 10 THEN frac END) AS d10
+          FROM cv GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               round(coalesce(ta.t2, 0), 6) AS top_2gram_frac,
+               round(coalesce(ta.t3, 0), 6) AS top_3gram_frac,
+               round(coalesce(ta.t4, 0), 6) AS top_4gram_frac,
+               round(coalesce(ca.d5, 0), 6) AS dup_5gram_frac,
+               round(coalesce(ca.d6, 0), 6) AS dup_6gram_frac,
+               round(coalesce(ca.d7, 0), 6) AS dup_7gram_frac,
+               round(coalesce(ca.d8, 0), 6) AS dup_8gram_frac,
+               round(coalesce(ca.d9, 0), 6) AS dup_9gram_frac,
+               round(coalesce(ca.d10, 0), 6) AS dup_10gram_frac,
+               (CASE WHEN coalesce(ta.t2, 0) <= 0.20
+                      AND coalesce(ta.t3, 0) <= 0.18
+                      AND coalesce(ta.t4, 0) <= 0.16
+                      AND coalesce(ca.d5, 0) <= 0.15
+                      AND coalesce(ca.d6, 0) <= 0.14
+                      AND coalesce(ca.d7, 0) <= 0.13
+                      AND coalesce(ca.d8, 0) <= 0.12
+                      AND coalesce(ca.d9, 0) <= 0.11
+                      AND coalesce(ca.d10, 0) <= 0.10
+                 THEN 1 ELSE 0 END)::INT AS repetition_pass
+        FROM s LEFT JOIN ta USING (doc_id) LEFT JOIN ca USING (doc_id)
+        ORDER BY s.doc_id
+    """
     # warc_extract: the Spark side writes and re-parses real
     # multi-member .warc.gz containers; the oracle recomputes
     # url/status/record-count/body-md5 from the generation formula

@@ -354,6 +354,41 @@ def test_remove_duplicate_spans_overlap_merge(spark):
     assert out[1].n_removed == 12
 
 
+def test_gopher_repetition_stats(spark):
+    """Hand-computed fractions for the published repetition rules:
+    top-n-gram char fraction counts every occurrence (so overlapping
+    repeats can exceed 1.0 — the paper's literal definition), dup
+    coverage counts each character once with islands merged on
+    OVERLAP only (the space between two disjoint repeated runs stays
+    uncounted)."""
+    from vearch_spark.operators.dedup import gopher_repetition_stats
+
+    clean = " ".join(f"tok{i:02d} word{i:02d}" for i in range(30))  # 60 words
+    rows = [
+        (0, "a b a b a b"),
+        (1, "c d c d c d c d"),
+        (2, "p q r s t u p q r s t"),
+        (3, clean),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in gopher_repetition_stats(docs).collect()}
+    # doc 0: "a b" x3, 3 chars, 11 total; "a b a" tie -> lexicographic
+    assert abs(out[0]["top_2gram_frac"] - 9 / 11) < 1e-6
+    assert abs(out[0]["top_3gram_frac"] - 10 / 11) < 1e-6
+    assert out[0]["dup_5gram_frac"] == 0.0  # both 5-grams unique
+    # doc 1: every 5-gram duplicated, islands merge to the whole doc
+    assert out[1]["dup_5gram_frac"] == 1.0
+    # doc 2: two disjoint "p q r s t" islands -> 9+9 of 21 chars
+    assert abs(out[2]["dup_5gram_frac"] - 18 / 21) < 1e-6
+    # clean 60-word doc passes every rule; repetitive docs fail
+    assert out[3]["repetition_pass"] == 1
+    assert out[0]["repetition_pass"] == 0
+    assert out[1]["repetition_pass"] == 0
+    assert out[2]["repetition_pass"] == 0
+    # every doc present even when short/no-dup (left joins)
+    assert set(out) == {0, 1, 2, 3}
+
+
 def test_blank_docs_are_not_pseudo_duplicates(spark):
     """Empty/whitespace/NULL docs yield EMPTY shingle sets (no ''
     pseudo-shingle), so they never become jaccard-1.0 near-dups of

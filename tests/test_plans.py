@@ -498,6 +498,24 @@ def test_html_extract_is_pure_projection(spark, sf_dir):
     assert X.count_exchanges(out) <= 1  # orderBy only
 
 
+def test_gopher_repetition_id_keyed_no_pair_join(spark, sf_dir):
+    """The repetition filter is intra-document: every window and
+    groupBy keys on (doc_id[, n, gram]) — no corpus-wide state and no
+    pair join anywhere; n explodes as a COLUMN so the nine window
+    sizes cost a handful of scans, not nine."""
+    from vearch_spark.operators.dedup import gopher_repetition_stats
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = gopher_repetition_stats(docs)
+    plan = X.simple_plan(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert X.count_exchanges(df) <= 9
+    schemas = X.read_schemas(df)
+    assert len(schemas) <= 5
+    assert all(s.count(":") <= 2 for s in schemas)  # doc_id[,text]
+
+
 def test_warc_extract_is_narrow_pipeline(spark, sf_dir):
     """warc_extract writes and re-parses real .warc.gz containers
     inside one Arrow batch — payloads never shuffle; only the

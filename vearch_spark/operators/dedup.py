@@ -347,6 +347,204 @@ def remove_duplicate_spans(
     )
 
 
+# The Gopher repetition thresholds (Rae et al. 2021, App. A1.1): a
+# doc fails if the most frequent word n-gram covers more than this
+# fraction of its characters (n = 2..4), or if characters inside
+# duplicated n-grams (counted once) exceed it (n = 5..10).
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The published Gopher repetition filter, exactly as specified:
+    per doc, the character fraction of the single most frequent word
+    n-gram for n = 2..4 (ties broken by longer gram, then
+    lexicographic — deterministic), and for n = 5..10 the character
+    fraction covered by ALL duplicated n-grams with overlapping
+    occurrences counted once (token intervals merged on overlap, chars
+    of each maximal island measured from cumulative token offsets so
+    the separator space between two disjoint islands is never
+    counted). Returns one row per doc: the nine fractions plus
+    ``repetition_pass`` (1 iff every fraction is at or under its
+    published threshold).
+
+    Scale shape: everything is intra-document, so every window and
+    groupBy keys on the doc id (plus n/gram) — one id-keyed exchange
+    family, no corpus-wide state, no pair join; a pathological
+    million-copy doc costs only its own token count."""
+    from vearch_spark.functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_tk"),
+        F.length(text_col).alias("_total"),
+    )
+
+    def grams_for(n_values: list[int], with_pos: bool):
+        """ONE scan for every n: n explodes as a column (slice and
+        sequence take Column lengths), so the 9 window sizes don't
+        re-read the table."""
+        n = F.col("n")
+        seq = F.when(
+            F.size("_tk") >= n,
+            F.sequence(F.lit(1), F.size("_tk") - n + 1),
+        ).otherwise(F.array().cast("array<int>"))
+        exploded_n = base.select(
+            F.col(id_col),
+            "_total",
+            "_tk",
+            F.explode(F.array(*[F.lit(v) for v in n_values])).alias("n"),
+        )
+        if with_pos:
+            g = F.transform(
+                seq,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.array_join(F.slice("_tk", i, n), " ").alias("gram"),
+                ),
+            )
+            return exploded_n.select(
+                id_col, "_total", "n", F.explode(g).alias("s")
+            ).select(
+                id_col, "_total", "n", F.col("s.pos").alias("pos"),
+                F.col("s.gram").alias("gram"),
+            )
+        g = F.transform(
+            seq, lambda i: F.array_join(F.slice("_tk", i, n), " ")
+        )
+        return exploded_n.select(
+            id_col, "_total", "n", F.explode(g).alias("gram")
+        )
+
+    # ---- most-frequent-n-gram char fraction, n = 2..4
+    counts = grams_for(list(GOPHER_TOP_NGRAM_THRESHOLDS), False).groupBy(
+        id_col, "n", "gram"
+    ).agg(
+        F.count("*").alias("_c"), F.first("_total").alias("_total")
+    )
+    wr = Window.partitionBy(id_col, "n").orderBy(
+        F.col("_c").desc(), F.length("gram").desc(), F.col("gram").asc()
+    )
+    top = (
+        counts.withColumn("_r", F.row_number().over(wr))
+        .where(F.col("_r") == 1)
+        .select(
+            id_col,
+            "n",
+            (
+                (F.col("_c") * F.length("gram")).cast("double")
+                / F.col("_total")
+            ).alias("frac"),
+        )
+    )
+    top_piv = top.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"_top{n}")
+            for n in GOPHER_TOP_NGRAM_THRESHOLDS
+        ]
+    )
+
+    # ---- duplicated-n-gram char coverage, n = 5..10
+    spans = grams_for(list(GOPHER_DUP_NGRAM_THRESHOLDS), True)
+    occ = F.count("*").over(Window.partitionBy(id_col, "n", "gram"))
+    rem = (
+        spans.withColumn("_occ", occ)
+        .where(F.col("_occ") > 1)
+        .select(
+            id_col, "n", "_total", "pos",
+            (F.col("pos") + F.col("n") - 1).alias("end"),
+        )
+    )
+    wd = Window.partitionBy(id_col, "n").orderBy("pos")
+    prev_end = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        rem.withColumn(
+            "_new",
+            # merge on OVERLAP only (shared token): two disjoint
+            # adjacent islands must not absorb the space between them
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn("_g", F.sum("_new").over(wd))
+        .groupBy(id_col, "n", "_g")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("end").alias("e"),
+            F.first("_total").alias("_total"),
+        )
+    )
+    # cumulative char offsets per token (separator-inclusive prefix)
+    tokidx = base.select(
+        id_col, F.posexplode("_tk").alias("_i0", "_tok")
+    ).select(
+        id_col,
+        (F.col("_i0") + 1).alias("pos"),
+        F.length("_tok").alias("_len"),
+    )
+    wt = Window.partitionBy(id_col).orderBy("pos")
+    tokidx = tokidx.withColumn(
+        "start",
+        F.coalesce(
+            F.sum(F.col("_len") + 1).over(
+                wt.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    s_side = tokidx.select(
+        F.col(id_col), F.col("pos").alias("s"), F.col("start").alias("_ss")
+    )
+    e_side = tokidx.select(
+        F.col(id_col),
+        F.col("pos").alias("e"),
+        (F.col("start") + F.col("_len")).alias("_ee"),
+    )
+    cov = (
+        islands.join(s_side, on=[id_col, "s"])
+        .join(e_side, on=[id_col, "e"])
+        .groupBy(id_col, "n")
+        .agg(
+            (
+                F.sum(F.col("_ee") - F.col("_ss")).cast("double")
+                / F.first("_total")
+            ).alias("frac")
+        )
+    )
+    cov_piv = cov.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"_dup{n}")
+            for n in GOPHER_DUP_NGRAM_THRESHOLDS
+        ]
+    )
+
+    out = (
+        base.select(id_col)
+        .join(top_piv, on=id_col, how="left")
+        .join(cov_piv, on=id_col, how="left")
+    )
+    frac_cols = {}
+    flags = []
+    for n, thr in GOPHER_TOP_NGRAM_THRESHOLDS.items():
+        f = F.coalesce(F.col(f"_top{n}"), F.lit(0.0))
+        frac_cols[f"top_{n}gram_frac"] = f
+        flags.append(f <= thr)
+    for n, thr in GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        f = F.coalesce(F.col(f"_dup{n}"), F.lit(0.0))
+        frac_cols[f"dup_{n}gram_frac"] = f
+        flags.append(f <= thr)
+    passes = flags[0].cast("int")
+    for fl in flags[1:]:
+        passes = passes * fl.cast("int")
+    return out.select(
+        id_col,
+        *[F.round(c, 6).alias(name) for name, c in frac_cols.items()],
+        passes.alias("repetition_pass"),
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     """128-way minhash signature as one nested JVM expression.
 
