@@ -2742,6 +2742,85 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("media_id").cast("int"), "container")
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (functions/text.py c4_filter — Raffel et
+    al. 2020 §2.2): keep only lines ending in terminal punctuation
+    with >= 5 words; drop pages with < 3 retained lines, a
+    'lorem ipsum' occurrence, or a curly brace. Docs ride a
+    deterministic 6-line envelope (a dropped-short line, a
+    no-punctuation line, lorem on id%11, a brace on id%13) so both
+    line rules and all three page rules fire both ways; the oracle
+    rebuilds the envelope and replays the filter in SQL, with the
+    kept text's md5 matching bit-for-bit."""
+    from vearch_spark.functions.text import c4_filter
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    mtext = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 40), F.lit(".")),
+        F.lit("too short."),
+        F.substring("text", 41, 35),
+        F.when(
+            did % 11 == 0, F.lit("plus lorem ipsum filler text here.")
+        ).otherwise(F.lit("a perfectly fine closing sentence here.")),
+        F.when(did % 13 == 0, F.lit("code { marker")).otherwise(
+            F.concat(F.substring("text", 1, 25), F.lit("!"))
+        ),
+        F.when(did % 2 == 0, F.lit("another valid line with many words?")
+               ).otherwise(F.lit("nope")),
+    )
+    return (
+        docs.select("doc_id", c4_filter(mtext).alias("c"))
+        .select(
+            "doc_id",
+            "c.n_lines",
+            "c.n_kept",
+            "c.keep_page",
+            F.md5("c.clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (functions/text.py script_profile):
+    per-script char counts + dominant script — the routing pass a
+    multilingual pipeline runs before tokenizer / lang-id choice.
+    Docs ride a chr()-mirrorable multi-script envelope (Cyrillic /
+    Greek / Arabic / Devanagari / Han / Hangul runs whose characters
+    and lengths are formulas of doc_id, plus a Latin slice of the
+    text) so dominance varies across the corpus; the oracle rebuilds
+    the same string with chr() arithmetic and recomputes every count
+    with the equivalent RE2 script classes."""
+    from vearch_spark.functions.text import script_profile
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+
+    def run(base: int, mod: int, mult: int, rep_mod: int):
+        chars = F.array(*[F.lit(chr(base + j)) for j in range(mod)])
+        return F.repeat(
+            F.element_at(chars, (did % mod + 1).cast("int")),
+            ((did * mult) % rep_mod).cast("int"),
+        )
+
+    mtext = F.concat(
+        F.substring("text", 1, (did % 12 + 1).cast("int")),
+        run(0x410, 8, 3, 14),   # Cyrillic А..
+        run(0x391, 6, 5, 9),    # Greek Α..
+        run(0x627, 4, 7, 11),   # Arabic ا..
+        run(0x905, 5, 11, 7),   # Devanagari अ..
+        run(0x4E00, 8, 13, 17), # Han 一..
+        run(0xAC00, 6, 17, 13), # Hangul 가..
+    )
+    return (
+        docs.select("doc_id", script_profile(mtext).alias("s"))
+        .select("doc_id", "s.*")
+        .orderBy("doc_id")
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher repetition filter (operators/dedup.py
     gopher_repetition_stats — Rae et al. 2021 App. A1.1): per doc,
@@ -3175,6 +3254,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,  # published Gopher ruleset (r9): quality_classifier/quality_score twins in-50
     "warc_extract": q_warc_extract,  # WARC/HTTP crawl ingestion (r9): html_extract/media_probe container twins in-50
     "gopher_repetition": q_gopher_repetition,  # published repetition rules (r9): repetition_scores/span_dedup twins in-50
+    "c4_filter": q_c4_filter,  # published C4 line/page rules (r9): corpus_line_filter/html_extract twins in-50
+    "script_profile": q_script_profile,  # unicode script routing (r9): lang_id/unicode_clean twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
     "hnsw_knn": q_hnsw_knn,  # graph index, exhaustive-ef: hash-checked vs FLAT
@@ -4758,6 +4839,89 @@ def oracle_sql() -> dict[str, str]:
     # 4-line pagination is invisible to the joined string) so the md5
     # only matches if the full synthesize->parse->inflate->interpret
     # chain is lossless
+    # c4_filter: the oracle rebuilds the same 6-line envelope and
+    # replays both line rules and all three page rules; kept-text md5
+    # is the end-to-end check
+    d["c4_filter"] = """
+        WITH m AS (
+          SELECT doc_id,
+            substr(text, 1, 40) || '.' || chr(10) ||
+            'too short.' || chr(10) ||
+            substr(text, 41, 35) || chr(10) ||
+            (CASE WHEN doc_id % 11 = 0
+                  THEN 'plus lorem ipsum filler text here.'
+                  ELSE 'a perfectly fine closing sentence here.'
+             END) || chr(10) ||
+            (CASE WHEN doc_id % 13 = 0 THEN 'code { marker'
+                  ELSE substr(text, 1, 25) || '!' END) || chr(10) ||
+            (CASE WHEN doc_id % 2 = 0
+                  THEN 'another valid line with many words?'
+                  ELSE 'nope' END) AS t
+          FROM documents
+        ), k AS (
+          SELECT doc_id, t,
+                 len(string_split(t, chr(10)))::INT AS n_lines,
+                 list_filter(string_split(t, chr(10)), l ->
+                   regexp_matches(l, '[.!?\"]\\s*$')
+                   AND len(string_split(trim(l), ' ')) >= 5) AS kept
+          FROM m
+        )
+        SELECT doc_id, n_lines, len(kept)::INT AS n_kept,
+               (CASE WHEN len(kept) >= 3
+                      AND NOT contains(lower(t), 'lorem ipsum')
+                      AND NOT contains(t, '{')
+                 THEN 1 ELSE 0 END)::INT AS keep_page,
+               md5(array_to_string(kept, chr(10))) AS clean_md5
+        FROM k ORDER BY doc_id
+    """
+    # script_profile: the oracle rebuilds the multi-script envelope
+    # with chr() arithmetic and recomputes every count with RE2's
+    # script classes (\\p{X} <-> java \\p{IsX}); dominant uses the
+    # same first-in-list tie-break via a first-match CASE
+    d["script_profile"] = """
+        WITH m AS (
+          SELECT doc_id,
+            substr(text, 1, (doc_id % 12 + 1)::INT)
+            || repeat(chr((1040 + doc_id % 8)::INT),
+                      ((doc_id * 3) % 14)::INT)
+            || repeat(chr((913 + doc_id % 6)::INT),
+                      ((doc_id * 5) % 9)::INT)
+            || repeat(chr((1575 + doc_id % 4)::INT),
+                      ((doc_id * 7) % 11)::INT)
+            || repeat(chr((2309 + doc_id % 5)::INT),
+                      ((doc_id * 11) % 7)::INT)
+            || repeat(chr((19968 + doc_id % 8)::INT),
+                      ((doc_id * 13) % 17)::INT)
+            || repeat(chr((44032 + doc_id % 6)::INT),
+                      ((doc_id * 17) % 13)::INT) AS t
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+            (length(t) - length(regexp_replace(t, '\\p{Latin}', '', 'g')))::INT AS n_latin,
+            (length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g')))::INT AS n_cyrillic,
+            (length(t) - length(regexp_replace(t, '\\p{Greek}', '', 'g')))::INT AS n_greek,
+            (length(t) - length(regexp_replace(t, '\\p{Arabic}', '', 'g')))::INT AS n_arabic,
+            (length(t) - length(regexp_replace(t, '\\p{Devanagari}', '', 'g')))::INT AS n_devanagari,
+            (length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g')))::INT AS n_han,
+            (length(t) - length(regexp_replace(t, '\\p{Hangul}', '', 'g')))::INT AS n_hangul
+          FROM m
+        ), g AS (
+          SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic,
+                             n_devanagari, n_han, n_hangul) AS mx
+          FROM c
+        )
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic,
+               n_devanagari, n_han, n_hangul,
+               (CASE WHEN mx = 0 THEN NULL
+                     WHEN n_latin = mx THEN 'latin'
+                     WHEN n_cyrillic = mx THEN 'cyrillic'
+                     WHEN n_greek = mx THEN 'greek'
+                     WHEN n_arabic = mx THEN 'arabic'
+                     WHEN n_devanagari = mx THEN 'devanagari'
+                     WHEN n_han = mx THEN 'han'
+                     ELSE 'hangul' END) AS dominant_script
+        FROM g ORDER BY doc_id
+    """
     # gopher_repetition: full SQL replay of the nine published
     # repetition fractions — gram counts with the deterministic
     # (count desc, length desc, gram asc) tie-break, overlap-merged

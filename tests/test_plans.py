@@ -532,6 +532,20 @@ def test_warc_extract_is_narrow_pipeline(spark, sf_dir):
     assert all(s.count(":") <= 2 for s in schemas)
 
 
+def test_c4_and_script_profile_are_pure_projections(spark, sf_dir):
+    """Both published-rule filters are narrow JVM projections — no
+    Python, no join, no agg; only the presentation sort exchanges."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_c4_filter, entry.q_script_profile):
+        out = q(spark, sf_dir)
+        plan = X.formatted_plan(out)
+        for bad in ("Join", "HashAggregate", "FlatMapGroupsInPandas",
+                    "ArrowEvalPython", "BatchEvalPython"):
+            assert bad not in plan, (q.__name__, bad)
+        assert X.count_exchanges(out) <= 1  # orderBy only
+
+
 def test_gopher_quality_is_pure_projection(spark, sf_dir):
     """The Gopher ruleset is pure JVM expressions (splits let-bound
     via a single-element transform) — no Python, no join, no agg;

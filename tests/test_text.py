@@ -260,3 +260,56 @@ def test_gopher_quality_flags(spark):
     assert got[5].f_ellipsis == 0
     assert got[6].f_alpha == 0
     assert got[7].f_stop == 0
+
+
+def test_c4_filter(spark):
+    """C4 line rules (terminal punct + >=5 words) and all three page
+    rules (<3 kept lines, lorem ipsum, curly brace)."""
+    rows = [
+        (0, "This line has five good words.\nshort one.\nno terminal punct "
+            "here at all\nAnother proper sentence right here!\nAnd a third "
+            "full sentence too?"),
+        (1, "Good line one is here.\nGood line two is here.\nonly two "
+            "kept lines."),
+        (2, "Lorem Ipsum dolor sit amet okay.\nSecond fine line right "
+            "here.\nThird fine line goes here.\nFourth fine line sits here."),
+        (3, "function foo() { return 1; }\nGood line number one here.\n"
+            "Good line number two here.\nGood line number three here."),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r
+        for r in df.select("id", T.c4_filter("t").alias("c"))
+        .select("id", "c.*")
+        .collect()
+    }
+    assert got[0].n_kept == 3 and got[0].keep_page == 1
+    assert got[0].clean_text.split("\n")[0] == "This line has five good words."
+    assert got[1].n_kept == 2 and got[1].keep_page == 0  # < 3 sentences
+    assert got[2].n_kept == 4 and got[2].keep_page == 0  # lorem ipsum
+    assert got[3].n_kept == 3 and got[3].keep_page == 0  # curly brace
+
+
+def test_script_profile(spark):
+    """Per-script counts, first-in-list tie-break, NULL when no
+    counted script appears."""
+    rows = [
+        (0, "hello world latin text"),
+        (1, "привет мир кириллица"),
+        (2, "漢字漢字 abcd"),  # han 4 vs latin 4 -> tie -> latin first
+        (3, "12345 .,!"),
+        (4, "한글한글한 text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r
+        for r in df.select("id", T.script_profile("t").alias("s"))
+        .select("id", "s.*")
+        .collect()
+    }
+    assert got[0].dominant_script == "latin" and got[0].n_latin == 19
+    assert got[1].dominant_script == "cyrillic" and got[1].n_latin == 0
+    assert got[2].n_han == 4 and got[2].n_latin == 4
+    assert got[2].dominant_script == "latin"  # tie -> first in list
+    assert got[3].dominant_script is None
+    assert got[4].dominant_script == "hangul" and got[4].n_hangul == 5

@@ -253,6 +253,95 @@ def gopher_quality_flags(text: Column | str) -> Column:
     return F.transform(bound, flags)[0]
 
 
+def c4_filter(text: Column | str, min_line_words: int = 5) -> Column:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as one struct:
+    lines are retained only if they end in terminal punctuation
+    (``.``, ``!``, ``?``, or closing double-quote) AND carry at least
+    ``min_line_words`` words; the page flags record the paper's page
+    drops — fewer than 3 retained lines, a ``lorem ipsum`` occurrence
+    (case-insensitive), or a curly brace (code). Returns
+    ``(clean_text, n_lines, n_kept, keep_page)``; pure JVM (the line
+    array is let-bound so the split runs once)."""
+    col = F.col(text) if isinstance(text, str) else text
+
+    def per(b: Column) -> Column:
+        ln = b["ln"]
+        kept = F.filter(
+            ln,
+            lambda l: l.rlike('[.!?"]\\s*$')
+            & (F.size(F.split(F.trim(l), " ")) >= min_line_words),
+        )
+        n_kept = F.size(kept)
+        keep = (
+            (n_kept >= 3)
+            & ~F.lower(b["t"]).contains("lorem ipsum")
+            & ~b["t"].contains("{")
+        )
+        return F.struct(
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size(ln).alias("n_lines"),
+            n_kept.alias("n_kept"),
+            keep.cast("int").alias("keep_page"),
+        )
+
+    bound = F.array(
+        F.struct(F.split(col, "\n").alias("ln"), col.alias("t"))
+    )
+    return F.transform(bound, per)[0]
+
+
+# Unicode script ranges counted by the script profile — BMP blocks
+# matched identically by java.util.regex (\p{IsX}) and RE2 (\p{X}),
+# so the DuckDB oracle reproduces the counts with the same classes.
+SCRIPT_CLASSES = ["Latin", "Cyrillic", "Greek", "Arabic", "Devanagari", "Han", "Hangul"]
+
+
+def script_profile(text: Column | str) -> Column:
+    """Per-script character counts + the dominant script — the
+    routing signal a multilingual pipeline applies before any
+    language-specific processing (tokenizer choice, lang-id model,
+    segmentation). Count per script = chars removed by stripping that
+    script's class; dominant = argmax count (ties → first in
+    SCRIPT_CLASSES order), NULL when no counted script appears.
+    Pure JVM regex — narrow, no Python."""
+    col = F.col(text) if isinstance(text, str) else text
+    lower = [s.lower() for s in SCRIPT_CLASSES]
+    counts = [
+        (
+            F.length(col)
+            - F.length(F.regexp_replace(col, f"\\p{{Is{s}}}", ""))
+        ).alias(f"n_{lo}")
+        for s, lo in zip(SCRIPT_CLASSES, lower)
+    ]
+    names = F.array(*[F.lit(lo) for lo in lower])
+    # let-bind the counts (and then the argmax) via single-element
+    # transforms: each regexp count is evaluated once, not once per
+    # reference — see the chunk_spans note on Column-tree costs
+    bound = F.array(F.struct(*counts))
+
+    def per(b: Column) -> Column:
+        arr = F.array(
+            *[
+                F.struct(
+                    b[f"n_{lo}"].alias("n"), F.lit(-i).alias("ni")
+                )
+                for i, lo in enumerate(lower)
+            ]
+        )
+        dom = F.transform(
+            F.array(F.array_max(arr)),
+            lambda m: F.when(
+                m["n"] > 0, F.element_at(names, -m["ni"] + 1)
+            ),
+        )[0]
+        return F.struct(
+            *[b[f"n_{lo}"].alias(f"n_{lo}") for lo in lower],
+            dom.alias("dominant_script"),
+        )
+
+    return F.transform(bound, per)[0]
+
+
 def doc_fingerprint(text: Column | str, shingle_n: int = 5) -> Column:
     """Deterministic content fingerprint: the minimum md5 over word
     n-gram shingles (a 1-permutation minhash — stable under reordering
