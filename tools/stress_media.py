@@ -15,7 +15,9 @@ formats a comma list from gif,avi,mp4,webp,webpbig,flac,tiff,pdf;
 default all but webpbig — the crawl-sized 128x144 WebP arm is opt-in
 since it decodes ~60x the pixels per container. The pdf arm typesets
 ~450 words over 3 FlateDecode pages per container and re-extracts
-them — document-class text extraction throughput).
+them — document-class text extraction throughput. The warc arm
+writes and re-parses a two-record multi-member .warc.gz with a full
+HTTP message per container — crawl-ingest throughput).
 Prints one JSON line with containers/s (and frames/s where framed).
 """
 
@@ -59,9 +61,16 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     formats = (
         sys.argv[2].split(",") if len(sys.argv) > 2
-        else ["gif", "avi", "mp4", "webp", "flac", "tiff", "pdf"]  # webpbig opt-in
+        else ["gif", "avi", "mp4", "webp", "flac", "tiff", "pdf", "warc"]  # webpbig opt-in
     )
     from vearch_spark.functions.pdf import extract_pdf_text, pdf_bytes
+    from vearch_spark.sources.warc import (
+        http_response_bytes,
+        parse_http_response,
+        parse_warc,
+        warc_gz_bytes,
+        warc_record_bytes,
+    )
     spark = get_spark(app_name="media-stress")
     ids = spark.range(n).select(F.col("id").alias("doc_id")).repartition(32)
 
@@ -117,12 +126,26 @@ def main() -> None:
                         for p in range(3)
                     ]
                     row.append(pdf_bytes(pages, compress=True))
+                if "warc" in formats:
+                    body = " ".join(
+                        f"w{(i * 11 + k) % 997}" for k in range(200)
+                    ).encode()
+                    url = f"https://crawl.test/{i}"
+                    row.append(warc_gz_bytes([
+                        warc_record_bytes(
+                            "response", http_response_bytes(body),
+                            target_uri=url,
+                            content_type="application/http; msgtype=response",
+                        ),
+                        warc_record_bytes("metadata", b"fetch: ok",
+                                          target_uri=url),
+                    ]))
                 rows.append(tuple(row))
-            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff", "pdf") if f in formats]
+            cols = ["doc_id"] + [f for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff", "pdf", "warc") if f in formats]
             yield pd.DataFrame(rows, columns=cols)
 
     schema = "doc_id long" + "".join(
-        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff", "pdf")
+        f", {f} binary" for f in ("gif", "avi", "mp4", "webp", "webpbig", "flac", "tiff", "pdf", "warc")
         if f in formats
     )
     media = ids.mapInPandas(synth, schema=schema).persist()
@@ -203,6 +226,21 @@ def main() -> None:
                 hashlib.md5(t.encode("latin-1")).digest()[:8],
                 "big",
                 signed=True,
+            ),
+        )
+    if "warc" in formats:
+        import hashlib
+
+        def warc_body(blob):
+            recs = parse_warc(blob)
+            resp = next(r for r in recs if r["warc_type"] == "response")
+            return parse_http_response(resp["payload"])[2]
+
+        out["warc_containers_per_s"] = run_single(
+            "warc",
+            warc_body,
+            lambda b: int.from_bytes(
+                hashlib.md5(b).digest()[:8], "big", signed=True
             ),
         )
     media.unpersist()
