@@ -101,18 +101,22 @@ def main() -> None:
         # full-payload only (the compact driver line drops this)
         "notes": {
             "r9_total": (
-                "r9 adds four queries (media_probe 0.4s, audio_segments "
-                "0.5s, containment_pairs 0.1s steady - its postings "
-                "self-join is session-cached like ngram_jaccard - and "
-                "hamming_cross 0.7s, cross-relation exact-Hamming) and "
-                "grows two by design: media_decode adds a "
-                "TIFF round-trip arm yet got FASTER (1.3 -> 1.1s) because "
-                "the VP8L decoder was vectorized (LUT prefix decode + "
-                "slice-copy LZ77, 3.3-3.9x on crawl-sized images); "
-                "url_dedup grows 0.2 -> 0.7s by design (percent-encoding "
-                "normalization: two pct_normalize transforms per URL; the "
-                "let-binding rework already cut the plan-analysis cost "
-                "~40%). Scale suites now report min + median over "
+                "r9 grows the suite 86 -> 98 queries. First wave (+5): "
+                "media_probe, audio_segments, containment_pairs (0.1s "
+                "steady - its postings self-join is session-cached like "
+                "ngram_jaccard), hamming_cross, unicode_clean. Second "
+                "wave (+7, the published-recipe curation suite + "
+                "document formats): substring_dedup (corpus-first "
+                "substring REMOVAL), pdf_extract (real PDF 1.4 AND 1.5 "
+                "xref-stream/ObjStm round-trips), warc_extract "
+                "(multi-member .warc.gz + HTTP split), gopher_quality "
+                "(the 7 published rules), gopher_repetition (the 9 "
+                "published fractions incl. once-counted char coverage), "
+                "c4_filter, script_profile. Two r8 queries also grew by "
+                "design: media_decode adds a TIFF round-trip arm yet got "
+                "FASTER (1.3 -> 1.1s; VP8L vectorized 3.3-3.9x), "
+                "url_dedup 0.2 -> 0.7s (percent-encoding normalization). "
+                "Scale suites report min + median over "
                 "SPARK_GRAFT_SCALE_RUNS=3 fresh-subprocess runs - compare "
                 "min-to-min across rounds (r8's single-sample scale_1m "
                 "build of 48.95s reads as host steal: r9 min 10.3s, "
