@@ -2976,7 +2976,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vearch_spark.functions.pdf import extract_pdf_text, pdf_bytes
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # fixed slice like the media family (media_decode: 100 docs,
+    # media_probe: 40) — covers every sf0.01 doc, bounds the sf0.1
+    # bench row to container round-trip cost, not corpus size
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
 
     def run(batches):
         for b in batches:
@@ -5117,6 +5124,7 @@ def oracle_sql() -> dict[str, str]:
     d["pdf_extract"] = """
         WITH s AS (
           SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE doc_id < 1000
         ), e AS (
           SELECT doc_id,
                  array_to_string(

@@ -116,6 +116,11 @@ def main() -> None:
                 "design: media_decode adds a TIFF round-trip arm yet got "
                 "FASTER (1.3 -> 1.1s; VP8L vectorized 3.3-3.9x), "
                 "url_dedup 0.2 -> 0.7s (percent-encoding normalization). "
+                "pdf_extract runs a fixed 1000-doc slice like the rest "
+                "of the media family (its first full-corpus row measured "
+                "3.1s = 0.6ms/doc - cheap per unit, just 50x the rows of "
+                "media_decode; throughput evidence is stress_media.py: "
+                "18.1k PDFs/s at 100k containers). "
                 "Scale suites report min + median over "
                 "SPARK_GRAFT_SCALE_RUNS=3 fresh-subprocess runs - compare "
                 "min-to-min across rounds (r8's single-sample scale_1m "
