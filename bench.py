@@ -124,8 +124,10 @@ def main() -> None:
                 "Scale suites report min + median over "
                 "SPARK_GRAFT_SCALE_RUNS=3 fresh-subprocess runs - compare "
                 "min-to-min across rounds (r8's single-sample scale_1m "
-                "build of 48.95s reads as host steal: r9 min 10.3s, "
-                "median 15.4s, identical recall)"
+                "build of 48.95s reads as host steal: identical-code r9 "
+                "runs measured scale_1m mins of 10.3 / 11.3 / 21.3s "
+                "across the round under the documented steal band, "
+                "recall 1.0 on every row every time)"
             ),
             "r8_host_variance": (
                 "three full back-to-back runs of this round's FINAL code "
