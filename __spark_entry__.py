@@ -2742,6 +2742,68 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("media_id").cast("int"), "container")
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl compliance (functions/robots.py — RFC 9309): per doc,
+    synthesize a robots.txt whose groups, wildcard/end-anchor rules,
+    crawl-delay, and group-merge structure are formulas of doc_id,
+    then evaluate a formula-chosen path for the 'curationbot' product
+    token. Exercises the whole matcher surface: prefix-token group
+    selection over a decoy group, RFC group merging (a second
+    curationbot group appears on id%5), longest-match precedence,
+    allow-on-tie, '*' wildcards with '$' anchors. The oracle states
+    the expected decision FROM THE CONSTRUCTION — it never reruns the
+    matcher — so a hash match proves the implementation computes the
+    RFC outcome. 100 TB posture: one robots per authority,
+    broadcast-joined to the URL relation; here the narrow mapInPandas
+    evaluates with a per-batch parse cache."""
+    import pandas as pd
+
+    from vearch_spark.functions.robots import parse_robots
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    paths = [
+        "/private/x", "/private/ok", "/img/a.gif",
+        "/img/a.gif?x=1", "/public/page", "/extra/z",
+    ]
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for i in b["doc_id"]:
+                i = int(i)
+                parts = [
+                    "User-agent: otherbot",
+                    "Disallow: /",
+                    "User-agent: curationbot",
+                    "Disallow: /private",
+                    "Allow: /private/ok",
+                    "Disallow: /*.gif$",
+                ]
+                if i % 4 == 0:
+                    parts.append(f"Crawl-delay: {1 + i % 3}")
+                if i % 5 == 0:
+                    parts += ["User-agent: curationbot", "Disallow: /extra"]
+                r = parse_robots("\n".join(parts))
+                path = paths[i % 6]
+                delay = r.crawl_delay("curationbot/2.0")
+                rows.append(
+                    (
+                        i,
+                        path,
+                        int(r.is_allowed(path, "curationbot/2.0")),
+                        float(delay) if delay is not None else -1.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "path", "allowed", "crawl_delay"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, path string, allowed int, crawl_delay double",
+    ).orderBy("doc_id")
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning rules (functions/text.py c4_filter — Raffel et
     al. 2020 §2.2): keep only lines ending in terminal punctuation
@@ -3262,6 +3324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract": q_warc_extract,  # WARC/HTTP crawl ingestion (r9): html_extract/media_probe container twins in-50
     "gopher_repetition": q_gopher_repetition,  # published repetition rules (r9): repetition_scores/span_dedup twins in-50
     "c4_filter": q_c4_filter,  # published C4 line/page rules (r9): corpus_line_filter/html_extract twins in-50
+    "robots_filter": q_robots_filter,  # RFC 9309 crawl compliance (r9): warc_extract/url_dedup crawl twins in-50
     "script_profile": q_script_profile,  # unicode script routing (r9): lang_id/unicode_clean twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
@@ -4846,6 +4909,28 @@ def oracle_sql() -> dict[str, str]:
     # 4-line pagination is invisible to the joined string) so the md5
     # only matches if the full synthesize->parse->inflate->interpret
     # chain is lossless
+    # robots_filter: the oracle states the RFC 9309 outcome FROM THE
+    # CONSTRUCTION — /private/x disallowed (longest /private),
+    # /private/ok allowed (longer allow), *.gif$ anchors (query
+    # string escapes it), /extra disallowed only when the second
+    # merged curationbot group exists (id%5), crawl-delay only when
+    # emitted (id%4)
+    d["robots_filter"] = """
+        SELECT doc_id,
+               (CASE doc_id % 6
+                 WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/ok'
+                 WHEN 2 THEN '/img/a.gif' WHEN 3 THEN '/img/a.gif?x=1'
+                 WHEN 4 THEN '/public/page' ELSE '/extra/z' END) AS path,
+               (CASE doc_id % 6
+                 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 0
+                 WHEN 3 THEN 1 WHEN 4 THEN 1
+                 ELSE (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END)
+                END)::INT AS allowed,
+               (CASE WHEN doc_id % 4 = 0
+                     THEN (1 + doc_id % 3)::DOUBLE
+                     ELSE -1.0 END) AS crawl_delay
+        FROM documents ORDER BY doc_id
+    """
     # c4_filter: the oracle rebuilds the same 6-line envelope and
     # replays both line rules and all three page rules; kept-text md5
     # is the end-to-end check

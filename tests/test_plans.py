@@ -532,6 +532,22 @@ def test_warc_extract_is_narrow_pipeline(spark, sf_dir):
     assert all(s.count(":") <= 2 for s in schemas)
 
 
+def test_robots_filter_is_narrow_pipeline(spark, sf_dir):
+    """robots_filter evaluates RFC 9309 decisions inside one Arrow
+    batch with a per-batch parse cache — no join, no agg; only the
+    presentation sort exchanges, scan reads doc_id alone."""
+    import __spark_entry__ as entry
+
+    spark.catalog.clearCache()
+    out = entry.q_robots_filter(spark, sf_dir)
+    plan = X.formatted_plan(out)
+    for bad in ("Join", "HashAggregate", "Window"):
+        assert bad not in plan, bad
+    assert X.count_exchanges(out) <= 1
+    schemas = X.read_schemas(out)
+    assert all(s.count(":") <= 1 for s in schemas)  # doc_id only
+
+
 def test_c4_and_script_profile_are_pure_projections(spark, sf_dir):
     """Both published-rule filters are narrow JVM projections — no
     Python, no join, no agg; only the presentation sort exchanges."""
