@@ -2804,6 +2804,66 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl discovery (functions/robots.py parse_sitemap /
+    sitemap_xml — the sitemaps.org schema): per doc, synthesize a
+    urlset (or a sitemapindex on id%4) whose entry count, locs
+    (with XML-entity-requiring query strings), and lastmod presence
+    are formulas of doc_id, parse it back, and emit the structural
+    summary. The oracle states every field from the construction —
+    entity escape/unescape must round-trip for first_loc to match.
+    Same narrow-mapInPandas posture as the other container probes."""
+    import pandas as pd
+
+    from vearch_spark.functions.robots import parse_sitemap, sitemap_xml
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for i in b["doc_id"]:
+                i = int(i)
+                n = 1 + i % 5
+                locs = [
+                    f"https://site{i % 7}.test/page/{k}?ref=a&v={k}"
+                    for k in range(n)
+                ]
+                lastmods = [
+                    f"2024-0{1 + k % 9}-15" if k % 2 == 0 else None
+                    for k in range(n)
+                ]
+                sm = parse_sitemap(
+                    sitemap_xml(locs, lastmods, index=i % 4 == 0)
+                )
+                rows.append(
+                    (
+                        i,
+                        sm["kind"],
+                        len(sm["entries"]),
+                        sum(
+                            1 for e in sm["entries"]
+                            if e["lastmod"] is not None
+                        ),
+                        sm["entries"][0]["loc"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "n_entries", "n_lastmod", "first_loc",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, kind string, n_entries int, n_lastmod int, "
+            "first_loc string"
+        ),
+    ).orderBy("doc_id")
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning rules (functions/text.py c4_filter — Raffel et
     al. 2020 §2.2): keep only lines ending in terminal punctuation
@@ -3325,6 +3385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition": q_gopher_repetition,  # published repetition rules (r9): repetition_scores/span_dedup twins in-50
     "c4_filter": q_c4_filter,  # published C4 line/page rules (r9): corpus_line_filter/html_extract twins in-50
     "robots_filter": q_robots_filter,  # RFC 9309 crawl compliance (r9): warc_extract/url_dedup crawl twins in-50
+    "sitemap_discover": q_sitemap_discover,  # sitemaps.org discovery (r9): robots_filter/warc_extract crawl twins in-50
     "script_profile": q_script_profile,  # unicode script routing (r9): lang_id/unicode_clean twins in-50
     "mix_sample": q_mix_sample,  # hash mixing: dataset_split/temperature_mix
     "hybrid_knn_join": q_hybrid_knn_join,  # knn+filter: knn_filtered_l2sqrt
@@ -4909,6 +4970,19 @@ def oracle_sql() -> dict[str, str]:
     # 4-line pagination is invisible to the joined string) so the md5
     # only matches if the full synthesize->parse->inflate->interpret
     # chain is lossless
+    # sitemap_discover: every field stated from the construction —
+    # n_lastmod = ceil(n/2) (even entry indexes carry one), first_loc
+    # only matches if XML entity escape/unescape round-trips the '&'
+    d["sitemap_discover"] = """
+        SELECT doc_id,
+               (CASE WHEN doc_id % 4 = 0 THEN 'sitemapindex'
+                     ELSE 'urlset' END) AS kind,
+               (1 + doc_id % 5)::INT AS n_entries,
+               (((1 + doc_id % 5) + 1) // 2)::INT AS n_lastmod,
+               ('https://site' || (doc_id % 7)
+                || '.test/page/0?ref=a&v=0') AS first_loc
+        FROM documents ORDER BY doc_id
+    """
     # robots_filter: the oracle states the RFC 9309 outcome FROM THE
     # CONSTRUCTION — /private/x disallowed (longest /private),
     # /private/ok allowed (longer allow), *.gif$ anchors (query

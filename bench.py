@@ -101,7 +101,7 @@ def main() -> None:
         # full-payload only (the compact driver line drops this)
         "notes": {
             "r9_total": (
-                "r9 grows the suite 86 -> 99 queries. First wave (+5): "
+                "r9 grows the suite 86 -> 100 queries. First wave (+5): "
                 "media_probe, audio_segments, containment_pairs (0.1s "
                 "steady - its postings self-join is session-cached like "
                 "ngram_jaccard), hamming_cross, unicode_clean. Second "
@@ -113,7 +113,7 @@ def main() -> None:
                 "(the 7 published rules), gopher_repetition (the 9 "
                 "published fractions incl. once-counted char coverage), "
                 "c4_filter, script_profile, robots_filter (RFC 9309 "
-                "crawl compliance, construction-stated oracle). Two r8 "
+                "crawl compliance, construction-stated oracle), sitemap_discover (sitemaps.org urlset/sitemapindex parse, entity round-trip). Two r8 "
                 "queries also grew by "
                 "design: media_decode adds a TIFF round-trip arm yet got "
                 "FASTER (1.3 -> 1.1s; VP8L vectorized 3.3-3.9x), "

@@ -533,19 +533,20 @@ def test_warc_extract_is_narrow_pipeline(spark, sf_dir):
 
 
 def test_robots_filter_is_narrow_pipeline(spark, sf_dir):
-    """robots_filter evaluates RFC 9309 decisions inside one Arrow
-    batch with a per-batch parse cache — no join, no agg; only the
-    presentation sort exchanges, scan reads doc_id alone."""
+    """robots_filter and sitemap_discover evaluate crawl-compliance /
+    discovery decisions inside one Arrow batch — no join, no agg;
+    only the presentation sort exchanges, scans read doc_id alone."""
     import __spark_entry__ as entry
 
     spark.catalog.clearCache()
-    out = entry.q_robots_filter(spark, sf_dir)
-    plan = X.formatted_plan(out)
-    for bad in ("Join", "HashAggregate", "Window"):
-        assert bad not in plan, bad
-    assert X.count_exchanges(out) <= 1
-    schemas = X.read_schemas(out)
-    assert all(s.count(":") <= 1 for s in schemas)  # doc_id only
+    for q in (entry.q_robots_filter, entry.q_sitemap_discover):
+        out = q(spark, sf_dir)
+        plan = X.formatted_plan(out)
+        for bad in ("Join", "HashAggregate", "Window"):
+            assert bad not in plan, (q.__name__, bad)
+        assert X.count_exchanges(out) <= 1
+        schemas = X.read_schemas(out)
+        assert all(s.count(":") <= 1 for s in schemas)  # doc_id only
 
 
 def test_c4_and_script_profile_are_pure_projections(spark, sf_dir):

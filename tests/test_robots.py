@@ -111,3 +111,34 @@ def test_distributed_kernel(spark):
         "id", fn("robots", "path").alias("ok")).collect()}
     for i, _, _, want in rows:
         assert got[i] is want, (i, got[i])
+
+
+def test_sitemap_parse_round_trip():
+    from vearch_spark.functions.robots import parse_sitemap, sitemap_xml
+
+    locs = ["https://e.test/a?x=1&y=2", "https://e.test/b", "https://e.test/<odd>"]
+    lastmods = ["2024-01-02", None, "2024-03-04T05:06:07+00:00"]
+    sm = parse_sitemap(sitemap_xml(locs, lastmods))
+    assert sm["kind"] == "urlset"
+    assert [e["loc"] for e in sm["entries"]] == locs  # entities round-trip
+    assert [e["lastmod"] for e in sm["entries"]] == lastmods
+    # sitemapindex kind + priority/changefreq fields
+    idx = parse_sitemap(sitemap_xml(["https://e.test/s1.xml"], index=True))
+    assert idx["kind"] == "sitemapindex" and len(idx["entries"]) == 1
+    rich = parse_sitemap(
+        "<urlset><url><loc>https://e.test/p</loc>"
+        "<changefreq>daily</changefreq><priority>0.8</priority>"
+        "</url><url><priority>0.1</priority></url></urlset>"
+    )
+    assert rich["entries"][0]["changefreq"] == "daily"
+    assert rich["entries"][0]["priority"] == 0.8
+    assert len(rich["entries"]) == 1  # loc-less entries dropped
+
+
+def test_sitemap_typed_reject():
+    import pytest as _pytest
+
+    from vearch_spark.functions.robots import parse_sitemap
+
+    with _pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap("<html><body>nope</body></html>")

@@ -144,6 +144,78 @@ def parse_robots(text: str) -> RobotsRules:
     return RobotsRules(groups, sitemaps)
 
 
+_SITEMAP_URL_RE = re.compile(
+    r"<(url|sitemap)\b[^>]*>(.*?)</\1>", re.DOTALL | re.IGNORECASE
+)
+_SITEMAP_FIELD_RE = re.compile(
+    r"<(loc|lastmod|changefreq|priority)\b[^>]*>\s*(.*?)\s*</\1>",
+    re.DOTALL | re.IGNORECASE,
+)
+_XML_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'",
+}
+
+
+def parse_sitemap(text: str) -> dict:
+    """Parse a sitemap.org XML document (urlset or sitemapindex) —
+    the discovery companion of robots.txt. Tag-scoped regex
+    extraction (the sitemap schema is flat — one level of <url>/
+    <sitemap> entries with scalar children), entity-unescaped locs,
+    no XML library needed. Returns ``{"kind": "urlset" |
+    "sitemapindex", "entries": [{loc, lastmod, changefreq,
+    priority}, ...]}``; typed ValueError when neither root element
+    is present."""
+    low = text.lower()
+    if "<urlset" in low:
+        kind = "urlset"
+    elif "<sitemapindex" in low:
+        kind = "sitemapindex"
+    else:
+        raise ValueError("not a sitemap: no urlset/sitemapindex root")
+    entries = []
+    for m in _SITEMAP_URL_RE.finditer(text):
+        fields: dict = {
+            "loc": None, "lastmod": None, "changefreq": None,
+            "priority": None,
+        }
+        for fm in _SITEMAP_FIELD_RE.finditer(m.group(2)):
+            val = fm.group(2)
+            for ent, ch in _XML_ENTITIES.items():
+                val = val.replace(ent, ch)
+            key = fm.group(1).lower()
+            fields[key] = float(val) if key == "priority" else val
+        if fields["loc"] is not None:
+            entries.append(fields)
+    return {"kind": kind, "entries": entries}
+
+
+def sitemap_xml(
+    locs: list[str],
+    lastmods: list[str] | None = None,
+    index: bool = False,
+) -> str:
+    """Synthesize a spec-valid sitemap (or sitemapindex) for tests
+    and oracles; locs are XML-escaped."""
+    tag = "sitemap" if index else "url"
+    root = "sitemapindex" if index else "urlset"
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<{root} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for i, loc in enumerate(locs):
+        esc = (
+            loc.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+        out.append(f"  <{tag}>")
+        out.append(f"    <loc>{esc}</loc>")
+        if lastmods is not None and lastmods[i] is not None:
+            out.append(f"    <lastmod>{lastmods[i]}</lastmod>")
+        out.append(f"  </{tag}>")
+    out.append(f"</{root}>")
+    return "\n".join(out)
+
+
 def robots_allowed_udf(user_agent: str = "*"):
     """Arrow-batched kernel ``(robots_text, path) -> allowed`` with a
     per-batch parse cache keyed on the robots text — in the
