@@ -133,6 +133,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow relation across the cluster before an expensive
+    per-row Python kernel (codec round-trips, document parsing). A
+    coarse upstream layout — locally one tiny parquet row group, at any
+    scale a bounded LIMIT/filter slice — otherwise serializes the whole
+    kernel into one straggler task while the rest of the cluster idles.
+    Width derives from ``defaultParallelism`` (local =
+    $SPARK_GRAFT_CPUS, cluster = total executor cores), so it is
+    scale-adaptive, not a local constant. Half of it, because every
+    task of a Python-kernel stage runs TWO processes — the JVM task and
+    its Arrow-fed Python worker — so cores/2 tasks keeps one process
+    per core; measured on media_decode (100 docs × 13 codec
+    round-trips, interleaved min-of-5): width 16 = 0.445 s, width 32 =
+    0.698 s, unspread = 1.172 s on 32 cores. Inputs that are already at
+    least that parallel (the 100 TB case) skip the shuffle entirely, so
+    no payload ever pays a second exchange."""
+    sc = df.sparkSession.sparkContext
+    n = max(1, sc.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -1951,7 +1974,9 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp4_bytes,
     )
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50).select("doc_id")
+    docs = _spread(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 50).select("doc_id")
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -2005,14 +2030,6 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = docs.mapInPandas(
-        synth,
-        schema=(
-            "media_id string, dib_bytes binary, mjpg_bytes binary, "
-            "mjpg_src array<array<long>>, mp4_bytes binary"
-        ),
-    )
-
     def sample(batches):
         for pdf in batches:
             out = []
@@ -2053,8 +2070,10 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(
-        sample,
+    # synth and sample compose into ONE Python stage (guide §4: one
+    # JVM↔Python boundary, container bytes never cross Arrow twice)
+    return docs.mapInPandas(
+        lambda batches: sample(synth(batches)),
         schema=(
             "media_id string, frame_no int, width int, height int, "
             "dsum long, dwsum long, mjpg_ok boolean, mp4_eq boolean"
@@ -2253,7 +2272,9 @@ def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vearch_spark.functions.media import decode_gif, gif_bytes
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 60).select("doc_id")
+    docs = _spread(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 60).select("doc_id")
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -2280,8 +2301,6 @@ def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((str(i), gif_bytes(stack, pal)))
             yield pd.DataFrame(rows, columns=["media_id", "gif_bytes"])
 
-    media = docs.mapInPandas(synth, schema="media_id string, gif_bytes binary")
-
     def sample(batches):
         for pdf in batches:
             out = []
@@ -2306,8 +2325,10 @@ def q_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(
-        sample,
+    # synth and sample compose into ONE Python stage (guide §4: one
+    # JVM↔Python boundary, container bytes never cross Arrow twice)
+    return docs.mapInPandas(
+        lambda batches: sample(synth(batches)),
         schema=(
             "media_id string, frame_no int, width int, height int, "
             "fsum long, fwsum long"
@@ -2374,7 +2395,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         webp_bytes,
     )
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100).select("doc_id")
+    docs = _spread(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 100).select("doc_id")
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -2485,18 +2508,6 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = docs.mapInPandas(
-        synth,
-        schema=(
-            "media_id string, audio_bytes binary, flac_bytes binary, "
-            "image_bytes binary, "
-            "png_bytes binary, jpeg_bytes binary, jpeg_src array<long>, "
-            "pal_bytes binary, jpeg420_bytes binary, "
-            "jpeg420_src array<long>, prog_bytes binary, webp_bytes binary, "
-            "tiff_bytes binary"
-        ),
-    )
-
     def decode(batches):
         for pdf in batches:
             out = []
@@ -2567,8 +2578,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(
-        decode,
+    # synth and decode compose into ONE Python stage (guide §4: one
+    # JVM↔Python boundary, container bytes never cross Arrow twice)
+    return docs.mapInPandas(
+        lambda batches: decode(synth(batches)),
         schema=(
             "media_id string, n_frames int, sum_sq long, "
             "width int, height int, px_sum long, png_sum long, png_wsum long, "
@@ -2626,7 +2639,9 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vearch_spark.functions.pdf import pdf_bytes
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 40).select("doc_id")
+    docs = _spread(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 40).select("doc_id")
+    )
 
     def probe(batches):
         for pdf in batches:
@@ -2985,7 +3000,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_record_bytes,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
 
     def run(batches):
         for b in batches:
@@ -3101,7 +3116,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed slice like the media family (media_decode: 100 docs,
     # media_probe: 40) — covers every sf0.01 doc, bounds the sf0.1
     # bench row to container round-trip cost, not corpus size
-    docs = (
+    docs = _spread(
         _docs(spark, sf_dir)
         .where(F.col("doc_id") < 1000)
         .select("doc_id", "text")

@@ -418,8 +418,11 @@ def test_frame_sample_queries_are_narrow_pipelines(spark, sf_dir):
         plan = X.formatted_plan(out)
         for bad in ("Join", "HashAggregate", "Window"):
             assert bad not in plan, (q.__name__, bad)
-        # one exchange: the range partitioning of the final orderBy
-        assert X.count_exchanges(out) <= 1, q.__name__
+        # two exchanges: the r9 input spread (round-robin over doc ids
+        # ONLY — synthesis happens after it, so binaries still never
+        # shuffle) + the range partitioning of the final orderBy
+        assert X.count_exchanges(out) <= 2, q.__name__
+        assert "RoundRobinPartitioning" in plan, q.__name__
 
 
 def test_media_probe_is_narrow_pipeline(spark, sf_dir):
@@ -432,7 +435,9 @@ def test_media_probe_is_narrow_pipeline(spark, sf_dir):
     plan = X.formatted_plan(out)
     for bad in ("Join", "HashAggregate", "Window"):
         assert bad not in plan, bad
-    assert X.count_exchanges(out) <= 1  # orderBy only
+    # input spread (doc ids only, pre-synthesis) + orderBy
+    assert X.count_exchanges(out) <= 2
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_pdf_extract_is_narrow_pipeline(spark, sf_dir):
@@ -446,7 +451,10 @@ def test_pdf_extract_is_narrow_pipeline(spark, sf_dir):
     plan = X.formatted_plan(out)
     for bad in ("Join", "HashAggregate", "Window"):
         assert bad not in plan, bad
-    assert X.count_exchanges(out) <= 1  # orderBy only
+    # input spread (doc_id+text, pre-typesetting: PDFs never shuffle)
+    # + the presentation sort
+    assert X.count_exchanges(out) <= 2
+    assert "RoundRobinPartitioning" in plan
     schemas = X.read_schemas(out)
     assert all(s.count(":") <= 2 for s in schemas)
 
@@ -527,7 +535,10 @@ def test_warc_extract_is_narrow_pipeline(spark, sf_dir):
     plan = X.formatted_plan(out)
     for bad in ("Join", "HashAggregate", "Window"):
         assert bad not in plan, bad
-    assert X.count_exchanges(out) <= 1  # orderBy only
+    # input spread (doc_id+text, pre-synthesis: .warc.gz payloads
+    # never shuffle) + the presentation sort
+    assert X.count_exchanges(out) <= 2
+    assert "RoundRobinPartitioning" in plan
     schemas = X.read_schemas(out)
     assert all(s.count(":") <= 2 for s in schemas)
 
