@@ -885,7 +885,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is evaluated once per row, not once per gram."""
     from vearch_spark.functions.text import gram_stats, redact_pii
 
-    docs = _docs(spark, sf_dir)
+    # spread the corpus before the redaction+gram kernel: the r9 profile
+    # showed the whole regex+Arrow chain serialized into the one-row-
+    # group scan task (see _spread)
+    docs = _spread(_docs(spark, sf_dir))
     cleaned = docs.select(
         "doc_id", "source", redact_pii("text").getField("redacted").alias("_t")
     )
@@ -1247,17 +1250,25 @@ def q_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gamma_index_binary_ivf.cc semantics, JVM-side)."""
     emb = _emb(spark, sf_dir)
 
-    # pack 8 sign bits per byte (static exprs via python loop):
-    # byte[j] = Σ_b (v[8j+b] > 0.5) << b
-    def byte_expr(col, j):
-        e = F.lit(0)
-        for b in range(8):
-            e = e + F.when(
-                F.element_at(col, j * 8 + b + 1) > F.lit(0.5), F.lit(1 << b)
-            ).otherwise(F.lit(0))
-        return e
-
-    codes = F.array(*[byte_expr(F.col("embedding"), j) for j in range(DIM // 8)])
+    # pack 8 sign bits per byte: byte[j] = Σ_b (v[8j+b] > 0.5) << b.
+    # ONE parsed SQL expression (r9): the python-loop Column form cost
+    # ~700 py4j round trips per fresh build (0.50 s construction,
+    # paid twice per bench pass); the parsed tree is the same
+    # CASE-WHEN addition chain over integer literals
+    codes = F.expr(
+        "array("
+        + ",".join(
+            "("
+            + "+".join(
+                f"(CASE WHEN element_at(embedding, {j * 8 + b + 1}) > 0.5D"
+                f" THEN {1 << b} ELSE 0 END)"
+                for b in range(8)
+            )
+            + ")"
+            for j in range(DIM // 8)
+        )
+        + ")"
+    )
     qcodes = [
         sum((1 << b) if QV_L2[j * 8 + b] > 0.5 else 0 for b in range(8))
         for j in range(DIM // 8)
@@ -1274,16 +1285,27 @@ def q_normalized_ip_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """format=normalization: docs and query L2-normalized before IP
     (doc_parse.go:487-515, client.go:603-658) — equivalent to cosine
     ranking; scores in [-1, 1]."""
-    from vearch_spark.functions.distance import inner_product, l2_normalize
+    from vearch_spark.functions.distance import inner_product, vector_norm
 
     emb = _emb(spark, sf_dir)
     import math
 
     qn = math.sqrt(sum(v * v for v in QV_IP))
     qnorm = [v / qn for v in QV_IP]
+    # r9: IP(normalize(v), q) == IP(v, q) / ‖v‖ — two O(d) folds
+    # instead of norm-fold + array_repeat + zip_with + IP-fold (these
+    # higher-order expressions run interpreted, and the old form
+    # allocated two d-length arrays per row). Equality verified
+    # exhaustively: float32 scores identical on EVERY row at sf0.001/
+    # 0.01/0.1 (doubles differ in final ulps; adjacent score spacing
+    # ≫ 1 ulp, so ranking is unaffected — oracle re-checked at all
+    # three SFs).
     scored = emb.select(
         "vec_id",
-        inner_product(l2_normalize(F.col("embedding")), qnorm).alias("score_d"),
+        F.try_divide(
+            inner_product(F.col("embedding").cast("array<double>"), qnorm),
+            vector_norm(F.col("embedding")),
+        ).alias("score_d"),
     )
     return (
         scored.orderBy(F.col("score_d").desc(), F.col("vec_id").asc())

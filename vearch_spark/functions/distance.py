@@ -14,6 +14,7 @@ sum, same order as DuckDB's list_distance / list_inner_product).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import numpy as np
@@ -22,8 +23,19 @@ from pyspark.sql import Column, functions as F
 
 
 def array_lit(values: Sequence[float]) -> Column:
-    """A literal array<double> column from a Python sequence."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A literal array<double> column from a Python sequence.
+
+    Built as ONE ``F.expr`` string (r9): the element-wise
+    ``F.array(*[F.lit(v) ...])`` form costs a py4j round trip per
+    element — ~128 driver calls per query vector, paid on every fresh
+    query build (the bench builds each query twice). ``repr(float)``
+    round-trips exactly and the SQL ``D`` suffix parses to the same
+    double literal, so the Catalyst tree (CreateArray of double
+    Literals) is identical."""
+    vals = [float(v) for v in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
 
 
 def _as_double(v: Column | str | Sequence[float]) -> Column:

@@ -537,21 +537,30 @@ def pct_normalize(s: Column | str) -> Column:
     so equivalent spellings of the same URL component collapse to one
     string. Malformed escapes ('%' not followed by two hex digits)
     pass through untouched. Implemented as split-on-'%' + transform —
-    no Python, no lookaround, RE2-safe."""
+    no Python, no lookaround, RE2-safe. The split result is let-bound
+    (r9): it is referenced three times below, and higher-order
+    functions keep the enclosing Project out of whole-stage codegen,
+    so an inlined copy per reference re-ran the caller's whole
+    upstream expression chain per row per copy."""
     col = F.col(s) if isinstance(s, str) else s
-    parts = F.split(col, "%", -1)
 
     # literal uppercase-hex → char map for the 66 unreserved characters:
     # one flat MAP literal + one element_at keeps both the node count
     # and the eval cost low (measured against a conv/char + range-
-    # predicate form and a nested-lambda let form — the map wins both)
+    # predicate form and a nested-lambda let form — the map wins both).
+    # Built as ONE parsed expr (r9): 132 F.lit py4j round trips per
+    # fresh build otherwise — all keys/values are plain ASCII, so the
+    # SQL string form parses to the identical CreateMap of literals
     import string
 
-    kv: list[Column] = []
-    for ch in string.ascii_letters + string.digits + "-._~":
-        kv.append(F.lit(format(ord(ch), "02X")))
-        kv.append(F.lit(ch))
-    hexmap = F.create_map(*kv)
+    hexmap = F.expr(
+        "map("
+        + ",".join(
+            f"'{format(ord(ch), '02X')}','{ch}'"
+            for ch in string.ascii_letters + string.digits + "-._~"
+        )
+        + ")"
+    )
 
     def fix(p: Column) -> Column:
         hh = F.upper(F.substring(p, 1, 2))
@@ -566,16 +575,21 @@ def pct_normalize(s: Column | str) -> Column:
             )
         )
 
-    return F.concat(
-        F.element_at(parts, 1),
-        F.array_join(
-            F.transform(
-                F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
-                fix,
+    def body(parts: Column) -> Column:
+        return F.concat(
+            F.element_at(parts, 1),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))
+                    ),
+                    fix,
+                ),
+                "",
             ),
-            "",
-        ),
-    )
+        )
+
+    return _let(F.split(col, "%", -1), body)
 
 
 def _let(col: Column, fn) -> Column:
@@ -613,61 +627,79 @@ def canonical_url(url: Column | str) -> Column:
             F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
         )
         host = url_host(c)
-        tail = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
         raw_port = F.regexp_extract(
             c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]+@)?[^/:?#]+:(\d+)", 1
         )
-        # trailing slash off non-root paths; empty path becomes '/'
-        path = pct_normalize(
-            _let(
+
+        # tail is let-bound (r9): it feeds both the path and the query
+        # chains, and higher-order functions keep this Project out of
+        # whole-stage codegen, so each inlined copy re-ran the strip
+        # regex per row
+        def with_tail(tail: Column) -> Column:
+            # trailing slash off non-root paths; empty path becomes '/'
+            path = pct_normalize(
+                _let(
+                    F.regexp_replace(
+                        F.regexp_extract(tail, r"^([^?]*)", 1),
+                        r"(.)/$",
+                        "$1",
+                    ),
+                    lambda p: F.when(p == "", F.lit("/")).otherwise(p),
+                )
+            )
+            # '+' is the form-encoded space — fold into '%20' BEFORE
+            # escape normalization so both spellings share one
+            # canonical form
+            qnorm = pct_normalize(
                 F.regexp_replace(
-                    F.regexp_extract(tail, r"^([^?]*)", 1), r"(.)/$", "$1"
+                    F.regexp_extract(tail, r"\?(.*)$", 1), r"\+", "%20"
+                )
+            )
+            query = _let(
+                F.array_join(
+                    F.array_sort(
+                        F.filter(
+                            F.split(qnorm, "&"),
+                            lambda p: (p != "")
+                            & ~p.rlike(
+                                r"^(utm_[A-Za-z0-9]+|gclid|fbclid|"
+                                r"msclkid|fbid)="
+                            ),
+                        )
+                    ),
+                    "&",
                 ),
-                lambda p: F.when(p == "", F.lit("/")).otherwise(p),
+                lambda q: F.when(q == "", F.lit("")).otherwise(
+                    F.concat(F.lit("?"), q)
+                ),
             )
-        )
-        # '+' is the form-encoded space — fold into '%20' BEFORE escape
-        # normalization so both spellings share one canonical form
-        qnorm = pct_normalize(
-            F.regexp_replace(
-                F.regexp_extract(tail, r"\?(.*)$", 1), r"\+", "%20"
-            )
-        )
-        query = _let(
-            F.array_join(
-                F.array_sort(
-                    F.filter(
-                        F.split(qnorm, "&"),
-                        lambda p: (p != "")
-                        & ~p.rlike(
-                            r"^(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid|fbid)="
-                        ),
+            return _let(scheme, lambda sch: _let(host, lambda h: _let(
+                raw_port,
+                lambda rp: F.when(
+                    (sch == "") | (h == ""), F.lit("")
+                ).otherwise(
+                    F.concat(
+                        sch,
+                        F.lit("://"),
+                        h,
+                        F.when(
+                            ((sch == "http") & (rp == "80"))
+                            | ((sch == "https") & (rp == "443"))
+                            | (rp == ""),
+                            F.lit(""),
+                        ).otherwise(F.concat(F.lit(":"), rp)),
+                        path,
+                        query,
                     )
                 ),
-                "&",
+            )))
+
+        return _let(
+            F.regexp_replace(
+                c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""
             ),
-            lambda q: F.when(q == "", F.lit("")).otherwise(
-                F.concat(F.lit("?"), q)
-            ),
+            with_tail,
         )
-        return _let(scheme, lambda sch: _let(host, lambda h: _let(
-            raw_port,
-            lambda rp: F.when((sch == "") | (h == ""), F.lit("")).otherwise(
-                F.concat(
-                    sch,
-                    F.lit("://"),
-                    h,
-                    F.when(
-                        ((sch == "http") & (rp == "80"))
-                        | ((sch == "https") & (rp == "443"))
-                        | (rp == ""),
-                        F.lit(""),
-                    ).otherwise(F.concat(F.lit(":"), rp)),
-                    path,
-                    query,
-                )
-            ),
-        )))
 
     return _let(F.regexp_replace(col, r"#.*$", ""), build)  # fragment off
 

@@ -28,6 +28,7 @@ from collections.abc import Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from vearch_spark.functions.distance import array_lit
 from vearch_spark.operators import topk
 from vearch_spark.schema import Metric
 
@@ -81,8 +82,8 @@ class SQ8Quantizer:
         element rather than 0."""
         self._check_fit()
         col = F.col(vec) if isinstance(vec, str) else vec
-        lo = F.array(*[F.lit(float(v)) for v in self.vmin])
-        hi = F.array(*[F.lit(float(v)) for v in self.vmax])
+        lo = array_lit(self.vmin)
+        hi = array_lit(self.vmax)
         idx = F.sequence(F.lit(0), F.lit(len(self.vmin) - 1))
 
         def code(i: Column) -> Column:
@@ -104,8 +105,8 @@ class SQ8Quantizer:
         decode to NULL, mirroring encode_col)."""
         self._check_fit()
         col = F.col(codes) if isinstance(codes, str) else codes
-        lo = F.array(*[F.lit(float(v)) for v in self.vmin])
-        hi = F.array(*[F.lit(float(v)) for v in self.vmax])
+        lo = array_lit(self.vmin)
+        hi = array_lit(self.vmax)
         idx = F.sequence(F.lit(0), F.lit(len(self.vmin) - 1))
         return F.when(
             col.isNotNull(),
