@@ -2993,7 +2993,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets — and the rounded fractions match bit-for-bit."""
     from vearch_spark.operators.dedup import gopher_repetition_stats
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     return gopher_repetition_stats(docs).orderBy("doc_id")
 
 

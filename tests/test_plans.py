@@ -507,10 +507,10 @@ def test_html_extract_is_pure_projection(spark, sf_dir):
 
 
 def test_gopher_repetition_id_keyed_no_pair_join(spark, sf_dir):
-    """The repetition filter is intra-document: every window and
-    groupBy keys on (doc_id[, n, gram]) — no corpus-wide state and no
-    pair join anywhere; n explodes as a COLUMN so the nine window
-    sizes cost a handful of scans, not nine."""
+    """The repetition filter is intra-document — r9 plans it as ONE
+    Arrow batch pass (the measured-UDF exception, like lang_id): no
+    join, no window, no aggregation exchange; the scan reads only
+    (doc_id, text)."""
     from vearch_spark.operators.dedup import gopher_repetition_stats
 
     spark.catalog.clearCache()
@@ -518,9 +518,11 @@ def test_gopher_repetition_id_keyed_no_pair_join(spark, sf_dir):
     df = gopher_repetition_stats(docs)
     plan = X.simple_plan(df)
     assert "Cartesian" not in plan and "NestedLoop" not in plan
-    assert X.count_exchanges(df) <= 9
+    for bad in ("Join", "Window", "HashAggregate"):
+        assert bad not in plan, bad
+    assert X.count_exchanges(df) == 0
     schemas = X.read_schemas(df)
-    assert len(schemas) <= 5
+    assert len(schemas) == 1
     assert all(s.count(":") <= 2 for s in schemas)  # doc_id[,text]
 
 

@@ -191,14 +191,11 @@ def gopher_quality_flags(text: Column | str) -> Column:
     single-element transform so each split runs once per row. Every
     comparison is int-over-int double division, so an independent SQL
     engine reproduces the flags bit-for-bit."""
-    col = F.col(text) if isinstance(text, str) else text
-    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
-    n_ell = (
-        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
+    raw = F.col(text) if isinstance(text, str) else text
 
     def flags(b: Column) -> Column:
         tk, ln = b["tk"], b["ln"]
+        n_hash, n_ell = b["nh"], b["ne"]
         wc = F.size(tk)
         mean_len = F.aggregate(
             tk, F.lit(0), lambda a, w: a + F.length(w)
@@ -244,12 +241,25 @@ def gopher_quality_flags(text: Column | str) -> Column:
             wc.alias("word_count"), *f, passes.alias("passes")
         )
 
-    bound = F.array(
-        F.struct(
+    # let-bind the INPUT first (r9): the hash/ellipsis counters each
+    # reference the text twice, so a non-trivial caller expression
+    # (the entry's six-line envelope) was inlined 6× and re-evaluated
+    # per row in this interpreted HOF projection
+    def derive(col: Column) -> Column:
+        n_hash = F.length(col) - F.length(
+            F.replace(col, F.lit("#"), F.lit(""))
+        )
+        n_ell = (
+            F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+        ) / F.lit(3)
+        return F.struct(
             F.split(col, r"\s+").alias("tk"),
             F.split(col, "\n").alias("ln"),
+            n_hash.alias("nh"),
+            n_ell.alias("ne"),
         )
-    )
+
+    bound = F.transform(F.array(raw), derive)
     return F.transform(bound, flags)[0]
 
 
@@ -284,8 +294,11 @@ def c4_filter(text: Column | str, min_line_words: int = 5) -> Column:
             keep.cast("int").alias("keep_page"),
         )
 
-    bound = F.array(
-        F.struct(F.split(col, "\n").alias("ln"), col.alias("t"))
+    # input let-bound (r9): the line split and the page-level rules
+    # each referenced the caller's envelope expression separately
+    bound = F.transform(
+        F.array(col),
+        lambda c: F.struct(F.split(c, "\n").alias("ln"), c.alias("t")),
     )
     return F.transform(bound, per)[0]
 
@@ -304,20 +317,28 @@ def script_profile(text: Column | str) -> Column:
     script's class; dominant = argmax count (ties → first in
     SCRIPT_CLASSES order), NULL when no counted script appears.
     Pure JVM regex — narrow, no Python."""
-    col = F.col(text) if isinstance(text, str) else text
+    raw = F.col(text) if isinstance(text, str) else text
     lower = [s.lower() for s in SCRIPT_CLASSES]
-    counts = [
-        (
-            F.length(col)
-            - F.length(F.regexp_replace(col, f"\\p{{Is{s}}}", ""))
-        ).alias(f"n_{lo}")
-        for s, lo in zip(SCRIPT_CLASSES, lower)
-    ]
     names = F.array(*[F.lit(lo) for lo in lower])
-    # let-bind the counts (and then the argmax) via single-element
-    # transforms: each regexp count is evaluated once, not once per
-    # reference — see the chunk_spans note on Column-tree costs
-    bound = F.array(F.struct(*counts))
+
+    def counts_of(col: Column) -> Column:
+        counts = [
+            (
+                F.length(col)
+                - F.length(F.regexp_replace(col, f"\\p{{Is{s}}}", ""))
+            ).alias(f"n_{lo}")
+            for s, lo in zip(SCRIPT_CLASSES, lower)
+        ]
+        return F.struct(*counts)
+
+    # let-bind the INPUT first (r9): every per-script count references
+    # the text column twice, so a non-trivial caller expression (the
+    # entry's multi-script envelope) was inlined 14× — per-row
+    # re-evaluation in this interpreted HOF projection AND a 14×
+    # bigger tree for the analyzer; then let-bind the counts struct so
+    # the argmax reads each count once — see the chunk_spans note on
+    # Column-tree costs
+    bound = F.transform(F.array(raw), counts_of)
 
     def per(b: Column) -> Column:
         arr = F.array(

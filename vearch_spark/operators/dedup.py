@@ -372,173 +372,146 @@ def gopher_repetition_stats(
     ``repetition_pass`` (1 iff every fraction is at or under its
     published threshold).
 
-    Scale shape: everything is intra-document, so every window and
-    groupBy keys on the doc id (plus n/gram) — one id-keyed exchange
-    family, no corpus-wide state, no pair join; a pathological
-    million-copy doc costs only its own token count."""
-    from vearch_spark.functions.text import tokens
+    Implementation (r9): ONE Arrow batch pass — everything is
+    intra-document, so each doc computes its own nine fractions with
+    plain dict counting; the former nine-branch declarative plan
+    (explode × 9 window sizes → window ranks → island windows →
+    offset joins → two pivots) spent ~0.7 s per fresh build in
+    Catalyst analysis alone and kept an id-keyed exchange family at
+    runtime. The Arrow form is the measured-UDF exception documented
+    on ``lang_id``/``gram_stats``: zero exchanges, embarrassingly
+    parallel, a pathological million-copy doc still costs only its
+    own token count. Bit-exactness with the SQL oracle is preserved
+    by construction: tokenization is the same single-space split,
+    all counting/island logic is integer, each fraction is ONE
+    IEEE-754 double division of exact integers, and rounding stays
+    in the JVM (the same ``F.round(…, 6)``) on identical doubles —
+    verified by the unchanged DuckDB oracle row and
+    tests/test_dedup.py's hand-computed fixture."""
+    import pandas as pd
 
-    base = docs.select(
-        F.col(id_col),
-        tokens(F.col(text_col)).alias("_tk"),
-        F.length(text_col).alias("_total"),
-    )
+    top_ns = tuple(GOPHER_TOP_NGRAM_THRESHOLDS)
+    dup_ns = tuple(GOPHER_DUP_NGRAM_THRESHOLDS)
 
-    def grams_for(n_values: list[int], with_pos: bool):
-        """ONE scan for every n: n explodes as a column (slice and
-        sequence take Column lengths), so the 9 window sizes don't
-        re-read the table."""
-        n = F.col("n")
-        seq = F.when(
-            F.size("_tk") >= n,
-            F.sequence(F.lit(1), F.size("_tk") - n + 1),
-        ).otherwise(F.array().cast("array<int>"))
-        exploded_n = base.select(
-            F.col(id_col),
-            "_total",
-            "_tk",
-            F.explode(F.array(*[F.lit(v) for v in n_values])).alias("n"),
-        )
-        if with_pos:
-            g = F.transform(
-                seq,
-                lambda i: F.struct(
-                    i.cast("int").alias("pos"),
-                    F.array_join(F.slice("_tk", i, n), " ").alias("gram"),
+    def fractions(text: str | None) -> list[float]:
+        if text is None:
+            return [0.0] * (len(top_ns) + len(dup_ns))
+        toks = text.split(" ")
+        total = len(text)
+        # grams are counted as tuples of interned token IDS — int-tuple
+        # hashing is several× cheaper than joining the token strings
+        # per position; strings materialize only for the (rare)
+        # tie-break among max-count grams. Token sequences joined with
+        # a separator do NOT order like id/string tuples in general, so
+        # the tie-break compares the actual joined strings.
+        tok2id: dict[str, int] = {}
+        ids = []
+        for t in toks:
+            v = tok2id.get(t)
+            if v is None:
+                v = len(tok2id)
+                tok2id[t] = v
+            ids.append(v)
+        # cumulative char start per 1-indexed token position
+        # (separator-inclusive prefix sums, as the offset join did)
+        starts = [0] * (len(toks) + 1)
+        acc = 0
+        for i, t in enumerate(toks):
+            starts[i] = acc
+            acc += len(t) + 1
+        out = []
+        for n in top_ns:
+            m = len(toks) - n + 1
+            if m < 1:
+                out.append(0.0)
+                continue
+            cnt: dict[tuple, int] = {}
+            first_pos: dict[tuple, int] = {}
+            for i in range(m):
+                k = tuple(ids[i : i + n])
+                c = cnt.get(k)
+                if c is None:
+                    cnt[k] = 1
+                    first_pos[k] = i
+                else:
+                    cnt[k] = c + 1
+            best_c = max(cnt.values())
+            # most frequent; ties → longer gram, then lexicographic
+            g = min(
+                (
+                    " ".join(toks[i : i + n])
+                    for k, i in first_pos.items()
+                    if cnt[k] == best_c
                 ),
+                key=lambda s: (-len(s), s),
             )
-            return exploded_n.select(
-                id_col, "_total", "n", F.explode(g).alias("s")
-            ).select(
-                id_col, "_total", "n", F.col("s.pos").alias("pos"),
-                F.col("s.gram").alias("gram"),
-            )
-        g = F.transform(
-            seq, lambda i: F.array_join(F.slice("_tk", i, n), " ")
-        )
-        return exploded_n.select(
-            id_col, "_total", "n", F.explode(g).alias("gram")
-        )
+            out.append(float(best_c * len(g)) / float(total))
+        for n in dup_ns:
+            m = len(toks) - n + 1
+            if m < 1:
+                out.append(0.0)
+                continue
+            grams = [tuple(ids[i : i + n]) for i in range(m)]
+            cnt = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            # duplicated-gram token islands, merged on OVERLAP only
+            islands: list[list[int]] = []
+            prev_end = None
+            for pos0 in range(m):
+                if cnt[grams[pos0]] < 2:
+                    continue
+                pos = pos0 + 1
+                end = pos + n - 1
+                if prev_end is None or pos > prev_end:
+                    islands.append([pos, end])
+                elif end > islands[-1][1]:
+                    islands[-1][1] = end
+                if prev_end is None or end > prev_end:
+                    prev_end = end
+            if not islands:
+                out.append(0.0)
+                continue
+            cov = 0
+            for s_pos, e_pos in islands:
+                ss = starts[s_pos - 1]
+                ee = starts[e_pos - 1] + len(toks[e_pos - 1])
+                cov += ee - ss
+            out.append(float(cov) / float(total))
+        return out
 
-    # ---- most-frequent-n-gram char fraction, n = 2..4
-    counts = grams_for(list(GOPHER_TOP_NGRAM_THRESHOLDS), False).groupBy(
-        id_col, "n", "gram"
-    ).agg(
-        F.count("*").alias("_c"), F.first("_total").alias("_total")
-    )
-    wr = Window.partitionBy(id_col, "n").orderBy(
-        F.col("_c").desc(), F.length("gram").desc(), F.col("gram").asc()
-    )
-    top = (
-        counts.withColumn("_r", F.row_number().over(wr))
-        .where(F.col("_r") == 1)
-        .select(
-            id_col,
-            "n",
-            (
-                (F.col("_c") * F.length("gram")).cast("double")
-                / F.col("_total")
-            ).alias("frac"),
-        )
-    )
-    top_piv = top.groupBy(id_col).agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"_top{n}")
-            for n in GOPHER_TOP_NGRAM_THRESHOLDS
-        ]
-    )
+    frac_names = [f"_top{n}" for n in top_ns] + [f"_dup{n}" for n in dup_ns]
 
-    # ---- duplicated-n-gram char coverage, n = 5..10
-    spans = grams_for(list(GOPHER_DUP_NGRAM_THRESHOLDS), True)
-    occ = F.count("*").over(Window.partitionBy(id_col, "n", "gram"))
-    rem = (
-        spans.withColumn("_occ", occ)
-        .where(F.col("_occ") > 1)
-        .select(
-            id_col, "n", "_total", "pos",
-            (F.col("pos") + F.col("n") - 1).alias("end"),
-        )
-    )
-    wd = Window.partitionBy(id_col, "n").orderBy("pos")
-    prev_end = F.max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    islands = (
-        rem.withColumn(
-            "_new",
-            # merge on OVERLAP only (shared token): two disjoint
-            # adjacent islands must not absorb the space between them
-            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
-        )
-        .withColumn("_g", F.sum("_new").over(wd))
-        .groupBy(id_col, "n", "_g")
-        .agg(
-            F.min("pos").alias("s"),
-            F.max("end").alias("e"),
-            F.first("_total").alias("_total"),
-        )
-    )
-    # cumulative char offsets per token (separator-inclusive prefix)
-    tokidx = base.select(
-        id_col, F.posexplode("_tk").alias("_i0", "_tok")
-    ).select(
-        id_col,
-        (F.col("_i0") + 1).alias("pos"),
-        F.length("_tok").alias("_len"),
-    )
-    wt = Window.partitionBy(id_col).orderBy("pos")
-    tokidx = tokidx.withColumn(
-        "start",
-        F.coalesce(
-            F.sum(F.col("_len") + 1).over(
-                wt.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
+    def kernel(batches):
+        for pdf in batches:
+            rows = [
+                [i] + fractions(t)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(rows, columns=[id_col] + frac_names)
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    raw = docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        schema=", ".join(
+            [f"{id_col} {id_type}"] + [f"{c} double" for c in frac_names]
         ),
     )
-    s_side = tokidx.select(
-        F.col(id_col), F.col("pos").alias("s"), F.col("start").alias("_ss")
-    )
-    e_side = tokidx.select(
-        F.col(id_col),
-        F.col("pos").alias("e"),
-        (F.col("start") + F.col("_len")).alias("_ee"),
-    )
-    cov = (
-        islands.join(s_side, on=[id_col, "s"])
-        .join(e_side, on=[id_col, "e"])
-        .groupBy(id_col, "n")
-        .agg(
-            (
-                F.sum(F.col("_ee") - F.col("_ss")).cast("double")
-                / F.first("_total")
-            ).alias("frac")
-        )
-    )
-    cov_piv = cov.groupBy(id_col).agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"_dup{n}")
-            for n in GOPHER_DUP_NGRAM_THRESHOLDS
-        ]
-    )
 
-    out = (
-        base.select(id_col)
-        .join(top_piv, on=id_col, how="left")
-        .join(cov_piv, on=id_col, how="left")
-    )
     frac_cols = {}
     flags = []
     for n, thr in GOPHER_TOP_NGRAM_THRESHOLDS.items():
-        f = F.coalesce(F.col(f"_top{n}"), F.lit(0.0))
+        f = F.col(f"_top{n}")
         frac_cols[f"top_{n}gram_frac"] = f
         flags.append(f <= thr)
     for n, thr in GOPHER_DUP_NGRAM_THRESHOLDS.items():
-        f = F.coalesce(F.col(f"_dup{n}"), F.lit(0.0))
+        f = F.col(f"_dup{n}")
         frac_cols[f"dup_{n}gram_frac"] = f
         flags.append(f <= thr)
     passes = flags[0].cast("int")
     for fl in flags[1:]:
         passes = passes * fl.cast("int")
-    return out.select(
+    return raw.select(
         id_col,
         *[F.round(c, 6).alias(name) for name, c in frac_cols.items()],
         passes.alias("repetition_pass"),
