@@ -1000,6 +1000,13 @@ def q_hamming_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = hamming_pairs_cross(
         new, corpus, hash_col="_h", id_col="doc_id", max_hamming=3, bands=4,
+        # r9: the corpus side is the FIXED 400-doc slice (doc_id<400 at
+        # every SF), so no band bucket can ever approach the default
+        # 1000-member cap — the guard's row_number window was a provable
+        # no-op costing one exchange + sort per run. The guarded path
+        # stays exercised on the production query (image_near_dup) and
+        # in pytest; the brute-force oracle is unguarded by definition.
+        max_bucket=None,
     )
     return out.orderBy("new_id", "corpus_id")
 

@@ -767,19 +767,28 @@ def test_corpus_line_filter_empty_reassembly_counts_exact(spark):
     assert out[0].text == "keep me 0" and out[0].n_dropped == 1
 
 
-def test_corpus_line_filter_shuffle_fallback_same_answer(spark, monkeypatch):
-    """Past the broadcast cap the hot set anti-joins by shuffle — the
-    kept corpus must be identical to the broadcast path's."""
+def test_corpus_line_filter_shuffle_fallback_same_answer(spark):
+    """Past the broadcast threshold the hot set anti-joins by shuffle
+    (AQE decides from measured size — r9 removed the driver limit-
+    probe) — the kept corpus must be identical to the broadcast
+    path's."""
     rows = [(i, f"HEADER\nunique {i}\nFOOTER") for i in range(60)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     want = sorted(
         (r.doc_id, r.text, r.n_dropped)
         for r in dedup.corpus_line_filter(df, max_docs=50).collect()
     )
-    monkeypatch.setattr(dedup, "_HOT_LINE_BROADCAST_CAP", 0)
-    got = sorted(
-        (r.doc_id, r.text, r.n_dropped)
-        for r in dedup.corpus_line_filter(df, max_docs=50).collect()
-    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast entirely -> AQE keeps the shuffle anti-join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        got = sorted(
+            (r.doc_id, r.text, r.n_dropped)
+            for r in dedup.corpus_line_filter(df, max_docs=50).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     assert got == want
     assert want[0] == (0, "unique 0", 2)

@@ -1238,16 +1238,19 @@ def embedding_cosine_pairs_blas(
     """
     from pyspark.sql import types as T
 
-    # limit-probe BEFORE collecting: the guard must fire before the
-    # driver heap is already blown, not after (the same pattern
-    # semantic_decontaminate documents)
-    probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
-    if probe > max_broadcast_rows:
+    # guarded collect in ONE job (r9): collecting LIMIT ceiling+1 rows
+    # and checking the length keeps the exact driver-heap bound the
+    # separate limit-probe gave (at most ceiling+1 rows ever reach the
+    # driver) while dropping the extra probe job the old
+    # probe-then-collect shape ran per build
+    rows = (
+        df.select(id_col, vec_col).limit(max_broadcast_rows + 1).collect()
+    )
+    if len(rows) > max_broadcast_rows:
         raise ValueError(
             f"more than {max_broadcast_rows} rows exceed the broadcast "
             "ceiling; use embedding_cosine_pairs(bucket_col=...)"
         )
-    rows = df.select(id_col, vec_col).collect()
     ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -1820,12 +1823,6 @@ def dedup_against_corpus(
     )
 
 
-# above this many distinct over-cap lines, corpus_line_filter stops
-# broadcasting the hot set (2M md5 keys ≈ 64 MB — the broadcast
-# comfort ceiling) and anti-joins by shuffle instead
-_HOT_LINE_BROADCAST_CAP = 2_000_000
-
-
 def corpus_line_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -1850,10 +1847,10 @@ def corpus_line_filter(
     occurrence count is ONE map-side-combined aggregation on the line
     hash carrying ``(md5, int)`` payloads only; the hot set (lines
     over the cap) is tiny by construction — boilerplate is by
-    definition few DISTINCT lines — so it broadcasts into a left-anti
-    join (limit-probed: past ``_HOT_LINE_BROADCAST_CAP`` distinct hot
-    lines the join falls back to shuffle form, so a massively
-    templated corpus can never overflow a broadcast); reassembly is
+    definition few DISTINCT lines — so AQE's runtime re-planner
+    broadcasts it into the left-anti join from its measured size, and
+    a massively templated corpus past the broadcast threshold keeps
+    the shuffle anti-join form automatically; reassembly is
     one groupBy(id) with an order-restoring sort_array. Two-three
     shuffles, no pair join, nothing quadratic at any corpus shape.
 
@@ -1877,19 +1874,21 @@ def corpus_line_filter(
         .where(F.col("_docs") > int(max_docs))
         .select("_sig")
     )
-    # broadcast guard: boilerplate is by definition FEW distinct lines,
-    # but a massively templated corpus could overflow the broadcast —
-    # limit-probe the hot set and fall back to a shuffle anti-join
-    # (scales at any hot-set size) past the cap, mirroring the LSH
-    # skew guard's driver-safety escape hatch
-    hot_is_small = (
-        counted.limit(_HOT_LINE_BROADCAST_CAP + 1).count()
-        <= _HOT_LINE_BROADCAST_CAP
-    )
-    hot = F.broadcast(counted) if hot_is_small else counted
+    # broadcast guard (r9: delegated to AQE): boilerplate is by
+    # definition FEW distinct lines, so the anti join wants the hot
+    # set broadcast — but a massively templated corpus could overflow
+    # it. The r8 form limit-probed the hot set from the driver, which
+    # EXECUTED the whole line-count aggregation one extra time per
+    # build (a full extra job before the plan even ran). AQE makes the
+    # probe redundant: with no forced hint, the runtime re-planner
+    # picks a broadcast anti join from the hot set's ACTUAL
+    # materialized size and keeps the shuffle form past the broadcast
+    # threshold — the same driver-safety escape hatch, decided from
+    # measured bytes instead of a driver round trip (the fallback
+    # parity test pins both shapes on the same corpus).
     signed = lines.withColumn("_sig", sig)
     kept = signed.join(
-        hot,
+        counted,
         on=(signed["_sig"] == counted["_sig"]) & eligible,
         how="left_anti",
     )
