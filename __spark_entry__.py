@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vearch_spark.operators import topk
 from vearch_spark.operators.fusion import VectorQuery, multi_vector_search
-from vearch_spark.sources.parquet import lineitem_space, with_event_time
+from vearch_spark.sources.parquet import (
+    _read_parquet_cached,
+    lineitem_space,
+    with_event_time,
+)
 
 # ---------------------------------------------------------------- constants
 
@@ -126,11 +130,11 @@ def _sql_qnorm() -> str:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -304,7 +308,7 @@ def q_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_term_filter_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN on a string_array field = any-element match (doc_query.go:1150-1202)."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _read_parquet_cached(spark, f"{sf_dir}/part.parquet")
     toks = F.split(F.col("p_name"), " ")
     overlap = F.arrays_overlap(toks, F.array(F.lit("red"), F.lit("blue")))
     notin = ~F.coalesce(F.col("p_brand").isin("Brand#17"), F.lit(False))
@@ -328,7 +332,7 @@ def q_get_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sort_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed multi-field sort + page slicing (sortorder/sort.go, client.go:888-904)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read_parquet_cached(spark, f"{sf_dir}/orders.parquet")
     page_size, page_num = 10, 3
     return (
         orders.orderBy(
@@ -439,7 +443,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data-pipeline staple (per-user activity segmentation).
     Single shuffle on user_id; both window functions and the session
     rollup reuse the same partitioning."""
-    ev = with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = with_event_time(_read_parquet_cached(spark, f"{sf_dir}/events.parquet"))
     us = F.unix_micros(F.col("ts_utc"))
     w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
     gap = us - F.lag(us).over(w)
@@ -583,7 +587,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped tumbling-window aggregate over the events table
     (the batch view of the Structured Streaming ingest path)."""
-    ev = with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = with_event_time(_read_parquet_cached(spark, f"{sf_dir}/events.parquet"))
     hour = F.date_trunc("hour", F.col("ts_utc"))
     return (
         ev.groupBy(F.unix_micros(hour).alias("hour_us"), "event_type")
@@ -858,7 +862,7 @@ def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     float reconstruction parity is covered by tests/test_sq.py."""
     from vearch_spark.operators.sq import SQ8Quantizer
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     q = SQ8Quantizer("embedding", id_col="vec_id").fit(emb)
     enc = q.encode(emb)
     return (
@@ -1235,7 +1239,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATE-field range filter + month rollup (the range partition-rule
     analog: partition pruning on the date bucket, partition.go:128-151)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read_parquet_cached(spark, f"{sf_dir}/orders.parquet")
     lo, hi = "1996-01-01", "1997-12-31"
     return (
         orders.where(
