@@ -27,6 +27,19 @@ def test_extract_features_shape(media_df):
     assert all(0.0 <= x < 1.0 for x in rows["img1"])
 
 
+def test_extract_features_carry_cols(media_df):
+    """carry_cols ride the Arrow batch unchanged (typed per the input
+    schema), so downstream grouping needs no join back to the input."""
+    out = mm.extract_features(media_df, feature_dim=8, carry_cols=("mime", "width"))
+    assert out.columns == ["media_id", "feature", "mime", "width"]
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows["img3"].mime == "image/jpeg" and rows["img3"].width == 800
+    # features themselves are identical to the plain form
+    plain = {r.media_id: r.feature for r in mm.extract_features(
+        media_df, feature_dim=8).collect()}
+    assert all(rows[k].feature == plain[k] for k in plain)
+
+
 def test_features_feed_topk(media_df):
     """Extracted features plug straight into the search kernel."""
     from vearch_spark.operators import topk

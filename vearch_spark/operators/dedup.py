@@ -1075,6 +1075,24 @@ def simhash_pairs(
     )
 
 
+def _min_matching_band(sim_a: str, sim_b: str, bands: int) -> Column:
+    """Index of the lowest band whose block is identical between the
+    two 64-bit hashes — i.e. the first all-zero width-bit block of
+    ``xor(sim_a, sim_b)``. On any row produced by the banded join at
+    least one band matches, so the coalesce never returns NULL."""
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    xor = F.col(sim_a).bitwiseXOR(F.col(sim_b))
+    return F.coalesce(
+        *[
+            F.when(
+                F.shiftright(xor, b * width).bitwiseAND(mask) == 0, F.lit(b)
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def hamming_pairs(
     df: DataFrame,
     hash_col: str,
@@ -1124,10 +1142,22 @@ def hamming_pairs(
         "_b", "_v", F.col("_did").alias("id_b"), F.col("_sim").alias("_sim_b")
     )
     cands = a.join(b, on=["_b", "_v"]).where(F.col("id_a") < F.col("id_b"))
-    cands = cands.select("id_a", "id_b", "_sim_a", "_sim_b")
     if chain is not None:
-        cands = cands.unionByName(chain)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+        # hot buckets were split out: a pair may reach us through a
+        # small band while its minimal matching band was hot (anti-
+        # joined away), and chain pairs overlap join pairs — only a
+        # real dedup is correct here
+        cands = cands.select("id_a", "id_b", "_sim_a", "_sim_b")
+        cands = cands.unionByName(chain).dropDuplicates(["id_a", "id_b"])
+    else:
+        # no hot buckets: every matching band of a pair survives to the
+        # join, so keeping each pair only at its MINIMAL matching band
+        # (computable from xor of the two hashes riding the row) yields
+        # exactly one row per pair — same set as dropDuplicates, minus
+        # its HashAggregate + Exchange shuffle (guide §2.2)
+        cands = cands.where(
+            F.col("_b") == _min_matching_band("_sim_a", "_sim_b", bands)
+        ).select("id_a", "id_b", "_sim_a", "_sim_b")
     ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
     return (
         cands.withColumn("hamming", ham)
@@ -1205,12 +1235,21 @@ def hamming_pairs_cross(
             .where(F.col("_rn") <= int(max_bucket))
             .drop("_rn")
         )
-    cands = (
-        a.join(b, on=["_b", "_v"])
-        .where(F.col("new_id") != F.col("corpus_id"))
-        .select("new_id", "corpus_id", "_sim_a", "_sim_b")
-        .dropDuplicates(["new_id", "corpus_id"])
+    cands = a.join(b, on=["_b", "_v"]).where(
+        F.col("new_id") != F.col("corpus_id")
     )
+    if max_bucket is not None:
+        # bucket truncation is per-band, so a pair's minimal matching
+        # band may have been truncated away — dedup is required
+        cands = cands.select(
+            "new_id", "corpus_id", "_sim_a", "_sim_b"
+        ).dropDuplicates(["new_id", "corpus_id"])
+    else:
+        # unguarded join: keep each pair only at its minimal matching
+        # band (from xor) instead of a dedup shuffle (guide §2.2)
+        cands = cands.where(
+            F.col("_b") == _min_matching_band("_sim_a", "_sim_b", bands)
+        ).select("new_id", "corpus_id", "_sim_a", "_sim_b")
     ham = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
     return (
         cands.withColumn("hamming", ham)
@@ -1242,17 +1281,18 @@ def embedding_cosine_pairs_blas(
     # and checking the length keeps the exact driver-heap bound the
     # separate limit-probe gave (at most ceiling+1 rows ever reach the
     # driver) while dropping the extra probe job the old
-    # probe-then-collect shape ran per build
-    rows = (
-        df.select(id_col, vec_col).limit(max_broadcast_rows + 1).collect()
-    )
-    if len(rows) > max_broadcast_rows:
+    # probe-then-collect shape ran per build. Arrow transfer (toPandas)
+    # instead of collect(): two flat columns, no boxed Row objects —
+    # the float32→float64 widening is exact, so values are unchanged
+    # (guide §5.2)
+    pdf = df.select(id_col, vec_col).limit(max_broadcast_rows + 1).toPandas()
+    if len(pdf) > max_broadcast_rows:
         raise ValueError(
             f"more than {max_broadcast_rows} rows exceed the broadcast "
             "ceiling; use embedding_cosine_pairs(bucket_col=...)"
         )
-    ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     nmat = mat / norms[:, None]
@@ -1483,21 +1523,30 @@ def connected_components(
     """
     edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     node_type = edges.schema["_s"].dataType.simpleString()
-    edges = edges.persist()
     # limit-probe instead of count-then-collect: ONE action, and the
     # driver never holds more than cap+1 rows even when the graph is
     # huge (the limit short-circuits the scan). Arrow transfer
     # (toPandas) instead of collect(): two flat int columns, not
     # cap+1 boxed Row objects — ~100× less driver allocation on the
-    # probe itself
+    # probe itself. No persist on this path (r9): the common small
+    # graph reads the edge list exactly once, so the cache write was
+    # pure overhead; only the distributed path below persists.
     probe = edges.limit(driver_max_edges + 1).toPandas()
     if len(probe) <= driver_max_edges:
-        edges.unpersist()
         mapping = _union_find(zip(probe["_s"].tolist(), probe["_d"].tolist()))
         spark = pairs.sparkSession
+        # Arrow createDataFrame (pandas) — the boxed-tuple local
+        # relation serialized every (node, component) through py4j
         return spark.createDataFrame(
-            list(mapping.items()), f"node {node_type}, component {node_type}"
+            pd.DataFrame(
+                {
+                    "node": list(mapping.keys()),
+                    "component": list(mapping.values()),
+                }
+            ),
+            f"node {node_type}, component {node_type}",
         )
+    edges = edges.persist()
     und = edges.union(
         edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
     ).persist()
@@ -1605,16 +1654,18 @@ def semantic_decontaminate(
     from pyspark.sql import types as T
 
     # limit-probe BEFORE collecting: the ceiling must bound what ever
-    # reaches the driver, not fire after the heap is already blown
-    rows = eval_df.select(vec_col).limit(max_eval_rows + 1).collect()
-    if len(rows) > max_eval_rows:
+    # reaches the driver, not fire after the heap is already blown.
+    # Arrow transfer (toPandas) instead of collect(): one flat array
+    # column, no boxed Rows; float32→float64 widening is exact
+    epdf = eval_df.select(vec_col).limit(max_eval_rows + 1).toPandas()
+    if len(epdf) > max_eval_rows:
         raise ValueError(
             f"eval set exceeds the broadcast ceiling {max_eval_rows}; "
             "decontaminate in eval batches or raise max_eval_rows"
         )
-    if not rows:
+    if not len(epdf):
         raise ValueError("semantic_decontaminate: eval set is empty")
-    emat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    emat = np.array([np.asarray(v, dtype=np.float64) for v in epdf[vec_col]])
     norms = np.linalg.norm(emat, axis=1)
     norms[norms == 0] = 1.0
     emat = emat / norms[:, None]

@@ -65,14 +65,20 @@ def extract_features(
     content_col: str = "content",
     id_col: str = "media_id",
     feature_dim: int = 64,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """decode → fixed-dim feature vector, Arrow-batched.
 
-    Output: (id_col, feature: array<float>) — the embedding column the
-    rest of the engine (topk/dedup/IVF) consumes unchanged. NULL
-    content (a failed fetch — the schema declares it nullable) yields a
-    NULL feature row rather than raising inside the task: one bad blob
-    must not abort a corpus-scale extraction job.
+    Output: (id_col, feature: array<float>, *carry_cols) — the
+    embedding column the rest of the engine (topk/dedup/IVF) consumes
+    unchanged. NULL content (a failed fetch — the schema declares it
+    nullable) yields a NULL feature row rather than raising inside the
+    task: one bad blob must not abort a corpus-scale extraction job.
+
+    ``carry_cols`` (r9, guide §3.4): grouping/metadata columns ride the
+    Arrow batch unchanged, so a downstream per-source aggregation needs
+    no join back to the input relation (the join was a shuffle whose
+    only payload was columns the extraction already had in hand).
     """
     decoder = _DECODERS.get(kind)
 
@@ -92,12 +98,16 @@ def extract_features(
                 )
                 vec = np.resize(np.asarray(raw, dtype=np.float64).ravel(), feature_dim)
                 feats.append(vec.astype(np.float32))
-            yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
+            out = {id_col: pdf[id_col], "feature": feats}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     schema = T.StructType(
         [
             df.schema[id_col],
             T.StructField("feature", T.ArrayType(T.FloatType()), True),
+            *[df.schema[c] for c in carry_cols],
         ]
     )
     return df.mapInPandas(run, schema=schema)
