@@ -1235,7 +1235,10 @@ def q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source; WindowGroupLimit applies the rank cutoff map-side."""
     from vearch_spark.functions.text import quality_score
 
-    docs = _docs(spark, sf_dir).select(
+    # r9: spread before the quality-expr projection — the split-based
+    # token/punct expressions are the query's compute and otherwise run
+    # inside the one-row-group scan task (guide §2.6)
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "source", "text")).select(
         "doc_id", "source", quality_score("text").alias("quality")
     )
     w = Window.partitionBy("source").orderBy(
@@ -1837,8 +1840,13 @@ def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential list_sum — the hash-checked configuration. The BLAS
     # cogroup kernel (default; 20× at 1M×64) is parity-tested against
     # this one in tests/test_knn_join.py and benched in stress_1m.
+    # r9: spread the QUERY side — the corpus side is broadcast, so the
+    # join + per-pair expr fold run with the streamed (query) side's
+    # partitioning: a one-row-group filter slice otherwise serializes
+    # the whole fold (~0.7 s, the query's actual compute) into ONE
+    # task (guide §2.6)
     return knn_join(
-        emb.where(F.col("vec_id") < 100), index.assigned, index.centroids,
+        _spread(emb.where(F.col("vec_id") < 100)), index.assigned, index.centroids,
         k=5, nprobe=4, right_cluster_col=CLUSTER_COL, exclude_self=True,
         kernel="expr",
     ).orderBy("vec_id", "rank")
@@ -2329,7 +2337,11 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vearch_spark.functions.media import decode_wav_pcm, wav_bytes
 
     W = 50  # samples per energy window
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 80).select("doc_id")
+    # r9: spread the 80-id slice (an 80-int shuffle) — the WAV
+    # synth+decode kernel otherwise runs in the scan's single task
+    docs = _spread(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 80).select("doc_id")
+    )
 
     def synth_energies(batches):
         for pdf in batches:
@@ -2899,7 +2911,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vearch_spark.functions.robots import parse_robots
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # r9: spread — the one-row-group id slice otherwise serializes
+    # the whole synth+parse kernel into one task (guide §2.6)
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
     paths = [
         "/private/x", "/private/ok", "/img/a.gif",
         "/img/a.gif?x=1", "/public/page", "/extra/z",
@@ -2956,7 +2970,8 @@ def q_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vearch_spark.functions.robots import parse_sitemap, sitemap_xml
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # r9: spread — same one-row-group serialization as robots_filter
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def run(batches):
         for b in batches:

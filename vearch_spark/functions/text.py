@@ -122,8 +122,23 @@ def lang_id(text: Column | str) -> Column:
     if _LANG_ID_UDF is None:
         from pyspark.sql.pandas.functions import pandas_udf
 
+        import re as _re
+
         sets = {lang: frozenset(w) for lang, w in STOPWORDS.items()}
         langs = sorted(STOPWORDS)
+        # r9: one dict lookup per token instead of one set probe per
+        # (token, language) — a stopword's vote list is precomputed,
+        # and zh's CHARACTER membership (unsegmented text never
+        # matches token-wise — same rule as stopword_count) is a
+        # compiled character class scanned at C speed. Votes and the
+        # strict-> first-code tie rule are unchanged.
+        word2langs: dict[str, tuple] = {}
+        for lang in langs:
+            if lang == "zh":
+                continue
+            for w in sets[lang]:
+                word2langs[w] = word2langs.get(w, ()) + (lang,)
+        zh_re = _re.compile("[" + _re.escape("".join(sorted(sets["zh"]))) + "]")
 
         @pandas_udf("string")
         def lid(ts: pd.Series) -> pd.Series:
@@ -132,17 +147,18 @@ def lang_id(text: Column | str) -> Column:
                 if t is None:
                     out.append(None)
                     continue
-                toks = t.split(" ")
+                cnt: dict[str, int] = {}
+                for w in t.split(" "):
+                    ls = word2langs.get(w)
+                    if ls is not None:
+                        for lang in ls:
+                            cnt[lang] = cnt.get(lang, 0) + 1
+                nzh = len(zh_re.findall(t))
+                if nzh:
+                    cnt["zh"] = nzh
                 best, best_score = None, 0
                 for lang in langs:
-                    # zh votes by CHARACTER membership (unsegmented
-                    # text never matches token-wise) — same rule as
-                    # stopword_count
-                    s = (
-                        sum(1 for ch in t if ch in sets["zh"])
-                        if lang == "zh"
-                        else sum(1 for w in toks if w in sets[lang])
-                    )
+                    s = cnt.get(lang, 0)
                     if s > best_score:  # strict: ties keep the first code
                         best, best_score = lang, s
                 out.append(best)
@@ -506,7 +522,14 @@ def gram_stats(text: Column | str, n: int = 3) -> Column:
                 rows.append((len(toks), len(grams), len(grams) - len(set(grams))))
             return pd.DataFrame(rows, columns=["n_tokens", "n_grams", "n_dup_grams"])
 
-        _GRAM_STATS_UDFS[n] = st
+        # deterministic output — the marker is an optimizer fence:
+        # without it, a filter on the struct's fields is pushed below
+        # the projection by substituting the UDF call into the
+        # predicate, and the plan evaluates the WHOLE Arrow pass twice
+        # (two ArrowEvalPython nodes, measured +0.35 s at sf0.1 in
+        # corpus_pipeline). Nondeterministic expressions are never
+        # substituted or reordered, so the kernel runs exactly once.
+        _GRAM_STATS_UDFS[n] = st.asNondeterministic()
     return _GRAM_STATS_UDFS[n](col)
 
 

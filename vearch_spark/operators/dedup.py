@@ -1375,7 +1375,17 @@ def embedding_cosine_pairs_blas(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
-    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+    # spread an under-partitioned block side before the scoring pass
+    # (guide §2.6): the matmul parallelizes over input partitions, and
+    # a one-row-group scan otherwise serializes every block into one
+    # task while the broadcast side idles. Width = cores/2 (each task
+    # is a JVM + Arrow Python worker pair); inputs at least that
+    # parallel skip the shuffle.
+    blocks = df.select(id_col, vec_col)
+    width = max(1, sc.defaultParallelism // 2)
+    if blocks.rdd.getNumPartitions() < width:
+        blocks = blocks.repartition(width)
+    return blocks.mapInPandas(run, schema=schema)
 
 
 def embedding_cosine_pairs(
@@ -1725,7 +1735,15 @@ def semantic_decontaminate(
                 }
             )
 
-    return train.select(icol, vcol).mapInPandas(run, schema=out_schema)
+    # spread an under-partitioned corpus before the scoring pass —
+    # same §2.6 rationale as the blas pair arm: the matmul scales with
+    # input partitions, and a one-row-group scan serializes it
+    blocks = train.select(icol, vcol)
+    sc_ = train.sparkSession.sparkContext
+    width = max(1, sc_.defaultParallelism // 2)
+    if blocks.rdd.getNumPartitions() < width:
+        blocks = blocks.repartition(width)
+    return blocks.mapInPandas(run, schema=out_schema)
 
 
 def dedup_against_corpus(
