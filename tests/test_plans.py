@@ -483,14 +483,18 @@ def test_audio_segments_single_keyed_exchange(spark, sf_dir):
     window, the (media_id, grp) island aggregation, and the seg_idx
     window — on ONE media_id hash exchange (HashPartitioning on a
     subset of the grouping keys satisfies the aggregation's required
-    distribution), plus the presentation sort. No join; binaries never
-    shuffle (the WAV decode happens inside the Arrow stage)."""
+    distribution), plus the presentation sort and the r9 round-robin
+    spread of the narrow pre-synthesis input (the one-row-group scan
+    otherwise serializes the WAV decode into a single task). No join;
+    binaries never shuffle (the WAV decode happens inside the Arrow
+    stage, above the spread)."""
     import __spark_entry__ as entry
 
     out = entry.q_audio_segments(spark, sf_dir)
     plan = X.formatted_plan(out)
     assert "Join" not in plan
-    assert X.count_exchanges(out) <= 2  # media_id hash + final sort
+    assert plan.count("RoundRobinPartitioning") == 1  # the spread
+    assert X.count_exchanges(out) <= 3  # spread + media_id hash + sort
 
 
 def test_html_extract_is_pure_projection(spark, sf_dir):
@@ -547,8 +551,10 @@ def test_warc_extract_is_narrow_pipeline(spark, sf_dir):
 
 def test_robots_filter_is_narrow_pipeline(spark, sf_dir):
     """robots_filter and sitemap_discover evaluate crawl-compliance /
-    discovery decisions inside one Arrow batch — no join, no agg;
-    only the presentation sort exchanges, scans read doc_id alone."""
+    discovery decisions inside one Arrow batch — no join, no agg; the
+    r9 round-robin spread of the narrow doc_id input (one-row-group
+    scan) plus the presentation sort are the only exchanges, scans
+    read doc_id alone."""
     import __spark_entry__ as entry
 
     spark.catalog.clearCache()
@@ -557,7 +563,8 @@ def test_robots_filter_is_narrow_pipeline(spark, sf_dir):
         plan = X.formatted_plan(out)
         for bad in ("Join", "HashAggregate", "Window"):
             assert bad not in plan, (q.__name__, bad)
-        assert X.count_exchanges(out) <= 1
+        assert plan.count("RoundRobinPartitioning") == 1, q.__name__
+        assert X.count_exchanges(out) <= 2, q.__name__
         schemas = X.read_schemas(out)
         assert all(s.count(":") <= 1 for s in schemas)  # doc_id only
 
