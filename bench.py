@@ -100,6 +100,21 @@ def main() -> None:
         "sf": sf,
         # full-payload only (the compact driver line drops this)
         "notes": {
+            "r9_opt_total": (
+                "r9 optimization round: 45.2 -> 14.2-15.3s for the same "
+                "100 queries (same methodology; quiet-window steady "
+                "state 14.2-14.8s, the committed artifact's 15.3s "
+                "includes mild tail steal). Levers: kernel spreading + "
+                "synth/decode fusion, prepared-plan memoization with a "
+                "purity probe, relation-handle caching, AQE cached-plan "
+                "coalescing, LSH cache pre-partitioning, min-band pair "
+                "keep, and the worker-daemon zipimport guard (fixed "
+                "~190ms/task Python-stage tax on CPython 3.11; no-op "
+                "16-task Arrow stage 587 -> 134ms). Full evidence per "
+                "operator in OPTIMIZATION_r09.md; scale-suite mins this "
+                "window: scale_1m build 17.2/13.1s, scale_hnsw build "
+                "69.8s, recall 1.0 on every gate."
+            ),
             "r9_total": (
                 "r9 grows the suite 86 -> 100 queries. First wave (+5): "
                 "media_probe, audio_segments, containment_pairs (0.1s "
