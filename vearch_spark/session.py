@@ -80,6 +80,13 @@ def get_spark(
         # pyspark.zip to Python 3.11 workers pays the same tax.
         .config("spark.python.daemon.module", "vearch_spark.worker_daemon")
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
+        # Python workers always run on the executor's host, so the
+        # JVM<->worker data channel can ride a unix domain socket
+        # instead of loopback TCP (Spark 4.1 feature): interleaved A/B
+        # of the no-op 16-task mapInPandas stage reads min 122-151 ms
+        # vs 155-175 ms over TCP (3/3 pairs). Host-neutral - same
+        # transport choice on any cluster.
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
