@@ -101,19 +101,23 @@ def main() -> None:
         # full-payload only (the compact driver line drops this)
         "notes": {
             "r9_opt_total": (
-                "r9 optimization round: 45.2 -> 14.2-15.3s for the same "
-                "100 queries (same methodology; quiet-window steady "
-                "state 14.2-14.8s, the committed artifact's 15.3s "
-                "includes mild tail steal). Levers: kernel spreading + "
-                "synth/decode fusion, prepared-plan memoization with a "
-                "purity probe, relation-handle caching, AQE cached-plan "
-                "coalescing, LSH cache pre-partitioning, min-band pair "
-                "keep, and the worker-daemon zipimport guard (fixed "
-                "~190ms/task Python-stage tax on CPython 3.11; no-op "
-                "16-task Arrow stage 587 -> 134ms). Full evidence per "
-                "operator in OPTIMIZATION_r09.md; scale-suite mins this "
-                "window: scale_1m build 17.2/13.1s, scale_hnsw build "
-                "69.8s, recall 1.0 on every gate."
+                "r9 optimization round: 45.2 -> 12.25s for the same "
+                "100 queries (same methodology; the final same-window "
+                "A/B read 12.25s with the unix-domain-socket worker "
+                "transport vs 15.43s over loopback TCP, and the "
+                "pre-UDS quiet-window steady state was 14.2-14.8s). "
+                "Levers: kernel spreading + synth/decode fusion, "
+                "prepared-plan memoization with a purity probe, "
+                "relation-handle caching, AQE cached-plan coalescing, "
+                "LSH cache pre-partitioning, min-band pair keep, the "
+                "worker-daemon zipimport guard (fixed ~190ms/task "
+                "Python-stage tax on CPython 3.11; no-op 16-task Arrow "
+                "stage 587 -> 134ms), and the UDS worker channel "
+                "(no-op stage min 134 -> 122ms; every Python/Arrow "
+                "stage query gains 0.05-0.17s). Full evidence per "
+                "operator in OPTIMIZATION_r09.md; scale-suite mins "
+                "across round windows: scale_1m build 13.4/8.5s, "
+                "scale_hnsw build 69.5s, recall 1.0 on every gate."
             ),
             "r9_total": (
                 "r9 grows the suite 86 -> 100 queries. First wave (+5): "

@@ -157,6 +157,35 @@ def test_persistent_space(spark, tmp_path):
     assert sp2.count() == 6
 
 
+def test_df_handle_self_heals_after_interrupted_commit(spark, tmp_path):
+    """A writer torn down between the durable manifest swap and the
+    in-memory refresh (e.g. streaming stop() mid-foreachBatch) must not
+    leave the live handle permanently stale: the next read through the
+    ``df`` property self-heals to the committed manifest version."""
+    path = str(tmp_path / "space")
+    sp = Space(spark, make_schema(), path=path)
+    sp.upsert(rows(5))
+    assert sp.count() == 5
+
+    # interrupt the post-commit refresh: the manifest commits v2 but
+    # the live DataFrame handle still reflects v1
+    def torn_refresh():
+        raise RuntimeError("stream teardown mid-commit")
+
+    sp._refresh_df = torn_refresh
+    with pytest.raises(RuntimeError):
+        sp.upsert(rows(3, start=10))
+    del sp._refresh_df  # restore the bound class method
+    assert int(sp._manifest["version"]) == 2  # durable state advanced
+    assert sp._df_man_version == 1  # live handle is stale
+
+    # reads self-heal without a reopen, and agree with a fresh handle
+    assert sp.count() == 8
+    assert sp._df_man_version == 2
+    reopened = Space(spark, make_schema(), path=path)
+    assert reopened.count() == sp.count()
+
+
 def test_cursor_scan(space):
     """GetDoc(docid, next) cursor parity (engine.cc:902-912): pages in
     _seq order, resumable from the last _seq, stable across updates."""

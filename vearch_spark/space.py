@@ -227,6 +227,7 @@ class Space:
             "enable_id_cache": False,  # space.go:72 default
         }
         self._df: DataFrame | None = None
+        self._df_man_version: int | None = None  # manifest version _df reflects
         self._max_seq = 0
         self._manifest: dict | None = None  # path mode: bucket -> version map
         self._indexes: dict[str, object] = {}  # field -> trained index model
@@ -473,6 +474,9 @@ class Space:
 
     def _refresh_df(self) -> None:
         self._df = self._df_for_manifest(self._manifest)
+        self._df_man_version = (
+            int(self._manifest["version"]) if self._manifest else None
+        )
 
     def _commit(self, df: DataFrame, touched: Sequence[int] | None = None) -> None:
         """Commit ``df`` as the new content of ``touched`` buckets (or of
@@ -893,6 +897,13 @@ class Space:
 
     @property
     def df(self) -> DataFrame:
+        # Self-heal a live handle whose writer was interrupted between
+        # the durable manifest swap and the in-memory refresh (e.g. a
+        # streaming foreachBatch torn down by stop() mid-commit): the
+        # manifest is already at version N but _df still reflects N-1.
+        man = self._manifest
+        if man is not None and self._df_man_version != int(man["version"]):
+            self._refresh_df()
         if self._df is None:
             return self.spark.createDataFrame([], self.schema.to_struct_type())
         return self._df
