@@ -270,6 +270,42 @@ def test_graph_connected_layer0():
     assert len(seen) == len(x)
 
 
+def test_search_layer_visited_stamps_stay_isolated():
+    """The visited-epoch rewrite of _search_layer (r9): one persistent
+    stamp array replaces a fresh bool allocation per layer search, so
+    visitation state must not leak between calls, the stamp array must
+    survive the vector buffer doubling (n > the initial 1024), and a
+    load()-adopted graph must keep inserting and searching correctly."""
+    rng = np.random.default_rng(5)
+    x, _ = _clustered(rng, 1400, 8)  # crosses the 1024 buffer doubling
+    g = _ShardGraph(8, Metric.L2, 8, 48)
+    for i in range(len(x)):
+        g.insert(x[i], _level_of(i, g.m_l))
+    q = x[17]
+    first = g.search(q, 64, 10)
+    assert len(first) == 10
+    # epoch isolation: repeated searches see a clean visited state
+    assert all(g.search(q, 64, 10) == first for _ in range(3))
+    # exhaustive ef ⇒ beam search equals brute force exactly
+    d = ((x - q) ** 2).sum(axis=1)
+    got = [n for _, n in g.search(q, len(x), 10)]
+    assert got == np.argsort(d, kind="stable")[:10].tolist()
+    # adopt the stored graph (load() rebuilds the stamp array), search
+    # parity, then grow past the adopted size so the stamps regrow too
+    g2 = _ShardGraph(8, Metric.L2, 8, 48)
+    g2.load(
+        g.vecs.copy(), list(g.levels),
+        [[list(layer) for layer in row] for row in g.links],
+    )
+    assert g2.search(q, 64, 10) == first
+    extra = rng.normal(0, 10, (50, 8))
+    for j in range(50):
+        g2.insert(extra[j], _level_of(f"x{j}", g2.m_l))
+    assert g2.n == len(x) + 50
+    # q is node 17's own vector: exhaustive search must return it first
+    assert g2.search(q, g2.n, 1)[0][1] == 17
+
+
 def test_vacuum_regrows_churned_shards(corpus):
     """Past ~20% tombstones a shard is regrown WITHOUT the dead rows
     (the ForceMerge-reclaims-bitmap analog, engine.cc:1013-1084) — so

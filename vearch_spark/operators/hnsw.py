@@ -106,6 +106,11 @@ class _ShardGraph:
         self.efc = int(ef_construction)
         self.m_l = 1.0 / math.log(self.m)
         self._buf = np.empty((1024, dim), dtype=np.float64)
+        # visited stamps for _search_layer: seen[node] == current epoch
+        # means visited — one persistent array instead of a fresh
+        # len(levels) bool allocation per layer search
+        self._seen = np.zeros(1024, dtype=np.int64)
+        self._epoch = 0
         self.n = 0
         self.levels: list[int] = []
         # links[node][layer] = list[int] neighbor node ids
@@ -121,6 +126,9 @@ class _ShardGraph:
             grown = np.empty((2 * len(self._buf), self._buf.shape[1]), dtype=np.float64)
             grown[: self.n] = self._buf
             self._buf = grown
+            # stamps are only meaningful within one _search_layer call
+            # and growth never happens mid-search, so fresh zeros are fine
+            self._seen = np.zeros(len(self._buf), dtype=np.int64)
         self._buf[self.n] = vec
         self.n += 1
 
@@ -128,6 +136,8 @@ class _ShardGraph:
         """Adopt a stored graph verbatim (read-mostly fast path: link
         rows may stay numpy arrays until an insert mutates them)."""
         self._buf = np.ascontiguousarray(vecs, dtype=np.float64)
+        self._seen = np.zeros(max(len(vecs), 1), dtype=np.int64)
+        self._epoch = 0
         self.n = len(vecs)
         self.levels = list(levels)
         self.links = links
@@ -135,7 +145,7 @@ class _ShardGraph:
 
     # -- distances: smaller is always better (IP negated) --
     def _dist_many(self, q: np.ndarray, nodes) -> np.ndarray:
-        x = self.vecs[np.asarray(nodes, dtype=np.int64)]
+        x = self._buf[np.asarray(nodes, dtype=np.int64)]
         if self.metric is Metric.L2:
             d = x - q
             return np.einsum("ij,ij->i", d, d)
@@ -146,28 +156,35 @@ class _ShardGraph:
     ) -> list[tuple[float, int]]:
         """Beam search (paper Algorithm 2). Returns ef (dist, node)
         pairs, best first."""
-        visited = np.zeros(len(self.levels), dtype=bool)
-        dists = self._dist_many(q, eps)
+        self._epoch += 1
+        epoch = self._epoch
+        seen = self._seen
+        eps_arr = np.asarray(eps, dtype=np.int64)
+        dists = self._dist_many(q, eps_arr)
         cand: list[tuple[float, int]] = []  # min-heap
         best: list[tuple[float, int]] = []  # max-heap via negated dist
-        for d, n in zip(dists, eps):
-            visited[n] = True
-            heapq.heappush(cand, (float(d), n))
-            heapq.heappush(best, (-float(d), n))
+        seen[eps_arr] = epoch
+        for d, n in zip(dists.tolist(), eps):
+            heapq.heappush(cand, (d, n))
+            heapq.heappush(best, (-d, n))
         while len(best) > ef:
             heapq.heappop(best)
+        links = self.links
         while cand:
             d, n = heapq.heappop(cand)
             if d > -best[0][0] and len(best) >= ef:
                 break
-            fresh = [x for x in self.links[n][layer] if not visited[x]]
-            if not fresh:
+            nbrs = links[n][layer]
+            if not len(nbrs):
                 continue
-            visited[np.asarray(fresh, dtype=np.int64)] = True
+            nb = np.asarray(nbrs, dtype=np.int64)
+            fresh = nb[seen[nb] != epoch]
+            if not len(fresh):
+                continue
+            seen[fresh] = epoch
             nd = self._dist_many(q, fresh)
             bound = -best[0][0]
-            for fd, fn in zip(nd, fresh):
-                fd = float(fd)
+            for fd, fn in zip(nd.tolist(), fresh.tolist()):
                 if len(best) < ef or fd < bound:
                     heapq.heappush(cand, (fd, fn))
                     heapq.heappush(best, (-fd, fn))
