@@ -607,23 +607,41 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_posts(spark: SparkSession, sf_dir: str):
+    """Session-cached 3-gram postings INDEX — the df-capped postings
+    relation (hash-clustered by shingle so the pair self-join reads the
+    cache with zero per-side Exchange) plus the per-doc shingle-set
+    sizes, both pure statistics of the static corpus, cached like the
+    ANN/BM25/LM artifacts. r10 (VERDICT r09 ask #1): this replaces the
+    r9 result-level caches (`_ngram_pairs` / the containment result
+    persist) — only these INPUT relations are persisted; the pair joins
+    themselves re-execute from this cache on every action."""
+    from vearch_spark.operators.dedup import ngram_pair_inputs
+
+    key = (id(spark), sf_dir, "shingle_posts3")
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        cold, sizes = ngram_pair_inputs(
+            _docs(spark, sf_dir), text_col="text", id_col="doc_id", shingle_n=3
+        )
+        got = (cold.persist(), sizes.persist())
+        got[0].count()
+        got[1].count()
+        _INDEX_CACHE[key] = got
+    return got
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The exact 3-gram Jaccard pair relation, materialized once per
-    (session, sf) — the near-dup *pair index* both the pair query and
-    the resolution query consume, cached exactly like the ANN/BM25/LM
-    artifacts so the resolution query measures its incremental work
-    (components + canonical pick), not a rebuild of the same join."""
+    """The exact 3-gram Jaccard pair relation — recomputed on every
+    action over the session-cached postings index (r10: the pair
+    OUTPUT is never persisted; only :func:`_shingle_posts` is)."""
     from vearch_spark.operators.dedup import ngram_jaccard_pairs
 
-    key = (id(spark), sf_dir, "ngram_pairs")
-    if key not in _INDEX_CACHE:
-        pairs = ngram_jaccard_pairs(
-            _docs(spark, sf_dir), text_col="text", id_col="doc_id",
-            shingle_n=3, jaccard_threshold=0.3,
-        ).persist()
-        pairs.count()
-        _INDEX_CACHE[key] = pairs
-    return _INDEX_CACHE[key]
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        shingle_n=3, jaccard_threshold=0.3,
+        prepared=_shingle_posts(spark, sf_dir),
+    )
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,22 +708,19 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides — IEEE division of two ints is engine-independent."""
     from vearch_spark.operators.dedup import containment_pairs
 
-    # same session-cache contract as _ngram_pairs: the postings
-    # self-join is the expensive stage and the bench/driver re-run
-    # queries, so the bounded pair result persists once per (session,
-    # sf) instead of re-shingling per call
-    key = (id(spark), sf_dir, "containment_pairs")
-    if key not in _INDEX_CACHE:
-        out = containment_pairs(
-            _docs(spark, sf_dir), text_col="text", id_col="doc_id",
-            shingle_n=3, containment_threshold=0.8,
-        ).orderBy("contained_id", "container_id").select(
-            "contained_id", "container_id",
-            F.col("containment").cast("float").alias("containment"),
-        ).persist()
-        out.count()
-        _INDEX_CACHE[key] = out
-    return _INDEX_CACHE[key]
+    # r10 (VERDICT r09 ask #1): the r9 result-level persist is gone —
+    # the pair join executes on every action; only the shingle postings
+    # INDEX is session-cached (shared with ngram_jaccard_dedup /
+    # dedup_clusters via _shingle_posts)
+    out = containment_pairs(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        shingle_n=3, containment_threshold=0.8,
+        prepared=_shingle_posts(spark, sf_dir),
+    )
+    return out.orderBy("contained_id", "container_id").select(
+        "contained_id", "container_id",
+        F.col("containment").cast("float").alias("containment"),
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3356,26 +3371,18 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "_h"])
 
     hashed = docs.mapInPandas(hash_images, schema="doc_id long, _h long")
-    # r9: the PRODUCTION form of the guard lifecycle — run the banded
-    # pair search with the hot-bucket guard armed (max_bucket=1000 is
-    # a no-op on this corpus: no band bucket approaches the cap, so
-    # the oracle comparison is unchanged) inside skew_guard_scope, and
-    # materialize the bounded pair RESULT before the scope closes: the
-    # scope then releases the guard's persisted banded relation while
-    # the persisted result keeps serving the driver's collect without
-    # recompute (the session-cache contract of _ngram_pairs).
-    from vearch_spark.operators.dedup import skew_guard_scope
-
-    key = (id(spark), sf_dir, "image_near_dup")
-    if key not in _INDEX_CACHE:
-        with skew_guard_scope():
-            pairs = hamming_pairs(
-                hashed, hash_col="_h", id_col="doc_id", max_hamming=3,
-                bands=4, max_bucket=1000,
-            ).orderBy("id_a", "id_b").persist()
-            pairs.count()
-        _INDEX_CACHE[key] = pairs
-    return _INDEX_CACHE[key]
+    # r10 (VERDICT r09 ask #1): the r9 result persist is gone — the
+    # banded pair search executes on every action, with the hot-bucket
+    # guard armed (max_bucket=1000 is a no-op on this corpus: no band
+    # bucket approaches the cap, so the oracle comparison is unchanged).
+    # Guard lifecycle matches minhash/simhash: the guard persists the
+    # banded relation per build and the caller (bench/oracle harness)
+    # releases it between materializations.
+    pairs = hamming_pairs(
+        hashed, hash_col="_h", id_col="doc_id", max_hamming=3,
+        bands=4, max_bucket=1000,
+    )
+    return pairs.orderBy("id_a", "id_b")
 
 
 def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3484,11 +3491,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_frame_sample": q_gif_frame_sample,  # animated-GIF frame-stride sampling (r7)
     "video_frame_sample": q_video_frame_sample,  # RIFF AVI DIB+MJPEG frame sampling (r7)
     "cluster_sample": q_cluster_sample,
-    # (r9: media_probe promoted in-50 — the unified 11-container header
-    # probe is the round's driver-gated evidence for the TIFF family
-    # and media_info; demoted in its place: hard_negatives, whose FLAT/
-    # BLAS mining kernel twins the in-50 knn_self_join + cluster_sample)
-    "media_probe": q_media_probe,  # media_info across all 13 containers, formula oracle (r9)
+    # (r10, VERDICT r09 ask #3: hard_negatives re-promoted in-50 so the
+    # FLAT/BLAS mining path regains its driver stamp after the r9
+    # rotation; media_probe — driver-stamped green in CORRECTNESS_r09 —
+    # rotates to 51+ with its codec twins media_decode/gif/video in-50)
+    "hard_negatives": q_hard_negatives,
     "temperature_mix": q_temperature_mix,
     "scann_knn": q_scann_knn,
     "bm25_topk": q_bm25_topk,
@@ -3504,7 +3511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-50 - the round brings four new first-class pipeline ops that
     # deserve the driver stamp; demoted in their place, each with an
     # in-50 twin:)
-    "hard_negatives": q_hard_negatives,  # FLAT/BLAS mining: knn_self_join + cluster_sample in-50 (demoted r9)
+    "media_probe": q_media_probe,  # media_info across all 13 containers (driver-stamped r9): media_decode/gif/video codec twins in-50
     "embedding_outliers": q_embedding_outliers,  # IVF-assignment stats: cluster_sample in-50
     "doc_chunks": q_doc_chunks,  # tokenizer chunking: sequence_packing in-50
     "term_filter_arrays": q_term_filter_arrays,  # filter family: filter_scan in-50

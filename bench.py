@@ -263,8 +263,14 @@ LINE_BUDGET = 1700
 
 # sf0.1 seconds: queries at least this slow keep an individual timing
 # in the compact line; faster ones are named in the space-joined
-# "fast" string (full-precision timings always live in BENCH_LOCAL.json)
-FOLD_UNDER = 0.45
+# "fast" string (full-precision timings always live in BENCH_LOCAL.json).
+# r10: 0.0 — the r9 suite got fast enough that the old 0.45 cutoff
+# folded 99/100 queries and blinded the driver's per-query and scaling
+# comparisons (VERDICT r09 ask #2). With 0.0 every query is a candidate
+# for an individual timing and the budget ladder below folds only the
+# FASTEST ones as needed to fit LINE_BUDGET, so the slowest (most
+# informative) rows always stay visible.
+FOLD_UNDER = 0.0
 
 
 def compact_line(payload: dict) -> str:
@@ -307,7 +313,9 @@ def compact_line(payload: dict) -> str:
     fast = sorted(k for k, v in items if v < FOLD_UNDER)
 
     def fold(slow_items, fast_names):
-        core["queries"] = {k: round(v, 1) for k, v in slow_items}
+        # 2dp: the suite's per-query values sit at 0.05-0.5 s, where a
+        # 1dp rounding destroys the driver's speedup/scaling ratios
+        core["queries"] = {k: round(v, 2) for k, v in slow_items}
         core["fast"] = " ".join(fast_names)
         core["fast_n"] = len(fast_names)
         core["fast_sec"] = round(
@@ -528,9 +536,10 @@ def hnsw_scale_suite(spark) -> dict:
     reference CI gates (recall@1/@10/@100 ≥ 0.50/0.80/0.90). 32 shards
     of ~3.1k build in parallel (r9: one shard per core instead of 8 —
     per-insert cost also falls with graph size; same-window A/B build
-    74.0 → 30.3 s, batch qps 9.2 → 14.3, recall 1.0 unchanged since
-    per-shard search stays exact-merged across shards); ground truth =
-    exact batched FLAT scan."""
+    74.0 → 30.3 s, batch qps 9.2 → 14.3, recall re-measured at 1.0 —
+    gates unchanged: the cross-shard merge is exact, and each ef=128
+    beam probe covers a larger fraction of a 3.1k shard); ground
+    truth = exact batched FLAT scan."""
     from tools.stress_1m import make_df
     from tools.stress_hnsw import (
         by_query_scores,

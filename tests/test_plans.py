@@ -466,16 +466,15 @@ def test_containment_pairs_no_cartesian(spark, sf_dir):
     one pair relation."""
     import __spark_entry__ as entry
 
-    # the entry caches the materialized result per (session, sf); pin
-    # the UNCACHED plan shape
-    key = (id(spark), sf_dir, "containment_pairs")
-    entry._INDEX_CACHE.pop(key, None)
+    # r10: no result-level cache — the builder returns the live pair
+    # join over the session-cached postings index on every call
     out = entry.q_containment_pairs(spark, sf_dir)
     plan = X.formatted_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # df-cap anti-join stays broadcast
-    entry._INDEX_CACHE.pop(key, None)
-    out.unpersist()
+    # the pair join is LIVE in the plan (pair self-join + two size
+    # joins at least) — not a scan of a persisted result
+    assert plan.count("Join") >= 3
 
 
 def test_audio_segments_single_keyed_exchange(spark, sf_dir):

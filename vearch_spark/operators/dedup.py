@@ -856,12 +856,62 @@ def minhash_lsh_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The narrow inverted-index postings relation ``(_did, _shingle)``
+    — doc id + 64-bit xxhash of each word n-gram — that every exact
+    ngram pair operator joins on. Split out (r10) so a session can
+    persist THIS input relation once (the index-artifact contract: the
+    cached bytes are 2 longs/posting) while the pair joins themselves
+    re-execute on every action."""
+    return df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("_shingle"),
+    )
+
+
+def ngram_pair_inputs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """``(cold_posts, sizes)`` — everything about the exact ngram pair
+    joins that is a pure statistic of the static input corpus: the
+    document-frequency-capped postings relation, hash-clustered by the
+    shingle join key (so a persisted copy feeds the pair self-join with
+    zero per-side Exchange — the LSH banded-cache treatment, guide
+    §2.2), and the per-doc FULL shingle-set sizes. This is the
+    index-artifact split (r10, VERDICT r09 ask #1): a session persists
+    these inputs once, while the pair joins themselves re-execute on
+    every action."""
+    posts = shingle_postings(df, text_col, id_col, shingle_n)
+    sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
+    n_docs = df.count()
+    df_cap = max(100, int(n_docs * 0.01))
+    hot = (
+        posts.groupBy("_shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > df_cap)
+        .select("_shingle")
+    )
+    cold = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
+    return cold.repartition("_shingle"), sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via inverted index.
 
@@ -880,40 +930,37 @@ def ngram_jaccard_pairs(
     alternative would call two docs identical for sharing only
     boilerplate). Exact duplicates are the exact_dedup operator's job.
 
-    The persisted postings relation backs the RETURNED lazy DataFrame;
-    callers that materialize the result and want the cache back call
-    ``spark.catalog.clearCache()`` or unpersist via the plan's
-    InMemoryRelation (session-lifetime caching is the intended mode
-    for the driver/bench pipelines, matching the ANN index caches).
+    ``prepared``: optionally supply a (typically session-persisted)
+    :func:`ngram_pair_inputs` pair — the index-artifact posture: the
+    INPUT relations are cached once per session while the pair join
+    below still executes on every action. When omitted, the postings
+    are built and persisted here (one relation consumed by the set
+    sizes, the df cap, and both join sides, so the shingling runs once;
+    the cached bytes are 2 longs/posting — the footprint that still
+    fits at 100 TB).
     """
-    # ONE persisted relation — the narrow postings (doc id, 64-bit
-    # shingle hash; the join never moves n-gram text). Every consumer
-    # (set sizes, the df cap, both join sides) derives from this cache,
-    # so the shingling UDF runs exactly once and the cached bytes are
-    # 2 longs/posting — the footprint that still fits at 100 TB.
-    posts = df.select(
-        F.col(id_col).alias("_did"),
-        F.explode(
-            F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
-        ).alias("_shingle"),
-    ).persist()
-    # |A| per doc = posting count (shingles are distinct per doc);
-    # zero-shingle docs (empty text -> empty shingle array) vanish in
-    # the explode
-    sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
+    if prepared is not None:
+        posts, sizes = prepared
+    else:
+        posts = shingle_postings(df, text_col, id_col, shingle_n).persist()
+        # |A| per doc = posting count (shingles are distinct per doc);
+        # zero-shingle docs (empty text -> empty shingle array) vanish
+        # in the explode
+        sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
 
-    # document-frequency cap: a shingle in >1% of docs (min 100) carries
-    # no dedup signal but quadratic join cost. n_docs from the input
-    # relation (parquet metadata count — no shingle compute).
-    n_docs = df.count()
-    df_cap = max(100, int(n_docs * 0.01))
-    hot = (
-        posts.groupBy("_shingle")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") > df_cap)
-        .select("_shingle")
-    )
-    posts = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
+        # document-frequency cap: a shingle in >1% of docs (min 100)
+        # carries no dedup signal but quadratic join cost. n_docs from
+        # the input relation (parquet metadata count — no shingle
+        # compute).
+        n_docs = df.count()
+        df_cap = max(100, int(n_docs * 0.01))
+        hot = (
+            posts.groupBy("_shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("_shingle")
+        )
+        posts = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
 
     pairs = (
         posts.alias("a")
@@ -937,6 +984,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     containment_threshold: float = 0.8,
+    prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT join (Broder): emit
     ``(contained_id, container_id, containment)`` where containment =
@@ -952,23 +1000,24 @@ def containment_pairs(
     cap on ubiquitous shingles (score becomes a LOWER BOUND — shared
     boilerplate carries no containment signal either), shingle-keyed
     equi-join, pair-keyed count. The denominator |A| stays the FULL
-    set size, so the cap can only suppress, never inflate."""
-    posts = df.select(
-        F.col(id_col).alias("_did"),
-        F.explode(
-            F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
-        ).alias("_shingle"),
-    ).persist()
-    sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
-    n_docs = df.count()
-    df_cap = max(100, int(n_docs * 0.01))
-    hot = (
-        posts.groupBy("_shingle")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") > df_cap)
-        .select("_shingle")
-    )
-    cold = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
+    set size, so the cap can only suppress, never inflate.
+    ``prepared``: as on :func:`ngram_jaccard_pairs` — supply a
+    session-persisted :func:`ngram_pair_inputs` pair so the pair join
+    recomputes per action over shared cached inputs."""
+    if prepared is not None:
+        cold, sizes = prepared
+    else:
+        posts = shingle_postings(df, text_col, id_col, shingle_n).persist()
+        sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
+        n_docs = df.count()
+        df_cap = max(100, int(n_docs * 0.01))
+        hot = (
+            posts.groupBy("_shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("_shingle")
+        )
+        cold = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
     pairs = (
         cold.alias("a")
         .join(cold.alias("b"), on="_shingle")

@@ -126,15 +126,34 @@ class _ShardGraph:
             grown = np.empty((2 * len(self._buf), self._buf.shape[1]), dtype=np.float64)
             grown[: self.n] = self._buf
             self._buf = grown
-            # stamps are only meaningful within one _search_layer call
-            # and growth never happens mid-search, so fresh zeros are fine
-            self._seen = np.zeros(len(self._buf), dtype=np.int64)
+            # carry the old stamps into the grown array (ADVICE r09):
+            # correctness then never rests on the "growth never happens
+            # mid-_search_layer" invariant — stamps stay valid even if
+            # a future caller interleaves an append with search state
+            seen = np.zeros(len(self._buf), dtype=np.int64)
+            seen[: len(self._seen)] = self._seen
+            self._seen = seen
         self._buf[self.n] = vec
         self.n += 1
 
     def load(self, vecs: np.ndarray, levels: list[int], links: list) -> None:
         """Adopt a stored graph verbatim (read-mostly fast path: link
-        rows may stay numpy arrays until an insert mutates them)."""
+        rows may stay numpy arrays until an insert mutates them).
+        Link ids are validated once here (ADVICE r09): the hot path
+        indexes the raw buffer, so a corrupt stored graph whose links
+        point past the vector count must fail loudly at load time, not
+        read uninitialized buffer rows during search."""
+        hi = -1
+        for node_links in links:
+            for row in node_links:
+                if len(row):
+                    m = int(max(row))
+                    if m > hi:
+                        hi = m
+        if hi >= len(vecs):
+            raise ValueError(
+                f"corrupt graph: link id {hi} >= {len(vecs)} vectors"
+            )
         self._buf = np.ascontiguousarray(vecs, dtype=np.float64)
         self._seen = np.zeros(max(len(vecs), 1), dtype=np.int64)
         self._epoch = 0
