@@ -607,26 +607,24 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_posts(spark: SparkSession, sf_dir: str):
+def _shingle_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached 3-gram postings INDEX — the df-capped postings
-    relation (hash-clustered by shingle so the pair self-join reads the
-    cache with zero per-side Exchange) plus the per-doc shingle-set
-    sizes, both pure statistics of the static corpus, cached like the
+    relation carrying each doc's full shingle-set size, hash-clustered
+    by shingle so the pair self-join reads the cache with zero per-side
+    Exchange. A pure statistic of the static corpus, cached like the
     ANN/BM25/LM artifacts. r10 (VERDICT r09 ask #1): this replaces the
     r9 result-level caches (`_ngram_pairs` / the containment result
-    persist) — only these INPUT relations are persisted; the pair joins
+    persist) — only this INPUT relation is persisted; the pair joins
     themselves re-execute from this cache on every action."""
     from vearch_spark.operators.dedup import ngram_pair_inputs
 
     key = (id(spark), sf_dir, "shingle_posts3")
     got = _INDEX_CACHE.get(key)
     if got is None:
-        cold, sizes = ngram_pair_inputs(
+        got = ngram_pair_inputs(
             _docs(spark, sf_dir), text_col="text", id_col="doc_id", shingle_n=3
-        )
-        got = (cold.persist(), sizes.persist())
-        got[0].count()
-        got[1].count()
+        ).persist()
+        got.count()
         _INDEX_CACHE[key] = got
     return got
 

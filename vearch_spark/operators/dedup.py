@@ -881,16 +881,20 @@ def ngram_pair_inputs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-) -> tuple[DataFrame, DataFrame]:
-    """``(cold_posts, sizes)`` — everything about the exact ngram pair
-    joins that is a pure statistic of the static input corpus: the
-    document-frequency-capped postings relation, hash-clustered by the
-    shingle join key (so a persisted copy feeds the pair self-join with
-    zero per-side Exchange — the LSH banded-cache treatment, guide
-    §2.2), and the per-doc FULL shingle-set sizes. This is the
-    index-artifact split (r10, VERDICT r09 ask #1): a session persists
-    these inputs once, while the pair joins themselves re-execute on
-    every action."""
+) -> DataFrame:
+    """The document-frequency-capped postings relation
+    ``(_did, _shingle, _n)`` — everything about the exact ngram pair
+    joins that is a pure statistic of the static input corpus. ``_n``
+    is the doc's FULL shingle-set size riding every posting row, so the
+    pair aggregation reads both set sizes out of its own groups and the
+    two post-aggregation size joins (and their broadcast-build jobs)
+    disappear from every pass (guide §2.4). The relation is
+    hash-clustered by the shingle join key so a persisted copy feeds
+    the pair self-join with zero per-side Exchange (the LSH
+    banded-cache treatment, guide §2.2). This is the index-artifact
+    split (r10, VERDICT r09 ask #1): a session persists this input
+    once, while the pair joins themselves re-execute on every
+    action."""
     posts = shingle_postings(df, text_col, id_col, shingle_n)
     sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
     n_docs = df.count()
@@ -901,8 +905,10 @@ def ngram_pair_inputs(
         .where(F.col("_df") > df_cap)
         .select("_shingle")
     )
-    cold = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
-    return cold.repartition("_shingle"), sizes
+    cold = posts.join(F.broadcast(hot), on="_shingle", how="left_anti").join(
+        sizes, "_did"
+    )
+    return cold.repartition("_shingle")
 
 
 def ngram_jaccard_pairs(
@@ -911,7 +917,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-    prepared: tuple[DataFrame, DataFrame] | None = None,
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via inverted index.
 
@@ -931,50 +937,51 @@ def ngram_jaccard_pairs(
     boilerplate). Exact duplicates are the exact_dedup operator's job.
 
     ``prepared``: optionally supply a (typically session-persisted)
-    :func:`ngram_pair_inputs` pair — the index-artifact posture: the
-    INPUT relations are cached once per session while the pair join
-    below still executes on every action. When omitted, the postings
-    are built and persisted here (one relation consumed by the set
-    sizes, the df cap, and both join sides, so the shingling runs once;
-    the cached bytes are 2 longs/posting — the footprint that still
-    fits at 100 TB).
+    :func:`ngram_pair_inputs` relation — the index-artifact posture:
+    the INPUT relation is cached once per session while the pair join
+    below still executes on every action. When omitted, the same
+    relation is built (and its raw postings persisted) here. Either
+    way the per-doc FULL set sizes ride the posting rows, so the pair
+    aggregation emits (|∩|, |A|, |B|) in one group pass — no
+    post-aggregation size joins (guide §2.4).
     """
     if prepared is not None:
-        posts, sizes = prepared
+        posts = prepared
     else:
-        posts = shingle_postings(df, text_col, id_col, shingle_n).persist()
         # |A| per doc = posting count (shingles are distinct per doc);
         # zero-shingle docs (empty text -> empty shingle array) vanish
-        # in the explode
-        sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
-
-        # document-frequency cap: a shingle in >1% of docs (min 100)
-        # carries no dedup signal but quadratic join cost. n_docs from
-        # the input relation (parquet metadata count — no shingle
-        # compute).
+        # in the explode. The df cap drops shingles in >1% of docs
+        # (min 100): no dedup signal, quadratic join cost.
+        base = shingle_postings(df, text_col, id_col, shingle_n).persist()
+        sizes = base.groupBy("_did").agg(F.count("*").alias("_n"))
         n_docs = df.count()
         df_cap = max(100, int(n_docs * 0.01))
         hot = (
-            posts.groupBy("_shingle")
+            base.groupBy("_shingle")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") > df_cap)
             .select("_shingle")
         )
-        posts = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
+        posts = base.join(F.broadcast(hot), on="_shingle", how="left_anti").join(
+            sizes, "_did"
+        )
 
+    # every row of a (id_a, id_b) group carries the same _n per side,
+    # so max() reads the set sizes out of the group — exact integers
     pairs = (
         posts.alias("a")
         .join(posts.alias("b"), on="_shingle")
         .where(F.col("a._did") < F.col("b._did"))
         .groupBy(F.col("a._did").alias("id_a"), F.col("b._did").alias("id_b"))
-        .agg(F.count("*").alias("_inter"))
+        .agg(
+            F.count("*").alias("_inter"),
+            F.max(F.col("a._n")).alias("_na"),
+            F.max(F.col("b._n")).alias("_nb"),
+        )
     )
-    out = (
-        pairs.join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-        .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
-        .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
-        .where(F.col("jaccard") >= jaccard_threshold)
-    )
+    out = pairs.withColumn(
+        "jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    ).where(F.col("jaccard") >= jaccard_threshold)
     return out.select("id_a", "id_b", "jaccard")
 
 
@@ -984,7 +991,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     containment_threshold: float = 0.8,
-    prepared: tuple[DataFrame, DataFrame] | None = None,
+    prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT join (Broder): emit
     ``(contained_id, container_id, containment)`` where containment =
@@ -1002,47 +1009,58 @@ def containment_pairs(
     equi-join, pair-keyed count. The denominator |A| stays the FULL
     set size, so the cap can only suppress, never inflate.
     ``prepared``: as on :func:`ngram_jaccard_pairs` — supply a
-    session-persisted :func:`ngram_pair_inputs` pair so the pair join
-    recomputes per action over shared cached inputs."""
+    session-persisted :func:`ngram_pair_inputs` relation so the pair
+    join recomputes per action over a shared cached input.
+
+    r10 plan notes (guide §2.4): the set sizes ride the posting rows
+    into the pair aggregation (no post-aggregation size joins), and
+    the two directions come from ONE 2-element explode of each
+    undirected pair — the previous union form duplicated the whole
+    pair-join subtree into both branches, exactly doubling the work
+    of every pass."""
     if prepared is not None:
-        cold, sizes = prepared
+        cold = prepared
     else:
-        posts = shingle_postings(df, text_col, id_col, shingle_n).persist()
-        sizes = posts.groupBy("_did").agg(F.count("*").alias("_n"))
+        base = shingle_postings(df, text_col, id_col, shingle_n).persist()
+        sizes = base.groupBy("_did").agg(F.count("*").alias("_n"))
         n_docs = df.count()
         df_cap = max(100, int(n_docs * 0.01))
         hot = (
-            posts.groupBy("_shingle")
+            base.groupBy("_shingle")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") > df_cap)
             .select("_shingle")
         )
-        cold = posts.join(F.broadcast(hot), on="_shingle", how="left_anti")
+        cold = base.join(F.broadcast(hot), on="_shingle", how="left_anti").join(
+            sizes, "_did"
+        )
     pairs = (
         cold.alias("a")
         .join(cold.alias("b"), on="_shingle")
         .where(F.col("a._did") < F.col("b._did"))
         .groupBy(F.col("a._did").alias("id_a"), F.col("b._did").alias("id_b"))
-        .agg(F.count("*").alias("_inter"))
-    )
-    both = pairs.join(
-        sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_n", "_na"),
-        "id_a",
-    ).join(
-        sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_n", "_nb"),
-        "id_b",
-    )
-    directed = both.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        (F.col("_inter") / F.col("_na")).alias("containment"),
-    ).unionByName(
-        both.select(
-            F.col("id_b").alias("contained_id"),
-            F.col("id_a").alias("container_id"),
-            (F.col("_inter") / F.col("_nb")).alias("containment"),
+        .agg(
+            F.count("*").alias("_inter"),
+            F.max(F.col("a._n")).alias("_na"),
+            F.max(F.col("b._n")).alias("_nb"),
         )
     )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    (F.col("_inter") / F.col("_na")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    (F.col("_inter") / F.col("_nb")).alias("containment"),
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.contained_id", "_d.container_id", "_d.containment")
     return directed.where(
         F.col("containment") >= containment_threshold
     )
