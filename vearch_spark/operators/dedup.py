@@ -124,7 +124,15 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
                 )
             return pd.Series(out)
 
-        _SHINGLE_UDFS[n] = sh
+        # deterministic output — the marker is an optimizer fence, the
+        # same one gram_stats carries (guide §4.4): minhash's
+        # `where(size(_sh) > 0)` was pushed below the projection by
+        # substituting the UDF call into the predicate, planting a
+        # SECOND ArrowEvalPython shingling pass under the filter — the
+        # whole corpus was shingled twice per (re)build of the base
+        # relation. Nondeterministic expressions are never substituted
+        # or reordered, so the kernel runs exactly once.
+        _SHINGLE_UDFS[n] = sh.asNondeterministic()
     return _SHINGLE_UDFS[n](col)
 
 
