@@ -912,20 +912,23 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-source corpus stats with chunk counts (64-token windows,
     stride 48). The whole pipeline is a narrow projection chain with
     exactly two shuffles (dedup aggregation, final rollup) — at 100 TB
-    the shuffle payload is (md5, ints), never document bodies. Gram stats
-    ride one Arrow batch pass (text.gram_stats) so the redaction chain
-    is evaluated once per row, not once per gram."""
-    from vearch_spark.functions.text import gram_stats, redact_pii
+    the shuffle payload is (md5, ints), never document bodies.
+    Normalize+redact+gram-stats ride ONE fused Arrow batch pass (r10,
+    text.redact_gram_stats): the text already crossed the boundary for
+    gram counting, so the four JVM regexp passes moved into the kernel
+    (re.ASCII — byte-equal to Java regex/RE2 on these patterns, pinned
+    by fixture test + the oracle hash at all three SFs)."""
+    from vearch_spark.functions.text import redact_gram_stats
 
     # spread the corpus before the redaction+gram kernel: the r9 profile
     # showed the whole regex+Arrow chain serialized into the one-row-
     # group scan task (see _spread)
     docs = _spread(_docs(spark, sf_dir))
-    cleaned = docs.select(
-        "doc_id", "source", redact_pii("text").getField("redacted").alias("_t")
-    )
-    feat = cleaned.withColumn("_st", gram_stats("_t")).select(
-        "doc_id", "source", "_t",
+    feat = docs.select(
+        "doc_id", "source", redact_gram_stats("text").alias("_st")
+    ).select(
+        "doc_id", "source",
+        F.col("_st.redacted").alias("_t"),
         F.col("_st.n_tokens").alias("n_tokens"),
         F.col("_st.n_grams").alias("_ng"),
         F.col("_st.n_dup_grams").alias("_nd"),

@@ -128,6 +128,73 @@ def test_redact_pii(spark):
     assert out[2].redacted == "clean text no pii"
 
 
+def test_redact_gram_stats_matches_jvm_chain(spark):
+    """r10: the fused Arrow normalize+redact+gram kernel is byte-equal
+    to the JVM regexp chain + gram_stats it replaced in corpus_pipeline
+    on every input whose PII-adjacent characters are ASCII — including
+    NBSP whitespace edges (\\s is ASCII on BOTH engines) and unicode
+    text away from the match sites. Where a digit abuts a non-ASCII
+    codepoint, Java's \\b is unicode-classed while RE2 — the DuckDB
+    oracle that defines the declared query's results — is ASCII-classed
+    like the kernel's re.ASCII, so the kernel follows the ORACLE there
+    (second block pins those cases explicitly)."""
+    from vearch_spark.functions.text import (
+        gram_stats,
+        redact_gram_stats,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail bob@example.com  and  10.0.0.1 call +1 555-123-4567 now"),
+        (2, "clean text no pii"),
+        (3, "ip glued to a letter 10.0.0.1x stays"),
+        (4, "\xa0 leading nbsp 1.2.3.4 trailing nbsp\xa0 "),
+        (5, "tabs\tand\nnewlines   collapse 999-123 4567 890"),
+        (6, "a b c a b c a b c repeated grams"),
+        (7, ""),
+        (8, "unicode w\u00f6rd m\u00fcller@example.com t\u00e9st"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    jvm = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("text").getField("redacted").alias("redacted"),
+            gram_stats(redact_pii("text").getField("redacted")).alias("g"),
+        ).collect()
+    }
+    fused = {
+        r.id: r
+        for r in df.select("id", redact_gram_stats("text").alias("s"))
+        .select("id", "s.*")
+        .collect()
+    }
+    for i, _ in rows:
+        assert fused[i].redacted == jvm[i].redacted, (i, fused[i], jvm[i])
+        assert fused[i].n_tokens == jvm[i].g.n_tokens, i
+        assert fused[i].n_grams == jvm[i].g.n_grams, i
+        assert fused[i].n_dup_grams == jvm[i].g.n_dup_grams, i
+
+    # oracle-semantics pins: ASCII \\b (RE2/DuckDB, re.ASCII) treats a
+    # non-ASCII letter and a combining mark as non-word -> boundary ->
+    # redact; Java's unicode \\b would keep both. \u00bd (No category)
+    # is non-word in both ASCII classes -> redact on either engine.
+    exotic = [
+        (10, "x 10.0.0.2\u00e9 y"),
+        (11, "x 1.2.3.4\u0301 y"),
+        (12, "x 1.2.3.4\u00bd y"),
+    ]
+    got = {
+        r.id: r.s.redacted
+        for r in spark.createDataFrame(exotic, "id long, text string")
+        .select("id", redact_gram_stats("text").alias("s"))
+        .collect()
+    }
+    assert got[10] == "x <IP>\u00e9 y"
+    assert got[11] == "x <IP>\u0301 y"
+    assert got[12] == "x <IP>\u00bd y"
+
+
 def test_dedup_lines_and_fraction(spark):
     from pyspark.sql import functions as F
 

@@ -444,16 +444,23 @@ def gopher_repetition_stats(
                 else:
                     cnt[k] = c + 1
             best_c = max(cnt.values())
-            # most frequent; ties → longer gram, then lexicographic
-            g = min(
-                (
-                    " ".join(toks[i : i + n])
-                    for k, i in first_pos.items()
-                    if cnt[k] == best_c
-                ),
-                key=lambda s: (-len(s), s),
+            # most frequent; ties → longer gram (the published rule's
+            # lexicographic last resort cannot reach the OUTPUT: the
+            # fraction uses only the chosen gram's LENGTH, and every
+            # lex-tied candidate shares best_len by definition). r10:
+            # gram length comes from the separator-inclusive char
+            # prefix sums (len(" ".join(toks[i:i+n])) ==
+            # starts[i+n-1] - starts[i] + len(toks[i+n-1]) by
+            # construction), so NO gram string materializes — the old
+            # form joined every max-count gram, which with best_c == 1
+            # (no repeats, the common doc) was every gram of the doc
+            # (~55 % of the kernel, measured).
+            best_len = max(
+                starts[i + n - 1] - starts[i] + len(toks[i + n - 1])
+                for k, i in first_pos.items()
+                if cnt[k] == best_c
             )
-            out.append(float(best_c * len(g)) / float(total))
+            out.append(float(best_c * best_len) / float(total))
         for n in dup_ns:
             m = len(toks) - n + 1
             if m < 1:
