@@ -243,6 +243,25 @@ def test_embedding_cosine_bucketed_hot_bucket_guard(spark):
     ).count() >= 0
 
 
+def test_embedding_cosine_bucketed_blas_guard_in_kernel(spark):
+    """r10: the blas path's max_bucket cap rides INSIDE the scoring
+    task (applyInPandas hands each bucket whole), so no per-pass
+    groupBy-count probe job exists; an over-cap bucket still fails —
+    at action time, with the refine-the-quantizer guidance."""
+    vecs = [(i, [1.0, float(i % 3)], 0) for i in range(10)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, bkt int")
+    out = dedup.embedding_cosine_pairs(
+        df, threshold=0.9, bucket_col="bkt", max_bucket=5, kernel="blas"
+    )
+    with pytest.raises(Exception, match="max_bucket"):
+        out.count()
+    # under the cap the kernel scores normally
+    ok = dedup.embedding_cosine_pairs(
+        df, threshold=0.999, bucket_col="bkt", max_bucket=100, kernel="blas"
+    )
+    assert ok.count() >= 0
+
+
 def test_duplicated_span_stats(spark):
     """Exact substring-level dedup (rolling window hashes): planted
     repeats are found, within-doc repeats count, short docs emit zeros

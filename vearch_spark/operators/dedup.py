@@ -1511,7 +1511,12 @@ def embedding_cosine_pairs(
         "_v", F.col(vec_col).cast("array<double>")
     )
     base = base.withColumn("_n", vector_norm(F.col("_v"))).drop(vec_col)
-    if bucket_col and max_bucket is not None:
+    if kernel not in ("blas", "expr"):
+        raise ValueError(f"unknown kernel: {kernel!r} (blas | expr)")
+    if bucket_col and max_bucket is not None and kernel != "blas":
+        # expr path: the quadratic blow-up happens inside the pair
+        # JOIN, so the cap must be checked before planning it — one
+        # map-side-combined count probe
         hot = (
             base.groupBy(bucket_col)
             .agg(F.count("*").alias("_bucket_n"))  # aliased: bucket_col
@@ -1526,8 +1531,6 @@ def embedding_cosine_pairs(
                 "join would be quadratic — refine the coarse quantizer (more "
                 "cells / a two-level tree) or raise max_bucket"
             )
-    if kernel not in ("blas", "expr"):
-        raise ValueError(f"unknown kernel: {kernel!r} (blas | expr)")
     if kernel == "blas":
         if not bucket_col:
             # the unbucketed brute form IS embedding_cosine_pairs_blas
@@ -1538,7 +1541,21 @@ def embedding_cosine_pairs(
         thr = float(threshold)
         id_t = base.schema[id_col].dataType.simpleString()
 
+        mb = max_bucket
+
         def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            # r10: the cap rides INSIDE the scoring task — applyInPandas
+            # hands each bucket whole, so the guard needs no separate
+            # groupBy-count probe job per pass (guide §2.4/VERDICT r09
+            # ask #4); it fails before allocating the quadratic matmul,
+            # exactly as the driver probe did before planning the join
+            if mb is not None and len(pdf) > mb:
+                raise ValueError(
+                    f"bucket holds {len(pdf)} rows (> max_bucket={mb}): "
+                    "the within-bucket cosine matmul would be quadratic "
+                    "— refine the coarse quantizer (more cells / a "
+                    "two-level tree) or raise max_bucket"
+                )
             if len(pdf) < 2:
                 return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
