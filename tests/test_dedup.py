@@ -408,6 +408,85 @@ def test_gopher_repetition_stats(spark):
     assert set(out) == {0, 1, 2, 3}
 
 
+def test_gopher_repetition_matches_bruteforce_reference(spark):
+    """r10: the pigeonhole-pruned kernel (2-gram pass seeds 3..5-gram
+    candidates, 5-gram pass seeds 6..10 — a duplicated n-gram's
+    leading/trailing sub-grams are always duplicated) must equal the
+    straightforward count-every-position reference on random docs with
+    planted repeats and on the degenerate edges."""
+    import random
+
+    from vearch_spark.operators.dedup import (
+        GOPHER_DUP_NGRAM_THRESHOLDS,
+        GOPHER_TOP_NGRAM_THRESHOLDS,
+        gopher_repetition_stats,
+    )
+
+    def reference(text):
+        toks = text.split(" ")
+        total = len(text)
+        out = {}
+        for n in GOPHER_TOP_NGRAM_THRESHOLDS:
+            m = len(toks) - n + 1
+            if m < 1:
+                out[f"top_{n}gram_frac"] = 0.0
+                continue
+            cnt = {}
+            for i in range(m):
+                g = " ".join(toks[i : i + n])
+                cnt[g] = cnt.get(g, 0) + 1
+            best = max(cnt.values())
+            g = min((g for g, c in cnt.items() if c == best),
+                    key=lambda s: (-len(s), s))
+            # unrounded: the query rounds JVM-side (HALF_UP); the
+            # assertion uses half-ulp-of-6dp tolerance instead of
+            # replicating the rounding mode
+            out[f"top_{n}gram_frac"] = best * len(g) / total
+        for n in GOPHER_DUP_NGRAM_THRESHOLDS:
+            m = len(toks) - n + 1
+            if m < 1:
+                out[f"dup_{n}gram_frac"] = 0.0
+                continue
+            grams = [" ".join(toks[i : i + n]) for i in range(m)]
+            cnt = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            starts = [0]
+            for t in toks:
+                starts.append(starts[-1] + len(t) + 1)
+            islands, prev_end = [], None
+            for p0 in range(m):
+                if cnt[grams[p0]] < 2:
+                    continue
+                pos, end = p0 + 1, p0 + n
+                if prev_end is None or pos > prev_end:
+                    islands.append([pos, end])
+                elif end > islands[-1][1]:
+                    islands[-1][1] = end
+                if prev_end is None or end > prev_end:
+                    prev_end = end
+            cov = sum(
+                starts[e - 1] + len(toks[e - 1]) - starts[s - 1]
+                for s, e in islands
+            )
+            out[f"dup_{n}gram_frac"] = cov / total if islands else 0.0
+        return out
+
+    rng = random.Random(42)
+    rows = [(90, "a"), (91, "a a"), (92, "a a a a a a a a a a a a"),
+            (93, "x y x y x y x y x y x y")]
+    for i in range(60):
+        vocab = [f"w{j}" for j in range(rng.randint(1, 10))]
+        rows.append((i, " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randint(1, 50)))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_repetition_stats(docs).collect()}
+    for i, text in rows:
+        want = reference(text)
+        for k, v in want.items():
+            assert abs(got[i][k] - v) <= 5.01e-7, (i, k, got[i][k], v, text)
+
+
 def test_blank_docs_are_not_pseudo_duplicates(spark):
     """Empty/whitespace/NULL docs yield EMPTY shingle sets (no ''
     pseudo-shingle), so they never become jaccard-1.0 near-dups of

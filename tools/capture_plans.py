@@ -22,8 +22,11 @@ def main() -> int:
     from vearch_spark.session import get_spark
 
     spark = get_spark(app_name="plan-capture")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r09")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_TAG", "r10"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     qs = entry.queries()

@@ -400,18 +400,18 @@ def gopher_repetition_stats(
 
     top_ns = tuple(GOPHER_TOP_NGRAM_THRESHOLDS)
     dup_ns = tuple(GOPHER_DUP_NGRAM_THRESHOLDS)
+    # the pigeonhole pruning below anchors on the published ladder
+    # shape: the exact 2-gram pass seeds the 3..5 candidates and the
+    # exact 5-gram pass seeds 6..10
+    assert top_ns[0] == 2 and dup_ns[0] == 5, (top_ns, dup_ns)
 
     def fractions(text: str | None) -> list[float]:
         if text is None:
             return [0.0] * (len(top_ns) + len(dup_ns))
         toks = text.split(" ")
         total = len(text)
-        # grams are counted as tuples of interned token IDS — int-tuple
-        # hashing is several× cheaper than joining the token strings
-        # per position; strings materialize only for the (rare)
-        # tie-break among max-count grams. Token sequences joined with
-        # a separator do NOT order like id/string tuples in general, so
-        # the tie-break compares the actual joined strings.
+        # grams are counted as interned token IDS (packed ints for the
+        # 2-gram pass, id tuples above) — never joined strings
         tok2id: dict[str, int] = {}
         ids = []
         for t in toks:
@@ -427,55 +427,135 @@ def gopher_repetition_stats(
         for i, t in enumerate(toks):
             starts[i] = acc
             acc += len(t) + 1
-        out = []
-        for n in top_ns:
-            m = len(toks) - n + 1
-            if m < 1:
-                out.append(0.0)
-                continue
-            cnt: dict[tuple, int] = {}
-            first_pos: dict[tuple, int] = {}
-            for i in range(m):
-                k = tuple(ids[i : i + n])
-                c = cnt.get(k)
-                if c is None:
-                    cnt[k] = 1
-                    first_pos[k] = i
-                else:
-                    cnt[k] = c + 1
-            best_c = max(cnt.values())
-            # most frequent; ties → longer gram (the published rule's
-            # lexicographic last resort cannot reach the OUTPUT: the
-            # fraction uses only the chosen gram's LENGTH, and every
-            # lex-tied candidate shares best_len by definition). r10:
-            # gram length comes from the separator-inclusive char
-            # prefix sums (len(" ".join(toks[i:i+n])) ==
-            # starts[i+n-1] - starts[i] + len(toks[i+n-1]) by
-            # construction), so NO gram string materializes — the old
-            # form joined every max-count gram, which with best_c == 1
-            # (no repeats, the common doc) was every gram of the doc
-            # (~55 % of the kernel, measured).
-            best_len = max(
+        ntok = len(toks)
+        v_base = len(tok2id)
+
+        # r10 rewrite, measured 3.5× (serial 1.31 → 0.37 s over the
+        # sf0.1 corpus; outputs verified EQUAL to the previous kernel
+        # on all three SF corpora + 500 random docs + edge cases, and
+        # against the brute-force reference in pytest):
+        #
+        # - the top-gram fraction uses only the chosen gram's LENGTH
+        #   (the published rule's lexicographic last resort cannot
+        #   reach the output — every lex-tied candidate shares
+        #   best_len), and len(" ".join(toks[i:i+n])) ==
+        #   starts[i+n-1] - starts[i] + len(toks[i+n-1]) by
+        #   construction, so NO gram string ever materializes;
+        # - pigeonhole pruning: a duplicated n-gram's leading and
+        #   trailing (n-1)-grams are duplicated too, so positions
+        #   whose 2-gram (for n = 3..5) or 5-gram (for n = 6..10)
+        #   ends are not duplicated can never host a duplicate —
+        #   counting restricts to those candidates (exact: every
+        #   occurrence of a duplicated gram is itself a candidate,
+        #   and non-candidates can only hold count-1 grams). A clean
+        #   doc (no repeated 2-gram) does ONE dict pass instead of
+        #   nine; a pathological all-repeats doc degrades to the old
+        #   full counting.
+        def max_len_all(n, m):
+            return max(
                 starts[i + n - 1] - starts[i] + len(toks[i + n - 1])
-                for k, i in first_pos.items()
-                if cnt[k] == best_c
+                for i in range(m)
             )
-            out.append(float(best_c * best_len) / float(total))
-        for n in dup_ns:
-            m = len(toks) - n + 1
+
+        out = []
+        dup2: list[bool] = []
+        for n in top_ns:
+            m = ntok - n + 1
             if m < 1:
                 out.append(0.0)
                 continue
-            grams = [tuple(ids[i : i + n]) for i in range(m)]
-            cnt = {}
-            for g in grams:
-                cnt[g] = cnt.get(g, 0) + 1
+            if n == 2:
+                # full exact count once, with packed-int keys
+                # (ids < v_base, so ids[i]*v_base + ids[i+1] is
+                # injective and hashes cheaper than a tuple)
+                cnt: dict = {}
+                first: dict = {}
+                for i in range(m):
+                    k = ids[i] * v_base + ids[i + 1]
+                    c = cnt.get(k)
+                    if c is None:
+                        cnt[k] = 1
+                        first[k] = i
+                    else:
+                        cnt[k] = c + 1
+                dup2 = [cnt[ids[i] * v_base + ids[i + 1]] > 1 for i in range(m)]
+                best_c = max(cnt.values())
+                if best_c == 1:
+                    best_len = max_len_all(n, m)
+                else:
+                    best_len = max(
+                        starts[i + 1] - starts[i] + len(toks[i + 1])
+                        for k, i in first.items()
+                        if cnt[k] == best_c
+                    )
+                out.append(float(best_c * best_len) / float(total))
+                continue
+            cand = (
+                [i for i in range(m) if dup2[i] and dup2[i + n - 2]]
+                if dup2
+                else []
+            )
+            best_c = 1
+            if cand:
+                cnt = {}
+                first = {}
+                for i in cand:
+                    k = tuple(ids[i : i + n])
+                    c = cnt.get(k)
+                    if c is None:
+                        cnt[k] = 1
+                        first[k] = i
+                    else:
+                        cnt[k] = c + 1
+                mc = max(cnt.values())
+                if mc > 1:
+                    best_c = mc
+                    best_len = max(
+                        starts[i + n - 1] - starts[i] + len(toks[i + n - 1])
+                        for k, i in first.items()
+                        if cnt[k] == mc
+                    )
+            if best_c == 1:
+                best_len = max_len_all(n, m)
+            out.append(float(best_c * best_len) / float(total))
+        dup5: list[bool] = []
+        for n in dup_ns:
+            m = ntok - n + 1
+            if m < 1:
+                out.append(0.0)
+                continue
+            if n == 5:
+                cand = (
+                    [i for i in range(m) if dup2[i] and dup2[i + 3]]
+                    if dup2
+                    else []
+                )
+            else:
+                off = n - 5
+                cand = (
+                    [i for i in range(m) if dup5[i] and dup5[i + off]]
+                    if dup5
+                    else []
+                )
+            dup_pos: list[int] = []
+            if cand:
+                keys = [tuple(ids[i : i + n]) for i in cand]
+                cnt = {}
+                for k in keys:
+                    cnt[k] = cnt.get(k, 0) + 1
+                dup_pos = [i for i, k in zip(cand, keys) if cnt[k] > 1]
+            if n == 5:
+                dup5 = [False] * m
+                for i in dup_pos:
+                    dup5[i] = True
+            if not dup_pos:
+                out.append(0.0)
+                continue
             # duplicated-gram token islands, merged on OVERLAP only
+            # (dup_pos ascends, exactly like the old full scan's order)
             islands: list[list[int]] = []
             prev_end = None
-            for pos0 in range(m):
-                if cnt[grams[pos0]] < 2:
-                    continue
+            for pos0 in dup_pos:
                 pos = pos0 + 1
                 end = pos + n - 1
                 if prev_end is None or pos > prev_end:
@@ -484,9 +564,6 @@ def gopher_repetition_stats(
                     islands[-1][1] = end
                 if prev_end is None or end > prev_end:
                     prev_end = end
-            if not islands:
-                out.append(0.0)
-                continue
             cov = 0
             for s_pos, e_pos in islands:
                 ss = starts[s_pos - 1]
