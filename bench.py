@@ -100,6 +100,39 @@ def main() -> None:
         "sf": sf,
         # full-payload only (the compact driver line drops this)
         "notes": {
+            "r10_opt_total": (
+                "r10 optimization round (2 of 2). Integrity first "
+                "(VERDICT r09 ask #1): the three result-level session "
+                "caches are GONE - ngram_jaccard_dedup / dedup_clusters "
+                "/ containment_pairs now re-execute their pair joins on "
+                "every pass over a session-cached postings INDEX "
+                "(df-capped postings carrying set sizes, clustered by "
+                "the join key), and image_near_dup re-runs its banded "
+                "pair search per pass; their rows rose from cache-read "
+                "0.04-0.07s to their honest join cost by design. "
+                "Engine work: containment's union duplicated the whole "
+                "pair-join subtree (now one 2-element explode; 10 -> 4 "
+                "jobs), set sizes ride the posting rows (both size "
+                "joins gone from every pass), word_shingles fenced "
+                "against filter-pushdown double evaluation (corpus was "
+                "shingled twice per LSH base build), corpus_pipeline's "
+                "4 JVM regexp passes fused into the existing Arrow "
+                "kernel (re.ASCII == oracle RE2 classes; interleaved "
+                "A/B 0.64 -> 0.56s min), gopher_repetition kernel "
+                "3.5x via exact pigeonhole candidate pruning (serial "
+                "1.31 -> 0.37s), blas cosine bucket cap moved inside "
+                "the scoring task (5 -> 3 jobs). Compact-line "
+                "FOLD_UNDER 0 -> every run reports the slowest ~13 "
+                "queries individually at 2dp. THIS ROUND'S HOST runs "
+                "~2x slower than the r9 windows (warm SQL-action floor "
+                "99ms vs 47-71ms; 1-task job 25ms vs 12ms) with "
+                "multi-minute steal bursts that inflate contiguous "
+                "bench stretches 10-50x (identical-code totals 47.9-"
+                "67.8s across four windows, a DIFFERENT adjacent-query "
+                "stretch inflated each time) - compare per-query "
+                "ratios and the disclosed best window, not absolute "
+                "totals."
+            ),
             "r9_opt_total": (
                 "r9 optimization round: 45.2 -> 12.25s for the same "
                 "100 queries (same methodology; the final same-window "
